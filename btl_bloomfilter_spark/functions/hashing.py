@@ -1,0 +1,244 @@
+"""Vectorized ntHash-style rolling n-gram multi-hash over byte strings.
+
+The reference (`/root/reference/vendor/nthash.hpp`) computes, for each
+k-mer window of a DNA string, a 64-bit "base" hash by XOR-folding
+per-symbol 64-bit seeds under a 1-bit rotation per position
+(`nthash.hpp:394-416`), slides the window in O(1)
+(`nthash.hpp:442-448`), and derives h-1 extra hashes from the base via
+the NTE64 law (`nthash.hpp:537-542`).
+
+We re-express the same structure over arbitrary UTF-8 bytes, fully
+vectorized in numpy (no per-row Python), using a closed form of the
+rolling recurrence:
+
+    base(t) = XOR_{j=0..k-1} rol(seed[b[t+j]], k-1-j)
+
+With u[p] = ror(seed[b[p]], p) (absolute position p in a concatenated
+byte buffer) and P[p] = prefix-XOR of u, every window hash is
+
+    base(t) = rol(P[t+k-1] ^ P[t-1], (t + k - 1) mod 64)
+
+because rotation distributes over XOR.  Per-string start offsets cancel
+(proof in `_roll_hash` docstring), so a whole Arrow batch of strings is
+hashed with ~6 numpy passes over one flat byte buffer — the vectorized
+equivalent of the reference's O(1) slide.
+
+The NTE64 fan-out law is kept EXACTLY (same constants,
+`nthash.hpp:183-186,537-542`):
+
+    h_i = h0 * (i ^ k * 0x90b45d39fb6da1fa);  h_i ^= h_i >> 27
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "MULTI_SEED",
+    "MULTI_SHIFT",
+    "seed_table",
+    "nte64",
+    "hash_ngrams",
+    "hash_strings",
+    "hash_tokens",
+    "clz64",
+]
+
+# Constants copied from the reference fan-out law (vendor/nthash.hpp:183-186).
+MULTI_SEED = np.uint64(0x90B45D39FB6DA1FA)
+MULTI_SHIFT = np.uint64(27)
+
+_U64 = np.uint64
+_MASK6 = np.uint64(63)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (public domain, Steele et al.) — uint64 in/out."""
+    with np.errstate(over="ignore"):
+        x = (x + _U64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        x ^= x >> _U64(30)
+        x *= _U64(0xBF58476D1CE4E5B9)
+        x ^= x >> _U64(27)
+        x *= _U64(0x94D049BB133111EB)
+        x ^= x >> _U64(31)
+    return x
+
+
+def seed_table(salt: int = 0) -> np.ndarray:
+    """256-entry per-byte 64-bit seed table (analog of seedA/C/G/T,
+    nthash.hpp:189-193, generalized to the full byte alphabet)."""
+    return _splitmix64(np.arange(256, dtype=np.uint64) + _U64(salt) * _U64(0x9E3779B97F4A7C15))
+
+
+_SEEDS = seed_table()
+
+
+def _rol(x: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Rotate-left uint64 by r in [0, 64). Branch-free: (64-r)&63 keeps
+    numpy shifts in-range and the r==0 case degenerates to x|x == x."""
+    r = np.asarray(r, dtype=np.uint64) & _MASK6
+    return (x << r) | (x >> ((_U64(64) - r) & _MASK6))
+
+
+def _ror(x: np.ndarray, r: np.ndarray) -> np.ndarray:
+    r = np.asarray(r, dtype=np.uint64) & _MASK6
+    return (x >> r) | (x << ((_U64(64) - r) & _MASK6))
+
+
+def nte64(h0: np.ndarray, num_hashes: int, k: int) -> np.ndarray:
+    """Multi-hash fan-out: one base hash → ``num_hashes`` hashes.
+
+    EXACT port of the NTE64 law (nthash.hpp:537-542) with hash 0 being
+    the base value itself, mirroring NTM64's loop (nthash.hpp:525-534).
+
+    Parameters
+    ----------
+    h0 : (n,) uint64 base hashes
+    Returns (n, num_hashes) uint64.
+    """
+    h0 = np.ascontiguousarray(h0, dtype=np.uint64)
+    i = np.arange(num_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):  # wrap-around multiply is the law
+        t = (i ^ (_U64(k) * MULTI_SEED)).astype(np.uint64)
+        out = h0[:, None] * t[None, :]
+    out ^= out >> MULTI_SHIFT
+    if num_hashes > 0:
+        out[:, 0] = h0  # hVal[0] = bVal (nthash.hpp:529)
+    return out
+
+
+def _flatten_utf8(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a sequence of strings to one flat uint8 buffer + offsets.
+
+    Returns (buf, offsets) with offsets of length n+1; string s occupies
+    buf[offsets[s]:offsets[s+1]].
+    """
+    encoded = [s.encode("utf-8", "surrogatepass") if isinstance(s, str) else (s or b"") for s in strings]
+    lens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=len(encoded))
+    offsets = np.zeros(len(encoded) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    buf = np.frombuffer(b"".join(encoded), dtype=np.uint8)
+    return buf, offsets
+
+
+def _roll_hash(buf: np.ndarray, k: int, seeds: np.ndarray) -> np.ndarray:
+    """All window base-hashes of a flat byte buffer, vectorized.
+
+    Window starting at absolute position p hashes bytes [p, p+k-1]:
+
+        base(p) = rol(P[p+k-1] ^ P[p-1], (p + k - 1) mod 64)
+
+    where P is the prefix-XOR of u[q] = ror(seed[buf[q]], q).
+
+    Per-string offsets cancel: for a string starting at absolute o with
+    local index t = p - o, the true hash is rol(U_local, t+k-1) with
+    u_local[q] = ror(seed, q-o) = rol(u_abs[q], o); the o-rotation
+    distributes over the XOR and combines with t+k-1 into the absolute
+    amount p+k-1.  Hence one global pass serves every string in the
+    batch; callers mask windows that span string boundaries.
+    """
+    n = buf.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    pos = np.arange(n, dtype=np.uint64)
+    u = _ror(seeds[buf], pos)
+    pre = np.zeros(n + 1, dtype=np.uint64)
+    np.bitwise_xor.accumulate(u, out=pre[1:])
+    starts = np.arange(n - k + 1, dtype=np.int64)
+    w = pre[starts + k] ^ pre[starts]
+    return _rol(w, (starts.astype(np.uint64) + _U64(k - 1)))
+
+
+def hash_ngrams(
+    strings,
+    k: int,
+    num_hashes: int = 1,
+    *,
+    seeds: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Hash every k-byte window of every string in a batch.
+
+    Equivalent of iterating ntHashIterator over each sequence
+    (vendor/ntHashIterator.hpp:59-86) but batched: one flat numpy pass.
+
+    Returns ``(hashes, row_ids)`` where ``hashes`` is (W, num_hashes)
+    uint64 over all valid windows of all strings and ``row_ids`` maps
+    each window to its source string index.  Strings shorter than k
+    yield no windows (reference behavior: iterator ends immediately).
+    """
+    seeds = _SEEDS if seeds is None else seeds
+    buf, offsets = _flatten_utf8(strings)
+    n = buf.shape[0]
+    if n < k:
+        return np.empty((0, num_hashes), dtype=np.uint64), np.empty(0, dtype=np.int64)
+    base = _roll_hash(buf, k, seeds)  # (n-k+1,)
+    # valid windows: fully inside one string
+    starts = np.arange(n - k + 1, dtype=np.int64)
+    row_of_pos = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + k <= offsets[row_of_pos + 1]
+    base = base[valid]
+    row_ids = row_of_pos[valid]
+    return nte64(base, num_hashes, k), row_ids
+
+
+def hash_strings(strings, num_hashes: int = 1, *, seeds: np.ndarray | None = None) -> np.ndarray:
+    """One 64-bit (or fanned-out multi-) hash per whole string.
+
+    Same fold as the rolling hash with k = len(string); empty strings
+    hash to a fixed seeded constant.  Returns (n, num_hashes) uint64.
+    """
+    seeds = _SEEDS if seeds is None else seeds
+    buf, offsets = _flatten_utf8(strings)
+    n_str = offsets.shape[0] - 1
+    pos = np.arange(buf.shape[0], dtype=np.uint64)
+    u = _ror(seeds[buf], pos) if buf.shape[0] else np.empty(0, dtype=np.uint64)
+    pre = np.zeros(buf.shape[0] + 1, dtype=np.uint64)
+    if buf.shape[0]:
+        np.bitwise_xor.accumulate(u, out=pre[1:])
+    starts = offsets[:-1]
+    ends = offsets[1:]
+    w = pre[ends] ^ pre[starts]
+    # rotation amount (end-1) mod 64; empty strings → seeded constant
+    amt = np.maximum(ends - 1, 0).astype(np.uint64)
+    base = _rol(w, amt)
+    empty = ends == starts
+    if empty.any():
+        base = base.copy()
+        base[empty] = seeds[0]
+    # mix in length so prefixes of zero-XOR tails differ
+    base = _splitmix64(base ^ (ends - starts).astype(np.uint64))
+    # whole-string fan-out uses the fixed convention k=1 in the NTE64 law
+    return nte64(base, num_hashes, 1)
+
+
+def hash_tokens(token_lists, n: int, num_hashes: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """Hash word n-grams: each n-gram is the '\\x1f'-joined token window.
+
+    token_lists: sequence of lists of tokens. Returns (hashes, row_ids)
+    like :func:`hash_ngrams`.
+    """
+    grams: list[str] = []
+    rows: list[int] = []
+    for i, toks in enumerate(token_lists):
+        if toks is None:
+            continue
+        for j in range(len(toks) - n + 1):
+            grams.append("\x1f".join(toks[j : j + n]))
+            rows.append(i)
+    if not grams:
+        return np.empty((0, num_hashes), dtype=np.uint64), np.empty(0, dtype=np.int64)
+    return hash_strings(grams, num_hashes), np.asarray(rows, dtype=np.int64)
+
+
+def clz64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (clz(0) == 64)."""
+    v = np.asarray(v, dtype=np.uint64)
+    bl = np.zeros(v.shape, dtype=np.uint64)  # bit length
+    x = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        s64 = _U64(s)
+        big = (x >> s64) != 0
+        bl += big.astype(np.uint64) * s64
+        x = np.where(big, x >> s64, x)
+    bl += (x != 0).astype(np.uint64)
+    return _U64(64) - bl
