@@ -1,0 +1,62 @@
+"""Broadcast-probe column functions.
+
+The reference's query path (`testBloom_rolling.cpp:19-33`) streams a
+corpus against a loaded filter.  Spark-native equivalent: broadcast
+the serialized sketch once, then probe with an Arrow-vectorized
+pandas UDF — a pure map (no shuffle), Catalyst plans it as
+`Project(ArrowEvalPython)` over a pruned scan.  Using
+`df.filter(bloom_contains(...))` is a broadcast semi-join against the
+Bloom filter, the classic BF use.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pandas as pd
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql.functions import pandas_udf
+
+from ..operators.base import Sketch
+
+# per-worker deserialized-sketch cache (rebuilt lazily per executor)
+_WORKER_CACHE: dict[str, Sketch] = {}
+
+
+def _probe_udf(spark: SparkSession, sketch: Sketch, method: str, ret_type: str):
+    blob = sketch.serialize()
+    bc = spark.sparkContext.broadcast(blob)
+    token = uuid.uuid4().hex
+
+    @pandas_udf(ret_type)
+    def probe(s: pd.Series) -> pd.Series:
+        sk = _WORKER_CACHE.get(token)
+        if sk is None:
+            sk = _WORKER_CACHE[token] = Sketch.deserialize(bc.value)
+        return pd.Series(getattr(sk, method)(s))
+
+    return probe
+
+
+def bloom_contains(spark: SparkSession, bf, col) -> Column:
+    """True iff every window/element of the value is in the filter
+    (BloomFilter.hpp:237-262 semantics, per-string reduction)."""
+    return _probe_udf(spark, bf, "contains_batch", "boolean")(col)
+
+
+def bloom_seen_fraction(spark: SparkSession, bf, col) -> Column:
+    """Fraction of the string's k-gram windows present in the filter
+    (hits/total tally of testBloom_rolling.cpp:27-32)."""
+    return _probe_udf(spark, bf, "seen_fraction", "double")(col)
+
+
+def counting_estimate(spark: SparkSession, cbf, col) -> Column:
+    """Min-count estimate per element (CountingBloomFilter.hpp:190-196
+    / count-min point query)."""
+    return _probe_udf(spark, cbf, "estimate_batch", "double")(col)
+
+
+def register_sql(spark: SparkSession, name: str, sketch: Sketch, method: str, ret_type: str) -> None:
+    """Expose a probe as a SQL function: SELECT name(text) FROM ..."""
+    spark.udf.register(name, _probe_udf(spark, sketch, method, ret_type))

@@ -1,0 +1,238 @@
+"""Distributed sketch-build plans.
+
+The reference parallelizes by having OpenMP threads atomically update
+one shared array (`Tests/AdHoc/ParallelFilter.cpp:109-120`).  The
+Spark-native equivalent is:
+
+    scan (column-pruned) → [repartition] → mapInPandas per-partition
+    build (Arrow batches, numpy kernels, zero per-row Python) →
+    tree-wise merge via groupBy(pid % fanin).applyInPandas →
+    driver finalize
+
+Merging replaces atomicity: every sketch's ``merge`` is associative +
+commutative, so partition order never matters (tests verify under
+permutations).  The tree fan-in bounds both shuffle width and driver
+memory — with 10k partitions and fanin=16 no single task ever merges
+more than 16 blobs, and the driver only ever collects ≤ fanin rows.
+
+Checkpointing (north_rule): stage-0 partials can be persisted to a
+Parquet state table with per-partition lineage + fill metrics; a rerun
+with the same params resumes from it without rescanning the source.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from typing import Callable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.base import Sketch
+
+PARTIAL_SCHEMA = "pid long, blob binary, n_rows long, metrics string"
+
+
+def _build_fn(make_sketch: Callable[[], Sketch], colname: str):
+    def fn(batches):
+        from pyspark import TaskContext
+
+        sk = make_sketch()
+        n_rows = 0
+        for pdf in batches:
+            sk.update(pdf[colname])
+            n_rows += len(pdf)
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        yield pd.DataFrame(
+            {
+                "pid": [pid],
+                "blob": [sk.serialize()],
+                "n_rows": [n_rows],
+                "metrics": [json.dumps(sk.metrics())],
+            }
+        )
+
+    return fn
+
+
+def _merge_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    blobs = pdf["blob"].tolist()
+    sk = Sketch.deserialize(blobs[0])
+    for b in blobs[1:]:
+        sk.merge(Sketch.deserialize(b))
+    return pd.DataFrame(
+        {
+            "pid": [int(pdf["gid"].iloc[0])],
+            "blob": [sk.serialize()],
+            "n_rows": [int(pdf["n_rows"].sum())],
+            "metrics": [json.dumps(sk.metrics())],
+        }
+    )
+
+
+def partial_sketches(
+    df: DataFrame,
+    col: str,
+    make_sketch: Callable[[], Sketch],
+    *,
+    repartition: int | None = None,
+) -> DataFrame:
+    """Stage 0: one serialized partial sketch per partition.
+
+    ``select(col)`` first so Catalyst prunes columns at the scan.
+    """
+    sdf = df.select(col)
+    if repartition:
+        sdf = sdf.repartition(repartition)
+    return sdf.mapInPandas(_build_fn(make_sketch, col), PARTIAL_SCHEMA)
+
+
+def tree_merge(partials: DataFrame, num_partials: int, *, fanin: int = 16) -> Sketch:
+    """Reduce partials tree-wise; driver merges the last ≤ fanin rows."""
+    cur = partials
+    n = max(1, num_partials)
+    while n > fanin:
+        groups = math.ceil(n / fanin)
+        cur = (
+            cur.withColumn("gid", F.pmod(F.col("pid"), F.lit(groups)))
+            .groupBy("gid")
+            .applyInPandas(lambda pdf: _merge_fn(pdf), PARTIAL_SCHEMA)
+        )
+        n = groups
+    rows = cur.collect()
+    if not rows:
+        raise ValueError("no partitions produced partial sketches")
+    sk = Sketch.deserialize(rows[0]["blob"])
+    for r in rows[1:]:
+        sk.merge(Sketch.deserialize(r["blob"]))
+    return sk
+
+
+def build_sketch(
+    df: DataFrame,
+    col: str,
+    make_sketch: Callable[[], Sketch],
+    *,
+    repartition: int | None = None,
+    fanin: int = 16,
+    checkpoint_dir: str | None = None,
+    lineage: str = "",
+) -> Sketch:
+    """Full distributed build: partials → (checkpoint) → tree merge.
+
+    With ``checkpoint_dir`` the stage-0 partials are persisted (with
+    lineage + metrics columns); a rerun whose params match resumes
+    from them instead of rescanning the source (north_rule resume).
+    """
+    spark = df.sparkSession
+    params_json = json.dumps(
+        {"cls": type(make_sketch()).__name__, "params": make_sketch().params(), "col": col, "lineage": lineage},
+        sort_keys=True,
+    )
+    if checkpoint_dir and _checkpoint_matches(checkpoint_dir, params_json):
+        partials = spark.read.parquet(os.path.join(checkpoint_dir, "partials"))
+        n = partials.count()
+        return tree_merge(partials, n, fanin=fanin)
+
+    partials = partial_sketches(df, col, make_sketch, repartition=repartition)
+    if checkpoint_dir:
+        path = os.path.join(checkpoint_dir, "partials")
+        partials.withColumn("lineage", F.lit(lineage)).write.mode("overwrite").parquet(path)
+        with open(os.path.join(checkpoint_dir, "params.json"), "w") as f:
+            f.write(params_json)
+        partials = spark.read.parquet(path)
+        n = partials.count()
+    else:
+        n = df.rdd.getNumPartitions() if repartition is None else repartition
+    return tree_merge(partials, n, fanin=fanin)
+
+
+def _checkpoint_matches(checkpoint_dir: str, params_json: str) -> bool:
+    p = os.path.join(checkpoint_dir, "params.json")
+    success = os.path.join(checkpoint_dir, "partials", "_SUCCESS")
+    if not (os.path.exists(p) and os.path.exists(success)):
+        return False
+    with open(p) as f:
+        return f.read() == params_json
+
+
+# ---------------------------------------------------------------------------
+# Grouped sketch aggregation (map-side partial agg + shuffle of blobs only)
+# ---------------------------------------------------------------------------
+
+
+def grouped_partials_fn(make_sketch: Callable[[], Sketch], keys: Sequence[str], col: str):
+    def fn(batches):
+        states: dict[tuple, Sketch] = {}
+        for pdf in batches:
+            for kv, sub in pdf.groupby(list(keys), dropna=False, sort=False):
+                if not isinstance(kv, tuple):
+                    kv = (kv,)
+                sk = states.get(kv)
+                if sk is None:
+                    sk = states[kv] = make_sketch()
+                sk.update(sub[col])
+        for kv, sk in states.items():
+            row = {k: [v] for k, v in zip(keys, kv)}
+            row["blob"] = [sk.serialize()]
+            yield pd.DataFrame(row)
+
+    return fn
+
+
+def sketch_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    make_sketch: Callable[[], Sketch],
+    finalize: Callable[[Sketch], float],
+    out_col: str = "estimate",
+    *,
+    key_schema: str | None = None,
+    salt_partitions: int | None = None,
+) -> DataFrame:
+    """Per-key sketch estimates with map-side partial aggregation.
+
+    Stage 1 (mapInPandas) builds one partial sketch per (partition,
+    key) — the sketch analog of a map-side combine, so only
+    (key, blob) rows shuffle, never raw values.  Stage 2 merges per
+    key and finalizes.  With ``salt_partitions`` an intermediate
+    groupBy(keys, salt) stage splits hot keys across reducers before
+    the final merge (north_rule skew mitigation).
+    """
+    keys = list(keys)
+    if key_schema is None:
+        key_schema = ", ".join(f"{k} string" for k in keys)
+    partial_schema = f"{key_schema}, blob binary"
+    out_schema = f"{key_schema}, {out_col} double"
+
+    partials = df.select(*keys, col).mapInPandas(grouped_partials_fn(make_sketch, keys, col), partial_schema)
+
+    def merge_blobs(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = Sketch.deserialize(pdf["blob"].iloc[0])
+        for b in pdf["blob"].iloc[1:]:
+            sk.merge(Sketch.deserialize(b))
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["blob"] = [sk.serialize()]
+        return pd.DataFrame(out)
+
+    if salt_partitions:
+        salted = partials.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_partitions)))
+
+        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
+            return merge_blobs(pdf.drop(columns="__salt"))
+
+        partials = salted.groupBy(*keys, "__salt").applyInPandas(merge_salted, partial_schema)
+
+    def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = merge_blobs(pdf)
+        sk = Sketch.deserialize(merged["blob"].iloc[0])
+        out = {k: merged[k] for k in keys}
+        out[out_col] = [float(finalize(sk))]
+        return pd.DataFrame(out)
+
+    return partials.groupBy(*keys).applyInPandas(merge_final, out_schema)
