@@ -1,0 +1,75 @@
+"""HLL accuracy (≤1.04/√m published bound) + merge-law tests."""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from btl_bloomfilter_spark.operators.hll import HyperLogLog
+from btl_bloomfilter_spark.operators.base import Sketch
+
+
+@pytest.mark.parametrize("true_n", [100, 5_000, 200_000])
+def test_estimate_within_bound(true_n):
+    hll = HyperLogLog(p=14)
+    hll.update([f"item-{i}" for i in range(true_n)])
+    est = hll.estimate()
+    bound = 4 * hll.rel_error_bound()  # 4 sigma slack for a single draw
+    assert abs(est - true_n) / true_n <= bound, (est, true_n)
+
+
+def test_duplicates_dont_inflate():
+    hll = HyperLogLog(p=12)
+    for _ in range(10):
+        hll.update([f"d{i}" for i in range(1000)])
+    assert abs(hll.estimate() - 1000) / 1000 < 0.1
+
+
+def test_merge_register_max_bit_exact():
+    """merge_laws fixture: registers merge by max — merged partials
+    bit-identical to serial build, any partition order."""
+    items = [f"u{i}" for i in range(20_000)]
+    serial = HyperLogLog(p=10)
+    serial.update(items)
+    chunks = np.array_split(np.array(items, dtype=object), 4)
+    partials = []
+    for c in chunks:
+        h = HyperLogLog(p=10)
+        h.update(list(c))
+        partials.append(h)
+    for perm in itertools.permutations(range(4)):
+        acc = HyperLogLog(p=10)
+        for i in perm:
+            acc.merge(partials[i])
+        np.testing.assert_array_equal(acc.registers, serial.registers)
+        assert acc.estimate() == serial.estimate()
+
+
+def test_merge_distinct_union_semantics():
+    a, b = HyperLogLog(p=12), HyperLogLog(p=12)
+    a.update([f"a{i}" for i in range(5000)])
+    b.update([f"b{i}" for i in range(5000)])
+    b.update([f"a{i}" for i in range(2500)])  # overlap
+    a.merge(b)
+    est = a.estimate()
+    assert abs(est - 10_000) / 10_000 < 0.05
+
+
+def test_small_range_linear_counting():
+    hll = HyperLogLog(p=14)
+    hll.update([f"x{i}" for i in range(50)])
+    assert abs(hll.estimate() - 50) < 3
+
+
+def test_serialize_roundtrip():
+    hll = HyperLogLog(p=11, seed_salt=7)
+    hll.update([f"s{i}" for i in range(3000)])
+    back = Sketch.deserialize(hll.serialize())
+    np.testing.assert_array_equal(back.registers, hll.registers)
+    assert back.estimate() == hll.estimate()
+    assert back.params() == hll.params()
+
+
+def test_incompatible_p_raises():
+    with pytest.raises(ValueError):
+        HyperLogLog(p=10).merge(HyperLogLog(p=11))
