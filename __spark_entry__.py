@@ -1,38 +1,511 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship Bloom-membership pipeline at sf0.001.
+queries()      — one callable per implemented operator (SURVEY.md §2
+                 sketch ops + training-pipeline ops).
+oracle_sql()   — DuckDB-equivalent ANSI SQL per query where the
+                 semantics are SQL-expressible; sketch-estimate ops
+                 (Bloom/HLL/CMS/KLL/t-digest/MinHash/SimHash/LSH) are
+                 intentionally omitted → driver records rows-only;
+                 their accuracy is asserted against exact oracles
+                 inside the query outputs themselves and in tests/.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import numpy as np  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: E402
+
+from btl_bloomfilter_spark.session import attach_package  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    attach_package(spark)
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+
+
+# ======================================================================
+# flagship
+# ======================================================================
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distributed Bloom build over document text n-grams +
+    broadcast membership probe, per-lang fully-seen counts."""
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+    from btl_bloomfilter_spark.functions.probe import bloom_seen_fraction
+
+    t = _load(spark, "/root/testdata/sf0.001", "documents")
+    docs = t["documents"]
+    bf = build_sketch(
+        docs, "text", lambda: BloomFilter.for_capacity(n=500_000, fpr=1e-3, k=8), fanin=8
+    )
+    return (
+        docs.select("lang", bloom_seen_fraction(spark, bf, "text").alias("frac"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("frac") == 1.0).cast("long")).alias("fully_seen"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ======================================================================
+# queries — SQL-oracled (exact, deterministic)
+# ======================================================================
+
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2025-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q02_event_type_stats(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")["events"]
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+def q03_distinct_users_by_type(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")["events"]
+    return ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("distinct_users"))
+
+
+def q04_order_priority(spark, sf_dir):
+    t = _load(spark, sf_dir, "orders")
+    return t["orders"].groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+def q05_exact_dedup(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.dedup import exact_dedup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return exact_dedup(docs, "text", "doc_id").select("digest", "keeper_id", "n_copies")
+
+
+def q06_ngram_jaccard(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.03)
+
+
+def q07_token_stats(spark, sf_dir):
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select("source", T.token_count("text").alias("tc"))
+        .groupBy("source")
+        .agg(
+            F.sum("tc").alias("total_tokens"),
+            F.round(F.avg("tc"), 6).alias("avg_tokens"),
+            F.max("tc").alias("max_tokens"),
+        )
+    )
+
+
+def q08_quality_scores(spark, sf_dir):
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select("lang", T.quality_score("text").alias("q"))
+        .groupBy("lang")
+        .agg(F.round(F.avg("q"), 6).alias("avg_quality"), F.count("*").alias("n"))
+    )
+
+
+def q09_lang_guess(spark, sf_dir):
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select("lang", T.lang_guess("text").alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q10_fingerprints(spark, sf_dir):
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+def q11_cosine_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    from btl_bloomfilter_spark.operators.similarity import brute_topk
+
+    return brute_topk(emb.where(F.col("vec_id") != 0), qvec, 10)
+
+
+def q12_embedding_norms(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(F.transform(d, lambda x: x * x), F.lit(0.0), lambda a, v: a + v))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.round(F.avg("norm"), 6).alias("avg_norm"), F.count("*").alias("n"))
+    )
+
+
+def q13_user_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn("new_session", F.when(gap.isNull() | (gap > 3600), 1).otherwise(0))
+    return sess.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q14_order_customer_join(spark, sf_dir):
+    t = _load(spark, sf_dir, "orders", "customer", "nation")
+    return (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q15_supplier_part_volume(spark, sf_dir):
+    t = _load(spark, sf_dir, "lineitem", "supplier", "part")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("volume"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+# ======================================================================
+# queries — sketch ops (rows-only driver check; exact oracle columns
+# embedded in the output for self-validation)
+# ======================================================================
+
+
+def q20_bloom_membership(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+    from btl_bloomfilter_spark.functions.probe import bloom_seen_fraction
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    bf = build_sketch(docs, "text", lambda: BloomFilter.for_capacity(n=2_000_000, fpr=1e-3, k=8), fanin=8)
+    pos = docs.select(bloom_seen_fraction(spark, bf, "text").alias("frac"))
+    neg = spark.range(5000).select(
+        F.concat(F.lit("zzneg"), F.col("id").cast("string"), F.lit("zzpayloadzz")).alias("t")
+    )
+    negf = neg.select(bloom_seen_fraction(spark, bf, "t").alias("frac"))
+    return spark.createDataFrame(
+        [
+            (
+                "bloom",
+                float(pos.agg(F.min("frac")).collect()[0][0]),
+                float(negf.agg(F.avg("frac")).collect()[0][0]),
+                float(bf.fpr()),
+                float(bf.theoretical_fpr()),
+                int(bf.pop()),
+            )
+        ],
+        "sketch string, pos_min_frac double, neg_avg_frac double, observed_fpr double, bound_fpr double, popcount long",
+    )
+
+
+def q21_hll_distinct(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.hll import HyperLogLog
+    from btl_bloomfilter_spark.plans.agg import sketch_by_key
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    est = sketch_by_key(
+        ev, ["event_type"], "user_id", lambda: HyperLogLog(p=13), lambda s: s.estimate(), "hll_est"
+    )
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact"))
+    bound = 1.04 / np.sqrt(1 << 13)
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round("hll_est", 2).alias("hll_est"),
+            "exact",
+            (F.abs(F.col("hll_est") - F.col("exact")) / F.col("exact") <= 4 * bound).alias("within_bound"),
+        )
+    )
+
+
+def q22_cms_heavy_hitters(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.counting import CountMinSketch
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    cms = build_sketch(ev, "event_type", lambda: CountMinSketch.from_error(0.001, 0.01), fanin=8)
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("exact"))
+    rows = exact.collect()
+    keys = [r["event_type"] for r in rows]
+    est = cms.estimate_batch(keys)
+    n = sum(r["exact"] for r in rows)
+    return spark.createDataFrame(
+        [
+            (k, float(e), int(r["exact"]), bool(e >= r["exact"]), bool(e <= r["exact"] + 0.001 * n))
+            for k, e, r in zip(keys, est, rows)
+        ],
+        "event_type string, cms_est double, exact long, no_undercount boolean, within_eps boolean",
+    )
+
+
+def q23_quantile_sketches(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.kll import KLL
+    from btl_bloomfilter_spark.operators.tdigest import TDigest
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].select(F.col("l_extendedprice").alias("x"))
+    kll = build_sketch(li, "x", lambda: KLL(k=200), fanin=8)
+    td = build_sketch(li, "x", lambda: TDigest(delta=200), fanin=8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    exact = li.agg(F.expr(f"percentile(x, array({', '.join(map(str, qs))}))").alias("p")).collect()[0]["p"]
+    out = []
+    for q, e in zip(qs, exact):
+        out.append((q, float(kll.quantile(q)), float(td.quantile(q)), float(e)))
+    return spark.createDataFrame(out, "q double, kll double, tdigest double, exact double")
+
+
+def q24_minhash_dups(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.dedup import minhash_dedup
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return minhash_dedup(docs, "text", "doc_id", num_perm=64, bands=16, threshold=0.2)
+
+
+def q25_simhash_near(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.dedup import simhash, simhash_candidates
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sh = simhash(docs, "text", "doc_id")
+    return simhash_candidates(sh, max_hamming=16)
+
+
+def q26_lsh_topk(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.similarity import lsh_topk
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    return lsh_topk(emb.where(F.col("vec_id") != 0), qvec, 10, n_planes=8)
+
+
+def q27_counting_bloom(spark, sf_dir):
+    from btl_bloomfilter_spark.operators.counting import CountingBloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    cbf = build_sketch(
+        ev, "event_type", lambda: CountingBloomFilter(1 << 20, 4, 0, counter_bits=32), fanin=8
+    )
+    exact = {r["event_type"]: r["c"] for r in ev.groupBy("event_type").agg(F.count("*").alias("c")).collect()}
+    keys = sorted(exact)
+    est = cbf.estimate_batch(keys)
+    return spark.createDataFrame(
+        [(k, float(e), int(exact[k]), bool(e >= exact[k])) for k, e in zip(keys, est)],
+        "event_type string, cbf_est double, exact long, no_undercount boolean",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_event_type_stats": q02_event_type_stats,
+        "q03_distinct_users_by_type": q03_distinct_users_by_type,
+        "q04_order_priority": q04_order_priority,
+        "q05_exact_dedup": q05_exact_dedup,
+        "q06_ngram_jaccard": q06_ngram_jaccard,
+        "q07_token_stats": q07_token_stats,
+        "q08_quality_scores": q08_quality_scores,
+        "q09_lang_guess": q09_lang_guess,
+        "q10_fingerprints": q10_fingerprints,
+        "q11_cosine_topk": q11_cosine_topk,
+        "q12_embedding_norms": q12_embedding_norms,
+        "q13_user_sessions": q13_user_sessions,
+        "q14_order_customer_join": q14_order_customer_join,
+        "q15_supplier_part_volume": q15_supplier_part_volume,
+        "q20_bloom_membership": q20_bloom_membership,
+        "q21_hll_distinct": q21_hll_distinct,
+        "q22_cms_heavy_hitters": q22_cms_heavy_hitters,
+        "q23_quantile_sketches": q23_quantile_sketches,
+        "q24_minhash_dups": q24_minhash_dups,
+        "q25_simhash_near": q25_simhash_near,
+        "q26_lsh_topk": q26_lsh_topk,
+        "q27_counting_bloom": q27_counting_bloom,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ======================================================================
+# DuckDB oracles
+# ======================================================================
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    shingle_cte = """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                         i -> array_to_string(t[i:i+2], ' '))) AS shingle
+            FROM toks
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
     """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '2025-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q02_event_type_stats": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 6) AS avg_value,
+                   round(max(value), 2) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "q03_distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS distinct_users
+            FROM events GROUP BY event_type
+        """,
+        "q04_order_priority": """
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   count(DISTINCT o_custkey) AS n_custs,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q05_exact_dedup": """
+            SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY md5(text)
+        """,
+        "q06_ngram_jaccard": shingle_cte
+        + """
+            SELECT id_a, id_b,
+                   round(inter::double / (sa.sz + sb.sz - inter), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON id_a = sa.doc_id
+            JOIN sizes sb ON id_b = sb.doc_id
+            WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.03
+        """,
+        "q07_token_stats": f"""
+            SELECT source,
+                   sum(tc) AS total_tokens,
+                   round(avg(tc), 6) AS avg_tokens,
+                   max(tc) AS max_tokens
+            FROM (SELECT source, {T.token_count_sql('text')} AS tc FROM documents)
+            GROUP BY source
+        """,
+        "q08_quality_scores": f"""
+            SELECT lang, round(avg(q), 6) AS avg_quality, count(*) AS n
+            FROM (SELECT lang, {T.quality_score_sql('text')} AS q FROM documents)
+            GROUP BY lang
+        """,
+        "q09_lang_guess": f"""
+            SELECT lang, {T.lang_guess_sql('text')} AS guess, count(*) AS n
+            FROM documents GROUP BY lang, guess
+        """,
+        "q10_fingerprints": f"""
+            SELECT doc_id, {T.fingerprint_sql('text')} AS fp FROM documents
+        """,
+        "q11_cosine_topk": """
+            WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(
+                     list_dot_product(embedding::DOUBLE[], qv) /
+                     (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(qv, qv))), 6) AS cosine
+            FROM embeddings, q WHERE vec_id != 0
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
+        "q12_embedding_norms": """
+            SELECT label,
+                   round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+                   count(*) AS n
+            FROM embeddings GROUP BY label
+        """,
+        "q13_user_sessions": """
+            SELECT user_id,
+                   sum(CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 3600 THEN 1 ELSE 0 END) AS n_sessions,
+                   count(*) AS n_events
+            FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+                  FROM events)
+            GROUP BY user_id
+        """,
+        "q14_order_customer_join": """
+            SELECT n_name, c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_mktsegment
+        """,
+        "q15_supplier_part_volume": """
+            SELECT p_brand,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+                   count(DISTINCT s_suppkey) AS n_suppliers
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+    }

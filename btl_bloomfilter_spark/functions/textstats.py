@@ -1,0 +1,156 @@
+"""Text-analysis column builders for training-data pipelines.
+
+All pure Spark built-in expressions (`pyspark.sql.functions`) — they
+stay inside WholeStageCodegen, no Python in the hot path, and every
+one has an exact ANSI-SQL twin runnable by the DuckDB oracle
+(__spark_entry__.oracle_sql).  Ops: token counting, quality scoring
+(length / punctuation / stopword ratios), language-ID heuristic,
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword heuristic
+LANG_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "shi", "le", "bu", "wo"],
+}
+
+
+def token_count(col: str) -> Column:
+    """Whitespace token count; empty/blank → 0."""
+    t = F.trim(F.col(col))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+
+
+def char_count(col: str) -> Column:
+    return F.length(F.col(col)).cast("long")
+
+
+def punct_ratio(col: str) -> Column:
+    """Fraction of characters that are punctuation."""
+    n = F.length(F.col(col))
+    p = n - F.length(F.regexp_replace(F.col(col), r"[\.,;:!\?\'\"]", ""))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def digit_ratio(col: str) -> Column:
+    n = F.length(F.col(col))
+    d = n - F.length(F.regexp_replace(F.col(col), r"[0-9]", ""))
+    return F.when(n > 0, d.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def mean_token_len(col: str) -> Column:
+    t = F.trim(F.col(col))
+    toks = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    nospace = F.length(F.regexp_replace(F.col(col), r"\s", ""))
+    return F.when(toks > 0, nospace.cast("double") / toks.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_hits(col: str, lang: str) -> Column:
+    """How many tokens are in lang's stopword list (array_intersect-free:
+    counts occurrences via size(filter(...)))."""
+    words = LANG_STOPWORDS[lang]
+    arr = F.split(F.trim(F.col(col)), r"\s+")
+    return F.size(F.filter(arr, lambda x: x.isin(*[F.lit(w) for w in words]))).cast("long")
+
+
+def quality_score(col: str) -> Column:
+    """Composite [0,1] quality heuristic: long enough, low punct/digit
+    noise, sane token lengths.  Deterministic arithmetic only."""
+    n = char_count(col)
+    length_term = F.least(n.cast("double") / F.lit(200.0), F.lit(1.0))
+    noise_term = F.lit(1.0) - F.least(punct_ratio(col) * 4 + digit_ratio(col) * 2, F.lit(1.0))
+    tl = mean_token_len(col)
+    shape_term = F.when((tl >= 3) & (tl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.round((length_term * 0.4 + noise_term * 0.4 + shape_term * 0.2), 6)
+
+
+def lang_guess(col: str) -> Column:
+    """Stopword-vote language ID over LANG_STOPWORDS; ties broken by
+    language order; no hits → 'und'."""
+    langs = list(LANG_STOPWORDS)
+    hits = [stopword_hits(col, lang) for lang in langs]
+    best = F.greatest(*hits)
+    expr = F.lit("und")
+    for lang, h in reversed(list(zip(langs, hits))):
+        expr = F.when((best > 0) & (h == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: str) -> Column:
+    """64-bit hex document fingerprint (md5 prefix — stable across
+    engines; the library's ntHash-style fingerprint is
+    functions.hashing.hash_strings for sketch paths)."""
+    return F.substring(F.md5(F.col(col)), 1, 16)
+
+
+# ---- matching ANSI-SQL (DuckDB oracle) fragments --------------------
+
+
+def token_count_sql(col: str) -> str:
+    return (
+        f"case when trim({col}) = '' then 0 "
+        f"else len(string_split_regex(trim({col}), '\\s+')) end"
+    )
+
+
+def punct_ratio_sql(col: str) -> str:
+    return (
+        f"case when length({col}) > 0 then "
+        f"(length({col}) - length(regexp_replace({col}, '[\\.,;:!\\?''\"]', '', 'g')))::double / length({col}) "
+        f"else 0.0 end"
+    )
+
+
+def digit_ratio_sql(col: str) -> str:
+    return (
+        f"case when length({col}) > 0 then "
+        f"(length({col}) - length(regexp_replace({col}, '[0-9]', '', 'g')))::double / length({col}) "
+        f"else 0.0 end"
+    )
+
+
+def mean_token_len_sql(col: str) -> str:
+    toks = token_count_sql(col)
+    return (
+        f"case when {toks} > 0 then "
+        f"length(regexp_replace({col}, '\\s', '', 'g'))::double / ({toks}) else 0.0 end"
+    )
+
+
+def quality_score_sql(col: str) -> str:
+    tl = mean_token_len_sql(col)
+    return (
+        f"round(("
+        f"least(length({col})::double / 200.0, 1.0) * 0.4 + "
+        f"(1.0 - least({punct_ratio_sql(col)} * 4 + {digit_ratio_sql(col)} * 2, 1.0)) * 0.4 + "
+        f"(case when ({tl}) >= 3 and ({tl}) <= 10 then 1.0 else 0.5 end) * 0.2"
+        f"), 6)"
+    )
+
+
+def stopword_hits_sql(col: str, lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return (
+        f"len(list_filter(string_split_regex(trim({col}), '\\s+'), x -> x in ({words})))"
+    )
+
+
+def lang_guess_sql(col: str) -> str:
+    langs = list(LANG_STOPWORDS)
+    hits = {lang: stopword_hits_sql(col, lang) for lang in langs}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    expr = "'und'"
+    for lang in reversed(langs):
+        expr = f"case when ({best}) > 0 and ({hits[lang]}) = ({best}) then '{lang}' else {expr} end"
+    return expr
+
+
+def fingerprint_sql(col: str) -> str:
+    return f"substr(md5({col}), 1, 16)"

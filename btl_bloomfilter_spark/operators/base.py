@@ -64,13 +64,20 @@ class Sketch(ABC):
 
     # -- envelope: self-describing bytes -----------------------------
     def serialize(self) -> bytes:
-        head = json.dumps({"cls": type(self).__name__, "params": self.params()}).encode()
+        head = json.dumps(
+            {"cls": type(self).__name__, "mod": type(self).__module__, "params": self.params()}
+        ).encode()
         return struct.pack("<I", len(head)) + head + self.state_bytes()
 
     @staticmethod
     def deserialize(blob: bytes) -> "Sketch":
         (hlen,) = struct.unpack_from("<I", blob)
         head = json.loads(blob[4 : 4 + hlen])
+        if head["cls"] not in Sketch._registry and head.get("mod"):
+            # fresh worker process: subclass module not yet imported
+            import importlib
+
+            importlib.import_module(head["mod"])
         sk = Sketch._registry[head["cls"]].from_params(head["params"])
         sk.load_state(blob[4 + hlen :])
         return sk

@@ -1,0 +1,130 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque `binary` columns with typed metadata
+structs.  The Spark-side plumbing — schemas, Arrow batch shapes,
+mapInPandas signatures, partitioning — is real and tested; the
+actual codec work is stubbed (this container has no image/audio
+libs): `decode_features` uses a clearly-marked deterministic fake
+(seeded byte-hash features) and `decode_real` raises
+NotImplementedError where a PIL/ffmpeg call would go.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import hashing as H
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, width int, height int, "
+    "duration_ms int, codec string"
+)
+
+FEATURE_DIM = 32
+
+
+def synthetic_media_df(spark, n: int, *, seed: int = 42, partitions: int = 4) -> DataFrame:
+    """Deterministic fake media table (binary payloads + metadata)."""
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                rng = np.random.default_rng(seed * 1_000_003 + int(i))
+                kind = ["image", "audio", "video"][int(i) % 3]
+                payload = rng.integers(0, 256, size=int(rng.integers(64, 2048)), dtype=np.uint8).tobytes()
+                rows.append(
+                    {
+                        "media_id": int(i),
+                        "kind": kind,
+                        "payload": payload,
+                        "width": int(rng.integers(16, 4096)) if kind != "audio" else 0,
+                        "height": int(rng.integers(16, 4096)) if kind != "audio" else 0,
+                        "duration_ms": int(rng.integers(100, 600_000)) if kind != "image" else 0,
+                        "codec": {"image": "png", "audio": "opus", "video": "av1"}[kind],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def decode_real(payload: bytes, kind: str):
+    """Where the real codec call goes (PIL / soundfile / pyav).
+
+    STUB: media libraries are not available in this environment.
+    """
+    raise NotImplementedError(
+        "media decoding requires image/audio libs not present in this "
+        "container; use decode_features (deterministic fake) for plumbing"
+    )
+
+
+def _fake_features(payloads: pd.Series) -> np.ndarray:
+    """Deterministic fake 'decoder': FEATURE_DIM floats derived from a
+    seeded hash of the payload bytes.  Stands in for a real embedding
+    so downstream plumbing (schema, batching, joins) is testable."""
+    feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
+    for i, p in enumerate(payloads):
+        b = bytes(p) if p is not None else b""
+        h = H.hash_strings([b.hex()], FEATURE_DIM)[0]
+        feats[i] = (h.astype(np.float64) / 2**64).astype(np.float32)
+    return feats
+
+
+def extract_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:
+    """binary → array<float> features via mapInPandas (Arrow batches).
+
+    Real pipelines swap `_fake_features` for a batch decode; the
+    signature (pd.Series of bytes → (n, D) float32) is the contract.
+    """
+    out_schema = df.schema.simpleString()[7:-1] + f", features array<float>"
+
+    def fn(batches):
+        for pdf in batches:
+            feats = _fake_features(pdf[payload_col])
+            pdf = pdf.copy()
+            pdf["features"] = list(feats)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def frame_sample(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Video 'frame sampling' plumbing: one row per sampled timestamp.
+
+    Deterministic fake: frames are fixed-size byte slices of the
+    payload; a real impl would seek/decode at each ts.
+    """
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                if r["kind"] != "video" or not r["duration_ms"]:
+                    continue
+                payload = bytes(r["payload"])
+                for ts in range(0, int(r["duration_ms"]), every_ms):
+                    off = ts % max(1, len(payload) - 16)
+                    rows.append(
+                        {
+                            "media_id": r["media_id"],
+                            "ts_ms": ts,
+                            "frame": payload[off : off + 16],
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "ts_ms", "frame"])
+
+    return df.mapInPandas(fn, "media_id long, ts_ms int, frame binary")
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Typed-metadata rollup (pure built-ins)."""
+    return df.groupBy("kind").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("payload")).alias("bytes_total"),
+        F.round(F.avg("duration_ms"), 3).alias("avg_duration_ms"),
+    )

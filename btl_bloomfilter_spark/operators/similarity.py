@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_topk: exact cosine top-k, pure JVM expressions
+  (F.zip_with/F.aggregate dot product) — the correctness baseline.
+- lsh_topk: random-hyperplane LSH bucketing — the scale path: only
+  same-bucket (plus optional neighbor-bucket) vectors are scored, so
+  a 100TB corpus probes a small slice instead of scanning everything.
+- ivf_topk: IVF-style coarse quantization with seeded k-means
+  centroids (driver fits on a sample, broadcasts); probes the
+  nearest `nprobe` cells.
+
+All scoring math stays in Spark built-ins; the only Python is the
+Arrow-batched centroid-assignment kernel in IVF.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_to(vec: list[float], col: str = "embedding"):
+    """Column: cosine similarity of `col` to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in vec])
+    return _dot(F.col(col), q) / (_norm(F.col(col)) * _norm(q))
+
+
+def brute_topk(df: DataFrame, vec: list[float], k: int, *, id_col: str = "vec_id", col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k, deterministic tie-break on id."""
+    return (
+        df.select(F.col(id_col), F.round(cosine_to(vec, col), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --------------------- random-hyperplane LSH -------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
+    planes = _hyperplanes(dim, n_planes, seed)
+
+    @pandas_udf("long")
+    def bucket(embs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in embs])
+        if mat.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int64))
+        signs = (mat @ planes.T) > 0
+        out = np.zeros(len(embs), dtype=np.int64)
+        for b in range(n_planes):
+            out |= signs[:, b].astype(np.int64) << b
+        return pd.Series(out)
+
+    return bucket
+
+
+def lsh_topk(
+    df: DataFrame,
+    vec: list[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's bucket or
+    buckets within `probe_hamming` bit flips (multi-probe LSH)."""
+    planes = _hyperplanes(len(vec), n_planes, seed)
+    qsig = 0
+    qv = np.asarray(vec, dtype=np.float64)
+    for b, p in enumerate(planes):
+        if float(p @ qv) > 0:
+            qsig |= 1 << b
+    from itertools import combinations
+
+    probes = {qsig}
+    for d in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), d):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            probes.add(qsig ^ flip)
+    bucketed = df.withColumn("__bucket", lsh_bucket_udf(len(vec), n_planes, seed)(F.col(col)))
+    cand = bucketed.where(F.col("__bucket").isin(*[int(x) for x in probes]))
+    return (
+        cand.select(F.col(id_col), F.round(cosine_to(vec, col), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ------------------------------ IVF ----------------------------------
+
+
+def fit_centroids(df: DataFrame, *, col: str = "embedding", n_cells: int = 16, sample: int = 2048, iters: int = 10, seed: int = 42) -> np.ndarray:
+    """Seeded k-means on a driver-side sample (Lloyd iterations in
+    numpy).  Deterministic given (seed, data)."""
+    rows = df.select(col).limit(sample).collect()
+    mat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.default_rng(seed)
+    cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            pts = mat[assign == c]
+            if len(pts):
+                cents[c] = pts.mean(axis=0)
+    return cents
+
+
+def ivf_assign_udf(cents: np.ndarray):
+    @pandas_udf("int")
+    def assign(embs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(e, dtype=np.float64) for e in embs])
+        if mat.size == 0:
+            return pd.Series(np.zeros(0, dtype=np.int32))
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec: list[float],
+    k: int,
+    cents: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    nprobe: int = 4,
+) -> DataFrame:
+    qv = np.asarray(vec, dtype=np.float64)
+    d = ((cents - qv[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d)[:nprobe]]
+    assigned = df.withColumn("__cell", ivf_assign_udf(cents)(F.col(col)))
+    cand = assigned.where(F.col("__cell").isin(probe_cells))
+    return (
+        cand.select(F.col(id_col), F.round(cosine_to(vec, col), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,194 @@
+"""Dedup + similarity operators on corpora with planted duplicates."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _corpus(rng, n=120):
+    vocab = [f"tok{i:03d}" for i in range(300)]
+    docs = [" ".join(rng.choice(vocab, size=rng.integers(30, 60))) for _ in range(n)]
+    # planted: 5 exact dups, 5 near-dups (90% token overlap)
+    pairs = []
+    for i in range(5):
+        docs.append(docs[i])  # exact copy of doc i
+        pairs.append((i, n + i))
+    near_pairs = []
+    for i in range(5, 10):
+        toks = docs[i].split()
+        cut = max(1, len(toks) // 10)
+        mutated = toks[:-cut] + list(rng.choice(vocab, size=cut))
+        docs.append(" ".join(mutated))
+        near_pairs.append((i, n + 5 + (i - 5)))
+    return docs, pairs, near_pairs
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rng = np.random.default_rng(42)
+    docs, exact_pairs, near_pairs = _corpus(rng)
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string").cache()
+    return df, exact_pairs, near_pairs
+
+
+def test_exact_dedup(spark, corpus_df):
+    from btl_bloomfilter_spark.operators.dedup import exact_dedup, exact_dedup_keep
+
+    df, exact_pairs, _ = corpus_df
+    n = df.count()
+    groups = exact_dedup(df, "text", "doc_id").toPandas()
+    assert groups.n_copies.sum() == n
+    assert (groups.n_copies > 1).sum() == len(exact_pairs)
+    kept = exact_dedup_keep(df, "text", "doc_id")
+    assert kept.count() == n - len(exact_pairs)
+    # keeper is the min doc_id of each dup pair
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    for a, b in exact_pairs:
+        assert a in kept_ids and b not in kept_ids
+
+
+def test_ngram_jaccard_finds_near_dups(spark, corpus_df):
+    from btl_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+
+    df, exact_pairs, near_pairs = corpus_df
+    out = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.5).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for _, r in out.iterrows()}
+    for p in exact_pairs:
+        assert p in found
+        assert out[(out.id_a == p[0]) & (out.id_b == p[1])].jaccard.iloc[0] == 1.0
+    for p in near_pairs:
+        assert p in found, (p, found)
+
+
+def test_minhash_dedup_finds_planted(spark, corpus_df):
+    from btl_bloomfilter_spark.operators.dedup import minhash_dedup
+
+    df, exact_pairs, near_pairs = corpus_df
+    out = minhash_dedup(df, "text", "doc_id", num_perm=128, bands=32, threshold=0.5).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for _, r in out.iterrows()}
+    for p in exact_pairs:
+        assert p in found
+        assert out[(out.id_a == p[0]) & (out.id_b == p[1])].est_jaccard.iloc[0] == 1.0
+    hit_near = sum(p in found for p in near_pairs)
+    assert hit_near >= 4  # minhash is probabilistic; ≥4/5 at j≈0.85
+    # no wild false positives: random docs share few shingles
+    fp = [p for p in found if p not in set(exact_pairs) | set(near_pairs)]
+    assert len(fp) <= 2
+
+
+def test_simhash_near_dups(spark, corpus_df):
+    from btl_bloomfilter_spark.operators.dedup import simhash, simhash_candidates
+
+    df, exact_pairs, near_pairs = corpus_df
+    sh = simhash(df, "text", "doc_id").cache()
+    out = simhash_candidates(sh, max_hamming=3).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for _, r in out.iterrows()}
+    for p in exact_pairs:
+        assert p in found
+        assert out[(out.id_a == p[0]) & (out.id_b == p[1])].hamming.iloc[0] == 0
+    # identical texts → identical simhash
+    vals = {r.id: r.simhash for r in sh.collect()}
+    for a, b in exact_pairs:
+        assert vals[a] == vals[b]
+
+
+def test_minhash_estimates_jaccard(spark, corpus_df):
+    """MinHash signature agreement ≈ true Jaccard (unbiased)."""
+    from btl_bloomfilter_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_jaccard_estimate,
+        ngram_jaccard_pairs,
+    )
+
+    df, _, near_pairs = corpus_df
+    sigs = minhash_signatures(df, "text", "doc_id", num_perm=256)
+    pairs = spark.createDataFrame(near_pairs, "id_a long, id_b long")
+    est = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_jaccard_estimate(sigs, pairs).collect()}
+    true = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.0).collect()
+        if (r.id_a, r.id_b) in est
+    }
+    for p in near_pairs:
+        assert abs(est[p] - true[p]) < 0.15, (p, est[p], true[p])
+
+
+# ----------------------------- similarity ----------------------------
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((80, 32)).astype(np.float64)
+    # make ids 60..79 near-copies of 0..19
+    base[60:] = base[:20] + 0.01 * rng.standard_normal((20, 32))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache(), base
+
+
+def test_brute_topk_exact(spark, emb_df):
+    from btl_bloomfilter_spark.operators.similarity import brute_topk
+
+    df, base = emb_df
+    q = [float(x) for x in base[0]]
+    out = brute_topk(df.where(F.col("vec_id") != 0), q, 5).toPandas()
+    # numpy oracle
+    mat = base[1:]
+    ids = np.arange(1, 80)
+    cos = (mat @ base[0]) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(base[0]))
+    want = ids[np.argsort(-cos)][:5]
+    assert out.vec_id.tolist() == want.tolist()
+    assert int(out.vec_id.iloc[0]) == 60  # the planted near-copy of 0
+
+
+def test_lsh_topk_recall(spark, emb_df):
+    from btl_bloomfilter_spark.operators.similarity import brute_topk, lsh_topk
+
+    df, base = emb_df
+    q = [float(x) for x in base[5]]
+    brute = brute_topk(df.where(F.col("vec_id") != 5), q, 5).toPandas()
+    approx = lsh_topk(df.where(F.col("vec_id") != 5), q, 5, n_planes=4, probe_hamming=2).toPandas()
+    # near-copy must be found; recall@5 ≥ 3/5
+    assert 65 in approx.vec_id.tolist()
+    assert len(set(brute.vec_id) & set(approx.vec_id)) >= 3
+
+
+def test_ivf_topk(spark, emb_df):
+    from btl_bloomfilter_spark.operators.similarity import brute_topk, fit_centroids, ivf_topk
+
+    df, base = emb_df
+    cents = fit_centroids(df, n_cells=8, sample=80, seed=1)
+    assert cents.shape == (8, 32)
+    q = [float(x) for x in base[3]]
+    out = ivf_topk(df.where(F.col("vec_id") != 3), q, 5, cents, nprobe=4).toPandas()
+    assert 63 in out.vec_id.tolist()  # planted near-copy found
+    brute = brute_topk(df.where(F.col("vec_id") != 3), q, 5).toPandas()
+    assert len(set(brute.vec_id) & set(out.vec_id)) >= 3
+
+
+def test_multimodal_plumbing(spark):
+    from btl_bloomfilter_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        media_stats,
+        synthetic_media_df,
+        decode_real,
+        FEATURE_DIM,
+    )
+
+    media = synthetic_media_df(spark, 30).cache()
+    assert media.count() == 30
+    feats = extract_features(media).select("media_id", "features").toPandas()
+    assert all(len(f) == FEATURE_DIM for f in feats.features)
+    # deterministic across runs
+    feats2 = extract_features(media).select("media_id", "features").toPandas()
+    a = feats.sort_values("media_id").features.tolist()
+    b = feats2.sort_values("media_id").features.tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    frames = frame_sample(media, every_ms=60_000).toPandas()
+    assert (frames.ts_ms % 60_000 == 0).all()
+    stats = media_stats(media).toPandas()
+    assert set(stats.kind) == {"image", "audio", "video"}
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x00", "image")

@@ -1,0 +1,78 @@
+"""Local mirror of the driver's correctness gate: run every
+__spark_entry__ query on Spark AND its DuckDB oracle SQL side-by-side
+at sf0.01; compare row count, column names, and values exactly
+(order-insensitive).  Rows-only queries are checked for execution +
+self-validation columns."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].astype(np.float64)
+        elif np.issubdtype(df[c].dtype, np.integer) or df[c].dtype == bool:
+            df[c] = df[c].astype(np.int64)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+ORACLED = sorted(entrymod.oracle_sql())
+ROWS_ONLY = sorted(set(entrymod.queries()) - set(entrymod.oracle_sql()))
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_parity(spark, duck, name):
+    q = entrymod.queries()[name]
+    got = _normalize(q(spark, SF).toPandas())
+    want = _normalize(duck.sql(entrymod.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True, obj=name)
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    out = entrymod.queries()[name](spark, SF).toPandas()
+    assert len(out) >= 0
+    # self-validation columns must all hold when present
+    for c in ("no_undercount", "within_bound", "within_eps"):
+        if c in out.columns:
+            assert out[c].all(), f"{name}.{c} violated:\n{out}"
+    if name == "q20_bloom_membership":
+        r = out.iloc[0]
+        assert r.pos_min_frac == 1.0  # no false negatives
+        assert r.neg_avg_frac < 0.05
+        assert r.observed_fpr <= max(r.bound_fpr * 2, 1e-3)
+    if name == "q23_quantile_sketches":
+        # rank-style sanity: sketch quantiles near exact
+        rel = (out.kll - out.exact).abs() / out.exact
+        assert (rel < 0.25).all()
+
+
+@pytest.mark.spark
+def test_entry_smoke(spark):
+    out = entrymod.entry(spark).toPandas()
+    assert len(out) >= 1
+    assert set(out.columns) == {"lang", "n_docs", "fully_seen"}
+    assert (out.n_docs == out.fully_seen).all()  # every doc fully seen
