@@ -353,6 +353,32 @@ def q27_counting_bloom(spark, sf_dir):
     )
 
 
+def q28_mibf_classify(spark, sf_dir):
+    """miBF (multi-index BF) source classification: build over
+    documents keyed by source id, re-classify every document, report
+    per-source accuracy (distinct per-source vocab is weak here, so
+    this checks machinery not separability: best_id must be a valid id
+    and self-classification recall is reported)."""
+    from btl_bloomfilter_spark.operators.mibf import build_mibf
+    from pyspark.sql import functions as F
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    with_id = docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
+    mibf = build_mibf(with_id, "text", "src_id", m_bits=1 << 22, hash_num=3, k=10)
+    pdf = with_id.select("doc_id", "text", "src_id").toPandas()
+    out = mibf.classify_batch(pdf["text"])
+    out["doc_id"] = pdf["doc_id"]
+    out["true_id"] = pdf["src_id"]
+    out["correct"] = out["best_id"] == out["true_id"]
+    agg = (
+        out.groupby("true_id")
+        .agg(n=("doc_id", "count"), n_correct=("correct", "sum"), avg_frames=("frames", "mean"))
+        .reset_index()
+    )
+    agg["avg_frames"] = agg["avg_frames"].round(3)
+    return spark.createDataFrame(agg[["true_id", "n", "n_correct", "avg_frames"]])
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -378,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_simhash_near": q25_simhash_near,
         "q26_lsh_topk": q26_lsh_topk,
         "q27_counting_bloom": q27_counting_bloom,
+        "q28_mibf_classify": q28_mibf_classify,
     }
 
 

@@ -85,7 +85,46 @@ def _ror(x: np.ndarray, r: np.ndarray) -> np.ndarray:
     return (x >> r) | (x << ((_U64(64) - r) & _MASK6))
 
 
-def nte64(h0: np.ndarray, num_hashes: int, k: int) -> np.ndarray:
+# ---------------------------------------------------------------------------
+# buffer pool: the hot kernels run once per Arrow batch inside long-lived
+# Python workers; reusing named uint64 scratch buffers avoids the
+# mmap/munmap + page-zeroing churn of fresh multi-MB temporaries, which
+# otherwise dominates wall time and saturates memory bandwidth when many
+# workers run per node.
+# ---------------------------------------------------------------------------
+
+_POOL: dict[str, np.ndarray] = {}
+
+
+def _scratch(name: str, n: int, dtype=np.uint64) -> np.ndarray:
+    """Grow-only named scratch buffer; returns a length-n view."""
+    arr = _POOL.get(name)
+    if arr is None or arr.size < n or arr.dtype != np.dtype(dtype):
+        arr = _POOL[name] = np.empty(max(n, 1 << 16), dtype=dtype)
+    return arr[:n]
+
+
+def _positions(n: int) -> np.ndarray:
+    """Cached arange(n) % 64 as uint64 (rotation amounts are periodic)."""
+    arr = _POOL.get("pos64")
+    if arr is None or arr.size < n:
+        size = max(n, 1 << 16)
+        arr = _POOL["pos64"] = (np.arange(size, dtype=np.uint64) & _MASK6)
+    return arr[:n]
+
+
+def _ror_into(x: np.ndarray, r: np.ndarray, out: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """out = ror(x, r) with no fresh temporaries (r already in [0,64))."""
+    np.right_shift(x, r, out=tmp)
+    rr = _scratch("ror_rr", x.size)
+    np.subtract(_U64(64), r, out=rr)
+    np.bitwise_and(rr, _MASK6, out=rr)
+    np.left_shift(x, rr, out=out)
+    np.bitwise_or(out, tmp, out=out)
+    return out
+
+
+def nte64(h0: np.ndarray, num_hashes: int, k: int, out: np.ndarray | None = None) -> np.ndarray:
     """Multi-hash fan-out: one base hash → ``num_hashes`` hashes.
 
     EXACT port of the NTE64 law (nthash.hpp:537-542) with hash 0 being
@@ -94,14 +133,20 @@ def nte64(h0: np.ndarray, num_hashes: int, k: int) -> np.ndarray:
     Parameters
     ----------
     h0 : (n,) uint64 base hashes
+    out : optional (n, num_hashes) uint64 buffer (reused by hot loops)
     Returns (n, num_hashes) uint64.
     """
     h0 = np.ascontiguousarray(h0, dtype=np.uint64)
+    n = h0.shape[0]
+    if out is None:
+        out = np.empty((n, num_hashes), dtype=np.uint64)
     i = np.arange(num_hashes, dtype=np.uint64)
     with np.errstate(over="ignore"):  # wrap-around multiply is the law
         t = (i ^ (_U64(k) * MULTI_SEED)).astype(np.uint64)
-        out = h0[:, None] * t[None, :]
-    out ^= out >> MULTI_SHIFT
+        np.multiply(h0[:, None], t[None, :], out=out)
+    tmp = _scratch("nte_tmp", n * num_hashes).reshape(n, num_hashes)
+    np.right_shift(out, MULTI_SHIFT, out=tmp)
+    np.bitwise_xor(out, tmp, out=out)
     if num_hashes > 0:
         out[:, 0] = h0  # hVal[0] = bVal (nthash.hpp:529)
     return out
@@ -140,13 +185,57 @@ def _roll_hash(buf: np.ndarray, k: int, seeds: np.ndarray) -> np.ndarray:
     n = buf.shape[0]
     if n < k:
         return np.empty(0, dtype=np.uint64)
-    pos = np.arange(n, dtype=np.uint64)
-    u = _ror(seeds[buf], pos)
-    pre = np.zeros(n + 1, dtype=np.uint64)
+    pos = _positions(n)
+    s = _scratch("rh_s", n)
+    np.take(seeds, buf, out=s)
+    u = _scratch("rh_u", n)
+    tmp = _scratch("rh_tmp", n)
+    _ror_into(s, pos, u, tmp)
+    pre = _scratch("rh_pre", n + 1)
+    pre[0] = 0
     np.bitwise_xor.accumulate(u, out=pre[1:])
+    nw = n - k + 1
+    # w = pre[k:] ^ pre[:-k] ; rotation amount = (start + k - 1) mod 64
+    w = _scratch("rh_w", nw)
+    np.bitwise_xor(pre[k : n + 1], pre[0:nw], out=w)
+    r = _scratch("rh_r", nw)
+    np.add(_positions(nw), _U64((k - 1) % 64), out=r)
+    np.bitwise_and(r, _MASK6, out=r)
+    t2 = _scratch("rh_t2", nw)
+    out = np.empty(nw, dtype=np.uint64)
+    # out = rol(w, r) = ror(w, (64 - r) & 63)
+    np.subtract(_U64(64), r, out=r)
+    np.bitwise_and(r, _MASK6, out=r)
+    _ror_into(w, r, out, t2)
+    return out
+
+
+def hash_ngrams_from_buffers(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    k: int,
+    num_hashes: int = 1,
+    *,
+    seeds: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Core windowed hasher over a flat byte buffer + row offsets.
+
+    ``offsets`` (int64, len n_rows+1, offsets[0] == 0) delimits rows in
+    ``buf`` — exactly the Arrow UTF-8 layout, so Arrow batches hash
+    zero-copy.  Returns ((W, num_hashes) hashes, (W,) row ids).
+    """
+    seeds = _SEEDS if seeds is None else seeds
+    n = buf.shape[0]
+    if n < k:
+        return np.empty((0, num_hashes), dtype=np.uint64), np.empty(0, dtype=np.int64)
+    base = _roll_hash(buf, k, seeds)  # (n-k+1,)
+    # valid windows: fully inside one string
     starts = np.arange(n - k + 1, dtype=np.int64)
-    w = pre[starts + k] ^ pre[starts]
-    return _rol(w, (starts.astype(np.uint64) + _U64(k - 1)))
+    row_of_pos = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + k <= offsets[row_of_pos + 1]
+    base = base[valid]
+    row_ids = row_of_pos[valid]
+    return nte64(base, num_hashes, k), row_ids
 
 
 def hash_ngrams(
@@ -166,19 +255,38 @@ def hash_ngrams(
     each window to its source string index.  Strings shorter than k
     yield no windows (reference behavior: iterator ends immediately).
     """
-    seeds = _SEEDS if seeds is None else seeds
     buf, offsets = _flatten_utf8(strings)
-    n = buf.shape[0]
-    if n < k:
-        return np.empty((0, num_hashes), dtype=np.uint64), np.empty(0, dtype=np.int64)
-    base = _roll_hash(buf, k, seeds)  # (n-k+1,)
-    # valid windows: fully inside one string
-    starts = np.arange(n - k + 1, dtype=np.int64)
-    row_of_pos = np.searchsorted(offsets, starts, side="right") - 1
-    valid = starts + k <= offsets[row_of_pos + 1]
-    base = base[valid]
-    row_ids = row_of_pos[valid]
-    return nte64(base, num_hashes, k), row_ids
+    return hash_ngrams_from_buffers(buf, offsets, k, num_hashes, seeds=seeds)
+
+
+def arrow_utf8_buffers(arr) -> tuple[np.ndarray, np.ndarray, np.ndarray | None]:
+    """Zero-copy (data, offsets, null_mask) views of an Arrow string array.
+
+    Arrow's UTF-8 layout (int32/int64 offsets + flat data buffer) is
+    already the shape the kernels consume — no pandas materialization,
+    no per-row re-encode.  offsets are rebased to data[offsets[0]:].
+    null_mask is a bool array (True = null) or None when no nulls.
+    """
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[arr.offset : arr.offset + len(arr) + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    if lo != 0:
+        data = data[lo:hi]
+        offsets = offsets - lo
+    else:
+        data = data[:hi]
+    null_mask = None
+    if arr.null_count:
+        null_mask = ~np.asarray(arr.is_valid())
+    return data, offsets, null_mask
 
 
 def hash_strings(strings, num_hashes: int = 1, *, seeds: np.ndarray | None = None) -> np.ndarray:
@@ -187,8 +295,15 @@ def hash_strings(strings, num_hashes: int = 1, *, seeds: np.ndarray | None = Non
     Same fold as the rolling hash with k = len(string); empty strings
     hash to a fixed seeded constant.  Returns (n, num_hashes) uint64.
     """
-    seeds = _SEEDS if seeds is None else seeds
     buf, offsets = _flatten_utf8(strings)
+    return hash_strings_from_buffers(buf, offsets, num_hashes, seeds=seeds)
+
+
+def hash_strings_from_buffers(
+    buf: np.ndarray, offsets: np.ndarray, num_hashes: int = 1, *, seeds: np.ndarray | None = None
+) -> np.ndarray:
+    """Whole-string hashes over a flat buffer + offsets (Arrow layout)."""
+    seeds = _SEEDS if seeds is None else seeds
     n_str = offsets.shape[0] - 1
     pos = np.arange(buf.shape[0], dtype=np.uint64)
     u = _ror(seeds[buf], pos) if buf.shape[0] else np.empty(0, dtype=np.uint64)

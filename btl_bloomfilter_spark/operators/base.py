@@ -70,7 +70,8 @@ class Sketch(ABC):
         return struct.pack("<I", len(head)) + head + self.state_bytes()
 
     @staticmethod
-    def deserialize(blob: bytes) -> "Sketch":
+    def peek(blob: bytes) -> tuple[type["Sketch"], dict, bytes]:
+        """(subclass, params, state payload) without densifying."""
         (hlen,) = struct.unpack_from("<I", blob)
         head = json.loads(blob[4 : 4 + hlen])
         if head["cls"] not in Sketch._registry and head.get("mod"):
@@ -78,9 +79,64 @@ class Sketch(ABC):
             import importlib
 
             importlib.import_module(head["mod"])
-        sk = Sketch._registry[head["cls"]].from_params(head["params"])
-        sk.load_state(blob[4 + hlen :])
+        return Sketch._registry[head["cls"]], head["params"], blob[4 + hlen :]
+
+    @staticmethod
+    def deserialize(blob: bytes) -> "Sketch":
+        cls, params, payload = Sketch.peek(blob)
+        sk = cls.from_params(params)
+        sk.load_state(payload)
         return sk
+
+    @classmethod
+    def bulk_merge(cls, payloads_params: list[tuple[dict, bytes]]) -> "Sketch":
+        """Merge many serialized states at once.  Default: sequential
+        deserialize+merge; subclasses override when a batched path is
+        cheaper (e.g. BloomFilter's single-scatter sparse OR)."""
+        sk = cls.from_params(payloads_params[0][0])
+        sk.load_state(payloads_params[0][1])
+        for params, payload in payloads_params[1:]:
+            other = cls.from_params(params)
+            other.load_state(payload)
+            sk.merge(other)
+        return sk
+
+    # -- slice-parallel (reduce-scatter) merge support ----------------
+    # Array-register sketches (Bloom, counting, HLL) can split their
+    # state into contiguous byte-range slices: the merge of slice s
+    # needs only slice s of every partial, so a single groupBy(slice)
+    # stage merges with parallelism = n_slices instead of fan-in — on
+    # a cluster the reduce bandwidth then scales with executors
+    # (classic reduce-scatter), and the driver assembles only the
+    # final m/8 bytes.
+
+    def state_slices(self, n_slices: int) -> list[bytes] | None:
+        """Split state into n_slices transportable slices, or None if
+        this sketch doesn't support sliced merging."""
+        return None
+
+    @classmethod
+    def merge_slice_blobs(cls, params: dict, slice_idx: int, n_slices: int, blobs: list[bytes]) -> bytes:
+        raise NotImplementedError
+
+    @classmethod
+    def assemble_slices(
+        cls, params: dict, slices: list[bytes], n_entry: int, t_entry: int
+    ) -> "Sketch":
+        raise NotImplementedError
+
+    @staticmethod
+    def merge_blobs(blobs: list[bytes]) -> "Sketch":
+        """Merge serialized sketches, dispatching to the subclass's
+        bulk path."""
+        cls, _, _ = Sketch.peek(blobs[0])
+        pp = []
+        for b in blobs:
+            c, params, payload = Sketch.peek(b)
+            if c is not cls:
+                raise ValueError(f"mixed sketch classes: {cls.__name__} vs {c.__name__}")
+            pp.append((params, payload))
+        return cls.bulk_merge(pp)
 
     def compatible(self, other: "Sketch") -> bool:
         return type(self) is type(other) and self.params() == other.params()

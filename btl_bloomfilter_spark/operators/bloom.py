@@ -64,8 +64,9 @@ class BloomFilter(Sketch):
         self.dfpr = float(dfpr)
         self.n_entry = int(n_entry)  # elements inserted (windows)
         self.t_entry = int(t_entry)  # rows (strings) processed
-        self.bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
+        self._bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
         self._seeds = H.seed_table(self.seed_salt)
+        self._acc: np.ndarray | None = None  # bool scatter accumulator
 
     # -- construction helpers ---------------------------------------
     @classmethod
@@ -76,6 +77,11 @@ class BloomFilter(Sketch):
     def params(self) -> dict[str, Any]:
         return {"m_bits": self.m_bits, "hash_num": self.hash_num, "k": self.k, "seed_salt": self.seed_salt, "dfpr": self.dfpr}
 
+    #: windows per fan-out chunk — bounds peak kernel memory at
+    #: CHUNK × hash_num × 8 bytes (≈12 MB at h=3) regardless of how
+    #: many k-gram windows an Arrow batch explodes into
+    CHUNK = 1 << 19
+
     # -- hashing ------------------------------------------------------
     def _hash_batch(self, values) -> tuple[np.ndarray, np.ndarray]:
         """(hashes (W,h) uint64, row_ids (W,)) for a batch of strings."""
@@ -85,19 +91,104 @@ class BloomFilter(Sketch):
         hashes = H.hash_strings(strings, self.hash_num, seeds=self._seeds)
         return hashes, np.arange(len(strings), dtype=np.int64)
 
+    def _base_hashes(self, values) -> tuple[np.ndarray, np.ndarray]:
+        """Base (un-fanned) hashes: ((W,) uint64, row_ids).  The h-way
+        NTE64 fan-out happens chunk-wise in the consumer so a text
+        batch that explodes into millions of windows never
+        materializes a (W, h) matrix at once."""
+        strings = _strings_of(values)
+        if self.k > 0:
+            hb, rows = H.hash_ngrams(strings, self.k, 1, seeds=self._seeds)
+            return hb[:, 0], rows
+        hb = H.hash_strings(strings, 1, seeds=self._seeds)
+        return hb[:, 0], np.arange(len(strings), dtype=np.int64)
+
+    @property
+    def _fanout_k(self) -> int:
+        # NTE64 law parameter: window length for k-gram mode, the
+        # fixed whole-string convention (=1) otherwise
+        return self.k if self.k > 0 else 1
+
+    #: bool-accumulator cap: fancy-index scatter into a bool array is
+    #: ~4× faster than np.bitwise_or.at on packed bytes, at the cost of
+    #: m_bits bytes of transient worker memory; above the cap fall back
+    #: to the packed scatter
+    DENSE_ACC_MAX_BITS = 1 << 27
+
+    _BIT_MASKS = np.array([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.uint8)
+
     # -- updates -------------------------------------------------------
     def _set_bits(self, idx: np.ndarray) -> None:
-        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
-        mask = (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)).astype(np.uint8)
-        np.bitwise_or.at(self.bits, byte_idx, mask)
+        """idx: uint64 bit positions; may be mutated (callers pass scratch)."""
+        if self.m_bits <= self.DENSE_ACC_MAX_BITS:
+            if self._acc is None:
+                self._acc = np.zeros(self.m_bits, dtype=bool)
+            self._acc[idx] = True
+            return
+        bit_in = H._scratch("bf_bit", idx.size)
+        np.bitwise_and(idx, np.uint64(7), out=bit_in)
+        mask = self._BIT_MASKS[bit_in]  # uint8 gather, no astype pass
+        np.right_shift(idx, np.uint64(3), out=idx)
+        np.bitwise_or.at(self._bits, idx, mask)
+
+    def _consolidate(self) -> None:
+        """Fold the bool accumulator into the packed bit array."""
+        if self._acc is not None:
+            np.bitwise_or(self._bits, np.packbits(self._acc, bitorder="little"), out=self._bits)
+            self._acc = None
+
+    @property
+    def bits(self) -> np.ndarray:
+        """Packed LSB-first bit array (consolidated view)."""
+        self._consolidate()
+        return self._bits
+
+    @bits.setter
+    def bits(self, value: np.ndarray) -> None:
+        self._acc = None
+        self._bits = value
 
     def update(self, values) -> None:
-        hashes, rows = self._hash_batch(values)
-        if hashes.size:
-            idx = (hashes % np.uint64(self.m_bits)).ravel()
-            self._set_bits(idx)
-        self.n_entry += int(hashes.shape[0])
+        base, rows = self._base_hashes(values)
+        buf = None
+        for s in range(0, base.shape[0], self.CHUNK):
+            chunk = base[s : s + self.CHUNK]
+            if buf is None or buf.shape[0] != chunk.shape[0]:
+                buf = np.empty((chunk.shape[0], self.hash_num), dtype=np.uint64)
+            hashes = H.nte64(chunk, self.hash_num, self._fanout_k, out=buf)
+            np.remainder(hashes, np.uint64(self.m_bits), out=hashes)
+            self._set_bits(hashes.ravel())
+        self.n_entry += int(base.shape[0])
         self.t_entry += int(len(values))
+
+    def update_arrow(self, arr) -> None:
+        """Zero-copy update from an Arrow string array: the Arrow UTF-8
+        buffer/offset layout feeds the rolling-hash kernel directly —
+        no pandas objects, no per-row re-encode (the hot path for
+        mapInArrow builds)."""
+        buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
+        if self.k > 0:
+            hb, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
+            base = hb[:, 0]
+            if null_mask is not None and base.size:
+                keep = ~null_mask[rows]
+                base = base[keep]
+        else:
+            base = H.hash_strings_from_buffers(buf, offsets, 1, seeds=self._seeds)[:, 0]
+            if null_mask is not None and base.size:
+                # match the pandas path exactly: null hashes as ""
+                base = base.copy()
+                base[null_mask] = H.hash_strings([""], 1, seeds=self._seeds)[0, 0]
+        bb = None
+        for s in range(0, base.shape[0], self.CHUNK):
+            chunk = base[s : s + self.CHUNK]
+            if bb is None or bb.shape[0] != chunk.shape[0]:
+                bb = np.empty((chunk.shape[0], self.hash_num), dtype=np.uint64)
+            hashes = H.nte64(chunk, self.hash_num, self._fanout_k, out=bb)
+            np.remainder(hashes, np.uint64(self.m_bits), out=hashes)
+            self._set_bits(hashes.ravel())
+        self.n_entry += int(base.shape[0])
+        self.t_entry += int(len(arr))
 
     def update_hashes(self, hashes: np.ndarray) -> None:
         """Insert pre-hashed (W, h) uint64 blocks (BloomFilter.hpp:185-194)."""
@@ -112,15 +203,24 @@ class BloomFilter(Sketch):
             return np.zeros(0, dtype=bool)
         idx = hashes % np.uint64(self.m_bits)
         byte_idx = (idx >> np.uint64(3)).astype(np.int64)
-        got = (self.bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        got = (self._bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
         return got.all(axis=1)
+
+    def _probe_all(self, values) -> tuple[np.ndarray, np.ndarray]:
+        """Chunked probe: (hit (W,) bool, row_ids)."""
+        self._consolidate()
+        base, rows = self._base_hashes(values)
+        hit = np.empty(base.shape[0], dtype=bool)
+        for s in range(0, base.shape[0], self.CHUNK):
+            hashes = H.nte64(base[s : s + self.CHUNK], self.hash_num, self._fanout_k)
+            hit[s : s + self.CHUNK] = self._probe_bits(hashes)
+        return hit, rows
 
     def contains_batch(self, values) -> np.ndarray:
         """Whole-element probe: for k==0 one bool per string; for k>0 a
         bool per string that is True iff ALL its windows are present
         (reference containSeq's hits==total, testBloom_rolling.cpp:19-33)."""
-        hashes, rows = self._hash_batch(values)
-        hit = self._probe_bits(hashes)
+        hit, rows = self._probe_all(values)
         n = len(values)
         if self.k == 0:
             return hit
@@ -132,8 +232,7 @@ class BloomFilter(Sketch):
 
     def seen_fraction(self, values) -> np.ndarray:
         """Per string: fraction of its windows present (k>0 mode)."""
-        hashes, rows = self._hash_batch(values)
-        hit = self._probe_bits(hashes)
+        hit, rows = self._probe_all(values)
         n = len(values)
         total = np.bincount(rows, minlength=n).astype(np.float64)
         hits = np.bincount(rows, weights=hit.astype(np.float64), minlength=n)
@@ -142,28 +241,134 @@ class BloomFilter(Sketch):
         return frac
 
     def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        self._consolidate()
         return self._probe_bits(hashes)
 
     # -- merge algebra -------------------------------------------------
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         self._require_compatible(other)
-        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self._consolidate()
+        other._consolidate()
+        np.bitwise_or(self._bits, other._bits, out=self._bits)
         self.n_entry += other.n_entry
         self.t_entry += other.t_entry
         return self
 
     union = merge
 
+    @classmethod
+    def bulk_merge(cls, payloads_params: list[tuple[dict, bytes]]) -> "BloomFilter":
+        """Batched OR of many serialized partials: dense payloads OR
+        directly; ALL sparse payloads concatenate into one scatter —
+        ~10× cheaper than per-blob reconstruction when merging many
+        low-fill partition sketches."""
+        out = cls(**payloads_params[0][0])
+        sparse_idx: list[np.ndarray] = []
+        for params, payload in payloads_params:
+            if params != payloads_params[0][0]:
+                raise ValueError("incompatible bloom params in bulk merge")
+            hdr = np.frombuffer(payload[:16], dtype=np.uint64)
+            out.n_entry += int(hdr[0])
+            out.t_entry += int(hdr[1])
+            fmt = payload[16]
+            body = payload[17:]
+            if fmt == 0:
+                dense = np.frombuffer(body, dtype=np.uint8)
+                if dense.shape[0] != out.m_bits // 8:
+                    raise ValueError("payload size mismatch")
+                np.bitwise_or(out._bits, dense, out=out._bits)
+            else:
+                sparse_idx.append(np.frombuffer(body, dtype=np.uint32 if fmt == 1 else np.uint64))
+        if sparse_idx:
+            all_idx = np.concatenate(sparse_idx)
+            if out.m_bits <= (1 << 33):  # one bool scatter, then fold
+                acc = np.zeros(out.m_bits, dtype=bool)
+                acc[all_idx] = True
+                np.bitwise_or(out._bits, np.packbits(acc, bitorder="little"), out=out._bits)
+            else:
+                bit_in = (all_idx & 7).astype(np.uint8)
+                np.bitwise_or.at(out._bits, all_idx >> 3, cls._BIT_MASKS[bit_in])
+        return out
+
+    # -- slice-parallel merge (reduce-scatter) -------------------------
+    # slice payload layout: [fmt u8][body]; fmt 0 = dense bytes of the
+    # slice range, fmt 1 = uint32 bit-indices RELATIVE to slice start.
+
+    def _slice_bounds(self, n_slices: int) -> np.ndarray:
+        per = ((self.m_bits // 8) + n_slices - 1) // n_slices
+        b = np.minimum(np.arange(n_slices + 1, dtype=np.int64) * per, self.m_bits // 8)
+        return b
+
+    def state_slices(self, n_slices: int) -> list[bytes]:
+        self._consolidate()
+        bounds = self._slice_bounds(n_slices)
+        out = []
+        for s in range(n_slices):
+            lo, hi = int(bounds[s]), int(bounds[s + 1])
+            chunk = self._bits[lo:hi]
+            nzb = np.nonzero(chunk)[0]
+            # sparse if clearly smaller (u32 relative indices)
+            if nzb.size and nzb.size * 8 * 4 < chunk.size * 5:  # rough pop bound: ≤8 bits/byte
+                sub = np.unpackbits(chunk[nzb][:, None], axis=1, bitorder="little")
+                rows_, cols_ = np.nonzero(sub)
+                idx = (nzb[rows_] * 8 + cols_).astype(np.uint32)
+                if idx.size * 4 < chunk.size:
+                    out.append(b"\x01" + idx.tobytes())
+                    continue
+            out.append(b"\x00" + chunk.tobytes())
+        return out
+
+    @classmethod
+    def merge_slice_blobs(cls, params: dict, slice_idx: int, n_slices: int, blobs: list[bytes]) -> bytes:
+        tmp = cls(**params)
+        bounds = tmp._slice_bounds(n_slices)
+        lo, hi = int(bounds[slice_idx]), int(bounds[slice_idx + 1])
+        acc = np.zeros(hi - lo, dtype=np.uint8)
+        sparse: list[np.ndarray] = []
+        for b in blobs:
+            if b[0] == 0:
+                dense = np.frombuffer(b, dtype=np.uint8, offset=1)
+                if dense.shape[0] != hi - lo:
+                    raise ValueError("slice size mismatch")
+                np.bitwise_or(acc, dense, out=acc)
+            else:
+                sparse.append(np.frombuffer(b, dtype=np.uint32, offset=1))
+        if sparse:
+            idx = np.concatenate(sparse)
+            boolacc = np.zeros((hi - lo) * 8, dtype=bool)
+            boolacc[idx] = True
+            np.bitwise_or(acc, np.packbits(boolacc, bitorder="little"), out=acc)
+        return acc.tobytes()
+
+    @classmethod
+    def assemble_slices(cls, params: dict, slices: list[bytes], n_entry: int, t_entry: int) -> "BloomFilter":
+        out = cls(**params)
+        out._bits = np.frombuffer(b"".join(slices), dtype=np.uint8).copy()
+        if out._bits.shape[0] != out.m_bits // 8:
+            raise ValueError("assembled slice sizes inconsistent")
+        out.n_entry = int(n_entry)
+        out.t_entry = int(t_entry)
+        return out
+
     def intersect(self, other: "BloomFilter") -> "BloomFilter":
         self._require_compatible(other)
+        self._consolidate()
+        other._consolidate()
         out = BloomFilter(**self.params())
-        np.bitwise_and(self.bits, other.bits, out=out.bits)
+        np.bitwise_and(self._bits, other._bits, out=out._bits)
         return out
 
     # -- stats ---------------------------------------------------------
     def pop(self) -> int:
-        """Set-bit count (getPop, BloomFilter.hpp:316-323)."""
-        return int(_POPCNT_LUT[self.bits].sum())
+        """Set-bit count (getPop, BloomFilter.hpp:316-323).  Chunked
+        LUT gather: a whole-array gather materializes a 2×-sized uint16
+        temp and runs ~6× slower at GB scale."""
+        self._consolidate()
+        total = 0
+        step = 1 << 24
+        for s in range(0, self._bits.size, step):
+            total += int(_POPCNT_LUT[self._bits[s : s + step]].sum())
+        return total
 
     def fpr(self) -> float:
         return P.observed_fpr(self.pop(), self.m_bits, self.hash_num)
@@ -176,16 +381,52 @@ class BloomFilter(Sketch):
         return {"pop": pop, "fill": pop / self.m_bits, "n_entry": self.n_entry}
 
     # -- state ---------------------------------------------------------
+    # Partial-sketch transport format: a sparsely-filled partition
+    # serializes sorted set-bit indices (uint32/uint64) instead of the
+    # dense array — at 100TB scale this cuts the blob shuffle volume by
+    # the fill factor.  Dense reconstruction on load keeps the merge
+    # algebra unchanged.  fmt: 0=dense, 1=sparse u32, 2=sparse u64.
     def state_bytes(self) -> bytes:
-        return (
-            np.array([self.n_entry, self.t_entry], dtype=np.uint64).tobytes()
-            + self.bits.tobytes()
-        )
+        self._consolidate()
+        hdr = np.array([self.n_entry, self.t_entry], dtype=np.uint64).tobytes()
+        idx_bytes = 4 if self.m_bits < (1 << 32) else 8
+        # measured locally: blob transport (Arrow/persist) costs more
+        # than sparse reconstruction's scatter, so prefer sparse
+        # whenever it shrinks the blob meaningfully.  n_entry*h bounds
+        # popcount from above — a proxy that avoids a popcount pass on
+        # every partial serialization.
+        pop_bound = min(self.n_entry * self.hash_num, self.m_bits)
+        if pop_bound * idx_bytes < (self.m_bits // 8) * 0.6:
+            # extract set-bit positions touching only nonzero bytes:
+            # cost ∝ popcount, not m
+            nzb = np.nonzero(self._bits)[0]
+            sub = np.unpackbits(self._bits[nzb][:, None], axis=1, bitorder="little")
+            rows_, cols_ = np.nonzero(sub)
+            set_idx = nzb[rows_] * 8 + cols_
+            if idx_bytes == 4:
+                return hdr + b"\x01" + set_idx.astype(np.uint32).tobytes()
+            return hdr + b"\x02" + set_idx.astype(np.uint64).tobytes()
+        return hdr + b"\x00" + self._bits.tobytes()
 
     def load_state(self, payload: bytes) -> None:
         hdr = np.frombuffer(payload[:16], dtype=np.uint64)
         self.n_entry, self.t_entry = int(hdr[0]), int(hdr[1])
-        bits = np.frombuffer(payload[16:], dtype=np.uint8)
-        if bits.shape[0] != self.m_bits // 8:
-            raise ValueError("payload size mismatch")
-        self.bits = bits.copy()
+        fmt = payload[16]
+        body = payload[17:]
+        if fmt == 0:
+            bits = np.frombuffer(body, dtype=np.uint8)
+            if bits.shape[0] != self.m_bits // 8:
+                raise ValueError("payload size mismatch")
+            self._bits = bits.copy()
+        else:
+            idx = np.frombuffer(body, dtype=np.uint32 if fmt == 1 else np.uint64).astype(np.int64)
+            self._bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
+            if self.m_bits <= self.DENSE_ACC_MAX_BITS:
+                acc = np.zeros(self.m_bits, dtype=bool)
+                acc[idx] = True
+                self._bits = np.packbits(acc, bitorder="little")
+            else:
+                np.bitwise_or.at(
+                    self._bits, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8)).astype(np.uint8)
+                )
+        self._acc = None

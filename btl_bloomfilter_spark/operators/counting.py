@@ -99,6 +99,26 @@ class CountingBloomFilter(Sketch):
         self.n_entry += int(hashes.shape[0])
         self.t_entry += int(len(values))
 
+    def update_arrow(self, arr) -> None:
+        """Zero-copy update from an Arrow string array (see
+        BloomFilter.update_arrow); nulls hash as '' to match the
+        pandas path exactly."""
+        buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
+        if self.k > 0:
+            hashes, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, self.hash_num, seeds=self._seeds)
+            if null_mask is not None and hashes.size:
+                keep = ~null_mask[rows]
+                hashes = hashes[keep]
+        else:
+            hashes = H.hash_strings_from_buffers(buf, offsets, self.hash_num, seeds=self._seeds)
+            if null_mask is not None and hashes.size:
+                hashes = hashes.copy()
+                hashes[null_mask] = H.hash_strings([""], self.hash_num, seeds=self._seeds)[0]
+        if hashes.size:
+            np.add.at(self.counters, self._slots(hashes).ravel(), np.uint64(1))
+        self.n_entry += int(hashes.shape[0])
+        self.t_entry += int(len(arr))
+
     def update_conservative(self, values) -> None:
         """incrementMin (conservative update) — partition-local only;
         sequential per element like the reference's CAS loop."""
@@ -206,8 +226,20 @@ class CountMinSketch(Sketch):
         hashes = H.hash_strings(_strings_of(values), self.depth, seeds=self._seeds)
         return (hashes % np.uint64(self.width)).astype(np.int64)  # (n, d)
 
+    def update_arrow(self, arr) -> None:
+        buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
+        hashes = H.hash_strings_from_buffers(buf, offsets, self.depth, seeds=self._seeds)
+        if null_mask is not None and hashes.size:
+            hashes = hashes.copy()
+            hashes[null_mask] = H.hash_strings([""], self.depth, seeds=self._seeds)[0]
+        cols = (hashes % np.uint64(self.width)).astype(np.int64)
+        self._apply_cols(cols)
+
     def update(self, values) -> None:
         cols = self._cols(values)
+        self._apply_cols(cols)
+
+    def _apply_cols(self, cols: np.ndarray) -> None:
         n = cols.shape[0]
         if n:
             if self.conservative:

@@ -57,6 +57,17 @@ class HyperLogLog(Sketch):
         self.update_hashes(h)
         self.t_entry += len(strings)
 
+    def update_arrow(self, arr) -> None:
+        """Zero-copy update from an Arrow string array; nulls hash as
+        '' to match the pandas path."""
+        buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
+        h = H.hash_strings_from_buffers(buf, offsets, 1, seeds=self._seeds)[:, 0]
+        if null_mask is not None and h.size:
+            h = h.copy()
+            h[null_mask] = H.hash_strings([""], 1, seeds=self._seeds)[0, 0]
+        self.update_hashes(h)
+        self.t_entry += len(arr)
+
     def update_hashes(self, h: np.ndarray) -> None:
         p64 = np.uint64(self.p)
         idx = (h >> (np.uint64(64) - p64)).astype(np.int64)

@@ -1,0 +1,305 @@
+"""Multi-Index Bloom Filter (miBF): sketch-based ID classification.
+
+Re-expression of `MIBloomFilter.hpp` + `MIBFConstructSupport.hpp` +
+`MIBFQuerySupport.hpp`: a rank-compressed bit vector over m bits plus
+a dense ID array of length popcount(bits); querying an element probes
+its h positions and reads back the stored reference IDs, classifying
+which reference the element came from.
+
+Distributed 3-pass build (mirrors the reference's 3 barrier-separated
+passes, MIBFConstructSupport.hpp:49-141):
+
+  pass 1  insertBV    — plain Bloom build over every element of every
+                        reference (plans.agg.build_sketch, OR-merge →
+                        bit-exact, MIBloomFilter.hpp:94-104)
+  freeze  getEmptyMIBF — driver computes the rank LUT (cumulative
+                        popcount per 64-byte block, the analog of the
+                        512-bit interleaved rank of
+                        MIBloomFilter.hpp:44,122-147)
+  pass 2  insertMIBF  — every (rank_pos, id) occurrence shuffles to a
+                        groupBy(rank_pos); the winner is chosen by a
+                        DETERMINISTIC count-weighted reservoir
+                        (Efraimidis-Spirakis key u^(1/c) with
+                        u = hash(pos ^ id)): associative and
+                        order-independent, replacing the reference's
+                        fetch-add races (MIBFConstructSupport.hpp:
+                        109-130; nondeterminism admitted at
+                        MIBloomFilter.hpp:92-93 — our rule is a
+                        documented deterministic refinement)
+  pass 3  saturation  — elements whose ID survives at none of their h
+                        frames get the saturation MSB set (sticky OR,
+                        MIBFConstructSupport.hpp:132-141,
+                        MIBloomFilter.hpp:36-42,440-446)
+
+Query (MIBFQuerySupport.hpp:94-130,397-518, vectorized): probe all
+windows of a string, tally per-ID frame counts, return the top
+candidate with counts + saturation stats.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import hashing as H
+from .base import Sketch
+from .bloom import BloomFilter, _strings_of
+
+# stolen top bits of the stored ID word (MIBloomFilter.hpp:36-42)
+SAT_BIT = np.uint32(1 << 31)
+ID_MASK = np.uint32((1 << 31) - 1)
+
+_POP_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint32)
+
+
+class MIBloomFilter(Sketch):
+    """Driver-side finished miBF (broadcastable for query)."""
+
+    def __init__(self, m_bits: int, hash_num: int, k: int, *, seed_salt: int = 0):
+        self.m_bits = int(m_bits)
+        self.hash_num = int(hash_num)
+        self.k = int(k)
+        self.seed_salt = int(seed_salt)
+        self.bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
+        self.block_rank = np.zeros(1, dtype=np.int64)  # cum popcount per 64B block
+        self.data = np.zeros(0, dtype=np.uint32)
+        self._seeds = H.seed_table(self.seed_salt)
+
+    BLOCK = 64  # bytes per rank block (≈ the reference's 512-bit blocks)
+
+    def params(self) -> dict[str, Any]:
+        return {"m_bits": self.m_bits, "hash_num": self.hash_num, "k": self.k, "seed_salt": self.seed_salt}
+
+    # -- rank machinery ----------------------------------------------
+    def freeze(self, bits: np.ndarray) -> None:
+        """getEmptyMIBF analog: store bits, build rank LUT, alloc data."""
+        self.bits = bits
+        per_byte = _POP_LUT[bits].astype(np.int64)
+        blocks = per_byte.reshape(-1, self.BLOCK) if bits.size % self.BLOCK == 0 else None
+        if blocks is None:
+            pad = (-bits.size) % self.BLOCK
+            per_byte = np.concatenate([per_byte, np.zeros(pad, dtype=np.int64)])
+            blocks = per_byte.reshape(-1, self.BLOCK)
+        block_pop = blocks.sum(axis=1)
+        self.block_rank = np.concatenate([[0], np.cumsum(block_pop)])
+        self._byte_cum = np.concatenate([[0], np.cumsum(_POP_LUT[bits].astype(np.int64))])
+        self.data = np.zeros(int(self._byte_cum[-1]), dtype=np.uint32)
+
+    def _ensure_byte_cum(self):
+        if not hasattr(self, "_byte_cum"):
+            self._byte_cum = np.concatenate([[0], np.cumsum(_POP_LUT[self.bits].astype(np.int64))])
+
+    def rank_pos(self, idx: np.ndarray) -> np.ndarray:
+        """Rank (number of set bits strictly before) for SET positions
+        (getRankPos, MIBloomFilter.hpp:646-655)."""
+        self._ensure_byte_cum()
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        bit_in = (idx & np.uint64(7)).astype(np.uint8)
+        before_mask = ((np.uint16(1) << bit_in) - 1).astype(np.uint8)
+        within = _POP_LUT[self.bits[byte_idx] & before_mask].astype(np.int64)
+        return self._byte_cum[byte_idx] + within
+
+    def _probe(self, hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(all_set per window, idx per window-hash)."""
+        idx = hashes % np.uint64(self.m_bits)
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        got = (self.bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        return got.all(axis=1), idx
+
+    # -- hashing -----------------------------------------------------
+    def _hash_batch(self, values):
+        strings = _strings_of(values)
+        return H.hash_ngrams(strings, self.k, self.hash_num, seeds=self._seeds)
+
+    # -- query (vectorized MIBFQuerySupport.query) --------------------
+    def classify_batch(self, values) -> pd.DataFrame:
+        """Per string: best_id, its frame count, total frames,
+        saturated fraction (summarizeCandiates analog: top candidate
+        by frame count, ties → smaller id; MIBFQuerySupport.hpp:230-246
+        first sort key ≈ count)."""
+        hashes, rows = self._hash_batch(values)
+        n = len(values)
+        out = {
+            "best_id": np.full(n, -1, dtype=np.int64),
+            "frames": np.zeros(n, dtype=np.int64),
+            "total_frames": np.zeros(n, dtype=np.int64),
+            "saturated_frac": np.zeros(n, dtype=np.float64),
+        }
+        if hashes.shape[0]:
+            present, idx = self._probe(hashes)
+            np.add.at(out["total_frames"], rows, 1)
+            if present.any():
+                pr = np.flatnonzero(present)
+                rpos = self.rank_pos(idx[pr])  # (W', h)
+                words = self.data[rpos]
+                ids = (words & ID_MASK).astype(np.int64)  # (W', h)
+                sat = (words & SAT_BIT) != 0
+                # per-frame candidate ids: every id seen at the h slots
+                frame_rows = np.repeat(rows[pr], self.hashes_per_frame())
+                flat_ids = ids.ravel()
+                sat_frac = np.zeros(n, dtype=np.float64)
+                np.add.at(sat_frac, rows[pr], sat.any(axis=1).astype(np.float64))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out["saturated_frac"] = np.where(
+                        out["total_frames"] > 0, sat_frac / np.maximum(out["total_frames"], 1), 0.0
+                    )
+                # count frames per (row, id): dedupe id within a frame first
+                frame_idx = np.repeat(np.arange(len(pr)), self.hashes_per_frame())
+                key = pd.DataFrame({"frame": frame_idx, "row": frame_rows, "id": flat_ids})
+                key = key[key["id"] > 0].drop_duplicates(["frame", "id"])
+                if len(key):
+                    counts = key.groupby(["row", "id"]).size().reset_index(name="c")
+                    counts = counts.sort_values(["row", "c", "id"], ascending=[True, False, True])
+                    best = counts.drop_duplicates("row", keep="first")
+                    out["best_id"][best["row"].to_numpy()] = best["id"].to_numpy()
+                    out["frames"][best["row"].to_numpy()] = best["c"].to_numpy()
+        return pd.DataFrame(out)
+
+    def hashes_per_frame(self) -> int:
+        return self.hash_num
+
+    # -- stats (MIBloomFilter.hpp:539-620) ----------------------------
+    def get_id_counts(self) -> dict[int, int]:
+        ids = (self.data & ID_MASK).astype(np.int64)
+        vals, counts = np.unique(ids[ids > 0], return_counts=True)
+        return dict(zip(vals.tolist(), counts.tolist()))
+
+    def pop_saturated(self) -> int:
+        return int(((self.data & SAT_BIT) != 0).sum())
+
+    def pop_non_zero(self) -> int:
+        return int(((self.data & ID_MASK) != 0).sum())
+
+    # -- state --------------------------------------------------------
+    def state_bytes(self) -> bytes:
+        return (
+            np.array([self.bits.size, self.data.size], dtype=np.int64).tobytes()
+            + self.bits.tobytes()
+            + self.data.tobytes()
+        )
+
+    def load_state(self, payload: bytes) -> None:
+        nb, nd = (int(x) for x in np.frombuffer(payload, dtype=np.int64, count=2))
+        off = 16
+        self.bits = np.frombuffer(payload, dtype=np.uint8, count=nb, offset=off).copy()
+        off += nb
+        self.data = np.frombuffer(payload, dtype=np.uint32, count=nd, offset=off).copy()
+        if hasattr(self, "_byte_cum"):
+            del self._byte_cum
+        self.freeze_rank_only()
+
+    def freeze_rank_only(self):
+        self._ensure_byte_cum()
+
+    def update(self, values):  # pragma: no cover - built via build_mibf
+        raise NotImplementedError("miBF is built with build_mibf (3-pass)")
+
+    def merge(self, other):  # pragma: no cover
+        raise NotImplementedError("merge happens per-pass inside build_mibf")
+
+
+# ---------------------------------------------------------------------------
+# distributed 3-pass build
+# ---------------------------------------------------------------------------
+
+
+def _weighted_winner(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Deterministic count-weighted reservoir per rank position:
+    key = u ** (1/count), u = (hash(pos ^ id)+1)/2^64 — Efraimidis-
+    Spirakis; the max-key candidate wins.  Pure function of
+    {(pos, id, count)} → associative + partition-order independent."""
+    pos = pdf["rpos"].to_numpy(dtype=np.int64)
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    cnt = pdf["c"].to_numpy(dtype=np.float64)
+    mix = H._splitmix64(pos.astype(np.uint64) ^ (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
+    u = (mix.astype(np.float64) + 1.0) / 2.0**64
+    key = u ** (1.0 / cnt)
+    df = pd.DataFrame({"rpos": pos, "id": ids, "key": key})
+    df = df.sort_values(["rpos", "key", "id"], ascending=[True, False, True])
+    win = df.drop_duplicates("rpos", keep="first")
+    return win[["rpos", "id"]]
+
+
+def build_mibf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    m_bits: int,
+    hash_num: int = 3,
+    k: int = 8,
+    seed_salt: int = 0,
+    fanin: int = 16,
+) -> MIBloomFilter:
+    """Distributed 3-pass miBF construction (see module docstring).
+
+    IDs must be positive ints < 2^31 (top bit is the saturation flag).
+    """
+    spark = df.sparkSession
+
+    # ---- pass 1: bit vector (plain Bloom build, bit-exact OR merge)
+    from ..plans.agg import build_sketch
+
+    bloom = build_sketch(
+        df, text_col, lambda: BloomFilter(m_bits, hash_num, k, seed_salt=seed_salt), fanin=fanin
+    )
+    mibf = MIBloomFilter(m_bits, hash_num, k, seed_salt=seed_salt)
+    mibf.freeze(bloom.bits)
+
+    # broadcast the frozen bit vector once; executors compute rank
+    # positions locally (byte-cum LUT rebuilt per executor, cached)
+    blob = spark.sparkContext.broadcast(mibf.serialize())
+    params = (m_bits, hash_num, k, seed_salt)
+
+    def pairs_fn(batches):
+        probe = Sketch.deserialize(blob.value)
+        for pdf in batches:
+            hashes, rows = probe._hash_batch(pdf[text_col])
+            if hashes.shape[0] == 0:
+                continue
+            present, idx = probe._probe(hashes)  # all set by construction
+            rpos = probe.rank_pos(idx)  # (W, h)
+            ids = pdf[id_col].to_numpy()[rows]
+            out = pd.DataFrame(
+                {
+                    "rpos": rpos.ravel(),
+                    "id": np.repeat(ids, hash_num).astype(np.int64),
+                }
+            )
+            yield out
+
+    pairs = df.select(text_col, id_col).mapInPandas(pairs_fn, "rpos long, id long")
+    counts = pairs.groupBy("rpos", "id").agg(F.count("*").alias("c"))
+    winners = counts.groupBy("rpos").applyInPandas(
+        lambda pdf: _weighted_winner(pdf), "rpos long, id long"
+    )
+    win = winners.toPandas()
+    mibf.data[win["rpos"].to_numpy(dtype=np.int64)] = win["id"].to_numpy(dtype=np.int64).astype(np.uint32)
+
+    # ---- pass 3: saturation — elements whose id appears at none of
+    # their frames' slots get the sticky saturation bit
+    blob2 = spark.sparkContext.broadcast(mibf.serialize())
+
+    def lost_fn(batches):
+        probe = Sketch.deserialize(blob2.value)
+        for pdf in batches:
+            hashes, rows = probe._hash_batch(pdf[text_col])
+            if hashes.shape[0] == 0:
+                continue
+            present, idx = probe._probe(hashes)
+            rpos = probe.rank_pos(idx)
+            stored = (probe.data[rpos] & ID_MASK).astype(np.int64)
+            ids = pdf[id_col].to_numpy()[rows].astype(np.int64)
+            lost = ~(stored == ids[:, None]).any(axis=1)
+            if lost.any():
+                yield pd.DataFrame({"rpos": rpos[lost].ravel()})
+
+    lost = df.select(text_col, id_col).mapInPandas(lost_fn, "rpos long").distinct().toPandas()
+    if len(lost):
+        mibf.data[lost["rpos"].to_numpy(dtype=np.int64)] |= SAT_BIT
+    mibf.freeze_rank_only()
+    return mibf

@@ -58,31 +58,27 @@ class TDigest(Sketch):
         self._merge_arrays(pts, np.ones(pts.size, dtype=np.float64))
 
     def _merge_arrays(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Vectorized k-boundary clustering (Dunning's merging digest
+        with fixed scale-function bins): each sorted point lands in
+        bin ⌊k(q_mid) − k(0)⌋; bin width ≤ 1 unit of k ⇒ ≤ ~δ/2+2
+        centroids and the standard t-digest accuracy bound.  One numpy
+        pass, no per-centroid Python loop."""
         am = np.concatenate([self.means, means])
         aw = np.concatenate([self.weights, weights])
         order = np.argsort(am, kind="stable")
         am, aw = am[order], aw[order]
         total = aw.sum()
-        out_m: list[float] = []
-        out_w: list[float] = []
-        cum = 0.0
-        cur_m, cur_w = am[0], aw[0]
-        k_lo = self._k(np.array([0.0]))[0]
-        for i in range(1, am.size):
-            q_hi = (cum + cur_w + aw[i]) / total
-            if self._k(np.array([q_hi]))[0] - k_lo <= 1.0:
-                cur_m += (am[i] - cur_m) * (aw[i] / (cur_w + aw[i]))
-                cur_w += aw[i]
-            else:
-                out_m.append(cur_m)
-                out_w.append(cur_w)
-                cum += cur_w
-                k_lo = self._k(np.array([cum / total]))[0]
-                cur_m, cur_w = am[i], aw[i]
-        out_m.append(cur_m)
-        out_w.append(cur_w)
-        self.means = np.asarray(out_m)
-        self.weights = np.asarray(out_w)
+        cumw = np.cumsum(aw)
+        q_mid = (cumw - aw / 2.0) / total
+        kv = self._k(q_mid) - self._k(np.array([0.0]))[0]
+        bins = np.floor(kv).astype(np.int64)
+        bins = np.maximum.accumulate(bins)  # guard fp non-monotonicity
+        nb = int(bins[-1]) + 1
+        ws = np.bincount(bins, weights=aw, minlength=nb)
+        sums = np.bincount(bins, weights=am * aw, minlength=nb)
+        mask = ws > 0
+        self.means = sums[mask] / ws[mask]
+        self.weights = ws[mask]
         self.n = float(total)
 
     # -- merge -------------------------------------------------------

@@ -1,0 +1,89 @@
+"""miBF classification tests (MIBloomFilter.hpp family analog)."""
+
+import numpy as np
+import pytest
+
+from btl_bloomfilter_spark.operators.base import Sketch
+from btl_bloomfilter_spark.operators.mibf import MIBloomFilter, build_mibf, ID_MASK
+
+
+def _refs(rng, n_refs=6, docs_per_ref=25):
+    """Reference corpora with distinct per-ref vocabularies (plus some
+    shared words to exercise collisions)."""
+    rows = []
+    shared = [f"shared{i:02d}" for i in range(40)]
+    for ref in range(1, n_refs + 1):
+        vocab = [f"ref{ref}tok{i:03d}" for i in range(150)] + shared
+        for _ in range(docs_per_ref):
+            rows.append((" ".join(rng.choice(vocab, size=rng.integers(20, 40))), ref))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def mibf_setup(spark):
+    rng = np.random.default_rng(42)
+    rows = _refs(rng)
+    df = spark.createDataFrame(rows, "text string, ref_id long").repartition(6).cache()
+    mibf = build_mibf(df, "text", "ref_id", m_bits=1 << 18, hash_num=3, k=10)
+    return df, mibf, rows
+
+
+@pytest.mark.spark
+def test_rank_machinery(mibf_setup):
+    _, mibf, _ = mibf_setup
+    # rank of position == cumulative popcount before it
+    bits = np.unpackbits(mibf.bits, bitorder="little")
+    set_pos = np.flatnonzero(bits)[:500].astype(np.uint64)
+    expect = np.cumsum(bits)[set_pos.astype(np.int64)] - 1
+    got = mibf.rank_pos(set_pos[:, None])[:, 0]
+    np.testing.assert_array_equal(got, expect)
+    assert mibf.data.size == int(bits.sum())
+
+
+@pytest.mark.spark
+def test_classification_accuracy(spark, mibf_setup):
+    df, mibf, rows = mibf_setup
+    texts = [t for t, _ in rows]
+    truth = np.array([r for _, r in rows])
+    out = mibf.classify_batch(texts)
+    acc = (out.best_id.to_numpy() == truth).mean()
+    assert acc >= 0.95, acc  # distinct vocabularies → near-perfect
+    assert (out.total_frames > 0).all()
+    # unseen queries (disjoint alphabet) classify as nothing
+    neg = ["zzz yyy xxx www vvv uuu qqq ppp"] * 5
+    nout = mibf.classify_batch(neg)
+    assert (nout.frames == 0).all()
+
+
+@pytest.mark.spark
+def test_id_counts_and_saturation(mibf_setup):
+    _, mibf, _ = mibf_setup
+    counts = mibf.get_id_counts()
+    assert set(counts) <= set(range(1, 7))
+    assert len(counts) == 6
+    assert sum(counts.values()) == mibf.pop_non_zero()
+    # some slots will be saturated (shared vocab loses races)
+    assert 0 <= mibf.pop_saturated() < mibf.data.size
+
+
+@pytest.mark.spark
+def test_deterministic_rebuild(spark, mibf_setup):
+    """Same input, different partitioning → identical miBF (the
+    deterministic reservoir replaces the reference's admitted
+    run-to-run nondeterminism, MIBloomFilter.hpp:92-93)."""
+    df, mibf, _ = mibf_setup
+    rebuilt = build_mibf(df.repartition(3), "text", "ref_id", m_bits=1 << 18, hash_num=3, k=10)
+    np.testing.assert_array_equal(rebuilt.bits, mibf.bits)
+    np.testing.assert_array_equal(rebuilt.data, mibf.data)
+
+
+@pytest.mark.spark
+def test_serialize_roundtrip(mibf_setup):
+    _, mibf, rows = mibf_setup
+    back = Sketch.deserialize(mibf.serialize())
+    np.testing.assert_array_equal(back.bits, mibf.bits)
+    np.testing.assert_array_equal(back.data, mibf.data)
+    texts = [rows[0][0], rows[-1][0]]
+    a = mibf.classify_batch(texts)
+    b = back.classify_batch(texts)
+    assert a.best_id.tolist() == b.best_id.tolist()

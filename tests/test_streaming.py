@@ -1,0 +1,49 @@
+"""Structured Streaming sketch accumulation: a file-source stream
+consumed micro-batch-wise must yield the same Bloom filter as one
+batch build over the union (OR-merge law extended to time)."""
+
+import numpy as np
+import pytest
+
+from btl_bloomfilter_spark.operators.bloom import BloomFilter
+from btl_bloomfilter_spark.operators.base import Sketch
+from btl_bloomfilter_spark.plans.agg import build_sketch
+from btl_bloomfilter_spark.streaming.accumulate import load_running, stream_build_sketch
+
+
+@pytest.mark.spark
+def test_stream_equals_batch(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    all_docs = []
+    # three "arrivals" of data as separate parquet files
+    for part in range(3):
+        docs = [f"stream doc {part}-{i} payload tokens" for i in range(100)]
+        all_docs += docs
+        spark.createDataFrame([(d,) for d in docs], "text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    mk = lambda: BloomFilter(1 << 16, 4, 8)
+    stream = spark.readStream.schema("text string").option("maxFilesPerTrigger", "2").parquet(str(src))
+    q = stream_build_sketch(
+        stream,
+        "text",
+        mk,
+        state_path=tmp_path / "running.sketch",
+        checkpoint_dir=tmp_path / "ckpt",
+    )
+    q.awaitTermination(120)
+
+    running = load_running(tmp_path / "running.sketch")
+    batch = build_sketch(spark.createDataFrame([(d,) for d in all_docs], "text string"), "text", mk)
+    np.testing.assert_array_equal(running.bits, batch.bits)
+    assert running.n_entry == batch.n_entry
+    # restart with no new files → state unchanged (idempotent resume)
+    stream2 = spark.readStream.schema("text string").parquet(str(src))
+    q2 = stream_build_sketch(
+        stream2, "text", mk, state_path=tmp_path / "running.sketch", checkpoint_dir=tmp_path / "ckpt"
+    )
+    q2.awaitTermination(60)
+    again = load_running(tmp_path / "running.sketch")
+    np.testing.assert_array_equal(again.bits, batch.bits)
