@@ -223,6 +223,55 @@ def q15_supplier_part_volume(spark, sf_dir):
     )
 
 
+def q16_orders_by_month(spark, sf_dir):
+    t = _load(spark, sf_dir, "orders")["orders"]
+    return (
+        t.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
+def q17_customer_balance_stats(spark, sf_dir):
+    t = _load(spark, sf_dir, "customer")["customer"]
+    return t.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+    )
+
+
+def q18_value_deltas(spark, sf_dir):
+    """Per-user consecutive event value delta stats (window lag)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    delta = F.col("value") - F.lag("value").over(w)
+    return (
+        ev.withColumn("delta", delta)
+        .where(F.col("delta").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_deltas"), F.round(F.avg("delta"), 6).alias("avg_delta"))
+    )
+
+
+def q19_region_rollup(spark, sf_dir):
+    t = _load(spark, sf_dir, "supplier", "nation", "region")
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.countDistinct("n_name").alias("n_nations"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 # ======================================================================
 # queries — sketch ops (rows-only driver check; exact oracle columns
 # embedded in the output for self-validation)
@@ -396,6 +445,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q13_user_sessions": q13_user_sessions,
         "q14_order_customer_join": q14_order_customer_join,
         "q15_supplier_part_volume": q15_supplier_part_volume,
+        "q16_orders_by_month": q16_orders_by_month,
+        "q17_customer_balance_stats": q17_customer_balance_stats,
+        "q18_value_deltas": q18_value_deltas,
+        "q19_region_rollup": q19_region_rollup,
         "q20_bloom_membership": q20_bloom_membership,
         "q21_hll_distinct": q21_hll_distinct,
         "q22_cms_heavy_hitters": q22_cms_heavy_hitters,
@@ -534,5 +587,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN supplier ON l_suppkey = s_suppkey
             JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "q16_orders_by_month": """
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY 1
+        """,
+        "q17_customer_balance_stats": """
+            SELECT c_mktsegment, count(*) AS n,
+                   round(avg(c_acctbal), 4) AS avg_bal,
+                   round(stddev_samp(c_acctbal), 4) AS sd_bal,
+                   round(min(c_acctbal), 2) AS min_bal,
+                   round(max(c_acctbal), 2) AS max_bal
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "q18_value_deltas": """
+            SELECT user_id, count(*) AS n_deltas, round(avg(delta), 6) AS avg_delta
+            FROM (
+                SELECT user_id,
+                       value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta
+                FROM events
+            ) WHERE delta IS NOT NULL
+            GROUP BY user_id
+        """,
+        "q19_region_rollup": """
+            SELECT r_name, count(*) AS n_suppliers,
+                   count(DISTINCT n_name) AS n_nations,
+                   round(sum(s_acctbal), 2) AS total_bal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
     }

@@ -345,6 +345,79 @@ def hash_tokens(token_lists, n: int, num_hashes: int = 1) -> tuple[np.ndarray, n
     return hash_strings(grams, num_hashes), np.asarray(rows, dtype=np.int64)
 
 
+def parse_seed(pattern: str) -> np.ndarray:
+    """'1'/'0' spaced-seed pattern → int64 array of care positions
+    (MIBloomFilter.hpp:49-61 parseSeedString analog: '0' = masked)."""
+    if not pattern or set(pattern) - {"0", "1"}:
+        raise ValueError(f"seed pattern must be nonempty 0/1 string: {pattern!r}")
+    return np.flatnonzero(np.frombuffer(pattern.encode(), dtype=np.uint8) == ord("1")).astype(np.int64)
+
+
+def hash_ngrams_spaced(
+    strings,
+    pattern: str,
+    num_hashes: int = 1,
+    *,
+    seeds: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Spaced-seed window hashing (NTS64/NTMS64 analog,
+    vendor/nthash.hpp:750-878): only the '1' positions of the pattern
+    contribute to the hash, so sequences differing at masked positions
+    collide on purpose (skip-gram matching).
+
+    base(t) = rol( XOR_{j in care} u[t+j], (t+k-1) mod 64 )  with
+    u[p] = ror(seed[b[p]], p) — the same closed form as the dense
+    rolling hash restricted to care offsets: |care| vectorized XOR
+    passes instead of one prefix-XOR.
+    """
+    seeds = _SEEDS if seeds is None else seeds
+    k = len(pattern)
+    care = parse_seed(pattern)
+    buf, offsets = _flatten_utf8(strings)
+    n = buf.shape[0]
+    if n < k:
+        return np.empty((0, num_hashes), dtype=np.uint64), np.empty(0, dtype=np.int64)
+    pos = _positions(n)
+    s = _scratch("sp_s", n)
+    np.take(seeds, buf, out=s)
+    u = _scratch("sp_u", n)
+    tmp = _scratch("sp_tmp", n)
+    _ror_into(s, pos, u, tmp)
+    nw = n - k + 1
+    w = np.zeros(nw, dtype=np.uint64)
+    for j in care:
+        np.bitwise_xor(w, u[j : j + nw], out=w)
+    r = _scratch("sp_r", nw)
+    np.add(_positions(nw), _U64((k - 1) % 64), out=r)
+    np.bitwise_and(r, _MASK6, out=r)
+    np.subtract(_U64(64), r, out=r)
+    np.bitwise_and(r, _MASK6, out=r)
+    out = np.empty(nw, dtype=np.uint64)
+    t2 = _scratch("sp_t2", nw)
+    _ror_into(w, r, out, t2)
+    starts = np.arange(nw, dtype=np.int64)
+    row_of_pos = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + k <= offsets[row_of_pos + 1]
+    return nte64(out[valid], num_hashes, k), row_of_pos[valid]
+
+
+def hash_ngrams_multi_seed(
+    strings, patterns: list[str], num_hashes: int = 1, *, seeds: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-spaced-seed hashing (stHashIterator layout,
+    vendor/stHashIterator.hpp:157-160): per window emits
+    [seed1·h1..hm, seed2·h1..hm, ...] — (W, len(patterns)*num_hashes)."""
+    if len({len(p) for p in patterns}) != 1:
+        raise ValueError("all seed patterns must share one length")
+    blocks = []
+    rows = None
+    for p in patterns:
+        h, r = hash_ngrams_spaced(strings, p, num_hashes, seeds=seeds)
+        blocks.append(h)
+        rows = r
+    return np.concatenate(blocks, axis=1), rows
+
+
 def clz64(v: np.ndarray) -> np.ndarray:
     """Vectorized count-leading-zeros for uint64 (clz(0) == 64)."""
     v = np.asarray(v, dtype=np.uint64)

@@ -190,6 +190,43 @@ class BloomFilter(Sketch):
         self.n_entry += int(base.shape[0])
         self.t_entry += int(len(arr))
 
+    def update_and_check(self, values) -> np.ndarray:
+        """insertAndCheck (BloomFilter.hpp:200-232): insert every
+        window; per ROW return True iff all of its windows were
+        already present before their own insertion — exact sequential
+        semantics, vectorized: a window is 'already present' iff its
+        bits were set in the pre-batch state OR an identical window
+        occurred earlier in the batch (identical base hash ⇒ identical
+        bits, so the earlier occurrence inserted them)."""
+        self._consolidate()
+        base, rows = self._base_hashes(values)
+        n = len(values)
+        if base.size == 0:
+            return np.zeros(n, dtype=bool)
+        uniq, first_pos, inv = np.unique(base, return_index=True, return_inverse=True)
+        pre = np.empty(uniq.shape[0], dtype=bool)
+        for s in range(0, uniq.shape[0], self.CHUNK):
+            hh = H.nte64(uniq[s : s + self.CHUNK], self.hash_num, self._fanout_k)
+            pre[s : s + self.CHUNK] = self._probe_bits(hh)
+        # insert everything
+        buf = None
+        for s in range(0, uniq.shape[0], self.CHUNK):
+            chunk = uniq[s : s + self.CHUNK]
+            if buf is None or buf.shape[0] != chunk.shape[0]:
+                buf = np.empty((chunk.shape[0], self.hash_num), dtype=np.uint64)
+            hh = H.nte64(chunk, self.hash_num, self._fanout_k, out=buf)
+            np.remainder(hh, np.uint64(self.m_bits), out=hh)
+            self._set_bits(hh.ravel())
+        self.n_entry += int(base.shape[0])
+        self.t_entry += n
+        is_first = np.zeros(base.shape[0], dtype=bool)
+        is_first[first_pos] = True
+        window_present = pre[inv] | ~is_first
+        out = np.ones(n, dtype=bool)
+        total = np.bincount(rows, minlength=n)
+        hits = np.bincount(rows, weights=window_present.astype(np.float64), minlength=n)
+        return (total > 0) & (hits == total)
+
     def update_hashes(self, hashes: np.ndarray) -> None:
         """Insert pre-hashed (W, h) uint64 blocks (BloomFilter.hpp:185-194)."""
         idx = (hashes % np.uint64(self.m_bits)).ravel()

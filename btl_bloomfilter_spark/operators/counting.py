@@ -132,6 +132,41 @@ class CountingBloomFilter(Sketch):
         self.n_entry += int(hashes.shape[0])
         self.t_entry += int(len(values))
 
+    def update_and_check(self, values) -> np.ndarray:
+        """insertAndCheck (CountingBloomFilter.hpp:206-214): per
+        element, contains-then-increment with exact sequential
+        semantics — occurrence j of a value sees pre_count + j."""
+        hashes, rows = self._hash_batch(values)
+        n = len(values)
+        if hashes.shape[0] == 0:
+            self.t_entry += n
+            return np.zeros(n, dtype=bool)
+        slots = self._slots(hashes)
+        sat = np.minimum(self.counters, np.uint64(self.counter_max))
+        pre = sat[slots].min(axis=1).astype(np.int64)
+        # occurrence rank among identical hash blocks (base hash h0
+        # determines the whole block)
+        base = hashes[:, 0]
+        _, inv = np.unique(base, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        inv_sorted = inv[order]
+        m = inv.shape[0]
+        grp_first = np.concatenate([[True], inv_sorted[1:] != inv_sorted[:-1]])
+        first_of_grp = np.maximum.accumulate(np.where(grp_first, np.arange(m), 0))
+        ranks = np.empty(m, dtype=np.int64)
+        ranks[order] = np.arange(m) - first_of_grp
+        present = (pre + ranks) >= self.threshold
+        np.add.at(self.counters, slots.ravel(), np.uint64(1))
+        self.n_entry += int(hashes.shape[0])
+        self.t_entry += n
+        if self.k == 0:
+            out = np.zeros(n, dtype=bool)
+            out[rows] = present
+            return out
+        total = np.bincount(rows, minlength=n)
+        hits = np.bincount(rows, weights=present.astype(np.float64), minlength=n)
+        return (total > 0) & (hits == total)
+
     # -- queries -----------------------------------------------------
     def estimate_batch(self, values) -> np.ndarray:
         """Per whole-element min-count (k==0) or per-string min over

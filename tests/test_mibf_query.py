@@ -1,0 +1,107 @@
+"""miBF query-support math ports (pure functions, no Spark)."""
+
+import math
+
+import pytest
+
+from btl_bloomfilter_spark.operators.mibf_query import (
+    QueryResult,
+    binom_cdf,
+    calc_prob_single_frame,
+    calc_sat,
+    check_count_agreement,
+    compare_std_err,
+    is_roughly_equal_counts,
+    is_valid,
+    sort_key,
+    summarize_candidates,
+)
+
+
+def test_prob_single_frame():
+    """Pin the formula (MIBloomFilter.hpp:65-77)."""
+    # no misses: C(h,h) occ^h (1-(1-f)^h)
+    occ, h, f = 0.3, 3, 0.25
+    expect = occ**3 * (1 - (1 - f) ** 3)
+    assert calc_prob_single_frame(occ, h, f, 0) == pytest.approx(expect)
+    # allowing misses adds lower-order terms monotonically
+    assert calc_prob_single_frame(occ, h, f, 1) > calc_prob_single_frame(occ, h, f, 0)
+    assert 0 <= calc_prob_single_frame(0.99, 5, 0.9, 5) <= 1
+
+
+def test_sort_candidates_7key_order():
+    a = QueryResult(id=1, nonSatFrameCount=5, count=10)
+    b = QueryResult(id=2, nonSatFrameCount=5, count=12)
+    c = QueryResult(id=3, nonSatFrameCount=6, count=1)
+    d = QueryResult(id=4, nonSatFrameCount=5, count=10, solidCount=1)
+    e = QueryResult(id=5, nonSatFrameCount=5, count=10, frameProb=0.5)
+    f = QueryResult(id=6, nonSatFrameCount=5, count=10, frameProb=0.1)
+    order = sorted([a, b, c, d, e, f], key=sort_key)
+    assert order[0].id == 3  # nonSatFrameCount dominates
+    assert order[1].id == 2  # then count
+    assert order[2].id == 4  # then solidCount
+    # frameProb ascending is the final tiebreak
+    ids_tail = [r.id for r in order[3:]]
+    assert ids_tail.index(6) < ids_tail.index(5)
+
+
+def test_stat_ties():
+    assert is_roughly_equal_counts(10, 12, 2)
+    assert not is_roughly_equal_counts(10, 13, 2)
+    assert compare_std_err(100, 110)  # 100+10 >= 110-10.48
+    assert not compare_std_err(100, 150)
+    a = QueryResult(count=100)
+    b = QueryResult(count=105)
+    assert is_valid(a, b)
+
+
+def test_check_count_agreement():
+    top = QueryResult(nonSatFrameCount=5, count=10, solidCount=2, nonSatCount=8, totalNonSatCount=9, totalCount=11)
+    runner = QueryResult(nonSatFrameCount=4, count=9, solidCount=1, nonSatCount=7, totalNonSatCount=8, totalCount=10)
+    assert check_count_agreement(top, runner)
+    disagree = QueryResult(nonSatFrameCount=4, count=11)
+    assert not check_count_agreement(top, disagree)
+
+
+def test_binom_cdf_and_calc_sat():
+    # against a hand-computed binomial
+    assert binom_cdf(1, 3, 0.5) == pytest.approx(0.5)  # P(X<=1) for Bin(3,.5)
+    assert binom_cdf(3, 3, 0.5) == 1.0
+    assert calc_sat(10, 0.1, 0) == 0.0
+    assert calc_sat(10, 0.1, 1) == pytest.approx((0.9) ** 10)
+    assert 0 < calc_sat(20, 0.3, 5) < 1
+
+
+def test_summarize_candidates():
+    best = QueryResult(id=1, nonSatFrameCount=50, count=50, totalCount=50, nonSatCount=50, totalNonSatCount=50)
+    tied = QueryResult(id=2, nonSatFrameCount=48, count=48, totalCount=48, nonSatCount=48, totalNonSatCount=48)
+    far = QueryResult(id=3, nonSatFrameCount=5, count=5, totalCount=5, nonSatCount=5, totalNonSatCount=5)
+    out = summarize_candidates([far, tied, best], extra_count=1.0, best_hit_agree=True)
+    ids = [r.id for r in out]
+    assert ids[0] == 1 and 2 in ids and 3 not in ids
+    # min_count gate
+    assert summarize_candidates([far], min_count=10) == []
+    # disagreement veto: runner-up higher on one axis, lower on another
+    odd = QueryResult(id=4, nonSatFrameCount=49, count=55, totalCount=49, nonSatCount=49, totalNonSatCount=49)
+    vetoed = summarize_candidates([best, odd], extra_count=2.0, best_hit_agree=True)
+    assert vetoed == [] or len(vetoed) == 1
+
+
+def test_frame_probs_integration(spark):
+    """calcFrameProbs over a real built miBF."""
+    import numpy as np
+    from btl_bloomfilter_spark.operators.mibf import build_mibf
+    from btl_bloomfilter_spark.operators.mibf_query import calc_frame_probs
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for ref in (1, 2, 3):
+        vocab = [f"r{ref}w{i}" for i in range(80)]
+        for _ in range(12):
+            rows.append((" ".join(rng.choice(vocab, 25)), ref))
+    df = spark.createDataFrame(rows, "text string, ref_id long")
+    mibf = build_mibf(df, "text", "ref_id", m_bits=1 << 16, hash_num=3, k=8)
+    probs, sat_prop = calc_frame_probs(mibf)
+    assert set(probs) == {1, 2, 3}
+    assert all(0 <= p < 0.2 for p in probs.values())
+    assert 0 <= sat_prop <= 1

@@ -1,0 +1,86 @@
+"""Physical-plan hygiene: the shapes we claim in SURVEY §4 must hold.
+
+- column pruning reaches the parquet scan (ReadSchema)
+- predicate pushdown reaches the scan (PushedFilters)
+- broadcast probe is a pure map: no Exchange in the plan
+- sketch build partials stage has no Exchange before the kernel
+"""
+
+import contextlib
+import io
+
+import pytest
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.mark.spark
+def test_column_pruning_on_scan(spark, docs):
+    from btl_bloomfilter_spark.plans.agg import partial_sketches
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    part = partial_sketches(docs, "text", lambda: BloomFilter(1 << 14, 3, 8))
+    plan = _plan(part)
+    assert "ReadSchema: struct<text:string>" in plan  # only text read
+    assert "Exchange" not in plan  # no shuffle before the kernel
+
+
+@pytest.mark.spark
+def test_predicate_pushdown(spark, docs):
+    from pyspark.sql import functions as F
+
+    q = docs.where(F.col("lang") == "en").select("doc_id")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[1][:120]
+
+
+@pytest.mark.spark
+def test_probe_is_pure_map(spark, docs):
+    from btl_bloomfilter_spark.functions.probe import bloom_seen_fraction
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    bf = BloomFilter(1 << 14, 3, 8)
+    bf.update(["warm"])
+    probed = docs.select(bloom_seen_fraction(spark, bf, "text").alias("f"))
+    plan = _plan(probed)
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<text:string>" in plan
+
+
+@pytest.mark.spark
+def test_sliced_build_single_exchange(spark, docs):
+    """Reduce-scatter build: exactly one Exchange (the slice groupBy)."""
+    from btl_bloomfilter_spark.plans.agg import _build_fn_arrow_sliced, SLICED_SCHEMA
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    mk = lambda: BloomFilter(1 << 14, 3, 8)
+    sliced = docs.select("text").mapInArrow(_build_fn_arrow_sliced(mk, "text", 8), SLICED_SCHEMA)
+    merged = sliced.groupBy("slice").count()
+    plan = _plan(merged)
+    assert plan.count("Exchange") <= 2  # slice hash exchange (+AQE read)
+
+
+@pytest.mark.spark
+def test_whole_stage_codegen_on_relational(spark, sf_dir):
+    import __spark_entry__ as em
+
+    plan = _plan(em.q01_pricing_summary(spark, sf_dir))
+    # the date filter reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:160]
+    # map-side combine: partial aggregation below the exchange
+    assert "partial_sum" in plan
+    import re
+
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1  # single shuffle on the group keys
