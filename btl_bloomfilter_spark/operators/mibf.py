@@ -207,21 +207,24 @@ class MIBloomFilter(Sketch):
 # ---------------------------------------------------------------------------
 
 
-def _weighted_winner(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Deterministic count-weighted reservoir per rank position:
-    key = u ** (1/count), u = (hash(pos ^ id)+1)/2^64 — Efraimidis-
-    Spirakis; the max-key candidate wins.  Pure function of
-    {(pos, id, count)} → associative + partition-order independent."""
-    pos = pdf["rpos"].to_numpy(dtype=np.int64)
-    ids = pdf["id"].to_numpy(dtype=np.int64)
-    cnt = pdf["c"].to_numpy(dtype=np.float64)
-    mix = H._splitmix64(pos.astype(np.uint64) ^ (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)))
-    u = (mix.astype(np.float64) + 1.0) / 2.0**64
-    key = u ** (1.0 / cnt)
-    df = pd.DataFrame({"rpos": pos, "id": ids, "key": key})
-    df = df.sort_values(["rpos", "key", "id"], ascending=[True, False, True])
-    win = df.drop_duplicates("rpos", keep="first")
-    return win[["rpos", "id"]]
+def _winners_df(counts: DataFrame) -> DataFrame:
+    """Deterministic count-weighted reservoir per rank position,
+    entirely JVM-side: key = u^(1/count) with u = uniform from
+    xxhash64(rpos, id) — Efraimidis-Spirakis weighted sampling; the
+    max-key candidate wins, ties broken by id.  Pure function of
+    {(rpos, id, count)} → associative and partition-order independent
+    (replaces the reference's fetch-add race,
+    MIBFConstructSupport.hpp:120-129)."""
+    from pyspark.sql import Window
+
+    u = (F.abs(F.xxhash64(F.col("rpos"), F.col("id"))).cast("double") + F.lit(1.0)) / F.lit(float(2**63))
+    w = Window.partitionBy("rpos").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        counts.withColumn("score", F.pow(u, F.lit(1.0) / F.col("c").cast("double")))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("rpos", "id")
+    )
 
 
 def build_mibf(
@@ -274,10 +277,7 @@ def build_mibf(
 
     pairs = df.select(text_col, id_col).mapInPandas(pairs_fn, "rpos long, id long")
     counts = pairs.groupBy("rpos", "id").agg(F.count("*").alias("c"))
-    winners = counts.groupBy("rpos").applyInPandas(
-        lambda pdf: _weighted_winner(pdf), "rpos long, id long"
-    )
-    win = winners.toPandas()
+    win = _winners_df(counts).toPandas()
     mibf.data[win["rpos"].to_numpy(dtype=np.int64)] = win["id"].to_numpy(dtype=np.int64).astype(np.uint32)
 
     # ---- pass 3: saturation — elements whose id appears at none of

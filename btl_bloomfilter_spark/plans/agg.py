@@ -197,7 +197,7 @@ def build_sketch_sliced(
         return pd.DataFrame(
             {
                 "slice": [sidx],
-                "blob": [b"\x00" + merged],
+                "blob": [merged],
                 "n_rows": [int(pdf["n_rows"].sum())],
                 "n_entry": [int(pdf["n_entry"].sum())],
                 "t_entry": [int(pdf["t_entry"].sum())],
@@ -212,7 +212,7 @@ def build_sketch_sliced(
         raise ValueError(f"expected {n_slices} merged slices, got {len(rows)}")
     return cls.assemble_slices(
         params,
-        [bytes(r["blob"])[1:] for r in rows],
+        [bytes(r["blob"]) for r in rows],
         n_entry=sum(r["n_entry"] for r in rows),
         t_entry=sum(r["t_entry"] for r in rows),
     )

@@ -24,7 +24,7 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 from ..operators.base import Sketch
-from ..plans.agg import partial_sketches, tree_merge
+from ..plans.agg import partial_sketches
 
 
 def merge_batch_into(
@@ -38,9 +38,13 @@ def merge_batch_into(
     """Build a sketch of batch_df[col] and merge it into the sketch
     persisted at running_path (created if absent).  Atomic replace."""
     running_path = Path(running_path)
-    n_parts = batch_df.rdd.getNumPartitions()
     partials = partial_sketches(batch_df, col, make_sketch)
-    batch_sketch = tree_merge(partials, n_parts, fanin=fanin)
+    rows = partials.collect()  # micro-batches are small; no tree needed
+    if not rows:
+        return (
+            Sketch.deserialize(running_path.read_bytes()) if running_path.exists() else make_sketch()
+        )
+    batch_sketch = Sketch.merge_blobs([bytes(r["blob"]) for r in rows])
     if running_path.exists():
         running = Sketch.deserialize(running_path.read_bytes())
         running.merge(batch_sketch)

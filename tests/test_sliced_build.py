@@ -45,6 +45,25 @@ def test_sliced_with_nulls_and_odd_slice_count(spark):
 
 
 @pytest.mark.spark
+def test_sliced_counting_bloom(spark):
+    from btl_bloomfilter_spark.operators.counting import CountingBloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch, build_sketch_sliced
+
+    items = [f"k{i % 37}" for i in range(3000)] + [None]
+    df = spark.createDataFrame([(x,) for x in items], "text string").repartition(6)
+    mk = lambda: CountingBloomFilter(10_000, 3, 0, counter_bits=16)
+    serial = mk()
+    serial.update(items)
+    sliced = build_sketch_sliced(df, "text", mk, n_slices=9)
+    np.testing.assert_array_equal(sliced.counters, serial.counters)
+    assert sliced.n_entry == serial.n_entry
+    auto = build_sketch(df, "text", mk)  # auto routes sliced
+    np.testing.assert_array_equal(auto.counters, serial.counters)
+    est = sliced.estimate_batch(["k0", "k36", "nope"])
+    assert est[0] >= 82 and est[2] == 0
+
+
+@pytest.mark.spark
 def test_sliced_whole_string_mode(spark):
     from btl_bloomfilter_spark.plans.agg import build_sketch_sliced
 
