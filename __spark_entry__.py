@@ -428,6 +428,44 @@ def q28_mibf_classify(spark, sf_dir):
     return spark.createDataFrame(agg[["true_id", "n", "n_correct", "avg_frames"]])
 
 
+def q29_bloom_setops(spark, sf_dir):
+    """Bloom union/intersection semantics (north_star assertion):
+    filters built on disjoint halves of documents; union must contain
+    everything, intersection only the shared planted overlap, and the
+    union must be bit-identical to a single build over the whole."""
+    import numpy as np
+
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    mk = lambda: BloomFilter(1 << 22, 4, 8)
+    bf_a = build_sketch(half_a, "text", mk)
+    bf_b = build_sketch(half_b, "text", mk)
+    bf_all = build_sketch(docs, "text", mk)
+    union = BloomFilter(**bf_a.params())
+    union.bits = bf_a.bits.copy()
+    union.n_entry, union.t_entry = bf_a.n_entry, bf_a.t_entry
+    union.union(bf_b)
+    inter = bf_a.intersect(bf_b)
+    texts_a = [r["text"] for r in half_a.select("text").limit(50).collect()]
+    texts_b = [r["text"] for r in half_b.select("text").limit(50).collect()]
+    return spark.createDataFrame(
+        [
+            (
+                bool(np.array_equal(union.bits, bf_all.bits)),
+                bool(union.contains_batch(texts_a).all() and union.contains_batch(texts_b).all()),
+                float(inter.seen_fraction(texts_a).mean()),
+                int(union.pop()),
+                int(inter.pop()),
+            )
+        ],
+        "union_bit_exact boolean, union_contains_all boolean, inter_frac_a double, union_pop long, inter_pop long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -458,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_lsh_topk": q26_lsh_topk,
         "q27_counting_bloom": q27_counting_bloom,
         "q28_mibf_classify": q28_mibf_classify,
+        "q29_bloom_setops": q29_bloom_setops,
     }
 
 

@@ -68,6 +68,10 @@ def test_rows_only_queries_run(spark, name):
         # rank-style sanity: sketch quantiles near exact
         rel = (out.kll - out.exact).abs() / out.exact
         assert (rel < 0.25).all()
+    if name == "q29_bloom_setops":
+        r = out.iloc[0]
+        assert r.union_bit_exact and r.union_contains_all
+        assert r.inter_pop <= r.union_pop
 
 
 @pytest.mark.spark

@@ -86,6 +86,26 @@ def test_hll_distinct_convs_per_role(spark, tdf):
         assert abs(r.est - true) / true <= 4 * 1.04 / np.sqrt(1 << 12), (r.role, r.est, true)
 
 
+def test_hll_vs_spark_builtin_secondary_oracle(spark, tdf):
+    """SURVEY §5 item 3: our HLL also agrees with Spark's own HLL++
+    (approx_count_distinct) within combined error bounds."""
+    from pyspark.sql import functions as F
+
+    ours = {
+        r.role: r.est
+        for r in sketch_by_key(
+            tdf, ["role"], "conv_id", lambda: HyperLogLog(p=14), lambda s: s.estimate(), "est"
+        ).collect()
+    }
+    theirs = {
+        r.role: r.d
+        for r in tdf.groupBy("role").agg(F.approx_count_distinct("conv_id", 0.02).alias("d")).collect()
+    }
+    for role in ours:
+        rel = abs(ours[role] - theirs[role]) / theirs[role]
+        assert rel < 0.05, (role, ours[role], theirs[role])
+
+
 def test_cms_heavy_hitter_tools(spark, tdf):
     from pyspark.sql import functions as F
 
