@@ -64,10 +64,19 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+_SEED_CACHE: dict[int, np.ndarray] = {}
+
+
 def seed_table(salt: int = 0) -> np.ndarray:
     """256-entry per-byte 64-bit seed table (analog of seedA/C/G/T,
-    nthash.hpp:189-193, generalized to the full byte alphabet)."""
-    return _splitmix64(np.arange(256, dtype=np.uint64) + _U64(salt) * _U64(0x9E3779B97F4A7C15))
+    nthash.hpp:189-193, generalized to the full byte alphabet).
+    Cached per salt — kernels call this once per Arrow batch."""
+    tbl = _SEED_CACHE.get(salt)
+    if tbl is None:
+        with np.errstate(over="ignore"):
+            tbl = _splitmix64(np.arange(256, dtype=np.uint64) + _U64(salt) * _U64(0x9E3779B97F4A7C15))
+        _SEED_CACHE[salt] = tbl
+    return tbl
 
 
 _SEEDS = seed_table()
