@@ -337,6 +337,33 @@ def grouped_partials_fn(make_sketch: Callable[[], Sketch], keys: Sequence[str], 
     return fn
 
 
+def grouped_partials_fn_arrow(make_sketch: Callable[[], Sketch], keys: Sequence[str], col: str):
+    """mapInArrow grouped builder: only the (short) key columns are
+    materialized to python; the value column stays Arrow — per-key
+    slices go through update_arrow zero-copy."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        states: dict[tuple, Sketch] = {}
+        for rb in batches:
+            vals = rb.column(rb.schema.get_field_index(col))
+            key_pdf = rb.select(list(keys)).to_pandas()
+            for kv, sub in key_pdf.groupby(list(keys), dropna=False, sort=False):
+                if not isinstance(kv, tuple):
+                    kv = (kv,)
+                sk = states.get(kv)
+                if sk is None:
+                    sk = states[kv] = make_sketch()
+                sk.update_arrow(vals.take(pa.array(sub.index.to_numpy())))
+        for kv, sk in states.items():
+            arrays = [pa.array([v]) for v in kv]
+            arrays.append(pa.array([sk.serialize()], pa.binary()))
+            yield pa.record_batch(arrays, names=list(keys) + ["blob"])
+
+    return fn
+
+
 def sketch_by_key(
     df: DataFrame,
     keys: Sequence[str],
@@ -363,7 +390,12 @@ def sketch_by_key(
     partial_schema = f"{key_schema}, blob binary"
     out_schema = f"{key_schema}, {out_col} double"
 
-    partials = df.select(*keys, col).mapInPandas(grouped_partials_fn(make_sketch, keys, col), partial_schema)
+    sdf = df.select(*keys, col)
+    proto = make_sketch()
+    if hasattr(proto, "update_arrow") and dict(sdf.dtypes)[col] == "string":
+        partials = sdf.mapInArrow(grouped_partials_fn_arrow(make_sketch, keys, col), partial_schema)
+    else:
+        partials = sdf.mapInPandas(grouped_partials_fn(make_sketch, keys, col), partial_schema)
 
     def merge_blobs(pdf: pd.DataFrame) -> pd.DataFrame:
         sk = Sketch.deserialize(pdf["blob"].iloc[0])
