@@ -110,9 +110,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         return bf.pop()
 
     def q_transcript_bloom_probe():
+        from btl_bloomfilter_spark.functions.probe import with_probe_columns
+
         bf = state["bloom_tx"]
         return (
-            tdf.select(bloom_seen_fraction(spark, bf, "text").alias("f"))
+            with_probe_columns(tdf.select("text"), bf, "text", frac_col="f")
             .agg(F.min("f"))
             .collect()[0][0]
         )

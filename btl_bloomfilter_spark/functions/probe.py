@@ -60,3 +60,39 @@ def counting_estimate(spark: SparkSession, cbf, col) -> Column:
 def register_sql(spark: SparkSession, name: str, sketch: Sketch, method: str, ret_type: str) -> None:
     """Expose a probe as a SQL function: SELECT name(text) FROM ..."""
     spark.udf.register(name, _probe_udf(spark, sketch, method, ret_type))
+
+
+def with_probe_columns(df, sketch: Sketch, col: str, *, frac_col: str | None = None, contains_col: str | None = None):
+    """Zero-copy probe: append seen-fraction / contains columns via
+    mapInArrow — the hot query path at scale, no pandas string
+    materialization (unlike the pandas_udf Column variants above).
+    Returns df + requested columns; plan stays a pure map."""
+    import pyarrow as pa
+
+    spark = df.sparkSession
+    blob = sketch.serialize()
+    bc = spark.sparkContext.broadcast(blob)
+    token = uuid.uuid4().hex
+
+    fields = df.schema.simpleString()[7:-1]
+    extra = []
+    if frac_col:
+        extra.append(f"{frac_col} double")
+    if contains_col:
+        extra.append(f"{contains_col} boolean")
+    out_schema = ", ".join([fields] + extra)
+
+    def fn(batches):
+        sk = _WORKER_CACHE.get(token)
+        if sk is None:
+            sk = _WORKER_CACHE[token] = Sketch.deserialize(bc.value)
+        for rb in batches:
+            arr = rb.column(rb.schema.get_field_index(col))
+            out = rb
+            if frac_col:
+                out = out.append_column(frac_col, pa.array(sk.seen_fraction_arrow(arr), pa.float64()))
+            if contains_col:
+                out = out.append_column(contains_col, pa.array(sk.contains_arrow(arr), pa.bool_()))
+            yield out
+
+    return df.mapInArrow(fn, out_schema)

@@ -281,6 +281,53 @@ class BloomFilter(Sketch):
         self._consolidate()
         return self._probe_bits(hashes)
 
+    # -- zero-copy Arrow probes ----------------------------------------
+    def _probe_all_arrow(self, arr) -> tuple[np.ndarray, np.ndarray, int, np.ndarray | None]:
+        self._consolidate()
+        buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
+        if self.k > 0:
+            hb, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
+            base = hb[:, 0]
+        else:
+            base = H.hash_strings_from_buffers(buf, offsets, 1, seeds=self._seeds)[:, 0]
+            if null_mask is not None and base.size:
+                base = base.copy()
+                base[null_mask] = H.hash_strings([""], 1, seeds=self._seeds)[0, 0]
+            rows = np.arange(len(arr), dtype=np.int64)
+        hit = np.empty(base.shape[0], dtype=bool)
+        for s in range(0, base.shape[0], self.CHUNK):
+            hashes = H.nte64(base[s : s + self.CHUNK], self.hash_num, self._fanout_k)
+            hit[s : s + self.CHUNK] = self._probe_bits(hashes)
+        return hit, rows, len(arr), null_mask
+
+    def seen_fraction_arrow(self, arr) -> np.ndarray:
+        """seen_fraction over an Arrow string array (no pandas strings)."""
+        hit, rows, n, null_mask = self._probe_all_arrow(arr)
+        if self.k == 0:
+            out = np.zeros(n, dtype=np.float64)
+            out[rows] = hit.astype(np.float64)
+            return out
+        if null_mask is not None and hit.size:
+            keep = ~null_mask[rows]
+            hit, rows = hit[keep], rows[keep]
+        total = np.bincount(rows, minlength=n).astype(np.float64)
+        hits = np.bincount(rows, weights=hit.astype(np.float64), minlength=n)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(total > 0, hits / total, 0.0)
+
+    def contains_arrow(self, arr) -> np.ndarray:
+        hit, rows, n, null_mask = self._probe_all_arrow(arr)
+        if self.k == 0:
+            out = np.zeros(n, dtype=bool)
+            out[rows] = hit
+            return out
+        if null_mask is not None and hit.size:
+            keep = ~null_mask[rows]
+            hit, rows = hit[keep], rows[keep]
+        total = np.bincount(rows, minlength=n)
+        hits = np.bincount(rows, weights=hit.astype(np.float64), minlength=n)
+        return (total > 0) & (hits == total)
+
     # -- merge algebra -------------------------------------------------
     def merge(self, other: "BloomFilter") -> "BloomFilter":
         self._require_compatible(other)
