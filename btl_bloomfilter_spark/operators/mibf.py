@@ -162,6 +162,90 @@ class MIBloomFilter(Sketch):
     def hashes_per_frame(self) -> int:
         return self.hash_num
 
+    def classify_full(
+        self,
+        values,
+        *,
+        min_count: int = 0,
+        extra_count: float = 1.0,
+        best_hit_agree: bool = True,
+        frame_probs: dict[int, float] | None = None,
+    ) -> list[list]:
+        """Full MIBFQuerySupport.query pipeline per string: per-ID
+        CountResult tallies (MIBFQuerySupport.hpp:430-518) →
+        summarizeCandiates (stat-tie filter + 7-key sort + best-hit
+        veto, :555-596).  Returns a list of QueryResult lists (one per
+        input string), best first."""
+        from .mibf_query import QueryResult, summarize_candidates
+
+        if frame_probs is None:
+            from .mibf_query import calc_frame_probs
+
+            frame_probs, _ = calc_frame_probs(self)
+        hashes, rows = self._hash_batch(values)
+        n = len(values)
+        results: list[list] = [[] for _ in range(n)]
+        if hashes.shape[0] == 0:
+            return results
+        present, idx = self._probe(hashes)
+        pr = np.flatnonzero(present)
+        if pr.size == 0:
+            return results
+        rpos = self.rank_pos(idx[pr])
+        words = self.data[rpos]
+        ids = (words & ID_MASK).astype(np.int64)  # (F, h)
+        sat = (words & SAT_BIT) != 0
+        h = self.hash_num
+        frame_idx = np.repeat(np.arange(pr.size), h)
+        frame_rows = np.repeat(rows[pr], h)
+        frame_sat_any = sat.any(axis=1)
+        df = pd.DataFrame(
+            {
+                "row": frame_rows,
+                "frame": frame_idx,
+                "id": ids.ravel(),
+                "slot_nonsat": ~sat.ravel(),
+                "frame_sat": frame_sat_any[frame_idx],
+            }
+        )
+        df = df[df["id"] > 0]
+        if not len(df):
+            return results
+        # per (row, frame, id): slot occurrences + flags
+        per_frame = df.groupby(["row", "frame", "id"], sort=False).agg(
+            slots=("id", "size"),
+            nonsat_slots=("slot_nonsat", "sum"),
+            frame_sat=("frame_sat", "first"),
+        )
+        per_frame["all_slots"] = per_frame["slots"] == h
+        per_frame = per_frame.reset_index()
+        tall = per_frame.groupby(["row", "id"], sort=False).agg(
+            count=("frame", "size"),
+            solidCount=("all_slots", "sum"),
+            nonSatCount=("nonsat_slots", lambda s: int((s > 0).sum())),
+            nonSatFrameCount=("frame_sat", lambda s: int((~s).sum())),
+            totalCount=("slots", "sum"),
+            totalNonSatCount=("nonsat_slots", "sum"),
+        ).reset_index()
+        for row_id, sub in tall.groupby("row", sort=False):
+            cands = [
+                QueryResult(
+                    id=int(r.id),
+                    count=int(r.count),
+                    solidCount=int(r.solidCount),
+                    nonSatCount=int(r.nonSatCount),
+                    nonSatFrameCount=int(r.nonSatFrameCount),
+                    totalCount=int(r.totalCount),
+                    totalNonSatCount=int(r.totalNonSatCount),
+                    frameProb=float(frame_probs.get(int(r.id), 0.0)),
+                )
+                for r in sub.itertuples()
+            ]
+            results[int(row_id)] = summarize_candidates(
+                cands, min_count=min_count, extra_count=extra_count, best_hit_agree=best_hit_agree
+            )
+        return results
+
     # -- stats (MIBloomFilter.hpp:539-620) ----------------------------
     def get_id_counts(self) -> dict[int, int]:
         ids = (self.data & ID_MASK).astype(np.int64)

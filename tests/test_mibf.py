@@ -78,6 +78,34 @@ def test_deterministic_rebuild(spark, mibf_setup):
 
 
 @pytest.mark.spark
+def test_classify_full_pipeline(mibf_setup):
+    """Q10-Q13 integration: full CountResult tallies + stat-tie
+    summarization agree with the simple classifier on clear cases."""
+    _, mibf, rows = mibf_setup
+    texts = [t for t, _ in rows[:60]]
+    truth = [r for _, r in rows[:60]]
+    simple = mibf.classify_batch(texts)
+    full = mibf.classify_full(texts)
+    agree = hits = 0
+    for i, res in enumerate(full):
+        assert isinstance(res, list)
+        if res:
+            hits += 1
+            # counts are internally consistent
+            top = res[0]
+            assert top.count >= top.solidCount >= 0
+            assert top.totalCount >= top.count
+            assert top.totalNonSatCount <= top.totalCount
+            if top.id == simple.best_id[i]:
+                agree += 1
+            assert top.id == truth[i] or len(res) > 1
+    assert hits >= 55
+    assert agree / hits > 0.9
+    # unseen text → empty result
+    assert mibf.classify_full(["zz yy xx ww vv uu tt ss"]) == [[]]
+
+
+@pytest.mark.spark
 def test_serialize_roundtrip(mibf_setup):
     _, mibf, rows = mibf_setup
     back = Sketch.deserialize(mibf.serialize())
