@@ -226,7 +226,7 @@ def q15_supplier_part_volume(spark, sf_dir):
 def q16_orders_by_month(spark, sf_dir):
     t = _load(spark, sf_dir, "orders")["orders"]
     return (
-        t.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month"))
+        t.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
         .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     )
 
@@ -628,7 +628,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY p_brand
         """,
         "q16_orders_by_month": """
-            SELECT date_trunc('month', o_orderdate) AS month,
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
                    count(*) AS n_orders,
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders GROUP BY 1
