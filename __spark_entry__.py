@@ -567,7 +567,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q07_token_stats": f"""
             SELECT source,
-                   sum(tc) AS total_tokens,
+                   CAST(sum(tc) AS BIGINT) AS total_tokens,
                    round(avg(tc), 6) AS avg_tokens,
                    max(tc) AS max_tokens
             FROM (SELECT source, {T.token_count_sql('text')} AS tc FROM documents)
@@ -603,8 +603,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q13_user_sessions": """
             SELECT user_id,
-                   sum(CASE WHEN prev_ts IS NULL
-                            OR date_diff('second', prev_ts, ts) > 3600 THEN 1 ELSE 0 END) AS n_sessions,
+                   CAST(sum(CASE WHEN prev_ts IS NULL
+                            OR date_diff('second', prev_ts, ts) > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
                   FROM events)

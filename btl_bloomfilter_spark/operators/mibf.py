@@ -301,7 +301,11 @@ def _winners_df(counts: DataFrame) -> DataFrame:
     MIBFConstructSupport.hpp:120-129)."""
     from pyspark.sql import Window
 
-    u = (F.abs(F.xxhash64(F.col("rpos"), F.col("id"))).cast("double") + F.lit(1.0)) / F.lit(float(2**63))
+    # pmod keeps u strictly in (0, 1] (F.abs maps Long.MIN_VALUE to a
+    # negative value with probability 2^-63, yielding a NaN score)
+    u = (F.pmod(F.xxhash64(F.col("rpos"), F.col("id")), F.lit(2**62)).cast("double") + F.lit(1.0)) / F.lit(
+        float(2**62)
+    )
     w = Window.partitionBy("rpos").orderBy(F.desc("score"), F.asc("id"))
     return (
         counts.withColumn("score", F.pow(u, F.lit(1.0) / F.col("c").cast("double")))

@@ -67,7 +67,8 @@ class QueryResult:
 def sort_key(r: QueryResult):
     """7-key lexicographic sort (MIBFQuerySupport.hpp:230-246):
     nonSatFrameCount > count > solidCount > nonSatCount >
-    totalNonSatCount > totalCount desc, then frameProb asc."""
+    totalNonSatCount > totalCount desc, then frameProb desc (the
+    reference orders a first when a.frameProb > b.frameProb)."""
     return (
         -r.nonSatFrameCount,
         -r.count,
@@ -75,7 +76,7 @@ def sort_key(r: QueryResult):
         -r.nonSatCount,
         -r.totalNonSatCount,
         -r.totalCount,
-        r.frameProb,
+        -r.frameProb,
     )
 
 

@@ -112,8 +112,15 @@ def lsh_topk(
 
 def fit_centroids(df: DataFrame, *, col: str = "embedding", n_cells: int = 16, sample: int = 2048, iters: int = 10, seed: int = 42) -> np.ndarray:
     """Seeded k-means on a driver-side sample (Lloyd iterations in
-    numpy).  Deterministic given (seed, data)."""
-    rows = df.select(col).limit(sample).collect()
+    numpy).  Deterministic given (seed, data).
+
+    The sample is the `sample` rows with the smallest content hash —
+    a content-keyed reservoir, NOT a `limit()` prefix (a prefix of a
+    sorted/partitioned table trains centroids on a biased head) and
+    NOT `df.sample()` (partition-order dependent).  TakeOrdered keeps
+    it a single pass with a per-partition top-k, no full sort."""
+    hkey = F.xxhash64(F.col(col).cast("array<double>"), F.lit(seed))
+    rows = df.select(col).orderBy(hkey).limit(sample).collect()
     mat = np.asarray([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.default_rng(seed)
     cents = mat[rng.choice(len(mat), size=min(n_cells, len(mat)), replace=False)]

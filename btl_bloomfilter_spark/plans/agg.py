@@ -406,7 +406,15 @@ def sketch_by_key(
         return pd.DataFrame(out)
 
     if salt_partitions:
-        salted = partials.withColumn("__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_partitions)))
+        # salt must be DETERMINISTIC: a nondeterministic expression
+        # (e.g. monotonically_increasing_id) feeding a groupBy shuffle
+        # re-salts rows differently on stage retry, duplicating or
+        # dropping partial blobs.  Hashing (keys, blob) is a pure
+        # function of the row, so recomputes land in the same bucket.
+        salted = partials.withColumn(
+            "__salt",
+            F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.col("blob")), F.lit(salt_partitions)),
+        )
 
         def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
             return merge_blobs(pdf.drop(columns="__salt"))

@@ -13,11 +13,19 @@ bounded blob (m bits / registers), not per-key rows, so a single
 driver-side merge per micro-batch is cheaper than a keyed state
 store.  For per-key streaming sketches use plans.agg.sketch_by_key
 inside foreachBatch the same way.
+
+Replay semantics: foreachBatch is AT-LEAST-ONCE — after a failure the
+same micro-batch (same batch_id) can be delivered again.  The state
+file therefore carries the last merged batch_id, and a replayed batch
+with batch_id <= last_merged is skipped, making the merge idempotent
+(this matters for non-idempotent sketches: CountingBloomFilter / CMS
+would double-count, and n_entry/t_entry would inflate for all).
 """
 
 from __future__ import annotations
 
 import os
+import struct
 from pathlib import Path
 from typing import Callable
 
@@ -26,6 +34,26 @@ from pyspark.sql import DataFrame
 from ..operators.base import Sketch
 from ..plans.agg import partial_sketches
 
+_STATE_MAGIC = b"BFSTRM01"  # envelope: magic + int64 last batch_id + blob
+
+
+def _read_state(path: Path) -> tuple[int, Sketch | None]:
+    """(last_merged_batch_id, sketch) — accepts the bare-blob legacy
+    layout (no magic) with last_merged = -1."""
+    if not path.exists():
+        return -1, None
+    raw = path.read_bytes()
+    if raw[: len(_STATE_MAGIC)] == _STATE_MAGIC:
+        (last_id,) = struct.unpack("<q", raw[8:16])
+        return last_id, Sketch.deserialize(raw[16:])
+    return -1, Sketch.deserialize(raw)
+
+
+def _write_state(path: Path, batch_id: int, sketch: Sketch) -> None:
+    tmp = path.with_suffix(".tmp")
+    tmp.write_bytes(_STATE_MAGIC + struct.pack("<q", batch_id) + sketch.serialize())
+    os.replace(tmp, path)  # single atomic replace: id + blob never skew
+
 
 def merge_batch_into(
     running_path: str | Path,
@@ -33,26 +61,30 @@ def merge_batch_into(
     col: str,
     make_sketch: Callable[[], Sketch],
     *,
+    batch_id: int | None = None,
     fanin: int = 16,
 ) -> Sketch:
     """Build a sketch of batch_df[col] and merge it into the sketch
-    persisted at running_path (created if absent).  Atomic replace."""
+    persisted at running_path (created if absent).  Atomic replace.
+
+    With ``batch_id`` (foreachBatch's micro-batch id) the merge is an
+    idempotent replay guard: a batch whose id is <= the persisted
+    last-merged id is skipped, so at-least-once redelivery never
+    double-counts."""
     running_path = Path(running_path)
+    last_id, running = _read_state(running_path)
+    if batch_id is not None and batch_id <= last_id:
+        return running if running is not None else make_sketch()
     partials = partial_sketches(batch_df, col, make_sketch)
     rows = partials.collect()  # micro-batches are small; no tree needed
     if not rows:
-        return (
-            Sketch.deserialize(running_path.read_bytes()) if running_path.exists() else make_sketch()
-        )
+        return running if running is not None else make_sketch()
     batch_sketch = Sketch.merge_blobs([bytes(r["blob"]) for r in rows])
-    if running_path.exists():
-        running = Sketch.deserialize(running_path.read_bytes())
+    if running is not None:
         running.merge(batch_sketch)
     else:
         running = batch_sketch
-    tmp = running_path.with_suffix(".tmp")
-    tmp.write_bytes(running.serialize())
-    os.replace(tmp, running_path)
+    _write_state(running_path, batch_id if batch_id is not None else last_id, running)
     return running
 
 
@@ -68,11 +100,11 @@ def stream_build_sketch(
     """readStream → foreachBatch(accumulate) → running sketch on disk.
 
     Returns the StreamingQuery; callers await termination then load
-    the final sketch with ``Sketch.deserialize(Path(state_path).read_bytes())``.
+    the final sketch with ``load_running(state_path)``.
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch_into(state_path, batch_df, col, make_sketch)
+        merge_batch_into(state_path, batch_df, col, make_sketch, batch_id=batch_id)
 
     writer = (
         stream_df.writeStream.outputMode("append")
@@ -85,4 +117,7 @@ def stream_build_sketch(
 
 
 def load_running(state_path: str | Path) -> Sketch:
-    return Sketch.deserialize(Path(state_path).read_bytes())
+    _, sk = _read_state(Path(state_path))
+    if sk is None:
+        raise FileNotFoundError(state_path)
+    return sk

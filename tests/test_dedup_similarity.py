@@ -167,6 +167,18 @@ def test_ivf_topk(spark, emb_df):
     assert len(set(brute.vec_id) & set(out.vec_id)) >= 3
 
 
+def test_fit_centroids_stable_under_reordering(spark, emb_df):
+    """Centroid fit samples by content hash, not a partition prefix —
+    the same data in any row/partition order yields identical centroids."""
+    from btl_bloomfilter_spark.operators.similarity import fit_centroids
+
+    df, _ = emb_df
+    c1 = fit_centroids(df, n_cells=4, sample=40, seed=9)
+    shuffled = df.orderBy(F.desc("vec_id")).repartition(7)
+    c2 = fit_centroids(shuffled, n_cells=4, sample=40, seed=9)
+    np.testing.assert_allclose(c1, c2)
+
+
 def test_multimodal_plumbing(spark):
     from btl_bloomfilter_spark.operators.multimodal import (
         extract_features,

@@ -40,9 +40,10 @@ def test_sort_candidates_7key_order():
     assert order[0].id == 3  # nonSatFrameCount dominates
     assert order[1].id == 2  # then count
     assert order[2].id == 4  # then solidCount
-    # frameProb ascending is the final tiebreak
+    # frameProb DESCENDING is the final tiebreak (reference
+    # sortCandidates: a before b when a.frameProb > b.frameProb)
     ids_tail = [r.id for r in order[3:]]
-    assert ids_tail.index(6) < ids_tail.index(5)
+    assert ids_tail.index(5) < ids_tail.index(6)
 
 
 def test_stat_ties():

@@ -47,3 +47,25 @@ def test_stream_equals_batch(spark, tmp_path):
     q2.awaitTermination(60)
     again = load_running(tmp_path / "running.sketch")
     np.testing.assert_array_equal(again.bits, batch.bits)
+
+
+@pytest.mark.spark
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering the same batch_id
+    must NOT double-count (counting sketches are not idempotent)."""
+    from btl_bloomfilter_spark.operators.counting import CountingBloomFilter
+    from btl_bloomfilter_spark.streaming.accumulate import merge_batch_into
+
+    mk = lambda: CountingBloomFilter(1 << 14, 3, 0, counter_bits=32)
+    state = tmp_path / "run.sketch"
+    bdf = spark.createDataFrame([("aaa",)] * 10 + [("bbb",)] * 5, "text string")
+    merge_batch_into(state, bdf, "text", mk, batch_id=0)
+    first = load_running(state).estimate_batch(["aaa", "bbb"])
+    # replay of batch 0 → skipped
+    merge_batch_into(state, bdf, "text", mk, batch_id=0)
+    replay = load_running(state).estimate_batch(["aaa", "bbb"])
+    np.testing.assert_array_equal(first, replay)
+    # genuinely new batch id → merged
+    merge_batch_into(state, bdf, "text", mk, batch_id=1)
+    second = load_running(state).estimate_batch(["aaa", "bbb"])
+    assert second[0] == first[0] * 2 and second[1] == first[1] * 2
