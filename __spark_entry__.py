@@ -370,11 +370,14 @@ def q24_minhash_dups(spark, sf_dir):
 
 
 def q25_simhash_near(spark, sf_dir):
+    """SimHash near-dup pairs at hamming ≤ 7 — blocking is COMPLETE at
+    this radius (8 disjoint 8-bit bands; pigeonhole guarantees ≥1
+    exact band match for any pair within the radius)."""
     from btl_bloomfilter_spark.operators.dedup import simhash, simhash_candidates
 
     docs = _load(spark, sf_dir, "documents")["documents"]
     sh = simhash(docs, "text", "doc_id")
-    return simhash_candidates(sh, max_hamming=16)
+    return simhash_candidates(sh, max_hamming=7)
 
 
 def q26_lsh_topk(spark, sf_dir):

@@ -41,6 +41,9 @@ __all__ = [
     "hash_ngrams",
     "hash_strings",
     "hash_tokens",
+    "tokenize_buffers",
+    "hash_spans_from_buffers",
+    "hash_token_ngrams_from_hashes",
     "clz64",
 ]
 
@@ -308,21 +311,31 @@ def hash_strings(strings, num_hashes: int = 1, *, seeds: np.ndarray | None = Non
     return hash_strings_from_buffers(buf, offsets, num_hashes, seeds=seeds)
 
 
-def hash_strings_from_buffers(
-    buf: np.ndarray, offsets: np.ndarray, num_hashes: int = 1, *, seeds: np.ndarray | None = None
+def hash_spans_from_buffers(
+    buf: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    num_hashes: int = 1,
+    *,
+    seeds: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Whole-string hashes over a flat buffer + offsets (Arrow layout)."""
+    """Whole-span hashes for ARBITRARY (start, end) byte spans of one
+    flat buffer — the generalization of :func:`hash_strings_from_buffers`
+    to non-contiguous spans (e.g. tokens inside rows).
+
+    Position-independence: with u[p] = ror(seed[b[p]], p) and
+    base = rol(XOR u[start..end), end-1), byte j = p-start contributes
+    rol(seed, L-1-j) — only its local index and the span length — so
+    equal byte spans hash equal anywhere in the buffer.
+    """
     seeds = _SEEDS if seeds is None else seeds
-    n_str = offsets.shape[0] - 1
     pos = np.arange(buf.shape[0], dtype=np.uint64)
     u = _ror(seeds[buf], pos) if buf.shape[0] else np.empty(0, dtype=np.uint64)
     pre = np.zeros(buf.shape[0] + 1, dtype=np.uint64)
     if buf.shape[0]:
         np.bitwise_xor.accumulate(u, out=pre[1:])
-    starts = offsets[:-1]
-    ends = offsets[1:]
     w = pre[ends] ^ pre[starts]
-    # rotation amount (end-1) mod 64; empty strings → seeded constant
+    # rotation amount (end-1) mod 64; empty spans → seeded constant
     amt = np.maximum(ends - 1, 0).astype(np.uint64)
     base = _rol(w, amt)
     empty = ends == starts
@@ -333,6 +346,83 @@ def hash_strings_from_buffers(
     base = _splitmix64(base ^ (ends - starts).astype(np.uint64))
     # whole-string fan-out uses the fixed convention k=1 in the NTE64 law
     return nte64(base, num_hashes, 1)
+
+
+def hash_strings_from_buffers(
+    buf: np.ndarray, offsets: np.ndarray, num_hashes: int = 1, *, seeds: np.ndarray | None = None
+) -> np.ndarray:
+    """Whole-string hashes over a flat buffer + offsets (Arrow layout)."""
+    return hash_spans_from_buffers(buf, offsets[:-1], offsets[1:], num_hashes, seeds=seeds)
+
+
+# ASCII whitespace lookup (space, \t, \n, \v, \f, \r) — byte-level split
+# is exact for UTF-8 (multi-byte code points never contain ASCII bytes).
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[9, 10, 11, 12, 13, 32]] = True
+
+
+def tokenize_buffers(
+    data: np.ndarray, offsets: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized whitespace tokenization of a flat UTF-8 buffer.
+
+    ``data`` (uint8) + ``offsets`` (int64, len n_rows+1) is the Arrow
+    string layout.  Returns (tok_starts, tok_ends, tok_rows): byte
+    spans of every token plus the row each belongs to, in buffer
+    order (tok_rows is nondecreasing).  Tokens never span rows.
+    Matches ``str.split()`` on ASCII-whitespace text (runs collapse,
+    leading/trailing ignored).
+    """
+    n = data.shape[0]
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z
+    tok_byte = ~_WS_LUT[data]
+    # a token starts where a non-ws byte follows ws / a row boundary
+    new_seg = np.empty(n, dtype=bool)
+    new_seg[0] = True
+    np.logical_not(tok_byte[:-1], out=new_seg[1:])
+    rs = offsets[:-1]
+    new_seg[rs[rs < n]] = True  # row starts break tokens (empty rows point at a later row's start — also correct)
+    starts = np.flatnonzero(tok_byte & new_seg)
+    # a token ends where a non-ws byte precedes ws / a row boundary
+    end_seg = np.empty(n, dtype=bool)
+    end_seg[-1] = True
+    np.logical_not(tok_byte[1:], out=end_seg[:-1])
+    re = offsets[1:] - 1
+    end_seg[re[re >= 0]] = True  # row ends break tokens (empty rows point at the previous row's end — also correct)
+    ends = np.flatnonzero(tok_byte & end_seg) + 1
+    rows = np.searchsorted(offsets, starts, side="right") - 1
+    return starts.astype(np.int64), ends.astype(np.int64), rows.astype(np.int64)
+
+
+def hash_token_ngrams_from_hashes(
+    tok_hash: np.ndarray, row_offsets: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Word-n-gram base hashes from per-token hashes, zero strings.
+
+    The n-gram hash is the rotate-XOR fold of its n token hashes
+    (the ntHash window fold lifted from the byte alphabet to the
+    token-hash alphabet: gram(t) = splitmix(XOR_j rol(th[t+j], n-1-j))),
+    so no gram string is ever materialized.  ``row_offsets`` (int64,
+    len n_rows+1) delimits each row's tokens in the flat ``tok_hash``
+    array; windows spanning rows are masked out.
+
+    Returns ((W,) uint64 base hashes, (W,) int64 row ids), row-ordered.
+    Fan out with :func:`nte64` for multi-permutation MinHash.
+    """
+    t = tok_hash.shape[0]
+    if t < n:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    nw = t - n + 1
+    w = np.zeros(nw, dtype=np.uint64)
+    for j in range(n):
+        np.bitwise_xor(w, _rol(tok_hash[j : j + nw], np.uint64((n - 1 - j) % 64)), out=w)
+    base = _splitmix64(w ^ _U64(n))
+    starts = np.arange(nw, dtype=np.int64)
+    row_of = np.searchsorted(row_offsets, starts, side="right") - 1
+    valid = starts + n <= row_offsets[row_of + 1]
+    return base[valid], row_of[valid]
 
 
 def hash_tokens(token_lists, n: int, num_hashes: int = 1) -> tuple[np.ndarray, np.ndarray]:

@@ -4,11 +4,13 @@
 - ngram_jaccard_pairs: exact n-gram-set Jaccard via shingle explode +
   self-join on shingle (pure DataFrame ops → Catalyst plans the
   shuffle; blocking by shared shingle keeps it far from O(n²))
-- MinHash + LSH banding: signatures via one Arrow-vectorized kernel
-  (reusing the library's seeded multi-hash fan-out, nte64), candidate
+- MinHash + LSH banding: signatures via one zero-copy Arrow kernel
+  (vectorized tokenizer → span hashes → n-gram rotate-XOR fold →
+  NTE64 fan-out — no gram strings, no per-row Python), candidate
   pairs by band-bucket groupBy — the standard web-scale near-dup path
 - SimHash: 64-bit weighted-vote fingerprint; hamming-≤d candidates by
-  4-band exact-match blocking (pigeonhole: d≤3 ⇒ one band equal)
+  (d+1)-band exact-match blocking (pigeonhole: ≤d differing bits ⇒
+  at least one band equal — complete at the requested radius)
 
 All shuffles key on content digests (uniform), so no skew salting is
 needed here; the LSH band join broadcasts nothing and scales as the
@@ -21,7 +23,6 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.functions import pandas_udf
 
 from ..functions import hashing as H
 
@@ -104,34 +105,82 @@ def ngram_jaccard_pairs(
 # ----------------------------- MinHash -------------------------------
 
 
+def _tokens_of_arrow(arr, seed_salt: int):
+    """(per-token hashes, token row ids, n_rows) from an Arrow string
+    array — zero-copy UTF-8 buffers, vectorized tokenizer, one span
+    hash pass.  Null rows contribute no tokens."""
+    data, offsets, null_mask = H.arrow_utf8_buffers(arr)
+    n_rows = len(offsets) - 1
+    starts, ends, tok_rows = H.tokenize_buffers(data, offsets)
+    if null_mask is not None and starts.size:
+        keep = ~null_mask[tok_rows]
+        starts, ends, tok_rows = starts[keep], ends[keep], tok_rows[keep]
+    if starts.size == 0:
+        return np.empty(0, dtype=np.uint64), tok_rows, n_rows
+    th = H.hash_spans_from_buffers(data, starts, ends, 1, seeds=H.seed_table(seed_salt))[:, 0]
+    return th, tok_rows, n_rows
+
+
+# fan-out chunk: bounds the (chunk, num_perm) uint64 temporary to
+# ~256 MB at num_perm=128 while amortizing the numpy pass overhead
+_GRAM_CHUNK = 1 << 18
+
+
+def _minhash_sigs_from_arrow(arr, num_perm: int, shingle_n: int, seed_salt: int) -> np.ndarray:
+    """(n_rows, num_perm) uint64 MinHash signatures of one Arrow batch.
+
+    Pipeline (all numpy, no per-row Python, no gram strings):
+    tokenize → per-token span hash → n-gram rotate-XOR fold
+    (hash_token_ngrams_from_hashes) → NTE64 fan-out per chunk →
+    per-row min via minimum.reduceat (grams arrive row-ordered).
+    """
+    th, tok_rows, n_rows = _tokens_of_arrow(arr, seed_salt)
+    sigs = np.full((n_rows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if th.size < shingle_n:
+        return sigs
+    tok_offs = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(np.bincount(tok_rows, minlength=n_rows), out=tok_offs[1:])
+    gram, grow = H.hash_token_ngrams_from_hashes(th, tok_offs, shingle_n)
+    for lo in range(0, gram.size, _GRAM_CHUNK):
+        g = gram[lo : lo + _GRAM_CHUNK]
+        r = grow[lo : lo + _GRAM_CHUNK]
+        fan = H.nte64(g, num_perm, shingle_n)
+        # r is nondecreasing → segment-min with reduceat, then fold
+        # each chunk's per-row minima into the running signatures
+        seg = np.concatenate([[0], np.flatnonzero(np.diff(r)) + 1])
+        urows = r[seg]
+        mins = np.minimum.reduceat(fan, seg, axis=0)
+        sigs[urows] = np.minimum(sigs[urows], mins)
+    return sigs
+
+
 def minhash_signatures(
     df: DataFrame, col: str, id_col: str, *, num_perm: int = 128, shingle_n: int = 3, seed_salt: int = 0
 ) -> DataFrame:
     """(id, sig: array<bigint>) MinHash signatures.
 
-    Kernel: per Arrow batch, hash every shingle once with the seeded
-    whole-string hash, fan out to num_perm permutations with the exact
-    NTE64 law (nthash.hpp:537-542), take the per-row minimum per
-    permutation — one numpy pass, no per-row Python.
+    Kernel: mapInArrow over zero-copy UTF-8 buffers — vectorized
+    tokenize, one span-hash pass per token, rotate-XOR n-gram fold,
+    NTE64 fan-out to num_perm permutations (exact law,
+    nthash.hpp:537-542), per-row segment-min.  No pandas string
+    materialization and no per-row Python anywhere.
     """
+    import pyarrow as pa
 
-    @pandas_udf("array<long>")
-    def sig_udf(texts: pd.Series) -> pd.Series:
-        token_lists = [str(t).split() if t is not None else [] for t in texts]
-        grams: list[str] = []
-        rows: list[int] = []
-        for i, toks in enumerate(token_lists):
-            for j in range(max(0, len(toks) - shingle_n + 1)):
-                grams.append(" ".join(toks[j : j + shingle_n]))
-                rows.append(i)
-        out = np.full((len(texts), num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-        if grams:
-            hashes = H.hash_strings(grams, num_perm, seeds=H.seed_table(seed_salt))
-            np.minimum.at(out, np.asarray(rows), hashes)
-        # to signed for Spark long
-        return pd.Series(list(out.astype(np.int64)))
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"id {id_type}, sig array<bigint>"
+    sdf = df.select(F.col(id_col).alias("id"), F.col(col).alias("__text"))
 
-    return df.select(F.col(id_col).alias("id"), sig_udf(F.col(col)).alias("sig"))
+    def fn(batches):
+        for rb in batches:
+            sigs = _minhash_sigs_from_arrow(rb.column(1), num_perm, shingle_n, seed_salt)
+            flat = pa.array(sigs.reshape(-1).view(np.int64))
+            offs = pa.array(np.arange(len(sigs) + 1, dtype=np.int32) * num_perm)
+            yield pa.record_batch(
+                [rb.column(0), pa.ListArray.from_arrays(offs, flat)], names=["id", "sig"]
+            )
+
+    return sdf.mapInArrow(fn, out_schema)
 
 
 def minhash_lsh_candidates(
@@ -211,42 +260,87 @@ def minhash_dedup(
 # ----------------------------- SimHash -------------------------------
 
 
+def _simhash_votes(th: np.ndarray, tok_rows: np.ndarray, n_rows: int) -> np.ndarray:
+    """(n_rows,) uint64 fingerprints from per-token hashes via
+    majority sign-vote per bit.  Chunked segment sums (reduceat on
+    the row-ordered token stream) — no per-row Python."""
+    votes = np.zeros((n_rows, 64), dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)[None, :]
+    for lo in range(0, th.size, _GRAM_CHUNK):
+        h = th[lo : lo + _GRAM_CHUNK]
+        r = tok_rows[lo : lo + _GRAM_CHUNK]
+        contrib = (((h[:, None] >> shifts) & np.uint64(1)).astype(np.int32) * 2) - 1
+        seg = np.concatenate([[0], np.flatnonzero(np.diff(r)) + 1])
+        urows = r[seg]  # unique within a chunk → fancy += is safe
+        votes[urows] += np.add.reduceat(contrib, seg, axis=0)
+    fp = (votes > 0).astype(np.uint64)
+    return (fp << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash_col(col_series: pd.Series, seed_salt: int = 0) -> np.ndarray:
-    """64-bit SimHash per text: sign-vote over token hashes."""
-    token_lists = [str(t).split() if t is not None else [] for t in col_series]
-    all_toks: list[str] = []
-    rows: list[int] = []
-    for i, toks in enumerate(token_lists):
-        all_toks.extend(toks)
-        rows.extend([i] * len(toks))
-    out = np.zeros(len(token_lists), dtype=np.uint64)
-    if all_toks:
-        h = H.hash_strings(all_toks, 1, seeds=H.seed_table(seed_salt))[:, 0]
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        votes = np.zeros((len(token_lists), 64), dtype=np.int64)
-        np.add.at(votes, np.asarray(rows), 2 * bits - 1)
-        fp = (votes > 0).astype(np.uint64)
-        out = (fp << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
-    return out
+    """64-bit SimHash per text (pandas-Series convenience wrapper
+    around the Arrow kernel; tests / driver-side callers)."""
+    import pyarrow as pa
+
+    arr = pa.array([None if t is None else str(t) for t in col_series], pa.string())
+    th, tok_rows, n_rows = _tokens_of_arrow(arr, seed_salt)
+    if th.size == 0:
+        return np.zeros(n_rows, dtype=np.uint64)
+    return _simhash_votes(th, tok_rows, n_rows)
 
 
 def simhash(df: DataFrame, col: str, id_col: str, *, seed_salt: int = 0) -> DataFrame:
-    @pandas_udf("long")
-    def sh_udf(texts: pd.Series) -> pd.Series:
-        return pd.Series(simhash_col(texts, seed_salt).astype(np.int64))
+    """(id, simhash: long) — mapInArrow over zero-copy UTF-8 buffers."""
+    import pyarrow as pa
 
-    return df.select(F.col(id_col).alias("id"), sh_udf(F.col(col)).alias("simhash"))
+    id_type = dict(df.dtypes)[id_col]
+    sdf = df.select(F.col(id_col).alias("id"), F.col(col).alias("__text"))
+
+    def fn(batches):
+        for rb in batches:
+            th, tok_rows, n_rows = _tokens_of_arrow(rb.column(1), seed_salt)
+            fp = (
+                _simhash_votes(th, tok_rows, n_rows)
+                if th.size
+                else np.zeros(n_rows, dtype=np.uint64)
+            )
+            yield pa.record_batch([rb.column(0), pa.array(fp.view(np.int64))], names=["id", "simhash"])
+
+    return sdf.mapInArrow(fn, f"id {id_type}, simhash bigint")
 
 
-def simhash_candidates(sh_df: DataFrame, *, max_hamming: int = 3) -> DataFrame:
-    """Pairs with hamming(simhash) ≤ max_hamming via 4-band blocking
-    (pigeonhole: ≤3 differing bits ⇒ at least one 16-bit band equal)."""
-    bands = 4
-    width = 64 // bands
+def simhash_candidates(sh_df: DataFrame, *, max_hamming: int = 3, bands: int | None = None) -> DataFrame:
+    """Pairs with hamming(simhash) ≤ max_hamming — COMPLETE at the
+    requested radius: the 64 bits are split into ``bands`` disjoint
+    bands with bands > max_hamming, so by pigeonhole any pair within
+    the radius agrees exactly on ≥1 band and is emitted by the
+    band-equality join (then post-filtered by true hamming).
+
+    Defaults to the minimal complete blocking, bands = max_hamming+1.
+    Scale note: blocking selectivity is 2^(64/bands) values per band,
+    so cost grows steeply with the radius — radius ≤ 3 (16-bit bands,
+    the classic Manku et al. web-dedup setting) is the 100-TB path;
+    larger radii are exact but only economical on smaller corpora.
+    """
+    if bands is None:
+        bands = max_hamming + 1
+    if not (max_hamming < bands <= 64):
+        raise ValueError(
+            f"bands must satisfy max_hamming < bands <= 64 for complete blocking "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+    # distribute 64 bits as evenly as possible across the bands
+    widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
+    offs = np.concatenate([[0], np.cumsum(widths[:-1])]).astype(int)
+    off_arr = "array(" + ",".join(str(int(o)) for o in offs) + ")"
+    mask_arr = "array(" + ",".join(str((1 << w) - 1) for w in widths) + ")"
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    mask = (1 << width) - 1
     banded = sh_df.select("id", "simhash", band_idx).withColumn(
-        "band_val", F.expr(f"shiftrightunsigned(simhash, band * {width}) & {mask}")
+        "band_val",
+        F.expr(
+            f"shiftrightunsigned(simhash, element_at({off_arr}, band + 1))"
+            f" & element_at({mask_arr}, band + 1)"
+        ),
     )
     a = banded.alias("a")
     b = banded.alias("b")

@@ -93,6 +93,36 @@ def test_simhash_near_dups(spark, corpus_df):
         assert vals[a] == vals[b]
 
 
+@pytest.mark.parametrize("radius", [3, 7])
+def test_simhash_blocking_complete_at_radius(spark, corpus_df, radius):
+    """Every pair within the requested hamming radius must be found —
+    brute-force cross-check (the pigeonhole guarantee of (d+1)-band
+    blocking, for a radius where 4 bands would silently lose pairs)."""
+    from btl_bloomfilter_spark.operators.dedup import simhash, simhash_candidates
+
+    df, _, _ = corpus_df
+    sh = simhash(df, "text", "doc_id").cache()
+    vals = {int(r.id): int(r.simhash) for r in sh.collect()}
+    ids = sorted(vals)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            d = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+            if d <= radius:
+                want.add((a, b))
+    out = simhash_candidates(sh, max_hamming=radius).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for _, r in out.iterrows()}
+    assert found == want
+    assert (out.hamming <= radius).all()
+
+
+def test_simhash_candidates_rejects_lossy_blocking():
+    from btl_bloomfilter_spark.operators.dedup import simhash_candidates
+
+    with pytest.raises(ValueError):
+        simhash_candidates(None, max_hamming=8, bands=8)  # bands must exceed radius
+
+
 def test_minhash_estimates_jaccard(spark, corpus_df):
     """MinHash signature agreement ≈ true Jaccard (unbiased)."""
     from btl_bloomfilter_spark.operators.dedup import (

@@ -104,6 +104,66 @@ def test_hash_tokens():
     assert not np.array_equal(h[0], h[1])
 
 
+def test_tokenize_buffers_matches_str_split():
+    rows = [
+        "hello world",
+        "  leading and trailing  ",
+        "tabs\tand\nnewlines\rhere",
+        "",
+        "single",
+        "a  b   c",
+        "",  # consecutive empty rows
+        "end",
+    ]
+    buf, offsets = H._flatten_utf8(rows)
+    starts, ends, tok_rows = H.tokenize_buffers(buf, offsets)
+    got: dict[int, list[str]] = {}
+    for s, e, r in zip(starts, ends, tok_rows):
+        got.setdefault(int(r), []).append(bytes(buf[s:e]).decode())
+    for i, row in enumerate(rows):
+        assert got.get(i, []) == row.split(), (i, row)
+
+
+def test_tokenize_never_spans_rows():
+    # adjacent rows with no separator bytes between them in the flat
+    # buffer must still produce separate tokens
+    rows = ["abc", "def"]
+    buf, offsets = H._flatten_utf8(rows)
+    starts, ends, tok_rows = H.tokenize_buffers(buf, offsets)
+    toks = [bytes(buf[s:e]).decode() for s, e in zip(starts, ends)]
+    assert toks == ["abc", "def"] and tok_rows.tolist() == [0, 1]
+
+
+def test_hash_spans_position_independent():
+    # equal byte spans hash equal regardless of absolute offset
+    buf, offsets = H._flatten_utf8(["xxtoken", "token"])
+    h = H.hash_spans_from_buffers(
+        buf, np.array([2, 7], dtype=np.int64), np.array([7, 12], dtype=np.int64), 3
+    )
+    np.testing.assert_array_equal(h[0], h[1])
+    # and agrees with the whole-string hasher on the same bytes
+    np.testing.assert_array_equal(h[0], H.hash_strings(["token"], 3)[0])
+
+
+def test_hash_token_ngrams_fold():
+    # rows: [a b c d], [b c d] — shared trigram (b,c,d) must agree
+    th = H.hash_strings(["a", "b", "c", "d", "b", "c", "d"], 1)[:, 0]
+    row_offs = np.array([0, 4, 7], dtype=np.int64)
+    base, rows = H.hash_token_ngrams_from_hashes(th, row_offs, 3)
+    assert rows.tolist() == [0, 0, 1]
+    assert int(base[1]) == int(base[2])  # (b,c,d) in both rows
+    assert int(base[0]) != int(base[1])
+    # order sensitivity: (a,b,c) != (c,b,a)
+    th2 = H.hash_strings(["c", "b", "a"], 1)[:, 0]
+    base2, _ = H.hash_token_ngrams_from_hashes(th2, np.array([0, 3], dtype=np.int64), 3)
+    assert int(base2[0]) != int(base[0])
+    # windows never span rows: a 2-token and a 1-token row, n=2
+    base3, rows3 = H.hash_token_ngrams_from_hashes(
+        th[:3], np.array([0, 2, 3], dtype=np.int64), 2
+    )
+    assert rows3.tolist() == [0]
+
+
 def test_clz64():
     vals = np.array([0, 1, 2, 3, 2**63, 2**64 - 1, 2**32, 12345], dtype=np.uint64)
     out = H.clz64(vals)
