@@ -411,24 +411,23 @@ def q28_mibf_classify(spark, sf_dir):
     per-source accuracy (distinct per-source vocab is weak here, so
     this checks machinery not separability: best_id must be a valid id
     and self-classification recall is reported)."""
-    from btl_bloomfilter_spark.operators.mibf import build_mibf
+    from btl_bloomfilter_spark.operators.mibf import build_mibf, with_classification
     from pyspark.sql import functions as F
 
     docs = _load(spark, sf_dir, "documents")["documents"]
     with_id = docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
     mibf = build_mibf(with_id, "text", "src_id", m_bits=1 << 22, hash_num=3, k=10)
-    pdf = with_id.select("doc_id", "text", "src_id").toPandas()
-    out = mibf.classify_batch(pdf["text"])
-    out["doc_id"] = pdf["doc_id"]
-    out["true_id"] = pdf["src_id"]
-    out["correct"] = out["best_id"] == out["true_id"]
-    agg = (
-        out.groupby("true_id")
-        .agg(n=("doc_id", "count"), n_correct=("correct", "sum"), avg_frames=("frames", "mean"))
-        .reset_index()
+    # distributed classification: broadcast sketch + mapInPandas — the
+    # corpus never collects to the driver; accuracy aggregates in Spark
+    classified = with_classification(with_id.select("doc_id", "text", "src_id"), mibf, "text")
+    return (
+        classified.groupBy(F.col("src_id").alias("true_id"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("best_id") == F.col("src_id")).cast("long")).alias("n_correct"),
+            F.round(F.avg("frames"), 3).alias("avg_frames"),
+        )
     )
-    agg["avg_frames"] = agg["avg_frames"].round(3)
-    return spark.createDataFrame(agg[["true_id", "n", "n_correct", "avg_frames"]])
 
 
 def q29_bloom_setops(spark, sf_dir):

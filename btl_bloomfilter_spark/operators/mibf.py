@@ -26,10 +26,19 @@ passes, MIBFConstructSupport.hpp:49-141):
                         109-130; nondeterminism admitted at
                         MIBloomFilter.hpp:92-93 — our rule is a
                         documented deterministic refinement)
+  repair  setSatIfMissing — elements whose ID survived nowhere first
+                        try to overwrite a slot whose stored ID is
+                        duplicated within the same frame (deterministic
+                        batch analog of MIBFConstructSupport.hpp:
+                        168-214; see build_mibf docstring)
   pass 3  saturation  — elements whose ID survives at none of their h
                         frames get the saturation MSB set (sticky OR,
                         MIBFConstructSupport.hpp:132-141,
                         MIBloomFilter.hpp:36-42,440-446)
+
+Driver traffic is O(m + popcount) blobs only: the winner/saturation
+sets are densified into uint32 range-slices by reduce tasks
+(_assemble_u32 reduce-scatter) — never one row per set bit.
 
 Query (MIBFQuerySupport.hpp:94-130,397-518, vectorized): probe all
 windows of a string, tally per-ID frame counts, return the top
@@ -286,6 +295,34 @@ class MIBloomFilter(Sketch):
         raise NotImplementedError("merge happens per-pass inside build_mibf")
 
 
+def with_classification(df: DataFrame, mibf: "MIBloomFilter", col: str) -> DataFrame:
+    """Append miBF classification columns (best_id, frames,
+    total_frames, saturated_frac) to every row — the distributed query
+    path: the serialized miBF is broadcast once and each executor
+    classifies its Arrow batches locally (mirrors the reference's
+    query loop over a loaded filter, MIBFQuerySupport.hpp:94-130),
+    so the corpus never moves to the driver.  Plan stays a pure map."""
+    import uuid
+
+    from ..functions.probe import _WORKER_CACHE
+
+    spark = df.sparkSession
+    blob = spark.sparkContext.broadcast(mibf.serialize())
+    token = uuid.uuid4().hex
+    fields = df.schema.simpleString()[7:-1]
+    out_schema = f"{fields}, best_id long, frames long, total_frames long, saturated_frac double"
+
+    def fn(batches):
+        sk = _WORKER_CACHE.get(token)
+        if sk is None:
+            sk = _WORKER_CACHE[token] = Sketch.deserialize(blob.value)
+        for pdf in batches:
+            res = sk.classify_batch(pdf[col])
+            yield pd.concat([pdf.reset_index(drop=True), res], axis=1)
+
+    return df.mapInPandas(fn, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # distributed 3-pass build
 # ---------------------------------------------------------------------------
@@ -315,6 +352,64 @@ def _winners_df(counts: DataFrame) -> DataFrame:
     )
 
 
+def _assemble_u32(pairs: DataFrame, total_len: int, *, val_col: str = "id") -> np.ndarray:
+    """Densify (rpos, val) rows into a uint32 array of ``total_len``
+    WITHOUT a driver row round-trip: each reduce task builds the dense
+    bytes of one contiguous rpos range (reduce-scatter, the analog of
+    plans.agg.build_sketch_sliced), and the driver concatenates the
+    slice blobs — driver traffic is exactly 4·total_len bytes (the
+    array it must hold anyway), independent of row count."""
+    import math
+
+    n_slices = min(1024, max(16, math.ceil(total_len / (4 << 20))))
+    bound = max(1, math.ceil(total_len / n_slices))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        s = int(pdf["__slice"].iloc[0])
+        lo = s * bound
+        ln = min(bound, total_len - lo)
+        dense = np.zeros(ln, dtype=np.uint32)
+        dense[pdf["rpos"].to_numpy(dtype=np.int64) - lo] = pdf[val_col].to_numpy(dtype=np.int64).astype(
+            np.uint32
+        )
+        return pd.DataFrame({"slice": [s], "blob": [dense.tobytes()]})
+
+    rows = (
+        pairs.withColumn("__slice", (F.col("rpos") / F.lit(bound)).cast("long"))
+        .groupBy("__slice")
+        .applyInPandas(build, "slice long, blob binary")
+        .collect()
+    )
+    out = np.zeros(total_len, dtype=np.uint32)
+    for r in rows:
+        lo = int(r["slice"]) * bound
+        arr = np.frombuffer(bytes(r["blob"]), dtype=np.uint32)
+        out[lo : lo + arr.size] = arr
+    return out
+
+
+def _frames_fn(blob, text_col: str, id_col: str, emit):
+    """mapInPandas body shared by the repair/saturation passes: probe
+    every window of every element against the broadcast miBF and call
+    ``emit(rpos (W,h), stored (W,h), ids (W,)) -> DataFrame | None``."""
+
+    def fn(batches):
+        probe = Sketch.deserialize(blob.value)
+        for pdf in batches:
+            hashes, rows = probe._hash_batch(pdf[text_col])
+            if hashes.shape[0] == 0:
+                continue
+            _, idx = probe._probe(hashes)  # all set by construction
+            rpos = probe.rank_pos(idx)  # (W, h)
+            stored = (probe.data[rpos] & ID_MASK).astype(np.int64)
+            ids = pdf[id_col].to_numpy()[rows].astype(np.int64)
+            out = emit(rpos, stored, ids)
+            if out is not None and len(out):
+                yield out
+
+    return fn
+
+
 def build_mibf(
     df: DataFrame,
     text_col: str,
@@ -325,10 +420,28 @@ def build_mibf(
     k: int = 8,
     seed_salt: int = 0,
     fanin: int = 16,
+    repair: bool = True,
 ) -> MIBloomFilter:
-    """Distributed 3-pass miBF construction (see module docstring).
+    """Distributed miBF construction (see module docstring).
 
     IDs must be positive ints < 2^31 (top bit is the saturation flag).
+
+    With ``repair=True`` (default) a mutate-before-saturate pass runs
+    between insertion and saturation, the batch analog of the
+    reference's setSatIfMissing (MIBFConstructSupport.hpp:168-214):
+    an element whose ID survives at none of its frame's slots first
+    tries to overwrite a slot whose stored ID is DUPLICATED within
+    that same frame (the duplicate copy keeps that ID findable), and
+    only frames with no such slot saturate.  Among duplicated slots
+    the one with the highest insertion count is chosen (the
+    reference's m_counts heuristic), ties to the smaller rank
+    position; conflicting mutations of one slot are resolved by the
+    same deterministic count-weighted reservoir as pass 2.  Deviation
+    from the serial reference (documented): saturation is decided by
+    a RE-CHECK after all mutations land, so entries erased by a
+    concurrent mutation still end up saturated — the reference admits
+    it can silently lose those (its "Small chance that mutation may
+    erase entries" comment); determinism replaces its OpenMP races.
     """
     spark = df.sparkSession
 
@@ -340,54 +453,100 @@ def build_mibf(
     )
     mibf = MIBloomFilter(m_bits, hash_num, k, seed_salt=seed_salt)
     mibf.freeze(bloom.bits)
+    total = int(mibf.data.size)
 
     # broadcast the frozen bit vector once; executors compute rank
     # positions locally (byte-cum LUT rebuilt per executor, cached)
     blob = spark.sparkContext.broadcast(mibf.serialize())
-    params = (m_bits, hash_num, k, seed_salt)
 
-    def pairs_fn(batches):
-        probe = Sketch.deserialize(blob.value)
-        for pdf in batches:
-            hashes, rows = probe._hash_batch(pdf[text_col])
-            if hashes.shape[0] == 0:
-                continue
-            present, idx = probe._probe(hashes)  # all set by construction
-            rpos = probe.rank_pos(idx)  # (W, h)
-            ids = pdf[id_col].to_numpy()[rows]
-            out = pd.DataFrame(
+    def pairs_emit(rpos, stored, ids):
+        return pd.DataFrame(
+            {"rpos": rpos.ravel(), "id": np.repeat(ids, rpos.shape[1]).astype(np.int64)}
+        )
+
+    pairs = df.select(text_col, id_col).mapInPandas(
+        _frames_fn(blob, text_col, id_col, pairs_emit), "rpos long, id long"
+    )
+    counts = pairs.groupBy("rpos", "id").agg(F.count("*").alias("c"))
+    if repair:
+        counts = counts.persist()
+    # ---- pass 2: deterministic reservoir winner per rank position,
+    # assembled into the dense ID array by rpos-range reduce-scatter
+    # (never one-row-per-set-bit to the driver)
+    mibf.data = _assemble_u32(_winners_df(counts), total)
+
+    if repair:
+        # per-position total insertion count (the reference's m_counts,
+        # MIBFConstructSupport.hpp:98,204) — capped into uint32
+        pos_counts = _assemble_u32(
+            counts.groupBy("rpos").agg(
+                F.least(F.sum("c"), F.lit((1 << 32) - 1)).alias("cnt")
+            ),
+            total,
+            val_col="cnt",
+        )
+        counts.unpersist()
+        blob_r = spark.sparkContext.broadcast(mibf.serialize())
+        cnt_b = spark.sparkContext.broadcast(pos_counts.tobytes())
+
+        def mutate_emit(rpos, stored, ids):
+            lost = ~(stored == ids[:, None]).any(axis=1)
+            if not lost.any():
+                return None
+            st = stored[lost]
+            rp = rpos[lost]
+            h = st.shape[1]
+            # a slot is replaceable if its stored ID occurs elsewhere
+            # in the SAME frame (or the slot is empty): overwriting one
+            # copy keeps the ID findable at the other
+            dup = st == 0
+            for a in range(h):
+                for b in range(h):
+                    if a != b:
+                        dup[:, a] |= st[:, a] == st[:, b]
+            has = dup.any(axis=1)
+            if not has.any():
+                return None
+            pc = np.frombuffer(cnt_b.value, dtype=np.uint32)
+            score = pc[rp].astype(np.int64)
+            score[~dup] = -1
+            mx = score.max(axis=1, keepdims=True)
+            tie = (score == mx) & dup
+            rp_m = np.where(tie, rp, np.iinfo(np.int64).max)
+            jbest = rp_m.argmin(axis=1)
+            sel = np.flatnonzero(has)
+            return pd.DataFrame(
                 {
-                    "rpos": rpos.ravel(),
-                    "id": np.repeat(ids, hash_num).astype(np.int64),
+                    "rpos": rp[sel, jbest[sel]],
+                    "id": ids[lost][sel],
                 }
             )
-            yield out
 
-    pairs = df.select(text_col, id_col).mapInPandas(pairs_fn, "rpos long, id long")
-    counts = pairs.groupBy("rpos", "id").agg(F.count("*").alias("c"))
-    win = _winners_df(counts).toPandas()
-    mibf.data[win["rpos"].to_numpy(dtype=np.int64)] = win["id"].to_numpy(dtype=np.int64).astype(np.uint32)
+        muts = df.select(text_col, id_col).mapInPandas(
+            _frames_fn(blob_r, text_col, id_col, mutate_emit), "rpos long, id long"
+        )
+        mut_counts = muts.groupBy("rpos", "id").agg(F.count("*").alias("c"))
+        mut_arr = _assemble_u32(_winners_df(mut_counts), total)
+        # setData overwrite (MIBFConstructSupport.hpp:204-206)
+        np.copyto(mibf.data, mut_arr, where=mut_arr != 0)
 
-    # ---- pass 3: saturation — elements whose id appears at none of
-    # their frames' slots get the sticky saturation bit
+    # ---- pass 3: saturation — elements whose ID appears at none of
+    # their frames' slots (post-repair) get the sticky saturation bit
     blob2 = spark.sparkContext.broadcast(mibf.serialize())
 
-    def lost_fn(batches):
-        probe = Sketch.deserialize(blob2.value)
-        for pdf in batches:
-            hashes, rows = probe._hash_batch(pdf[text_col])
-            if hashes.shape[0] == 0:
-                continue
-            present, idx = probe._probe(hashes)
-            rpos = probe.rank_pos(idx)
-            stored = (probe.data[rpos] & ID_MASK).astype(np.int64)
-            ids = pdf[id_col].to_numpy()[rows].astype(np.int64)
-            lost = ~(stored == ids[:, None]).any(axis=1)
-            if lost.any():
-                yield pd.DataFrame({"rpos": rpos[lost].ravel()})
+    def lost_emit(rpos, stored, ids):
+        lost = ~(stored == ids[:, None]).any(axis=1)
+        if not lost.any():
+            return None
+        return pd.DataFrame({"rpos": rpos[lost].ravel()})
 
-    lost = df.select(text_col, id_col).mapInPandas(lost_fn, "rpos long").distinct().toPandas()
-    if len(lost):
-        mibf.data[lost["rpos"].to_numpy(dtype=np.int64)] |= SAT_BIT
+    lost = (
+        df.select(text_col, id_col)
+        .mapInPandas(_frames_fn(blob2, text_col, id_col, lost_emit), "rpos long")
+        .distinct()
+        .withColumn("one", F.lit(1))
+    )
+    sat_mask = _assemble_u32(lost, total, val_col="one")
+    mibf.data[sat_mask != 0] |= SAT_BIT
     mibf.freeze_rank_only()
     return mibf

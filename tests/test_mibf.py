@@ -106,6 +106,48 @@ def test_classify_full_pipeline(mibf_setup):
 
 
 @pytest.mark.spark
+def test_repair_reduces_saturation_and_keeps_invariant(spark, mibf_setup):
+    """setSatIfMissing analog (MIBFConstructSupport.hpp:168-214): the
+    mutate-before-saturate pass must never saturate MORE than the
+    plain pass, and both must keep the construction invariant —
+    every inserted element's every frame either carries the element's
+    ID at one of its h slots or is saturated at all of them."""
+    df, mibf_rep, rows = mibf_setup
+    mibf_plain = build_mibf(df, "text", "ref_id", m_bits=1 << 18, hash_num=3, k=10, repair=False)
+    assert mibf_rep.pop_saturated() <= mibf_plain.pop_saturated()
+
+    for mibf in (mibf_rep, mibf_plain):
+        hashes, rws = mibf._hash_batch([t for t, _ in rows])
+        _, idx = mibf._probe(hashes)
+        rpos = mibf.rank_pos(idx)
+        words = mibf.data[rpos]
+        stored = (words & ID_MASK).astype(np.int64)
+        ids = np.array([r for _, r in rows])[rws]
+        found = (stored == ids[:, None]).any(axis=1)
+        saturated = ((words & np.uint32(1 << 31)) != 0).all(axis=1)
+        assert (found | saturated).all()
+
+
+@pytest.mark.spark
+def test_with_classification_matches_driver_classify(spark, mibf_setup):
+    """Distributed broadcast classification == driver classify_batch."""
+    from btl_bloomfilter_spark.operators.mibf import with_classification
+
+    df, mibf, rows = mibf_setup
+    got = (
+        with_classification(df, mibf, "text")
+        .select("text", "ref_id", "best_id", "frames", "total_frames")
+        .toPandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    want = mibf.classify_batch(got["text"])
+    np.testing.assert_array_equal(got["best_id"].to_numpy(), want["best_id"].to_numpy())
+    np.testing.assert_array_equal(got["frames"].to_numpy(), want["frames"].to_numpy())
+    np.testing.assert_array_equal(got["total_frames"].to_numpy(), want["total_frames"].to_numpy())
+
+
+@pytest.mark.spark
 def test_serialize_roundtrip(mibf_setup):
     _, mibf, rows = mibf_setup
     back = Sketch.deserialize(mibf.serialize())
