@@ -65,6 +65,20 @@ ID_MASK = np.uint32((1 << 31) - 1)
 _POP_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint32)
 
 
+def _minstd_shuffle(order: list[int], seed: int) -> None:
+    """In-place Fisher-Yates driven by the minstd LCG (x ← 48271·x mod
+    2³¹−1, the generator behind std::minstd_rand) — the deterministic
+    hash-seeded insertion order of MIBloomFilter.hpp:406-408."""
+    m = 2147483647
+    x = seed % m
+    if x == 0:
+        x = 1
+    for j in range(len(order) - 1, 0, -1):
+        x = (x * 48271) % m
+        i = x % (j + 1)
+        order[i], order[j] = order[j], order[i]
+
+
 class MIBloomFilter(Sketch):
     """Driver-side finished miBF (broadcastable for query)."""
 
@@ -179,12 +193,25 @@ class MIBloomFilter(Sketch):
         extra_count: float = 1.0,
         best_hit_agree: bool = True,
         frame_probs: dict[int, float] | None = None,
+        extra_frame_limit: int | None = None,
     ) -> list[list]:
         """Full MIBFQuerySupport.query pipeline per string: per-ID
         CountResult tallies (MIBFQuerySupport.hpp:430-518) →
         summarizeCandiates (stat-tie filter + 7-key sort + best-hit
         veto, :555-596).  Returns a list of QueryResult lists (one per
-        input string), best first."""
+        input string), best first.
+
+        ``extra_frame_limit`` enables the reference's early-exit
+        (MIBFQuerySupport.hpp:509-517): stop scanning a string's
+        frames once the best candidate's nonSatFrameCount exceeds the
+        runner-up's decisively (no √count overlap between the best's
+        totalNonSatCount and the runner-up frame count) for a full
+        window of extra_frame_limit+1 frames.  Batch deviation
+        (documented): the reference re-checks per frame with a
+        consecutive-frame counter; the vectorized analog checks at
+        chunk boundaries of extra_frame_limit+1 frames, so an exit
+        can land up to one chunk later — counts still reflect only
+        the scanned prefix, like the reference."""
         from .mibf_query import QueryResult, summarize_candidates
 
         if frame_probs is None:
@@ -205,13 +232,19 @@ class MIBloomFilter(Sketch):
         ids = (words & ID_MASK).astype(np.int64)  # (F, h)
         sat = (words & SAT_BIT) != 0
         h = self.hash_num
+        row_of_frame = rows[pr]  # nondecreasing
+        # position of each present frame within its row (for chunking)
+        starts = np.concatenate([[0], np.flatnonzero(np.diff(row_of_frame)) + 1])
+        seg_lens = np.diff(np.concatenate([starts, [pr.size]]))
+        seq_of_frame = np.arange(pr.size) - np.repeat(starts, seg_lens)
         frame_idx = np.repeat(np.arange(pr.size), h)
-        frame_rows = np.repeat(rows[pr], h)
+        frame_rows = np.repeat(row_of_frame, h)
         frame_sat_any = sat.any(axis=1)
         df = pd.DataFrame(
             {
                 "row": frame_rows,
                 "frame": frame_idx,
+                "seq": np.repeat(seq_of_frame, h),
                 "id": ids.ravel(),
                 "slot_nonsat": ~sat.ravel(),
                 "frame_sat": frame_sat_any[frame_idx],
@@ -220,22 +253,65 @@ class MIBloomFilter(Sketch):
         df = df[df["id"] > 0]
         if not len(df):
             return results
-        # per (row, frame, id): slot occurrences + flags
-        per_frame = df.groupby(["row", "frame", "id"], sort=False).agg(
-            slots=("id", "size"),
-            nonsat_slots=("slot_nonsat", "sum"),
-            frame_sat=("frame_sat", "first"),
-        )
-        per_frame["all_slots"] = per_frame["slots"] == h
-        per_frame = per_frame.reset_index()
-        tall = per_frame.groupby(["row", "id"], sort=False).agg(
-            count=("frame", "size"),
-            solidCount=("all_slots", "sum"),
-            nonSatCount=("nonsat_slots", lambda s: int((s > 0).sum())),
-            nonSatFrameCount=("frame_sat", lambda s: int((~s).sum())),
-            totalCount=("slots", "sum"),
-            totalNonSatCount=("nonsat_slots", "sum"),
-        ).reset_index()
+
+        def _tally(sub: pd.DataFrame) -> pd.DataFrame:
+            per_frame = sub.groupby(["row", "frame", "id"], sort=False).agg(
+                slots=("id", "size"),
+                nonsat_slots=("slot_nonsat", "sum"),
+                frame_sat=("frame_sat", "first"),
+            )
+            per_frame["all_slots"] = per_frame["slots"] == h
+            per_frame = per_frame.reset_index()
+            return (
+                per_frame.assign(
+                    has_nonsat=(per_frame["nonsat_slots"] > 0).astype(int),
+                    nonsat_frame=(~per_frame["frame_sat"]).astype(int),
+                )
+                .groupby(["row", "id"], sort=False)
+                .agg(
+                    count=("frame", "size"),
+                    solidCount=("all_slots", "sum"),
+                    nonSatCount=("has_nonsat", "sum"),
+                    nonSatFrameCount=("nonsat_frame", "sum"),
+                    totalCount=("slots", "sum"),
+                    totalNonSatCount=("nonsat_slots", "sum"),
+                )
+                .reset_index()
+            )
+
+        if extra_frame_limit is None:
+            tall = _tally(df)
+        else:
+            chunk = max(1, extra_frame_limit + 1)
+            active = np.ones(n, dtype=bool)
+            acc: pd.DataFrame | None = None
+            cols = ["count", "solidCount", "nonSatCount", "nonSatFrameCount", "totalCount", "totalNonSatCount"]
+            max_seq = int(df["seq"].max())
+            for c in range(0, max_seq + 1, chunk):
+                mask = (df["seq"] >= c) & (df["seq"] < c + chunk) & active[df["row"].to_numpy()]
+                sub = df[mask]
+                if not len(sub):
+                    continue
+                part = _tally(sub)
+                acc = part if acc is None else (
+                    pd.concat([acc, part]).groupby(["row", "id"], sort=False, as_index=False)[cols].sum()
+                )
+                # per-row decisiveness (MIBFQuerySupport.hpp:509-517):
+                # best nonSatFrameCount strictly ahead of the runner-up
+                # with no √count overlap → stop scanning that row
+                srt = acc.sort_values(["row", "nonSatFrameCount"], ascending=[True, False])
+                top2 = srt.groupby("row", sort=False).head(2)
+                for row_id, grp in top2.groupby("row", sort=False):
+                    best_nsfc = int(grp["nonSatFrameCount"].iloc[0])
+                    best_tnsc = int(grp["totalNonSatCount"].iloc[0])
+                    second = int(grp["nonSatFrameCount"].iloc[1]) if len(grp) > 1 else 0
+                    if best_nsfc > second:
+                        from .mibf_query import compare_std_err
+
+                        if not compare_std_err(best_tnsc, second):
+                            active[int(row_id)] = False
+            tall = acc if acc is not None else _tally(df.iloc[0:0])
+
         for row_id, sub in tall.groupby("row", sort=False):
             cands = [
                 QueryResult(
@@ -254,6 +330,110 @@ class MIBloomFilter(Sketch):
                 cands, min_count=min_count, extra_count=extra_count, best_hit_agree=best_hit_agree
             )
         return results
+
+    def get_match_signature(self, seq: str):
+        """Debug criteria op (MIBFQuerySupport.hpp:158-217): positions
+        of seq's matching windows plus the per-slot hit pattern.
+
+        Returns (match_pos (M,), ids (M, h), saturated (M, h),
+        evaluated) — match_pos is the window start offset (the
+        reference's itr.pos()), ids/saturated the processedResults
+        (id, sat-bit) pairs per slot, evaluated the window count."""
+        hashes, _ = self._hash_batch([seq])
+        evaluated = int(hashes.shape[0])
+        h = self.hash_num
+        if evaluated == 0:
+            return (
+                np.empty(0, np.int64),
+                np.empty((0, h), np.int64),
+                np.empty((0, h), bool),
+                0,
+            )
+        present, idx = self._probe(hashes)
+        pr = np.flatnonzero(present)
+        rpos = self.rank_pos(idx[pr])
+        words = self.data[rpos]
+        return (
+            pr.astype(np.int64),
+            (words & ID_MASK).astype(np.int64),
+            (words & SAT_BIT) != 0,
+            evaluated,
+        )
+
+    # -- online insert (MIBloomFilter.hpp:375-438) ---------------------
+    def insert_online(self, hashes: np.ndarray, value: int, max_count: int = 1) -> bool:
+        """Incremental `insert(hashes, value, max)` port — the
+        reference's public online API (MIBloomFilter.hpp:375-438):
+
+        1. probe the h slots; slots already storing ``value`` count as
+           placed; track whether every probed slot is saturated
+        2. shuffle the remaining slot order with an LCG seeded by
+           value XOR all hashes (deterministic hash-seeded order; the
+           reference uses std::minstd_rand + std::shuffle — same
+           generator, our Fisher-Yates is a documented deterministic
+           analog since std::shuffle's exact draws are
+           implementation-defined)
+        3. claim empty slots in that order (setDataIfEmpty / setVal
+           CAS, MIBloomFilter.hpp:770-779), stopping once ``max_count``
+           placements exist
+        4. if nothing could be placed and any probed slot is
+           unsaturated → saturate all h slots and return False
+
+        Precondition (as in the reference): the element's bits were
+        set in the bit-vector pass.  This is a single-writer,
+        partition-local mutation — two independently online-inserted
+        miBFs do NOT merge associatively (first-writer-wins differs);
+        use build_mibf's reservoir passes for bulk/distributed builds.
+        """
+        hashes = np.asarray(hashes, dtype=np.uint64).ravel()
+        idx = hashes % np.uint64(self.m_bits)
+        rpos = self.rank_pos(idx[None, :])[0]
+        count = 0
+        saturated = True
+        rand = int(value)
+        order: list[int] = []
+        for i in range(hashes.size):
+            old = int(self.data[rpos[i]])
+            if old & int(SAT_BIT):
+                old &= int(ID_MASK)
+            else:
+                saturated = False
+            if old == value:
+                count += 1
+            else:
+                order.append(i)
+            if count >= max_count:
+                return True
+            rand = (rand ^ int(hashes[i])) & ((1 << 64) - 1)
+        _minstd_shuffle(order, rand)
+        for i in order:
+            p = rpos[i]
+            old = int(self.data[p])
+            if old == 0:  # setDataIfEmpty (MIBloomFilter.hpp:644)
+                self.data[p] = np.uint32(value)
+            if old & int(SAT_BIT):
+                pass
+            else:
+                saturated = False
+            if old == 0:
+                count += 1
+            if count >= max_count:
+                return True
+        if count == 0:
+            if not saturated:
+                self.data[rpos] |= SAT_BIT  # saturate(hashes), hpp:440-446
+            return False
+        return True
+
+    def insert_seq_online(self, text: str, value: int, max_count: int = 1) -> bool:
+        """Online-insert every k-gram frame of ``text`` (the per-read
+        loop downstream tools drive insert() with).  Returns True iff
+        every frame placed/found its ID."""
+        hashes, _ = self._hash_batch([text])
+        ok = True
+        for w in range(hashes.shape[0]):
+            ok &= self.insert_online(hashes[w], value, max_count)
+        return ok
 
     # -- stats (MIBloomFilter.hpp:539-620) ----------------------------
     def get_id_counts(self) -> dict[int, int]:

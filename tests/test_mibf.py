@@ -147,6 +147,96 @@ def test_with_classification_matches_driver_classify(spark, mibf_setup):
     np.testing.assert_array_equal(got["total_frames"].to_numpy(), want["total_frames"].to_numpy())
 
 
+def _online_mibf(m_bits=1 << 14, h=3, k=4, texts=("abcdefgh", "ijklmnop")):
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    bf = BloomFilter(m_bits, h, k)
+    bf.update(list(texts))
+    mibf = MIBloomFilter(m_bits, h, k)
+    mibf.freeze(bf.bits.copy())
+    return mibf
+
+
+def test_online_insert_semantics():
+    """Port of the reference online insert (MIBloomFilter.hpp:375-438):
+    claim-if-empty in hash-seeded order, found-in-place short-circuit,
+    saturation fallback returning False."""
+    mibf = _online_mibf()
+    frame = mibf._hash_batch(["abcdefgh"])[0][0]  # first window's h hashes
+    assert mibf.insert_online(frame, 7, 1) is True
+    snap = mibf.data.copy()
+    # idempotent: the value is found, nothing is rewritten
+    assert mibf.insert_online(frame, 7, 1) is True
+    np.testing.assert_array_equal(mibf.data, snap)
+    # other ids claim the remaining empty slots of the frame
+    assert mibf.insert_online(frame, 9, 1) is True
+    assert mibf.insert_online(frame, 11, 1) is True
+    # frame full of other ids → cannot place → saturate + False
+    assert mibf.insert_online(frame, 13, 1) is False
+    idx = frame % np.uint64(mibf.m_bits)
+    rpos = mibf.rank_pos(idx[None, :])[0]
+    assert ((mibf.data[rpos] & np.uint32(1 << 31)) != 0).all()
+    # stored ids survive saturation and still match on re-insert
+    assert mibf.insert_online(frame, 7, 1) is True
+    # inserting into an ALREADY saturated frame that lacks the id:
+    # nothing placeable and everything saturated → False, no new writes
+    snap2 = mibf.data.copy()
+    assert mibf.insert_online(frame, 13, 1) is False
+    np.testing.assert_array_equal(mibf.data, snap2)
+
+
+def test_online_insert_deterministic():
+    a = _online_mibf()
+    b = _online_mibf()
+    for mf in (a, b):
+        mf.insert_seq_online("abcdefgh", 3)
+        mf.insert_seq_online("ijklmnop", 5)
+        mf.insert_seq_online("abcdefgh", 4)
+    np.testing.assert_array_equal(a.data, b.data)
+    out = a.classify_batch(["abcdefgh", "ijklmnop"])
+    assert out.best_id.tolist() == [3, 5]
+
+
+@pytest.mark.spark
+def test_classify_full_early_exit(mibf_setup):
+    """extraFrameLimit early-exit (MIBFQuerySupport.hpp:509-517):
+    decisive strings stop scanning early but keep the same winner."""
+    _, mibf, rows = mibf_setup
+    texts = [t for t, _ in rows[:40]]
+    full = mibf.classify_full(texts)
+    fast = mibf.classify_full(texts, extra_frame_limit=8)
+    agree = total = 0
+    for a, b in zip(full, fast):
+        if a and b:
+            total += 1
+            agree += a[0].id == b[0].id
+    assert total >= 35
+    assert agree / total >= 0.95
+    # early-exited strings report counts for the scanned prefix only
+    assert all(
+        (not a or not b) or b[0].totalCount <= a[0].totalCount for a, b in zip(full, fast)
+    )
+
+
+@pytest.mark.spark
+def test_get_match_signature(mibf_setup):
+    """Debug op (MIBFQuerySupport.hpp:158-217): window positions +
+    per-slot (id, sat) hit patterns, consistent with classify_batch."""
+    _, mibf, rows = mibf_setup
+    text, ref = rows[0]
+    pos, ids, sat, evaluated = mibf.get_match_signature(text)
+    assert evaluated == len(text.encode()) - mibf.k + 1
+    assert pos.shape[0] == ids.shape[0] == sat.shape[0]
+    assert ids.shape[1] == mibf.hash_num
+    assert (pos >= 0).all() and (pos < evaluated).all()
+    out = mibf.classify_batch([text])
+    assert int(out.total_frames[0]) == pos.shape[0]  # same match set
+    assert (ids == ref).any()  # the true id appears in the pattern
+    # unseen text matches nowhere
+    p2, i2, s2, ev2 = mibf.get_match_signature("zz yy xx ww vv uu")
+    assert p2.size == 0 and ev2 > 0
+
+
 @pytest.mark.spark
 def test_serialize_roundtrip(mibf_setup):
     _, mibf, rows = mibf_setup
