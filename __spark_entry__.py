@@ -116,10 +116,13 @@ def q05_exact_dedup(spark, sf_dir):
 
 
 def q06_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard with hot-shingle skew cap: shingles in
+    more than 100 docs are dropped from the universe before the
+    self-join (oracle applies the identical cap)."""
     from btl_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")["documents"]
-    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.03)
+    return ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.03, max_doc_freq=100)
 
 
 def q07_token_stats(spark, sf_dir):
@@ -514,12 +517,15 @@ def oracle_sql() -> dict[str, str]:
         WITH toks AS (
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents
         ),
-        sh AS (
+        sh0 AS (
             SELECT DISTINCT doc_id,
                    unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
                                          i -> array_to_string(t[i:i+2], ' '))) AS shingle
             FROM toks
         ),
+        -- hot-shingle cap (must mirror q06's max_doc_freq=100)
+        keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100),
+        sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (shingle)),
         sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
         inter AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter

@@ -65,7 +65,13 @@ def shingles(df: DataFrame, col: str, id_col: str, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, col: str, id_col: str, *, n: int = 3, threshold: float = 0.2
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word n-gram sets for all pairs sharing ≥1
     shingle.  inter/(|A|+|B|-inter) ≥ threshold.
@@ -73,8 +79,25 @@ def ngram_jaccard_pairs(
     Plan: explode → self-join on shingle (shuffle keyed by shingle)
     → pair-count agg → join per-doc set sizes.  Only co-shingled
     pairs ever materialize.
+
+    ``max_doc_freq`` caps shingle document frequency BEFORE the
+    self-join: a single hot shingle (a stopword trigram appearing in
+    d documents) otherwise contributes d² join rows — the classic
+    skew blow-up.  Shingles in more than max_doc_freq docs are
+    dropped from the universe (both intersections AND set sizes), so
+    the result is the exact Jaccard over the capped shingle universe.
+    The hot set is tiny by definition → broadcast anti-join.
     """
-    sh = shingles(df, col, id_col, n).cache()
+    sh = shingles(df, col, id_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -93,6 +93,48 @@ def test_simhash_near_dups(spark, corpus_df):
         assert vals[a] == vals[b]
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """A stopword trigram planted in EVERY doc makes the uncapped
+    self-join quadratic; the doc-frequency cap removes it from the
+    universe and the result equals brute-force Jaccard over the
+    capped shingle set."""
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i:03d}" for i in range(400)]
+    docs = []
+    for i in range(60):
+        body = list(rng.choice(vocab, size=12))
+        docs.append("the quick fox " + " ".join(body))  # hot prefix trigrams
+    # one planted near-dup pair sharing most non-hot shingles
+    docs.append(docs[0].replace(docs[0].split()[-1], "zzz"))
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "doc_id long, text string")
+
+    from btl_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.3, max_doc_freq=30).toPandas()
+
+    # brute-force oracle over the capped universe
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    sets = [grams(d) for d in docs]
+    from collections import Counter
+
+    freq = Counter(g for s in sets for g in s)
+    sets = [{g for g in s if freq[g] <= 30} for s in sets]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            if inter:
+                j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+                if j >= 0.3:
+                    want[(a, b)] = j
+    got = {(int(r.id_a), int(r.id_b)): r.jaccard for _, r in out.iterrows()}
+    assert got == want
+    assert (0, 60) in got  # the planted pair survives the cap
+
+
 @pytest.mark.parametrize("radius", [3, 7])
 def test_simhash_blocking_complete_at_radius(spark, corpus_df, radius):
     """Every pair within the requested hamming radius must be found —
