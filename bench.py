@@ -114,7 +114,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         bf = state["bloom_tx"]
         return (
-            with_probe_columns(tdf.select("text"), bf, "text", frac_col="f")
+            with_probe_columns(tdf.select("text"), bf, "text", frac_col="f", keep=[])
             .agg(F.min("f"))
             .collect()[0][0]
         )

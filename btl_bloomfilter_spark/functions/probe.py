@@ -62,11 +62,26 @@ def register_sql(spark: SparkSession, name: str, sketch: Sketch, method: str, re
     spark.udf.register(name, _probe_udf(spark, sketch, method, ret_type))
 
 
-def with_probe_columns(df, sketch: Sketch, col: str, *, frac_col: str | None = None, contains_col: str | None = None):
+def with_probe_columns(
+    df,
+    sketch: Sketch,
+    col: str,
+    *,
+    frac_col: str | None = None,
+    contains_col: str | None = None,
+    keep: list[str] | None = None,
+):
     """Zero-copy probe: append seen-fraction / contains columns via
     mapInArrow — the hot query path at scale, no pandas string
     materialization (unlike the pandas_udf Column variants above).
-    Returns df + requested columns; plan stays a pure map."""
+    Returns df + requested columns; plan stays a pure map.
+
+    ``keep`` prunes the OUTPUT columns (mapInArrow is opaque to
+    Catalyst, so downstream projection cannot prune through it): pass
+    the columns the consumer actually needs — e.g. ``keep=[]`` when
+    only aggregating the probe column — and the probed text column is
+    not re-serialized back across the Arrow boundary (at probe scale
+    that write-back otherwise rivals the probe compute itself)."""
     import pyarrow as pa
 
     spark = df.sparkSession
@@ -74,13 +89,15 @@ def with_probe_columns(df, sketch: Sketch, col: str, *, frac_col: str | None = N
     bc = spark.sparkContext.broadcast(blob)
     token = uuid.uuid4().hex
 
-    fields = df.schema.simpleString()[7:-1]
-    extra = []
+    if keep is None:
+        keep = [f.name for f in df.schema.fields]
+    type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    fields = [f"{c} {type_of[c]}" for c in keep]
     if frac_col:
-        extra.append(f"{frac_col} double")
+        fields.append(f"{frac_col} double")
     if contains_col:
-        extra.append(f"{contains_col} boolean")
-    out_schema = ", ".join([fields] + extra)
+        fields.append(f"{contains_col} boolean")
+    out_schema = ", ".join(fields)
 
     def fn(batches):
         sk = _WORKER_CACHE.get(token)
@@ -88,11 +105,14 @@ def with_probe_columns(df, sketch: Sketch, col: str, *, frac_col: str | None = N
             sk = _WORKER_CACHE[token] = Sketch.deserialize(bc.value)
         for rb in batches:
             arr = rb.column(rb.schema.get_field_index(col))
-            out = rb
+            arrays = [rb.column(rb.schema.get_field_index(c)) for c in keep]
+            names = list(keep)
             if frac_col:
-                out = out.append_column(frac_col, pa.array(sk.seen_fraction_arrow(arr), pa.float64()))
+                arrays.append(pa.array(sk.seen_fraction_arrow(arr), pa.float64()))
+                names.append(frac_col)
             if contains_col:
-                out = out.append_column(contains_col, pa.array(sk.contains_arrow(arr), pa.bool_()))
-            yield out
+                arrays.append(pa.array(sk.contains_arrow(arr), pa.bool_()))
+                names.append(contains_col)
+            yield pa.record_batch(arrays, names=names)
 
     return df.mapInArrow(fn, out_schema)
