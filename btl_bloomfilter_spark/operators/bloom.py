@@ -243,14 +243,64 @@ class BloomFilter(Sketch):
         got = (self._bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
         return got.all(axis=1)
 
+    def _probe_bits_base(self, base: np.ndarray) -> np.ndarray:
+        """Probe from base (un-fanned) hashes with per-hash
+        short-circuit — the vectorized analog of the reference's
+        early return on the first unset bit (BloomFilter.hpp:242-244):
+        hash column i is computed only for windows still alive, so a
+        miss-heavy probe touches ~1/h of the work.  When the first
+        column shows a hit-heavy batch the remaining columns fall back
+        to one matrix pass (compaction would only add copies)."""
+        n = base.shape[0]
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        k = np.uint64(self._fanout_k)
+        h = self.hash_num
+        m = np.uint64(self.m_bits)
+
+        def column_hash(hb: np.ndarray, i: int) -> np.ndarray:
+            if i == 0:
+                return hb
+            with np.errstate(over="ignore"):
+                hi = (hb * (np.uint64(i) ^ (k * H.MULTI_SEED))).astype(np.uint64)
+            hi ^= hi >> H.MULTI_SHIFT
+            return hi
+
+        def gather(hi: np.ndarray) -> np.ndarray:
+            idx = hi % m
+            byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+            return ((self._bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)).astype(
+                bool
+            )
+
+        # dense phase: full-width columns ANDed into one mask — the
+        # same work as the matrix probe while most windows are alive,
+        # with no (W, h) materialization
+        alive = gather(base)
+        i = 1
+        while i < h and alive.mean() >= 0.5:
+            alive &= gather(column_hash(base, i))
+            i += 1
+        if i >= h:
+            return alive
+        # sparse phase: most windows are dead → compact to survivors so
+        # each further column touches ~fill·W windows
+        alive_idx = np.flatnonzero(alive)
+        for j in range(i, h):
+            if alive_idx.size == 0:
+                break
+            alive_idx = alive_idx[gather(column_hash(base[alive_idx], j))]
+        out = np.zeros(n, dtype=bool)
+        out[alive_idx] = True
+        return out
+
     def _probe_all(self, values) -> tuple[np.ndarray, np.ndarray]:
         """Chunked probe: (hit (W,) bool, row_ids)."""
         self._consolidate()
         base, rows = self._base_hashes(values)
         hit = np.empty(base.shape[0], dtype=bool)
         for s in range(0, base.shape[0], self.CHUNK):
-            hashes = H.nte64(base[s : s + self.CHUNK], self.hash_num, self._fanout_k)
-            hit[s : s + self.CHUNK] = self._probe_bits(hashes)
+            hit[s : s + self.CHUNK] = self._probe_bits_base(base[s : s + self.CHUNK])
         return hit, rows
 
     def contains_batch(self, values) -> np.ndarray:
@@ -296,8 +346,7 @@ class BloomFilter(Sketch):
             rows = np.arange(len(arr), dtype=np.int64)
         hit = np.empty(base.shape[0], dtype=bool)
         for s in range(0, base.shape[0], self.CHUNK):
-            hashes = H.nte64(base[s : s + self.CHUNK], self.hash_num, self._fanout_k)
-            hit[s : s + self.CHUNK] = self._probe_bits(hashes)
+            hit[s : s + self.CHUNK] = self._probe_bits_base(base[s : s + self.CHUNK])
         return hit, rows, len(arr), null_mask
 
     def seen_fraction_arrow(self, arr) -> np.ndarray:

@@ -8,10 +8,19 @@ per-partition register arrays merged by elementwise max — the same
 
 Published algorithm (Flajolet et al. 2007) with the standard 64-bit
 adaptation: m = 2^p uint8 registers; idx = top p bits of the hash;
-rho = leading-zero count of the remaining 64-p bits + 1; estimate
-alpha_m * m^2 / sum(2^-reg) with linear counting for the small range.
-Relative error ≤ 1.04/sqrt(m) (BASELINE.md bound).  Hashing reuses
-the library's seeded whole-string hash (functions/hashing.py).
+rho = leading-zero count of the remaining 64-p bits + 1.
+
+The estimator is Ertl's improved estimator (Otmar Ertl, "New
+cardinality estimation algorithms for HyperLogLog sketches", 2017,
+§ estimator based on the register histogram): the multiplicity
+histogram feeds σ/τ corrections for the zero-register mass and the
+saturated-register mass, removing the classic estimator's small- and
+mid-range bias WITHOUT empirical bias tables (the HLL++ alternative)
+— one smooth formula over the whole range, no linear-counting
+switchover cliff.  Relative error ≤ 1.04/sqrt(m) (BASELINE.md bound)
+still holds; the classic Flajolet estimator is kept as
+`estimate_classic` for reference.  Hashing reuses the library's
+seeded whole-string hash (functions/hashing.py).
 """
 
 from __future__ import annotations
@@ -82,7 +91,52 @@ class HyperLogLog(Sketch):
         self.t_entry += other.t_entry
         return self
 
+    @staticmethod
+    def _sigma(x: float) -> float:
+        """Ertl 2017, Algorithm 5: σ(x) = x + Σ_{k≥1} x^(2^k)·2^(k-1)."""
+        if x == 1.0:
+            return float("inf")
+        y = 1.0
+        z = x
+        while True:
+            x = x * x
+            z_prev = z
+            z += x * y
+            y += y
+            if z == z_prev:
+                return z
+
+    @staticmethod
+    def _tau(x: float) -> float:
+        """Ertl 2017, Algorithm 6: τ(x) = (1/3)(1−x−Σ(1−x^(2^−k))²·2^−k)."""
+        if x == 0.0 or x == 1.0:
+            return 0.0
+        y = 1.0
+        z = 1.0 - x
+        while True:
+            x = np.sqrt(x)
+            z_prev = z
+            y *= 0.5
+            z -= (1.0 - x) ** 2 * y
+            if z == z_prev:
+                return z / 3.0
+
     def estimate(self) -> float:
+        """Ertl improved estimator (2017, eq. 66): histogram-based,
+        bias-free across the whole range, no empirical tables."""
+        m = float(self.m)
+        q = 64 - self.p  # register values span 0..q+1
+        counts = np.bincount(self.registers, minlength=q + 2).astype(np.float64)
+        z = m * self._tau(1.0 - counts[q + 1] / m)
+        for k in range(q, 0, -1):
+            z = 0.5 * (z + counts[k])
+        z += m * self._sigma(counts[0] / m)
+        alpha_inf = 0.5 / np.log(2.0)
+        return float(alpha_inf * m * m / z)
+
+    def estimate_classic(self) -> float:
+        """Flajolet et al. 2007 estimator + small-range linear counting
+        (kept for comparison/tests)."""
         m = float(self.m)
         inv = np.ldexp(1.0, -self.registers.astype(np.int32)).sum()
         e = _alpha(self.m) * m * m / inv

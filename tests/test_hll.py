@@ -61,6 +61,34 @@ def test_small_range_linear_counting():
     assert abs(hll.estimate() - 50) < 3
 
 
+def test_midrange_bias_free():
+    """The Ertl histogram estimator has no linear-counting switchover
+    cliff: sweep cardinalities through the classic transition region
+    (~2.5m) and require every point within the published bound — the
+    classic estimator's bias spike there is exactly what HLL++/Ertl
+    fix."""
+    p = 12
+    m = 1 << p
+    bound = 4 * (1.04 / np.sqrt(m))
+    for true_n in (m // 2, m, int(1.5 * m), int(2.5 * m), 3 * m, 5 * m):
+        hll = HyperLogLog(p=p)
+        hll.update([f"mid-{true_n}-{i}" for i in range(true_n)])
+        est = hll.estimate()
+        assert abs(est - true_n) / true_n <= bound, (true_n, est)
+
+
+def test_empty_estimates_zero():
+    assert HyperLogLog(p=10).estimate() == 0.0
+
+
+def test_classic_estimator_still_available():
+    hll = HyperLogLog(p=12)
+    hll.update([f"c{i}" for i in range(20_000)])
+    classic = hll.estimate_classic()
+    improved = hll.estimate()
+    assert abs(classic - improved) / improved < 0.05
+
+
 def test_serialize_roundtrip():
     hll = HyperLogLog(p=11, seed_salt=7)
     hll.update([f"s{i}" for i in range(3000)])
