@@ -471,6 +471,131 @@ def q29_bloom_setops(spark, sf_dir):
     )
 
 
+# ----------------------------------------------------------------------
+# north-rule headline queries over the input_hint transcript shape
+# (conv_id, turn_idx, role, text, tool, ts) — deterministic synthetic
+# table (sources/transcripts.py, seed=42); sketch answers carry exact
+# comparison columns (self-validating; no SQL oracle by design)
+# ----------------------------------------------------------------------
+
+
+def _transcripts_for(spark, sf_dir):
+    from btl_bloomfilter_spark.sources.transcripts import transcripts_df
+
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        n_convs = max(200, int(20000 * float(sf) / 0.1))
+    except ValueError:
+        n_convs = 2000
+    return transcripts_df(spark, n_convs, partitions=16).cache()
+
+
+def q30_transcript_membership(spark, sf_dir):
+    """north_star: 'was this text n-gram seen?' — Bloom over every
+    text 12-gram of the transcript corpus.  Self-validating columns:
+    pos_min_frac must be 1.0 (a Bloom filter has no false negatives),
+    and the never-inserted negative corpus's empirical hit rate must
+    agree with the reference's observed-FPR estimator (pop/m)^h
+    (BloomFilter.hpp:346-350)."""
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+    from btl_bloomfilter_spark.functions.probe import with_probe_columns
+    from btl_bloomfilter_spark.sources.transcripts import negative_corpus
+
+    t = _transcripts_for(spark, sf_dir)
+    bf = build_sketch(t, "text", lambda: BloomFilter(1 << 24, 4, 12), fanin=8)
+    pos_min = (
+        with_probe_columns(t.select("text"), bf, "text", frac_col="f", keep=[])
+        .agg(F.min("f"))
+        .collect()[0][0]
+    )
+    neg = spark.createDataFrame([(s,) for s in negative_corpus(4000)], "t string")
+    neg_avg = (
+        with_probe_columns(neg, bf, "t", frac_col="f", keep=[]).agg(F.avg("f")).collect()[0][0]
+    )
+    observed = float(bf.fpr())
+    return spark.createDataFrame(
+        [
+            (
+                float(pos_min),
+                float(neg_avg),
+                observed,
+                bool(pos_min == 1.0),
+                bool(neg_avg <= 3 * observed + 1e-4),
+            )
+        ],
+        "pos_min_frac double, neg_avg_frac double, observed_fpr double, no_false_negatives boolean, fpr_consistent boolean",
+    )
+
+
+def q31_distinct_convs_by_role(spark, sf_dir):
+    """north_star: approximate distinct conversations per role (HLL
+    per key, map-side partial agg) vs exact, with the 1.04/sqrt(m)
+    bound asserted per row."""
+    from btl_bloomfilter_spark.operators.hll import HyperLogLog
+    from btl_bloomfilter_spark.plans.agg import sketch_by_key
+
+    t = _transcripts_for(spark, sf_dir)
+    est = sketch_by_key(
+        t, ["role"], "conv_id", lambda: HyperLogLog(p=13), lambda s: s.estimate(), "hll_est",
+        salt_partitions=4,  # hot conv_id prefixes (north_rule skew note)
+    )
+    exact = t.groupBy("role").agg(F.countDistinct("conv_id").alias("exact"))
+    bound = 4 * 1.04 / np.sqrt(1 << 13)
+    return est.join(exact, "role").select(
+        "role",
+        F.round("hll_est", 2).alias("hll_est"),
+        "exact",
+        (F.abs(F.col("hll_est") - F.col("exact")) / F.col("exact") <= bound).alias("within_bound"),
+    )
+
+
+def q32_turn_length_quantiles(spark, sf_dir):
+    """north_star: turn-length quantiles via mergeable KLL + t-digest
+    vs exact percentile (rank-error bound columns embedded)."""
+    from btl_bloomfilter_spark.operators.kll import KLL
+    from btl_bloomfilter_spark.operators.tdigest import TDigest
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    t = _transcripts_for(spark, sf_dir)
+    lens = t.select(F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("x")).cache()
+    kll = build_sketch(lens, "x", lambda: KLL(k=200), fanin=8)
+    td = build_sketch(lens, "x", lambda: TDigest(delta=200), fanin=8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    exact = lens.agg(
+        F.expr(f"percentile(x, array({', '.join(map(str, qs))}))").alias("p")
+    ).collect()[0]["p"]
+    return spark.createDataFrame(
+        [(q, float(kll.quantile(q)), float(td.quantile(q)), float(e)) for q, e in zip(qs, exact)],
+        "q double, kll double, tdigest double, exact double",
+    )
+
+
+def q33_heavy_hitter_tools(spark, sf_dir):
+    """north_star: heavy-hitter tools via CMS (eps/delta guarantee
+    columns embedded: no undercount, overestimate <= eps*N)."""
+    from btl_bloomfilter_spark.operators.counting import CountMinSketch
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    t = _transcripts_for(spark, sf_dir)
+    tools = t.where(F.col("tool").isNotNull()).select("tool")
+    cms = build_sketch(tools, "tool", lambda: CountMinSketch.from_error(0.001, 0.01), fanin=8)
+    exact = {
+        r["tool"]: r["c"]
+        for r in tools.groupBy("tool").agg(F.count("*").alias("c")).orderBy(F.desc("c")).limit(10).collect()
+    }
+    n = tools.count()
+    keys = sorted(exact, key=lambda k: -exact[k])
+    est = cms.estimate_batch(keys)
+    return spark.createDataFrame(
+        [
+            (k, float(e), int(exact[k]), bool(e >= exact[k]), bool(e <= exact[k] + 0.001 * n))
+            for k, e in zip(keys, est)
+        ],
+        "tool string, cms_est double, exact long, no_undercount boolean, within_eps boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -502,6 +627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_counting_bloom": q27_counting_bloom,
         "q28_mibf_classify": q28_mibf_classify,
         "q29_bloom_setops": q29_bloom_setops,
+        "q30_transcript_membership": q30_transcript_membership,
+        "q31_distinct_convs_by_role": q31_distinct_convs_by_role,
+        "q32_turn_length_quantiles": q32_turn_length_quantiles,
+        "q33_heavy_hitter_tools": q33_heavy_hitter_tools,
     }
 
 

@@ -56,7 +56,7 @@ def test_rows_only_queries_run(spark, name):
     out = entrymod.queries()[name](spark, SF).toPandas()
     assert len(out) >= 0
     # self-validation columns must all hold when present
-    for c in ("no_undercount", "within_bound", "within_eps"):
+    for c in ("no_undercount", "within_bound", "within_eps", "no_false_negatives", "fpr_consistent"):
         if c in out.columns:
             assert out[c].all(), f"{name}.{c} violated:\n{out}"
     if name == "q20_bloom_membership":
@@ -72,6 +72,11 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.union_bit_exact and r.union_contains_all
         assert r.inter_pop <= r.union_pop
+    if name == "q32_turn_length_quantiles":
+        rel = (out.kll - out.exact).abs() / out.exact
+        assert (rel < 0.25).all()
+        rel_td = (out.tdigest - out.exact).abs() / out.exact
+        assert (rel_td < 0.25).all()
 
 
 @pytest.mark.spark
