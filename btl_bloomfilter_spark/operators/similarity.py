@@ -82,15 +82,30 @@ def lsh_topk(
     probe_hamming: int = 1,
 ) -> DataFrame:
     """Approximate top-k: score only vectors in the query's bucket or
-    buckets within `probe_hamming` bit flips (multi-probe LSH)."""
+    buckets within `probe_hamming` bit flips (multi-probe LSH).
+    For repeated queries persist the buckets once with
+    :func:`lsh_index_write` and probe via :func:`lsh_topk_indexed`
+    (partition pruning instead of recomputing buckets per query)."""
+    probes = _probe_buckets(vec, n_planes, seed, probe_hamming)
+    bucketed = df.withColumn("__bucket", lsh_bucket_udf(len(vec), n_planes, seed)(F.col(col)))
+    cand = bucketed.where(F.col("__bucket").isin(probes))
+    return (
+        cand.select(F.col(id_col), F.round(cosine_to(vec, col), 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _probe_buckets(vec, n_planes: int, seed: int, probe_hamming: int) -> list[int]:
+    """Query bucket + all buckets within probe_hamming bit flips."""
+    from itertools import combinations
+
     planes = _hyperplanes(len(vec), n_planes, seed)
-    qsig = 0
     qv = np.asarray(vec, dtype=np.float64)
+    qsig = 0
     for b, p in enumerate(planes):
         if float(p @ qv) > 0:
             qsig |= 1 << b
-    from itertools import combinations
-
     probes = {qsig}
     for d in range(1, probe_hamming + 1):
         for bits in combinations(range(n_planes), d):
@@ -98,13 +113,55 @@ def lsh_topk(
             for b in bits:
                 flip |= 1 << b
             probes.add(qsig ^ flip)
-    bucketed = df.withColumn("__bucket", lsh_bucket_udf(len(vec), n_planes, seed)(F.col(col)))
-    cand = bucketed.where(F.col("__bucket").isin(*[int(x) for x in probes]))
+    return sorted(int(x) for x in probes)
+
+
+def lsh_index_write(
+    df: DataFrame,
+    path: str,
+    *,
+    col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+) -> None:
+    """Persist an LSH bucket index: the corpus written as parquet
+    PARTITIONED BY the hyperplane bucket.  At query time only the
+    probed buckets' files are read (partition pruning at the scan —
+    the 100-TB path: a top-k probe touches ~(1+multiprobe)/2^planes
+    of the corpus instead of scanning it)."""
+    bucketed = df.withColumn("__bucket", lsh_bucket_udf_dim(df, col, n_planes, seed)(F.col(col)))
+    bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+
+
+def lsh_topk_indexed(
+    spark,
+    path: str,
+    vec: list[float],
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_planes: int = 12,
+    seed: int = 42,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Top-k over a persisted LSH index: the bucket filter is a
+    partition-column predicate, so Catalyst prunes non-probed buckets
+    at the file listing (verify with .explain: PartitionFilters).
+    (n_planes, seed) must match the ones used at index-write time."""
+    probes = _probe_buckets(vec, n_planes, seed, probe_hamming)
+    cand = spark.read.parquet(path).where(F.col("__bucket").isin(probes))
     return (
         cand.select(F.col(id_col), F.round(cosine_to(vec, col), 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def lsh_bucket_udf_dim(df: DataFrame, col: str, n_planes: int, seed: int):
+    """lsh_bucket_udf with the dimension inferred from the first row."""
+    dim = len(df.select(col).first()[0])
+    return lsh_bucket_udf(dim, n_planes, seed)
 
 
 # ------------------------------ IVF ----------------------------------

@@ -239,6 +239,28 @@ def test_ivf_topk(spark, emb_df):
     assert len(set(brute.vec_id) & set(out.vec_id)) >= 3
 
 
+def test_lsh_persisted_index_prunes_partitions(spark, emb_df, tmp_path):
+    """lsh_index_write + lsh_topk_indexed: identical results to the
+    on-the-fly bucket path, and the bucket predicate lands in the
+    scan's PartitionFilters (files of non-probed buckets never read)."""
+    from btl_bloomfilter_spark.operators.similarity import (
+        lsh_index_write,
+        lsh_topk,
+        lsh_topk_indexed,
+    )
+
+    df, base = emb_df
+    path = str(tmp_path / "lsh_index")
+    lsh_index_write(df, path, n_planes=4, seed=42)
+    q = [float(x) for x in base[5]]
+    live = lsh_topk(df, q, 5, n_planes=4, probe_hamming=1).toPandas()
+    idx = lsh_topk_indexed(spark, path, q, 5, n_planes=4, probe_hamming=1)
+    got = idx.toPandas()
+    assert got.vec_id.tolist() == live.vec_id.tolist()
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "__bucket" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_fit_centroids_stable_under_reordering(spark, emb_df):
     """Centroid fit samples by content hash, not a partition prefix —
     the same data in any row/partition order yields identical centroids."""
