@@ -601,10 +601,18 @@ def build_mibf(
     seed_salt: int = 0,
     fanin: int = 16,
     repair: bool = True,
+    checkpoint_dir: str | None = None,
+    lineage: str = "",
 ) -> MIBloomFilter:
     """Distributed miBF construction (see module docstring).
 
     IDs must be positive ints < 2^31 (top bit is the saturation flag).
+
+    ``checkpoint_dir``/``lineage`` forward to the pass-1 Bloom build
+    (plans.agg.build_sketch): the bit-vector pass — the biggest source
+    scan — persists its per-partition partials with lineage + fill
+    metrics and resumes from them on a rerun with matching params
+    (north-rule resumability).
 
     With ``repair=True`` (default) a mutate-before-saturate pass runs
     between insertion and saturation, the batch analog of the
@@ -629,7 +637,12 @@ def build_mibf(
     from ..plans.agg import build_sketch
 
     bloom = build_sketch(
-        df, text_col, lambda: BloomFilter(m_bits, hash_num, k, seed_salt=seed_salt), fanin=fanin
+        df,
+        text_col,
+        lambda: BloomFilter(m_bits, hash_num, k, seed_salt=seed_salt),
+        fanin=fanin,
+        checkpoint_dir=checkpoint_dir,
+        lineage=lineage,
     )
     mibf = MIBloomFilter(m_bits, hash_num, k, seed_salt=seed_salt)
     mibf.freeze(bloom.bits)
