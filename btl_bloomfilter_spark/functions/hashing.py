@@ -459,6 +459,20 @@ def hash_ngrams_spaced(
     *,
     seeds: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
+    """Spaced-seed window hashing over a batch of strings (see
+    :func:`hash_ngrams_spaced_from_buffers`)."""
+    buf, offsets = _flatten_utf8(strings)
+    return hash_ngrams_spaced_from_buffers(buf, offsets, pattern, num_hashes, seeds=seeds)
+
+
+def hash_ngrams_spaced_from_buffers(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    pattern: str,
+    num_hashes: int = 1,
+    *,
+    seeds: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     """Spaced-seed window hashing (NTS64/NTMS64 analog,
     vendor/nthash.hpp:750-878): only the '1' positions of the pattern
     contribute to the hash, so sequences differing at masked positions
@@ -467,12 +481,12 @@ def hash_ngrams_spaced(
     base(t) = rol( XOR_{j in care} u[t+j], (t+k-1) mod 64 )  with
     u[p] = ror(seed[b[p]], p) — the same closed form as the dense
     rolling hash restricted to care offsets: |care| vectorized XOR
-    passes instead of one prefix-XOR.
+    passes instead of one prefix-XOR.  Consumes the Arrow UTF-8
+    buffer/offset layout zero-copy.
     """
     seeds = _SEEDS if seeds is None else seeds
     k = len(pattern)
     care = parse_seed(pattern)
-    buf, offsets = _flatten_utf8(strings)
     n = buf.shape[0]
     if n < k:
         return np.empty((0, num_hashes), dtype=np.uint64), np.empty(0, dtype=np.int64)
@@ -506,12 +520,26 @@ def hash_ngrams_multi_seed(
     """Multi-spaced-seed hashing (stHashIterator layout,
     vendor/stHashIterator.hpp:157-160): per window emits
     [seed1·h1..hm, seed2·h1..hm, ...] — (W, len(patterns)*num_hashes)."""
+    buf, offsets = _flatten_utf8(strings)
+    return hash_ngrams_multi_seed_from_buffers(buf, offsets, patterns, num_hashes, seeds=seeds)
+
+
+def hash_ngrams_multi_seed_from_buffers(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    patterns: list[str],
+    num_hashes: int = 1,
+    *,
+    seeds: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Multi-spaced-seed hashing over a flat UTF-8 buffer (Arrow
+    layout, zero-copy)."""
     if len({len(p) for p in patterns}) != 1:
         raise ValueError("all seed patterns must share one length")
     blocks = []
     rows = None
     for p in patterns:
-        h, r = hash_ngrams_spaced(strings, p, num_hashes, seeds=seeds)
+        h, r = hash_ngrams_spaced_from_buffers(buf, offsets, p, num_hashes, seeds=seeds)
         blocks.append(h)
         rows = r
     return np.concatenate(blocks, axis=1), rows

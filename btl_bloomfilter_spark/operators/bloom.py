@@ -54,6 +54,7 @@ class BloomFilter(Sketch):
         dfpr: float = 0.0,
         n_entry: int = 0,
         t_entry: int = 0,
+        spaced_seeds: list[str] | None = None,
     ):
         if m_bits % 64:
             raise ValueError("m_bits must be a multiple of 64 (BloomFilter.hpp:389-399)")
@@ -64,6 +65,18 @@ class BloomFilter(Sketch):
         self.dfpr = float(dfpr)
         self.n_entry = int(n_entry)  # elements inserted (windows)
         self.t_entry = int(t_entry)  # rows (strings) processed
+        # spaced-seed mode (st/ssHashIterator analog): one hash per
+        # '1'/'0' pattern, window length = pattern length; masked
+        # positions don't contribute (skip-gram matching)
+        self.spaced_seeds = list(spaced_seeds) if spaced_seeds else None
+        if self.spaced_seeds:
+            if len({len(p) for p in self.spaced_seeds}) != 1:
+                raise ValueError("all spaced seeds must share one length")
+            if self.k and self.k != len(self.spaced_seeds[0]):
+                raise ValueError("k must equal the spaced-seed pattern length")
+            self.k = len(self.spaced_seeds[0])
+            if self.hash_num != len(self.spaced_seeds):
+                raise ValueError("hash_num must equal the number of spaced seeds")
         self._bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
         self._seeds = H.seed_table(self.seed_salt)
         self._acc: np.ndarray | None = None  # bool scatter accumulator
@@ -75,7 +88,10 @@ class BloomFilter(Sketch):
         return cls(m, h, k, dfpr=fpr, **kw)
 
     def params(self) -> dict[str, Any]:
-        return {"m_bits": self.m_bits, "hash_num": self.hash_num, "k": self.k, "seed_salt": self.seed_salt, "dfpr": self.dfpr}
+        out = {"m_bits": self.m_bits, "hash_num": self.hash_num, "k": self.k, "seed_salt": self.seed_salt, "dfpr": self.dfpr}
+        if self.spaced_seeds:
+            out["spaced_seeds"] = list(self.spaced_seeds)
+        return out
 
     #: windows per fan-out chunk — bounds peak kernel memory at
     #: CHUNK × hash_num × 8 bytes (≈12 MB at h=3) regardless of how
@@ -86,6 +102,8 @@ class BloomFilter(Sketch):
     def _hash_batch(self, values) -> tuple[np.ndarray, np.ndarray]:
         """(hashes (W,h) uint64, row_ids (W,)) for a batch of strings."""
         strings = _strings_of(values)
+        if self.spaced_seeds:
+            return H.hash_ngrams_multi_seed(strings, self.spaced_seeds, 1, seeds=self._seeds)
         if self.k > 0:
             return H.hash_ngrams(strings, self.k, self.hash_num, seeds=self._seeds)
         hashes = H.hash_strings(strings, self.hash_num, seeds=self._seeds)
@@ -149,6 +167,14 @@ class BloomFilter(Sketch):
         self._bits = value
 
     def update(self, values) -> None:
+        if self.spaced_seeds:
+            hashes, _ = self._hash_batch(values)
+            for s in range(0, hashes.shape[0], self.CHUNK):
+                idx = hashes[s : s + self.CHUNK] % np.uint64(self.m_bits)
+                self._set_bits(idx.ravel())
+            self.n_entry += int(hashes.shape[0])
+            self.t_entry += int(len(values))
+            return
         base, rows = self._base_hashes(values)
         buf = None
         for s in range(0, base.shape[0], self.CHUNK):
@@ -167,6 +193,18 @@ class BloomFilter(Sketch):
         no pandas objects, no per-row re-encode (the hot path for
         mapInArrow builds)."""
         buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
+        if self.spaced_seeds:
+            hashes, rows = H.hash_ngrams_multi_seed_from_buffers(
+                buf, offsets, self.spaced_seeds, 1, seeds=self._seeds
+            )
+            if null_mask is not None and hashes.shape[0]:
+                hashes = hashes[~null_mask[rows]]
+            for s in range(0, hashes.shape[0], self.CHUNK):
+                idx = hashes[s : s + self.CHUNK] % np.uint64(self.m_bits)
+                self._set_bits(idx.ravel())
+            self.n_entry += int(hashes.shape[0])
+            self.t_entry += int(len(arr))
+            return
         if self.k > 0:
             hb, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
             base = hb[:, 0]
@@ -198,6 +236,12 @@ class BloomFilter(Sketch):
         bits were set in the pre-batch state OR an identical window
         occurred earlier in the batch (identical base hash ⇒ identical
         bits, so the earlier occurrence inserted them)."""
+        if self.spaced_seeds:
+            raise NotImplementedError(
+                "insertAndCheck is defined on the dense-hash filter; spaced-seed "
+                "filters are probe/build only (reference pairs insertAndCheck with "
+                "ntHash, BloomFilter.hpp:200-232)"
+            )
         self._consolidate()
         base, rows = self._base_hashes(values)
         n = len(values)
@@ -297,6 +341,12 @@ class BloomFilter(Sketch):
     def _probe_all(self, values) -> tuple[np.ndarray, np.ndarray]:
         """Chunked probe: (hit (W,) bool, row_ids)."""
         self._consolidate()
+        if self.spaced_seeds:
+            hashes, rows = self._hash_batch(values)
+            hit = np.empty(hashes.shape[0], dtype=bool)
+            for s in range(0, hashes.shape[0], self.CHUNK):
+                hit[s : s + self.CHUNK] = self._probe_bits(hashes[s : s + self.CHUNK])
+            return hit, rows
         base, rows = self._base_hashes(values)
         hit = np.empty(base.shape[0], dtype=bool)
         for s in range(0, base.shape[0], self.CHUNK):
@@ -335,6 +385,14 @@ class BloomFilter(Sketch):
     def _probe_all_arrow(self, arr) -> tuple[np.ndarray, np.ndarray, int, np.ndarray | None]:
         self._consolidate()
         buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
+        if self.spaced_seeds:
+            hashes, rows = H.hash_ngrams_multi_seed_from_buffers(
+                buf, offsets, self.spaced_seeds, 1, seeds=self._seeds
+            )
+            hit = np.empty(hashes.shape[0], dtype=bool)
+            for s in range(0, hashes.shape[0], self.CHUNK):
+                hit[s : s + self.CHUNK] = self._probe_bits(hashes[s : s + self.CHUNK])
+            return hit, rows, len(arr), null_mask
         if self.k > 0:
             hb, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
             base = hb[:, 0]

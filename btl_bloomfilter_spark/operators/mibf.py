@@ -82,11 +82,30 @@ def _minstd_shuffle(order: list[int], seed: int) -> None:
 class MIBloomFilter(Sketch):
     """Driver-side finished miBF (broadcastable for query)."""
 
-    def __init__(self, m_bits: int, hash_num: int, k: int, *, seed_salt: int = 0):
+    def __init__(
+        self,
+        m_bits: int,
+        hash_num: int,
+        k: int,
+        *,
+        seed_salt: int = 0,
+        spaced_seeds: list[str] | None = None,
+    ):
         self.m_bits = int(m_bits)
         self.hash_num = int(hash_num)
         self.k = int(k)
         self.seed_salt = int(seed_salt)
+        # spaced-seed mode (the reference miBF's primary mode for
+        # downstream tools: stHashIterator, one hash per seed pattern;
+        # MIBloomFilter.hpp:49-61,126-139)
+        self.spaced_seeds = list(spaced_seeds) if spaced_seeds else None
+        if self.spaced_seeds:
+            if len({len(p) for p in self.spaced_seeds}) != 1:
+                raise ValueError("all spaced seeds must share one length")
+            if self.k != len(self.spaced_seeds[0]):
+                raise ValueError("k must equal the spaced-seed pattern length")
+            if self.hash_num != len(self.spaced_seeds):
+                raise ValueError("hash_num must equal the number of spaced seeds")
         self.bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
         self.block_rank = np.zeros(1, dtype=np.int64)  # cum popcount per 64B block
         self.data = np.zeros(0, dtype=np.uint32)
@@ -95,7 +114,10 @@ class MIBloomFilter(Sketch):
     BLOCK = 64  # bytes per rank block (≈ the reference's 512-bit blocks)
 
     def params(self) -> dict[str, Any]:
-        return {"m_bits": self.m_bits, "hash_num": self.hash_num, "k": self.k, "seed_salt": self.seed_salt}
+        out = {"m_bits": self.m_bits, "hash_num": self.hash_num, "k": self.k, "seed_salt": self.seed_salt}
+        if self.spaced_seeds:
+            out["spaced_seeds"] = list(self.spaced_seeds)
+        return out
 
     # -- rank machinery ----------------------------------------------
     def freeze(self, bits: np.ndarray) -> None:
@@ -133,17 +155,33 @@ class MIBloomFilter(Sketch):
         got = (self.bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
         return got.all(axis=1), idx
 
+    def _probe_miss(self, hashes: np.ndarray, allowed_misses: int):
+        """atRank with maxMiss (MIBloomFilter.hpp:478-498): a frame
+        matches when at most allowed_misses of its h slots are unset.
+        Returns (present (W,), idx (W,h), hits (W,h) bool)."""
+        idx = hashes % np.uint64(self.m_bits)
+        byte_idx = (idx >> np.uint64(3)).astype(np.int64)
+        got = (
+            (self.bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
+        ).astype(bool)
+        misses = self.hash_num - got.sum(axis=1)
+        return misses <= allowed_misses, idx, got
+
     # -- hashing -----------------------------------------------------
     def _hash_batch(self, values):
         strings = _strings_of(values)
+        if self.spaced_seeds:
+            return H.hash_ngrams_multi_seed(strings, self.spaced_seeds, 1, seeds=self._seeds)
         return H.hash_ngrams(strings, self.k, self.hash_num, seeds=self._seeds)
 
     # -- query (vectorized MIBFQuerySupport.query) --------------------
-    def classify_batch(self, values) -> pd.DataFrame:
+    def classify_batch(self, values, *, allowed_misses: int = 0) -> pd.DataFrame:
         """Per string: best_id, its frame count, total frames,
         saturated fraction (summarizeCandiates analog: top candidate
         by frame count, ties → smaller id; MIBFQuerySupport.hpp:230-246
-        first sort key ≈ count)."""
+        first sort key ≈ count).  ``allowed_misses`` tolerates frames
+        with up to that many unset slots (spaced-seed query mode,
+        MIBloomFilter.hpp:478-498); missed slots contribute no IDs."""
         hashes, rows = self._hash_batch(values)
         n = len(values)
         out = {
@@ -153,14 +191,15 @@ class MIBloomFilter(Sketch):
             "saturated_frac": np.zeros(n, dtype=np.float64),
         }
         if hashes.shape[0]:
-            present, idx = self._probe(hashes)
+            present, idx, hits = self._probe_miss(hashes, allowed_misses)
             np.add.at(out["total_frames"], rows, 1)
             if present.any():
                 pr = np.flatnonzero(present)
-                rpos = self.rank_pos(idx[pr])  # (W', h)
+                rpos = self.rank_pos(idx[pr])  # (W', h) — garbage at miss slots
                 words = self.data[rpos]
-                ids = (words & ID_MASK).astype(np.int64)  # (W', h)
-                sat = (words & SAT_BIT) != 0
+                hitm = hits[pr]
+                ids = np.where(hitm, (words & ID_MASK).astype(np.int64), 0)  # (W', h)
+                sat = ((words & SAT_BIT) != 0) & hitm
                 # per-frame candidate ids: every id seen at the h slots
                 frame_rows = np.repeat(rows[pr], self.hashes_per_frame())
                 flat_ids = ids.ravel()
@@ -194,6 +233,7 @@ class MIBloomFilter(Sketch):
         best_hit_agree: bool = True,
         frame_probs: dict[int, float] | None = None,
         extra_frame_limit: int | None = None,
+        allowed_misses: int = 0,
     ) -> list[list]:
         """Full MIBFQuerySupport.query pipeline per string: per-ID
         CountResult tallies (MIBFQuerySupport.hpp:430-518) →
@@ -223,15 +263,17 @@ class MIBloomFilter(Sketch):
         results: list[list] = [[] for _ in range(n)]
         if hashes.shape[0] == 0:
             return results
-        present, idx = self._probe(hashes)
+        present, idx, hits = self._probe_miss(hashes, allowed_misses)
         pr = np.flatnonzero(present)
         if pr.size == 0:
             return results
         rpos = self.rank_pos(idx[pr])
         words = self.data[rpos]
-        ids = (words & ID_MASK).astype(np.int64)  # (F, h)
-        sat = (words & SAT_BIT) != 0
+        hitm = hits[pr]
+        ids = np.where(hitm, (words & ID_MASK).astype(np.int64), 0)  # (F, h)
+        sat = ((words & SAT_BIT) != 0) & hitm
         h = self.hash_num
+        frame_miss0 = hitm.all(axis=1)  # no misses in frame (solidCount gate)
         row_of_frame = rows[pr]  # nondecreasing
         # position of each present frame within its row (for chunking)
         starts = np.concatenate([[0], np.flatnonzero(np.diff(row_of_frame)) + 1])
@@ -248,6 +290,7 @@ class MIBloomFilter(Sketch):
                 "id": ids.ravel(),
                 "slot_nonsat": ~sat.ravel(),
                 "frame_sat": frame_sat_any[frame_idx],
+                "miss0": frame_miss0[frame_idx],
             }
         )
         df = df[df["id"] > 0]
@@ -259,18 +302,21 @@ class MIBloomFilter(Sketch):
                 slots=("id", "size"),
                 nonsat_slots=("slot_nonsat", "sum"),
                 frame_sat=("frame_sat", "first"),
+                miss0=("miss0", "first"),
             )
-            per_frame["all_slots"] = per_frame["slots"] == h
             per_frame = per_frame.reset_index()
+            # solidCount (MIBFQuerySupport.hpp:500-504): frames with NO
+            # saturated slot and NO misses
             return (
                 per_frame.assign(
                     has_nonsat=(per_frame["nonsat_slots"] > 0).astype(int),
                     nonsat_frame=(~per_frame["frame_sat"]).astype(int),
+                    solid_frame=((~per_frame["frame_sat"]) & per_frame["miss0"]).astype(int),
                 )
                 .groupby(["row", "id"], sort=False)
                 .agg(
                     count=("frame", "size"),
-                    solidCount=("all_slots", "sum"),
+                    solidCount=("solid_frame", "sum"),
                     nonSatCount=("has_nonsat", "sum"),
                     nonSatFrameCount=("nonsat_frame", "sum"),
                     totalCount=("slots", "sum"),
@@ -603,6 +649,7 @@ def build_mibf(
     repair: bool = True,
     checkpoint_dir: str | None = None,
     lineage: str = "",
+    spaced_seeds: list[str] | None = None,
 ) -> MIBloomFilter:
     """Distributed miBF construction (see module docstring).
 
@@ -639,12 +686,12 @@ def build_mibf(
     bloom = build_sketch(
         df,
         text_col,
-        lambda: BloomFilter(m_bits, hash_num, k, seed_salt=seed_salt),
+        lambda: BloomFilter(m_bits, hash_num, k, seed_salt=seed_salt, spaced_seeds=spaced_seeds),
         fanin=fanin,
         checkpoint_dir=checkpoint_dir,
         lineage=lineage,
     )
-    mibf = MIBloomFilter(m_bits, hash_num, k, seed_salt=seed_salt)
+    mibf = MIBloomFilter(m_bits, hash_num, k, seed_salt=seed_salt, spaced_seeds=spaced_seeds)
     mibf.freeze(bloom.bits)
     total = int(mibf.data.size)
 

@@ -90,9 +90,10 @@ def _read_sidecar(path: Path) -> tuple[np.ndarray, int]:
 
 def save_mibf(mibf, path: str | Path, *, spaced_seeds: list[str] | None = None) -> None:
     """Store in the reference's two-file layout (header+IDs, .sdsl
-    bit-vector sidecar).  spaced_seeds must each be k chars if given."""
+    bit-vector sidecar).  spaced_seeds must each be k chars if given;
+    a spaced-seed filter's own patterns are written by default."""
     path = Path(path)
-    seeds = spaced_seeds or []
+    seeds = spaced_seeds or getattr(mibf, "spaced_seeds", None) or []
     for s in seeds:
         if len(s) != mibf.k:
             raise ValueError(f"spaced seed {s!r} length != k={mibf.k}")
@@ -131,7 +132,9 @@ def load_mibf(path: str | Path, *, seed_salt: int = 0):
             off += kmer
     data = np.frombuffer(raw, dtype="<u4", count=d_size, offset=off).copy()
     bits, m_bits = _read_sidecar(path.with_name(path.name + ".sdsl"))
-    mibf = MIBloomFilter(m_bits, int(nhash), int(kmer), seed_salt=seed_salt)
+    mibf = MIBloomFilter(
+        m_bits, int(nhash), int(kmer), seed_salt=seed_salt, spaced_seeds=seeds or None
+    )
     mibf.bits = bits
     mibf.data = data
     mibf.freeze_rank_only()

@@ -237,6 +237,75 @@ def test_get_match_signature(mibf_setup):
     assert p2.size == 0 and ev2 > 0
 
 
+SEEDS = ["110111", "111011", "101111"]
+
+
+@pytest.mark.spark
+def test_spaced_seed_mibf_end_to_end(spark):
+    """Spaced-seed mode (the reference miBF's stHashIterator mode):
+    build + classify with one hash per '1'/'0' pattern; masked
+    positions don't contribute, so single-character noise at a masked
+    offset still matches (allowed_misses covers the rest)."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for ref in (1, 2, 3):
+        vocab = [f"ref{ref}tok{i:03d}" for i in range(120)]
+        for _ in range(20):
+            rows.append((" ".join(rng.choice(vocab, 25)), ref))
+    df = spark.createDataFrame(rows, "text string, ref_id long").repartition(4)
+    mibf = build_mibf(
+        df, "text", "ref_id", m_bits=1 << 17, hash_num=len(SEEDS), k=len(SEEDS[0]),
+        spaced_seeds=SEEDS,
+    )
+    assert mibf.spaced_seeds == SEEDS
+    texts = [t for t, _ in rows]
+    truth = np.array([r for _, r in rows])
+    out = mibf.classify_batch(texts)
+    assert (out.best_id.to_numpy() == truth).mean() >= 0.95
+    # allowed_misses=1 can only widen the match set
+    out1 = mibf.classify_batch(texts, allowed_misses=1)
+    assert (out1.total_frames >= out.total_frames).all()
+    full = mibf.classify_full(texts[:20], allowed_misses=1)
+    hits = [r for r in full if r]
+    assert len(hits) >= 18
+    for r in hits:
+        assert r[0].solidCount <= r[0].count  # miss frames are not solid
+
+
+@pytest.mark.spark
+def test_spaced_seed_mibf_io_roundtrip(spark, tmp_path):
+    """Spaced filters persist their own patterns and reload into the
+    same mode (header seed section, MIBloomFilter.hpp:185-210)."""
+    from btl_bloomfilter_spark.sources.mibf_io import load_mibf, save_mibf
+
+    rng = np.random.default_rng(12)
+    rows = [(" ".join(rng.choice([f"t{i}" for i in range(80)], 20)), 1 + i % 2) for i in range(30)]
+    df = spark.createDataFrame(rows, "text string, ref_id long")
+    mibf = build_mibf(
+        df, "text", "ref_id", m_bits=1 << 15, hash_num=len(SEEDS), k=len(SEEDS[0]),
+        spaced_seeds=SEEDS,
+    )
+    save_mibf(mibf, tmp_path / "sp.mibf")
+    back, seeds = load_mibf(tmp_path / "sp.mibf")
+    assert seeds == SEEDS and back.spaced_seeds == SEEDS
+    texts = [t for t, _ in rows[:8]]
+    assert back.classify_batch(texts).best_id.tolist() == mibf.classify_batch(texts).best_id.tolist()
+
+
+def test_spaced_seed_bloom_masked_positions_collide():
+    """Spaced Bloom (st/ssHashIterator analog): strings differing only
+    at masked ('0') positions hash identically → full containment."""
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    pattern = "11011"  # position 2 masked
+    bf = BloomFilter(1 << 14, 1, 0, spaced_seeds=[pattern])
+    bf.update(["abXde"])
+    assert bool(bf.contains_batch(["abYde"])[0])  # masked diff → same window hash
+    assert not bool(bf.contains_batch(["zbYde"])[0])  # care-position diff
+    with pytest.raises(NotImplementedError):
+        bf.update_and_check(["abcde"])
+
+
 @pytest.mark.spark
 def test_serialize_roundtrip(mibf_setup):
     _, mibf, rows = mibf_setup
