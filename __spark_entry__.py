@@ -383,6 +383,17 @@ def q25_simhash_near(spark, sf_dir):
     return simhash_candidates(sh, max_hamming=7)
 
 
+def q34_embedding_near_dups(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (cosine >= 0.8), oracled
+    against DuckDB; the LSH-banded variant (cosine_near_dup_lsh) is
+    the 100-TB path, recall-tested in tests/test_dedup_similarity."""
+    from btl_bloomfilter_spark.operators.similarity import cosine_pairs_brute
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    d = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
+    return cosine_pairs_brute(d, 0.8)
+
+
 def q26_lsh_topk(spark, sf_dir):
     from btl_bloomfilter_spark.operators.similarity import lsh_topk
 
@@ -627,6 +638,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q27_counting_bloom": q27_counting_bloom,
         "q28_mibf_classify": q28_mibf_classify,
         "q29_bloom_setops": q29_bloom_setops,
+        "q34_embedding_near_dups": q34_embedding_near_dups,
         "q30_transcript_membership": q30_transcript_membership,
         "q31_distinct_convs_by_role": q31_distinct_convs_by_role,
         "q32_turn_length_quantiles": q32_turn_length_quantiles,
@@ -786,6 +798,18 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             ) WHERE delta IS NOT NULL
             GROUP BY user_id
+        """,
+        "q34_embedding_near_dups": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(
+                     list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                     (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
         """,
         "q19_region_rollup": """
             SELECT r_name, count(*) AS n_suppliers,

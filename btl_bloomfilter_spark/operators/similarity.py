@@ -96,6 +96,71 @@ def lsh_topk(
     )
 
 
+# ----------------- embedding-cosine near-duplicate pairs -------------
+
+
+def cosine_pairs_brute(
+    df: DataFrame, threshold: float, *, id_col: str = "vec_id", col: str = "embedding"
+) -> DataFrame:
+    """EXACT near-dup pairs: all (id_a < id_b) with cosine ≥ threshold.
+    Pure JVM expressions; quadratic — the correctness baseline and
+    oracle-comparable path (use the LSH variant at scale)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(col).alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_near_dup_lsh(
+    df: DataFrame,
+    threshold: float,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path: candidate pairs share one of ``bands`` exact-match
+    bands of the ``n_planes``-bit hyperplane signature (two vectors at
+    angle θ agree on a plane w.p. 1−θ/π, so near-dups collide in some
+    band w.h.p.); candidates are then post-filtered by EXACT cosine —
+    precision 1.0, recall probabilistic (raise bands / lower band
+    width to trade shuffle volume for recall).  Only co-banded pairs
+    ever materialize: shuffle is keyed by (band, band-bits)."""
+    if n_planes % bands:
+        raise ValueError("n_planes must be divisible by bands")
+    width = n_planes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(col).alias("v"),
+        lsh_bucket_udf_dim(df, col, n_planes, seed)(F.col(col)).alias("sig"),
+    )
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    mask = (1 << width) - 1
+    banded = sig.select("id", "v", "sig", band_idx).withColumn(
+        "band_val", F.expr(f"shiftrightunsigned(sig, band * {width}) & {mask}")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (_norm(F.col("a.v")) * _norm(F.col("b.v")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.round(cos, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def _probe_buckets(vec, n_planes: int, seed: int, probe_hamming: int) -> list[int]:
     """Query bucket + all buckets within probe_hamming bit flips."""
     from itertools import combinations

@@ -239,6 +239,26 @@ def test_ivf_topk(spark, emb_df):
     assert len(set(brute.vec_id) & set(out.vec_id)) >= 3
 
 
+def test_cosine_near_dup_pairs(spark, emb_df):
+    """Embedding-cosine near-dup: the LSH-banded scale path has
+    precision 1.0 by construction (exact-cosine post-filter) and must
+    recall the planted near-copies; the brute path is the oracle."""
+    from btl_bloomfilter_spark.operators.similarity import (
+        cosine_near_dup_lsh,
+        cosine_pairs_brute,
+    )
+
+    df, base = emb_df
+    brute = cosine_pairs_brute(df, 0.95).toPandas()
+    want = {(int(r.id_a), int(r.id_b)) for _, r in brute.iterrows()}
+    # the 20 planted near-copies dominate the >=0.95 set
+    assert {(i, 60 + i) for i in range(20)} <= want
+    got_df = cosine_near_dup_lsh(df, 0.95, n_planes=16, bands=8).toPandas()
+    got = {(int(r.id_a), int(r.id_b)) for _, r in got_df.iterrows()}
+    assert got <= want  # precision 1.0 (exact post-filter)
+    assert len(got & want) / len(want) >= 0.9  # recall on near-dups
+
+
 def test_lsh_persisted_index_prunes_partitions(spark, emb_df, tmp_path):
     """lsh_index_write + lsh_topk_indexed: identical results to the
     on-the-fly bucket path, and the bucket predicate lands in the
