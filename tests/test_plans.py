@@ -72,6 +72,19 @@ def test_sliced_build_single_exchange(spark, docs):
 
 
 @pytest.mark.spark
+def test_minhash_signature_scan_pruned(spark, docs):
+    """The MinHash kernel's input scan reads only (id, text) — the
+    mapInArrow stage must not force the full documents schema."""
+    from btl_bloomfilter_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(docs, "text", "doc_id", num_perm=16)
+    plan = _plan(sigs)
+    rs = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in rs and "doc_id" in rs and "source" not in rs and "lang" not in rs
+    assert "Exchange" not in plan  # signatures are a pure map
+
+
+@pytest.mark.spark
 def test_whole_stage_codegen_on_relational(spark, sf_dir):
     import __spark_entry__ as em
 
