@@ -121,3 +121,48 @@ def load_running(state_path: str | Path) -> Sketch:
     if sk is None:
         raise FileNotFoundError(state_path)
     return sk
+
+
+def stream_sketch_by_key(
+    stream_df: DataFrame,
+    keys: list[str],
+    col: str,
+    make_sketch: Callable[[], Sketch],
+    finalize: Callable[[Sketch], float],
+    *,
+    out_col: str = "estimate",
+    key_schema: str | None = None,
+):
+    """Keyed streaming sketch via ``applyInPandasWithState``: one
+    serialized sketch blob per key lives in Spark's managed state
+    store (checkpointed with the query), each micro-batch merges its
+    rows in and emits the key's refreshed estimate (update mode).
+
+    Unlike the single-blob ``stream_build_sketch`` this scales to many
+    keys — state is per-key and co-partitioned by the stream's keyed
+    shuffle, the streaming analog of plans.agg.sketch_by_key.
+    Returns the transformed streaming DataFrame; start it with
+    ``.writeStream.outputMode("update")``.
+    """
+    import pandas as pd
+
+    if key_schema is None:
+        key_schema = ", ".join(f"{k} string" for k in keys)
+    out_schema = f"{key_schema}, {out_col} double"
+    state_schema = "blob binary"
+
+    def update_fn(key, pdf_iter, state):
+        if state.exists:
+            sk = Sketch.deserialize(bytes(state.get[0]))
+        else:
+            sk = make_sketch()
+        for pdf in pdf_iter:
+            sk.update(pdf[col])
+        state.update((sk.serialize(),))
+        out = {k: [v] for k, v in zip(keys, key)}
+        out[out_col] = [float(finalize(sk))]
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", "NoTimeout"
+    )

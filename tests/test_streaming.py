@@ -50,6 +50,52 @@ def test_stream_equals_batch(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_stream_sketch_by_key_matches_batch(spark, tmp_path):
+    """applyInPandasWithState keyed streaming sketch: after draining
+    the stream, per-key HLL estimates equal the batch build's."""
+    from btl_bloomfilter_spark.operators.hll import HyperLogLog
+    from btl_bloomfilter_spark.plans.agg import sketch_by_key
+    from btl_bloomfilter_spark.streaming.accumulate import stream_sketch_by_key
+
+    src = tmp_path / "ksrc"
+    src.mkdir()
+    rows = []
+    for part in range(3):
+        rows_part = [(f"k{i % 4}", f"user{part}-{i % 57}") for i in range(400)]
+        rows += rows_part
+        spark.createDataFrame(rows_part, "k string, v string").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    mk = lambda: HyperLogLog(p=12)
+    stream = spark.readStream.schema("k string, v string").option("maxFilesPerTrigger", "2").parquet(str(src))
+    out = stream_sketch_by_key(stream, ["k"], "v", mk, lambda s: s.estimate(), out_col="est")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("keyed_sketch")
+        .option("checkpointLocation", str(tmp_path / "kckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["k"]: r["est"]
+        for r in spark.sql(
+            "SELECT k, est FROM (SELECT *, row_number() OVER (PARTITION BY k ORDER BY est DESC) rn "
+            "FROM keyed_sketch) WHERE rn = 1"
+        ).collect()
+    }
+    batch = sketch_by_key(
+        spark.createDataFrame(rows, "k string, v string"), ["k"], "v", mk, lambda s: s.estimate(), "est"
+    )
+    want = {r["k"]: r["est"] for r in batch.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k]), k
+
+
+@pytest.mark.spark
 def test_replayed_batch_is_idempotent(spark, tmp_path):
     """foreachBatch is at-least-once: redelivering the same batch_id
     must NOT double-count (counting sketches are not idempotent)."""
