@@ -433,7 +433,9 @@ def q28_mibf_classify(spark, sf_dir):
     mibf = build_mibf(with_id, "text", "src_id", m_bits=1 << 22, hash_num=3, k=10)
     # distributed classification: broadcast sketch + mapInPandas — the
     # corpus never collects to the driver; accuracy aggregates in Spark
-    classified = with_classification(with_id.select("doc_id", "text", "src_id"), mibf, "text")
+    classified = with_classification(
+        with_id.select("text", "src_id"), mibf, "text", keep=["src_id"]
+    )
     return (
         classified.groupBy(F.col("src_id").alias("true_id"))
         .agg(

@@ -352,11 +352,13 @@ def simhash_candidates(sh_df: DataFrame, *, max_hamming: int = 3, bands: int | N
             f"bands must satisfy max_hamming < bands <= 64 for complete blocking "
             f"(got bands={bands}, max_hamming={max_hamming})"
         )
-    # distribute 64 bits as evenly as possible across the bands
+    # distribute 64 bits as evenly as possible across the bands;
+    # a 64-bit band's mask is -1 (all ones as signed BIGINT — 2^64-1
+    # does not fit a SQL integral literal)
     widths = [64 // bands + (1 if i < 64 % bands else 0) for i in range(bands)]
     offs = np.concatenate([[0], np.cumsum(widths[:-1])]).astype(int)
     off_arr = "array(" + ",".join(str(int(o)) for o in offs) + ")"
-    mask_arr = "array(" + ",".join(str((1 << w) - 1) for w in widths) + ")"
+    mask_arr = "array(" + ",".join(str((1 << w) - 1 if w < 64 else -1) + "L" for w in widths) + ")"
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = sh_df.select("id", "simhash", band_idx).withColumn(
         "band_val",

@@ -195,9 +195,12 @@ class MIBloomFilter(Sketch):
             np.add.at(out["total_frames"], rows, 1)
             if present.any():
                 pr = np.flatnonzero(present)
-                rpos = self.rank_pos(idx[pr])  # (W', h) — garbage at miss slots
-                words = self.data[rpos]
                 hitm = hits[pr]
+                # zero miss-slot positions BEFORE ranking: the rank of
+                # an unset bit past the last set bit equals data.size
+                # and would gather out of bounds
+                rpos = self.rank_pos(np.where(hitm, idx[pr], np.uint64(0)))
+                words = self.data[rpos]
                 ids = np.where(hitm, (words & ID_MASK).astype(np.int64), 0)  # (W', h)
                 sat = ((words & SAT_BIT) != 0) & hitm
                 # per-frame candidate ids: every id seen at the h slots
@@ -267,9 +270,10 @@ class MIBloomFilter(Sketch):
         pr = np.flatnonzero(present)
         if pr.size == 0:
             return results
-        rpos = self.rank_pos(idx[pr])
-        words = self.data[rpos]
         hitm = hits[pr]
+        # miss-slot positions are zeroed before ranking (see classify_batch)
+        rpos = self.rank_pos(np.where(hitm, idx[pr], np.uint64(0)))
+        words = self.data[rpos]
         ids = np.where(hitm, (words & ID_MASK).astype(np.int64), 0)  # (F, h)
         sat = ((words & SAT_BIT) != 0) & hitm
         h = self.hash_num
@@ -521,13 +525,19 @@ class MIBloomFilter(Sketch):
         raise NotImplementedError("merge happens per-pass inside build_mibf")
 
 
-def with_classification(df: DataFrame, mibf: "MIBloomFilter", col: str) -> DataFrame:
+def with_classification(
+    df: DataFrame, mibf: "MIBloomFilter", col: str, *, keep: list[str] | None = None
+) -> DataFrame:
     """Append miBF classification columns (best_id, frames,
     total_frames, saturated_frac) to every row — the distributed query
     path: the serialized miBF is broadcast once and each executor
     classifies its Arrow batches locally (mirrors the reference's
     query loop over a loaded filter, MIBFQuerySupport.hpp:94-130),
-    so the corpus never moves to the driver.  Plan stays a pure map."""
+    so the corpus never moves to the driver.  Plan stays a pure map.
+
+    ``keep`` prunes the OUTPUT columns (mapInPandas is opaque to
+    Catalyst): pass only what the consumer needs so the classified
+    text is not re-serialized back across the Arrow boundary."""
     import uuid
 
     from ..functions.probe import _WORKER_CACHE
@@ -535,8 +545,17 @@ def with_classification(df: DataFrame, mibf: "MIBloomFilter", col: str) -> DataF
     spark = df.sparkSession
     blob = spark.sparkContext.broadcast(mibf.serialize())
     token = uuid.uuid4().hex
-    fields = df.schema.simpleString()[7:-1]
-    out_schema = f"{fields}, best_id long, frames long, total_frames long, saturated_frac double"
+    if keep is None:
+        keep = [f.name for f in df.schema.fields]
+    type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    new_cols = ["best_id", "frames", "total_frames", "saturated_frac"]
+    clash = set(keep) & set(new_cols)
+    if clash:
+        raise ValueError(f"input columns clash with classification outputs: {sorted(clash)}")
+    out_schema = ", ".join(
+        [f"{c} {type_of[c]}" for c in keep]
+        + ["best_id long", "frames long", "total_frames long", "saturated_frac double"]
+    )
 
     def fn(batches):
         sk = _WORKER_CACHE.get(token)
@@ -544,7 +563,7 @@ def with_classification(df: DataFrame, mibf: "MIBloomFilter", col: str) -> DataF
             sk = _WORKER_CACHE[token] = Sketch.deserialize(blob.value)
         for pdf in batches:
             res = sk.classify_batch(pdf[col])
-            yield pd.concat([pdf.reset_index(drop=True), res], axis=1)
+            yield pd.concat([pdf[keep].reset_index(drop=True), res], axis=1)
 
     return df.mapInPandas(fn, out_schema)
 
@@ -614,10 +633,14 @@ def _assemble_u32(pairs: DataFrame, total_len: int, *, val_col: str = "id") -> n
     return out
 
 
-def _frames_fn(blob, text_col: str, id_col: str, emit):
-    """mapInPandas body shared by the repair/saturation passes: probe
-    every window of every element against the broadcast miBF and call
-    ``emit(rpos (W,h), stored (W,h), ids (W,)) -> DataFrame | None``."""
+def _frames_fn(blob, text_col: str, id_col: str, emit, *, needs_stored: bool = True):
+    """mapInPandas body shared by the build passes: probe every window
+    of every element against the broadcast miBF and call
+    ``emit(rpos (W,h), stored (W,h) | None, ids (W,)) -> DataFrame | None``.
+
+    ``needs_stored=False`` skips the (W, h) ID-array gather — pass 2
+    runs before any IDs exist, so gathering zeros there would waste
+    the heaviest scan's memory bandwidth."""
 
     def fn(batches):
         probe = Sketch.deserialize(blob.value)
@@ -627,7 +650,7 @@ def _frames_fn(blob, text_col: str, id_col: str, emit):
                 continue
             _, idx = probe._probe(hashes)  # all set by construction
             rpos = probe.rank_pos(idx)  # (W, h)
-            stored = (probe.data[rpos] & ID_MASK).astype(np.int64)
+            stored = (probe.data[rpos] & ID_MASK).astype(np.int64) if needs_stored else None
             ids = pdf[id_col].to_numpy()[rows].astype(np.int64)
             out = emit(rpos, stored, ids)
             if out is not None and len(out):
@@ -705,7 +728,7 @@ def build_mibf(
         )
 
     pairs = df.select(text_col, id_col).mapInPandas(
-        _frames_fn(blob, text_col, id_col, pairs_emit), "rpos long, id long"
+        _frames_fn(blob, text_col, id_col, pairs_emit, needs_stored=False), "rpos long, id long"
     )
     counts = pairs.groupBy("rpos", "id").agg(F.count("*").alias("c"))
     if repair:
@@ -743,7 +766,10 @@ def build_mibf(
             for a in range(h):
                 for b in range(h):
                     if a != b:
-                        dup[:, a] |= st[:, a] == st[:, b]
+                        # same stored ID at a DIFFERENT physical slot —
+                        # two hashes colliding on one rank position are
+                        # a single copy, not a redundant one
+                        dup[:, a] |= (st[:, a] == st[:, b]) & (rp[:, a] != rp[:, b])
             has = dup.any(axis=1)
             if not has.any():
                 return None

@@ -138,7 +138,7 @@ def cosine_near_dup_lsh(
     sig = df.select(
         F.col(id_col).alias("id"),
         F.col(col).alias("v"),
-        lsh_bucket_udf_dim(df, col, n_planes, seed)(F.col(col)).alias("sig"),
+        lsh_bucket_udf_auto(n_planes, seed)(F.col(col)).alias("sig"),
     )
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     mask = (1 << width) - 1
@@ -194,7 +194,7 @@ def lsh_index_write(
     probed buckets' files are read (partition pruning at the scan —
     the 100-TB path: a top-k probe touches ~(1+multiprobe)/2^planes
     of the corpus instead of scanning it)."""
-    bucketed = df.withColumn("__bucket", lsh_bucket_udf_dim(df, col, n_planes, seed)(F.col(col)))
+    bucketed = df.withColumn("__bucket", lsh_bucket_udf_auto(n_planes, seed)(F.col(col)))
     bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
 
@@ -223,10 +223,30 @@ def lsh_topk_indexed(
     )
 
 
-def lsh_bucket_udf_dim(df: DataFrame, col: str, n_planes: int, seed: int):
-    """lsh_bucket_udf with the dimension inferred from the first row."""
-    dim = len(df.select(col).first()[0])
-    return lsh_bucket_udf(dim, n_planes, seed)
+def lsh_bucket_udf_auto(n_planes: int, seed: int):
+    """lsh_bucket_udf that infers the dimension from each batch's
+    first non-null row — no eager driver job, no crash on empty
+    input; null embeddings land in bucket 0.  Plane generation is
+    deterministic per (dim, n_planes, seed), so every worker derives
+    identical planes."""
+
+    @pandas_udf("long")
+    def bucket(embs: pd.Series) -> pd.Series:
+        out = np.zeros(len(embs), dtype=np.int64)
+        vecs = [None if e is None else np.asarray(e, dtype=np.float64) for e in embs]
+        nonnull = [i for i, v in enumerate(vecs) if v is not None]
+        if not nonnull:
+            return pd.Series(out)
+        planes = _hyperplanes(vecs[nonnull[0]].shape[0], n_planes, seed)
+        mat = np.stack([vecs[i] for i in nonnull])
+        signs = (mat @ planes.T) > 0
+        vals = np.zeros(len(nonnull), dtype=np.int64)
+        for b in range(n_planes):
+            vals |= signs[:, b].astype(np.int64) << b
+        out[nonnull] = vals
+        return pd.Series(out)
+
+    return bucket
 
 
 # ------------------------------ IVF ----------------------------------

@@ -165,6 +165,42 @@ def test_simhash_candidates_rejects_lossy_blocking():
         simhash_candidates(None, max_hamming=8, bands=8)  # bands must exceed radius
 
 
+def test_simhash_radius_zero_exact_pairs(spark, corpus_df):
+    """Regression: max_hamming=0 → one 64-bit band; the band mask must
+    not overflow BIGINT (2^64-1 literal). Radius 0 returns exactly the
+    identical-fingerprint pairs."""
+    from btl_bloomfilter_spark.operators.dedup import simhash, simhash_candidates
+
+    df, exact_pairs, _ = corpus_df
+    sh = simhash(df, "text", "doc_id").cache()
+    out = simhash_candidates(sh, max_hamming=0).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for _, r in out.iterrows()}
+    vals = {int(r.id): int(r.simhash) for r in sh.collect()}
+    want = {
+        (a, b)
+        for i, a in enumerate(sorted(vals))
+        for b in sorted(vals)[i + 1 :]
+        if vals[a] == vals[b]
+    }
+    assert found == want
+    assert set(exact_pairs) <= found
+    assert (out.hamming == 0).all()
+
+
+def test_cosine_near_dup_empty_and_null_safe(spark):
+    """Regression: the LSH bucket UDF must not run an eager job or
+    crash on empty/null input."""
+    from btl_bloomfilter_spark.operators.similarity import cosine_near_dup_lsh
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert cosine_near_dup_lsh(empty, 0.9).count() == 0
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 0.01])], "vec_id long, embedding array<double>"
+    )
+    out = cosine_near_dup_lsh(withnull, 0.9, n_planes=8, bands=4).toPandas()
+    assert {(int(r.id_a), int(r.id_b)) for _, r in out.iterrows()} == {(1, 3)}
+
+
 def test_minhash_estimates_jaccard(spark, corpus_df):
     """MinHash signature agreement ≈ true Jaccard (unbiased)."""
     from btl_bloomfilter_spark.operators.dedup import (

@@ -273,6 +273,23 @@ def test_spaced_seed_mibf_end_to_end(spark):
 
 
 @pytest.mark.spark
+def test_allowed_misses_on_sparse_filter_no_crash(spark):
+    """Regression: with allowed_misses > 0, a missed hash can land past
+    the filter's last set bit; its rank equals data.size and must NOT
+    be gathered (previously IndexError). Probe a large random corpus
+    against a tiny sparse filter so such slots certainly occur."""
+    rng = np.random.default_rng(7)
+    rows = [(" ".join(rng.choice([f"w{i}" for i in range(20)], 12)), 1) for _ in range(5)]
+    df = spark.createDataFrame(rows, "text string, ref_id long")
+    mibf = build_mibf(df, "text", "ref_id", m_bits=1 << 10, hash_num=3, k=8)
+    corpus = [" ".join(rng.choice([f"x{i}" for i in range(500)], 30)) for _ in range(300)]
+    out = mibf.classify_batch(corpus, allowed_misses=2)
+    assert len(out) == 300
+    full = mibf.classify_full(corpus[:50], allowed_misses=2)
+    assert len(full) == 50
+
+
+@pytest.mark.spark
 def test_spaced_seed_mibf_io_roundtrip(spark, tmp_path):
     """Spaced filters persist their own patterns and reload into the
     same mode (header seed section, MIBloomFilter.hpp:185-210)."""
