@@ -355,10 +355,12 @@ def hash_strings_from_buffers(
     return hash_spans_from_buffers(buf, offsets[:-1], offsets[1:], num_hashes, seeds=seeds)
 
 
-# ASCII whitespace lookup (space, \t, \n, \v, \f, \r) — byte-level split
-# is exact for UTF-8 (multi-byte code points never contain ASCII bytes).
+# ASCII whitespace lookup — byte-level split is exact for UTF-8
+# (multi-byte code points never contain ASCII bytes).  Matches
+# str.split()'s ASCII set: \t \n \v \f \r space plus the information
+# separators \x1c-\x1f (which str.isspace() also treats as spaces).
 _WS_LUT = np.zeros(256, dtype=bool)
-_WS_LUT[[9, 10, 11, 12, 13, 32]] = True
+_WS_LUT[[9, 10, 11, 12, 13, 28, 29, 30, 31, 32]] = True
 
 
 def tokenize_buffers(

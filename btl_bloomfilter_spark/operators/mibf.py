@@ -526,7 +526,12 @@ class MIBloomFilter(Sketch):
 
 
 def with_classification(
-    df: DataFrame, mibf: "MIBloomFilter", col: str, *, keep: list[str] | None = None
+    df: DataFrame,
+    mibf: "MIBloomFilter",
+    col: str,
+    *,
+    keep: list[str] | None = None,
+    allowed_misses: int = 0,
 ) -> DataFrame:
     """Append miBF classification columns (best_id, frames,
     total_frames, saturated_frac) to every row — the distributed query
@@ -562,7 +567,7 @@ def with_classification(
         if sk is None:
             sk = _WORKER_CACHE[token] = Sketch.deserialize(blob.value)
         for pdf in batches:
-            res = sk.classify_batch(pdf[col])
+            res = sk.classify_batch(pdf[col], allowed_misses=allowed_misses)
             yield pd.concat([pdf[keep].reset_index(drop=True), res], axis=1)
 
     return df.mapInPandas(fn, out_schema)

@@ -309,6 +309,24 @@ def test_spaced_seed_mibf_io_roundtrip(spark, tmp_path):
     assert back.classify_batch(texts).best_id.tolist() == mibf.classify_batch(texts).best_id.tolist()
 
 
+def test_spaced_bloom_arrow_equals_pandas():
+    """Spaced-seed Bloom: update_arrow == update bit-for-bit."""
+    import pyarrow as pa
+
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    texts = ["hello world xx", "spaced seed bits", None, "", "zz"]
+    a = BloomFilter(1 << 14, 2, 0, spaced_seeds=["1101", "1011"])
+    b = BloomFilter(1 << 14, 2, 0, spaced_seeds=["1101", "1011"])
+    a.update(texts)
+    b.update_arrow(pa.array(texts, pa.string()))
+    np.testing.assert_array_equal(a.bits, b.bits)
+    # arrow probe equals pandas probe
+    np.testing.assert_array_equal(
+        a.contains_batch([t or "" for t in texts]), b.contains_arrow(pa.array(texts, pa.string()))
+    )
+
+
 def test_spaced_seed_bloom_masked_positions_collide():
     """Spaced Bloom (st/ssHashIterator analog): strings differing only
     at masked ('0') positions hash identically → full containment."""

@@ -78,6 +78,49 @@ def test_sizing_invariants(n, fpr):
     assert P.fpr_num_inserted(n, m, h) >= P.fpr_num_inserted(max(n // 2, 1), m, h)
 
 
+@settings(max_examples=150, deadline=None)
+@given(
+    rows=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_characters="\x00"),
+            max_size=40,
+        ),
+        max_size=12,
+    )
+)
+def test_tokenize_buffers_matches_str_split_property(rows):
+    """Vectorized tokenizer == str.split() for any unicode rows whose
+    whitespace is ASCII (str.split also splits on unicode whitespace,
+    which the byte tokenizer deliberately does not — normalize those
+    out of the comparison)."""
+    uni_ws = [c for c in set("".join(rows)) if c.isspace() and ord(c) > 127]
+    for c in uni_ws:
+        rows = [r.replace(c, "_") for r in rows]
+    buf, offsets = H._flatten_utf8(rows)
+    starts, ends, tok_rows = H.tokenize_buffers(buf, offsets)
+    got: dict[int, list[str]] = {}
+    for s, e, r in zip(starts, ends, tok_rows):
+        got.setdefault(int(r), []).append(bytes(buf[s:e]).decode("utf-8", "surrogatepass"))
+    for i, row in enumerate(rows):
+        assert got.get(i, []) == row.split(), (i, row)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    toks=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=1, max_size=20),
+    n=st.integers(min_value=1, max_value=4),
+)
+def test_token_ngram_fold_injective_on_position(toks, n):
+    """Gram hashes depend only on the token-hash window content: the
+    same token list hashed twice (different flat offsets) agrees."""
+    th = H.hash_strings(toks + toks, 1)[:, 0]
+    offs = np.array([0, len(toks), 2 * len(toks)], dtype=np.int64)
+    base, rows = H.hash_token_ngrams_from_hashes(th, offs, n)
+    a = base[rows == 0]
+    b = base[rows == 1]
+    np.testing.assert_array_equal(a, b)
+
+
 @settings(max_examples=30, deadline=None)
 @given(data=st.lists(st.integers(min_value=0, max_value=2**64 - 1), min_size=1, max_size=50))
 def test_nte64_matches_python_ints(data):
