@@ -22,33 +22,46 @@ LANG_STOPWORDS = {
 }
 
 
+def _clean(col: str) -> Column:
+    """NULL → ''; strip ALL leading/trailing whitespace (F.trim strips
+    only ASCII spaces, so 'foo\\n' would otherwise yield a phantom
+    empty token after split)."""
+    return F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"^\s+|\s+$", "")
+
+
+def _clean_sql(col: str) -> str:
+    return f"regexp_replace(coalesce({col}, ''), '^\\s+|\\s+$', '', 'g')"
+
+
 def token_count(col: str) -> Column:
-    """Whitespace token count; empty/blank → 0."""
-    t = F.trim(F.col(col))
+    """Whitespace token count; NULL/empty/blank → 0."""
+    t = _clean(col)
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
 
 
 def char_count(col: str) -> Column:
-    return F.length(F.col(col)).cast("long")
+    return F.length(F.coalesce(F.col(col), F.lit(""))).cast("long")
 
 
 def punct_ratio(col: str) -> Column:
-    """Fraction of characters that are punctuation."""
-    n = F.length(F.col(col))
-    p = n - F.length(F.regexp_replace(F.col(col), r"[\.,;:!\?\'\"]", ""))
+    """Fraction of characters that are punctuation (NULL → 0.0)."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    n = F.length(c)
+    p = n - F.length(F.regexp_replace(c, r"[\.,;:!\?\'\"]", ""))
     return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
 def digit_ratio(col: str) -> Column:
-    n = F.length(F.col(col))
-    d = n - F.length(F.regexp_replace(F.col(col), r"[0-9]", ""))
+    c = F.coalesce(F.col(col), F.lit(""))
+    n = F.length(c)
+    d = n - F.length(F.regexp_replace(c, r"[0-9]", ""))
     return F.when(n > 0, d.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
 def mean_token_len(col: str) -> Column:
-    t = F.trim(F.col(col))
+    t = _clean(col)
     toks = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
-    nospace = F.length(F.regexp_replace(F.col(col), r"\s", ""))
+    nospace = F.length(F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"\s", ""))
     return F.when(toks > 0, nospace.cast("double") / toks.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -56,7 +69,7 @@ def stopword_hits(col: str, lang: str) -> Column:
     """How many tokens are in lang's stopword list (array_intersect-free:
     counts occurrences via size(filter(...)))."""
     words = LANG_STOPWORDS[lang]
-    arr = F.split(F.trim(F.col(col)), r"\s+")
+    arr = F.split(_clean(col), r"\s+")
     return F.size(F.filter(arr, lambda x: x.isin(*[F.lit(w) for w in words]))).cast("long")
 
 
@@ -94,24 +107,27 @@ def fingerprint(col: str) -> Column:
 
 
 def token_count_sql(col: str) -> str:
+    t = _clean_sql(col)
     return (
-        f"case when trim({col}) = '' then 0 "
-        f"else len(string_split_regex(trim({col}), '\\s+')) end"
+        f"case when {t} = '' then 0 "
+        f"else len(string_split_regex({t}, '\\s+')) end"
     )
 
 
 def punct_ratio_sql(col: str) -> str:
+    c = f"coalesce({col}, '')"
     return (
-        f"case when length({col}) > 0 then "
-        f"(length({col}) - length(regexp_replace({col}, '[\\.,;:!\\?''\"]', '', 'g')))::double / length({col}) "
+        f"case when length({c}) > 0 then "
+        f"(length({c}) - length(regexp_replace({c}, '[\\.,;:!\\?''\"]', '', 'g')))::double / length({c}) "
         f"else 0.0 end"
     )
 
 
 def digit_ratio_sql(col: str) -> str:
+    c = f"coalesce({col}, '')"
     return (
-        f"case when length({col}) > 0 then "
-        f"(length({col}) - length(regexp_replace({col}, '[0-9]', '', 'g')))::double / length({col}) "
+        f"case when length({c}) > 0 then "
+        f"(length({c}) - length(regexp_replace({c}, '[0-9]', '', 'g')))::double / length({c}) "
         f"else 0.0 end"
     )
 
@@ -120,7 +136,7 @@ def mean_token_len_sql(col: str) -> str:
     toks = token_count_sql(col)
     return (
         f"case when {toks} > 0 then "
-        f"length(regexp_replace({col}, '\\s', '', 'g'))::double / ({toks}) else 0.0 end"
+        f"length(regexp_replace(coalesce({col}, ''), '\\s', '', 'g'))::double / ({toks}) else 0.0 end"
     )
 
 
@@ -128,7 +144,7 @@ def quality_score_sql(col: str) -> str:
     tl = mean_token_len_sql(col)
     return (
         f"round(("
-        f"least(length({col})::double / 200.0, 1.0) * 0.4 + "
+        f"least(length(coalesce({col}, ''))::double / 200.0, 1.0) * 0.4 + "
         f"(1.0 - least({punct_ratio_sql(col)} * 4 + {digit_ratio_sql(col)} * 2, 1.0)) * 0.4 + "
         f"(case when ({tl}) >= 3 and ({tl}) <= 10 then 1.0 else 0.5 end) * 0.2"
         f"), 6)"
@@ -138,7 +154,7 @@ def quality_score_sql(col: str) -> str:
 def stopword_hits_sql(col: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return (
-        f"len(list_filter(string_split_regex(trim({col}), '\\s+'), x -> x in ({words})))"
+        f"len(list_filter(string_split_regex({_clean_sql(col)}, '\\s+'), x -> x in ({words})))"
     )
 
 

@@ -134,29 +134,39 @@ class CountingBloomFilter(Sketch):
 
     def update_and_check(self, values) -> np.ndarray:
         """insertAndCheck (CountingBloomFilter.hpp:206-214): per
-        element, contains-then-increment with exact sequential
-        semantics — occurrence j of a value sees pre_count + j."""
+        element, contains-then-increment with EXACT sequential
+        semantics at SLOT granularity: window i's read of slot s sees
+        the pre-batch count plus every touch of s by windows j < i —
+        including collisions between different values, not just
+        identical-value occurrences (an element's own h reads all
+        precede its own increments, as in the reference)."""
         hashes, rows = self._hash_batch(values)
         n = len(values)
         if hashes.shape[0] == 0:
             self.t_entry += n
             return np.zeros(n, dtype=bool)
         slots = self._slots(hashes)
-        sat = np.minimum(self.counters, np.uint64(self.counter_max))
-        pre = sat[slots].min(axis=1).astype(np.int64)
-        # occurrence rank among identical hash blocks (base hash h0
-        # determines the whole block)
-        base = hashes[:, 0]
-        _, inv = np.unique(base, return_inverse=True)
-        order = np.argsort(inv, kind="stable")
-        inv_sorted = inv[order]
-        m = inv.shape[0]
-        grp_first = np.concatenate([[True], inv_sorted[1:] != inv_sorted[:-1]])
-        first_of_grp = np.maximum.accumulate(np.where(grp_first, np.arange(m), 0))
-        ranks = np.empty(m, dtype=np.int64)
-        ranks[order] = np.arange(m) - first_of_grp
-        present = (pre + ranks) >= self.threshold
-        np.add.at(self.counters, slots.ravel(), np.uint64(1))
+        w, h = slots.shape
+        flat = slots.ravel()
+        widx = np.repeat(np.arange(w, dtype=np.int64), h)
+        order = np.lexsort((widx, flat))  # by slot, then window order
+        fs = flat[order]
+        fw = widx[order]
+        idx = np.arange(fs.size, dtype=np.int64)
+        new_slot = np.concatenate([[True], fs[1:] != fs[:-1]])
+        slot_start = np.maximum.accumulate(np.where(new_slot, idx, 0))
+        run_first = new_slot.copy()
+        run_first[1:] |= fw[1:] != fw[:-1]
+        run_start = np.maximum.accumulate(np.where(run_first, idx, 0))
+        prior_sorted = run_start - slot_start  # touches by earlier windows
+        prior = np.empty(fs.size, dtype=np.int64)
+        prior[order] = prior_sorted
+        before = np.minimum(
+            self.counters[slots].astype(np.int64) + prior.reshape(w, h),
+            np.int64(self.counter_max),
+        )
+        present = before.min(axis=1) >= self.threshold
+        np.add.at(self.counters, flat, np.uint64(1))
         self.n_entry += int(hashes.shape[0])
         self.t_entry += n
         if self.k == 0:
@@ -346,8 +356,18 @@ class CountMinSketch(Sketch):
         cols = self._cols(values)
         w = np.asarray(weights, dtype=np.uint64)
         if cols.shape[0]:
-            flat = (np.arange(self.depth, dtype=np.int64)[None, :] * self.width + cols).ravel()
-            np.add.at(self.table.reshape(-1), flat, np.repeat(w, self.depth))
+            if self.conservative:
+                # weighted conservative update: raise each row's cell
+                # to at most min_cell + w (partition-local, like the
+                # unweighted conservative path)
+                rows = np.arange(self.depth)
+                for r in range(cols.shape[0]):
+                    cur = self.table[rows, cols[r]]
+                    new = cur.min() + w[r]
+                    self.table[rows, cols[r]] = np.maximum(cur, new)
+            else:
+                flat = (np.arange(self.depth, dtype=np.int64)[None, :] * self.width + cols).ravel()
+                np.add.at(self.table.reshape(-1), flat, np.repeat(w, self.depth))
         self.n_entry += int(w.sum())
         self.t_entry += cols.shape[0]
 

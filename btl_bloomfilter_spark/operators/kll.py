@@ -6,11 +6,18 @@ level l+1.  Normalized rank error is O(1/k) with high probability
 (we assert an empirical ≤ 2.2/k bound in tests, the published
 constant for the high-weight-biased capacity schedule below).
 
-Randomness is a seeded numpy Generator per sketch instance, so a
-given build is reproducible (the reference's unseeded srand in
-Tests/Unit/CountingBloomFilterTests.cpp:113 becomes seeded here per
-FIXTURES.md).  Merge = concatenate compactors level-wise, then
-re-compact: associative in distribution, with the same error bound.
+Randomness: each instance draws its own entropy seed by default so
+per-partition compaction coin flips are INDEPENDENT — with a shared
+seed the randomized errors of P similar partitions correlate and add
+like P·eps instead of cancelling like sqrt(P)·eps.  Pass ``seed=``
+explicitly for a reproducible build; the realized seed rides in
+params() so serialized blobs round-trip identically.  Merge =
+concatenate compactors level-wise, then re-compact: associative in
+distribution, with the same error bound.
+
+Odd-length compactions retain the one unpaired item at its level
+(standard KLL), so total retained weight always equals n exactly and
+rank() never drifts past 1.
 """
 
 from __future__ import annotations
@@ -24,14 +31,24 @@ from .base import Sketch
 _C = 2.0 / 3.0  # capacity decay per level below the top
 
 
+def _to_float_array(values) -> np.ndarray:
+    """Batch → float64 array with nulls dropped, no per-element Python
+    (pandas to_numpy maps None/NA to NaN; NaN inputs are dropped too,
+    matching the previous semantics)."""
+    if hasattr(values, "to_numpy"):
+        arr = values.to_numpy(dtype=np.float64, na_value=np.nan)
+    else:
+        arr = np.array([np.nan if v is None else v for v in values], dtype=np.float64)
+    return arr[~np.isnan(arr)]
+
+
 class KLL(Sketch):
-    def __init__(self, k: int = 200, *, seed: int = 42):
+    def __init__(self, k: int = 200, *, seed: int | None = None):
         self.k = int(k)
-        self.seed = int(seed)
+        self.seed = int(seed) if seed is not None else int(np.random.SeedSequence().entropy & ((1 << 63) - 1))
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
         self._rng = np.random.default_rng(self.seed)
-        self._buf: list[float] = []
 
     def params(self) -> dict[str, Any]:
         return {"k": self.k, "seed": self.seed}
@@ -49,11 +66,7 @@ class KLL(Sketch):
 
     # -- updates -----------------------------------------------------
     def update(self, values) -> None:
-        arr = np.asarray(
-            [v for v in (values.tolist() if hasattr(values, "tolist") else values) if v is not None],
-            dtype=np.float64,
-        )
-        arr = arr[~np.isnan(arr)]
+        arr = _to_float_array(values)
         if arr.size == 0:
             return
         self.levels[0] = np.concatenate([self.levels[0], arr])
@@ -71,9 +84,16 @@ class KLL(Sketch):
 
     def _compact(self, l: int) -> None:
         items = np.sort(self.levels[l])
+        # an odd-length level keeps its one unpaired item in place —
+        # promoting it would double (or dropping it halve) 2^l weight
+        if items.size % 2:
+            leftover = items[-1:]
+            items = items[:-1]
+        else:
+            leftover = np.empty(0, dtype=np.float64)
         keep_odd = bool(self._rng.integers(0, 2))
         promoted = items[1::2] if keep_odd else items[0::2]
-        self.levels[l] = np.empty(0, dtype=np.float64)
+        self.levels[l] = leftover
         if l + 1 == len(self.levels):
             self.levels.append(np.empty(0, dtype=np.float64))
         self.levels[l + 1] = np.concatenate([self.levels[l + 1], promoted])

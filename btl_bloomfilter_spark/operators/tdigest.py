@@ -38,11 +38,9 @@ class TDigest(Sketch):
 
     # -- updates -----------------------------------------------------
     def update(self, values) -> None:
-        arr = np.asarray(
-            [v for v in (values.tolist() if hasattr(values, "tolist") else values) if v is not None],
-            dtype=np.float64,
-        )
-        arr = arr[~np.isnan(arr)]
+        from .kll import _to_float_array
+
+        arr = _to_float_array(values)
         if arr.size == 0:
             return
         self._buf.append(arr)

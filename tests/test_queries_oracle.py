@@ -80,6 +80,48 @@ def test_rows_only_queries_run(spark, name):
 
 
 @pytest.mark.spark
+def test_textstats_edge_cases_cross_engine(spark, tmp_path):
+    """NULL / blank / trailing-newline / multi-space texts: Spark and
+    DuckDB must agree AND match hand-computed truth (F.trim strips
+    only ASCII spaces — regression for phantom empty tokens)."""
+    import duckdb
+
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    rows = [(1, None), (2, ""), (3, "\t"), (4, "foo\n"), (5, "  a\t b  "), (6, "the and x")]
+    pdf = pd.DataFrame(rows, columns=["id", "text"])
+    path = str(tmp_path / "t.parquet")
+    pdf.to_parquet(path)
+    got = (
+        spark.read.parquet(path)
+        .select(
+            "id",
+            T.token_count("text").alias("tc"),
+            T.quality_score("text").alias("q"),
+            T.lang_guess("text").alias("lg"),
+        )
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{path}'")
+    want = (
+        con.sql(
+            f"SELECT id, {T.token_count_sql('text')} AS tc, "
+            f"{T.quality_score_sql('text')} AS q, {T.lang_guess_sql('text')} AS lg "
+            f"FROM t ORDER BY id"
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert got.tc.tolist() == want.tc.tolist() == [0, 0, 0, 1, 2, 3]
+    assert got.q.tolist() == pytest.approx(want.q.tolist())
+    assert got.lg.tolist() == want.lg.tolist()
+    assert got.lg.iloc[5] == "en"
+
+
+@pytest.mark.spark
 def test_entry_smoke(spark):
     out = entrymod.entry(spark).toPandas()
     assert len(out) >= 1
