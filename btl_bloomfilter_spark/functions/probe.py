@@ -11,8 +11,6 @@ Bloom filter, the classic BF use.
 
 from __future__ import annotations
 
-import uuid
-
 import pandas as pd
 
 from pyspark.sql import Column, SparkSession
@@ -20,20 +18,37 @@ from pyspark.sql.functions import pandas_udf
 
 from ..operators.base import Sketch
 
-# per-worker deserialized-sketch cache (rebuilt lazily per executor)
+# per-worker deserialized-sketch cache (rebuilt lazily per executor).
+# Keyed by CONTENT hash so identical sketches probed repeatedly share
+# one entry, and bounded (FIFO) so a long-lived app probing many
+# filters can't accumulate GBs of dense state in every Python worker.
 _WORKER_CACHE: dict[str, Sketch] = {}
+_WORKER_CACHE_MAX = 8
+
+
+def _cache_get(token: str, blob_value) -> Sketch:
+    sk = _WORKER_CACHE.get(token)
+    if sk is None:
+        while len(_WORKER_CACHE) >= _WORKER_CACHE_MAX:
+            _WORKER_CACHE.pop(next(iter(_WORKER_CACHE)))
+        sk = _WORKER_CACHE[token] = Sketch.deserialize(blob_value)
+    return sk
+
+
+def _blob_token(blob: bytes) -> str:
+    import hashlib
+
+    return hashlib.sha1(blob).hexdigest()
 
 
 def _probe_udf(spark: SparkSession, sketch: Sketch, method: str, ret_type: str):
     blob = sketch.serialize()
     bc = spark.sparkContext.broadcast(blob)
-    token = uuid.uuid4().hex
+    token = _blob_token(blob)
 
     @pandas_udf(ret_type)
     def probe(s: pd.Series) -> pd.Series:
-        sk = _WORKER_CACHE.get(token)
-        if sk is None:
-            sk = _WORKER_CACHE[token] = Sketch.deserialize(bc.value)
+        sk = _cache_get(token, bc.value)
         return pd.Series(getattr(sk, method)(s))
 
     return probe
@@ -87,7 +102,7 @@ def with_probe_columns(
     spark = df.sparkSession
     blob = sketch.serialize()
     bc = spark.sparkContext.broadcast(blob)
-    token = uuid.uuid4().hex
+    token = _blob_token(blob)
 
     if keep is None:
         keep = [f.name for f in df.schema.fields]
@@ -100,9 +115,7 @@ def with_probe_columns(
     out_schema = ", ".join(fields)
 
     def fn(batches):
-        sk = _WORKER_CACHE.get(token)
-        if sk is None:
-            sk = _WORKER_CACHE[token] = Sketch.deserialize(bc.value)
+        sk = _cache_get(token, bc.value)
         for rb in batches:
             arr = rb.column(rb.schema.get_field_index(col))
             arrays = [rb.column(rb.schema.get_field_index(c)) for c in keep]

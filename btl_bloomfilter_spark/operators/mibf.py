@@ -543,13 +543,12 @@ def with_classification(
     ``keep`` prunes the OUTPUT columns (mapInPandas is opaque to
     Catalyst): pass only what the consumer needs so the classified
     text is not re-serialized back across the Arrow boundary."""
-    import uuid
-
-    from ..functions.probe import _WORKER_CACHE
+    from ..functions.probe import _blob_token, _cache_get
 
     spark = df.sparkSession
-    blob = spark.sparkContext.broadcast(mibf.serialize())
-    token = uuid.uuid4().hex
+    ser = mibf.serialize()
+    blob = spark.sparkContext.broadcast(ser)
+    token = _blob_token(ser)
     if keep is None:
         keep = [f.name for f in df.schema.fields]
     type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
@@ -563,9 +562,7 @@ def with_classification(
     )
 
     def fn(batches):
-        sk = _WORKER_CACHE.get(token)
-        if sk is None:
-            sk = _WORKER_CACHE[token] = Sketch.deserialize(blob.value)
+        sk = _cache_get(token, blob.value)
         for pdf in batches:
             res = sk.classify_batch(pdf[col], allowed_misses=allowed_misses)
             yield pd.concat([pdf[keep].reset_index(drop=True), res], axis=1)

@@ -37,9 +37,10 @@ def calc_frame_probs(mibf, allowed_miss: int = 0) -> tuple[dict[int, float], flo
     """(per-ID frame probability, saturated proportion)
     (MIBloomFilter.hpp:664-679): freq = ID count / total IDs,
     occupancy = popcount/m."""
-    import numpy as np
-
-    occupancy = float(np.unpackbits(mibf.bits, bitorder="little").sum()) / mibf.m_bits
+    # popcount via the filter's byte-cumulative LUT (unpackbits would
+    # materialize an m_bits-byte temporary — 8x the filter's state)
+    mibf._ensure_byte_cum()
+    occupancy = float(mibf._byte_cum[-1]) / mibf.m_bits
     counts = mibf.get_id_counts()
     total = sum(counts.values())
     sat_prop = mibf.pop_saturated() / max(total, 1)
@@ -140,12 +141,24 @@ def check_count_agreement(b: QueryResult, a: QueryResult) -> bool:
 
 
 def binom_cdf(k: int, n: int, p: float) -> float:
-    """Binomial CDF P(X ≤ k) — closed form, no scipy."""
+    """Binomial CDF P(X ≤ k) — log-space (lgamma) pmf, no scipy.
+    math.comb → float overflows past n ≈ 1030, and evaluated window
+    counts routinely exceed that for multi-KB documents."""
     if k < 0:
         return 0.0
     if k >= n:
         return 1.0
-    return sum(math.comb(n, i) * p**i * (1 - p) ** (n - i) for i in range(0, k + 1))
+    if p <= 0.0:
+        return 1.0
+    if p >= 1.0:
+        return 0.0
+    lp, lq = math.log(p), math.log1p(-p)
+    lgn = math.lgamma(n + 1)
+    total = 0.0
+    for i in range(0, k + 1):
+        ll = lgn - math.lgamma(i + 1) - math.lgamma(n - i + 1) + i * lp + (n - i) * lq
+        total += math.exp(ll)
+    return min(total, 1.0)
 
 
 def calc_sat(evaluated_values: int, single_event_prob: float, saturated_count: int) -> float:

@@ -66,13 +66,13 @@ def decode_real(payload: bytes, kind: str):
 def _fake_features(payloads: pd.Series) -> np.ndarray:
     """Deterministic fake 'decoder': FEATURE_DIM floats derived from a
     seeded hash of the payload bytes.  Stands in for a real embedding
-    so downstream plumbing (schema, batching, joins) is testable."""
-    feats = np.zeros((len(payloads), FEATURE_DIM), dtype=np.float32)
-    for i, p in enumerate(payloads):
-        b = bytes(p) if p is not None else b""
-        h = H.hash_strings([b.hex()], FEATURE_DIM)[0]
-        feats[i] = (h.astype(np.float64) / 2**64).astype(np.float32)
-    return feats
+    so downstream plumbing (schema, batching, joins) is testable.
+    One batched hash call per Arrow batch — not per row."""
+    hexes = [(bytes(p) if p is not None else b"").hex() for p in payloads]
+    if not hexes:
+        return np.zeros((0, FEATURE_DIM), dtype=np.float32)
+    h = H.hash_strings(hexes, FEATURE_DIM)
+    return (h.astype(np.float64) / 2**64).astype(np.float32)
 
 
 def extract_features(df: DataFrame, *, payload_col: str = "payload") -> DataFrame:

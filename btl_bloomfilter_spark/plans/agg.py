@@ -119,15 +119,18 @@ def partial_sketches(
     make_sketch: Callable[[], Sketch],
     *,
     repartition: int | None = None,
+    proto: Sketch | None = None,
 ) -> DataFrame:
     """Stage 0: one serialized partial sketch per partition.
 
     ``select(col)`` first so Catalyst prunes columns at the scan.
+    ``proto`` lets callers that already built a prototype avoid a
+    second full-size allocation (a GB-scale filter is real memory).
     """
     sdf = df.select(col)
     if repartition:
         sdf = sdf.repartition(repartition)
-    probe = make_sketch()
+    probe = proto if proto is not None else make_sketch()
     if hasattr(probe, "update_arrow") and dict(sdf.dtypes)[col] == "string":
         return sdf.mapInArrow(_build_fn_arrow(make_sketch, col), PARTIAL_SCHEMA)
     return sdf.mapInPandas(_build_fn(make_sketch, col), PARTIAL_SCHEMA)
@@ -283,7 +286,7 @@ def build_sketch(
     ):
         return build_sketch_sliced(df, col, make_sketch, repartition=repartition)
     params_json = json.dumps(
-        {"cls": type(make_sketch()).__name__, "params": make_sketch().params(), "col": col, "lineage": lineage},
+        {"cls": type(proto).__name__, "params": proto.params(), "col": col, "lineage": lineage},
         sort_keys=True,
     )
     if checkpoint_dir and _checkpoint_matches(checkpoint_dir, params_json):
@@ -291,9 +294,16 @@ def build_sketch(
         n = partials.count()
         return tree_merge(partials, n, fanin=fanin)
 
-    partials = partial_sketches(df, col, make_sketch, repartition=repartition)
+    partials = partial_sketches(df, col, make_sketch, repartition=repartition, proto=proto)
     if checkpoint_dir:
         path = os.path.join(checkpoint_dir, "partials")
+        # invalidate BEFORE overwriting: a crash between writing new
+        # partials and new params.json must not leave the OLD params
+        # paired with NEW partials (a later run would silently resume
+        # from mismatched state)
+        stale = os.path.join(checkpoint_dir, "params.json")
+        if os.path.exists(stale):
+            os.remove(stale)
         partials.withColumn("lineage", F.lit(lineage)).write.mode("overwrite").parquet(path)
         with open(os.path.join(checkpoint_dir, "params.json"), "w") as f:
             f.write(params_json)
@@ -346,8 +356,10 @@ def grouped_partials_fn_arrow(make_sketch: Callable[[], Sketch], keys: Sequence[
         import pyarrow as pa
 
         states: dict[tuple, Sketch] = {}
+        key_types: list = []
         for rb in batches:
             vals = rb.column(rb.schema.get_field_index(col))
+            key_types = [rb.schema.field(k).type for k in keys]
             key_pdf = rb.select(list(keys)).to_pandas()
             for kv, sub in key_pdf.groupby(list(keys), dropna=False, sort=False):
                 if not isinstance(kv, tuple):
@@ -357,7 +369,12 @@ def grouped_partials_fn_arrow(make_sketch: Callable[[], Sketch], keys: Sequence[
                     sk = states[kv] = make_sketch()
                 sk.update_arrow(vals.take(pa.array(sub.index.to_numpy())))
         for kv, sk in states.items():
-            arrays = [pa.array([v]) for v in kv]
+            # explicit key types: pa.array([None]) is null-typed and the
+            # JVM cannot read it as the declared key column (null keys
+            # crashed the job; pandas NaN keys normalize back to null)
+            arrays = [
+                pa.array([None if pd.isna(v) else v], type=t) for v, t in zip(kv, key_types)
+            ]
             arrays.append(pa.array([sk.serialize()], pa.binary()))
             yield pa.record_batch(arrays, names=list(keys) + ["blob"])
 
@@ -398,9 +415,9 @@ def sketch_by_key(
         partials = sdf.mapInPandas(grouped_partials_fn(make_sketch, keys, col), partial_schema)
 
     def merge_blobs(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = Sketch.deserialize(pdf["blob"].iloc[0])
-        for b in pdf["blob"].iloc[1:]:
-            sk.merge(Sketch.deserialize(b))
+        # bulk path: one batched merge (BloomFilter.bulk_merge's single
+        # scatter is ~10x cheaper than N-1 deserialize+merge rounds)
+        sk = Sketch.merge_blobs([bytes(b) for b in pdf["blob"]])
         out = {k: [pdf[k].iloc[0]] for k in keys}
         out["blob"] = [sk.serialize()]
         return pd.DataFrame(out)
@@ -422,9 +439,8 @@ def sketch_by_key(
         partials = salted.groupBy(*keys, "__salt").applyInPandas(merge_salted, partial_schema)
 
     def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
-        merged = merge_blobs(pdf)
-        sk = Sketch.deserialize(merged["blob"].iloc[0])
-        out = {k: merged[k] for k in keys}
+        sk = Sketch.merge_blobs([bytes(b) for b in pdf["blob"]])
+        out = {k: [pdf[k].iloc[0]] for k in keys}
         out[out_col] = [float(finalize(sk))]
         return pd.DataFrame(out)
 

@@ -124,6 +124,10 @@ def save_counting(cbf, path: str | Path) -> None:
         "nEntry": cbf.n_entry,
         "Entry": cbf.t_entry,
         "SeedSalt": cbf.seed_salt,
+        # non-reference extension (like SeedSalt, ignored by the
+        # reference loader): without it a reload silently reset the
+        # contains() threshold to 1
+        "Threshold": cbf.threshold,
     }
     write_bf(path, MAGIC_COUNTING, fields, cbf.counters_saturated().tobytes())
 
@@ -139,6 +143,7 @@ def load_counting(path: str | Path):
         counter_bits=int(fields.get("BitsPerCounter", 8)),
         seed_salt=int(fields.get("SeedSalt", 0)),
         dfpr=float(fields.get("dFPR", 0.0)),
+        threshold=int(fields.get("Threshold", 1)),
     )
     cbf.load_counters_saturated(payload)
     cbf.n_entry = int(fields.get("nEntry", 0))

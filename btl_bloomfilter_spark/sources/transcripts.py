@@ -42,7 +42,9 @@ def _conv_rows(conv: int, seed: int) -> dict:
     with np.errstate(over="ignore"):  # uint64 wrap is the intended mix
         mix = np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15) + np.uint64(conv)
     rng = np.random.default_rng(mix)
-    n_turns = int(min(64, 1 + rng.geometric(0.12)))
+    # geometric support is {1, 2, ...} already — FIXTURES.md specifies
+    # conv sizes in [1, 64] including single-turn conversations
+    n_turns = int(min(64, rng.geometric(0.12)))
     if rng.random() < 0.10:
         cid = f"hot{int(rng.integers(HOT_PREFIXES)):02d}-conv{conv:08d}"
     else:

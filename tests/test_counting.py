@@ -90,7 +90,7 @@ def test_pop_counts_and_fpr():
 
 
 def test_counting_bf_file_roundtrip(tmp_path):
-    cbf = CountingBloomFilter(100_008, 5, 8, counter_bits=8, dfpr=0.01)
+    cbf = CountingBloomFilter(100_008, 5, 8, counter_bits=8, dfpr=0.01, threshold=3)
     cbf.update(["ABCDEFGHIJKLMNOPQRST"])
     p = tmp_path / "c.bf"
     bfio.save_counting(cbf, p)
@@ -98,7 +98,12 @@ def test_counting_bf_file_roundtrip(tmp_path):
     assert raw.startswith(b"[BTLCountingBloomFilter_v1]")
     back = bfio.load_counting(p)
     np.testing.assert_array_equal(back.counters_saturated(), cbf.counters_saturated())
-    assert back.contains_batch(["ABCDEFGH"]).all()
+    # regression: threshold must survive the file round-trip (a reload
+    # silently reset it to 1, changing contains() semantics)
+    assert back.threshold == 3
+    np.testing.assert_array_equal(
+        back.contains_batch(["ABCDEFGH"]), cbf.contains_batch(["ABCDEFGH"])
+    )
 
 
 def test_envelope_roundtrip():

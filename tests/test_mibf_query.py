@@ -64,6 +64,15 @@ def test_check_count_agreement():
     assert not check_count_agreement(top, disagree)
 
 
+def test_binom_cdf_large_n_no_overflow():
+    """Regression: math.comb → float overflowed past n ≈ 1030; window
+    counts of multi-KB documents routinely exceed that."""
+    v = calc_sat(2000, 0.1, 600)
+    assert v == 1.0 or 0.0 <= v <= 1.0
+    assert binom_cdf(1000, 2000, 0.5) == pytest.approx(0.5, abs=0.02)
+    assert binom_cdf(5000, 50000, 0.1) == pytest.approx(0.5, abs=0.02)
+
+
 def test_binom_cdf_and_calc_sat():
     # against a hand-computed binomial
     assert binom_cdf(1, 3, 0.5) == pytest.approx(0.5)  # P(X<=1) for Bin(3,.5)

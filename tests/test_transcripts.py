@@ -139,6 +139,19 @@ def test_quantiles_turn_length(spark, tdf):
             assert err <= 0.02, (q, est, err)
 
 
+def test_sketch_by_key_null_keys(spark, tdf):
+    """Regression: null key values crashed the Arrow grouped path
+    (pa.array([None]) is null-typed; the JVM can't read it as the
+    declared string column).  `tool` is null on every non-tool turn."""
+    out = sketch_by_key(
+        tdf, ["tool"], "conv_id", lambda: HyperLogLog(p=10), lambda s: s.estimate(), "est"
+    ).toPandas()
+    assert out["tool"].isna().any()  # the null group survives
+    exact_null = tdf.where("tool IS NULL").select("conv_id").distinct().count()
+    got_null = float(out[out["tool"].isna()]["est"].iloc[0])
+    assert abs(got_null - exact_null) / exact_null < 0.15
+
+
 def test_sketch_by_key_with_salting(spark, tdf):
     """Skew path: salted two-stage merge gives identical HLL results."""
     plain = sketch_by_key(tdf, ["role"], "conv_id", lambda: HyperLogLog(p=10), lambda s: s.estimate(), "est")
