@@ -277,9 +277,11 @@ def run_scaling(pairs=((2, 8), (8, 32))) -> dict:
     below the bandwidth ceiling and is the faithful proxy for the
     N→4N-executor criterion; both are reported.
     """
-    subprocess.run(
+    prep = subprocess.run(
         [sys.executable, __file__, "--prep-scaling-data"], capture_output=True, text=True, cwd=str(REPO)
     )
+    if prep.returncode != 0:
+        raise RuntimeError(f"scaling data prep failed:\n{prep.stderr[-2000:]}")
     levels = sorted({c for p in pairs for c in p})
     out: dict = {}
     # two sessions per level in alternating order (forward then
@@ -293,19 +295,31 @@ def run_scaling(pairs=((2, 8), (8, 32))) -> dict:
             text=True,
             cwd=str(REPO),
         )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        res = json.loads(line)
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        if r.returncode != 0 or not lines:
+            raise RuntimeError(
+                f"--single-build {cpus} failed (rc={r.returncode}):\n{r.stderr[-2000:]}"
+            )
+        res = json.loads(lines[-1])
         if cpus not in out or res["sec"] < out[cpus]["sec"]:
             out[cpus] = res
     effs = {}
     for lo, hi in pairs:
         eff = out[hi]["turns_per_sec"] / (out[lo]["turns_per_sec"] * (hi / lo))
         effs[f"{lo}->{hi}"] = round(eff, 3)
+    passes_by_pair = {k: v >= 0.8 for k, v in effs.items()}
+    # the criterion verdict is the LOWEST-core pair: it is the pair
+    # fully below this host's shared-DRAM ceiling and thus the honest
+    # proxy for N vs 4N executors (see BENCH.md methodology); higher
+    # pairs are reported per-pair, never folded into one verdict
+    proxy = min(effs, key=lambda k: int(k.split("->")[0]))
     return {
         "levels": out,
         "scaling_efficiency": effs,
         "criterion": "throughput(4N)/(4 x throughput(N)) >= 0.8",
-        "passes": max(effs.values()) >= 0.8,
+        "passes_by_pair": passes_by_pair,
+        "proxy_pair": proxy,
+        "passes": passes_by_pair[proxy],
     }
 
 
@@ -337,7 +351,9 @@ def main():
                     f"| {c} | {v['sec']} | {v['turns_per_sec']} |\n" for c, v in res["levels"].items()
                 )
                 + f"\nScaling efficiency = {json.dumps(res['scaling_efficiency'])} "
-                f"({res['criterion']}) → {'PASS' if res['passes'] else 'FAIL'}\n"
+                f"({res['criterion']}), per-pair: {json.dumps(res['passes_by_pair'])}; "
+                f"criterion verdict on the sub-DRAM-ceiling proxy pair {res['proxy_pair']} → "
+                f"{'PASS' if res['passes'] else 'FAIL'}\n"
             )
         return
     print(json.dumps(run_default()))

@@ -329,10 +329,18 @@ def hash_spans_from_buffers(
     equal byte spans hash equal anywhere in the buffer.
     """
     seeds = _SEEDS if seeds is None else seeds
-    pos = np.arange(buf.shape[0], dtype=np.uint64)
-    u = _ror(seeds[buf], pos) if buf.shape[0] else np.empty(0, dtype=np.uint64)
-    pre = np.zeros(buf.shape[0] + 1, dtype=np.uint64)
-    if buf.shape[0]:
+    n = buf.shape[0]
+    # pooled scratch (same rationale as _roll_hash): this is the
+    # whole-string hot path, one call per Arrow batch in long-lived
+    # workers — fresh multi-MB temporaries per call churn mmap pages
+    pre = _scratch("hs_pre", n + 1)
+    pre[0] = 0
+    if n:
+        s = _scratch("hs_s", n)
+        np.take(seeds, buf, out=s)
+        u = _scratch("hs_u", n)
+        tmp = _scratch("hs_tmp", n)
+        _ror_into(s, _positions(n), u, tmp)
         np.bitwise_xor.accumulate(u, out=pre[1:])
     w = pre[ends] ^ pre[starts]
     # rotation amount (end-1) mod 64; empty spans → seeded constant

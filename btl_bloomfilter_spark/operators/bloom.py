@@ -30,12 +30,6 @@ from .base import Sketch
 _POPCNT_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint16)
 
 
-def _as_str_array(values) -> np.ndarray:
-    """Batch → object array of python strings (None → '')."""
-    arr = np.asarray(values, dtype=object)
-    return arr
-
-
 def _strings_of(values) -> list:
     out = []
     for v in (values.tolist() if hasattr(values, "tolist") else values):
@@ -56,8 +50,10 @@ class BloomFilter(Sketch):
         t_entry: int = 0,
         spaced_seeds: list[str] | None = None,
     ):
-        if m_bits % 64:
-            raise ValueError("m_bits must be a multiple of 64 (BloomFilter.hpp:389-399)")
+        if m_bits <= 0 or m_bits % 64:
+            raise ValueError("m_bits must be a positive multiple of 64 (BloomFilter.hpp:389-399)")
+        if hash_num <= 0:
+            raise ValueError("hash_num must be positive")
         self.m_bits = int(m_bits)
         self.hash_num = int(hash_num)
         self.k = int(k)
@@ -266,7 +262,6 @@ class BloomFilter(Sketch):
         is_first = np.zeros(base.shape[0], dtype=bool)
         is_first[first_pos] = True
         window_present = pre[inv] | ~is_first
-        out = np.ones(n, dtype=bool)
         total = np.bincount(rows, minlength=n)
         hits = np.bincount(rows, weights=window_present.astype(np.float64), minlength=n)
         return (total > 0) & (hits == total)
@@ -361,11 +356,9 @@ class BloomFilter(Sketch):
         n = len(values)
         if self.k == 0:
             return hit
-        out = np.ones(n, dtype=bool)
         total = np.bincount(rows, minlength=n)
         hits = np.bincount(rows, weights=hit.astype(np.float64), minlength=n)
-        out = (total > 0) & (hits == total)
-        return out
+        return (total > 0) & (hits == total)
 
     def seen_fraction(self, values) -> np.ndarray:
         """Per string: fraction of its windows present (k>0 mode)."""
@@ -472,7 +465,10 @@ class BloomFilter(Sketch):
                 sparse_idx.append(np.frombuffer(body, dtype=np.uint32 if fmt == 1 else np.uint64))
         if sparse_idx:
             all_idx = np.concatenate(sparse_idx)
-            if out.m_bits <= (1 << 33):  # one bool scatter, then fold
+            # bool-scatter only below the same cap as everywhere else —
+            # a 2^32-bit filter would otherwise allocate a 4 GiB bool
+            # temporary PER CONCURRENT MERGE TASK
+            if out.m_bits <= cls.DENSE_ACC_MAX_BITS:  # one bool scatter, then fold
                 acc = np.zeros(out.m_bits, dtype=bool)
                 acc[all_idx] = True
                 np.bitwise_or(out._bits, np.packbits(acc, bitorder="little"), out=out._bits)
@@ -498,8 +494,12 @@ class BloomFilter(Sketch):
             lo, hi = int(bounds[s]), int(bounds[s + 1])
             chunk = self._bits[lo:hi]
             nzb = np.nonzero(chunk)[0]
+            if nzb.size == 0:
+                # untouched slice: 1-byte sparse blob, not dense zeros
+                out.append(b"\x01")
+                continue
             # sparse if clearly smaller (u32 relative indices)
-            if nzb.size and nzb.size * 8 * 4 < chunk.size * 5:  # rough pop bound: ≤8 bits/byte
+            if nzb.size * 8 * 4 < chunk.size * 5:  # rough pop bound: ≤8 bits/byte
                 sub = np.unpackbits(chunk[nzb][:, None], axis=1, bitorder="little")
                 rows_, cols_ = np.nonzero(sub)
                 idx = (nzb[rows_] * 8 + cols_).astype(np.uint32)
