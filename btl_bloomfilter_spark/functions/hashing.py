@@ -222,6 +222,86 @@ def _roll_hash(buf: np.ndarray, k: int, seeds: np.ndarray) -> np.ndarray:
     return out
 
 
+# DNA complement (A<->T, C<->G, both cases); all other bytes map to
+# themselves, so the canonical mode degrades gracefully on non-ACGT
+# text (N handling mirrors the reference's convertTab fallthrough)
+DNA_COMPLEMENT = np.arange(256, dtype=np.uint8)
+for _a, _b in ((65, 84), (67, 71), (97, 116), (99, 103)):  # A/T C/G a/t c/g
+    DNA_COMPLEMENT[_a], DNA_COMPLEMENT[_b] = np.uint8(_b), np.uint8(_a)
+
+
+def _roll_hash_rc(buf: np.ndarray, k: int, seeds: np.ndarray, comp: np.ndarray) -> np.ndarray:
+    """Reverse-complement window hashes: the forward fold applied to
+    the reverse complement of each window (NTR64 analog,
+    vendor/nthash.hpp:419-439), in one vectorized pass.
+
+    r(t) = XOR_{i=0..k-1} rol(seed[comp(b[t+i])], i)
+         = ror( P[t+k-1] ^ P[t-1], t mod 64 )
+    with P the prefix-XOR of v[p] = rol(seed[comp(b[p])], p) — the
+    mirror of _roll_hash's closed form (rol in the elementwise pass,
+    rotation by the window START), and equally position-independent.
+    """
+    n = buf.shape[0]
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    pos = _positions(n)
+    cseeds = seeds[comp]
+    s = _scratch("rc_s", n)
+    np.take(cseeds, buf, out=s)
+    v = _scratch("rc_v", n)
+    tmp = _scratch("rc_tmp", n)
+    rr = _scratch("rc_rr", n)
+    np.subtract(_U64(64), pos, out=rr)
+    np.bitwise_and(rr, _MASK6, out=rr)
+    _ror_into(s, rr, v, tmp)  # v = rol(s, pos)
+    pre = _scratch("rc_pre", n + 1)
+    pre[0] = 0
+    np.bitwise_xor.accumulate(v, out=pre[1:])
+    nw = n - k + 1
+    w = _scratch("rc_w", nw)
+    np.bitwise_xor(pre[k : n + 1], pre[0:nw], out=w)
+    out = np.empty(nw, dtype=np.uint64)
+    t2 = _scratch("rc_t2", nw)
+    _ror_into(w, _positions(nw), out, t2)  # ror by window start mod 64
+    return out
+
+
+def hash_ngrams_canonical_from_buffers(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    k: int,
+    num_hashes: int = 1,
+    *,
+    seeds: np.ndarray | None = None,
+    comp: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical (strand-neutral) window hashing — NTC64 analog
+    (vendor/nthash.hpp:460-479): per window the base hash is
+    min(forward, reverse-complement) and the NTE64 fan-out runs on the
+    canonical base (NTMC64's structure), so a sequence and its reverse
+    complement produce identical hash sets."""
+    seeds = _SEEDS if seeds is None else seeds
+    comp = DNA_COMPLEMENT if comp is None else comp
+    n = buf.shape[0]
+    if n < k:
+        return np.empty((0, num_hashes), dtype=np.uint64), np.empty(0, dtype=np.int64)
+    fwd = _roll_hash(buf, k, seeds)
+    rev = _roll_hash_rc(buf, k, seeds, comp)
+    base = np.minimum(fwd, rev)
+    starts = np.arange(n - k + 1, dtype=np.int64)
+    row_of_pos = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + k <= offsets[row_of_pos + 1]
+    return nte64(base[valid], num_hashes, k), row_of_pos[valid]
+
+
+def hash_ngrams_canonical(
+    strings, k: int, num_hashes: int = 1, *, seeds: np.ndarray | None = None, comp: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical window hashing over a batch of strings (NTC64)."""
+    buf, offsets = _flatten_utf8(strings)
+    return hash_ngrams_canonical_from_buffers(buf, offsets, k, num_hashes, seeds=seeds, comp=comp)
+
+
 def hash_ngrams_from_buffers(
     buf: np.ndarray,
     offsets: np.ndarray,

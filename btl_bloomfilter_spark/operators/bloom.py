@@ -49,6 +49,7 @@ class BloomFilter(Sketch):
         n_entry: int = 0,
         t_entry: int = 0,
         spaced_seeds: list[str] | None = None,
+        canonical: bool = False,
     ):
         if m_bits <= 0 or m_bits % 64:
             raise ValueError("m_bits must be a positive multiple of 64 (BloomFilter.hpp:389-399)")
@@ -64,6 +65,14 @@ class BloomFilter(Sketch):
         # spaced-seed mode (st/ssHashIterator analog): one hash per
         # '1'/'0' pattern, window length = pattern length; masked
         # positions don't contribute (skip-gram matching)
+        # canonical (strand-neutral) mode: NTC64 analog — each window's
+        # base hash is min(forward, reverse-complement), so a sequence
+        # and its reverse complement populate/probe identical bits
+        self.canonical = bool(canonical)
+        if self.canonical and k <= 0:
+            raise ValueError("canonical hashing requires k-gram mode (k > 0)")
+        if self.canonical and spaced_seeds:
+            raise ValueError("canonical and spaced_seeds modes are mutually exclusive")
         self.spaced_seeds = list(spaced_seeds) if spaced_seeds else None
         if self.spaced_seeds:
             if len({len(p) for p in self.spaced_seeds}) != 1:
@@ -87,6 +96,8 @@ class BloomFilter(Sketch):
         out = {"m_bits": self.m_bits, "hash_num": self.hash_num, "k": self.k, "seed_salt": self.seed_salt, "dfpr": self.dfpr}
         if self.spaced_seeds:
             out["spaced_seeds"] = list(self.spaced_seeds)
+        if self.canonical:
+            out["canonical"] = True
         return out
 
     #: windows per fan-out chunk — bounds peak kernel memory at
@@ -100,6 +111,8 @@ class BloomFilter(Sketch):
         strings = _strings_of(values)
         if self.spaced_seeds:
             return H.hash_ngrams_multi_seed(strings, self.spaced_seeds, 1, seeds=self._seeds)
+        if self.canonical:
+            return H.hash_ngrams_canonical(strings, self.k, self.hash_num, seeds=self._seeds)
         if self.k > 0:
             return H.hash_ngrams(strings, self.k, self.hash_num, seeds=self._seeds)
         hashes = H.hash_strings(strings, self.hash_num, seeds=self._seeds)
@@ -111,6 +124,9 @@ class BloomFilter(Sketch):
         batch that explodes into millions of windows never
         materializes a (W, h) matrix at once."""
         strings = _strings_of(values)
+        if self.canonical:
+            hb, rows = H.hash_ngrams_canonical(strings, self.k, 1, seeds=self._seeds)
+            return hb[:, 0], rows
         if self.k > 0:
             hb, rows = H.hash_ngrams(strings, self.k, 1, seeds=self._seeds)
             return hb[:, 0], rows
@@ -202,7 +218,10 @@ class BloomFilter(Sketch):
             self.t_entry += int(len(arr))
             return
         if self.k > 0:
-            hb, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
+            if self.canonical:
+                hb, rows = H.hash_ngrams_canonical_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
+            else:
+                hb, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
             base = hb[:, 0]
             if null_mask is not None and base.size:
                 keep = ~null_mask[rows]
@@ -387,7 +406,10 @@ class BloomFilter(Sketch):
                 hit[s : s + self.CHUNK] = self._probe_bits(hashes[s : s + self.CHUNK])
             return hit, rows, len(arr), null_mask
         if self.k > 0:
-            hb, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
+            if self.canonical:
+                hb, rows = H.hash_ngrams_canonical_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
+            else:
+                hb, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, 1, seeds=self._seeds)
             base = hb[:, 0]
         else:
             base = H.hash_strings_from_buffers(buf, offsets, 1, seeds=self._seeds)[:, 0]

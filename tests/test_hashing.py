@@ -164,6 +164,61 @@ def test_hash_token_ngrams_fold():
     assert rows3.tolist() == [0]
 
 
+def _revcomp(s: str) -> str:
+    m = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    return "".join(m.get(c, c) for c in reversed(s))
+
+
+def test_canonical_hash_strand_symmetry():
+    """NTC64 analog: a sequence and its reverse complement produce the
+    same canonical hash per aligned window (window i ↔ window n-1-i),
+    and the canonical base differs from forward-only somewhere."""
+    seq = "ACGTTGCAATCGGCTAGCTTACGT"
+    k = 9
+    h1, _ = H.hash_ngrams_canonical([seq], k, num_hashes=3)
+    h2, _ = H.hash_ngrams_canonical([_revcomp(seq)], k, num_hashes=3)
+    n = len(seq) - k + 1
+    for i in range(n):
+        np.testing.assert_array_equal(h1[i], h2[n - 1 - i])
+    hf, _ = H.hash_ngrams([seq], k, num_hashes=3)
+    assert not np.array_equal(h1, hf)
+    # position independence across a batch
+    hb, rb = H.hash_ngrams_canonical(["XX" + seq, seq], k)
+    np.testing.assert_array_equal(hb[rb == 0][2:], hb[rb == 1])
+
+
+def test_canonical_bloom_end_to_end():
+    """KmerBF canonical mode: reverse complements of inserted reads
+    are fully contained; a forward-only filter misses them.  Arrow
+    path is bit-identical to the pandas path."""
+    import pyarrow as pa
+
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    rng = np.random.default_rng(4)
+    reads = ["".join(rng.choice(list("ACGT"), 40)) for _ in range(30)]
+    rc = [_revcomp(r) for r in reads]
+    canon = BloomFilter(1 << 16, 3, 11, canonical=True)
+    canon.update(reads)
+    assert canon.contains_batch(rc).all()
+    fwd = BloomFilter(1 << 16, 3, 11)
+    fwd.update(reads)
+    assert not fwd.contains_batch(rc).any()
+    canon_arrow = BloomFilter(1 << 16, 3, 11, canonical=True)
+    canon_arrow.update_arrow(pa.array(reads, pa.string()))
+    np.testing.assert_array_equal(canon_arrow.bits, canon.bits)
+    np.testing.assert_array_equal(
+        canon_arrow.contains_arrow(pa.array(rc, pa.string())), canon.contains_batch(rc)
+    )
+    # envelope round-trip keeps the mode
+    from btl_bloomfilter_spark.operators.base import Sketch
+
+    back = Sketch.deserialize(canon.serialize())
+    assert back.canonical and back.contains_batch(rc).all()
+    with pytest.raises(ValueError):
+        BloomFilter(1 << 10, 1, 0, canonical=True)  # k required
+
+
 def test_clz64():
     vals = np.array([0, 1, 2, 3, 2**63, 2**64 - 1, 2**32, 12345], dtype=np.uint64)
     out = H.clz64(vals)
