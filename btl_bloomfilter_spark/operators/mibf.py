@@ -90,11 +90,17 @@ class MIBloomFilter(Sketch):
         *,
         seed_salt: int = 0,
         spaced_seeds: list[str] | None = None,
+        canonical: bool = False,
     ):
         self.m_bits = int(m_bits)
         self.hash_num = int(hash_num)
         self.k = int(k)
         self.seed_salt = int(seed_salt)
+        # canonical (strand-neutral) hashing — NTC64 mode of the
+        # reference's ntHashIterator-driven miBF
+        self.canonical = bool(canonical)
+        if self.canonical and spaced_seeds:
+            raise ValueError("canonical and spaced_seeds modes are mutually exclusive")
         # spaced-seed mode (the reference miBF's primary mode for
         # downstream tools: stHashIterator, one hash per seed pattern;
         # MIBloomFilter.hpp:49-61,126-139)
@@ -117,6 +123,8 @@ class MIBloomFilter(Sketch):
         out = {"m_bits": self.m_bits, "hash_num": self.hash_num, "k": self.k, "seed_salt": self.seed_salt}
         if self.spaced_seeds:
             out["spaced_seeds"] = list(self.spaced_seeds)
+        if self.canonical:
+            out["canonical"] = True
         return out
 
     # -- rank machinery ----------------------------------------------
@@ -172,6 +180,8 @@ class MIBloomFilter(Sketch):
         strings = _strings_of(values)
         if self.spaced_seeds:
             return H.hash_ngrams_multi_seed(strings, self.spaced_seeds, 1, seeds=self._seeds)
+        if self.canonical:
+            return H.hash_ngrams_canonical(strings, self.k, self.hash_num, seeds=self._seeds)
         return H.hash_ngrams(strings, self.k, self.hash_num, seeds=self._seeds)
 
     # -- query (vectorized MIBFQuerySupport.query) --------------------
@@ -231,7 +241,7 @@ class MIBloomFilter(Sketch):
         self,
         values,
         *,
-        min_count: int = 0,
+        min_count: "int | dict[int, int]" = 0,
         extra_count: float = 1.0,
         best_hit_agree: bool = True,
         frame_probs: dict[int, float] | None = None,
@@ -363,6 +373,18 @@ class MIBloomFilter(Sketch):
             tall = acc if acc is not None else _tally(df.iloc[0:0])
 
         for row_id, sub in tall.groupby("row", sort=False):
+            if isinstance(min_count, dict):
+                # per-ID candidate gate (the reference query's
+                # vector<unsigned> minCount, MIBFQuerySupport.hpp:95):
+                # an ID must reach ITS OWN frame-count floor to enter
+                # the candidate set
+                keep = sub["count"].to_numpy() >= np.array(
+                    [min_count.get(int(i), 0) for i in sub["id"]]
+                )
+                sub = sub[keep]
+                summarize_floor = 0
+            else:
+                summarize_floor = min_count
             cands = [
                 QueryResult(
                     id=int(r.id),
@@ -377,7 +399,7 @@ class MIBloomFilter(Sketch):
                 for r in sub.itertuples()
             ]
             results[int(row_id)] = summarize_candidates(
-                cands, min_count=min_count, extra_count=extra_count, best_hit_agree=best_hit_agree
+                cands, min_count=summarize_floor, extra_count=extra_count, best_hit_agree=best_hit_agree
             )
         return results
 
@@ -675,6 +697,7 @@ def build_mibf(
     checkpoint_dir: str | None = None,
     lineage: str = "",
     spaced_seeds: list[str] | None = None,
+    canonical: bool = False,
 ) -> MIBloomFilter:
     """Distributed miBF construction (see module docstring).
 
@@ -711,12 +734,16 @@ def build_mibf(
     bloom = build_sketch(
         df,
         text_col,
-        lambda: BloomFilter(m_bits, hash_num, k, seed_salt=seed_salt, spaced_seeds=spaced_seeds),
+        lambda: BloomFilter(
+            m_bits, hash_num, k, seed_salt=seed_salt, spaced_seeds=spaced_seeds, canonical=canonical
+        ),
         fanin=fanin,
         checkpoint_dir=checkpoint_dir,
         lineage=lineage,
     )
-    mibf = MIBloomFilter(m_bits, hash_num, k, seed_salt=seed_salt, spaced_seeds=spaced_seeds)
+    mibf = MIBloomFilter(
+        m_bits, hash_num, k, seed_salt=seed_salt, spaced_seeds=spaced_seeds, canonical=canonical
+    )
     mibf.freeze(bloom.bits)
     total = int(mibf.data.size)
 

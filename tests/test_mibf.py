@@ -342,6 +342,46 @@ def test_spaced_seed_bloom_masked_positions_collide():
 
 
 @pytest.mark.spark
+def test_canonical_mibf_end_to_end(spark):
+    """Canonical miBF (NTC64 mode): reverse-complement reads classify
+    to the same reference as the forward reads."""
+    rng = np.random.default_rng(21)
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    rows = []
+    for ref in (1, 2, 3):
+        for _ in range(15):
+            rows.append(("".join(rng.choice(list("ACGT"), 80)), ref))
+    df = spark.createDataFrame(rows, "text string, ref_id long")
+    mibf = build_mibf(df, "text", "ref_id", m_bits=1 << 17, hash_num=3, k=12, canonical=True)
+    assert mibf.canonical
+    rc = ["".join(comp[c] for c in reversed(t)) for t, _ in rows]
+    fwd = mibf.classify_batch([t for t, _ in rows])
+    rev = mibf.classify_batch(rc)
+    assert fwd.best_id.tolist() == rev.best_id.tolist()
+    assert fwd.frames.tolist() == rev.frames.tolist()
+    truth = [r for _, r in rows]
+    assert (fwd.best_id.to_numpy() == np.array(truth)).mean() >= 0.9
+
+
+@pytest.mark.spark
+def test_classify_full_per_id_min_count(mibf_setup):
+    """Per-ID minCount vector (reference query signature): an ID that
+    misses ITS floor drops out while others keep their floors."""
+    _, mibf, rows = mibf_setup
+    texts = [t for t, _ in rows[:20]]
+    base = mibf.classify_full(texts)
+    winner_ids = {r[0].id for r in base if r}
+    assert winner_ids
+    blocked = next(iter(winner_ids))
+    gated = mibf.classify_full(texts, min_count={blocked: 10**9})
+    for b, g in zip(base, gated):
+        if b and b[0].id == blocked:
+            assert not g or g[0].id != blocked
+        elif b and g:
+            assert g[0].id == b[0].id
+
+
+@pytest.mark.spark
 def test_serialize_roundtrip(mibf_setup):
     _, mibf, rows = mibf_setup
     back = Sketch.deserialize(mibf.serialize())
