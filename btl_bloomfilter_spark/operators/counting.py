@@ -45,9 +45,30 @@ class CountingBloomFilter(Sketch):
         threshold: int = 1,
         seed_salt: int = 0,
         dfpr: float = 0.0,
+        spaced_seeds: list[str] | None = None,
+        canonical: bool = False,
     ):
         if counter_bits not in (8, 16, 32, 64):
             raise ValueError("counter_bits must be 8/16/32/64 (CountingBloomFilter.hpp:18-19)")
+        if m_counters <= 0 or hash_num <= 0:
+            raise ValueError("m_counters and hash_num must be positive")
+        # same hash-mode surface as BloomFilter (spaced st/ssHash mode,
+        # canonical NTC64 mode) — the reference counting filter is
+        # hash-agnostic, so all tokenizer modes apply uniformly
+        self.canonical = bool(canonical)
+        if self.canonical and k <= 0:
+            raise ValueError("canonical hashing requires k-gram mode (k > 0)")
+        if self.canonical and spaced_seeds:
+            raise ValueError("canonical and spaced_seeds modes are mutually exclusive")
+        self.spaced_seeds = list(spaced_seeds) if spaced_seeds else None
+        if self.spaced_seeds:
+            if len({len(p) for p in self.spaced_seeds}) != 1:
+                raise ValueError("all spaced seeds must share one length")
+            if k and k != len(self.spaced_seeds[0]):
+                raise ValueError("k must equal the spaced-seed pattern length")
+            k = len(self.spaced_seeds[0])
+            if hash_num != len(self.spaced_seeds):
+                raise ValueError("hash_num must equal the number of spaced seeds")
         self.m_counters = int(m_counters)
         self.hash_num = int(hash_num)
         self.k = int(k)
@@ -70,7 +91,7 @@ class CountingBloomFilter(Sketch):
         return (1 << self.counter_bits) - 1
 
     def params(self) -> dict[str, Any]:
-        return {
+        out = {
             "m_counters": self.m_counters,
             "hash_num": self.hash_num,
             "k": self.k,
@@ -79,10 +100,19 @@ class CountingBloomFilter(Sketch):
             "seed_salt": self.seed_salt,
             "dfpr": self.dfpr,
         }
+        if self.spaced_seeds:
+            out["spaced_seeds"] = list(self.spaced_seeds)
+        if self.canonical:
+            out["canonical"] = True
+        return out
 
     # -- hashing -----------------------------------------------------
     def _hash_batch(self, values):
         strings = _strings_of(values)
+        if self.spaced_seeds:
+            return H.hash_ngrams_multi_seed(strings, self.spaced_seeds, 1, seeds=self._seeds)
+        if self.canonical:
+            return H.hash_ngrams_canonical(strings, self.k, self.hash_num, seeds=self._seeds)
         if self.k > 0:
             return H.hash_ngrams(strings, self.k, self.hash_num, seeds=self._seeds)
         return H.hash_strings(strings, self.hash_num, seeds=self._seeds), np.arange(len(strings), dtype=np.int64)
@@ -105,7 +135,18 @@ class CountingBloomFilter(Sketch):
         pandas path exactly."""
         buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
         if self.k > 0:
-            hashes, rows = H.hash_ngrams_from_buffers(buf, offsets, self.k, self.hash_num, seeds=self._seeds)
+            if self.spaced_seeds:
+                hashes, rows = H.hash_ngrams_multi_seed_from_buffers(
+                    buf, offsets, self.spaced_seeds, 1, seeds=self._seeds
+                )
+            elif self.canonical:
+                hashes, rows = H.hash_ngrams_canonical_from_buffers(
+                    buf, offsets, self.k, self.hash_num, seeds=self._seeds
+                )
+            else:
+                hashes, rows = H.hash_ngrams_from_buffers(
+                    buf, offsets, self.k, self.hash_num, seeds=self._seeds
+                )
             if null_mask is not None and hashes.size:
                 keep = ~null_mask[rows]
                 hashes = hashes[keep]

@@ -106,6 +106,36 @@ def test_counting_bf_file_roundtrip(tmp_path):
     )
 
 
+def test_counting_hash_modes():
+    """Counting filter shares BloomFilter's tokenizer modes: canonical
+    counts strand-neutrally; spaced seeds count skip-grams; arrow ==
+    pandas."""
+    import pyarrow as pa
+
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    reads = ["ACGTTGCAATCG", "GGCCTTAAGCTA"]
+    rc = ["".join(comp[c] for c in reversed(r)) for r in reads]
+    canon = CountingBloomFilter(1 << 14, 3, 7, counter_bits=16, canonical=True)
+    canon.update(reads)
+    canon.update(rc)  # strand-neutral: doubles every window's count
+    assert (canon.estimate_batch(reads) >= 2).all()
+    fwd = CountingBloomFilter(1 << 14, 3, 7, counter_bits=16)
+    fwd.update(reads)
+    fwd.update(rc)
+    assert (fwd.estimate_batch(reads) == 1).all()
+    # arrow parity in canonical mode
+    canon2 = CountingBloomFilter(1 << 14, 3, 7, counter_bits=16, canonical=True)
+    canon2.update_arrow(pa.array(reads + rc, pa.string()))
+    np.testing.assert_array_equal(canon2.counters, canon.counters)
+    # spaced mode: a variant differing only at a position masked by
+    # EVERY seed collides on all slots (min across seeds stays >= 1)
+    sp = CountingBloomFilter(1 << 14, 2, 0, spaced_seeds=["11011", "11001"])
+    sp.update(["abXde", "abYde"])
+    assert sp.estimate_batch(["abZde"])[0] >= 2  # both inserts share all slots
+    back = Sketch.deserialize(canon.serialize())
+    assert back.canonical and (back.estimate_batch(reads) >= 2).all()
+
+
 def test_envelope_roundtrip():
     cms = CountMinSketch(2048, 4)
     cms.update([f"v{i % 37}" for i in range(500)])
