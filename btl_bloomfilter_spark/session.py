@@ -23,14 +23,25 @@ _DEFAULTS = {
 }
 
 
+_ZIP_CACHE: str | None = None
+
+
 def package_zip() -> str:
-    """Zip this package into a temp dir; returns the zip path."""
+    """Zip this package into a PER-PROCESS temp dir; returns the zip
+    path (cached for the process).  A fixed shared path would let two
+    concurrent drivers ship each other's half-written archive, and on
+    a multi-user host the second user would hit PermissionError on
+    the first user's directory."""
+    global _ZIP_CACHE
+    if _ZIP_CACHE is not None and os.path.exists(_ZIP_CACHE):
+        return _ZIP_CACHE
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    base = os.path.join(tempfile.gettempdir(), "btl_bloomfilter_spark_pyfiles")
-    os.makedirs(base, exist_ok=True)
+    base = tempfile.mkdtemp(prefix="btl_bloomfilter_spark_pyfiles_")
     out = os.path.join(base, "btl_bloomfilter_spark")
-    zip_path = shutil.make_archive(out, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir))
-    return zip_path
+    _ZIP_CACHE = shutil.make_archive(
+        out, "zip", root_dir=os.path.dirname(pkg_dir), base_dir=os.path.basename(pkg_dir)
+    )
+    return _ZIP_CACHE
 
 
 def get_spark(
@@ -51,6 +62,25 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         b = b.config(k, str(v))
     spark = b.getOrCreate()
+    # getOrCreate on an ALREADY-LIVE session silently drops builder
+    # configs; apply the runtime-settable ones directly and warn when
+    # a static conf could not take effect
+    wanted = dict(_DEFAULTS)
+    if shuffle_partitions is not None:
+        wanted["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    wanted.update({k: str(v) for k, v in (extra_conf or {}).items()})
+    for k, v in wanted.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            import warnings
+
+            warnings.warn(
+                f"get_spark: conf {k}={v} could not be applied to the pre-existing "
+                f"SparkSession (static conf); the session keeps its original value",
+                stacklevel=2,
+            )
     if ship_package:
         attach_package(spark)
     return spark

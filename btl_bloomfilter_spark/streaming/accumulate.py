@@ -34,24 +34,34 @@ from pyspark.sql import DataFrame
 from ..operators.base import Sketch
 from ..plans.agg import partial_sketches
 
-_STATE_MAGIC = b"BFSTRM01"  # envelope: magic + int64 last batch_id + blob
+_STATE_MAGIC_V1 = b"BFSTRM01"  # magic + int64 last batch_id + blob
+_STATE_MAGIC = b"BFSTRM02"  # magic + int64 batch_id + u32 len + lineage + blob
 
 
-def _read_state(path: Path) -> tuple[int, Sketch | None]:
-    """(last_merged_batch_id, sketch) — accepts the bare-blob legacy
-    layout (no magic) with last_merged = -1."""
+def _read_state(path: Path) -> tuple[int, str, Sketch | None]:
+    """(last_merged_batch_id, lineage, sketch) — accepts the v1 and
+    bare-blob legacy layouts (lineage='' there)."""
     if not path.exists():
-        return -1, None
+        return -1, "", None
     raw = path.read_bytes()
-    if raw[: len(_STATE_MAGIC)] == _STATE_MAGIC:
+    if raw[:8] == _STATE_MAGIC:
+        last_id, ln = struct.unpack("<qI", raw[8:20])
+        lineage = raw[20 : 20 + ln].decode()
+        return last_id, lineage, Sketch.deserialize(raw[20 + ln :])
+    if raw[:8] == _STATE_MAGIC_V1:
         (last_id,) = struct.unpack("<q", raw[8:16])
-        return last_id, Sketch.deserialize(raw[16:])
-    return -1, Sketch.deserialize(raw)
+        return last_id, "", Sketch.deserialize(raw[16:])
+    return -1, "", Sketch.deserialize(raw)
 
 
-def _write_state(path: Path, batch_id: int, sketch: Sketch) -> None:
-    tmp = path.with_suffix(".tmp")
-    tmp.write_bytes(_STATE_MAGIC + struct.pack("<q", batch_id) + sketch.serialize())
+def _write_state(path: Path, batch_id: int, lineage: str, sketch: Sketch) -> None:
+    # unique tmp PER TARGET: with_suffix would collide for sibling
+    # state files sharing a stem ('run.bloom' and 'run.hll' → 'run.tmp')
+    tmp = path.with_name(path.name + ".tmp")
+    lb = lineage.encode()
+    tmp.write_bytes(
+        _STATE_MAGIC + struct.pack("<qI", batch_id, len(lb)) + lb + sketch.serialize()
+    )
     os.replace(tmp, path)  # single atomic replace: id + blob never skew
 
 
@@ -62,7 +72,7 @@ def merge_batch_into(
     make_sketch: Callable[[], Sketch],
     *,
     batch_id: int | None = None,
-    fanin: int = 16,
+    lineage: str = "",
 ) -> Sketch:
     """Build a sketch of batch_df[col] and merge it into the sketch
     persisted at running_path (created if absent).  Atomic replace.
@@ -70,9 +80,20 @@ def merge_batch_into(
     With ``batch_id`` (foreachBatch's micro-batch id) the merge is an
     idempotent replay guard: a batch whose id is <= the persisted
     last-merged id is skipped, so at-least-once redelivery never
-    double-counts."""
+    double-counts.  Batch ids are only meaningful WITHIN one
+    checkpoint lineage (a fresh checkpoint restarts them at 0 and
+    regroups source files), so ``lineage`` — the checkpoint identity —
+    is persisted with the state and a mismatch raises instead of
+    silently dropping or double-counting batches."""
     running_path = Path(running_path)
-    last_id, running = _read_state(running_path)
+    last_id, last_lineage, running = _read_state(running_path)
+    if running is not None and lineage != last_lineage:
+        raise ValueError(
+            f"state file {running_path} was built under checkpoint lineage "
+            f"{last_lineage!r} but this query runs under {lineage!r}; micro-batch "
+            "ids are not comparable across checkpoint lineages — use a fresh "
+            "state file per checkpoint (or the same checkpoint dir to resume)"
+        )
     if batch_id is not None and batch_id <= last_id:
         return running if running is not None else make_sketch()
     partials = partial_sketches(batch_df, col, make_sketch)
@@ -84,7 +105,7 @@ def merge_batch_into(
         running.merge(batch_sketch)
     else:
         running = batch_sketch
-    _write_state(running_path, batch_id if batch_id is not None else last_id, running)
+    _write_state(running_path, batch_id if batch_id is not None else last_id, lineage, running)
     return running
 
 
@@ -104,7 +125,9 @@ def stream_build_sketch(
     """
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        merge_batch_into(state_path, batch_df, col, make_sketch, batch_id=batch_id)
+        merge_batch_into(
+            state_path, batch_df, col, make_sketch, batch_id=batch_id, lineage=str(checkpoint_dir)
+        )
 
     writer = (
         stream_df.writeStream.outputMode("append")
@@ -117,7 +140,7 @@ def stream_build_sketch(
 
 
 def load_running(state_path: str | Path) -> Sketch:
-    _, sk = _read_state(Path(state_path))
+    _, _, sk = _read_state(Path(state_path))
     if sk is None:
         raise FileNotFoundError(state_path)
     return sk

@@ -41,6 +41,8 @@ def main():
     ap.add_argument("--k", type=int, default=12)
     ap.add_argument("--capacity", type=int, default=100_000_000)
     args = ap.parse_args()
+    if not args.input and not args.synthetic_convs:
+        ap.error("one of --input or --synthetic-convs is required")
 
     from btl_bloomfilter_spark.session import get_spark
     from btl_bloomfilter_spark.operators.bloom import BloomFilter
@@ -105,7 +107,7 @@ def main():
         "estimates": {r["role"]: r["est"] for r in hll_rows},
     }
 
-    ldf = df.select(F.length("text").cast("double").alias("len"))
+    ldf = df.select(F.length("text").cast("double").alias("len")).cache()
     t0 = time.perf_counter()
     kll = build_sketch(ldf, "len", lambda: KLL(k=200), lineage=lineage)
     td = build_sketch(ldf, "len", lambda: TDigest(delta=200), lineage=lineage)

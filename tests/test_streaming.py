@@ -115,3 +115,22 @@ def test_replayed_batch_is_idempotent(spark, tmp_path):
     merge_batch_into(state, bdf, "text", mk, batch_id=1)
     second = load_running(state).estimate_batch(["aaa", "bbb"])
     assert second[0] == first[0] * 2 and second[1] == first[1] * 2
+
+
+@pytest.mark.spark
+def test_state_rejects_foreign_checkpoint_lineage(spark, tmp_path):
+    """Micro-batch ids restart at 0 under a fresh checkpoint, so
+    merging a NEW query lineage into an OLD state file must raise
+    (silently comparing ids would drop/double-count batches)."""
+    from btl_bloomfilter_spark.operators.counting import CountingBloomFilter
+    from btl_bloomfilter_spark.streaming.accumulate import merge_batch_into
+
+    mk = lambda: CountingBloomFilter(1 << 12, 3, 0, counter_bits=32)
+    state = tmp_path / "lin.sketch"
+    bdf = spark.createDataFrame([("x",)] * 5, "text string")
+    merge_batch_into(state, bdf, "text", mk, batch_id=3, lineage="ckpt-A")
+    with pytest.raises(ValueError, match="lineage"):
+        merge_batch_into(state, bdf, "text", mk, batch_id=0, lineage="ckpt-B")
+    # same lineage continues fine
+    merge_batch_into(state, bdf, "text", mk, batch_id=4, lineage="ckpt-A")
+    assert load_running(state).estimate_batch(["x"])[0] == 10
