@@ -47,15 +47,18 @@ def entry(spark: SparkSession) -> DataFrame:
     broadcast membership probe, per-lang fully-seen counts."""
     from btl_bloomfilter_spark.operators.bloom import BloomFilter
     from btl_bloomfilter_spark.plans.agg import build_sketch
-    from btl_bloomfilter_spark.functions.probe import bloom_seen_fraction
+    from btl_bloomfilter_spark.functions.probe import with_probe_columns
 
     t = _load(spark, "/root/testdata/sf0.001", "documents")
     docs = t["documents"]
     bf = build_sketch(
         docs, "text", lambda: BloomFilter.for_capacity(n=500_000, fpr=1e-3, k=8), fanin=8
     )
+    # zero-copy probe (mapInArrow over the raw UTF-8 buffers) — the
+    # library's hot path; keep=["lang"] prunes the probed text from the
+    # Arrow write-back
     return (
-        docs.select("lang", bloom_seen_fraction(spark, bf, "text").alias("frac"))
+        with_probe_columns(docs, bf, "text", frac_col="frac", keep=["lang"])
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),

@@ -58,6 +58,14 @@ class Sketch(ABC):
     def params(self) -> dict[str, Any]:
         """JSON-able constructor parameters."""
 
+    def checkpoint_params(self) -> dict[str, Any]:
+        """Parameters that define CHECKPOINT identity (plans/agg.py's
+        resume gate).  Defaults to ``params()``; subclasses exclude
+        realized per-instance entropy (e.g. KLL's auto-drawn seed) so
+        a rerun with the same *requested* configuration matches the
+        persisted partials instead of silently rebuilding."""
+        return self.params()
+
     @classmethod
     def from_params(cls, p: dict[str, Any]) -> "Sketch":
         return cls(**p)

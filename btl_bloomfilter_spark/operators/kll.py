@@ -45,6 +45,7 @@ def _to_float_array(values) -> np.ndarray:
 class KLL(Sketch):
     def __init__(self, k: int = 200, *, seed: int | None = None):
         self.k = int(k)
+        self._seed_from_entropy = seed is None
         self.seed = int(seed) if seed is not None else int(np.random.SeedSequence().entropy & ((1 << 63) - 1))
         self.levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
         self.n = 0
@@ -52,6 +53,13 @@ class KLL(Sketch):
 
     def params(self) -> dict[str, Any]:
         return {"k": self.k, "seed": self.seed}
+
+    def checkpoint_params(self) -> dict[str, Any]:
+        """Checkpoint identity excludes an auto-drawn entropy seed: the
+        realized seed doesn't affect merged-result validity, and
+        including it would make every rerun's params_json unique —
+        checkpoint resume would silently degrade to a full rebuild."""
+        return {"k": self.k} if self._seed_from_entropy else {"k": self.k, "seed": self.seed}
 
     # -- capacities --------------------------------------------------
     def _cap(self, level: int) -> int:

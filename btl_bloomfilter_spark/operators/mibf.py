@@ -262,9 +262,11 @@ class MIBloomFilter(Sketch):
         window of extra_frame_limit+1 frames.  Batch deviation
         (documented): the reference re-checks per frame with a
         consecutive-frame counter; the vectorized analog checks at
-        chunk boundaries of extra_frame_limit+1 frames, so an exit
-        can land up to one chunk later — counts still reflect only
-        the scanned prefix, like the reference."""
+        chunk boundaries of extra_frame_limit+1 frames and requires
+        the decisive condition at TWO consecutive checks, so an exit
+        never fires before the reference's earliest possible frame
+        and lands at most one chunk after it — counts still reflect
+        only the scanned prefix, like the reference."""
         from .mibf_query import QueryResult, summarize_candidates
 
         if frame_probs is None:
@@ -344,6 +346,16 @@ class MIBloomFilter(Sketch):
         else:
             chunk = max(1, extra_frame_limit + 1)
             active = np.ones(n, dtype=bool)
+            # decisive chunk-boundary streak per row: the reference
+            # requires decisiveness SUSTAINED for extraFrameLimit+1
+            # consecutive frames (counter reset on overlap,
+            # MIBFQuerySupport.hpp:509-517); the batch analog requires
+            # the decisive condition at TWO consecutive chunk checks —
+            # one decisive snapshot alone covers < extra_frame_limit+1
+            # frames of history and could exit EARLIER than the
+            # reference, two consecutive checks bound the exit to
+            # [reference frame, reference frame + one chunk]
+            streak = np.zeros(n, dtype=np.int8)
             acc: pd.DataFrame | None = None
             cols = ["count", "solidCount", "nonSatCount", "nonSatFrameCount", "totalCount", "totalNonSatCount"]
             max_seq = int(df["seq"].max())
@@ -356,20 +368,26 @@ class MIBloomFilter(Sketch):
                 acc = part if acc is None else (
                     pd.concat([acc, part]).groupby(["row", "id"], sort=False, as_index=False)[cols].sum()
                 )
-                # per-row decisiveness (MIBFQuerySupport.hpp:509-517):
-                # best nonSatFrameCount strictly ahead of the runner-up
-                # with no √count overlap → stop scanning that row
-                srt = acc.sort_values(["row", "nonSatFrameCount"], ascending=[True, False])
-                top2 = srt.groupby("row", sort=False).head(2)
-                for row_id, grp in top2.groupby("row", sort=False):
-                    best_nsfc = int(grp["nonSatFrameCount"].iloc[0])
-                    best_tnsc = int(grp["totalNonSatCount"].iloc[0])
-                    second = int(grp["nonSatFrameCount"].iloc[1]) if len(grp) > 1 else 0
-                    if best_nsfc > second:
-                        from .mibf_query import compare_std_err
-
-                        if not compare_std_err(best_tnsc, second):
-                            active[int(row_id)] = False
+                # per-row decisiveness, fully vectorized: rank ids per
+                # row by nonSatFrameCount, compare best vs runner-up
+                srt = acc.sort_values(["row", "nonSatFrameCount"], ascending=[True, False], kind="stable")
+                rk = srt.groupby("row", sort=False).cumcount().to_numpy()
+                rows_s = srt["row"].to_numpy()
+                nsfc = srt["nonSatFrameCount"].to_numpy(dtype=np.int64)
+                tnsc = srt["totalNonSatCount"].to_numpy(dtype=np.int64)
+                b_rows = rows_s[rk == 0]
+                best_nsfc = nsfc[rk == 0]
+                best_tnsc = tnsc[rk == 0]
+                second = np.zeros(b_rows.size, dtype=np.int64)
+                srow2 = rows_s[rk == 1]
+                second[np.searchsorted(b_rows, srow2)] = nsfc[rk == 1]
+                # compare_std_err(a, b): ±√count intervals overlap
+                hi = np.maximum(best_tnsc, second)
+                lo = np.minimum(best_tnsc, second)
+                overlap = (hi - np.sqrt(hi)) <= (lo + np.sqrt(lo))
+                decisive = (best_nsfc > second) & ~overlap
+                streak[b_rows] = np.where(decisive, streak[b_rows] + 1, 0)
+                active[b_rows[streak[b_rows] >= 2]] = False
             tall = acc if acc is not None else _tally(df.iloc[0:0])
 
         for row_id, sub in tall.groupby("row", sort=False):

@@ -286,7 +286,7 @@ def build_sketch(
     ):
         return build_sketch_sliced(df, col, make_sketch, repartition=repartition)
     params_json = json.dumps(
-        {"cls": type(proto).__name__, "params": proto.params(), "col": col, "lineage": lineage},
+        {"cls": type(proto).__name__, "params": proto.checkpoint_params(), "col": col, "lineage": lineage},
         sort_keys=True,
     )
     if checkpoint_dir and _checkpoint_matches(checkpoint_dir, params_json):
@@ -403,7 +403,10 @@ def sketch_by_key(
     """
     keys = list(keys)
     if key_schema is None:
-        key_schema = ", ".join(f"{k} string" for k in keys)
+        # infer DDL types from the input schema (defaulting every key
+        # to string silently corrupts numeric keys)
+        type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        key_schema = ", ".join(f"{k} {type_of[k]}" for k in keys)
     partial_schema = f"{key_schema}, blob binary"
     out_schema = f"{key_schema}, {out_col} double"
 

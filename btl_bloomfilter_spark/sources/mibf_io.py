@@ -91,7 +91,21 @@ def _read_sidecar(path: Path) -> tuple[np.ndarray, int]:
 def save_mibf(mibf, path: str | Path, *, spaced_seeds: list[str] | None = None) -> None:
     """Store in the reference's two-file layout (header+IDs, .sdsl
     bit-vector sidecar).  spaced_seeds must each be k chars if given;
-    a spaced-seed filter's own patterns are written by default."""
+    a spaced-seed filter's own patterns are written by default.
+
+    Canonical (reverse-complement) filters are REFUSED: the reference
+    header (MIBloomFilter.hpp:108-117) has no field for the hashing
+    mode, so a round-trip would silently come back forward-only and
+    misclassify RC reads.  Persist canonical filters with the internal
+    envelope (``mibf.serialize()``), or reload explicitly with
+    ``load_mibf(path, canonical=True)`` if you accept carrying the
+    mode out of band."""
+    if getattr(mibf, "canonical", False):
+        raise ValueError(
+            "the reference miBF file layout cannot express canonical mode; "
+            "use mibf.serialize() (internal envelope) or carry canonical=True "
+            "to load_mibf out of band"
+        )
     path = Path(path)
     seeds = spaced_seeds or getattr(mibf, "spaced_seeds", None) or []
     for s in seeds:
@@ -106,10 +120,13 @@ def save_mibf(mibf, path: str | Path, *, spaced_seeds: list[str] | None = None) 
     _write_sidecar(path.with_name(path.name + ".sdsl"), mibf.bits, mibf.m_bits)
 
 
-def load_mibf(path: str | Path, *, seed_salt: int = 0):
+def load_mibf(path: str | Path, *, seed_salt: int = 0, canonical: bool = False):
     """Load a reference-layout miBF pair.  Returns (MIBloomFilter,
-    spaced_seeds).  seed_salt is our hashing-salt extension (the
-    reference's ntHash has no equivalent header field)."""
+    spaced_seeds).  seed_salt / canonical are our hashing-mode
+    extensions carried out of band (the reference header has no
+    equivalent fields; save_mibf refuses canonical filters so a
+    caller passing canonical=True is restoring a mode they tracked
+    themselves)."""
     from ..operators.mibf import MIBloomFilter
 
     path = Path(path)
@@ -133,7 +150,8 @@ def load_mibf(path: str | Path, *, seed_salt: int = 0):
     data = np.frombuffer(raw, dtype="<u4", count=d_size, offset=off).copy()
     bits, m_bits = _read_sidecar(path.with_name(path.name + ".sdsl"))
     mibf = MIBloomFilter(
-        m_bits, int(nhash), int(kmer), seed_salt=seed_salt, spaced_seeds=seeds or None
+        m_bits, int(nhash), int(kmer), seed_salt=seed_salt, spaced_seeds=seeds or None,
+        canonical=canonical,
     )
     mibf.bits = bits
     mibf.data = data
