@@ -106,6 +106,13 @@ def with_probe_columns(
 
     if keep is None:
         keep = [f.name for f in df.schema.fields]
+    # prune the INPUT side too: mapInArrow is opaque to Catalyst in
+    # both directions, so without this select the scan reads (and the
+    # JVM→Python bridge serializes) every column of df even when only
+    # the probe column and `keep` are consumed
+    need = list(dict.fromkeys(keep + [col]))
+    if len(need) < len(df.schema.fields):
+        df = df.select(*need)
     type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     fields = [f"{c} {type_of[c]}" for c in keep]
     if frac_col:

@@ -591,6 +591,11 @@ def with_classification(
     token = _blob_token(ser)
     if keep is None:
         keep = [f.name for f in df.schema.fields]
+    # prune the input side as well (mapInPandas is opaque to Catalyst:
+    # unselected columns would still be scanned and bridged to Python)
+    need = list(dict.fromkeys(keep + [col]))
+    if len(need) < len(df.schema.fields):
+        df = df.select(*need)
     type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     new_cols = ["best_id", "frames", "total_frames", "saturated_frac"]
     clash = set(keep) & set(new_cols)
