@@ -376,9 +376,13 @@ def q24_minhash_dups(spark, sf_dir):
 
 
 def q25_simhash_near(spark, sf_dir):
-    """SimHash near-dup pairs at hamming ≤ 7 — blocking is COMPLETE at
-    this radius (8 disjoint 8-bit bands; pigeonhole guarantees ≥1
-    exact band match for any pair within the radius)."""
+    """SimHash near-dup pairs at hamming ≤ 7 — COMPLETE at this radius
+    via Manku-style multi-block probing (4 fixed 16-bit blocks, 1-bit
+    Hamming-ball probe enumeration per block): bucket selectivity stays
+    2^16 at radius 7, the 100-TB shape, instead of the 2^8 selectivity
+    pure pigeonhole banding would give (quadratic band self-join at
+    scale).  Completeness is brute-force cross-checked in
+    tests/test_dedup_similarity.py at radii 3, 7 and 11."""
     from btl_bloomfilter_spark.operators.dedup import simhash, simhash_candidates
 
     docs = _load(spark, sf_dir, "documents")["documents"]

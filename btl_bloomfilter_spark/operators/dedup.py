@@ -334,18 +334,25 @@ def simhash(df: DataFrame, col: str, id_col: str, *, seed_salt: int = 0) -> Data
 
 def simhash_candidates(sh_df: DataFrame, *, max_hamming: int = 3, bands: int | None = None) -> DataFrame:
     """Pairs with hamming(simhash) ≤ max_hamming — COMPLETE at the
-    requested radius: the 64 bits are split into ``bands`` disjoint
-    bands with bands > max_hamming, so by pigeonhole any pair within
-    the radius agrees exactly on ≥1 band and is emitted by the
-    band-equality join (then post-filtered by true hamming).
+    requested radius.
 
-    Defaults to the minimal complete blocking, bands = max_hamming+1.
-    Scale note: blocking selectivity is 2^(64/bands) values per band,
-    so cost grows steeply with the radius — radius ≤ 3 (16-bit bands,
-    the classic Manku et al. web-dedup setting) is the 100-TB path;
-    larger radii are exact but only economical on smaller corpora.
+    Dispatch (both paths complete, both post-filter by true hamming):
+
+    - radius ≤ 3 (or explicit ``bands``): disjoint exact-match bands,
+      bands = max_hamming+1 by default — 16-bit band selectivity, the
+      classic Manku et al. web-dedup setting and the cheapest emission
+      (n·bands rows).
+    - radius 4..11 with default bands: :func:`simhash_candidates_blocked`
+      — 4 fixed 16-bit blocks with a Hamming-ball probe enumeration per
+      block (Manku-style multi-table blocking), keeping 2^16 bucket
+      selectivity at any supported radius instead of collapsing to
+      2^(64/(r+1)) buckets (radius 7 under pure pigeonhole bands means
+      8-bit bands ⇒ ~n/256 bucket sizes ⇒ a quadratic band self-join at
+      web scale).
     """
     if bands is None:
+        if max_hamming > 3:
+            return simhash_candidates_blocked(sh_df, max_hamming=max_hamming)
         bands = max_hamming + 1
     if not (max_hamming < bands <= 64):
         raise ValueError(
@@ -386,3 +393,109 @@ def simhash_candidates(sh_df: DataFrame, *, max_hamming: int = 3, bands: int | N
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def _ball_masks(width: int, radius: int) -> list[int]:
+    """All XOR masks of a ``width``-bit Hamming ball of ``radius``
+    (radius ≤ 2 supported: 1 + width + C(width,2) masks)."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(width)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j) for i in range(width) for j in range(i + 1, width)]
+    return masks
+
+
+def simhash_candidates_blocked(
+    sh_df: DataFrame, *, max_hamming: int, blocks: int = 4
+) -> DataFrame:
+    """Hamming-≤max_hamming pairs via Manku-style multi-block probing
+    (Manku, Jain & Das Sarma, WWW'07 §3 generalized): the 64-bit
+    fingerprint splits into ``blocks`` equal blocks; by pigeonhole any
+    pair within the radius differs by at most e = ⌊r/blocks⌋ bits in
+    SOME block (if every block had ≥ e+1 mismatches the total would be
+    ≥ blocks·(e+1) > r).  For each block, the probe side emits every
+    value in the Hamming-e ball of its block value and joins against
+    the anchor side's exact values — so bucket selectivity stays 2^16
+    (for blocks=4) at ANY supported radius, where pure pigeonhole
+    banding at radius 7 would fall to 2^8.
+
+    Completeness: pair (A,B) with block distance d ≤ e collides because
+    B's exact block value lies inside ball_e(A); enforcing id_a < id_b
+    at the join is safe since both orientations are emitted.  True
+    hamming is re-checked after the join (precision 1.0).
+
+    100-TB shape: probe emission is n·blocks·|ball| rows (|ball| = 17
+    at e=1, 137 at e=2 with 16-bit blocks) of (block, value, id) —
+    linear in n; the join shuffles on (block, value) with ~n·blocks/2^16
+    expected anchors per bucket.  Radii needing e > 2 (r ≥ 12 at
+    blocks=4) are refused — at that density SimHash blocking itself
+    stops being selective and a different signature (MinHash) is the
+    right tool.  Use :func:`simhash_bucket_stats` to audit bucket-size
+    skew on a real corpus before a large run.
+    """
+    if 64 % blocks:
+        raise ValueError(f"blocks must divide 64 (got {blocks})")
+    width = 64 // blocks
+    e = max_hamming // blocks
+    if e > 2:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs per-block ball radius {e} > 2 at "
+            f"{blocks} blocks; blocking is no longer selective at that radius"
+        )
+    masks = _ball_masks(width, e)
+    mask_val = (1 << width) - 1 if width < 64 else -1
+    block_idx = F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("block")
+    base = sh_df.select("id", "simhash", block_idx).withColumn(
+        "block_val", F.expr(f"shiftrightunsigned(simhash, block * {width}) & {mask_val}")
+    )
+    anchor = base.alias("b")
+    mask_arr = "array(" + ",".join(str(m) + "L" for m in masks) + ")"
+    probe = base.withColumn("__m", F.explode(F.expr(mask_arr))).withColumn(
+        "probe_val", F.expr("block_val ^ __m")
+    ).alias("a")
+    pairs = (
+        probe.join(
+            anchor,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.probe_val") == F.col("b.block_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def simhash_bucket_stats(sh_df: DataFrame, *, blocks: int = 4) -> DataFrame:
+    """Anchor-bucket size distribution per block — the skew audit for
+    :func:`simhash_candidates_blocked` (a planted hot fingerprint shows
+    up here as a dominant (block, value) bucket before it can blow up
+    the candidate join).  Returns one row per block: n_buckets,
+    max/avg bucket size, and rows in the single largest bucket."""
+    if 64 % blocks:
+        raise ValueError(f"blocks must divide 64 (got {blocks})")
+    width = 64 // blocks
+    mask_val = (1 << width) - 1 if width < 64 else -1
+    block_idx = F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("block")
+    vals = sh_df.select("id", "simhash", block_idx).withColumn(
+        "block_val", F.expr(f"shiftrightunsigned(simhash, block * {width}) & {mask_val}")
+    )
+    per_bucket = vals.groupBy("block", "block_val").agg(F.count("*").alias("sz"))
+    return (
+        per_bucket.groupBy("block")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("sz").alias("max_bucket"),
+            F.round(F.avg("sz"), 3).alias("avg_bucket"),
+        )
+        .orderBy("block")
+    )

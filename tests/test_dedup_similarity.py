@@ -354,3 +354,58 @@ def test_multimodal_plumbing(spark):
     assert set(stats.kind) == {"image", "audio", "video"}
     with pytest.raises(NotImplementedError):
         decode_real(b"\x00", "image")
+
+
+def test_simhash_blocked_complete_radius_11(spark):
+    """e=2 ball enumeration (radius 11 at 4 blocks) must still be
+    complete — brute-force cross-check on synthetic fingerprints
+    planted at controlled distances."""
+    from btl_bloomfilter_spark.operators.dedup import simhash_candidates_blocked
+
+    rng = np.random.default_rng(7)
+    base = [int(x) for x in rng.integers(0, 2**63, size=30, dtype=np.int64)]
+    fps = list(base)
+    for i, b in enumerate(base[:10]):
+        flips = rng.choice(64, size=(i % 12) + 1, replace=False)  # distances 1..12
+        m = 0
+        for f in flips:
+            m |= 1 << int(f)
+        fps.append(b ^ m)
+    sh = spark.createDataFrame(
+        [(i, np.int64(np.uint64(f)).item() if f < 2**63 else f - 2**64) for i, f in enumerate(fps)],
+        "id long, simhash long",
+    )
+    want = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            if bin((fps[i] ^ fps[j]) & ((1 << 64) - 1)).count("1") <= 11:
+                want.add((i, j))
+    out = simhash_candidates_blocked(sh, max_hamming=11).toPandas()
+    found = {(int(r.id_a), int(r.id_b)) for _, r in out.iterrows()}
+    assert found == want
+    assert (out.hamming <= 11).all()
+
+
+def test_simhash_blocked_rejects_unselective_radius():
+    from btl_bloomfilter_spark.operators.dedup import simhash_candidates_blocked
+
+    with pytest.raises(ValueError):
+        simhash_candidates_blocked(None, max_hamming=12)  # e=3 refused
+
+
+def test_simhash_bucket_stats_surfaces_planted_skew(spark):
+    """A planted hot fingerprint (many identical simhashes) must show
+    up as a dominant anchor bucket in the audit stats."""
+    from btl_bloomfilter_spark.operators.dedup import simhash_bucket_stats
+
+    rng = np.random.default_rng(3)
+    uniq = [int(x) for x in rng.integers(0, 2**62, size=200, dtype=np.int64)]
+    hot = [123456789] * 300  # 300 copies of one fingerprint
+    sh = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(uniq + hot)], "id long, simhash long"
+    )
+    stats = simhash_bucket_stats(sh).toPandas().sort_values("block")
+    assert len(stats) == 4
+    assert (stats.max_bucket >= 300).all()  # the hot value dominates every block
+    # and the non-hot mass stays spread out
+    assert (stats.avg_bucket < 10).all()
