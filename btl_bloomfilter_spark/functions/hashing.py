@@ -302,6 +302,38 @@ def hash_ngrams_canonical(
     return hash_ngrams_canonical_from_buffers(buf, offsets, k, num_hashes, seeds=seeds, comp=comp)
 
 
+def hash_ngrams_canonical_strand(
+    strings, k: int, num_hashes: int = 1, *, seeds: np.ndarray | None = None, comp: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical window hashing WITH the per-window strand flag — the
+    NTMC64 variant that also reports hStn (vendor/nthash.hpp:695-713:
+    ``hStn = rhVal < fhVal``, true when the reverse-complement
+    direction won the canonical min).  All ``num_hashes`` hashes of a
+    window share one strand flag, exactly like the reference's
+    single-seed canonical iterator.
+
+    Returns (hashes (W, num_hashes) uint64, rows (W,) int64,
+    strand (W,) bool)."""
+    seeds = _SEEDS if seeds is None else seeds
+    comp = DNA_COMPLEMENT if comp is None else comp
+    buf, offsets = _flatten_utf8(strings)
+    n = buf.shape[0]
+    if n < k:
+        return (
+            np.empty((0, num_hashes), dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=bool),
+        )
+    fwd = _roll_hash(buf, k, seeds)
+    rev = _roll_hash_rc(buf, k, seeds, comp)
+    strand = rev < fwd  # hStn (nthash.hpp:712)
+    base = np.where(strand, rev, fwd)
+    starts = np.arange(n - k + 1, dtype=np.int64)
+    row_of_pos = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + k <= offsets[row_of_pos + 1]
+    return nte64(base[valid], num_hashes, k), row_of_pos[valid], strand[valid]
+
+
 def hash_ngrams_from_buffers(
     buf: np.ndarray,
     offsets: np.ndarray,

@@ -58,9 +58,16 @@ from ..functions import hashing as H
 from .base import Sketch
 from .bloom import BloomFilter, _strings_of
 
-# stolen top bits of the stored ID word (MIBloomFilter.hpp:36-42)
+# stolen top bits of the stored ID word (MIBloomFilter.hpp:36-42):
+# MSB = saturation (s_mask), MSB-1 = strand (s_strand); query tallies
+# mask with s_antiMask only (MIBFQuerySupport.hpp:489-493), so in
+# strand mode a candidate "id" carries the strand bit — exactly the
+# reference behavior
 SAT_BIT = np.uint32(1 << 31)
-ID_MASK = np.uint32((1 << 31) - 1)
+ID_MASK = np.uint32((1 << 31) - 1)  # s_antiMask
+STRAND_BIT = np.uint32(1 << 30)  # s_strand
+ANTI_STRAND = np.uint32(~(1 << 30) & 0xFFFFFFFF)  # s_antiStrand
+ID_MASK_STRAND = np.uint32((1 << 30) - 1)  # s_idMask
 
 _POP_LUT = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(axis=1).astype(np.uint32)
 
@@ -267,14 +274,95 @@ class MIBloomFilter(Sketch):
         never fires before the reference's earliest possible frame
         and lands at most one chunk after it — counts still reflect
         only the scanned prefix, like the reference."""
+        hashes, rows = self._hash_batch(values)
+        return self._classify_frames(
+            hashes,
+            rows,
+            len(values),
+            min_count=min_count,
+            extra_count=extra_count,
+            best_hit_agree=best_hit_agree,
+            frame_probs=frame_probs,
+            extra_frame_limit=extra_frame_limit,
+            allowed_misses=allowed_misses,
+        )
+
+    def classify_full_paired(
+        self,
+        pairs,
+        *,
+        min_count: "int | dict[int, int]" = 0,
+        extra_count: float = 1.0,
+        best_hit_agree: bool = True,
+        frame_probs: dict[int, float] | None = None,
+        extra_frame_limit: int | None = None,
+        allowed_misses: int = 0,
+    ) -> list[list]:
+        """Two-iterator query (MIBFQuerySupport.hpp:111-130): per input
+        PAIR of sequences (e.g. paired-end reads), frames from the two
+        iterators are consumed ALTERNATELY (itr1 on even frame counts,
+        itr2 on odd) until one exhausts, then the survivor drains —
+        one combined candidate tally per pair.  With
+        ``extra_frame_limit`` the early-exit scans this interleaved
+        stream, so a decisive candidate stops BOTH iterators, exactly
+        like the reference's shared while-loop.  Without it the tally
+        is order-independent and equals classify_full over the frame
+        multiset union."""
+        seqs1 = [a for a, _ in pairs]
+        seqs2 = [b for _, b in pairs]
+        n = len(pairs)
+        h1, r1 = self._hash_batch(seqs1)
+        h2, r2 = self._hash_batch(seqs2)
+        n1 = np.bincount(r1, minlength=n) if r1.size else np.zeros(n, dtype=np.int64)
+        n2 = np.bincount(r2, minlength=n) if r2.size else np.zeros(n, dtype=np.int64)
+        # interleaved frame position: alternation while both iterators
+        # live (itr1 → even slots, itr2 → odd), then the survivor runs
+        # consecutively (derived from the reference's frameCount loop)
+        off1 = np.concatenate([[0], np.cumsum(n1)[:-1]])
+        i1 = np.arange(r1.size, dtype=np.int64) - off1[r1] if r1.size else np.empty(0, np.int64)
+        pos1 = np.where(i1 < n2[r1], 2 * i1, n2[r1] + i1) if r1.size else i1
+        off2 = np.concatenate([[0], np.cumsum(n2)[:-1]])
+        j2 = np.arange(r2.size, dtype=np.int64) - off2[r2] if r2.size else np.empty(0, np.int64)
+        pos2 = np.where(j2 < n1[r2], 2 * j2 + 1, n1[r2] + j2) if r2.size else j2
+        h = self.hashes_per_frame()
+        hashes = np.vstack([h1.reshape(-1, h), h2.reshape(-1, h)])
+        rows = np.concatenate([r1, r2])
+        pos = np.concatenate([pos1, pos2])
+        order = np.lexsort((pos, rows))
+        return self._classify_frames(
+            hashes[order],
+            rows[order],
+            n,
+            min_count=min_count,
+            extra_count=extra_count,
+            best_hit_agree=best_hit_agree,
+            frame_probs=frame_probs,
+            extra_frame_limit=extra_frame_limit,
+            allowed_misses=allowed_misses,
+        )
+
+    def _classify_frames(
+        self,
+        hashes: np.ndarray,
+        rows: np.ndarray,
+        n: int,
+        *,
+        min_count,
+        extra_count: float,
+        best_hit_agree: bool,
+        frame_probs,
+        extra_frame_limit,
+        allowed_misses: int,
+    ) -> list[list]:
+        """Shared tally/summarize core over a (row-ordered) frame
+        stream — classify_full feeds window order, classify_full_paired
+        feeds the two-iterator interleave."""
         from .mibf_query import QueryResult, summarize_candidates
 
         if frame_probs is None:
             from .mibf_query import calc_frame_probs
 
             frame_probs, _ = calc_frame_probs(self)
-        hashes, rows = self._hash_batch(values)
-        n = len(values)
         results: list[list] = [[] for _ in range(n)]
         if hashes.shape[0] == 0:
             return results
@@ -524,6 +612,96 @@ class MIBloomFilter(Sketch):
         for w in range(hashes.shape[0]):
             ok &= self.insert_online(hashes[w], value, max_count)
         return ok
+
+    # -- strand-aware surface (MIBloomFilter.hpp:36-42,309-373) ---------
+    def insert_online_strand(
+        self, hashes: np.ndarray, strand, value: int, max_count: int = 1
+    ) -> bool:
+        """Strand-tracking online insert — port of the reference's
+        ``insert(hashes, strand, val, max)`` overload
+        (MIBloomFilter.hpp:309-373): the stored word per slot i is
+        ``val | s_strand`` when ``strandDir ^ strand[i]`` with
+        strandDir = max % 2 (the reference's parity convention), else
+        plain ``val``; otherwise identical to :meth:`insert_online`
+        (hash-seeded shuffled claim order, setDataIfEmpty, saturation
+        fallback).  ``strand`` is a bool per hash (per-seed strand from
+        a multi-seed iterator) or a single bool broadcast to all h
+        (single-seed canonical NTMC64, one hStn per frame).
+
+        IDs in strand mode must fit 30 bits (two stolen top bits)."""
+        hashes = np.asarray(hashes, dtype=np.uint64).ravel()
+        strand = np.broadcast_to(np.asarray(strand, dtype=bool).ravel(), (hashes.size,))
+        if value & ~int(ID_MASK_STRAND):
+            raise ValueError(f"strand-mode IDs must be < 2^30 (got {value})")
+        strand_dir = bool(max_count % 2)
+        idx = hashes % np.uint64(self.m_bits)
+        rpos = self.rank_pos(idx[None, :])[0]
+        vals = np.where(
+            strand ^ strand_dir, np.uint32(value) | STRAND_BIT, np.uint32(value)
+        ).astype(np.uint32)
+        count = 0
+        saturated = True
+        rand = int(value)
+        order: list[int] = []
+        for i in range(hashes.size):
+            old = int(self.data[rpos[i]])
+            if old & int(SAT_BIT):
+                old &= int(ID_MASK)
+            else:
+                saturated = False
+            if old == int(vals[i]):
+                count += 1
+            else:
+                order.append(i)
+            if count >= max_count:
+                return True
+            rand = (rand ^ int(hashes[i])) & ((1 << 64) - 1)
+        _minstd_shuffle(order, rand)
+        for i in order:
+            p = rpos[i]
+            old = int(self.data[p])
+            if old == 0:  # setDataIfEmpty / setVal CAS
+                self.data[p] = vals[i]
+            if not (old & int(SAT_BIT)):
+                saturated = False
+            if old == 0:
+                count += 1
+            if count >= max_count:
+                return True
+        if count == 0:
+            if not saturated:
+                self.data[rpos] |= SAT_BIT  # saturate(hashes)
+            return False
+        return True
+
+    def insert_seq_online_strand(self, text: str, value: int, max_count: int = 1) -> bool:
+        """Online strand insert of every canonical k-gram frame of
+        ``text`` — each frame's hStn flag (which direction won the
+        canonical min) is stored in the strand bit, so a query can
+        distinguish forward from reverse-complement matches.  Requires
+        canonical mode (strand is meaningless forward-only)."""
+        if not self.canonical:
+            raise ValueError("strand insert requires canonical=True hashing")
+        hashes, _, strand = H.hash_ngrams_canonical_strand(
+            [text], self.k, self.hash_num, seeds=self._seeds
+        )
+        ok = True
+        for w in range(hashes.shape[0]):
+            ok &= self.insert_online_strand(hashes[w], bool(strand[w]), value, max_count)
+        return ok
+
+    def get_id_counts_strand(self) -> tuple[dict[int, int], int]:
+        """getIDCountsStrand (MIBloomFilter.hpp:557-569): histogram of
+        strand-STRIPPED IDs (both strand variants of an ID pool into
+        one bucket) plus the saturated-entry count.  Faithful port
+        note: like the reference, the id-0 bucket (empty slots) is
+        included in the returned histogram — its strand variant sums
+        over the whole count table where the plain getIDCounts loop
+        skips index 0 (MIBloomFilter.hpp:699-701 vs :688-694)."""
+        sat = (self.data & SAT_BIT) != 0
+        ids = np.where(sat, self.data & ID_MASK_STRAND, self.data & ANTI_STRAND).astype(np.int64)
+        vals, counts = np.unique(ids, return_counts=True)
+        return dict(zip(vals.tolist(), counts.tolist())), int(sat.sum())
 
     # -- stats (MIBloomFilter.hpp:539-620) ----------------------------
     def get_id_counts(self) -> dict[int, int]:

@@ -51,6 +51,27 @@ def calc_frame_probs(mibf, allowed_miss: int = 0) -> tuple[dict[int, float], flo
     return probs, sat_prop
 
 
+def calc_frame_probs_strand(mibf, allowed_miss: int = 0) -> tuple[dict[int, float], float]:
+    """Strand-aware frame probabilities (MIBloomFilter.hpp:688-707):
+    like :func:`calc_frame_probs` but ID frequencies come from
+    getIDCountsStrand, so both strand variants of an ID pool into one
+    frequency.  Faithful port notes: (a) the normalizing total sums the
+    WHOLE count table including the id-0 (empty-slot) bucket — the
+    reference's strand loop iterates from begin() where the plain
+    version starts at i=1; (b) satProp divides by that same total."""
+    mibf._ensure_byte_cum()
+    occupancy = float(mibf._byte_cum[-1]) / mibf.m_bits
+    counts, saturated = mibf.get_id_counts_strand()
+    total = sum(counts.values())  # includes the id-0 bucket (see above)
+    sat_prop = saturated / max(total, 1)
+    probs = {
+        i: calc_prob_single_frame(occupancy, mibf.hash_num, c / total, allowed_miss)
+        for i, c in counts.items()
+        if i != 0
+    }
+    return probs, sat_prop
+
+
 @dataclass
 class QueryResult:
     """CountResult/QueryResult fields (MIBFQuerySupport.hpp:61-82)."""

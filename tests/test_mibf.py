@@ -391,3 +391,137 @@ def test_serialize_roundtrip(mibf_setup):
     a = mibf.classify_batch(texts)
     b = back.classify_batch(texts)
     assert a.best_id.tolist() == b.best_id.tolist()
+
+
+# ---------------------------------------------------------------------------
+# strand-aware surface (MIBloomFilter.hpp:36-42,309-373,557-569,688-707;
+# MIBFQuerySupport.hpp:111-130)
+# ---------------------------------------------------------------------------
+
+_COMP = {"A": "T", "T": "A", "C": "G", "G": "C"}
+
+
+def _rc(s: str) -> str:
+    return "".join(_COMP[c] for c in reversed(s))
+
+
+def _canon_mibf(texts, m_bits=1 << 14, h=3, k=6):
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    bf = BloomFilter(m_bits, h, k, canonical=True)
+    bf.update(list(texts))
+    mibf = MIBloomFilter(m_bits, h, k, canonical=True)
+    mibf.freeze(bf.bits.copy())
+    return mibf
+
+
+def test_strand_insert_and_rc_query():
+    """Strand bit round trip: canonical hashing makes a sequence and
+    its reverse complement probe the same slots; the stored strand bit
+    records which direction won at insert time, and both the sequence
+    and its RC classify back to the same strand-stripped ID."""
+    from btl_bloomfilter_spark.operators.mibf import ID_MASK_STRAND, STRAND_BIT
+
+    rng = np.random.default_rng(11)
+    seqs = ["".join(rng.choice(list("ACGT"), size=40)) for _ in range(2)]
+    mibf = _canon_mibf(seqs)
+    for i, s in enumerate(seqs, start=1):
+        assert mibf.insert_seq_online_strand(s, i) is True
+    stored = mibf.data[mibf.data != 0]
+    # both strand variants exist in the data array (random 40-mers mix
+    # fwd- and rc-winning windows)
+    assert ((stored & STRAND_BIT) != 0).any()
+    assert ((stored & STRAND_BIT) == 0).any()
+    for i, s in enumerate(seqs, start=1):
+        for query in (s, _rc(s)):
+            res = mibf.classify_full([query])[0]
+            assert res, f"no candidate for {'RC' if query != s else 'fwd'} of seq {i}"
+            assert int(res[0].id) & int(ID_MASK_STRAND) == i
+
+
+def test_get_id_counts_strand_pools_variants():
+    """getIDCountsStrand pools id and id|s_strand into one bucket
+    (MIBloomFilter.hpp:557-569) while plain getIDCounts keeps them
+    distinct; the saturated tally matches pop_saturated."""
+    from btl_bloomfilter_spark.operators.mibf import STRAND_BIT
+
+    rng = np.random.default_rng(13)
+    seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(3)]
+    mibf = _canon_mibf(seqs, m_bits=1 << 15)
+    for i, s in enumerate(seqs, start=1):
+        mibf.insert_seq_online_strand(s, i)
+    plain = mibf.get_id_counts()
+    pooled, saturated = mibf.get_id_counts_strand()
+    assert saturated == mibf.pop_saturated()
+    for i in range(1, 4):
+        both = plain.get(i, 0) + plain.get(i | int(STRAND_BIT), 0)
+        if both:
+            assert pooled.get(i, 0) == both
+    # the id-0 (empty-slot) bucket is included, faithful to the
+    # reference's begin()-anchored total
+    assert 0 in pooled
+    assert pooled[0] >= int((mibf.data == 0).sum())
+
+
+def test_calc_frame_probs_strand():
+    from btl_bloomfilter_spark.operators.mibf_query import calc_frame_probs_strand
+
+    rng = np.random.default_rng(17)
+    seqs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(3)]
+    mibf = _canon_mibf(seqs, m_bits=1 << 15)
+    for i, s in enumerate(seqs, start=1):
+        mibf.insert_seq_online_strand(s, i)
+    probs, sat_prop = calc_frame_probs_strand(mibf)
+    assert probs and all(0.0 <= p <= 1.0 for p in probs.values())
+    assert 0 not in probs  # empty-slot bucket feeds the total only
+    assert 0.0 <= sat_prop <= 1.0
+
+
+def test_strand_insert_rejects_wide_ids():
+    mibf = _canon_mibf(["ACGTACGTACGT"])
+    with pytest.raises(ValueError):
+        mibf.insert_online_strand(np.zeros(3, dtype=np.uint64), False, 1 << 30, 1)
+
+
+@pytest.mark.spark
+def test_classify_full_paired_union_semantics(mibf_setup):
+    """Two-iterator query (MIBFQuerySupport.hpp:111-130): without an
+    early exit the interleaved tally is order-independent and additive
+    over the two iterators' frame sets."""
+    _, mibf, rows = mibf_setup
+    # two documents of the same reference
+    a = rows[0][0]
+    b = rows[1][0]
+    ref = rows[0][1]
+    assert rows[1][1] == ref
+    paired = mibf.classify_full_paired([(a, b)])[0]
+    assert paired and paired[0].id == ref
+    ra = mibf.classify_full([a])[0]
+    rb = mibf.classify_full([b])[0]
+    # additivity of the per-frame counters for the winning id
+    assert paired[0].count == ra[0].count + rb[0].count
+    assert paired[0].totalCount == ra[0].totalCount + rb[0].totalCount
+    # order independence
+    swapped = mibf.classify_full_paired([(b, a)])[0]
+    assert swapped[0].id == paired[0].id
+    assert swapped[0].count == paired[0].count
+    # an empty second iterator degenerates to the single-iterator query
+    alone = mibf.classify_full_paired([(a, "")])[0]
+    assert alone[0].id == ra[0].id and alone[0].count == ra[0].count
+
+
+@pytest.mark.spark
+def test_classify_full_paired_early_exit(mibf_setup):
+    """A decisive candidate in the interleaved stream stops BOTH
+    iterators: scanned-prefix counts never exceed the full tally."""
+    _, mibf, rows = mibf_setup
+    pairs = [(rows[i][0], rows[i + 1][0]) for i in range(0, 30, 2)]
+    full = mibf.classify_full_paired(pairs)
+    fast = mibf.classify_full_paired(pairs, extra_frame_limit=8)
+    for a, b in zip(full, fast):
+        if a and b:
+            assert b[0].totalCount <= a[0].totalCount
+    winners_agree = [
+        a[0].id == b[0].id for a, b in zip(full, fast) if a and b
+    ]
+    assert sum(winners_agree) / max(len(winners_agree), 1) >= 0.9

@@ -122,3 +122,31 @@ def test_validation_errors(small_mibf, tmp_path):
     bad.write_bytes(bytes(bad_raw))
     with pytest.raises(ValueError, match="version"):
         load_mibf(bad)
+
+
+def test_save_mibf_refuses_canonical(tmp_path):
+    """The reference header cannot express canonical mode — saving
+    must refuse instead of silently round-tripping to forward-only
+    (which would misclassify RC reads)."""
+    import pytest
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.operators.mibf import MIBloomFilter
+    from btl_bloomfilter_spark.sources.mibf_io import save_mibf, load_mibf
+
+    bf = BloomFilter(1 << 12, 3, 6, canonical=True)
+    bf.update(["ACGTACGTACGT"])
+    mibf = MIBloomFilter(1 << 12, 3, 6, canonical=True)
+    mibf.freeze(bf.bits.copy())
+    p = tmp_path / "canon.mibf"
+    with pytest.raises(ValueError, match="canonical"):
+        save_mibf(mibf, p)
+    # out-of-band restore: save the arrays via a forward-mode twin,
+    # reload with canonical=True → mode and classification preserved
+    twin = MIBloomFilter(1 << 12, 3, 6)
+    twin.bits, twin.data = mibf.bits, mibf.data
+    twin.freeze_rank_only()
+    save_mibf(twin, p)
+    back, _ = load_mibf(p, canonical=True)
+    assert back.canonical
+    import numpy as np
+    np.testing.assert_array_equal(back.bits, mibf.bits)
