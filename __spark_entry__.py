@@ -616,6 +616,70 @@ def q33_heavy_hitter_tools(spark, sf_dir):
     )
 
 
+def q35_spaced_seed_membership(spark, sf_dir):
+    """Spaced-seed (skip-gram) Bloom membership over document text —
+    NTS64/NTMS64 mode (vendor/nthash.hpp:750-878) under the driver
+    board.  Self-validating columns: no false negatives, the defining
+    spaced-seed property (mutations at positions masked by EVERY seed
+    pattern don't change membership), and a never-inserted negative
+    corpus consistent with the observed FPR."""
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+    from btl_bloomfilter_spark.functions.probe import with_probe_columns
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    # two length-12 patterns sharing the masked position 4
+    patterns = ["111101111111", "111101111011"]
+    bf = build_sketch(
+        docs, "text", lambda: BloomFilter(1 << 24, 2, spaced_seeds=patterns), fanin=8
+    )
+    pos_min = (
+        with_probe_columns(docs, bf, "text", frac_col="f", keep=[])
+        .agg(F.min("f"))
+        .collect()[0][0]
+    )
+    # masked-position collisions: take each doc's first window, mutate
+    # the shared masked position — the spaced hashes must not change
+    heads = [r["t"] for r in docs.select(F.substring("text", 1, 12).alias("t")).limit(200).collect()]
+    heads = [t for t in heads if len(t) == 12]
+    mutated = [t[:4] + ("\x01" if t[4] != "\x01" else "\x02") + t[5:] for t in heads]
+    masked_frac = float(bf.seen_fraction(mutated).mean())
+    neg = spark.range(4000).select(
+        F.concat(F.lit("zzneg"), F.col("id").cast("string"), F.lit("zzspacedzz")).alias("t")
+    )
+    neg_avg = (
+        with_probe_columns(neg, bf, "t", frac_col="f", keep=[]).agg(F.avg("f")).collect()[0][0]
+    )
+    observed = float(bf.fpr())
+    return spark.createDataFrame(
+        [
+            (
+                float(pos_min),
+                masked_frac,
+                float(neg_avg),
+                observed,
+                bool(pos_min == 1.0),
+                bool(masked_frac == 1.0),
+                bool(neg_avg <= 3 * observed + 1e-4),
+            )
+        ],
+        "pos_min_frac double, masked_mut_frac double, neg_avg_frac double, observed_fpr double, "
+        "no_false_negatives boolean, masked_positions_collide boolean, fpr_consistent boolean",
+    )
+
+
+def q36_media_stats(spark, sf_dir):
+    """Multimodal rollup under the oracle gate: a deterministic media
+    table derived from documents (binary payload + typed metadata,
+    every field a closed-form function of (doc_id, text)) flows
+    through the library's media_stats operator; DuckDB reproduces the
+    identical rollup straight from documents."""
+    from btl_bloomfilter_spark.operators.multimodal import media_from_documents, media_stats
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return media_stats(media_from_documents(docs))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -652,6 +716,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q31_distinct_convs_by_role": q31_distinct_convs_by_role,
         "q32_turn_length_quantiles": q32_turn_length_quantiles,
         "q33_heavy_hitter_tools": q33_heavy_hitter_tools,
+        "q35_spaced_seed_membership": q35_spaced_seed_membership,
+        "q36_media_stats": q36_media_stats,
     }
 
 
@@ -819,6 +885,20 @@ def oracle_sql() -> dict[str, str]:
                      list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
                      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
                       sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
+        """,
+        "q36_media_stats": """
+            SELECT kind, count(*) AS n,
+                   CAST(sum(octet_length(encode(text))) AS BIGINT) AS bytes_total,
+                   round(avg(duration_ms), 3) AS avg_duration_ms
+            FROM (
+                SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                       text,
+                       CASE WHEN doc_id % 3 <> 0
+                            THEN octet_length(encode(text)) * 10 + 100
+                            ELSE 0 END AS duration_ms
+                FROM documents)
+            GROUP BY kind
         """,
         "q19_region_rollup": """
             SELECT r_name, count(*) AS n_suppliers,

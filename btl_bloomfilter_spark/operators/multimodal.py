@@ -52,6 +52,41 @@ def synthetic_media_df(spark, n: int, *, seed: int = 42, partitions: int = 4) ->
     return spark.range(n).repartition(partitions).mapInPandas(gen, MEDIA_SCHEMA)
 
 
+def media_from_documents(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media table derived from a text table with pure
+    Catalyst expressions — the oracle-able twin of
+    :func:`synthetic_media_df` (every field is a closed-form function
+    of (id, text), so DuckDB can reproduce the downstream rollups
+    exactly): payload = UTF-8 bytes of the text, kind cycles
+    image/audio/video on id % 3, duration = 10·bytes + 100 ms for
+    timed kinds.  Used by the driver-board media_stats query (q36)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    payload = F.encode(F.col(text_col), "utf-8")
+    nbytes = F.length(payload)
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        payload.alias("payload"),
+        F.when(kind != "audio", (F.pmod(nbytes * 7, F.lit(4080)) + 16).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("width"),
+        F.when(kind != "audio", (F.pmod(nbytes * 13, F.lit(4080)) + 16).cast("int"))
+        .otherwise(F.lit(0))
+        .alias("height"),
+        F.when(kind != "image", (nbytes * 10 + 100).cast("int")).otherwise(F.lit(0)).alias(
+            "duration_ms"
+        ),
+        F.element_at(
+            F.array(F.lit("png"), F.lit("opus"), F.lit("av1")), (F.col(id_col) % 3 + 1).cast("int")
+        ).alias("codec"),
+    )
+
+
 def decode_real(payload: bytes, kind: str):
     """Where the real codec call goes (PIL / soundfile / pyav).
 
