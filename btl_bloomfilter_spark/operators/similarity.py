@@ -53,6 +53,110 @@ def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
     return rng.standard_normal((n_planes, dim)).astype(np.float64)
 
 
+def _list_matrix(arr) -> tuple[np.ndarray, np.ndarray | None]:
+    """(n, dim) float64 matrix + null-row mask from an Arrow
+    List/FixedSizeList array by reshaping the flat values buffer —
+    one C-level pass, no per-row ``np.asarray`` loop.  Null rows come
+    back as zero vectors with the mask set.  Raises on ragged lists
+    (embedding columns are fixed-dimension by contract)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    null_mask = None
+    if arr.null_count:
+        null_mask = ~np.asarray(arr.is_valid())
+    flat = arr.flatten()  # values of valid rows, offset/null aware
+    vals = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    n_valid = n - (int(null_mask.sum()) if null_mask is not None else 0)
+    if n_valid == 0:
+        return np.zeros((n, 0), dtype=np.float64), null_mask
+    if vals.size % n_valid:
+        raise ValueError("ragged embedding lists: rows have differing dimensions")
+    dim = vals.size // n_valid
+    if null_mask is None:
+        return vals.reshape(n, dim), None
+    mat = np.zeros((n, dim), dtype=np.float64)
+    mat[~null_mask] = vals.reshape(n_valid, dim)
+    return mat, null_mask
+
+
+def _signs_to_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    signs = (mat @ planes.T) > 0
+    out = np.zeros(mat.shape[0], dtype=np.int64)
+    for b in range(planes.shape[0]):
+        out |= signs[:, b].astype(np.int64) << b
+    return out
+
+
+def with_lsh_buckets(
+    df: DataFrame, *, col: str = "embedding", n_planes: int = 16, seed: int = 42, out_col: str = "__bucket"
+) -> DataFrame:
+    """Append the hyperplane-LSH bucket column via mapInArrow: the
+    embedding column's values buffer is reshaped to an (n, dim) matrix
+    directly (no per-row list→ndarray conversion), then one matmul
+    signs all planes.  Null embeddings land in bucket 0.  This is the
+    bucket-assignment hot path used by lsh_topk / cosine_near_dup_lsh /
+    lsh_index_write; the pandas_udf variants remain for column-level
+    composition."""
+    import pyarrow as pa
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields] + [f"{out_col} long"]
+    )
+
+    def fn(batches):
+        planes = None
+        for rb in batches:
+            emb = rb.column(rb.schema.get_field_index(col))
+            mat, null_mask = _list_matrix(emb)
+            if mat.shape[1] == 0:
+                buckets = np.zeros(rb.num_rows, dtype=np.int64)
+            else:
+                if planes is None or planes.shape[1] != mat.shape[1]:
+                    planes = _hyperplanes(mat.shape[1], n_planes, seed)
+                buckets = _signs_to_buckets(mat, planes)
+                if null_mask is not None:
+                    buckets[null_mask] = 0
+            yield pa.record_batch(
+                [rb.column(i) for i in range(rb.num_columns)] + [pa.array(buckets, pa.int64())],
+                names=[f.name for f in rb.schema] + [out_col],
+            )
+
+    return df.mapInArrow(fn, out_schema)
+
+
+def with_ivf_cells(
+    df: DataFrame, cents: np.ndarray, *, col: str = "embedding", out_col: str = "__cell"
+) -> DataFrame:
+    """Append the nearest-centroid cell id via mapInArrow (same
+    buffer-reshape ingestion as :func:`with_lsh_buckets`)."""
+    import pyarrow as pa
+
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields] + [f"{out_col} int"]
+    )
+
+    def fn(batches):
+        for rb in batches:
+            emb = rb.column(rb.schema.get_field_index(col))
+            mat, null_mask = _list_matrix(emb)
+            if mat.shape[1] == 0:
+                cells = np.zeros(rb.num_rows, dtype=np.int32)
+            else:
+                d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                cells = d.argmin(axis=1).astype(np.int32)
+                if null_mask is not None:
+                    cells[null_mask] = -1
+            yield pa.record_batch(
+                [rb.column(i) for i in range(rb.num_columns)] + [pa.array(cells, pa.int32())],
+                names=[f.name for f in rb.schema] + [out_col],
+            )
+
+    return df.mapInArrow(fn, out_schema)
+
+
 def lsh_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
     planes = _hyperplanes(dim, n_planes, seed)
 
@@ -87,7 +191,7 @@ def lsh_topk(
     :func:`lsh_index_write` and probe via :func:`lsh_topk_indexed`
     (partition pruning instead of recomputing buckets per query)."""
     probes = _probe_buckets(vec, n_planes, seed, probe_hamming)
-    bucketed = df.withColumn("__bucket", lsh_bucket_udf(len(vec), n_planes, seed)(F.col(col)))
+    bucketed = with_lsh_buckets(df.select(id_col, col), col=col, n_planes=n_planes, seed=seed)
     cand = bucketed.where(F.col("__bucket").isin(probes))
     return (
         cand.select(F.col(id_col), F.round(cosine_to(vec, col), 6).alias("cosine"))
@@ -135,10 +239,12 @@ def cosine_near_dup_lsh(
     if n_planes % bands:
         raise ValueError("n_planes must be divisible by bands")
     width = n_planes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(col).alias("v"),
-        lsh_bucket_udf_auto(n_planes, seed)(F.col(col)).alias("sig"),
+    sig = with_lsh_buckets(
+        df.select(F.col(id_col).alias("id"), F.col(col).alias("v")),
+        col="v",
+        n_planes=n_planes,
+        seed=seed,
+        out_col="sig",
     )
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     mask = (1 << width) - 1
@@ -194,7 +300,7 @@ def lsh_index_write(
     probed buckets' files are read (partition pruning at the scan —
     the 100-TB path: a top-k probe touches ~(1+multiprobe)/2^planes
     of the corpus instead of scanning it)."""
-    bucketed = df.withColumn("__bucket", lsh_bucket_udf_auto(n_planes, seed)(F.col(col)))
+    bucketed = with_lsh_buckets(df, col=col, n_planes=n_planes, seed=seed)
     bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
 
@@ -301,7 +407,7 @@ def ivf_topk(
     qv = np.asarray(vec, dtype=np.float64)
     d = ((cents - qv[None, :]) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(d)[:nprobe]]
-    assigned = df.withColumn("__cell", ivf_assign_udf(cents)(F.col(col)))
+    assigned = with_ivf_cells(df.select(id_col, col), cents, col=col)
     cand = assigned.where(F.col("__cell").isin(probe_cells))
     return (
         cand.select(F.col(id_col), F.round(cosine_to(vec, col), 6).alias("cosine"))

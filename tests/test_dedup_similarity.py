@@ -409,3 +409,48 @@ def test_simhash_bucket_stats_surfaces_planted_skew(spark):
     assert (stats.max_bucket >= 300).all()  # the hot value dominates every block
     # and the non-hot mass stays spread out
     assert (stats.avg_bucket < 10).all()
+
+
+def test_with_lsh_buckets_matches_pandas_udf(spark):
+    """The Arrow buffer-reshape bucket kernel must agree bit-for-bit
+    with the pandas_udf variant (persisted indexes are probed by
+    either), and null embeddings land in bucket 0."""
+    from btl_bloomfilter_spark.operators.similarity import (
+        lsh_bucket_udf_auto,
+        with_lsh_buckets,
+        with_ivf_cells,
+        ivf_assign_udf,
+        fit_centroids,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(300)]
+    rows.append((300, None))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = (
+        with_lsh_buckets(df, n_planes=12, seed=9, out_col="b")
+        .select("vec_id", "b")
+        .toPandas()
+        .set_index("vec_id")["b"]
+    )
+    b = (
+        df.select("vec_id", lsh_bucket_udf_auto(12, 9)(F.col("embedding")).alias("b"))
+        .toPandas()
+        .set_index("vec_id")["b"]
+    )
+    assert (a.sort_index() == b.sort_index()).all()
+    assert a[300] == 0
+    cents = fit_centroids(df.where(F.col("embedding").isNotNull()), n_cells=4, sample=128)
+    ca = (
+        with_ivf_cells(df.where(F.col("embedding").isNotNull()), cents, out_col="c")
+        .select("vec_id", "c")
+        .toPandas()
+        .set_index("vec_id")["c"]
+    )
+    cb = (
+        df.where(F.col("embedding").isNotNull())
+        .select("vec_id", ivf_assign_udf(cents)(F.col("embedding")).alias("c"))
+        .toPandas()
+        .set_index("vec_id")["c"]
+    )
+    assert (ca.sort_index() == cb.sort_index()).all()
