@@ -101,3 +101,49 @@ def test_serialize_roundtrip():
 def test_incompatible_p_raises():
     with pytest.raises(ValueError):
         HyperLogLog(p=10).merge(HyperLogLog(p=11))
+
+
+def test_sparse_densify_exactly_matches_dense():
+    """The sparse (idx@25, rho-after-25) encoding must densify to the
+    EXACT dense registers for any input — the law that makes merges
+    across mixed representations bit-safe."""
+    items = [f"val{i}" for i in range(20_000)]
+    sp = HyperLogLog(p=11)
+    sp._sparse_max = 10**9  # hold sparse far past the default cutoff
+    sp.update(items)
+    assert sp.is_sparse
+    dn = HyperLogLog(p=11)
+    dn._densify()  # dense from the first update
+    dn.update(items)
+    assert not dn.is_sparse
+    np.testing.assert_array_equal(sp.registers, dn.registers)
+
+
+def test_sparse_low_range_accuracy_and_roundtrip():
+    """Sparse linear counting at 2^25 is near-exact at low n (the
+    HLL++ small-range win) and serializes/merges losslessly."""
+    hll = HyperLogLog(p=14)
+    hll.update([f"u{i}" for i in range(3000)])
+    assert hll.is_sparse
+    assert abs(hll.estimate() - 3000) / 3000 < 0.005  # far under 1.04/sqrt(m)
+    back = HyperLogLog.deserialize(hll.serialize())
+    assert back.is_sparse
+    assert back.estimate() == hll.estimate()
+    np.testing.assert_array_equal(back.registers, hll.registers)
+    # mixed-representation merge: sparse + dense == dense union
+    a = HyperLogLog(p=10)
+    a.update([f"a{i}" for i in range(200)])  # sparse
+    b = HyperLogLog(p=10)
+    b.update([f"b{i}" for i in range(20_000)])  # dense
+    assert a.is_sparse and not b.is_sparse
+    u = HyperLogLog(p=10)
+    u.update([f"a{i}" for i in range(200)] + [f"b{i}" for i in range(20_000)])
+    merged = HyperLogLog(p=10)
+    merged.merge(a).merge(b)
+    np.testing.assert_array_equal(merged.registers, u.registers)
+    # sparse + sparse stays sparse and pools entries
+    s1 = HyperLogLog(p=14); s1.update([f"x{i}" for i in range(500)])
+    s2 = HyperLogLog(p=14); s2.update([f"x{i}" for i in range(300, 900)])
+    s1.merge(s2)
+    assert s1.is_sparse
+    assert abs(s1.estimate() - 900) / 900 < 0.01
