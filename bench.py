@@ -36,7 +36,23 @@ sys.path.insert(0, str(REPO))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
-N_CONVS_BENCH = int(os.environ.get("BENCH_N_CONVS", "10000"))  # ≈ 92k turns
+N_CONVS_BENCH = int(os.environ.get("BENCH_N_CONVS", "10000"))  # ≈ 84k turns
+
+# ---- pinned bench corpus -------------------------------------------------
+# The transcript corpus is MATERIALIZED once per (version, n_convs) and
+# read back by every bench run, and its content digest is asserted
+# against the pinned constant below — a generator change (like the r1→r2
+# geometric off-by-one fix that silently shrank the corpus 93,580 →
+# 83,584 turns) now fails loudly instead of quietly invalidating
+# round-over-round comparisons.  Bump CORPUS_VERSION deliberately when a
+# fixture change is intended, and re-pin the digest.
+CORPUS_VERSION = 2
+# bit_xor(xxhash64(conv_id, turn_idx, text)) digest at the default
+# n_convs; corpus sizes without a pin skip the assert
+PINNED = {
+    # (version, n_convs) -> (n_turns, digest)
+    (2, 10000): (83584, 6952961922371617104),
+}
 # transcript Bloom geometry: the 512-word synthetic vocab bounds
 # distinct 12-gram windows to ~1-2M, so m=2^26 bits (8 MiB array)
 # gives a healthy fill while keeping merge volume proportionate;
@@ -67,11 +83,35 @@ def _spark(cpus: int):
 # ---------------------------------------------------------------------------
 
 
+def _corpus_dir(n_convs: int) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"btl_bench_corpus_v{CORPUS_VERSION}_{n_convs}"
+    )
+
+
 def _transcripts(spark, cpus: int):
+    """Pinned bench corpus: write parquet once per (version, n_convs),
+    read it back on every run, and assert the content digest so
+    fixture drift cannot silently change what the bench measures."""
+    from pyspark.sql import functions as F
+
     from btl_bloomfilter_spark.sources.transcripts import transcripts_df
 
-    t = transcripts_df(spark, N_CONVS_BENCH, partitions=64).cache()
-    n = t.count()  # materialize untimed
+    data = _corpus_dir(N_CONVS_BENCH)
+    if not os.path.exists(os.path.join(data, "_SUCCESS")):
+        transcripts_df(spark, N_CONVS_BENCH, partitions=64).write.mode("overwrite").parquet(data)
+    t = spark.read.parquet(data).repartition(64).cache()
+    agg = t.agg(
+        F.count("*").alias("n"),
+        F.expr("bit_xor(xxhash64(conv_id, turn_idx, text))").alias("digest"),
+    ).collect()[0]
+    n, digest = int(agg["n"]), int(agg["digest"])
+    pin = PINNED.get((CORPUS_VERSION, N_CONVS_BENCH))
+    if pin is not None and (n, digest) != pin:
+        raise RuntimeError(
+            f"bench corpus drift: (n_turns, digest) = {(n, digest)} != pinned {pin}; "
+            f"delete {data} and re-pin deliberately if the fixture change is intended"
+        )
     return t, n
 
 
@@ -188,6 +228,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
     extras["n_turns"] = n_turns
+    extras["corpus_version"] = CORPUS_VERSION
     extras["turns_per_sec"] = round(n_turns / times["transcript_bloom_build"], 1)
     return times, extras
 
