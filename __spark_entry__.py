@@ -641,7 +641,9 @@ def q35_spaced_seed_membership(spark, sf_dir):
     # masked-position collisions: take each doc's first window, mutate
     # the shared masked position — the spaced hashes must not change
     heads = [r["t"] for r in docs.select(F.substring("text", 1, 12).alias("t")).limit(200).collect()]
-    heads = [t for t in heads if len(t) == 12]
+    # seed positions are BYTE offsets in the hash kernel: keep ASCII
+    # heads so character index 4 IS byte index 4
+    heads = [t for t in heads if t is not None and len(t) == 12 and t.isascii()]
     mutated = [t[:4] + ("\x01" if t[4] != "\x01" else "\x02") + t[5:] for t in heads]
     masked_frac = float(bf.seen_fraction(mutated).mean())
     neg = spark.range(4000).select(
