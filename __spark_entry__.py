@@ -670,6 +670,55 @@ def q35_spaced_seed_membership(spark, sf_dir):
     )
 
 
+def q37_canonical_membership(spark, sf_dir):
+    """Canonical (strand-neutral, NTC64-mode) Bloom membership under
+    the driver board.  Self-validating columns pin the defining law:
+    every window hash of a text equals the hash of its
+    reverse-complement (reverse + A<->T / C<->G byte map), so probing
+    the RC of every inserted document must return seen fraction 1.0 —
+    plus the usual no-false-negatives and negative-corpus checks."""
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+    from btl_bloomfilter_spark.functions.probe import with_probe_columns
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    bf = build_sketch(
+        docs, "text", lambda: BloomFilter(1 << 24, 3, 12, canonical=True), fanin=8
+    )
+    pos_min = (
+        with_probe_columns(docs, bf, "text", frac_col="f", keep=[])
+        .agg(F.min("f"))
+        .collect()[0][0]
+    )
+    # reverse-complement of every doc, pure Catalyst: reverse + byte map
+    rc = docs.select(F.translate(F.reverse("text"), "ACGTacgt", "TGCAtgca").alias("t"))
+    rc_min = (
+        with_probe_columns(rc, bf, "t", frac_col="f", keep=[]).agg(F.min("f")).collect()[0][0]
+    )
+    neg = spark.range(4000).select(
+        F.concat(F.lit("zzneg"), F.col("id").cast("string"), F.lit("zzcanonzz")).alias("t")
+    )
+    neg_avg = (
+        with_probe_columns(neg, bf, "t", frac_col="f", keep=[]).agg(F.avg("f")).collect()[0][0]
+    )
+    observed = float(bf.fpr())
+    return spark.createDataFrame(
+        [
+            (
+                float(pos_min),
+                float(rc_min),
+                float(neg_avg),
+                observed,
+                bool(pos_min == 1.0),
+                bool(rc_min == 1.0),
+                bool(neg_avg <= 3 * observed + 1e-4),
+            )
+        ],
+        "pos_min_frac double, rc_min_frac double, neg_avg_frac double, observed_fpr double, "
+        "no_false_negatives boolean, rc_invariant boolean, fpr_consistent boolean",
+    )
+
+
 def q36_media_stats(spark, sf_dir):
     """Multimodal rollup under the oracle gate: a deterministic media
     table derived from documents (binary payload + typed metadata,
@@ -720,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_heavy_hitter_tools": q33_heavy_hitter_tools,
         "q35_spaced_seed_membership": q35_spaced_seed_membership,
         "q36_media_stats": q36_media_stats,
+        "q37_canonical_membership": q37_canonical_membership,
     }
 
 

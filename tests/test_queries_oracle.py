@@ -68,6 +68,10 @@ def test_rows_only_queries_run(spark, name):
         # rank-style sanity: sketch quantiles near exact
         rel = (out.kll - out.exact).abs() / out.exact
         assert (rel < 0.25).all()
+    if name == "q37_canonical_membership":
+        r = out.iloc[0]
+        assert r.rc_invariant  # the defining canonical-hashing law
+        assert r.neg_avg_frac < 0.05
     if name == "q35_spaced_seed_membership":
         r = out.iloc[0]
         assert r.masked_positions_collide  # the defining spaced-seed law
