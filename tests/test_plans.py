@@ -97,3 +97,19 @@ def test_whole_stage_codegen_on_relational(spark, sf_dir):
 
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
     assert n_exchanges == 1  # single shuffle on the group keys
+
+
+@pytest.mark.spark
+def test_blocked_simhash_join_is_hash_keyed(spark):
+    """simhash_candidates_blocked must plan as a shuffled hash/SM join
+    keyed on (block, value) — never a cartesian/NLJ — and the probe
+    explosion must stay linear (explode, no self-cross before the
+    equi-join)."""
+    from btl_bloomfilter_spark.operators.dedup import simhash_candidates_blocked
+
+    sh = spark.createDataFrame([(i, i * 7919) for i in range(50)], "id long, simhash long")
+    out = simhash_candidates_blocked(sh, max_hamming=7)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # equi-join present
