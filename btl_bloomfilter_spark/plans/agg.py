@@ -353,6 +353,7 @@ def grouped_partials_fn_arrow(make_sketch: Callable[[], Sketch], keys: Sequence[
     slices go through update_arrow zero-copy."""
 
     def fn(batches):
+        import numpy as np
         import pyarrow as pa
 
         states: dict[tuple, Sketch] = {}
@@ -361,13 +362,28 @@ def grouped_partials_fn_arrow(make_sketch: Callable[[], Sketch], keys: Sequence[
             vals = rb.column(rb.schema.get_field_index(col))
             key_types = [rb.schema.field(k).type for k in keys]
             key_pdf = rb.select(list(keys)).to_pandas()
-            for kv, sub in key_pdf.groupby(list(keys), dropna=False, sort=False):
+            # ONE take per batch: gather rows permuted into key order,
+            # then hand each key a zero-copy contiguous slice — with
+            # many keys this beats a per-key take by the number of keys
+            groups = key_pdf.groupby(list(keys), dropna=False, sort=False)
+            idx_blocks = []
+            spans: list[tuple] = []  # (key, start, len)
+            pos = 0
+            for kv, sub in groups:
                 if not isinstance(kv, tuple):
                     kv = (kv,)
+                ix = sub.index.to_numpy()
+                idx_blocks.append(ix)
+                spans.append((kv, pos, ix.size))
+                pos += ix.size
+            if not spans:
+                continue
+            ordered = vals.take(pa.array(np.concatenate(idx_blocks)))
+            for kv, start, ln in spans:
                 sk = states.get(kv)
                 if sk is None:
                     sk = states[kv] = make_sketch()
-                sk.update_arrow(vals.take(pa.array(sub.index.to_numpy())))
+                sk.update_arrow(ordered.slice(start, ln))
         for kv, sk in states.items():
             # explicit key types: pa.array([None]) is null-typed and the
             # JVM cannot read it as the declared key column (null keys
@@ -417,13 +433,32 @@ def sketch_by_key(
     else:
         partials = sdf.mapInPandas(grouped_partials_fn(make_sketch, keys, col), partial_schema)
 
-    def merge_blobs(pdf: pd.DataFrame) -> pd.DataFrame:
-        # bulk path: one batched merge (BloomFilter.bulk_merge's single
-        # scatter is ~10x cheaper than N-1 deserialize+merge rounds)
-        sk = Sketch.merge_blobs([bytes(b) for b in pdf["blob"]])
-        out = {k: [pdf[k].iloc[0]] for k in keys}
-        out["blob"] = [sk.serialize()]
-        return pd.DataFrame(out)
+    def _merge_partition_fn(group_cols: list[str], payload_col: str, emit):
+        """mapInPandas body: merge blobs per key WITHIN a hash-
+        partitioned partition.  One Python call per PARTITION (a
+        groupBy().applyInPandas here pays per-GROUP call overhead —
+        at thousands of keys that dominates the whole job)."""
+
+        def fn(batches):
+            acc: dict[tuple, Sketch] = {}
+            for pdf in batches:
+                for kv, sub in pdf.groupby(group_cols, dropna=False, sort=False):
+                    if not isinstance(kv, tuple):
+                        kv = (kv,)
+                    sk = Sketch.merge_blobs([bytes(b) for b in sub["blob"]])
+                    prev = acc.get(kv)
+                    acc[kv] = sk if prev is None else prev.merge(sk)
+            if not acc:
+                return
+            rows: dict[str, list] = {c: [] for c in group_cols}
+            rows[payload_col] = []
+            for kv, sk in acc.items():
+                for c, v in zip(group_cols, kv):
+                    rows[c].append(v)
+                rows[payload_col].append(emit(sk))
+            yield pd.DataFrame(rows)
+
+        return fn
 
     if salt_partitions:
         # salt must be DETERMINISTIC: a nondeterministic expression
@@ -435,16 +470,15 @@ def sketch_by_key(
             "__salt",
             F.pmod(F.xxhash64(*[F.col(k) for k in keys], F.col("blob")), F.lit(salt_partitions)),
         )
+        partials = (
+            salted.repartition(*[F.col(k) for k in keys], F.col("__salt"))
+            .mapInPandas(
+                _merge_partition_fn(keys + ["__salt"], "blob", lambda sk: sk.serialize()),
+                f"{key_schema}, __salt bigint, blob binary",
+            )
+            .drop("__salt")
+        )
 
-        def merge_salted(pdf: pd.DataFrame) -> pd.DataFrame:
-            return merge_blobs(pdf.drop(columns="__salt"))
-
-        partials = salted.groupBy(*keys, "__salt").applyInPandas(merge_salted, partial_schema)
-
-    def merge_final(pdf: pd.DataFrame) -> pd.DataFrame:
-        sk = Sketch.merge_blobs([bytes(b) for b in pdf["blob"]])
-        out = {k: [pdf[k].iloc[0]] for k in keys}
-        out[out_col] = [float(finalize(sk))]
-        return pd.DataFrame(out)
-
-    return partials.groupBy(*keys).applyInPandas(merge_final, out_schema)
+    return partials.repartition(*[F.col(k) for k in keys]).mapInPandas(
+        _merge_partition_fn(keys, out_col, lambda sk: float(finalize(sk))), out_schema
+    )
