@@ -137,21 +137,28 @@ def frame_sample(df: DataFrame, *, every_ms: int = 1000) -> DataFrame:
 
     def fn(batches):
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                if r["kind"] != "video" or not r["duration_ms"]:
-                    continue
-                payload = bytes(r["payload"])
-                for ts in range(0, int(r["duration_ms"]), every_ms):
-                    off = ts % max(1, len(payload) - 16)
-                    rows.append(
-                        {
-                            "media_id": r["media_id"],
-                            "ts_ms": ts,
-                            "frame": payload[off : off + 16],
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "ts_ms", "frame"])
+            vid = pdf[(pdf["kind"] == "video") & (pdf["duration_ms"] > 0)]
+            if not len(vid):
+                yield pd.DataFrame({"media_id": [], "ts_ms": [], "frame": []}).astype(
+                    {"media_id": "int64", "ts_ms": "int32", "frame": "object"}
+                )
+                continue
+            dur = vid["duration_ms"].to_numpy(dtype=np.int64)
+            n_frames = (dur + every_ms - 1) // every_ms  # frames at 0, every_ms, ...
+            row_of = np.repeat(np.arange(len(vid)), n_frames)
+            # within-row frame index → timestamp, all vectorized
+            offs = np.concatenate([[0], np.cumsum(n_frames)[:-1]])
+            ts = (np.arange(row_of.size) - offs[row_of]) * every_ms
+            payloads = [bytes(p) for p in vid["payload"]]
+            media_ids = vid["media_id"].to_numpy()[row_of]
+            plen = np.array([max(1, len(p) - 16) for p in payloads], dtype=np.int64)
+            off_in_payload = ts % plen[row_of]
+            frames = [
+                payloads[r][o : o + 16] for r, o in zip(row_of, off_in_payload)
+            ]  # byte-slice per FRAME is inherent; the per-ROW loop is gone
+            yield pd.DataFrame(
+                {"media_id": media_ids, "ts_ms": ts.astype(np.int32), "frame": frames}
+            )
 
     return df.mapInPandas(fn, "media_id long, ts_ms int, frame binary")
 
