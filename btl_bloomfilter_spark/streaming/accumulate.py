@@ -170,7 +170,10 @@ def stream_sketch_by_key(
     import pandas as pd
 
     if key_schema is None:
-        key_schema = ", ".join(f"{k} string" for k in keys)
+        # infer DDL types from the stream schema (same fix as
+        # plans.agg.sketch_by_key: a string default corrupts numeric keys)
+        type_of = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+        key_schema = ", ".join(f"{k} {type_of[k]}" for k in keys)
     out_schema = f"{key_schema}, {out_col} double"
     state_schema = "blob binary"
 
