@@ -133,3 +133,90 @@ def test_nte64_matches_python_ints(data):
             t = (base * ((i ^ (7 * 0x90B45D39FB6DA1FA)) & M)) & M
             t ^= t >> 27
             assert int(out[r, i]) == t
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    p=st.integers(min_value=6, max_value=14),
+    n_batches=st.integers(min_value=1, max_value=4),
+    sizes=st.lists(st.integers(min_value=0, max_value=400), min_size=4, max_size=4),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_hll_sparse_dense_equivalence_property(p, n_batches, sizes, seed):
+    """For ANY input partitioning and any merge order, the sparse
+    representation must densify to EXACTLY the dense registers, and
+    mixed-mode merges must equal the all-dense union."""
+    from btl_bloomfilter_spark.operators.hll import HyperLogLog
+
+    rng = np.random.default_rng(seed)
+    parts = [
+        [f"v{int(x)}" for x in rng.integers(0, 5000, size=s)] for s in sizes
+    ]
+    # serial dense reference
+    ref = HyperLogLog(p=p)
+    ref._densify()
+    for part in parts:
+        ref.update(part)
+    # mixed: each partial sparse-held (cap lifted), merged in a shuffled order
+    partials = []
+    for part in parts:
+        h = HyperLogLog(p=p)
+        h._sparse_max = 10**9
+        h.update(part)
+        partials.append(h)
+    order = rng.permutation(len(partials))
+    acc = HyperLogLog(p=p)
+    for i in order:
+        acc.merge(partials[i])
+    np.testing.assert_array_equal(acc.registers, ref.registers)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=2**31), k=st.integers(min_value=2, max_value=10))
+def test_canonical_strand_flag_property(seed, k):
+    """hStn law (nthash.hpp:712): strand is True exactly when the
+    reverse-complement fold wins the canonical min, and the canonical
+    hash set of a sequence equals that of its reverse complement."""
+    rng = np.random.default_rng(seed)
+    s = "".join(rng.choice(list("ACGT"), size=int(rng.integers(k, 50))))
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    rc = "".join(comp[c] for c in reversed(s))
+    h1, r1, st1 = H.hash_ngrams_canonical_strand([s], k, 3)
+    h2, r2, st2 = H.hash_ngrams_canonical_strand([rc], k, 3)
+    # canonical invariance: same window hashes, reversed order
+    np.testing.assert_array_equal(h1, h2[::-1])
+    # strand law: st True ⇔ rc fold won STRICTLY (rev < fwd), so the
+    # canonical base differs from the forward fold exactly when st set
+    can1 = h1[:, 0]
+    fwd = H.hash_ngrams([s], k, 1)[0][:, 0]
+    np.testing.assert_array_equal(st1, can1 != fwd)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=2**31),
+    radius=st.integers(min_value=4, max_value=11),
+)
+def test_blocked_simhash_ball_masks_complete(seed, radius):
+    """Pure pigeonhole check on the mask enumeration (no Spark): for
+    ANY pair of 64-bit values within the radius, some block has the
+    anchor's value inside the probe's Hamming ball."""
+    from btl_bloomfilter_spark.operators.dedup import _ball_masks
+
+    rng = np.random.default_rng(seed)
+    a = int(rng.integers(0, 2**63))
+    flips = rng.choice(64, size=radius, replace=False)
+    m = 0
+    for f in flips:
+        m |= 1 << int(f)
+    b = a ^ m
+    e = radius // 4
+    masks = set(_ball_masks(16, e))
+    found = False
+    for blk in range(4):
+        av = (a >> (16 * blk)) & 0xFFFF
+        bv = (b >> (16 * blk)) & 0xFFFF
+        if (av ^ bv) in masks:
+            found = True
+            break
+    assert found
