@@ -1,0 +1,87 @@
+"""FASTA/FASTQ source tests: split-safe parallel scan parity with a
+driver-side reference parse (the reference's own scan loops,
+writeBloom_rolling.cpp:19-58 / ParallelFilter.cpp:104-122)."""
+
+import numpy as np
+import pytest
+
+from btl_bloomfilter_spark.sources.fastx import read_fasta, read_fastq
+
+
+def _write_fasta(path, n=1500, seed=7, crlf=False):
+    rng = np.random.default_rng(seed)
+    recs = []
+    eol = "\r\n" if crlf else "\n"
+    for i in range(n):
+        seq = "".join(rng.choice(list("ACGTN"), size=int(rng.integers(40, 400))))
+        wrapped = eol.join(seq[j : j + 60] for j in range(0, len(seq), 60))
+        recs.append((f"contig{i} extra meta", seq))
+    with open(path, "w") as f:
+        for h, s in recs:
+            f.write(">" + h + eol)
+            f.write(eol.join(s[j : j + 60] for j in range(0, len(s), 60)) + eol)
+    return dict(recs)
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("crlf", [False, True])
+def test_read_fasta_matches_reference_parse(spark, tmp_path, crlf):
+    p = str(tmp_path / "refs.fa")
+    want = _write_fasta(p, crlf=crlf)
+    # force MANY input splits so records straddle split boundaries —
+    # the scan must still glue them (Hadoop line-reader contract)
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+    try:
+        df = read_fasta(spark, p)
+        assert df.rdd.getNumPartitions() > 4  # splits actually happened
+        got = {r["header"]: r["seq"] for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == want
+
+
+@pytest.mark.spark
+def test_read_fasta_feeds_bloom_build(spark, tmp_path):
+    """The reference workflow end-to-end: FASTA scan → insertSeq →
+    contains (contigsToBloom parity)."""
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    p = str(tmp_path / "refs.fa")
+    want = _write_fasta(p, n=200)
+    seqs = read_fasta(spark, p)
+    bf = build_sketch(seqs, "seq", lambda: BloomFilter(1 << 20, 3, 8))
+    frac = bf.seen_fraction(list(want.values())[:50])
+    assert (frac == 1.0).all()  # no false negatives over every window
+
+
+@pytest.mark.spark
+def test_read_fastq_robust_to_at_in_quality(spark, tmp_path):
+    rng = np.random.default_rng(11)
+    p = str(tmp_path / "reads.fq")
+    want = {}
+    with open(p, "w") as f:
+        for i in range(400):
+            n = int(rng.integers(30, 80))
+            seq = "".join(rng.choice(list("ACGT"), size=n))
+            # quality strings that START with '@' and '+' — the reason
+            # separator-based FASTQ splitting is unsound
+            qual = ("@" if i % 3 == 0 else "+") + "".join(
+                chr(33 + int(q)) for q in rng.integers(0, 40, size=n - 1)
+            )
+            want[f"read{i}"] = (seq, qual)
+            f.write(f"@read{i}\n{seq}\n+\n{qual}\n")
+    df = read_fastq(spark, p)
+    got = {r["read_id"]: (r["seq"], r["qual"]) for r in df.collect()}
+    assert got == want
+
+
+@pytest.mark.spark
+def test_read_fastq_rejects_malformed(spark, tmp_path):
+    p = str(tmp_path / "bad.fq")
+    with open(p, "w") as f:
+        f.write("@r0\nACGT\n+\n!!!!\n")
+        f.write("MISSING_AT\nACGT\n+\n!!!!\n")
+    with pytest.raises(ValueError, match="malformed"):
+        read_fastq(spark, p)
