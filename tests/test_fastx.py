@@ -85,3 +85,33 @@ def test_read_fastq_rejects_malformed(spark, tmp_path):
         f.write("MISSING_AT\nACGT\n+\n!!!!\n")
     with pytest.raises(ValueError, match="malformed"):
         read_fastq(spark, p)
+
+
+@pytest.mark.spark
+def test_cli_parity_jobs_roundtrip(spark, tmp_path, monkeypatch):
+    """writeBloom_rolling / testBloom_rolling CLI pair: build from
+    FASTA with the reference's exact sizing, store in .bf layout,
+    reload and find every inserted k-mer window."""
+    import io
+    import contextlib
+    import sys as _sys
+
+    import jobs.write_bloom as wj
+    import jobs.test_bloom as tj
+
+    p = str(tmp_path / "refs.fa")
+    _write_fasta(p, n=120, seed=3)
+    out = str(tmp_path / "f.bf")
+    bf = wj.main(["-f", p, "-k", "11", "-p", "0.001", "-o", out])
+    # reference sizing law held exactly (word round-up is unconditional)
+    import math, os
+    n = os.path.getsize(p)
+    m_raw = int(math.ceil(-n * math.log(0.001) / math.log(2) ** 2))
+    assert bf.m_bits == m_raw + (64 - m_raw % 64)
+    assert bf.hash_num == max(1, int((bf.m_bits / n) * math.log(2)))
+    err = io.StringIO()
+    with contextlib.redirect_stderr(err):
+        per_contig = tj.main(["-f", p, "--filter", out])
+    pdf = per_contig.toPandas()
+    assert (pdf.hits == pdf.total).all()  # no false negatives
+    assert "Found" in err.getvalue()
