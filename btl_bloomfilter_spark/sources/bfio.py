@@ -89,6 +89,14 @@ def save_bloom(bf, path: str | Path) -> None:
         "Entry": bf.t_entry,
         "SeedSalt": bf.seed_salt,  # extension field (loader-ignored by ref)
     }
+    # hash-mode extension fields (quoted → valid TOML for the reference
+    # parser, which just ignores unknown keys): without these a spaced/
+    # canonical filter silently reloaded as plain forward k-gram mode
+    # and probed the wrong bits
+    if getattr(bf, "spaced_seeds", None):
+        fields["SpacedSeeds"] = '"' + ",".join(bf.spaced_seeds) + '"'
+    if getattr(bf, "canonical", False):
+        fields["Canonical"] = 1
     write_bf(path, MAGIC_BLOOM, fields, bf.bits.tobytes())
 
 
@@ -96,12 +104,15 @@ def load_bloom(path: str | Path):
     from ..operators.bloom import BloomFilter
 
     magic, fields, payload = read_bf(path, MAGIC_BLOOM)
+    seeds = fields.get("SpacedSeeds")
     bf = BloomFilter(
         m_bits=int(fields["BloomFilterSize"]),
         hash_num=int(fields["HashNum"]),
         k=int(fields.get("KmerSize", 0)),
         seed_salt=int(fields.get("SeedSalt", 0)),
         dfpr=float(fields.get("dFPR", 0.0)),
+        spaced_seeds=str(seeds).split(",") if seeds else None,
+        canonical=bool(fields.get("Canonical", 0)),
     )
     import numpy as np
 
@@ -129,6 +140,10 @@ def save_counting(cbf, path: str | Path) -> None:
         # contains() threshold to 1
         "Threshold": cbf.threshold,
     }
+    if getattr(cbf, "spaced_seeds", None):
+        fields["SpacedSeeds"] = '"' + ",".join(cbf.spaced_seeds) + '"'
+    if getattr(cbf, "canonical", False):
+        fields["Canonical"] = 1
     write_bf(path, MAGIC_COUNTING, fields, cbf.counters_saturated().tobytes())
 
 
@@ -136,6 +151,7 @@ def load_counting(path: str | Path):
     from ..operators.counting import CountingBloomFilter
 
     magic, fields, payload = read_bf(path, MAGIC_COUNTING)
+    seeds = fields.get("SpacedSeeds")
     cbf = CountingBloomFilter(
         m_counters=int(fields["BloomFilterSize"]),
         hash_num=int(fields["HashNum"]),
@@ -144,6 +160,8 @@ def load_counting(path: str | Path):
         seed_salt=int(fields.get("SeedSalt", 0)),
         dfpr=float(fields.get("dFPR", 0.0)),
         threshold=int(fields.get("Threshold", 1)),
+        spaced_seeds=str(seeds).split(",") if seeds else None,
+        canonical=bool(fields.get("Canonical", 0)),
     )
     cbf.load_counters_saturated(payload)
     cbf.n_entry = int(fields.get("nEntry", 0))

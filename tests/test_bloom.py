@@ -236,3 +236,31 @@ def test_checkpoint_resume(spark, tmp_path):
     # changed lineage/params → rebuild happens
     rebuilt = build_sketch(df2, "text", mk, repartition=4, checkpoint_dir=str(tmp_path / "ckpt2"), lineage="unit:v2")
     assert rebuilt.t_entry == 1
+
+
+def test_bf_file_roundtrip_preserves_hash_mode(tmp_path):
+    """Spaced-seed and canonical filters must keep their hash mode
+    through the .bf layout (extension fields; previously they silently
+    reloaded as plain forward k-gram mode and probed the wrong bits)."""
+    import numpy as np
+    from btl_bloomfilter_spark.sources import bfio
+
+    sp = BloomFilter(1 << 12, 2, spaced_seeds=["11011011", "10110111"])
+    sp.update(["abcdefghij", "qrstuvwxyz"])
+    p = tmp_path / "sp.bf"
+    bfio.save_bloom(sp, p)
+    back = bfio.load_bloom(p)
+    assert back.spaced_seeds == sp.spaced_seeds
+    np.testing.assert_array_equal(back.bits, sp.bits)
+    np.testing.assert_array_equal(
+        back.contains_batch(["abcdefghij", "zzzzzzzzzz"]),
+        sp.contains_batch(["abcdefghij", "zzzzzzzzzz"]),
+    )
+    cn = BloomFilter(1 << 12, 3, 6, canonical=True)
+    cn.update(["ACGTACGTACGT"])
+    p2 = tmp_path / "cn.bf"
+    bfio.save_bloom(cn, p2)
+    back2 = bfio.load_bloom(p2)
+    assert back2.canonical
+    # RC probe only works if the canonical mode survived the round trip
+    assert back2.contains_batch(["ACGTACGTACGT"]).all()
