@@ -61,6 +61,14 @@ def read_fastq(spark: SparkSession, path: str) -> DataFrame:
     Stable global line numbering via zipWithIndex (file order), then a
     groupBy(line // 4) pivot — robust to '@'/'+' appearing inside
     quality strings, which breaks any separator-based split.
+
+    Scale note (honest cost): positional framing needs global line
+    numbers, so this path pays zipWithIndex's extra partition-count
+    job plus a per-line Python hop and one shuffle keyed by record id.
+    Fine for ingest-once workloads; at sustained 100-TB scale convert
+    FASTQ to Parquet once with this reader (or prefer FASTA, whose
+    '\\n>'-delimited reader is pure Catalyst with no extra pass) and
+    scan the Parquet thereafter.
     """
     lines = spark.read.text(path).rdd.map(lambda r: r[0]).zipWithIndex()
     df = spark.createDataFrame(
