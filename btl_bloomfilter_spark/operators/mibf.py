@@ -858,25 +858,44 @@ def _assemble_u32(pairs: DataFrame, total_len: int, *, val_col: str = "id") -> n
     return out
 
 
-def _frames_fn(blob, text_col: str, id_col: str, emit, *, needs_stored: bool = True):
+def _frames_fn(
+    blob, text_col: str, id_col: str, emit, *, needs_stored: bool = True, strand_dir: bool | None = None
+):
     """mapInPandas body shared by the build passes: probe every window
     of every element against the broadcast miBF and call
     ``emit(rpos (W,h), stored (W,h) | None, ids (W,)) -> DataFrame | None``.
 
     ``needs_stored=False`` skips the (W, h) ID-array gather — pass 2
     runs before any IDs exist, so gathering zeros there would waste
-    the heaviest scan's memory bandwidth."""
+    the heaviest scan's memory bandwidth.
+
+    ``strand_dir`` (canonical filters only) turns the emitted ids into
+    strand-carrying VALUES: id | STRAND_BIT when ``strand_dir XOR
+    window-hStn`` — the same value law as the online strand insert
+    (MIBloomFilter.hpp:325), so batch-built and online-built strand
+    filters store compatible words."""
 
     def fn(batches):
         probe = Sketch.deserialize(blob.value)
         for pdf in batches:
-            hashes, rows = probe._hash_batch(pdf[text_col])
+            if strand_dir is None:
+                hashes, rows = probe._hash_batch(pdf[text_col])
+                strands = None
+            else:
+                strings = _strings_of(pdf[text_col])
+                hashes, rows, strands = H.hash_ngrams_canonical_strand(
+                    strings, probe.k, probe.hash_num, seeds=probe._seeds
+                )
             if hashes.shape[0] == 0:
                 continue
             _, idx = probe._probe(hashes)  # all set by construction
             rpos = probe.rank_pos(idx)  # (W, h)
             stored = (probe.data[rpos] & ID_MASK).astype(np.int64) if needs_stored else None
             ids = pdf[id_col].to_numpy()[rows].astype(np.int64)
+            if strands is not None:
+                if (ids >> 30).any():
+                    raise ValueError("strand-mode IDs must be < 2^30 (two stolen top bits)")
+                ids = np.where(strands ^ strand_dir, ids | np.int64(STRAND_BIT), ids)
             out = emit(rpos, stored, ids)
             if out is not None and len(out):
                 yield out
@@ -899,10 +918,25 @@ def build_mibf(
     lineage: str = "",
     spaced_seeds: list[str] | None = None,
     canonical: bool = False,
+    strand: bool = False,
 ) -> MIBloomFilter:
     """Distributed miBF construction (see module docstring).
 
-    IDs must be positive ints < 2^31 (top bit is the saturation flag).
+    IDs must be positive ints < 2^31 (top bit is the saturation flag);
+    in strand mode < 2^30 (MSB-1 is the strand bit).
+
+    ``strand=True`` (requires ``canonical=True``) is the DISTRIBUTED
+    analog of the reference's online strand insert
+    (MIBloomFilter.hpp:309-373, which has no construct-support
+    equivalent — this is our extension): every window's stored value
+    carries the strand bit per the same ``strandDir XOR hStn`` law the
+    online path uses at max=1, chosen deterministically by the usual
+    count-weighted reservoir over strand-carrying values.  Lost-ID
+    repair and saturation match strand-specifically, mirroring the
+    online insert's value comparison.  Query the result with
+    ``get_id_counts_strand`` / ``calc_frame_probs_strand``; classify
+    candidates carry the strand bit in their id (ID_MASK semantics,
+    MIBFQuerySupport.hpp:489-493).
 
     ``checkpoint_dir``/``lineage`` forward to the pass-1 Bloom build
     (plans.agg.build_sketch): the bit-vector pass — the biggest source
@@ -928,6 +962,10 @@ def build_mibf(
     erase entries" comment); determinism replaces its OpenMP races.
     """
     spark = df.sparkSession
+    if strand and not canonical:
+        raise ValueError("strand=True requires canonical=True (strand is the canonical-min direction)")
+    # the reference's online convention at max=1: strandDir = 1
+    strand_dir: bool | None = True if strand else None
 
     # ---- pass 1: bit vector (plain Bloom build, bit-exact OR merge)
     from ..plans.agg import build_sketch
@@ -958,7 +996,8 @@ def build_mibf(
         )
 
     pairs = df.select(text_col, id_col).mapInPandas(
-        _frames_fn(blob, text_col, id_col, pairs_emit, needs_stored=False), "rpos long, id long"
+        _frames_fn(blob, text_col, id_col, pairs_emit, needs_stored=False, strand_dir=strand_dir),
+        "rpos long, id long",
     )
     counts = pairs.groupBy("rpos", "id").agg(F.count("*").alias("c"))
     if repair:
@@ -1019,7 +1058,8 @@ def build_mibf(
             )
 
         muts = df.select(text_col, id_col).mapInPandas(
-            _frames_fn(blob_r, text_col, id_col, mutate_emit), "rpos long, id long"
+            _frames_fn(blob_r, text_col, id_col, mutate_emit, strand_dir=strand_dir),
+            "rpos long, id long",
         )
         mut_counts = muts.groupBy("rpos", "id").agg(F.count("*").alias("c"))
         mut_arr = _assemble_u32(_winners_df(mut_counts), total)
@@ -1038,7 +1078,9 @@ def build_mibf(
 
     lost = (
         df.select(text_col, id_col)
-        .mapInPandas(_frames_fn(blob2, text_col, id_col, lost_emit), "rpos long")
+        .mapInPandas(
+            _frames_fn(blob2, text_col, id_col, lost_emit, strand_dir=strand_dir), "rpos long"
+        )
         .distinct()
         .withColumn("one", F.lit(1))
     )

@@ -525,3 +525,53 @@ def test_classify_full_paired_early_exit(mibf_setup):
         a[0].id == b[0].id for a, b in zip(full, fast) if a and b
     ]
     assert sum(winners_agree) / max(len(winners_agree), 1) >= 0.9
+
+
+@pytest.mark.spark
+def test_distributed_strand_build(spark):
+    """build_mibf(strand=True): strand-carrying values chosen by the
+    deterministic reservoir; both orientations of a read classify to
+    the same strand-stripped reference id, strand histogram pools, and
+    the stored-value law matches the online strand insert (strandDir=1
+    at max=1: bit set when the FORWARD fold won)."""
+    from btl_bloomfilter_spark.operators.mibf import (
+        ID_MASK_STRAND,
+        STRAND_BIT,
+        build_mibf,
+    )
+    from btl_bloomfilter_spark.operators.mibf_query import calc_frame_probs_strand
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for ref in (1, 2, 3):
+        base = "".join(rng.choice(list("ACGT"), size=400))
+        for s in range(6):
+            lo = int(rng.integers(0, 300))
+            rows.append((base[lo : lo + 100], ref))
+    df = spark.createDataFrame(rows, "text string, ref_id long").repartition(4)
+    mibf = build_mibf(df, "text", "ref_id", m_bits=1 << 16, hash_num=3, k=12, canonical=True, strand=True)
+    stored = mibf.data[mibf.data != 0]
+    assert ((stored & STRAND_BIT) != 0).any() and ((stored & STRAND_BIT) == 0).any()
+    pooled, _ = mibf.get_id_counts_strand()
+    assert set(pooled) - {0} <= {1, 2, 3}
+    probs, _ = calc_frame_probs_strand(mibf)
+    assert set(probs) <= {1, 2, 3}
+    comp = {"A": "T", "T": "A", "C": "G", "G": "C"}
+    ok = 0
+    for text, ref in rows[:8]:
+        for q in (text, "".join(comp[c] for c in reversed(text))):
+            res = mibf.classify_full(q and [q])[0]
+            if res and int(res[0].id) & int(ID_MASK_STRAND) == ref:
+                ok += 1
+    assert ok >= 14  # ≥ 14/16 orientations classify correctly
+    # determinism across rebuilds
+    mibf2 = build_mibf(df, "text", "ref_id", m_bits=1 << 16, hash_num=3, k=12, canonical=True, strand=True)
+    np.testing.assert_array_equal(mibf.data, mibf2.data)
+
+
+def test_distributed_strand_build_requires_canonical(spark):
+    from btl_bloomfilter_spark.operators.mibf import build_mibf
+
+    df = spark.createDataFrame([("ACGT", 1)], "text string, ref_id long")
+    with pytest.raises(ValueError, match="canonical"):
+        build_mibf(df, "text", "ref_id", m_bits=1 << 10, hash_num=2, k=3, strand=True)
