@@ -731,6 +731,67 @@ def q36_media_stats(spark, sf_dir):
     return media_stats(media_from_documents(docs))
 
 
+def q38_mibf_strand_classify(spark, sf_dir):
+    """Strand-aware miBF under the driver board: distributed
+    strand build (build_mibf(strand=True), our extension of
+    MIBloomFilter.hpp:309-373's online strand insert) over document
+    text keyed by source; every document AND its reverse complement
+    classify, and the self-validating columns assert (a) the
+    strand-stripped id matches the true source for both orientations
+    at equal accuracy (canonical invariance), (b) the data array
+    stores both strand variants, (c) the strand-pooled histogram
+    covers exactly the planted ids."""
+    import numpy as np
+
+    from btl_bloomfilter_spark.operators.mibf import (
+        ID_MASK_STRAND,
+        STRAND_BIT,
+        build_mibf,
+        with_classification,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    with_id = docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
+    mibf = build_mibf(
+        with_id, "text", "src_id", m_bits=1 << 22, hash_num=3, k=10, canonical=True, strand=True
+    )
+    rc = with_id.select(
+        F.translate(F.reverse("text"), "ACGTacgt", "TGCAtgca").alias("text"), "src_id"
+    )
+
+    def acc(df):
+        out = with_classification(df.select("text", "src_id"), mibf, "text", keep=["src_id"])
+        # candidate ids carry the strand bit (ID_MASK semantics) —
+        # strip MSB-1 before comparing to the true source id
+        stripped = F.when(F.col("best_id") >= 0, F.col("best_id").bitwiseAND(int(ID_MASK_STRAND))).otherwise(-1)
+        r = out.agg(
+            F.count("*").alias("n"),
+            F.sum((stripped == F.col("src_id")).cast("long")).alias("ok"),
+        ).collect()[0]
+        return int(r["n"]), int(r["ok"])
+
+    n_f, ok_f = acc(with_id)
+    n_r, ok_r = acc(rc)
+    stored = mibf.data[mibf.data != 0]
+    both_strands = bool(((stored & STRAND_BIT) != 0).any() and ((stored & STRAND_BIT) == 0).any())
+    pooled, _sat = mibf.get_id_counts_strand()
+    true_ids = {int(r["src_id"]) for r in with_id.select("src_id").distinct().collect()}
+    return spark.createDataFrame(
+        [
+            (
+                n_f,
+                round(ok_f / n_f, 4),
+                round(ok_r / n_r, 4),
+                both_strands,
+                bool(ok_f / n_f >= 0.9 and abs(ok_f / n_f - ok_r / n_r) <= 0.02),
+                bool((set(pooled) - {0}) <= true_ids),
+            )
+        ],
+        "n_docs long, acc_fwd double, acc_rc double, both_strands_stored boolean, "
+        "rc_accuracy_invariant boolean, strand_pooled_ids_valid boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -770,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_spaced_seed_membership": q35_spaced_seed_membership,
         "q36_media_stats": q36_media_stats,
         "q37_canonical_membership": q37_canonical_membership,
+        "q38_mibf_strand_classify": q38_mibf_strand_classify,
     }
 
 
