@@ -636,6 +636,129 @@ def hash_ngrams_spaced_from_buffers(
     return nte64(out[valid], num_hashes, k), row_of_pos[valid]
 
 
+def hash_ngrams_spaced_canonical_from_buffers(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    pattern: str,
+    num_hashes: int = 1,
+    *,
+    seeds: np.ndarray | None = None,
+    comp: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical spaced-seed window hashing with the strand flag — the
+    NTMS64 canonical variant (vendor/nthash.hpp:775-820: per-seed
+    fsVal/rsVal, hStn[j] = rsVal < fsVal, hash = min).
+
+    The reverse-complement spaced fold over window t is
+
+        rc(t) = XOR_{i in care} rol(cseed[b[t+k-1-i]], k-1-i)
+              = ror( XOR_{j in rev(care)} v[t+j], t mod 64 )
+
+    with v[p] = rol(seed[comp(b[p])], p) and rev(care) = {k-1-c} — the
+    same closed form as the dense rc hash restricted to the REVERSED
+    care set.  Strand neutrality (seq and its reverse complement
+    hashing identically) holds only for SYMMETRIC patterns
+    (care == rev(care)); asymmetric patterns are refused, mirroring
+    the reference's symmetric-seed assertion (MIBloomFilter.hpp:437).
+
+    Returns ((W, num_hashes) uint64, (W,) rows, (W,) strand bool).
+    """
+    seeds = _SEEDS if seeds is None else seeds
+    comp = DNA_COMPLEMENT if comp is None else comp
+    k = len(pattern)
+    care = parse_seed(pattern)
+    rev_care = np.sort(k - 1 - care)
+    if not np.array_equal(care, rev_care):
+        raise ValueError(
+            f"canonical spaced-seed hashing requires a symmetric pattern "
+            f"(care == reversed care); got {pattern!r}"
+        )
+    n = buf.shape[0]
+    if n < k:
+        return (
+            np.empty((0, num_hashes), dtype=np.uint64),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=bool),
+        )
+    pos = _positions(n)
+    nw = n - k + 1
+    # forward spaced fold (same passes as hash_ngrams_spaced_from_buffers)
+    s = _scratch("spc_s", n)
+    np.take(seeds, buf, out=s)
+    u = _scratch("spc_u", n)
+    tmp = _scratch("spc_tmp", n)
+    _ror_into(s, pos, u, tmp)
+    wf = np.zeros(nw, dtype=np.uint64)
+    for j in care:
+        np.bitwise_xor(wf, u[j : j + nw], out=wf)
+    r = _scratch("spc_r", nw)
+    np.add(_positions(nw), _U64((k - 1) % 64), out=r)
+    np.bitwise_and(r, _MASK6, out=r)
+    np.subtract(_U64(64), r, out=r)
+    np.bitwise_and(r, _MASK6, out=r)
+    fwd = np.empty(nw, dtype=np.uint64)
+    t2 = _scratch("spc_t2", nw)
+    _ror_into(wf, r, fwd, t2)
+    # reverse-complement spaced fold
+    cs = _scratch("spc_cs", n)
+    np.take(seeds[comp], buf, out=cs)
+    v = _scratch("spc_v", n)
+    rr = _scratch("spc_rr", n)
+    np.subtract(_U64(64), pos, out=rr)
+    np.bitwise_and(rr, _MASK6, out=rr)
+    _ror_into(cs, rr, v, tmp)  # v = rol(cseed, pos)
+    wr = np.zeros(nw, dtype=np.uint64)
+    for j in rev_care:
+        np.bitwise_xor(wr, v[j : j + nw], out=wr)
+    rev = np.empty(nw, dtype=np.uint64)
+    _ror_into(wr, _positions(nw), rev, t2)  # ror by window start
+    strand = rev < fwd
+    base = np.where(strand, rev, fwd)
+    starts = np.arange(nw, dtype=np.int64)
+    row_of_pos = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + k <= offsets[row_of_pos + 1]
+    return nte64(base[valid], num_hashes, k), row_of_pos[valid], strand[valid]
+
+
+def hash_ngrams_multi_seed_canonical_from_buffers(
+    buf: np.ndarray,
+    offsets: np.ndarray,
+    patterns: list[str],
+    *,
+    seeds: np.ndarray | None = None,
+    comp: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical multi-spaced-seed hashing over the Arrow UTF-8 layout
+    (stHashIterator canonical layout): per window, one canonical hash
+    AND one strand flag per seed pattern — (W, n_seeds) hashes, (W,)
+    rows, (W, n_seeds) strand.  All patterns must be symmetric (see
+    the single-seed kernel)."""
+    if len({len(p) for p in patterns}) != 1:
+        raise ValueError("all seed patterns must share one length")
+    blocks, strands = [], []
+    rows = None
+    for p in patterns:
+        h, r, st = hash_ngrams_spaced_canonical_from_buffers(buf, offsets, p, 1, seeds=seeds, comp=comp)
+        blocks.append(h)
+        strands.append(st)
+        rows = r
+    return (
+        np.concatenate(blocks, axis=1),
+        rows if rows is not None else np.empty(0, dtype=np.int64),
+        np.stack(strands, axis=1)
+        if strands and strands[0].size
+        else np.empty((0, len(patterns)), dtype=bool),
+    )
+
+
+def hash_ngrams_multi_seed_canonical(
+    strings, patterns: list[str], *, seeds: np.ndarray | None = None, comp: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Canonical multi-spaced-seed hashing over a batch of strings."""
+    buf, offsets = _flatten_utf8(strings)
+    return hash_ngrams_multi_seed_canonical_from_buffers(buf, offsets, patterns, seeds=seeds, comp=comp)
+
+
 def hash_ngrams_multi_seed(
     strings, patterns: list[str], num_hashes: int = 1, *, seeds: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:

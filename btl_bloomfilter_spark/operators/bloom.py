@@ -69,10 +69,8 @@ class BloomFilter(Sketch):
         # base hash is min(forward, reverse-complement), so a sequence
         # and its reverse complement populate/probe identical bits
         self.canonical = bool(canonical)
-        if self.canonical and k <= 0:
+        if self.canonical and k <= 0 and not spaced_seeds:
             raise ValueError("canonical hashing requires k-gram mode (k > 0)")
-        if self.canonical and spaced_seeds:
-            raise ValueError("canonical and spaced_seeds modes are mutually exclusive")
         self.spaced_seeds = list(spaced_seeds) if spaced_seeds else None
         if self.spaced_seeds:
             if len({len(p) for p in self.spaced_seeds}) != 1:
@@ -82,6 +80,16 @@ class BloomFilter(Sketch):
             self.k = len(self.spaced_seeds[0])
             if self.hash_num != len(self.spaced_seeds):
                 raise ValueError("hash_num must equal the number of spaced seeds")
+            if self.canonical:
+                # canonical spaced mode (NTMS64 canonical): strand
+                # neutrality needs symmetric care sets — the analog of
+                # the reference's symmetric-seed assertion
+                for p in self.spaced_seeds:
+                    care = H.parse_seed(p)
+                    if not (care == (len(p) - 1 - care)[::-1]).all():
+                        raise ValueError(
+                            f"canonical spaced-seed mode requires symmetric patterns; {p!r} is not"
+                        )
         self._bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
         self._seeds = H.seed_table(self.seed_salt)
         self._acc: np.ndarray | None = None  # bool scatter accumulator
@@ -110,6 +118,9 @@ class BloomFilter(Sketch):
         """(hashes (W,h) uint64, row_ids (W,)) for a batch of strings."""
         strings = _strings_of(values)
         if self.spaced_seeds:
+            if self.canonical:
+                h, rows, _ = H.hash_ngrams_multi_seed_canonical(strings, self.spaced_seeds, seeds=self._seeds)
+                return h, rows
             return H.hash_ngrams_multi_seed(strings, self.spaced_seeds, 1, seeds=self._seeds)
         if self.canonical:
             return H.hash_ngrams_canonical(strings, self.k, self.hash_num, seeds=self._seeds)
@@ -206,9 +217,14 @@ class BloomFilter(Sketch):
         mapInArrow builds)."""
         buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
         if self.spaced_seeds:
-            hashes, rows = H.hash_ngrams_multi_seed_from_buffers(
-                buf, offsets, self.spaced_seeds, 1, seeds=self._seeds
-            )
+            if self.canonical:
+                hashes, rows, _ = H.hash_ngrams_multi_seed_canonical_from_buffers(
+                    buf, offsets, self.spaced_seeds, seeds=self._seeds
+                )
+            else:
+                hashes, rows = H.hash_ngrams_multi_seed_from_buffers(
+                    buf, offsets, self.spaced_seeds, 1, seeds=self._seeds
+                )
             if null_mask is not None and hashes.shape[0]:
                 hashes = hashes[~null_mask[rows]]
             for s in range(0, hashes.shape[0], self.CHUNK):
@@ -398,9 +414,14 @@ class BloomFilter(Sketch):
         self._consolidate()
         buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
         if self.spaced_seeds:
-            hashes, rows = H.hash_ngrams_multi_seed_from_buffers(
-                buf, offsets, self.spaced_seeds, 1, seeds=self._seeds
-            )
+            if self.canonical:
+                hashes, rows, _ = H.hash_ngrams_multi_seed_canonical_from_buffers(
+                    buf, offsets, self.spaced_seeds, seeds=self._seeds
+                )
+            else:
+                hashes, rows = H.hash_ngrams_multi_seed_from_buffers(
+                    buf, offsets, self.spaced_seeds, 1, seeds=self._seeds
+                )
             hit = np.empty(hashes.shape[0], dtype=bool)
             for s in range(0, hashes.shape[0], self.CHUNK):
                 hit[s : s + self.CHUNK] = self._probe_bits(hashes[s : s + self.CHUNK])

@@ -56,10 +56,8 @@ class CountingBloomFilter(Sketch):
         # canonical NTC64 mode) — the reference counting filter is
         # hash-agnostic, so all tokenizer modes apply uniformly
         self.canonical = bool(canonical)
-        if self.canonical and k <= 0:
+        if self.canonical and k <= 0 and not spaced_seeds:
             raise ValueError("canonical hashing requires k-gram mode (k > 0)")
-        if self.canonical and spaced_seeds:
-            raise ValueError("canonical and spaced_seeds modes are mutually exclusive")
         self.spaced_seeds = list(spaced_seeds) if spaced_seeds else None
         if self.spaced_seeds:
             if len({len(p) for p in self.spaced_seeds}) != 1:
@@ -69,6 +67,13 @@ class CountingBloomFilter(Sketch):
             k = len(self.spaced_seeds[0])
             if hash_num != len(self.spaced_seeds):
                 raise ValueError("hash_num must equal the number of spaced seeds")
+            if self.canonical:
+                for p in self.spaced_seeds:
+                    care = H.parse_seed(p)
+                    if not (care == (len(p) - 1 - care)[::-1]).all():
+                        raise ValueError(
+                            f"canonical spaced-seed mode requires symmetric patterns; {p!r} is not"
+                        )
         self.m_counters = int(m_counters)
         self.hash_num = int(hash_num)
         self.k = int(k)
@@ -110,6 +115,9 @@ class CountingBloomFilter(Sketch):
     def _hash_batch(self, values):
         strings = _strings_of(values)
         if self.spaced_seeds:
+            if self.canonical:
+                h, rows, _ = H.hash_ngrams_multi_seed_canonical(strings, self.spaced_seeds, seeds=self._seeds)
+                return h, rows
             return H.hash_ngrams_multi_seed(strings, self.spaced_seeds, 1, seeds=self._seeds)
         if self.canonical:
             return H.hash_ngrams_canonical(strings, self.k, self.hash_num, seeds=self._seeds)
@@ -135,7 +143,11 @@ class CountingBloomFilter(Sketch):
         pandas path exactly."""
         buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
         if self.k > 0:
-            if self.spaced_seeds:
+            if self.spaced_seeds and self.canonical:
+                hashes, rows, _ = H.hash_ngrams_multi_seed_canonical_from_buffers(
+                    buf, offsets, self.spaced_seeds, seeds=self._seeds
+                )
+            elif self.spaced_seeds:
                 hashes, rows = H.hash_ngrams_multi_seed_from_buffers(
                     buf, offsets, self.spaced_seeds, 1, seeds=self._seeds
                 )

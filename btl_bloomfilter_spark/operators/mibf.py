@@ -106,11 +106,11 @@ class MIBloomFilter(Sketch):
         # canonical (strand-neutral) hashing — NTC64 mode of the
         # reference's ntHashIterator-driven miBF
         self.canonical = bool(canonical)
-        if self.canonical and spaced_seeds:
-            raise ValueError("canonical and spaced_seeds modes are mutually exclusive")
         # spaced-seed mode (the reference miBF's primary mode for
         # downstream tools: stHashIterator, one hash per seed pattern;
-        # MIBloomFilter.hpp:49-61,126-139)
+        # MIBloomFilter.hpp:49-61,126-139); combined with canonical it
+        # is the NTMS64 canonical mode (per-seed min(fwd, rc) + per-seed
+        # strand, nthash.hpp:775-820) — symmetric patterns required
         self.spaced_seeds = list(spaced_seeds) if spaced_seeds else None
         if self.spaced_seeds:
             if len({len(p) for p in self.spaced_seeds}) != 1:
@@ -119,6 +119,13 @@ class MIBloomFilter(Sketch):
                 raise ValueError("k must equal the spaced-seed pattern length")
             if self.hash_num != len(self.spaced_seeds):
                 raise ValueError("hash_num must equal the number of spaced seeds")
+            if self.canonical:
+                for p in self.spaced_seeds:
+                    care = H.parse_seed(p)
+                    if not (care == (len(p) - 1 - care)[::-1]).all():
+                        raise ValueError(
+                            f"canonical spaced-seed mode requires symmetric patterns; {p!r} is not"
+                        )
         self.bits = np.zeros(self.m_bits // 8, dtype=np.uint8)
         self.block_rank = np.zeros(1, dtype=np.int64)  # cum popcount per 64B block
         self.data = np.zeros(0, dtype=np.uint32)
@@ -186,6 +193,9 @@ class MIBloomFilter(Sketch):
     def _hash_batch(self, values):
         strings = _strings_of(values)
         if self.spaced_seeds:
+            if self.canonical:
+                h, rows, _ = H.hash_ngrams_multi_seed_canonical(strings, self.spaced_seeds, seeds=self._seeds)
+                return h, rows
             return H.hash_ngrams_multi_seed(strings, self.spaced_seeds, 1, seeds=self._seeds)
         if self.canonical:
             return H.hash_ngrams_canonical(strings, self.k, self.hash_num, seeds=self._seeds)
@@ -675,13 +685,24 @@ class MIBloomFilter(Sketch):
         return True
 
     def insert_seq_online_strand(self, text: str, value: int, max_count: int = 1) -> bool:
-        """Online strand insert of every canonical k-gram frame of
-        ``text`` — each frame's hStn flag (which direction won the
-        canonical min) is stored in the strand bit, so a query can
-        distinguish forward from reverse-complement matches.  Requires
-        canonical mode (strand is meaningless forward-only)."""
+        """Online strand insert of every frame of ``text`` — each
+        frame's hStn flag (which direction won the canonical min) is
+        stored in the strand bit, so a query can distinguish forward
+        from reverse-complement matches.  Requires canonical mode
+        (strand is meaningless forward-only).  In canonical SPACED
+        mode the strand is PER SEED (stHashIterator's bool* hStn,
+        nthash.hpp:798), exactly the per-hash strand array the
+        reference's strand insert consumes."""
         if not self.canonical:
             raise ValueError("strand insert requires canonical=True hashing")
+        if self.spaced_seeds:
+            hashes, _, strand = H.hash_ngrams_multi_seed_canonical(
+                [text], self.spaced_seeds, seeds=self._seeds
+            )
+            ok = True
+            for w in range(hashes.shape[0]):
+                ok &= self.insert_online_strand(hashes[w], strand[w], value, max_count)
+            return ok
         hashes, _, strand = H.hash_ngrams_canonical_strand(
             [text], self.k, self.hash_num, seeds=self._seeds
         )
@@ -869,11 +890,17 @@ def _frames_fn(
     runs before any IDs exist, so gathering zeros there would waste
     the heaviest scan's memory bandwidth.
 
-    ``strand_dir`` (canonical filters only) turns the emitted ids into
-    strand-carrying VALUES: id | STRAND_BIT when ``strand_dir XOR
-    window-hStn`` — the same value law as the online strand insert
-    (MIBloomFilter.hpp:325), so batch-built and online-built strand
-    filters store compatible words."""
+    ``strand_dir`` (canonical filters only) turns the emitted values
+    into strand-carrying VALUES per slot: id | STRAND_BIT when
+    ``strand_dir XOR hStn`` — the same value law as the online strand
+    insert (MIBloomFilter.hpp:325), so batch-built and online-built
+    strand filters store compatible words.  hStn is per frame for
+    single-seed canonical and PER SEED for canonical spaced mode
+    (stHashIterator's bool* layout).
+
+    ``emit`` receives ``vals`` of shape (W, h): the value each of the
+    frame's h slots would store (all columns equal the plain id when
+    strand is off)."""
 
     def fn(batches):
         probe = Sketch.deserialize(blob.value)
@@ -881,6 +908,11 @@ def _frames_fn(
             if strand_dir is None:
                 hashes, rows = probe._hash_batch(pdf[text_col])
                 strands = None
+            elif probe.spaced_seeds:
+                strings = _strings_of(pdf[text_col])
+                hashes, rows, strands = H.hash_ngrams_multi_seed_canonical(
+                    strings, probe.spaced_seeds, seeds=probe._seeds
+                )
             else:
                 strings = _strings_of(pdf[text_col])
                 hashes, rows, strands = H.hash_ngrams_canonical_strand(
@@ -895,8 +927,12 @@ def _frames_fn(
             if strands is not None:
                 if (ids >> 30).any():
                     raise ValueError("strand-mode IDs must be < 2^30 (two stolen top bits)")
-                ids = np.where(strands ^ strand_dir, ids | np.int64(STRAND_BIT), ids)
-            out = emit(rpos, stored, ids)
+                st = strands if strands.ndim == 2 else strands[:, None]
+                vals = np.where(st ^ strand_dir, ids[:, None] | np.int64(STRAND_BIT), ids[:, None])
+                vals = np.broadcast_to(vals, rpos.shape)
+            else:
+                vals = np.broadcast_to(ids[:, None], rpos.shape)
+            out = emit(rpos, stored, vals)
             if out is not None and len(out):
                 yield out
 
@@ -990,10 +1026,8 @@ def build_mibf(
     # positions locally (byte-cum LUT rebuilt per executor, cached)
     blob = spark.sparkContext.broadcast(mibf.serialize())
 
-    def pairs_emit(rpos, stored, ids):
-        return pd.DataFrame(
-            {"rpos": rpos.ravel(), "id": np.repeat(ids, rpos.shape[1]).astype(np.int64)}
-        )
+    def pairs_emit(rpos, stored, vals):
+        return pd.DataFrame({"rpos": rpos.ravel(), "id": vals.ravel().astype(np.int64)})
 
     pairs = df.select(text_col, id_col).mapInPandas(
         _frames_fn(blob, text_col, id_col, pairs_emit, needs_stored=False, strand_dir=strand_dir),
@@ -1021,8 +1055,8 @@ def build_mibf(
         blob_r = spark.sparkContext.broadcast(mibf.serialize())
         cnt_b = spark.sparkContext.broadcast(pos_counts.tobytes())
 
-        def mutate_emit(rpos, stored, ids):
-            lost = ~(stored == ids[:, None]).any(axis=1)
+        def mutate_emit(rpos, stored, vals):
+            lost = ~(stored == vals).any(axis=1)
             if not lost.any():
                 return None
             st = stored[lost]
@@ -1053,7 +1087,10 @@ def build_mibf(
             return pd.DataFrame(
                 {
                     "rpos": rp[sel, jbest[sel]],
-                    "id": ids[lost][sel],
+                    # value at the CHOSEN slot (strand mode stores the
+                    # per-slot strand-adjusted value; columns are equal
+                    # in plain mode so this reduces to the id)
+                    "id": vals[lost][sel, jbest[sel]],
                 }
             )
 
@@ -1070,8 +1107,8 @@ def build_mibf(
     # their frames' slots (post-repair) get the sticky saturation bit
     blob2 = spark.sparkContext.broadcast(mibf.serialize())
 
-    def lost_emit(rpos, stored, ids):
-        lost = ~(stored == ids[:, None]).any(axis=1)
+    def lost_emit(rpos, stored, vals):
+        lost = ~(stored == vals).any(axis=1)
         if not lost.any():
             return None
         return pd.DataFrame({"rpos": rpos[lost].ravel()})
