@@ -792,6 +792,70 @@ def q38_mibf_strand_classify(spark, sf_dir):
     )
 
 
+def q39_fasta_workflow(spark, sf_dir):
+    """The reference's own file workflow under the driver board:
+    write a deterministic multi-line FASTA, scan it distributed
+    (sources/fastx.read_fasta — '\\n>' record separator, split-safe),
+    build a Bloom with the reference CLI sizing law and probe every
+    contig.  Self-validating columns: record-count/byte parity with
+    the generator, no false negatives over every k-mer window, and a
+    disjoint negative corpus consistent with the observed FPR."""
+    import tempfile
+
+    import numpy as np
+
+    from btl_bloomfilter_spark import params as P
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+    from btl_bloomfilter_spark.functions.probe import with_probe_columns
+    from btl_bloomfilter_spark.sources.fastx import read_fasta
+
+    rng = np.random.default_rng(42)
+    n_recs, total_bases = 400, 0
+    path = Path(tempfile.mkdtemp()) / "q39.fa"
+    with open(path, "w") as f:
+        for i in range(n_recs):
+            seq = "".join(rng.choice(list("ACGT"), size=int(rng.integers(60, 300))))
+            total_bases += len(seq)
+            f.write(f">rec{i}\n")
+            f.write("\n".join(seq[j : j + 70] for j in range(0, len(seq), 70)) + "\n")
+    seqs = read_fasta(spark, str(path)).cache()
+    agg = seqs.agg(
+        F.count("*").alias("n"), F.sum(F.octet_length("seq")).alias("bases")
+    ).collect()[0]
+    m, _ = P.cli_sizing(int(path.stat().st_size), 1e-3)
+    m += 64 - (m % 64)
+    import math
+
+    h = max(1, int((m / path.stat().st_size) * math.log(2)))
+    bf = build_sketch(seqs, "seq", lambda: BloomFilter(m, h, 15, dfpr=1e-3), fanin=8)
+    pos_min = (
+        with_probe_columns(seqs, bf, "seq", frac_col="f", keep=[]).agg(F.min("f")).collect()[0][0]
+    )
+    neg = spark.range(2000).select(
+        F.concat(F.lit("NNNN"), F.col("id").cast("string"), F.lit("NNNNNNNNNNNN")).alias("t")
+    )
+    neg_avg = (
+        with_probe_columns(neg, bf, "t", frac_col="f", keep=[]).agg(F.avg("f")).collect()[0][0]
+    )
+    observed = float(bf.fpr())
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n"]),
+                int(agg["bases"]),
+                float(pos_min),
+                float(neg_avg),
+                bool(agg["n"] == n_recs and agg["bases"] == total_bases),
+                bool(pos_min == 1.0),
+                bool(neg_avg <= 3 * observed + 1e-4),
+            )
+        ],
+        "n_records long, n_bases long, pos_min_frac double, neg_avg_frac double, "
+        "scan_parity boolean, no_false_negatives boolean, fpr_consistent boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -832,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q36_media_stats": q36_media_stats,
         "q37_canonical_membership": q37_canonical_membership,
         "q38_mibf_strand_classify": q38_mibf_strand_classify,
+        "q39_fasta_workflow": q39_fasta_workflow,
     }
 
 

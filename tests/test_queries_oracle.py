@@ -68,6 +68,10 @@ def test_rows_only_queries_run(spark, name):
         # rank-style sanity: sketch quantiles near exact
         rel = (out.kll - out.exact).abs() / out.exact
         assert (rel < 0.25).all()
+    if name == "q39_fasta_workflow":
+        r = out.iloc[0]
+        assert r.scan_parity  # distributed scan == generator, record for record
+        assert r.neg_avg_frac < 0.05
     if name == "q38_mibf_strand_classify":
         r = out.iloc[0]
         assert r.both_strands_stored and r.rc_accuracy_invariant and r.strand_pooled_ids_valid
