@@ -351,8 +351,28 @@ def simhash_candidates(sh_df: DataFrame, *, max_hamming: int = 3, bands: int | N
       web scale).
     """
     if bands is None:
-        if max_hamming > 3:
+        if 3 < max_hamming < 12:
             return simhash_candidates_blocked(sh_df, max_hamming=max_hamming)
+        if max_hamming >= 12:
+            # blocked probing refuses e > 2 per-block balls; rather than
+            # raising (a regression vs the pre-blocking default, which
+            # was complete for any radius < 64), fall back to classic
+            # pigeonhole bands — complete but with only
+            # 2^(64/(r+1))-value band selectivity, so warn: at radius
+            # ≥ 12 the bands are ≤ 4 bits wide and the band self-join
+            # degrades toward quadratic on large corpora (MinHash is
+            # the right signature at that density)
+            import warnings
+
+            if max_hamming >= 64:
+                raise ValueError(f"max_hamming must be < 64 (got {max_hamming})")
+            warnings.warn(
+                f"simhash_candidates(max_hamming={max_hamming}): falling back to "
+                f"pigeonhole bands ({max_hamming + 1} bands of ~{64 // (max_hamming + 1)} "
+                f"bits); selectivity is poor at this radius — prefer MinHash/Jaccard "
+                f"for near-dup detection this loose",
+                stacklevel=2,
+            )
         bands = max_hamming + 1
     if not (max_hamming < bands <= 64):
         raise ValueError(

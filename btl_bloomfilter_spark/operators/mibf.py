@@ -277,13 +277,18 @@ class MIBloomFilter(Sketch):
         runner-up's decisively (no √count overlap between the best's
         totalNonSatCount and the runner-up frame count) for a full
         window of extra_frame_limit+1 frames.  Batch deviation
-        (documented): the reference re-checks per frame with a
-        consecutive-frame counter; the vectorized analog checks at
-        chunk boundaries of extra_frame_limit+1 frames and requires
-        the decisive condition at TWO consecutive checks, so an exit
-        never fires before the reference's earliest possible frame
-        and lands at most one chunk after it — counts still reflect
-        only the scanned prefix, like the reference."""
+        (documented): the exit is a SNAPSHOT-BASED APPROXIMATION of
+        the reference's per-frame counter.  The vectorized analog
+        checks cumulative tallies at chunk boundaries of
+        extra_frame_limit+1 frames and exits only after TWO
+        consecutive decisive checks with the SAME winning candidate —
+        so an exit is never triggered by less than a full chunk of
+        decisive history, but intermediate frames between the two
+        snapshots are not individually verified: a transient overlap
+        frame that would reset the reference's counter can be masked
+        by the surrounding chunk, so the batch exit may fire on rows
+        the reference would keep scanning.  Counts always reflect
+        exactly the scanned prefix, like the reference."""
         hashes, rows = self._hash_batch(values)
         return self._classify_frames(
             hashes,
@@ -448,12 +453,17 @@ class MIBloomFilter(Sketch):
             # requires decisiveness SUSTAINED for extraFrameLimit+1
             # consecutive frames (counter reset on overlap,
             # MIBFQuerySupport.hpp:509-517); the batch analog requires
-            # the decisive condition at TWO consecutive chunk checks —
-            # one decisive snapshot alone covers < extra_frame_limit+1
-            # frames of history and could exit EARLIER than the
-            # reference, two consecutive checks bound the exit to
-            # [reference frame, reference frame + one chunk]
+            # the decisive condition, WITH THE SAME winning candidate,
+            # at TWO consecutive chunk checks — one decisive snapshot
+            # alone covers < extra_frame_limit+1 frames of history and
+            # could exit EARLIER than the reference; the same-id
+            # requirement rejects streaks where the lead changed hands
+            # between snapshots (which implies non-sustained
+            # decisiveness in between).  Still an approximation: a
+            # transient overlap frame INSIDE a chunk can be masked by
+            # the chunk totals (see classify_full docstring)
             streak = np.zeros(n, dtype=np.int8)
+            last_best = np.full(n, -1, dtype=np.int64)
             acc: pd.DataFrame | None = None
             cols = ["count", "solidCount", "nonSatCount", "nonSatFrameCount", "totalCount", "totalNonSatCount"]
             max_seq = int(df["seq"].max())
@@ -484,7 +494,12 @@ class MIBloomFilter(Sketch):
                 lo = np.minimum(best_tnsc, second)
                 overlap = (hi - np.sqrt(hi)) <= (lo + np.sqrt(lo))
                 decisive = (best_nsfc > second) & ~overlap
-                streak[b_rows] = np.where(decisive, streak[b_rows] + 1, 0)
+                b_ids = srt["id"].to_numpy(dtype=np.int64)[rk == 0]
+                same = b_ids == last_best[b_rows]
+                streak[b_rows] = np.where(
+                    decisive & same, streak[b_rows] + 1, decisive.astype(np.int8)
+                )
+                last_best[b_rows] = np.where(decisive, b_ids, -1)
                 active[b_rows[streak[b_rows] >= 2]] = False
             tall = acc if acc is not None else _tally(df.iloc[0:0])
 

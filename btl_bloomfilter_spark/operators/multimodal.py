@@ -78,9 +78,12 @@ def media_from_documents(
         F.when(kind != "audio", (F.pmod(nbytes * 13, F.lit(4080)) + 16).cast("int"))
         .otherwise(F.lit(0))
         .alias("height"),
-        F.when(kind != "image", (nbytes * 10 + 100).cast("int")).otherwise(F.lit(0)).alias(
-            "duration_ms"
-        ),
+        # BIGINT arithmetic: with INT math a payload over ~214 MB would
+        # silently wrap (ANSI off) and diverge from the DuckDB oracle,
+        # which computes in wider precision
+        F.when(kind != "image", nbytes.cast("long") * 10 + 100)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("duration_ms"),
         F.element_at(
             F.array(F.lit("png"), F.lit("opus"), F.lit("av1")), (F.col(id_col) % 3 + 1).cast("int")
         ).alias("codec"),

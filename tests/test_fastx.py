@@ -88,6 +88,75 @@ def test_read_fastq_rejects_malformed(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_read_fastq_rejects_truncated_and_bad_plus(spark, tmp_path):
+    # truncated trailing record (n_lines % 4 != 0) must raise, not be
+    # silently dropped
+    p = str(tmp_path / "trunc.fq")
+    with open(p, "w") as f:
+        f.write("@r0\nACGT\n+\n!!!!\n")
+        f.write("@r1\nACGT\n")  # incomplete
+    with pytest.raises(ValueError, match="multiple of 4"):
+        read_fastq(spark, p)
+    # third line must open with '+'
+    p2 = str(tmp_path / "badplus.fq")
+    with open(p2, "w") as f:
+        f.write("@r0\nACGT\nX\n!!!!\n")
+    with pytest.raises(ValueError, match="malformed"):
+        read_fastq(spark, p2)
+
+
+@pytest.mark.spark
+def test_read_fastq_multi_split_framing(spark, tmp_path):
+    """Records straddling input-split boundaries must still frame
+    correctly: the partition-offset + in-partition-counter line
+    numbering (pure JVM, no zipWithIndex) has to agree with file
+    order across many splits."""
+    rng = np.random.default_rng(23)
+    p = str(tmp_path / "big.fq")
+    want = {}
+    with open(p, "w") as f:
+        for i in range(3000):
+            n = int(rng.integers(30, 90))
+            seq = "".join(rng.choice(list("ACGT"), size=n))
+            qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, size=n))
+            want[f"read{i}"] = (seq, qual)
+            f.write(f"@read{i}\n{seq}\n+\n{qual}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try:
+        df = read_fastq(spark, p)
+        got = {r["read_id"]: (r["seq"], r["qual"]) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == want
+
+
+@pytest.mark.spark
+def test_fastq_to_parquet_job(spark, tmp_path):
+    """The one-shot ingest path: convert once, scan Parquet after."""
+    import jobs.fastq_to_parquet as cj
+
+    rng = np.random.default_rng(5)
+    p = str(tmp_path / "reads.fq")
+    want = {}
+    with open(p, "w") as f:
+        for i in range(200):
+            n = int(rng.integers(30, 60))
+            seq = "".join(rng.choice(list("ACGT"), size=n))
+            qual = "@" + "".join(chr(33 + int(q)) for q in rng.integers(0, 40, size=n - 1))
+            want[f"r{i}"] = (seq, qual)
+            f.write(f"@r{i}\n{seq}\n+\n{qual}\n")
+    out = str(tmp_path / "reads.parquet")
+    n = cj.main(["-f", p, "-o", out, "--partitions", "4"])
+    assert n == 200
+    got = {
+        r["read_id"]: (r["seq"], r["qual"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.spark
 def test_cli_parity_jobs_roundtrip(spark, tmp_path, monkeypatch):
     """writeBloom_rolling / testBloom_rolling CLI pair: build from
     FASTA with the reference's exact sizing, store in .bf layout,
