@@ -856,6 +856,169 @@ def q39_fasta_workflow(spark, sf_dir):
     )
 
 
+def q40_mibf_full_classify(spark, sf_dir):
+    """Reference-grade distributed classification: the FULL query
+    pipeline (CountResult tally → stat-tie filter → 7-key sort →
+    best-hit veto, MIBFQuerySupport.hpp:430-596) running per Arrow
+    batch on executors via with_classification(full=True), with the
+    reference knobs engaged (min_count=2, extra_count, best-hit veto).
+    Self-validating columns: (a) distributed output matches the
+    driver-side classify_full FIELD FOR FIELD on a deterministic
+    sample (the parity law — the broadcast path computes exactly the
+    reference pipeline), (b) no-hit rows are internally consistent
+    (n_candidates==0 ⟺ best_id==-1), (c) self-classification accuracy
+    against the planted source ids."""
+    from btl_bloomfilter_spark.operators.mibf import build_mibf, with_classification
+    from btl_bloomfilter_spark.operators.mibf_query import calc_frame_probs
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    with_id = docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
+    mibf = build_mibf(with_id, "text", "src_id", m_bits=1 << 22, hash_num=3, k=10)
+    classified = with_classification(
+        with_id.select("doc_id", "text", "src_id"),
+        mibf,
+        "text",
+        keep=["doc_id", "src_id"],
+        full=True,
+        min_count=2,
+    ).persist()
+    agg = classified.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("best_id") == F.col("src_id")).cast("long")).alias("ok"),
+        F.sum(
+            ((F.col("n_candidates") == 0) != (F.col("best_id") == -1)).cast("long")
+        ).alias("inconsistent"),
+    ).collect()[0]
+    # driver parity on a deterministic sample of the same corpus
+    sample = (
+        with_id.where(F.col("doc_id") % 7 == 0).select("doc_id", "text").orderBy("doc_id").collect()
+    )
+    fp, _ = calc_frame_probs(mibf)
+    want = mibf.classify_full([r["text"] for r in sample], min_count=2, frame_probs=fp)
+    got = {int(r["doc_id"]): r for r in classified.where(F.col("doc_id") % 7 == 0).collect()}
+    match = len(got) == len(sample)
+    for r, lst in zip(sample, want):
+        g = got.get(int(r["doc_id"]))
+        b = lst[0] if lst else None
+        match = match and g is not None and (
+            g["best_id"] == (b.id if b else -1)
+            and g["n_candidates"] == len(lst)
+            and g["count"] == (b.count if b else 0)
+            and g["solid_count"] == (b.solidCount if b else 0)
+            and g["non_sat_frame_count"] == (b.nonSatFrameCount if b else 0)
+            and g["total_non_sat_count"] == (b.totalNonSatCount if b else 0)
+        )
+    classified.unpersist()
+    n, ok = int(agg["n"]), int(agg["ok"])
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                len(sample),
+                round(ok / n, 4),
+                bool(match),
+                bool(int(agg["inconsistent"]) == 0),
+                bool(ok / n >= 0.9),
+            )
+        ],
+        "n_docs long, n_sampled long, accuracy double, distributed_matches_driver boolean, "
+        "no_hit_rows_consistent boolean, accuracy_ok boolean",
+    )
+
+
+def q41_duplicate_spans(spark, sf_dir):
+    """Substring-level exact dedup (winnowed fingerprints, the MOSS
+    algorithm — Schleimer/Wilkes/Aiken SIGMOD'03) under the driver
+    board: spans are PLANTED by construction (a unique 128-byte
+    md5-derived span appended to each distinct document and embedded in
+    a partner row of unrelated filler), so the query self-validates:
+    every planted pair found, offsets and lengths within the documented
+    2(w+k) edge slack, nothing unplanted, nothing below min_len."""
+    from btl_bloomfilter_spark.operators.dedup import duplicate_spans
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    k, w, min_len = 12, 8, 64
+    slack = 2 * (w + k)
+    # one keeper per distinct text (the corpus has planted exact dups —
+    # q05 — which would otherwise share their ENTIRE text as a span)
+    base = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+        .cache()
+    )
+    did = F.col("doc_id").cast("string")
+    span = F.concat(
+        F.md5(did),
+        F.md5(F.concat(did, F.lit("a"))),
+        F.md5(F.concat(did, F.lit("b"))),
+        F.md5(F.concat(did, F.lit("c"))),
+    )  # 128 unique hex bytes per doc
+    a = base.select(F.col("doc_id").alias("id"), F.concat(F.col("text"), span).alias("text"))
+    b = base.select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.concat(
+            F.md5(F.concat(did, F.lit("x"))),
+            F.md5(F.concat(did, F.lit("y"))),
+            span,
+            F.md5(F.concat(did, F.lit("z"))),
+        ).alias("text"),
+    )
+    spans = duplicate_spans(
+        a.unionByName(b), "text", "id", k=k, w=w, min_len=min_len
+    ).cache()
+    n_base = base.count()
+    is_planted = (F.col("id_b") - F.col("id_a")) == 1000000
+    agg = spans.agg(
+        F.count("*").alias("n_spans"),
+        F.sum((~is_planted).cast("long")).alias("n_unplanted"),
+        F.min("span_len").alias("min_span"),
+        F.max("span_len").alias("max_span"),
+    ).collect()[0]
+    n_pairs_planted = (
+        spans.where(is_planted).select("id_a", "id_b").distinct().count()
+    )
+    bad_off = (
+        spans.where(is_planted)
+        .join(
+            base.select(F.col("doc_id").alias("id_a"), F.octet_length("text").alias("tlen")),
+            "id_a",
+        )
+        .agg(
+            F.sum(
+                (
+                    (F.abs(F.col("start_a") - F.col("tlen")) > slack)
+                    | (F.abs(F.col("start_b") - 64) > slack)
+                ).cast("long")
+            ).alias("bad")
+        )
+        .collect()[0]["bad"]
+    )
+    spans.unpersist()
+    base.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_base,
+                int(agg["n_spans"]),
+                int(agg["min_span"]),
+                int(agg["max_span"]),
+                bool(n_pairs_planted == n_base),
+                bool(int(agg["n_unplanted"]) == 0),
+                bool(
+                    int(agg["min_span"]) >= max(min_len, 128 - slack)
+                    and int(agg["max_span"]) <= 128 + slack
+                ),
+                bool(int(bad_off or 0) == 0),
+            )
+        ],
+        "n_planted long, n_spans long, min_span long, max_span long, "
+        "all_planted_found boolean, only_planted_found boolean, "
+        "span_lengths_ok boolean, offsets_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -897,6 +1060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_canonical_membership": q37_canonical_membership,
         "q38_mibf_strand_classify": q38_mibf_strand_classify,
         "q39_fasta_workflow": q39_fasta_workflow,
+        "q40_mibf_full_classify": q40_mibf_full_classify,
+        "q41_duplicate_spans": q41_duplicate_spans,
     }
 
 

@@ -519,3 +519,169 @@ def simhash_bucket_stats(sh_df: DataFrame, *, blocks: int = 4) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+# --------------------- substring-level exact dedup --------------------
+# Winnowed fingerprints (Schleimer, Wilkes & Aiken, "Winnowing: Local
+# Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+# algorithm): the scalable approximation of suffix-array duplicate-span
+# detection.  Doc-level ops above can't see a 2 KB span copied into an
+# otherwise-unique document; these can.
+
+
+def _winnow_from_buffers(
+    buf: np.ndarray, offsets: np.ndarray, k: int, w: int, seeds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Winnowing selection over a flat UTF-8 buffer (Arrow layout).
+
+    Rolling k-gram hashes (the library's NTF64 kernel) per row, then
+    per sliding window of ``w`` consecutive hashes select the RIGHTMOST
+    minimum (robust winnowing, SIGMOD'03 §2.3).  Guarantee: any
+    substring shared by two documents with length >= w + k - 1 contains
+    a full w-window of k-grams, whose minimum is selected in BOTH
+    documents at the same relative offset — so every sufficiently long
+    duplicated span yields at least one exact anchor match.
+
+    Returns (row_ids, byte_positions, fingerprints), selection density
+    ~ 2/(w+1) of all windows.
+    """
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint64))
+    n = buf.shape[0]
+    if n < k:
+        return empty
+    base = H._roll_hash(buf, k, seeds)  # (n-k+1,)
+    starts = np.arange(n - k + 1, dtype=np.int64)
+    row_of = np.searchsorted(offsets, starts, side="right") - 1
+    valid = starts + k <= offsets[row_of + 1]
+    h = base[valid]
+    rows = row_of[valid]
+    pos = starts[valid] - offsets[rows]
+    W = h.size
+    if W == 0:
+        return empty
+    sel_mask = np.zeros(W, dtype=bool)
+    if W >= w:
+        sw = np.lib.stride_tricks.sliding_window_view(h, w)  # view, (W-w+1, w)
+        # rightmost min per window: argmin over the reversed view
+        sel_rel = w - 1 - np.argmin(sw[:, ::-1], axis=1)
+        j = np.arange(W - w + 1, dtype=np.int64)
+        inside = rows[j] == rows[j + w - 1]  # window fully in one row
+        sel_mask[(j + sel_rel)[inside]] = True
+    # rows with < w hashes have no full window: select the row minimum
+    # so short documents still fingerprint (degenerate winnowing case)
+    seg_starts = np.concatenate([[0], np.flatnonzero(np.diff(rows)) + 1])
+    seg_ends = np.concatenate([seg_starts[1:], [W]])
+    short = (seg_ends - seg_starts) < w
+    for s, e in zip(seg_starts[short], seg_ends[short]):
+        seg = h[s:e]
+        sel_mask[s + (seg.size - 1 - int(np.argmin(seg[::-1])))] = True
+    idx = np.flatnonzero(sel_mask)
+    return rows[idx], pos[idx], h[idx]
+
+
+def winnow_fingerprints(
+    df: DataFrame, col: str, id_col: str, *, k: int = 16, w: int = 16, seed_salt: int = 0
+) -> DataFrame:
+    """(id, pos, fp): winnowed k-gram fingerprints per document —
+    mapInArrow over zero-copy UTF-8 buffers (no per-row Python, no
+    gram strings).  ``pos`` is the byte offset of the selected k-gram;
+    matching (fp, relative offsets) across documents locate shared
+    substrings (see :func:`duplicate_spans`)."""
+    import pyarrow as pa
+
+    id_type = dict(df.dtypes)[id_col]
+    seeds = H.seed_table(seed_salt)
+    sdf = df.select(F.col(id_col).alias("id"), F.col(col).alias("__text"))
+
+    def fn(batches):
+        for rb in batches:
+            data, offs, nulls = H.arrow_utf8_buffers(rb.column(1))
+            rows, pos, fp = _winnow_from_buffers(data, offs, k, w, seeds)
+            if nulls is not None and rows.size:
+                keep = ~nulls[rows]
+                rows, pos, fp = rows[keep], pos[keep], fp[keep]
+            yield pa.record_batch(
+                [
+                    rb.column(0).take(pa.array(rows)),
+                    pa.array(pos),
+                    pa.array(fp.view(np.int64)),
+                ],
+                names=["id", "pos", "fp"],
+            )
+
+    return sdf.mapInArrow(fn, f"id {id_type}, pos long, fp bigint")
+
+
+def duplicate_spans(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    *,
+    k: int = 16,
+    w: int = 16,
+    min_len: int = 64,
+    max_doc_freq: int = 100,
+    seed_salt: int = 0,
+) -> DataFrame:
+    """Duplicated-span detection: (id_a, id_b, start_a, start_b,
+    span_len, n_anchors) for every pair of documents sharing a
+    substring of detected length >= ``min_len`` bytes.
+
+    Pipeline (100-TB shape — bucketed by fingerprint, NEVER all-pairs):
+
+    1. winnowed fingerprints per doc (one Arrow map, ~2/(w+1) density);
+    2. hot-fingerprint cap: a window appearing in > ``max_doc_freq``
+       documents (boilerplate, whitespace runs) would contribute
+       O(df²) candidate pairs — dropped via broadcast anti-join, the
+       same guardrail as ngram_jaccard_pairs' doc-freq cap;
+    3. anchor join on exact fp (shuffle keyed by fp — uniform 64-bit
+       content hash, no skew salting needed after the cap);
+    4. diagonal chaining: anchors of one pair with equal
+       pos_a - pos_b lie on one shared substring; consecutive anchors
+       (gap <= w + k, the winnowing selection spacing bound) chain
+       into runs via a window function; each run is one reported span.
+
+    Detection bound (SIGMOD'03 guarantee): every shared substring of
+    true length L >= w + k - 1 produces >= 1 anchor; the reported
+    span_len covers [first, last] selected anchor + k, so it
+    understates L by at most ~2(w + k) edge bytes — size ``min_len``
+    with that slack in mind.  All anchors are exact k-gram matches, so
+    precision is 1 up to 64-bit hash collisions."""
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, col, id_col, k=k, w=w, seed_salt=seed_salt)
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count_distinct("id").alias("ndocs"))
+        .where(F.col("ndocs") > max_doc_freq)
+        .select("fp")
+    )
+    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = fps.alias("a"), fps.alias("b")
+    anchors = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+        .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        .distinct()
+    )
+    wnd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    gap = F.col("pos_a") - F.lag("pos_a").over(wnd)
+    runs = anchors.withColumn(
+        "new_run", F.when(gap.isNull() | (gap > w + k), 1).otherwise(0)
+    ).withColumn("run", F.sum("new_run").over(wnd.rowsBetween(Window.unboundedPreceding, 0)))
+    return (
+        runs.groupBy("id_a", "id_b", "diag", "run")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + k).alias("span_len"),
+            F.count("*").alias("n_anchors"),
+        )
+        .where(F.col("span_len") >= min_len)
+        .select("id_a", "id_b", "start_a", "start_b", "span_len", "n_anchors")
+    )

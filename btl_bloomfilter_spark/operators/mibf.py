@@ -786,13 +786,39 @@ def with_classification(
     *,
     keep: list[str] | None = None,
     allowed_misses: int = 0,
+    full: bool = False,
+    min_count: "int | dict[int, int]" = 0,
+    extra_count: float = 1.0,
+    best_hit_agree: bool = True,
+    extra_frame_limit: int | None = None,
+    frame_probs: dict[int, float] | None = None,
 ) -> DataFrame:
-    """Append miBF classification columns (best_id, frames,
-    total_frames, saturated_frac) to every row — the distributed query
-    path: the serialized miBF is broadcast once and each executor
-    classifies its Arrow batches locally (mirrors the reference's
-    query loop over a loaded filter, MIBFQuerySupport.hpp:94-130),
-    so the corpus never moves to the driver.  Plan stays a pure map.
+    """Append miBF classification columns to every row — the
+    distributed query path: the serialized miBF is broadcast once and
+    each executor classifies its Arrow batches locally (mirrors the
+    reference's query loop over a loaded filter,
+    MIBFQuerySupport.hpp:94-130), so the corpus never moves to the
+    driver.  Plan stays a pure map (no shuffle).
+
+    ``full=False`` (default): the fast top-candidate path
+    (classify_batch — best id by frame count, ties → smaller id);
+    appends (best_id, frames, total_frames, saturated_frac).
+
+    ``full=True``: the REFERENCE-GRADE pipeline (classify_full — per-ID
+    CountResult tallies → stat-tie filter → 7-key sort → best-hit veto,
+    MIBFQuerySupport.hpp:430-596) run per Arrow batch on the
+    executors; ``min_count`` / ``extra_count`` / ``best_hit_agree`` /
+    ``extra_frame_limit`` carry the reference's query knobs.  Frame
+    probabilities are computed ONCE on the driver from the filter's
+    own stats (calc_frame_probs — pure function of the broadcast
+    filter state, MIBloomFilter.hpp:664-679) and broadcast alongside
+    the blob; pass ``frame_probs`` explicitly for the strand-pooled
+    variant (calc_frame_probs_strand) or custom priors.  Appends the
+    winning QueryResult's fields
+    (best_id, count, solid_count, non_sat_count, non_sat_frame_count,
+    total_count, total_non_sat_count, frame_prob) plus n_candidates —
+    the number of statistically-tied survivors (0 = no hit or best-hit
+    veto; best_id is -1 in that case).
 
     ``keep`` prunes the OUTPUT columns (mapInPandas is opaque to
     Catalyst): pass only what the consumer needs so the classified
@@ -811,22 +837,81 @@ def with_classification(
     if len(need) < len(df.schema.fields):
         df = df.select(*need)
     type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    new_cols = ["best_id", "frames", "total_frames", "saturated_frac"]
+    if not full:
+        new_cols = ["best_id", "frames", "total_frames", "saturated_frac"]
+        clash = set(keep) & set(new_cols)
+        if clash:
+            raise ValueError(f"input columns clash with classification outputs: {sorted(clash)}")
+        out_schema = ", ".join(
+            [f"{c} {type_of[c]}" for c in keep]
+            + ["best_id long", "frames long", "total_frames long", "saturated_frac double"]
+        )
+
+        def fn(batches):
+            sk = _cache_get(token, blob.value)
+            for pdf in batches:
+                res = sk.classify_batch(pdf[col], allowed_misses=allowed_misses)
+                yield pd.concat([pdf[keep].reset_index(drop=True), res], axis=1)
+
+        return df.mapInPandas(fn, out_schema)
+
+    if frame_probs is None:
+        from .mibf_query import calc_frame_probs
+
+        frame_probs, _ = calc_frame_probs(mibf, allowed_misses)
+    fp_b = spark.sparkContext.broadcast(frame_probs)
+    int_cols = [
+        "count",
+        "solid_count",
+        "non_sat_count",
+        "non_sat_frame_count",
+        "total_count",
+        "total_non_sat_count",
+    ]
+    new_cols = ["best_id"] + int_cols + ["frame_prob", "n_candidates"]
     clash = set(keep) & set(new_cols)
     if clash:
         raise ValueError(f"input columns clash with classification outputs: {sorted(clash)}")
     out_schema = ", ".join(
         [f"{c} {type_of[c]}" for c in keep]
-        + ["best_id long", "frames long", "total_frames long", "saturated_frac double"]
+        + [f"{c} long" for c in ["best_id"] + int_cols]
+        + ["frame_prob double", "n_candidates long"]
     )
 
-    def fn(batches):
+    def fn_full(batches):
         sk = _cache_get(token, blob.value)
         for pdf in batches:
-            res = sk.classify_batch(pdf[col], allowed_misses=allowed_misses)
-            yield pd.concat([pdf[keep].reset_index(drop=True), res], axis=1)
+            res = sk.classify_full(
+                pdf[col],
+                min_count=min_count,
+                extra_count=extra_count,
+                best_hit_agree=best_hit_agree,
+                frame_probs=fp_b.value,
+                extra_frame_limit=extra_frame_limit,
+                allowed_misses=allowed_misses,
+            )
+            n = len(res)
+            best = [lst[0] if lst else None for lst in res]
+            out = pd.DataFrame(
+                {
+                    "best_id": np.array([r.id if r else -1 for r in best], dtype=np.int64),
+                    "count": np.array([r.count if r else 0 for r in best], dtype=np.int64),
+                    "solid_count": np.array([r.solidCount if r else 0 for r in best], dtype=np.int64),
+                    "non_sat_count": np.array([r.nonSatCount if r else 0 for r in best], dtype=np.int64),
+                    "non_sat_frame_count": np.array(
+                        [r.nonSatFrameCount if r else 0 for r in best], dtype=np.int64
+                    ),
+                    "total_count": np.array([r.totalCount if r else 0 for r in best], dtype=np.int64),
+                    "total_non_sat_count": np.array(
+                        [r.totalNonSatCount if r else 0 for r in best], dtype=np.int64
+                    ),
+                    "frame_prob": np.array([r.frameProb if r else 0.0 for r in best], dtype=np.float64),
+                    "n_candidates": np.array([len(lst) for lst in res], dtype=np.int64),
+                }
+            )
+            yield pd.concat([pdf[keep].reset_index(drop=True), out], axis=1)
 
-    return df.mapInPandas(fn, out_schema)
+    return df.mapInPandas(fn_full, out_schema)
 
 
 # ---------------------------------------------------------------------------
@@ -1018,6 +1103,56 @@ def build_mibf(
     # the reference's online convention at max=1: strandDir = 1
     strand_dir: bool | None = True if strand else None
 
+    # the 3-pass structure (forced by the reference's algorithm) scans
+    # the source 3-4x; persist the two needed columns ONCE so passes
+    # 2/repair/3 re-read a compact cached projection instead of
+    # re-running the full upstream plan each time (the single biggest
+    # cost lever for a 100-TB build: every avoided pass is a full
+    # source scan).  MEMORY_AND_DISK: a corpus larger than cluster
+    # memory spills to local disk rather than recomputing.
+    from pyspark import StorageLevel
+
+    src = df.select(text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        return _build_mibf_passes(
+            spark,
+            src,
+            text_col,
+            id_col,
+            m_bits=m_bits,
+            hash_num=hash_num,
+            k=k,
+            seed_salt=seed_salt,
+            fanin=fanin,
+            repair=repair,
+            checkpoint_dir=checkpoint_dir,
+            lineage=lineage,
+            spaced_seeds=spaced_seeds,
+            canonical=canonical,
+            strand_dir=strand_dir,
+        )
+    finally:
+        src.unpersist()
+
+
+def _build_mibf_passes(
+    spark,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    m_bits: int,
+    hash_num: int,
+    k: int,
+    seed_salt: int,
+    fanin: int,
+    repair: bool,
+    checkpoint_dir: str | None,
+    lineage: str,
+    spaced_seeds: list[str] | None,
+    canonical: bool,
+    strand_dir: bool | None,
+) -> MIBloomFilter:
     # ---- pass 1: bit vector (plain Bloom build, bit-exact OR merge)
     from ..plans.agg import build_sketch
 

@@ -454,3 +454,114 @@ def test_with_lsh_buckets_matches_pandas_udf(spark):
         .set_index("vec_id")["c"]
     )
     assert (ca.sort_index() == cb.sort_index()).all()
+
+
+def test_simhash_large_radius_falls_back_with_warning(spark, corpus_df):
+    """Radius >= 12 (blocked path refuses e > 2) must fall back to
+    pigeonhole bands — complete, warned — instead of raising (ADVICE
+    r3: the raise was a behavior regression vs the pre-blocking
+    default)."""
+    import warnings
+
+    from btl_bloomfilter_spark.operators.dedup import simhash, simhash_candidates
+
+    df, exact_pairs, _ = corpus_df
+    sh = simhash(df, "text", "doc_id").cache()
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        got = simhash_candidates(sh, max_hamming=12)
+        pairs = {(r["id_a"], r["id_b"]) for r in got.collect()}
+    assert any("falling back" in str(x.message) for x in rec)
+    # completeness vs brute force at the same radius
+    pdf = sh.toPandas()
+    fp = pdf.set_index("id")["simhash"].to_dict()
+    ids = sorted(fp)
+    want = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((fp[a] ^ fp[b]) & ((1 << 64) - 1)).count("1") <= 12
+    }
+    assert pairs == want
+    with pytest.raises(ValueError):
+        simhash_candidates(sh, max_hamming=64)
+
+
+def test_winnow_guarantee_and_determinism():
+    """Winnowing selection law (SIGMOD'03): every window of w
+    consecutive k-gram positions contains >= 1 selection (gap <= w),
+    and identical content selects identical (pos, fp) — the anchor
+    property duplicate_spans relies on."""
+    from btl_bloomfilter_spark.functions import hashing as H
+    from btl_bloomfilter_spark.operators.dedup import _winnow_from_buffers
+
+    rng = np.random.default_rng(3)
+    text = "".join(rng.choice(list("abcdefghij "), size=800))
+    k, w = 12, 8
+    seeds = H.seed_table(0)
+    buf, offs = H._flatten_utf8([text, text, text[:5]])
+    rows, pos, fp = _winnow_from_buffers(buf, offs, k, w, seeds)
+    p0 = pos[rows == 0]
+    assert p0.size > 0 and (np.diff(p0) <= w).all() and (np.diff(p0) > 0).all()
+    # identical rows select identically
+    np.testing.assert_array_equal(p0, pos[rows == 1])
+    np.testing.assert_array_equal(fp[rows == 0], fp[rows == 1])
+    # row shorter than k yields nothing
+    assert (rows == 2).sum() == 0
+    # short-but->=k row selects exactly one fingerprint
+    buf2, offs2 = H._flatten_utf8(["abcdefghijklm"])  # 13 chars, 2 windows
+    r2, p2, f2 = _winnow_from_buffers(buf2, offs2, k, w, seeds)
+    assert r2.size == 1
+
+
+@pytest.mark.spark
+def test_duplicate_spans_planted_oracle(spark):
+    """Recall vs a brute-force oracle on planted spans: every planted
+    span above the detection floor is found at the right offsets with
+    the right length (within the documented 2(w+k) edge slack); a
+    planted span below min_len is NOT reported; unrelated random docs
+    produce no pairs."""
+    from btl_bloomfilter_spark.operators.dedup import duplicate_spans
+
+    rng = np.random.default_rng(7)
+    letters = list("abcdefghijklmnopqrstuvwxyz ")
+    k, w, min_len = 12, 8, 60
+    slack = 2 * (w + k)
+
+    def rand_doc(n):
+        return "".join(rng.choice(letters, size=n))
+
+    docs = {i: rand_doc(500) for i in range(30)}
+    planted = []  # (id_a, id_b, start_a, start_b, length)
+    for j, (src, dst, plen) in enumerate([(0, 20, 300), (1, 21, 200), (2, 22, 120)]):
+        o_src, o_dst = 50 + 10 * j, 90 + 17 * j
+        span = docs[src][o_src : o_src + plen]
+        docs[dst] = docs[dst][:o_dst] + span + docs[dst][o_dst + plen :]
+        planted.append((src, dst, o_src, o_dst, plen))
+    # a sub-threshold span: anchors exist (>= w+k-1) but span < min_len
+    short_span = docs[3][100:140]  # 40 bytes
+    docs[23] = docs[23][:60] + short_span + docs[23][100:]
+    # brute-force oracle sanity: the planted spans really are the
+    # longest common substrings of their pairs
+    import difflib
+
+    for src, dst, o_src, o_dst, plen in planted:
+        m = difflib.SequenceMatcher(None, docs[src], docs[dst], autojunk=False).find_longest_match(
+            0, len(docs[src]), 0, len(docs[dst])
+        )
+        assert m.size >= plen and abs(m.a - o_src) <= m.size - plen + 1
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = duplicate_spans(df, "text", "doc_id", k=k, w=w, min_len=min_len).toPandas()
+    found = {(r.id_a, r.id_b): r for r in got.itertuples()}
+    for src, dst, o_src, o_dst, plen in planted:
+        key = (min(src, dst), max(src, dst))
+        assert key in found, f"planted span {key} missed"
+        r = found[key]
+        assert r.span_len >= plen - slack, (r.span_len, plen)
+        assert r.span_len <= plen + slack
+        assert abs(r.start_a - o_src) <= slack and abs(r.start_b - o_dst) <= slack
+    # nothing below the detection threshold, nothing spurious
+    assert (3, 23) not in found
+    assert set(found) == {(min(s, d), max(s, d)) for s, d, *_ in planted}
+    assert (got["span_len"] >= min_len).all()

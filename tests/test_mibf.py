@@ -147,6 +147,52 @@ def test_with_classification_matches_driver_classify(spark, mibf_setup):
     np.testing.assert_array_equal(got["total_frames"].to_numpy(), want["total_frames"].to_numpy())
 
 
+@pytest.mark.spark
+def test_with_classification_full_matches_driver(spark, mibf_setup):
+    """Distributed full=True pipeline == driver classify_full on the
+    same corpus, field for field (the reference-grade query path at
+    scale: stat-tie filter + 7-key sort + best-hit veto per batch)."""
+    from btl_bloomfilter_spark.operators.mibf import with_classification
+    from btl_bloomfilter_spark.operators.mibf_query import calc_frame_probs
+
+    df, mibf, rows = mibf_setup
+    got = (
+        with_classification(df, mibf, "text", full=True, min_count=2, extra_count=1.5)
+        .toPandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    fp, _ = calc_frame_probs(mibf)
+    want = mibf.classify_full(
+        list(got["text"]), min_count=2, extra_count=1.5, frame_probs=fp
+    )
+    w_best = [lst[0] if lst else None for lst in want]
+    np.testing.assert_array_equal(
+        got["best_id"].to_numpy(), np.array([r.id if r else -1 for r in w_best])
+    )
+    for col, attr in [
+        ("count", "count"),
+        ("solid_count", "solidCount"),
+        ("non_sat_count", "nonSatCount"),
+        ("non_sat_frame_count", "nonSatFrameCount"),
+        ("total_count", "totalCount"),
+        ("total_non_sat_count", "totalNonSatCount"),
+    ]:
+        np.testing.assert_array_equal(
+            got[col].to_numpy(), np.array([getattr(r, attr) if r else 0 for r in w_best]), err_msg=col
+        )
+    np.testing.assert_allclose(
+        got["frame_prob"].to_numpy(), np.array([r.frameProb if r else 0.0 for r in w_best])
+    )
+    np.testing.assert_array_equal(
+        got["n_candidates"].to_numpy(), np.array([len(lst) for lst in want])
+    )
+    # the pipeline actually classified: accuracy against planted refs
+    truth = {t: r for t, r in rows}
+    ok = (got["best_id"].to_numpy() == np.array([truth[t] for t in got["text"]])).mean()
+    assert ok >= 0.9, ok
+
+
 def _online_mibf(m_bits=1 << 14, h=3, k=4, texts=("abcdefgh", "ijklmnop")):
     from btl_bloomfilter_spark.operators.bloom import BloomFilter
 
@@ -575,3 +621,46 @@ def test_distributed_strand_build_requires_canonical(spark):
     df = spark.createDataFrame([("ACGT", 1)], "text string, ref_id long")
     with pytest.raises(ValueError, match="canonical"):
         build_mibf(df, "text", "ref_id", m_bits=1 << 10, hash_num=2, k=3, strand=True)
+
+
+@pytest.mark.spark
+def test_classify_full_paired_from_fasta_files(spark, tmp_path):
+    """Paired-read workflow through the FILE path (the reference's
+    two-iterator query, MIBFQuerySupport.hpp:111-130, as a user would
+    actually run it): reference contigs → build_mibf; mate pairs drawn
+    from the same contig written as _1/_2 FASTA files, scanned with
+    read_fasta, joined on record id, classified with
+    classify_full_paired — both plain and early-exit paths."""
+    from btl_bloomfilter_spark.operators.mibf import build_mibf
+    from btl_bloomfilter_spark.sources.fastx import read_fasta
+
+    rng = np.random.default_rng(17)
+    n_refs = 6
+    refs = {i + 1: "".join(rng.choice(list("ACGT"), size=800)) for i in range(n_refs)}
+    ref_df = spark.createDataFrame(
+        [(t, i) for i, t in refs.items()], "text string, ref_id long"
+    )
+    mibf = build_mibf(ref_df, "text", "ref_id", m_bits=1 << 18, hash_num=3, k=12)
+    p1, p2 = tmp_path / "reads_1.fa", tmp_path / "reads_2.fa"
+    truth = {}
+    with open(p1, "w") as f1, open(p2, "w") as f2:
+        for r in range(80):
+            ref = int(rng.integers(1, n_refs + 1))
+            p = int(rng.integers(0, 400))
+            truth[f"pair{r}"] = ref
+            f1.write(f">pair{r}\n{refs[ref][p:p + 120]}\n")
+            f2.write(f">pair{r}\n{refs[ref][p + 200:p + 320]}\n")
+    r1 = read_fasta(spark, str(p1)).withColumnRenamed("seq", "seq1")
+    r2 = read_fasta(spark, str(p2)).withColumnRenamed("seq", "seq2")
+    joined = r1.join(r2, "header").collect()
+    assert len(joined) == 80  # file scan found every pair
+    pairs = [(row["seq1"], row["seq2"]) for row in joined]
+    res = mibf.classify_full_paired(pairs)
+    ok = sum(1 for row, lst in zip(joined, res) if lst and lst[0].id == truth[row["header"]])
+    assert ok / len(joined) >= 0.95, ok / len(joined)
+    # early-exit path classifies the same corpus consistently
+    res_exit = mibf.classify_full_paired(pairs, extra_frame_limit=10)
+    ok2 = sum(
+        1 for row, lst in zip(joined, res_exit) if lst and lst[0].id == truth[row["header"]]
+    )
+    assert ok2 / len(joined) >= 0.95, ok2 / len(joined)
