@@ -194,10 +194,38 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
         return brute_topk(emb.where(F.col("vec_id") != 0), qvec, 10).collect()
 
-    # untimed warm-up: spawns/warms python workers, grows kernel
-    # scratch pools, faults pages — we benchmark steady state
+    def q_canonical_spaced_build():
+        # mode-overhead tracker: canonical spaced-seed hashing (NTMSM64
+        # analog — forward + RC fold per seed) over the same corpus so
+        # the 2-extra-fold cost is visible round-over-round
+        bf = build_sketch(
+            tdf,
+            "text",
+            lambda: BloomFilter(
+                BLOOM_M, 2, 0, spaced_seeds=["111001100111", "110110011011"], canonical=True
+            ),
+            fanin=16,
+        )
+        return bf.pop()
+
+    # untimed warm-up at FULL size: the first full-size build pays JIT
+    # compilation of the shuffle/merge paths, python-worker spawn,
+    # kernel scratch-pool growth and first-touch page faults on the
+    # m/8-byte arrays in every worker — r3 adjudication measured a
+    # 3-4x first-rep spike from exactly this.  Steady state is what we
+    # benchmark, so the warm-up must exercise the full allocation
+    # footprint, not a limit(3000) miniature.
+    build_sketch(tdf, "text", lambda: BloomFilter(BLOOM_M, BLOOM_H, BLOOM_K), fanin=16)
+    # the canonical-spaced kernel (NTMSM64 fold) is a different code
+    # path — warm its JIT/scratch separately (small corpus suffices;
+    # the array-size footprint was faulted by the full build above)
     build_sketch(
-        tdf.limit(3000), "text", lambda: BloomFilter(BLOOM_M, BLOOM_H, BLOOM_K), fanin=16
+        tdf.limit(3000),
+        "text",
+        lambda: BloomFilter(
+            BLOOM_M, 2, 0, spaced_seeds=["111001100111", "110110011011"], canonical=True
+        ),
+        fanin=16,
     )
     warm_bf = build_sketch(tdf.limit(3000), "text", lambda: BloomFilter(BLOOM_M, BLOOM_H, BLOOM_K))
     tdf.limit(3000).select(bloom_seen_fraction(spark, warm_bf, "text").alias("f")).agg(
@@ -208,6 +236,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
         "doc_bloom_build": q_doc_bloom_build,
+        "canonical_spaced_build": q_canonical_spaced_build,
         "hll_by_event_type": q_hll_by_event_type,
         "cms_events": q_cms_events,
         "kll_prices": q_kll_prices,
@@ -216,17 +245,24 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "pricing_summary": q_pricing_summary,
         "cosine_topk": q_cosine_topk,
     }
-    # best-of-2 per query: this box shows 2-5x wall-time spikes under
-    # transient load; the min of two runs is the steady-state figure
-    # (every job is idempotent — builds overwrite their state slot)
+    # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
+    # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
+    # session): TWO full suite passes, 2 reps per query per pass
+    # (= best-of-4 overall), per-query minimum kept, and every rep
+    # time recorded in the artifact so variance is visible instead of
+    # silently folded away.  Every job is idempotent (builds overwrite
+    # their state slot), so repetition is safe.
     times: dict[str, float] = {}
-    for name, fn in jobs.items():
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+    rep_times: dict[str, list] = {name: [] for name in jobs}
+    for _suite_pass in range(2):
+        for name, fn in jobs.items():
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn()
+                rep_times[name].append(round(time.perf_counter() - t0, 3))
+    for name, reps in rep_times.items():
+        times[name] = min(reps)
+    extras["rep_times"] = rep_times
     extras["n_turns"] = n_turns
     extras["corpus_version"] = CORPUS_VERSION
     extras["turns_per_sec"] = round(n_turns / times["transcript_bloom_build"], 1)

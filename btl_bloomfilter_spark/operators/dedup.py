@@ -622,10 +622,18 @@ def duplicate_spans(
     min_len: int = 64,
     max_doc_freq: int = 100,
     seed_salt: int = 0,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicated-span detection: (id_a, id_b, start_a, start_b,
     span_len, n_anchors) for every pair of documents sharing a
     substring of detected length >= ``min_len`` bytes.
+
+    Cost note: the fingerprint map feeds TWO plan branches (the
+    hot-cap aggregation and the anchor join), so Spark evaluates the
+    winnowing kernel twice unless the input is cached.  At large scale
+    compute it once — ``f = winnow_fingerprints(df, col, id_col, k=k,
+    w=w).persist()`` — and pass it via ``fingerprints=`` (its schema
+    must be (id, pos, fp) with matching k/w; caller unpersists).
 
     Pipeline (100-TB shape — bucketed by fingerprint, NEVER all-pairs):
 
@@ -649,7 +657,11 @@ def duplicate_spans(
     precision is 1 up to 64-bit hash collisions."""
     from pyspark.sql import Window
 
-    fps = winnow_fingerprints(df, col, id_col, k=k, w=w, seed_salt=seed_salt)
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(df, col, id_col, k=k, w=w, seed_salt=seed_salt)
+    )
     hot = (
         fps.groupBy("fp")
         .agg(F.count_distinct("id").alias("ndocs"))

@@ -914,6 +914,97 @@ def with_classification(
     return df.mapInPandas(fn_full, out_schema)
 
 
+def with_paired_classification(
+    df: DataFrame,
+    mibf: "MIBloomFilter",
+    col1: str,
+    col2: str,
+    *,
+    keep: list[str] | None = None,
+    allowed_misses: int = 0,
+    min_count: "int | dict[int, int]" = 0,
+    extra_count: float = 1.0,
+    best_hit_agree: bool = True,
+    extra_frame_limit: int | None = None,
+    frame_probs: dict[int, float] | None = None,
+) -> DataFrame:
+    """Distributed two-iterator paired query — classify_full_paired
+    (the reference's paired-read overload, MIBFQuerySupport.hpp:111-130:
+    frames from the two sequences consumed alternately, one combined
+    candidate tally per pair) per Arrow batch on executors.  Same
+    broadcast + pure-map shape and same output columns as
+    ``with_classification(full=True)``; ``col1``/``col2`` are the mate
+    columns of each row (e.g. read-pair seq1/seq2)."""
+    from ..functions.probe import _blob_token, _cache_get
+
+    spark = df.sparkSession
+    ser = mibf.serialize()
+    blob = spark.sparkContext.broadcast(ser)
+    token = _blob_token(ser)
+    if keep is None:
+        keep = [f.name for f in df.schema.fields]
+    need = list(dict.fromkeys(keep + [col1, col2]))
+    if len(need) < len(df.schema.fields):
+        df = df.select(*need)
+    type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    if frame_probs is None:
+        from .mibf_query import calc_frame_probs
+
+        frame_probs, _ = calc_frame_probs(mibf, allowed_misses)
+    fp_b = spark.sparkContext.broadcast(frame_probs)
+    int_cols = [
+        "count",
+        "solid_count",
+        "non_sat_count",
+        "non_sat_frame_count",
+        "total_count",
+        "total_non_sat_count",
+    ]
+    new_cols = ["best_id"] + int_cols + ["frame_prob", "n_candidates"]
+    clash = set(keep) & set(new_cols)
+    if clash:
+        raise ValueError(f"input columns clash with classification outputs: {sorted(clash)}")
+    out_schema = ", ".join(
+        [f"{c} {type_of[c]}" for c in keep]
+        + [f"{c} long" for c in ["best_id"] + int_cols]
+        + ["frame_prob double", "n_candidates long"]
+    )
+
+    def fn(batches):
+        sk = _cache_get(token, blob.value)
+        for pdf in batches:
+            res = sk.classify_full_paired(
+                list(zip(pdf[col1], pdf[col2])),
+                min_count=min_count,
+                extra_count=extra_count,
+                best_hit_agree=best_hit_agree,
+                frame_probs=fp_b.value,
+                extra_frame_limit=extra_frame_limit,
+                allowed_misses=allowed_misses,
+            )
+            best = [lst[0] if lst else None for lst in res]
+            out = pd.DataFrame(
+                {
+                    "best_id": np.array([r.id if r else -1 for r in best], dtype=np.int64),
+                    "count": np.array([r.count if r else 0 for r in best], dtype=np.int64),
+                    "solid_count": np.array([r.solidCount if r else 0 for r in best], dtype=np.int64),
+                    "non_sat_count": np.array([r.nonSatCount if r else 0 for r in best], dtype=np.int64),
+                    "non_sat_frame_count": np.array(
+                        [r.nonSatFrameCount if r else 0 for r in best], dtype=np.int64
+                    ),
+                    "total_count": np.array([r.totalCount if r else 0 for r in best], dtype=np.int64),
+                    "total_non_sat_count": np.array(
+                        [r.totalNonSatCount if r else 0 for r in best], dtype=np.int64
+                    ),
+                    "frame_prob": np.array([r.frameProb if r else 0.0 for r in best], dtype=np.float64),
+                    "n_candidates": np.array([len(lst) for lst in res], dtype=np.int64),
+                }
+            )
+            yield pd.concat([pdf[keep].reset_index(drop=True), out], axis=1)
+
+    return df.mapInPandas(fn, out_schema)
+
+
 # ---------------------------------------------------------------------------
 # distributed 3-pass build
 # ---------------------------------------------------------------------------

@@ -80,7 +80,9 @@ def read_fastq(spark: SparkSession, path: str, *, validate: bool = True) -> Data
     multiple of 4), a record not opening with '@', or a third line not
     opening with '+' — the same checks also catch a violated
     partition-order assumption (see module docstring).  With
-    ``validate=False`` the result is fully lazy and unvalidated.
+    ``validate=False`` the result is fully lazy and unvalidated — a
+    truncated trailing record then surfaces as a row with null
+    seq/qual fields rather than raising.
 
     At sustained 100-TB scale convert FASTQ to Parquet once with
     ``jobs/fastq_to_parquet.py`` (this reader behind a one-shot

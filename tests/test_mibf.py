@@ -664,3 +664,50 @@ def test_classify_full_paired_from_fasta_files(spark, tmp_path):
         1 for row, lst in zip(joined, res_exit) if lst and lst[0].id == truth[row["header"]]
     )
     assert ok2 / len(joined) >= 0.95, ok2 / len(joined)
+
+
+@pytest.mark.spark
+def test_with_paired_classification_matches_driver(spark, mibf_setup):
+    """Distributed paired query == driver classify_full_paired on the
+    same pairs, field for field."""
+    from btl_bloomfilter_spark.operators.mibf import with_paired_classification
+
+    df, mibf, rows = mibf_setup
+    from pyspark.sql import functions as F
+
+    # mate pairs: split each doc's tokens in half
+    pairs_df = df.select(
+        "ref_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 12), " ").alias("seq1"),
+        F.array_join(F.slice(F.split("text", " "), 13, 1 << 20), " ").alias("seq2"),
+        "text",
+    )
+    got = (
+        with_paired_classification(
+            pairs_df, mibf, "seq1", "seq2", keep=["text", "ref_id"], min_count=1
+        )
+        .toPandas()
+        .sort_values("text")
+        .reset_index(drop=True)
+    )
+    from btl_bloomfilter_spark.operators.mibf_query import calc_frame_probs
+
+    fp, _ = calc_frame_probs(mibf)
+    src = pairs_df.toPandas().sort_values("text").reset_index(drop=True)
+    want = mibf.classify_full_paired(
+        list(zip(src["seq1"], src["seq2"])), min_count=1, frame_probs=fp
+    )
+    w_best = [lst[0] if lst else None for lst in want]
+    np.testing.assert_array_equal(
+        got["best_id"].to_numpy(), np.array([r.id if r else -1 for r in w_best])
+    )
+    np.testing.assert_array_equal(
+        got["non_sat_frame_count"].to_numpy(),
+        np.array([r.nonSatFrameCount if r else 0 for r in w_best]),
+    )
+    np.testing.assert_array_equal(
+        got["n_candidates"].to_numpy(), np.array([len(lst) for lst in want])
+    )
+    # and it classifies: accuracy against the planted refs
+    ok = (got["best_id"].to_numpy() == got["ref_id"].to_numpy()).mean()
+    assert ok >= 0.9, ok

@@ -113,3 +113,41 @@ def test_blocked_simhash_join_is_hash_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan  # equi-join present
+
+
+@pytest.mark.spark
+def test_duplicate_spans_plan_shape(spark):
+    """Span dedup must anchor-join on the fingerprint hash (equi-join,
+    never cartesian) and the winnow kernel's input scan must read only
+    (id, text)."""
+    from btl_bloomfilter_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(i, "abcdefghijklmnopqrstuvwxyz" * 4) for i in range(20)], "doc_id long, text string"
+    )
+    out = duplicate_spans(df, "text", "doc_id", k=12, w=8, min_len=30)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+@pytest.mark.spark
+def test_full_classification_pure_map(spark, docs):
+    """with_classification(full=True) must stay a broadcast pure map:
+    no Exchange, input scan pruned to the needed columns."""
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.operators.mibf import MIBloomFilter
+
+    bf = BloomFilter(1 << 14, 3, 8)
+    bf.update(["warm up the bit vector"])
+    mibf = MIBloomFilter(1 << 14, 3, 8)
+    mibf.freeze(bf.bits.copy())
+    mibf.insert_seq_online("warm up the bit vector", 1)
+    from btl_bloomfilter_spark.operators.mibf import with_classification
+
+    out = with_classification(docs, mibf, "text", keep=["doc_id"], full=True)
+    plan = _plan(out)
+    assert "Exchange" not in plan
+    rs = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "text" in rs and "doc_id" in rs and "source" not in rs
