@@ -88,6 +88,14 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.union_bit_exact and r.union_contains_all
         assert r.inter_pop <= r.union_pop
+    if name == "q40_mibf_full_classify":
+        r = out.iloc[0]
+        assert r.distributed_matches_driver  # field-for-field parity law
+        assert r.no_hit_rows_consistent and r.accuracy_ok
+    if name == "q41_duplicate_spans":
+        r = out.iloc[0]
+        assert r.all_planted_found and r.unplanted_all_genuine
+        assert r.span_lengths_ok and r.offsets_ok
     if name == "q32_turn_length_quantiles":
         rel = (out.kll - out.exact).abs() / out.exact
         assert (rel < 0.25).all()
