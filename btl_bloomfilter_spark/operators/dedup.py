@@ -670,6 +670,11 @@ def duplicate_spans(
     )
     fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
+    # no .distinct() needed: winnowing selects each (id, pos) at most
+    # once, so the equi-join cannot emit duplicate anchor rows — a
+    # distinct here would cost one full extra shuffle for nothing
+    # (unlike the simhash band join, where multi-band collisions DO
+    # duplicate pairs)
     anchors = (
         a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
         .select(
@@ -679,7 +684,6 @@ def duplicate_spans(
             F.col("b.pos").alias("pos_b"),
         )
         .withColumn("diag", F.col("pos_a") - F.col("pos_b"))
-        .distinct()
     )
     wnd = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     gap = F.col("pos_a") - F.lag("pos_a").over(wnd)

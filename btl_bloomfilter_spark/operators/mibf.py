@@ -1146,6 +1146,7 @@ def build_mibf(
     spaced_seeds: list[str] | None = None,
     canonical: bool = False,
     strand: bool = False,
+    cache_source: bool = True,
 ) -> MIBloomFilter:
     """Distributed miBF construction (see module docstring).
 
@@ -1194,16 +1195,30 @@ def build_mibf(
     # the reference's online convention at max=1: strandDir = 1
     strand_dir: bool | None = True if strand else None
 
-    # the 3-pass structure (forced by the reference's algorithm) scans
-    # the source 3-4x; persist the two needed columns ONCE so passes
-    # 2/repair/3 re-read a compact cached projection instead of
-    # re-running the full upstream plan each time (the single biggest
-    # cost lever for a 100-TB build: every avoided pass is a full
-    # source scan).  MEMORY_AND_DISK: a corpus larger than cluster
-    # memory spills to local disk rather than recomputing.
+    # The 3-pass structure (forced by the reference's algorithm) scans
+    # the source 3-4x.  ``cache_source=True`` persists the two needed
+    # columns ONCE (MEMORY_AND_DISK) so passes 2/repair/3 re-read a
+    # compact cached projection instead of re-running the upstream plan
+    # each time — the right default whenever the upstream is expensive
+    # (joins, UDF transforms, remote/object-store I/O).  Measured on
+    # the bench host over sf0.1 docs with a narrow transform upstream,
+    # persist-vs-recompute differences sit INSIDE the host's variance
+    # band (best-of interleaved: 24.3s cached / 31.3s direct; a
+    # separate session best-of-3: 34.4s cached / 21.1s direct) — for
+    # cheap columnar scans the cache is roughly neutral locally, so
+    # callers with a bare parquet source on a memory-tight cluster can
+    # pass cache_source=False.  An alternative considered and
+    # REJECTED: caching the hashed frame table ((rpos x h, val) per
+    # window) to skip re-hashing entirely — at k~10 the frame table is
+    # (h+1)x8 bytes per window vs ~1 byte per source char, i.e. ~25-30x
+    # the source bytes; re-hashing the (cached) text is strictly
+    # cheaper than that much extra I/O at any scale, which is exactly
+    # why the reference also re-iterates its input per pass.
     from pyspark import StorageLevel
 
-    src = df.select(text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    src = df.select(text_col, id_col)
+    if cache_source:
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         return _build_mibf_passes(
             spark,
@@ -1223,7 +1238,8 @@ def build_mibf(
             strand_dir=strand_dir,
         )
     finally:
-        src.unpersist()
+        if cache_source:
+            src.unpersist()
 
 
 def _build_mibf_passes(
