@@ -1052,6 +1052,77 @@ def q41_duplicate_spans(spark, sf_dir):
     )
 
 
+def q42_contamination_screen(spark, sf_dir):
+    """Benchmark-decontamination screen (LLM-pipeline hygiene) under
+    the driver board: a benchmark slice of the documents table is
+    Bloom-compiled (exact window-count sizing) and broadcast against a
+    corpus of (a) provably-disjoint clean rows (uppercased text —
+    zero natural k-gram overlap with the lowercase benchmark) and
+    (b) dirty rows carrying a verbatim 120-byte benchmark span.
+    Self-validating: benchmark members fully seen (no false
+    negatives), every planted contamination flagged far above the
+    FPR floor, clean rows bounded by it."""
+    from btl_bloomfilter_spark.operators.decontam import contamination_screen
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    k, fpr = 25, 1e-4
+    keep = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    bench = keep.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    clean = keep.where(F.col("doc_id") % 10 != 0).select(
+        "doc_id", F.upper("text").alias("text"), F.lit(False).alias("dirty")
+    )
+    dirty = (
+        bench.where(F.octet_length("text") >= 200)
+        .select(
+            (F.col("doc_id") + 500000).alias("doc_id"),
+            F.concat(
+                F.substring(F.upper("text"), 1, 300), F.substring("text", 30, 120)
+            ).alias("text"),
+            F.lit(True).alias("dirty"),
+        )
+    )
+    corpus = clean.unionByName(dirty)
+    screened, bloom = contamination_screen(corpus, bench, "text", k=k, fpr=fpr)
+    agg = screened.groupBy("dirty").agg(
+        F.count("*").alias("n"),
+        F.min("contamination_frac").alias("mn"),
+        F.max("contamination_frac").alias("mx"),
+        F.avg("contamination_frac").alias("av"),
+    ).collect()
+    by = {bool(r["dirty"]): r for r in agg}
+    bench_min = (
+        contamination_screen(bench, bench, "text", k=k, bloom=bloom)[0]
+        .agg(F.min("contamination_frac"))
+        .collect()[0][0]
+    )
+    # the right FP criterion is corpus-level: per-doc max is dominated
+    # by short documents (ONE false-positive window in a 54-window doc
+    # is frac 0.0185 regardless of how good the filter is); expected
+    # clean average == observed FPR
+    clean_bound = max(10 * bloom.fpr(), 1e-3)
+    return spark.createDataFrame(
+        [
+            (
+                int(bench.count()),
+                int(by[False]["n"]),
+                int(by[True]["n"]),
+                float(bench_min),
+                float(by[True]["mn"]),
+                float(by[False]["av"]),
+                float(by[False]["mx"]),
+                bool(bench_min == 1.0),
+                bool(by[True]["mn"] >= 0.1),
+                bool(by[False]["av"] <= clean_bound),
+                bool(by[False]["mx"] < by[True]["mn"]),
+            )
+        ],
+        "n_bench long, n_clean long, n_dirty long, bench_min_frac double, "
+        "dirty_min_frac double, clean_avg_frac double, clean_max_frac double, "
+        "no_false_negatives boolean, planted_all_flagged boolean, clean_bounded boolean, "
+        "clean_dirty_separated boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1095,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q39_fasta_workflow": q39_fasta_workflow,
         "q40_mibf_full_classify": q40_mibf_full_classify,
         "q41_duplicate_spans": q41_duplicate_spans,
+        "q42_contamination_screen": q42_contamination_screen,
     }
 
 

@@ -96,6 +96,10 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.all_planted_found and r.unplanted_all_genuine
         assert r.span_lengths_ok and r.offsets_ok
+    if name == "q42_contamination_screen":
+        r = out.iloc[0]
+        assert r.no_false_negatives and r.planted_all_flagged
+        assert r.clean_bounded and r.clean_dirty_separated
     if name == "q32_turn_length_quantiles":
         rel = (out.kll - out.exact).abs() / out.exact
         assert (rel < 0.25).all()
