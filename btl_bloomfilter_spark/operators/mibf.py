@@ -1166,11 +1166,15 @@ def build_mibf(
     candidates carry the strand bit in their id (ID_MASK semantics,
     MIBFQuerySupport.hpp:489-493).
 
-    ``checkpoint_dir``/``lineage`` forward to the pass-1 Bloom build
-    (plans.agg.build_sketch): the bit-vector pass — the biggest source
-    scan — persists its per-partition partials with lineage + fill
-    metrics and resumes from them on a rerun with matching params
-    (north-rule resumability).
+    ``checkpoint_dir``/``lineage`` checkpoint the two heaviest stages:
+    pass 1 forwards to plans.agg.build_sketch (per-partition bit-vector
+    partials with lineage + fill metrics), and pass 2 persists the
+    (rpos, id, c) count table — the full window re-hash plus the
+    build's only big shuffle — under ``<checkpoint_dir>/mibf_counts``
+    keyed by the filter params + lineage.  A rerun with matching
+    params resumes both from disk (north-rule resumability); the
+    repair/saturation passes re-run (they are broadcast-probe maps
+    over the cached source and depend on the assembled data array).
 
     With ``repair=True`` (default) a mutate-before-saturate pass runs
     between insertion and saturation, the batch analog of the
@@ -1286,11 +1290,68 @@ def _build_mibf_passes(
     def pairs_emit(rpos, stored, vals):
         return pd.DataFrame({"rpos": rpos.ravel(), "id": vals.ravel().astype(np.int64)})
 
-    pairs = df.select(text_col, id_col).mapInPandas(
-        _frames_fn(blob, text_col, id_col, pairs_emit, needs_stored=False, strand_dir=strand_dir),
-        "rpos long, id long",
+    # ---- pass-2 checkpoint (north-rule resumability for the heaviest
+    # scan): with checkpoint_dir, the (rpos, id, c) count table — the
+    # full re-hash of every window plus the build's only big shuffle —
+    # persists to parquet keyed by the filter params + lineage, using
+    # the same invalidate-before-overwrite discipline as
+    # plans.agg.build_sketch.  A rerun with matching params resumes
+    # passes 1 AND 2 from disk; repair/saturation (broadcast-probe
+    # passes over the cached source) re-run — they depend on the
+    # assembled data array, not on raw counts.
+    import json as _json
+    import os as _os
+
+    cdir = _os.path.join(checkpoint_dir, "mibf_counts") if checkpoint_dir else None
+    import hashlib as _hashlib
+
+    counts_params = _json.dumps(
+        {
+            "op": "mibf_counts",
+            # rank positions are only meaningful for the EXACT bit
+            # vector they were computed against; if the pass-1
+            # checkpoint was invalidated (different source rebuilt the
+            # bloom) stale counts must not resume
+            "bits_sha1": _hashlib.sha1(mibf.bits.tobytes()).hexdigest(),
+            "m_bits": m_bits,
+            "hash_num": hash_num,
+            "k": k,
+            "seed_salt": seed_salt,
+            "spaced_seeds": spaced_seeds,
+            "canonical": canonical,
+            "strand_dir": strand_dir,
+            "text_col": text_col,
+            "id_col": id_col,
+            "lineage": lineage,
+        },
+        sort_keys=True,
     )
-    counts = pairs.groupBy("rpos", "id").agg(F.count("*").alias("c"))
+
+    def _counts_ckpt_matches() -> bool:
+        p = _os.path.join(cdir, "params.json")
+        success = _os.path.join(cdir, "data", "_SUCCESS")
+        if not (_os.path.exists(p) and _os.path.exists(success)):
+            return False
+        with open(p) as f:
+            return f.read() == counts_params
+
+    if cdir and _counts_ckpt_matches():
+        counts = spark.read.parquet(_os.path.join(cdir, "data"))
+    else:
+        pairs = df.select(text_col, id_col).mapInPandas(
+            _frames_fn(blob, text_col, id_col, pairs_emit, needs_stored=False, strand_dir=strand_dir),
+            "rpos long, id long",
+        )
+        counts = pairs.groupBy("rpos", "id").agg(F.count("*").alias("c"))
+        if cdir:
+            stale = _os.path.join(cdir, "params.json")
+            if _os.path.exists(stale):
+                _os.remove(stale)
+            counts.write.mode("overwrite").parquet(_os.path.join(cdir, "data"))
+            _os.makedirs(cdir, exist_ok=True)
+            with open(_os.path.join(cdir, "params.json"), "w") as f:
+                f.write(counts_params)
+            counts = spark.read.parquet(_os.path.join(cdir, "data"))
     if repair:
         counts = counts.persist()
     # ---- pass 2: deterministic reservoir winner per rank position,

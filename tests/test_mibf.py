@@ -711,3 +711,32 @@ def test_with_paired_classification_matches_driver(spark, mibf_setup):
     # and it classifies: accuracy against the planted refs
     ok = (got["best_id"].to_numpy() == got["ref_id"].to_numpy()).mean()
     assert ok >= 0.9, ok
+
+
+@pytest.mark.spark
+def test_build_mibf_checkpoint_resume(spark, mibf_setup, tmp_path):
+    """North-rule resumability through passes 1 AND 2: a rebuild with a
+    DIFFERENT source but matching params + lineage must resume from the
+    checkpointed bit-vector partials and (rpos, id, c) counts and
+    produce an identical filter; changing the lineage invalidates the
+    checkpoint."""
+    df, _, _ = mibf_setup
+    ck = str(tmp_path / "ck")
+    # repair=False isolates the checkpointed passes: saturation (which
+    # rightly re-runs over whatever source is supplied) only ORs the
+    # sticky bit and never touches the stored ID field, so resumed ID
+    # fields must be bit-identical iff passes 1+2 came from disk
+    kw = dict(m_bits=1 << 18, hash_num=3, k=10, repair=False, checkpoint_dir=ck, lineage="corpus@v1")
+    first = build_mibf(df, "text", "ref_id", **kw)
+    # different (tiny) source, same checkpoint identity → passes 1+2
+    # resume from disk: same bits, same reservoir winners
+    other = df.limit(10)
+    resumed = build_mibf(other, "text", "ref_id", **kw)
+    np.testing.assert_array_equal(resumed.bits, first.bits)
+    np.testing.assert_array_equal(resumed.data & ID_MASK, first.data & ID_MASK)
+    # changed lineage → full rebuild from the new (smaller) source
+    fresh = build_mibf(
+        other, "text", "ref_id", m_bits=1 << 18, hash_num=3, k=10, repair=False,
+        checkpoint_dir=ck, lineage="corpus@v2",
+    )
+    assert not np.array_equal(fresh.data & ID_MASK, first.data & ID_MASK)
