@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, functions as F
 
 def contamination_screen(
     docs: DataFrame,
-    bench: DataFrame,
+    bench: DataFrame | None,
     col: str,
     *,
     k: int = 25,
@@ -51,12 +51,17 @@ def contamination_screen(
 
     Returns ``(screened_df, bloom)`` so the filter can be saved
     (sources/bfio.save_bloom) and passed back via ``bloom=`` to screen
-    further corpus shards without rebuilding.
+    further corpus shards without rebuilding — in that case ``bench``
+    may be None (it is not read), which also makes the screen usable on
+    a STREAMING ``docs`` (the probe is a plain map; the only action
+    here is the sizing aggregate, skipped on reuse).
     """
     from ..functions.probe import with_probe_columns
     from ..operators.bloom import BloomFilter
     from ..plans.agg import build_sketch
 
+    if bloom is None and bench is None:
+        raise ValueError("either a benchmark DataFrame or a prebuilt bloom= is required")
     if bloom is None:
         n_windows = (
             bench.agg(

@@ -134,3 +134,58 @@ def test_state_rejects_foreign_checkpoint_lineage(spark, tmp_path):
     # same lineage continues fine
     merge_batch_into(state, bdf, "text", mk, batch_id=4, lineage="ckpt-A")
     assert load_running(state).estimate_batch(["x"])[0] == 10
+
+
+@pytest.mark.spark
+def test_probe_and_classify_work_on_streams(spark, tmp_path):
+    """The broadcast probe paths are plain maps, so they must compose
+    with Structured Streaming unchanged: a file-source stream screened
+    by a prebuilt Bloom (contamination_screen with bloom=) and
+    classified by a prebuilt miBF (with_classification) into a memory
+    sink must produce exactly the batch results."""
+    from pyspark.sql import functions as F
+
+    from btl_bloomfilter_spark.operators.decontam import contamination_screen
+    from btl_bloomfilter_spark.operators.mibf import build_mibf, with_classification
+
+    rows = [(i, f"ref{i % 3} token{i} alpha beta gamma delta epsilon", i % 3 + 1) for i in range(90)]
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string, src_id long")
+    mibf = build_mibf(batch_df, "text", "src_id", m_bits=1 << 16, hash_num=3, k=8)
+    bench = batch_df.where(F.col("src_id") == 1).select("text")
+    _, bloom = contamination_screen(batch_df.limit(1), bench, "text", k=8)
+
+    src = tmp_path / "probe_src"
+    src.mkdir()
+    batch_df.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("doc_id long, text string, src_id long").parquet(str(src))
+    screened, _ = contamination_screen(
+        stream.select("doc_id", "text"), None, "text", k=8, bloom=bloom
+    )
+    classified = with_classification(
+        stream.select("doc_id", "text", "src_id"), mibf, "text", keep=["doc_id", "src_id"]
+    )
+    q1 = (
+        screened.writeStream.format("memory").queryName("scr").outputMode("append").trigger(
+            availableNow=True
+        ).start()
+    )
+    q2 = (
+        classified.writeStream.format("memory").queryName("cls").outputMode("append").trigger(
+            availableNow=True
+        ).start()
+    )
+    q1.awaitTermination(120)
+    q2.awaitTermination(120)
+    got_scr = spark.sql("select * from scr").toPandas().sort_values("doc_id").reset_index(drop=True)
+    got_cls = spark.sql("select * from cls").toPandas().sort_values("doc_id").reset_index(drop=True)
+    want_scr, _ = contamination_screen(batch_df.select("doc_id", "text"), None, "text", k=8, bloom=bloom)
+    want_scr = want_scr.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (got_scr.contamination_frac == want_scr.contamination_frac).all()
+    # src_id==1 docs fully contaminated, others bounded below 1
+    assert (got_scr.contamination_frac[want_scr.doc_id % 3 == 0] == 1.0).all()
+    want_cls = (
+        with_classification(batch_df.select("doc_id", "text", "src_id"), mibf, "text", keep=["doc_id", "src_id"])
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (got_cls.best_id == want_cls.best_id).all()
+    assert (got_cls.frames == want_cls.frames).all()
