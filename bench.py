@@ -217,10 +217,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     # footprint, not a limit(3000) miniature.
     build_sketch(tdf, "text", lambda: BloomFilter(BLOOM_M, BLOOM_H, BLOOM_K), fanin=16)
     # the canonical-spaced kernel (NTMSM64 fold) is a different code
-    # path — warm its JIT/scratch separately (small corpus suffices;
-    # the array-size footprint was faulted by the full build above)
+    # path with ~2x the scratch footprint — warm it at FULL size too
+    # (a limit(3000) mini-warm-up left an 18s first timed rep vs the
+    # 3.4s steady floor; JIT alone wasn't the whole cost)
     build_sketch(
-        tdf.limit(3000),
+        tdf,
         "text",
         lambda: BloomFilter(
             BLOOM_M, 2, 0, spaced_seeds=["111001100111", "110110011011"], canonical=True
