@@ -57,3 +57,38 @@ def test_contamination_screen_planted(spark):
     # k mismatch on reuse is refused
     with pytest.raises(ValueError, match="k="):
         contamination_screen(corpus, bench, "text", k=13, bloom=bloom)
+
+
+@pytest.mark.spark
+def test_decontaminate_job_roundtrip(spark, tmp_path):
+    """CLI job: screen a corpus against a benchmark, persist the
+    benchmark filter in .bf layout, and re-screen a second shard from
+    the saved filter without a rebuild."""
+    import jobs.decontaminate as dj
+
+    rng = np.random.default_rng(29)
+    letters = list("abcdefghij ")
+
+    def doc(n):
+        return "".join(rng.choice(letters, size=n))
+
+    bench_texts = [doc(250) for _ in range(20)]
+    corpus = [(i, doc(300)) for i in range(30)] + [
+        (100 + i, doc(150) + bench_texts[i][40:160] + doc(150)) for i in range(5)
+    ]
+    bpath, cpath = str(tmp_path / "bench.parquet"), str(tmp_path / "corpus.parquet")
+    spark.createDataFrame([(t,) for t in bench_texts], "text string").write.parquet(bpath)
+    spark.createDataFrame(corpus, "doc_id long, text string").write.parquet(cpath)
+    out1, bf = str(tmp_path / "scr1.parquet"), str(tmp_path / "bench.bf")
+    s1 = dj.main(
+        ["--corpus", cpath, "--bench", bpath, "-o", out1, "--k", "25", "--filter-out", bf]
+    )
+    assert s1["n"] == 35 and s1["n_quarantined"] == 5
+    # shard 2 from the saved filter, no --bench
+    out2 = str(tmp_path / "scr2.parquet")
+    s2 = dj.main(["--corpus", cpath, "-o", out2, "--k", "25", "--filter-in", bf])
+    assert s2["n_quarantined"] == 5
+    p1 = spark.read.parquet(out1).toPandas().sort_values("doc_id").reset_index(drop=True)
+    p2 = spark.read.parquet(out2).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert (p1.contamination_frac == p2.contamination_frac).all()
+    assert set(p1[p1.quarantine].doc_id) == {100, 101, 102, 103, 104}
