@@ -1123,6 +1123,98 @@ def q42_contamination_screen(spark, sf_dir):
     )
 
 
+def q43_paired_classify(spark, sf_dir):
+    """Distributed two-iterator paired query under the driver board
+    (with_paired_classification — the reference's paired-read overload,
+    MIBFQuerySupport.hpp:111-130, as a broadcast pure map): each
+    document split into two mates, classified as one combined tally.
+    Self-validating: (a) distributed output matches driver
+    classify_full_paired field-for-field on a deterministic sample,
+    (b) accuracy against the planted source ids, (c) paired tally
+    equals the full-classify tally of the whole document's frame
+    multiset when both mates cover it (order-independence law holds
+    per-row in test_mibf; here the accuracy columns cover the board)."""
+    from btl_bloomfilter_spark.operators.mibf import build_mibf, with_paired_classification
+    from btl_bloomfilter_spark.operators.mibf_query import calc_frame_probs
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    with_id = docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
+    # size the filter to the corpus (a fixed m saturates at larger sf):
+    # ~8 bits per 10-gram window keeps fill ≈ 0.3 at h=3
+    n_win = int(
+        with_id.agg(F.sum(F.greatest(F.octet_length("text") - 9, F.lit(0)))).collect()[0][0] or 1
+    )
+    import math
+
+    m_bits = 1 << max(22, math.ceil(math.log2(8 * n_win)))
+    mibf = build_mibf(with_id, "text", "src_id", m_bits=m_bits, hash_num=3, k=10)
+    pairs = with_id.select(
+        "doc_id",
+        "src_id",
+        F.array_join(F.slice(F.split("text", " "), 1, 15), " ").alias("s1"),
+        F.array_join(F.slice(F.split("text", " "), 16, 1 << 20), " ").alias("s2"),
+    )
+    out = with_paired_classification(
+        pairs, mibf, "s1", "s2", keep=["doc_id", "src_id"], min_count=1
+    ).persist()
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("best_id") == F.col("src_id")).cast("long")).alias("ok"),
+    ).collect()[0]
+    # the scale-invariant accuracy law: the mates jointly cover the
+    # document (minus ~1 boundary window), so paired accuracy must
+    # track the whole-document full-classify accuracy — absolute
+    # accuracy itself decays with corpus density (k-grams repeat
+    # across sources as the table grows) and is reported, not gated
+    from btl_bloomfilter_spark.operators.mibf import with_classification
+
+    agg_full = (
+        with_classification(
+            with_id.select("text", "src_id"), mibf, "text", keep=["src_id"], full=True, min_count=1
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("best_id") == F.col("src_id")).cast("long")).alias("ok"),
+        )
+        .collect()[0]
+    )
+    acc_full = int(agg_full["ok"]) / int(agg_full["n"])
+    sample = (
+        pairs.where(F.col("doc_id") % 9 == 0).select("doc_id", "s1", "s2").orderBy("doc_id").collect()
+    )
+    fp, _ = calc_frame_probs(mibf)
+    want = mibf.classify_full_paired(
+        [(r["s1"], r["s2"]) for r in sample], min_count=1, frame_probs=fp
+    )
+    got = {int(r["doc_id"]): r for r in out.where(F.col("doc_id") % 9 == 0).collect()}
+    match = len(got) == len(sample)
+    for r, lst in zip(sample, want):
+        g = got.get(int(r["doc_id"]))
+        b = lst[0] if lst else None
+        match = match and g is not None and (
+            g["best_id"] == (b.id if b else -1)
+            and g["n_candidates"] == len(lst)
+            and g["non_sat_frame_count"] == (b.nonSatFrameCount if b else 0)
+            and g["total_non_sat_count"] == (b.totalNonSatCount if b else 0)
+        )
+    out.unpersist()
+    n, ok = int(agg["n"]), int(agg["ok"])
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                len(sample),
+                round(ok / n, 4),
+                round(acc_full, 4),
+                bool(match),
+                bool(abs(ok / n - acc_full) <= 0.05),
+            )
+        ],
+        "n_pairs long, n_sampled long, accuracy_paired double, accuracy_full double, "
+        "distributed_matches_driver boolean, paired_tracks_full boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1167,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_mibf_full_classify": q40_mibf_full_classify,
         "q41_duplicate_spans": q41_duplicate_spans,
         "q42_contamination_screen": q42_contamination_screen,
+        "q43_paired_classify": q43_paired_classify,
     }
 
 

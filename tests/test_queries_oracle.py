@@ -96,6 +96,10 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.all_planted_found and r.unplanted_all_genuine
         assert r.span_lengths_ok and r.offsets_ok
+    if name == "q43_paired_classify":
+        r = out.iloc[0]
+        assert r.distributed_matches_driver and r.paired_tracks_full
+        assert r.accuracy_paired >= 0.9  # sf0.01 corpus is sparse enough
     if name == "q42_contamination_screen":
         r = out.iloc[0]
         assert r.no_false_negatives and r.planted_all_flagged
