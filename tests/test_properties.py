@@ -220,3 +220,68 @@ def test_blocked_simhash_ball_masks_complete(seed, radius):
             found = True
             break
     assert found
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(st.text(alphabet="abcdef ", min_size=0, max_size=200), min_size=1, max_size=6),
+    k=st.integers(min_value=2, max_value=12),
+    w=st.integers(min_value=2, max_value=16),
+)
+def test_winnow_selection_laws_property(texts, k, w):
+    """Winnowing laws on arbitrary inputs (SIGMOD'03 §2): (1) within a
+    row with >= w window hashes, consecutive selections are <= w
+    apart and strictly increasing; (2) every selected fingerprint
+    equals the rolling hash at its position; (3) rows shorter than k
+    select nothing, rows with >= 1 window select >= 1."""
+    from btl_bloomfilter_spark.operators.dedup import _winnow_from_buffers
+
+    seeds = H.seed_table(0)
+    buf, offs = H._flatten_utf8(texts)
+    rows, pos, fp = _winnow_from_buffers(buf, offs, k, w, seeds)
+    all_h, all_rows = H.hash_ngrams(texts, k, 1)
+    for si, s in enumerate(texts):
+        data = s.encode("utf-8", "surrogatepass")
+        nh = max(len(data) - k + 1, 0)
+        p = pos[rows == si]
+        if nh == 0:
+            assert p.size == 0
+            continue
+        assert p.size >= 1
+        assert (np.diff(p) > 0).all()
+        if nh >= w:
+            assert (np.diff(p) <= w).all()
+        # selected fp == the rolling hash at that exact window
+        row_h = all_h[all_rows == si, 0]
+        np.testing.assert_array_equal(fp[rows == si], row_h[p])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    prefix_a=st.text(alphabet="xyz ", min_size=0, max_size=80),
+    prefix_b=st.text(alphabet="uvw ", min_size=0, max_size=80),
+    shared=st.text(alphabet="abcdef ", min_size=40, max_size=120),
+)
+def test_winnow_shared_span_anchor_property(prefix_a, prefix_b, shared):
+    """The MOSS guarantee on arbitrary offsets: two documents sharing a
+    substring of length >= w + k - 1 select at least one identical
+    fingerprint at the same relative offset within the shared span
+    (disjoint alphabets around it so only planted anchors count)."""
+    from btl_bloomfilter_spark.operators.dedup import _winnow_from_buffers
+
+    k, w = 8, 8
+    a = prefix_a + shared
+    b = prefix_b + shared + "uvu"
+    seeds = H.seed_table(0)
+    buf, offs = H._flatten_utf8([a, b])
+    rows, pos, fp = _winnow_from_buffers(buf, offs, k, w, seeds)
+    la, lb = len(prefix_a.encode()), len(prefix_b.encode())
+    rel_a = {(int(p) - la, int(f)) for p, f in zip(pos[rows == 0], fp[rows == 0]) if p >= la}
+    rel_b = {(int(p) - lb, int(f)) for p, f in zip(pos[rows == 1], fp[rows == 1]) if p >= lb}
+    # at least one common (relative offset, fingerprint) anchor, fully
+    # inside the shared region of BOTH docs
+    ls = len(shared.encode())
+    common = {
+        (o, f) for (o, f) in (rel_a & rel_b) if 0 <= o <= ls - k
+    }
+    assert common, (len(a), len(b), ls)
