@@ -1090,6 +1090,11 @@ def q42_contamination_screen(spark, sf_dir):
         F.avg("contamination_frac").alias("av"),
     ).collect()
     by = {bool(r["dirty"]): r for r in agg}
+    # tiny scale factors can yield zero dirty (or clean) rows — report
+    # honestly instead of crashing
+    empty = {"n": 0, "mn": 0.0, "mx": 0.0, "av": 0.0}
+    by.setdefault(True, empty)
+    by.setdefault(False, empty)
     bench_min = (
         contamination_screen(bench, bench, "text", k=k, bloom=bloom)[0]
         .agg(F.min("contamination_frac"))
