@@ -91,7 +91,8 @@ def test_rows_only_queries_run(spark, name):
     if name == "q40_mibf_full_classify":
         r = out.iloc[0]
         assert r.distributed_matches_driver  # field-for-field parity law
-        assert r.no_hit_rows_consistent and r.accuracy_ok
+        assert r.no_hit_rows_consistent and r.precision_ok
+        assert r.precision_on_calls >= 0.9  # the sf0.01 corpus is sparse enough
     if name == "q41_duplicate_spans":
         r = out.iloc[0]
         assert r.all_planted_found and r.unplanted_all_genuine
