@@ -194,6 +194,18 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         qvec = [float(x) for x in emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]]
         return brute_topk(emb.where(F.col("vec_id") != 0), qvec, 10).collect()
 
+    def q_span_dedup_docs():
+        from btl_bloomfilter_spark.operators.dedup import duplicate_spans
+
+        return duplicate_spans(docs, "text", "doc_id", k=16, w=16, min_len=64).count()
+
+    def q_contamination_screen():
+        from btl_bloomfilter_spark.operators.decontam import contamination_screen
+
+        bench_docs = docs.where(F.col("doc_id") % 10 == 0).select("text")
+        screened, _ = contamination_screen(docs, bench_docs, "text", k=25)
+        return screened.agg(F.avg("contamination_frac")).collect()[0][0]
+
     def q_canonical_spaced_build():
         # mode-overhead tracker: canonical spaced-seed hashing (NTMSM64
         # analog — forward + RC fold per seed) over the same corpus so
@@ -243,6 +255,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "kll_prices": q_kll_prices,
         "tdigest_prices": q_tdigest_prices,
         "minhash_dedup_docs": q_minhash_dedup_docs,
+        "span_dedup_docs": q_span_dedup_docs,
+        "contamination_screen": q_contamination_screen,
         "pricing_summary": q_pricing_summary,
         "cosine_topk": q_cosine_topk,
     }
