@@ -662,13 +662,22 @@ def duplicate_spans(
         if fingerprints is not None
         else winnow_fingerprints(df, col, id_col, k=k, w=w, seed_salt=seed_salt)
     )
-    hot = (
-        fps.groupBy("fp")
-        .agg(F.count_distinct("id").alias("ndocs"))
-        .where(F.col("ndocs") > max_doc_freq)
-        .select("fp")
+    # hot-fingerprint cap via a count window over fp rather than a
+    # separate aggregate + anti-join: the window's Exchange on fp is
+    # the SAME exchange the anchor self-join needs on both sides, so
+    # Spark's ReuseExchange computes the winnow kernel and the shuffle
+    # ONCE (the aggregate formulation forced a second full kernel
+    # scan for the cap).  The cap counts anchor ROWS per fingerprint —
+    # equal to the document count except when one document repeats a
+    # window internally (winnowing emits each (id, pos) once), and as
+    # a skew guard the stricter row count is the right quantity
+    # anyway: join fan-out is rows², not docs².
+    w_fp = Window.partitionBy("fp")
+    fps = (
+        fps.withColumn("__fpcnt", F.count("*").over(w_fp))
+        .where(F.col("__fpcnt") <= max_doc_freq)
+        .drop("__fpcnt")
     )
-    fps = fps.join(F.broadcast(hot), "fp", "left_anti")
     a, b = fps.alias("a"), fps.alias("b")
     # no .distinct() needed: winnowing selects each (id, pos) at most
     # once, so the equi-join cannot emit duplicate anchor rows — a
