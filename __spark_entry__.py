@@ -437,7 +437,15 @@ def q28_mibf_classify(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")["documents"]
     with_id = docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
-    mibf = build_mibf(with_id, "text", "src_id", m_bits=1 << 22, hash_num=3, k=10)
+    import math
+
+    n_win = int(
+        with_id.agg(F.sum(F.greatest(F.octet_length("text") - 9, F.lit(0)))).collect()[0][0] or 1
+    )
+    mibf = build_mibf(
+        with_id, "text", "src_id",
+        m_bits=1 << max(22, math.ceil(math.log2(8 * n_win))), hash_num=3, k=10,
+    )
     # distributed classification: broadcast sketch + mapInPandas — the
     # corpus never collects to the driver; accuracy aggregates in Spark
     classified = with_classification(
