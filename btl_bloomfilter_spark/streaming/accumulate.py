@@ -192,3 +192,75 @@ def stream_sketch_by_key(
     return stream_df.groupBy(*keys).applyInPandasWithState(
         update_fn, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def stream_insert_online_mibf(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    state_path: str | Path,
+    checkpoint_dir: str | Path,
+    initial=None,
+    max_count: int = 1,
+    strand: bool = False,
+    trigger_available_now: bool = True,
+):
+    """Streaming ONLINE miBF insert — the reference's mutable-filter
+    path (MIBloomFilter.hpp:309-438) as trickle ingestion.
+
+    The miBF is NOT a mergeable accumulator (its 3-pass batch build is
+    plans-level, operators/mibf.build_mibf), but the reference also
+    supports sequential online insertion into a frozen bit vector; this
+    is that path under foreachBatch: each micro-batch's (id, text) rows
+    are collected to the driver (trickle-scale by definition — bulk
+    loads belong to build_mibf), applied via insert_seq_online[_strand]
+    in deterministic (id, text) order, and the filter re-persisted
+    atomically with the same batch-id replay guard as
+    :func:`merge_batch_into` — at-least-once redelivery never
+    double-inserts.
+
+    Requirement inherited from the reference: the filter's BIT VECTOR
+    must already contain every incoming element's k-mer windows (the
+    reference builds the BV over all data first — getEmptyMIBF — then
+    inserts IDs online).  Seed the state with ``initial=`` (a built
+    MIBloomFilter) on first run.
+
+    Returns the StreamingQuery; load the final filter with
+    :func:`load_running`.
+    """
+    state_path = Path(state_path)
+    lineage = str(checkpoint_dir)
+    if initial is not None and not state_path.exists():
+        _write_state(state_path, -1, lineage, initial)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last_id, last_lineage, mibf = _read_state(state_path)
+        if mibf is None:
+            raise FileNotFoundError(
+                f"{state_path}: seed the online-insert state with initial= "
+                f"(a miBF whose bit vector covers the stream's elements)"
+            )
+        if last_lineage != lineage:
+            raise ValueError(
+                f"state file {state_path} was built under checkpoint lineage "
+                f"{last_lineage!r} but this query runs under {lineage!r}"
+            )
+        if batch_id <= last_id:
+            return
+        rows = batch_df.select(id_col, text_col).collect()
+        for r in sorted(rows, key=lambda r: (int(r[0]), str(r[1]))):
+            if strand:
+                mibf.insert_seq_online_strand(str(r[1]), int(r[0]), max_count)
+            else:
+                mibf.insert_seq_online(str(r[1]), int(r[0]), max_count)
+        _write_state(state_path, batch_id, lineage, mibf)
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", str(checkpoint_dir))
+        .foreachBatch(on_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

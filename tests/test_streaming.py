@@ -189,3 +189,53 @@ def test_probe_and_classify_work_on_streams(spark, tmp_path):
     )
     assert (got_cls.best_id == want_cls.best_id).all()
     assert (got_cls.frames == want_cls.frames).all()
+
+
+@pytest.mark.spark
+def test_stream_insert_online_mibf(spark, tmp_path):
+    """Streaming online miBF insert: bit vector pre-built over ALL
+    elements (the reference's getEmptyMIBF-then-insert pattern), a
+    seed set inserted driver-side, the rest trickled through
+    foreachBatch — final filter classifies every id correctly and a
+    restart over the same checkpoint is a no-op (idempotent replay)."""
+    from btl_bloomfilter_spark.operators.mibf import MIBloomFilter
+    from btl_bloomfilter_spark.streaming.accumulate import (
+        load_running,
+        stream_insert_online_mibf,
+    )
+
+    rng = np.random.default_rng(31)
+    texts = {
+        i: "".join(rng.choice(list("ACGT"), size=200)) for i in range(1, 13)
+    }
+    bf = BloomFilter(1 << 16, 3, 9)
+    bf.update(list(texts.values()))
+    mibf = MIBloomFilter(1 << 16, 3, 9)
+    mibf.freeze(bf.bits.copy())
+    for i in (1, 2, 3):  # seed set inserted up front
+        mibf.insert_seq_online(texts[i], i)
+    src = tmp_path / "mibf_src"
+    src.mkdir()
+    stream_rows = [(i, texts[i]) for i in range(4, 13)]
+    spark.createDataFrame(stream_rows, "rid long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(str(src))
+    state = tmp_path / "running.mibf"
+    stream = spark.readStream.schema("rid long, text string").option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(src))
+    q = stream_insert_online_mibf(
+        stream, "text", "rid", state_path=state, checkpoint_dir=tmp_path / "ck", initial=mibf
+    )
+    q.awaitTermination(120)
+    final = load_running(state)
+    out = final.classify_batch([texts[i] for i in range(1, 13)])
+    assert out.best_id.tolist() == list(range(1, 13))
+    blob1 = final.serialize()
+    # restart over the same checkpoint: replay guard → state unchanged
+    stream2 = spark.readStream.schema("rid long, text string").parquet(str(src))
+    q2 = stream_insert_online_mibf(
+        stream2, "text", "rid", state_path=state, checkpoint_dir=tmp_path / "ck"
+    )
+    q2.awaitTermination(60)
+    assert load_running(state).serialize() == blob1
