@@ -565,3 +565,31 @@ def test_duplicate_spans_planted_oracle(spark):
     assert (3, 23) not in found
     assert set(found) == {(min(s, d), max(s, d)) for s, d, *_ in planted}
     assert (got["span_len"] >= min_len).all()
+
+
+@pytest.mark.spark
+def test_duplicate_spans_fingerprints_passthrough(spark):
+    """Passing a precomputed (persisted) winnow_fingerprints DF must
+    yield exactly the direct result — the documented cache pattern for
+    large runs."""
+    from btl_bloomfilter_spark.operators.dedup import duplicate_spans, winnow_fingerprints
+
+    rng = np.random.default_rng(41)
+    letters = list("abcdefghijklmnop ")
+    docs = {i: "".join(rng.choice(letters, size=300)) for i in range(12)}
+    span = docs[0][40:200]
+    docs[7] = docs[7][:50] + span + docs[7][210:]
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    direct = duplicate_spans(df, "text", "doc_id", k=12, w=8, min_len=60).toPandas()
+    fps = winnow_fingerprints(df, "text", "doc_id", k=12, w=8).persist()
+    try:
+        via = duplicate_spans(
+            df, "text", "doc_id", k=12, w=8, min_len=60, fingerprints=fps
+        ).toPandas()
+    finally:
+        fps.unpersist()
+    key = ["id_a", "id_b", "start_a", "start_b", "span_len", "n_anchors"]
+    assert sorted(map(tuple, direct[key].values.tolist())) == sorted(
+        map(tuple, via[key].values.tolist())
+    )
+    assert ((direct.id_a == 0) & (direct.id_b == 7)).any()
