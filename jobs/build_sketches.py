@@ -30,7 +30,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def main():
+def main(argv=None, *, stop_session: bool = True):
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="parquet path of transcripts (conv_id, turn_idx, role, text, tool, ts)")
     ap.add_argument("--synthetic-convs", type=int, default=0, help="generate N synthetic conversations instead")
@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--fpr", type=float, default=1e-3)
     ap.add_argument("--k", type=int, default=12)
     ap.add_argument("--capacity", type=int, default=100_000_000)
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
     if not args.input and not args.synthetic_convs:
         ap.error("one of --input or --synthetic-convs is required")
 
@@ -121,7 +121,9 @@ def main():
 
     (out / "metrics.json").write_text(json.dumps(metrics, indent=2))
     print(json.dumps(metrics))
-    spark.stop()
+    if stop_session:
+        spark.stop()
+    return metrics
 
 
 if __name__ == "__main__":

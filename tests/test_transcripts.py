@@ -161,3 +161,38 @@ def test_sketch_by_key_with_salting(spark, tdf):
     a = {r.role: r.est for r in plain.collect()}
     b = {r.role: r.est for r in salted.collect()}
     assert a == b  # register-max merge is exact regardless of salting
+
+
+@pytest.mark.spark
+def test_build_sketches_job_end_to_end(spark, tmp_path):
+    """The north-rule spark-submit job: full sketch suite over a
+    synthetic transcript table, artifacts + metrics on disk, Bloom
+    reloadable from the reference .bf layout with no false negatives,
+    and a rerun resuming from the checkpoints."""
+    import json
+
+    import jobs.build_sketches as bj
+    from btl_bloomfilter_spark.sources import bfio
+    from btl_bloomfilter_spark.sources.transcripts import transcripts_df
+
+    out, ck = tmp_path / "out", tmp_path / "ck"
+    args = [
+        "--synthetic-convs", "200", "--output", str(out), "--checkpoint", str(ck),
+        "--capacity", "200000", "--k", "8",
+    ]
+    m1 = bj.main(args, stop_session=False)
+    assert (out / "metrics.json").exists()
+    assert m1["n_turns"] > 1000
+    assert m1["bloom"]["observed_fpr"] <= 0.01
+    # artifacts load back; no false negatives over sample turns
+    bf = bfio.load_bloom(out / "text_ngrams.bf")
+    sample = [r["text"] for r in transcripts_df(spark, 200).limit(40).collect()]
+    assert (bf.seen_fraction(sample) == 1.0).all()
+    # per-key HLL estimates are sane (roles each see ~all convs)
+    ests = m1["hll_distinct_convs_per_role"]["estimates"]
+    assert ests and all(v > 50 for v in ests.values())
+    # rerun with matching lineage resumes from checkpoints, same filter
+    m2 = bj.main(args, stop_session=False)
+    bf2 = bfio.load_bloom(out / "text_ngrams.bf")
+    assert bf2.bits.tobytes() == bf.bits.tobytes()
+    assert m2["bloom"]["sec"] <= m1["bloom"]["sec"] * 2  # resume not slower-class
