@@ -1269,6 +1269,32 @@ def q43_paired_classify(spark, sf_dir):
     )
 
 
+def q44_bpe_token_stats(spark, sf_dir):
+    """BPE-ish token counting (the GPT-2-style pre-tokenizer regex,
+    RE2-safe ASCII approximation — functions/textstats.bpe_token_count)
+    alongside whitespace tokens, per source.  Fully oracled: DuckDB
+    runs the IDENTICAL pattern through its RE2 engine; Spark's Java
+    regex and RE2 agree byte-for-byte on this lookahead-free form
+    (cross-engine edge cases pinned in test_queries_oracle)."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.select(
+            "source",
+            T.bpe_token_count("text").alias("bpe"),
+            T.token_count("text").alias("ws"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("bpe").alias("bpe_tokens"),
+            F.sum("ws").alias("ws_tokens"),
+            F.round(F.avg("bpe"), 6).alias("avg_bpe"),
+            F.max("bpe").alias("max_bpe"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1314,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_duplicate_spans": q41_duplicate_spans,
         "q42_contamination_screen": q42_contamination_screen,
         "q43_paired_classify": q43_paired_classify,
+        "q44_bpe_token_stats": q44_bpe_token_stats,
     }
 
 
@@ -1384,6 +1411,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id_a = sa.doc_id
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.03
+        """,
+        "q44_bpe_token_stats": f"""
+            SELECT source,
+                   CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+                   CAST(sum(ws) AS BIGINT) AS ws_tokens,
+                   round(avg(bpe), 6) AS avg_bpe,
+                   max(bpe) AS max_bpe
+            FROM (SELECT source, {T.bpe_token_count_sql('text')} AS bpe,
+                         {T.token_count_sql('text')} AS ws FROM documents)
+            GROUP BY source
         """,
         "q07_token_stats": f"""
             SELECT source,

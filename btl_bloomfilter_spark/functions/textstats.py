@@ -103,6 +103,24 @@ def fingerprint(col: str) -> Column:
     return F.substring(F.md5(F.col(col)), 1, 16)
 
 
+# GPT-2-style pre-tokenizer pattern, ASCII approximation: the published
+# pattern's negative lookahead and \p{L}/\p{N} classes are dropped so
+# Java regex (Spark) and RE2 (DuckDB) tokenize BYTE-IDENTICALLY; on
+# ASCII text the only divergence from the original is that a run of
+# spaces groups as one token instead of splitting its last space onto
+# the following word-token — counts stay within one per whitespace run.
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def bpe_token_count(col: str) -> Column:
+    """BPE-ish token count: matches of the GPT-2-style pre-tokenizer
+    regex (contractions / letter runs / digit runs / punctuation runs /
+    whitespace runs, each with an optional leading space).  NULL → 0.
+    Pure built-in expression (regexp_extract_all), WholeStageCodegen."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))).cast("long")
+
+
 # ---- matching ANSI-SQL (DuckDB oracle) fragments --------------------
 
 
@@ -170,3 +188,8 @@ def lang_guess_sql(col: str) -> str:
 
 def fingerprint_sql(col: str) -> str:
     return f"substr(md5({col}), 1, 16)"
+
+
+def bpe_token_count_sql(col: str) -> str:
+    pat = BPE_SPLIT_PATTERN.replace("'", "''")
+    return f"len(regexp_extract_all(coalesce({col}, ''), '{pat}'))"

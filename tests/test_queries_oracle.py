@@ -121,7 +121,17 @@ def test_textstats_edge_cases_cross_engine(spark, tmp_path):
 
     from btl_bloomfilter_spark.functions import textstats as T
 
-    rows = [(1, None), (2, ""), (3, "\t"), (4, "foo\n"), (5, "  a\t b  "), (6, "the and x")]
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "\t"),
+        (4, "foo\n"),
+        (5, "  a\t b  "),
+        (6, "the and x"),
+        (7, "don't it's y'll"),
+        (8, "price: $12.99!?"),
+        (9, "x ' y ''"),
+    ]
     pdf = pd.DataFrame(rows, columns=["id", "text"])
     path = str(tmp_path / "t.parquet")
     pdf.to_parquet(path)
@@ -130,6 +140,7 @@ def test_textstats_edge_cases_cross_engine(spark, tmp_path):
         .select(
             "id",
             T.token_count("text").alias("tc"),
+            T.bpe_token_count("text").alias("bpe"),
             T.quality_score("text").alias("q"),
             T.lang_guess("text").alias("lg"),
         )
@@ -142,13 +153,21 @@ def test_textstats_edge_cases_cross_engine(spark, tmp_path):
     want = (
         con.sql(
             f"SELECT id, {T.token_count_sql('text')} AS tc, "
+            f"{T.bpe_token_count_sql('text')} AS bpe, "
             f"{T.quality_score_sql('text')} AS q, {T.lang_guess_sql('text')} AS lg "
             f"FROM t ORDER BY id"
         )
         .df()
         .reset_index(drop=True)
     )
-    assert got.tc.tolist() == want.tc.tolist() == [0, 0, 0, 1, 2, 3]
+    assert got.tc.tolist() == want.tc.tolist() == [0, 0, 0, 1, 2, 3, 3, 2, 4]
+    # BPE-ish pre-tokenizer: Java regex (Spark) and RE2 (DuckDB) must
+    # agree byte-for-byte, and match a hand-derived python re oracle
+    import re
+
+    py = [len(re.findall(T.BPE_SPLIT_PATTERN, t)) if t else 0 for _, t in rows]
+    assert got.bpe.tolist() == want.bpe.tolist() == py
+    assert got.bpe.tolist()[6] == 6  # don|'t| it|'s| y|'ll
     assert got.q.tolist() == pytest.approx(want.q.tolist())
     assert got.lg.tolist() == want.lg.tolist()
     assert got.lg.iloc[5] == "en"
