@@ -109,6 +109,10 @@ def fingerprint(col: str) -> Column:
 # ASCII text the only divergence from the original is that a run of
 # spaces groups as one token instead of splitting its last space onto
 # the following word-token — counts stay within one per whitespace run.
+# Non-ASCII codepoints (any plane) fall into the greedy "other" run in
+# both engines — Java scans UTF-16 code units and RE2 scans runes, but
+# a contiguous non-ASCII stretch is one token either way, so match
+# COUNTS agree on arbitrary unicode, not just ASCII.
 BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 

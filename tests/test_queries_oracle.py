@@ -131,6 +131,10 @@ def test_textstats_edge_cases_cross_engine(spark, tmp_path):
         (7, "don't it's y'll"),
         (8, "price: $12.99!?"),
         (9, "x ' y ''"),
+        # unicode: non-ASCII runs are one greedy "other" token in BOTH
+        # engines (Java code units vs RE2 runes — counts still agree)
+        (10, "emoji 😀😀 test"),
+        (11, "naïve café 中文"),
     ]
     pdf = pd.DataFrame(rows, columns=["id", "text"])
     path = str(tmp_path / "t.parquet")
@@ -160,12 +164,13 @@ def test_textstats_edge_cases_cross_engine(spark, tmp_path):
         .df()
         .reset_index(drop=True)
     )
-    assert got.tc.tolist() == want.tc.tolist() == [0, 0, 0, 1, 2, 3, 3, 2, 4]
+    assert got.tc.tolist() == want.tc.tolist() == [0, 0, 0, 1, 2, 3, 3, 2, 4, 3, 3]
     # BPE-ish pre-tokenizer: Java regex (Spark) and RE2 (DuckDB) must
     # agree byte-for-byte, and match a hand-derived python re oracle
+    # (re.ASCII so python's \s matches the engines' ASCII semantics)
     import re
 
-    py = [len(re.findall(T.BPE_SPLIT_PATTERN, t)) if t else 0 for _, t in rows]
+    py = [len(re.findall(T.BPE_SPLIT_PATTERN, t, re.ASCII)) if t else 0 for _, t in rows]
     assert got.bpe.tolist() == want.bpe.tolist() == py
     assert got.bpe.tolist()[6] == 6  # don|'t| it|'s| y|'ll
     assert got.q.tolist() == pytest.approx(want.q.tolist())
