@@ -132,6 +132,54 @@ def test_read_fastq_multi_split_framing(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_read_fastq_multi_file_glob_framing(spark, tmp_path):
+    """Framing must be PER FILE (ADVICE r4): Spark orders input splits
+    by length descending ACROSS files, so a glob over files of
+    different sizes interleaves their splits — global line numbering
+    would mis-frame.  Different file sizes + tiny splits force the
+    interleaving; every record from every file must survive."""
+    rng = np.random.default_rng(31)
+    d = tmp_path / "many"
+    d.mkdir()
+    want = {}
+    # deliberately varied file sizes so the length-descending split
+    # sort does NOT follow filename enumeration order
+    for fi, nrec in enumerate([7, 213, 61, 500, 1]):
+        with open(d / f"part{fi}.fq", "w") as f:
+            for i in range(nrec):
+                n = int(rng.integers(30, 90))
+                seq = "".join(rng.choice(list("ACGT"), size=n))
+                qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, size=n))
+                rid = f"f{fi}r{i}"
+                want[rid] = (seq, qual)
+                f.write(f"@{rid}\n{seq}\n+\n{qual}\n")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try:
+        df = read_fastq(spark, str(d / "*.fq"))
+        got = {r["read_id"]: (r["seq"], r["qual"]) for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    assert got == want
+
+
+@pytest.mark.spark
+def test_read_fastq_multi_file_per_file_truncation(spark, tmp_path):
+    """Truncation must be checked PER FILE and the error must name the
+    offending file.  Two truncated files whose line counts sum to a
+    multiple of 4 (6 + 6 = 12) would sail through a single global
+    mod-4 check — the per-file check catches both."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    with open(d / "bad1.fq", "w") as f:
+        f.write("@a\nACGT\n+\n!!!!\n@b\nACGT\n")  # 6 lines
+    with open(d / "bad2.fq", "w") as f:
+        f.write("@x\nACGT\n+\n!!!!\n@y\nACGT\n")  # 6 lines
+    with pytest.raises(ValueError, match=r"bad[12]\.fq.*multiple of 4"):
+        read_fastq(spark, str(d / "*.fq"))
+
+
+@pytest.mark.spark
 def test_fastq_to_parquet_job(spark, tmp_path):
     """The one-shot ingest path: convert once, scan Parquet after."""
     import jobs.fastq_to_parquet as cj
