@@ -22,21 +22,30 @@ LANG_STOPWORDS = {
 }
 
 
+# Explicit ASCII whitespace class shared by every expression AND its
+# DuckDB-oracle SQL twin: Java/Python \s includes vertical tab \x0B
+# but RE2's (DuckDB) does not, so a literal \s would diverge between
+# Spark and the oracle on \x0B-bearing text (ADVICE r4).
+_WS = r" \t\n\x0B\f\r"
+
+
 def _clean(col: str) -> Column:
     """NULL → ''; strip ALL leading/trailing whitespace (F.trim strips
     only ASCII spaces, so 'foo\\n' would otherwise yield a phantom
     empty token after split)."""
-    return F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"^\s+|\s+$", "")
+    return F.regexp_replace(
+        F.coalesce(F.col(col), F.lit("")), rf"^[{_WS}]+|[{_WS}]+$", ""
+    )
 
 
 def _clean_sql(col: str) -> str:
-    return f"regexp_replace(coalesce({col}, ''), '^\\s+|\\s+$', '', 'g')"
+    return f"regexp_replace(coalesce({col}, ''), '^[{_WS}]+|[{_WS}]+$', '', 'g')"
 
 
 def token_count(col: str) -> Column:
     """Whitespace token count; NULL/empty/blank → 0."""
     t = _clean(col)
-    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+"))).cast("long")
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, rf"[{_WS}]+"))).cast("long")
 
 
 def char_count(col: str) -> Column:
@@ -60,8 +69,8 @@ def digit_ratio(col: str) -> Column:
 
 def mean_token_len(col: str) -> Column:
     t = _clean(col)
-    toks = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
-    nospace = F.length(F.regexp_replace(F.coalesce(F.col(col), F.lit("")), r"\s", ""))
+    toks = F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, rf"[{_WS}]+")))
+    nospace = F.length(F.regexp_replace(F.coalesce(F.col(col), F.lit("")), rf"[{_WS}]", ""))
     return F.when(toks > 0, nospace.cast("double") / toks.cast("double")).otherwise(F.lit(0.0))
 
 
@@ -69,7 +78,7 @@ def stopword_hits(col: str, lang: str) -> Column:
     """How many tokens are in lang's stopword list (array_intersect-free:
     counts occurrences via size(filter(...)))."""
     words = LANG_STOPWORDS[lang]
-    arr = F.split(_clean(col), r"\s+")
+    arr = F.split(_clean(col), rf"[{_WS}]+")
     return F.size(F.filter(arr, lambda x: x.isin(*[F.lit(w) for w in words]))).cast("long")
 
 
@@ -113,7 +122,12 @@ def fingerprint(col: str) -> Column:
 # both engines — Java scans UTF-16 code units and RE2 scans runes, but
 # a contiguous non-ASCII stretch is one token either way, so match
 # COUNTS agree on arbitrary unicode, not just ASCII.
-BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+# Whitespace is the module-level explicit class _WS, not \s
+# (ADVICE r4: RE2 \s lacks \x0B).
+BPE_SPLIT_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^{_WS}A-Za-z0-9]+|[{_WS}]+"
+)
 
 
 def bpe_token_count(col: str) -> Column:
@@ -132,7 +146,7 @@ def token_count_sql(col: str) -> str:
     t = _clean_sql(col)
     return (
         f"case when {t} = '' then 0 "
-        f"else len(string_split_regex({t}, '\\s+')) end"
+        f"else len(string_split_regex({t}, '[{_WS}]+')) end"
     )
 
 
@@ -158,7 +172,7 @@ def mean_token_len_sql(col: str) -> str:
     toks = token_count_sql(col)
     return (
         f"case when {toks} > 0 then "
-        f"length(regexp_replace(coalesce({col}, ''), '\\s', '', 'g'))::double / ({toks}) else 0.0 end"
+        f"length(regexp_replace(coalesce({col}, ''), '[{_WS}]', '', 'g'))::double / ({toks}) else 0.0 end"
     )
 
 
@@ -176,7 +190,7 @@ def quality_score_sql(col: str) -> str:
 def stopword_hits_sql(col: str, lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
     return (
-        f"len(list_filter(string_split_regex({_clean_sql(col)}, '\\s+'), x -> x in ({words})))"
+        f"len(list_filter(string_split_regex({_clean_sql(col)}, '[{_WS}]+'), x -> x in ({words})))"
     )
 
 

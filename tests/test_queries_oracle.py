@@ -135,6 +135,10 @@ def test_textstats_edge_cases_cross_engine(spark, tmp_path):
         # engines (Java code units vs RE2 runes — counts still agree)
         (10, "emoji 😀😀 test"),
         (11, "naïve café 中文"),
+        # vertical tab: Java/Python \s includes \x0B, RE2's does not —
+        # the explicit whitespace class keeps all three engines at 4
+        # tokens ('a', '\x0B', '.', 'b') instead of Spark 4 / DuckDB 3
+        (12, "a\x0B.b"),
     ]
     pdf = pd.DataFrame(rows, columns=["id", "text"])
     path = str(tmp_path / "t.parquet")
@@ -164,7 +168,7 @@ def test_textstats_edge_cases_cross_engine(spark, tmp_path):
         .df()
         .reset_index(drop=True)
     )
-    assert got.tc.tolist() == want.tc.tolist() == [0, 0, 0, 1, 2, 3, 3, 2, 4, 3, 3]
+    assert got.tc.tolist() == want.tc.tolist() == [0, 0, 0, 1, 2, 3, 3, 2, 4, 3, 3, 2]
     # BPE-ish pre-tokenizer: Java regex (Spark) and RE2 (DuckDB) must
     # agree byte-for-byte, and match a hand-derived python re oracle
     # (re.ASCII so python's \s matches the engines' ASCII semantics)
