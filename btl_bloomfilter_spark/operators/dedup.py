@@ -620,7 +620,7 @@ def duplicate_spans(
     k: int = 16,
     w: int = 16,
     min_len: int = 64,
-    max_doc_freq: int = 100,
+    max_anchor_freq: int = 100,
     seed_salt: int = 0,
     fingerprints: DataFrame | None = None,
 ) -> DataFrame:
@@ -628,26 +628,31 @@ def duplicate_spans(
     span_len, n_anchors) for every pair of documents sharing a
     substring of detected length >= ``min_len`` bytes.
 
-    Cost note: the fingerprint map feeds TWO plan branches (the
-    hot-cap aggregation and the anchor join), so Spark evaluates the
-    winnowing kernel twice unless the input is cached.  At large scale
-    compute it once — ``f = winnow_fingerprints(df, col, id_col, k=k,
-    w=w).persist()`` — and pass it via ``fingerprints=`` (its schema
-    must be (id, pos, fp) with matching k/w; caller unpersists).
-
-    Pipeline (100-TB shape — bucketed by fingerprint, NEVER all-pairs):
+    Pipeline (100-TB shape — bucketed by fingerprint, NEVER all-pairs,
+    and the winnow kernel + its shuffle run exactly ONCE: the
+    fingerprint map has a single consumer, the groupBy(fp) below —
+    no self-join, no second plan branch, nothing to cache):
 
     1. winnowed fingerprints per doc (one Arrow map, ~2/(w+1) density);
-    2. hot-fingerprint cap: a window appearing in > ``max_doc_freq``
-       documents (boilerplate, whitespace runs) would contribute
-       O(df²) candidate pairs — dropped via broadcast anti-join, the
-       same guardrail as ngram_jaccard_pairs' doc-freq cap;
-    3. anchor join on exact fp (shuffle keyed by fp — uniform 64-bit
-       content hash, no skew salting needed after the cap);
-    4. diagonal chaining: anchors of one pair with equal
+    2. groupBy(fp) → collect_list of (id, pos) anchors — one shuffle
+       on the uniform 64-bit content hash (no skew salting needed);
+    3. hot-fingerprint cap: a group bigger than ``max_anchor_freq``
+       ANCHOR ROWS (boilerplate, whitespace runs — pair fan-out is
+       rows², so rows is the right capped quantity; a document
+       repeating a window internally counts once per distinct
+       position, winnowing emits each (id, pos) at most once) is
+       dropped whole, same guardrail as ngram_jaccard_pairs' cap;
+    4. pair expansion WITHIN each group (two explodes over the
+       collected array, id_a < id_b) — bounded by max_anchor_freq²
+       per fingerprint, post-shuffle, pure JVM;
+    5. diagonal chaining: anchors of one pair with equal
        pos_a - pos_b lie on one shared substring; consecutive anchors
        (gap <= w + k, the winnowing selection spacing bound) chain
        into runs via a window function; each run is one reported span.
+
+    ``fingerprints=`` accepts a precomputed (id, pos, fp) map from
+    :func:`winnow_fingerprints` (matching k/w) so a persisted map can
+    be shared across several calls (e.g. different min_len sweeps).
 
     Detection bound (SIGMOD'03 guarantee): every shared substring of
     true length L >= w + k - 1 produces >= 1 anchor; the reported
@@ -662,30 +667,20 @@ def duplicate_spans(
         if fingerprints is not None
         else winnow_fingerprints(df, col, id_col, k=k, w=w, seed_salt=seed_salt)
     )
-    # hot-fingerprint cap via a count window over fp rather than a
-    # separate aggregate + anti-join: the window's Exchange on fp is
-    # the SAME exchange the anchor self-join needs on both sides, so
-    # Spark's ReuseExchange computes the winnow kernel and the shuffle
-    # ONCE (the aggregate formulation forced a second full kernel
-    # scan for the cap).  The cap counts anchor ROWS per fingerprint —
-    # equal to the document count except when one document repeats a
-    # window internally (winnowing emits each (id, pos) once), and as
-    # a skew guard the stricter row count is the right quantity
-    # anyway: join fan-out is rows², not docs².
-    w_fp = Window.partitionBy("fp")
-    fps = (
-        fps.withColumn("__fpcnt", F.count("*").over(w_fp))
-        .where(F.col("__fpcnt") <= max_doc_freq)
-        .drop("__fpcnt")
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.collect_list(F.struct("id", "pos")).alias("xs"))
+        .where((F.size("xs") >= 2) & (F.size("xs") <= max_anchor_freq))
     )
-    a, b = fps.alias("a"), fps.alias("b")
     # no .distinct() needed: winnowing selects each (id, pos) at most
-    # once, so the equi-join cannot emit duplicate anchor rows — a
+    # once, so pair expansion cannot emit duplicate anchor rows — a
     # distinct here would cost one full extra shuffle for nothing
     # (unlike the simhash band join, where multi-band collisions DO
     # duplicate pairs)
     anchors = (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        grouped.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),

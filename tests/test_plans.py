@@ -117,9 +117,11 @@ def test_blocked_simhash_join_is_hash_keyed(spark):
 
 @pytest.mark.spark
 def test_duplicate_spans_plan_shape(spark):
-    """Span dedup must anchor-join on the fingerprint hash (equi-join,
-    never cartesian) and the winnow kernel's input scan must read only
-    (id, text)."""
+    """Span dedup must pair anchors WITHIN fingerprint groups (no
+    cartesian, no self-join) and run the winnow kernel exactly ONCE —
+    the fingerprint map's single consumer is the groupBy(fp)
+    (VERDICT r4 #1: the old self-join formulation evaluated the
+    heaviest Arrow kernel twice)."""
     from btl_bloomfilter_spark.operators.dedup import duplicate_spans
 
     df = spark.createDataFrame(
@@ -129,7 +131,14 @@ def test_duplicate_spans_plan_shape(spark):
     plan = _plan(out)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Join" in plan
+    assert "Join" not in plan  # grouped pair expansion replaced the self-join
+    # winnow kernel appears exactly once: the formatted explain lists
+    # each physical node twice (tree + per-node detail section)
+    assert plan.count("MapInArrow") == 2
+    # and exactly once in the EXECUTED plan tree
+    out.count()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("MapInArrow") == 1
 
 
 @pytest.mark.spark
