@@ -372,7 +372,7 @@ class MIBloomFilter(Sketch):
         """Shared tally/summarize core over a (row-ordered) frame
         stream — classify_full feeds window order, classify_full_paired
         feeds the two-iterator interleave."""
-        from .mibf_query import QueryResult, summarize_candidates
+        from .mibf_query import summarize_candidates_batch
 
         if frame_probs is None:
             from .mibf_query import calc_frame_probs
@@ -503,35 +503,19 @@ class MIBloomFilter(Sketch):
                 active[b_rows[streak[b_rows] >= 2]] = False
             tall = acc if acc is not None else _tally(df.iloc[0:0])
 
-        for row_id, sub in tall.groupby("row", sort=False):
-            if isinstance(min_count, dict):
-                # per-ID candidate gate (the reference query's
-                # vector<unsigned> minCount, MIBFQuerySupport.hpp:95):
-                # an ID must reach ITS OWN frame-count floor to enter
-                # the candidate set
-                keep = sub["count"].to_numpy() >= np.array(
-                    [min_count.get(int(i), 0) for i in sub["id"]]
-                )
-                sub = sub[keep]
-                summarize_floor = 0
-            else:
-                summarize_floor = min_count
-            cands = [
-                QueryResult(
-                    id=int(r.id),
-                    count=int(r.count),
-                    solidCount=int(r.solidCount),
-                    nonSatCount=int(r.nonSatCount),
-                    nonSatFrameCount=int(r.nonSatFrameCount),
-                    totalCount=int(r.totalCount),
-                    totalNonSatCount=int(r.totalNonSatCount),
-                    frameProb=float(frame_probs.get(int(r.id), 0.0)),
-                )
-                for r in sub.itertuples()
-            ]
-            results[int(row_id)] = summarize_candidates(
-                cands, min_count=summarize_floor, extra_count=extra_count, best_hit_agree=best_hit_agree
-            )
+        # vectorized summarizeCandiates over the whole tally table —
+        # numpy segment reduces, no per-row pandas loop (the per-ID
+        # dict min_count gate, MIBFQuerySupport.hpp:95, is applied
+        # inside); parity with the reference loop is pinned by
+        # test_mibf_query's batch-vs-loop test
+        summarize_candidates_batch(
+            tall,
+            frame_probs,
+            results,
+            min_count=min_count,
+            extra_count=extra_count,
+            best_hit_agree=best_hit_agree,
+        )
         return results
 
     def get_match_signature(self, seq: str):

@@ -115,3 +115,78 @@ def test_frame_probs_integration(spark):
     assert set(probs) == {1, 2, 3}
     assert all(0 <= p < 0.2 for p in probs.values())
     assert 0 <= sat_prop <= 1
+
+
+def test_summarize_batch_matches_loop():
+    """summarize_candidates_batch (vectorized, VERDICT r4 #2) must
+    reproduce summarize_candidates row by row bit-for-bit — small
+    counter ranges force heavy ties so every branch (first-of-ties
+    best, stderr overlap, 7-key sort stability, veto) is exercised."""
+    import numpy as np
+    import pandas as pd
+
+    from btl_bloomfilter_spark.operators.mibf_query import (
+        QueryResult,
+        summarize_candidates,
+        summarize_candidates_batch,
+    )
+
+    rng = np.random.default_rng(97)
+    cols = ["count", "solidCount", "nonSatCount", "nonSatFrameCount", "totalCount", "totalNonSatCount"]
+    for trial in range(30):
+        n_rows = int(rng.integers(1, 12))
+        recs = []
+        for r in range(n_rows):
+            ids = rng.choice(np.arange(1, 9), size=int(rng.integers(0, 6)), replace=False)
+            for i in ids:
+                recs.append(
+                    [r, int(i)] + [int(v) for v in rng.integers(0, 5, size=6)]
+                )
+        if not recs:
+            continue
+        tall = pd.DataFrame(recs, columns=["row", "id"] + cols)
+        # shuffle row order but keep per-row candidate order stable by
+        # grouping, to mimic the chunked-acc interleaving classify_full
+        # can produce
+        perm = rng.permutation(len(tall))
+        tall = tall.iloc[perm].reset_index(drop=True)
+        frame_probs = {i: float(rng.random()) for i in range(1, 9)}
+        min_count = (
+            {i: int(rng.integers(0, 3)) for i in range(1, 9)}
+            if trial % 3 == 0
+            else int(rng.integers(0, 3))
+        )
+        extra_count = float(rng.choice([0.5, 1.0, 2.0]))
+        bha = bool(trial % 2)
+
+        # loop oracle: per-row candidate order = appearance order
+        want = {}
+        for r, sub in tall.groupby("row", sort=False):
+            if isinstance(min_count, dict):
+                keep = sub["count"].to_numpy() >= np.array(
+                    [min_count.get(int(i), 0) for i in sub["id"]]
+                )
+                sub = sub[keep]
+                floor = 0
+            else:
+                floor = min_count
+            cands = [
+                QueryResult(
+                    id=int(t.id), count=int(t.count), solidCount=int(t.solidCount),
+                    nonSatCount=int(t.nonSatCount), nonSatFrameCount=int(t.nonSatFrameCount),
+                    totalCount=int(t.totalCount), totalNonSatCount=int(t.totalNonSatCount),
+                    frameProb=float(frame_probs.get(int(t.id), 0.0)),
+                )
+                for t in sub.itertuples()
+            ]
+            want[int(r)] = summarize_candidates(
+                cands, min_count=floor, extra_count=extra_count, best_hit_agree=bha
+            )
+
+        got = [[] for _ in range(n_rows)]
+        summarize_candidates_batch(
+            tall, frame_probs, got,
+            min_count=min_count, extra_count=extra_count, best_hit_agree=bha,
+        )
+        for r in range(n_rows):
+            assert got[r] == want.get(r, []), (trial, r, got[r], want.get(r))
