@@ -1159,6 +1159,9 @@ def build_mibf(
     params resumes both from disk (north-rule resumability); the
     repair/saturation passes re-run (they are broadcast-probe maps
     over the cached source and depend on the assembled data array).
+    ``checkpoint_dir`` must be a driver-visible local/shared POSIX
+    path — non-file URI schemes fail fast
+    (plans.agg.require_local_checkpoint_dir, ADVICE r4).
 
     With ``repair=True`` (default) a mutate-before-saturate pass runs
     between insertion and saturation, the batch analog of the
@@ -1182,6 +1185,10 @@ def build_mibf(
         raise ValueError("strand=True requires canonical=True (strand is the canonical-min direction)")
     # the reference's online convention at max=1: strandDir = 1
     strand_dir: bool | None = True if strand else None
+    if checkpoint_dir:
+        from ..plans.agg import require_local_checkpoint_dir
+
+        require_local_checkpoint_dir(checkpoint_dir)
 
     # The 3-pass structure (forced by the reference's algorithm) scans
     # the source 3-4x.  ``cache_source=True`` persists the two needed

@@ -274,8 +274,12 @@ def build_sketch(
     With ``checkpoint_dir`` the stage-0 partials are persisted (with
     lineage + metrics columns); a rerun whose params match resumes
     from them instead of rescanning the source (north_rule resume).
+    ``checkpoint_dir`` must be a driver-visible local/shared POSIX
+    path (see :func:`require_local_checkpoint_dir`).
     """
     spark = df.sparkSession
+    if checkpoint_dir:
+        require_local_checkpoint_dir(checkpoint_dir)
     proto = make_sketch()
     if (
         strategy in ("auto", "sliced")
@@ -312,6 +316,24 @@ def build_sketch(
     else:
         n = df.rdd.getNumPartitions() if repartition is None else repartition
     return tree_merge(partials, n, fanin=fanin)
+
+
+def require_local_checkpoint_dir(checkpoint_dir: str) -> None:
+    """The checkpoint convention (Spark-written parquet data + a
+    driver-written params.json/_SUCCESS marker pair) requires a
+    DRIVER-VISIBLE local/shared POSIX path: with an HDFS/S3 URI the
+    data would land remotely while the marker silently lands on the
+    driver's disk and resume never triggers (ADVICE r4).  Fail fast on
+    any non-file scheme instead; a remote store needs the markers
+    routed through the Hadoop FileSystem API, which this library
+    deliberately keeps out of its driver path."""
+    head = checkpoint_dir.split("://", 1)
+    if len(head) == 2 and head[0] not in ("file", ""):
+        raise ValueError(
+            f"checkpoint_dir must be a driver-visible local/shared filesystem "
+            f"path (got scheme {head[0]!r}: {checkpoint_dir!r}); mount the "
+            f"store or use a file:// path visible to driver AND executors"
+        )
 
 
 def _checkpoint_matches(checkpoint_dir: str, params_json: str) -> bool:

@@ -56,3 +56,18 @@ def test_cms_dims():
 
 def test_hll_rel_error():
     assert abs(P.hll_rel_error(4096) - 1.04 / 64) < 1e-12
+
+
+def test_checkpoint_dir_rejects_remote_schemes():
+    """checkpoint markers are driver-local POSIX I/O — an HDFS/S3 URI
+    would write data remotely but markers on the driver's disk and
+    resume would silently never trigger (ADVICE r4): fail fast."""
+    import pytest
+
+    from btl_bloomfilter_spark.plans.agg import require_local_checkpoint_dir
+
+    require_local_checkpoint_dir("/tmp/ckpt")          # plain path ok
+    require_local_checkpoint_dir("file:///tmp/ckpt")   # file scheme ok
+    for bad in ("hdfs://nn/ckpt", "s3a://bucket/ckpt", "s3://b/x", "abfs://c@a/x"):
+        with pytest.raises(ValueError, match="driver-visible"):
+            require_local_checkpoint_dir(bad)
