@@ -451,13 +451,22 @@ def q28_mibf_classify(spark, sf_dir):
     classified = with_classification(
         with_id.select("text", "src_id"), mibf, "text", keep=["src_id"]
     )
+    # metric scheme matches q40/q43 (VERDICT r4 #4): best_id == -1 is
+    # an abstention, so report precision over calls + call rate per
+    # source rather than lumping abstentions in with errors
     return (
         classified.groupBy(F.col("src_id").alias("true_id"))
         .agg(
             F.count("*").alias("n"),
+            F.sum((F.col("best_id") != -1).cast("long")).alias("called"),
             F.sum((F.col("best_id") == F.col("src_id")).cast("long")).alias("n_correct"),
             F.round(F.avg("frames"), 3).alias("avg_frames"),
         )
+        .withColumn(
+            "precision_on_calls",
+            F.round(F.col("n_correct") / F.greatest(F.col("called"), F.lit(1)), 4),
+        )
+        .withColumn("call_rate", F.round(F.col("called") / F.col("n"), 4))
     )
 
 
