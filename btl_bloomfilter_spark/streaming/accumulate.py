@@ -264,3 +264,99 @@ def stream_insert_online_mibf(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_keyed_online_mibf(
+    stream_df: DataFrame,
+    keys: list[str],
+    text_col: str,
+    id_col: str,
+    make_initial: Callable[[], Sketch],
+    *,
+    max_count: int = 1,
+    strand: bool = False,
+    emit_blob: bool = False,
+    key_schema: str | None = None,
+):
+    """Keyed streaming ONLINE miBF build via ``applyInPandasWithState``
+    — the remaining streaming frontier from r4: per-key filter blobs
+    live in Spark's MANAGED state store (checkpointed transactionally
+    with the query), each micro-batch's rows shuffle to their key's
+    partition and are inserted executor-side in the reference's
+    sequential online order (MIBloomFilter.hpp:309-438), deterministic
+    within a batch by (id, text) sort — the same order contract as
+    :func:`stream_insert_online_mibf`.
+
+    Replay semantics: unlike foreachBatch (at-least-once, manual
+    batch-id guard), the state store commits per micro-batch with the
+    checkpoint, so a failure replays the batch against the PREVIOUS
+    committed state version — idempotent by construction, no guard
+    needed.  A restarted query (same checkpoint) resumes every key's
+    filter where it left off.
+
+    ``make_initial`` returns a fresh seeded filter for an unseen key —
+    the reference requires the bit vector to already cover the
+    incoming elements' windows (getEmptyMIBF-then-insert), so
+    typically ``lambda: Sketch.deserialize(template_blob)`` with a
+    template whose BV was built over the key's corpus.  It runs on
+    executors and must be picklable.
+
+    Scale shape: one shuffle per batch keyed by ``keys`` (the state
+    store's own partitioning), insertion is per-key-sequential exactly
+    like the reference's single-writer semantics — parallelism comes
+    from the number of keys, which is the honest upper bound for a
+    mutable-filter path; bulk loads still belong to build_mibf.
+
+    Emits per updated key: keys + n_inserted (cumulative) +
+    occupied_frac + saturated_frac (+ the serialized filter blob with
+    ``emit_blob=True`` — at scale leave it off and read state via the
+    emitted metrics, extracting blobs only at end-of-stream).
+    Start with ``.writeStream.outputMode("update")``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if key_schema is None:
+        type_of = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+        key_schema = ", ".join(f"{k} {type_of[k]}" for k in keys)
+    out_schema = f"{key_schema}, n_inserted long, occupied_frac double, saturated_frac double"
+    if emit_blob:
+        out_schema += ", blob binary"
+    state_schema = "blob binary, n long"
+
+    def update_fn(key, pdf_iter, state):
+        from ..operators.mibf import SAT_BIT
+
+        if state.exists:
+            raw, n_ins = state.get
+            mibf = Sketch.deserialize(bytes(raw))
+            n_ins = int(n_ins)
+        else:
+            mibf = make_initial()
+            n_ins = 0
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip((int(v) for v in pdf[id_col]), (str(t) for t in pdf[text_col])))
+        rows.sort()
+        insert = mibf.insert_seq_online_strand if strand else mibf.insert_seq_online
+        for rid, text in rows:
+            insert(text, rid, max_count)
+        n_ins += len(rows)
+        blob = mibf.serialize()
+        state.update((blob, n_ins))
+        occupied = mibf.data != 0
+        occ = float(occupied.mean()) if mibf.data.size else 0.0
+        sat = (
+            float(((mibf.data & SAT_BIT) != 0)[occupied].mean()) if occupied.any() else 0.0
+        )
+        out = {k: [v] for k, v in zip(keys, key)}
+        out["n_inserted"] = [n_ins]
+        out["occupied_frac"] = [occ]
+        out["saturated_frac"] = [sat]
+        if emit_blob:
+            out["blob"] = [blob]
+        yield pd.DataFrame(out)
+
+    return stream_df.groupBy(*keys).applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", "NoTimeout"
+    )

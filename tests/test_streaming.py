@@ -239,3 +239,82 @@ def test_stream_insert_online_mibf(spark, tmp_path):
     )
     q2.awaitTermination(60)
     assert load_running(state).serialize() == blob1
+
+
+def test_stream_keyed_online_mibf(spark, tmp_path):
+    """Keyed streaming online miBF build (applyInPandasWithState):
+    per-key filter blobs in managed state, each key's final filter
+    classifies ITS ids correctly; a restarted query over the same
+    checkpoint resumes state (new rows insert into the existing
+    filters, old ids stay classified) — the state store's
+    transactional commit replaces the foreachBatch batch-id guard."""
+    from btl_bloomfilter_spark.operators.base import Sketch
+    from btl_bloomfilter_spark.operators.mibf import MIBloomFilter
+    from btl_bloomfilter_spark.streaming.accumulate import stream_keyed_online_mibf
+
+    rng = np.random.default_rng(41)
+    texts = {i: "".join(rng.choice(list("ACGT"), size=200)) for i in range(1, 14)}
+    grp_of = {i: (0 if i <= 6 else 1) for i in texts}
+    grp_of[13] = 0  # late arrival for the restart leg
+    bf = BloomFilter(1 << 16, 3, 9)
+    bf.update(list(texts.values()))  # BV covers ALL ids incl. the late one
+    template = MIBloomFilter(1 << 16, 3, 9)
+    template.freeze(bf.bits.copy())
+    blob = template.serialize()
+
+    src = tmp_path / "keyed_src"
+    src.mkdir()
+    first = [(grp_of[i], i, texts[i]) for i in range(1, 13)]
+    for chunk in (first[:5], first[5:]):
+        spark.createDataFrame(chunk, "grp long, rid long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+
+    def start(sink):
+        # memory sink can't recover from a checkpoint; foreachBatch can
+        stream = (
+            spark.readStream.schema("grp long, rid long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        out = stream_keyed_online_mibf(
+            stream, ["grp"], "text", "rid",
+            make_initial=lambda: Sketch.deserialize(blob),
+            emit_blob=True,
+        )
+        return (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, bid: sink.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    rows = []
+    q = start(rows)
+    q.awaitTermination(180)
+    rows.sort(key=lambda r: r["n_inserted"])
+    latest = {r["grp"]: r for r in rows}  # last (max n_inserted) per key wins
+    assert latest[0]["n_inserted"] == 6 and latest[1]["n_inserted"] == 6
+    for g in (0, 1):
+        mibf = Sketch.deserialize(bytes(latest[g]["blob"]))
+        ids = [i for i in range(1, 13) if grp_of[i] == g]
+        got = mibf.classify_batch([texts[i] for i in ids])
+        assert got.best_id.tolist() == ids
+
+    # restart leg: append a late row for grp 0 and rerun on the SAME
+    # checkpoint — grp 0's filter must resume (old ids intact, new id
+    # inserted); grp 1 has no new rows, so no new update is emitted
+    spark.createDataFrame(
+        [(0, 13, texts[13])], "grp long, rid long, text string"
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    rows2 = []
+    q2 = start(rows2)
+    q2.awaitTermination(180)
+    assert {r["grp"] for r in rows2} == {0}
+    (r0,) = [r for r in rows2 if r["grp"] == 0]
+    assert r0["n_inserted"] == 7  # cumulative count resumed from state
+    mibf0 = Sketch.deserialize(bytes(r0["blob"]))
+    ids0 = [i for i in range(1, 14) if grp_of[i] == 0]
+    got0 = mibf0.classify_batch([texts[i] for i in ids0])
+    assert got0.best_id.tolist() == ids0
