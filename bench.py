@@ -206,6 +206,37 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         screened, _ = contamination_screen(docs, bench_docs, "text", k=25)
         return screened.agg(F.avg("contamination_frac")).collect()[0][0]
 
+    def q_contamination_screen_prebuilt():
+        # the documented cross-shard reuse path (decontam docstring):
+        # filter built ONCE (untimed prep below), every further shard
+        # pays screen-only — this entry isolates that marginal cost
+        # next to contamination_screen's build+screen
+        from btl_bloomfilter_spark.operators.decontam import contamination_screen
+
+        screened, _ = contamination_screen(
+            docs, None, "text", k=25, bloom=state["decontam_bloom"]
+        )
+        return screened.agg(F.avg("contamination_frac")).collect()[0][0]
+
+    def q_classify_full_distributed():
+        # distributed full 7-key classification (with_classification
+        # full=True) over a prebuilt broadcast miBF — the heaviest
+        # query-path kernel, timed separately from the build
+        from btl_bloomfilter_spark.operators.mibf import with_classification
+
+        return (
+            with_classification(
+                state["docs_with_id"],
+                state["mibf_docs"],
+                "text",
+                keep=[],
+                full=True,
+                min_count=2,
+            )
+            .agg(F.sum((F.col("best_id") != -1).cast("long")))
+            .collect()[0][0]
+        )
+
     def q_canonical_spaced_build():
         # mode-overhead tracker: canonical spaced-seed hashing (NTMSM64
         # analog — forward + RC fold per seed) over the same corpus so
@@ -245,6 +276,40 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         F.min("f")
     ).collect()
 
+    # untimed prep for the reuse/classify entries: decontam filter
+    # built ONCE (cross-shard reuse), docs miBF built ONCE (the
+    # classify entry times the query kernel, not the 3-pass build)
+    import math
+
+    from btl_bloomfilter_spark.operators.decontam import contamination_screen as _cs
+    from btl_bloomfilter_spark.operators.mibf import build_mibf
+
+    bench_docs = docs.where(F.col("doc_id") % 10 == 0).select("text")
+    _, state["decontam_bloom"] = _cs(docs, bench_docs, "text", k=25)
+    # repartition to the core count: the classification is a pure map,
+    # so its parallelism IS the partition count — a 1-2 split parquet
+    # scan would serialize the kernel on 2 of 32 cores
+    state["docs_with_id"] = (
+        docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
+        .select("text", "src_id")
+        .repartition(cpus)
+        .cache()
+    )
+    n_win = int(
+        state["docs_with_id"]
+        .agg(F.sum(F.greatest(F.octet_length("text") - 9, F.lit(0))))
+        .collect()[0][0]
+        or 1
+    )
+    state["mibf_docs"] = build_mibf(
+        state["docs_with_id"],
+        "text",
+        "src_id",
+        m_bits=1 << max(22, math.ceil(math.log2(8 * n_win))),
+        hash_num=3,
+        k=10,
+    )
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -257,6 +322,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "minhash_dedup_docs": q_minhash_dedup_docs,
         "span_dedup_docs": q_span_dedup_docs,
         "contamination_screen": q_contamination_screen,
+        "contamination_screen_prebuilt": q_contamination_screen_prebuilt,
+        "classify_full_distributed": q_classify_full_distributed,
         "pricing_summary": q_pricing_summary,
         "cosine_topk": q_cosine_topk,
     }
