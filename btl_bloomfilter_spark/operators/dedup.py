@@ -654,6 +654,14 @@ def duplicate_spans(
     :func:`winnow_fingerprints` (matching k/w) so a persisted map can
     be shared across several calls (e.g. different min_len sweeps).
 
+    Degenerate-corpus note: collect_list materializes each
+    fingerprint's anchor group on its reducer BEFORE the size filter
+    (the same co-location the previous window-count formulation had).
+    A pathologically hot window — identical boilerplate in millions of
+    documents — concentrates on one reducer; at that scale persist a
+    ``fingerprints=`` map and pre-drop hot fps with a count + anti-join
+    (two passes over the persisted map, not two kernel runs).
+
     Detection bound (SIGMOD'03 guarantee): every shared substring of
     true length L >= w + k - 1 produces >= 1 anchor; the reported
     span_len covers [first, last] selected anchor + k, so it
