@@ -1304,6 +1304,108 @@ def q44_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q45_stream_keyed_build(spark, sf_dir):
+    """Keyed streaming ONLINE miBF build (streaming/accumulate.
+    stream_keyed_online_mibf — applyInPandasWithState, per-key filter
+    blobs in Spark's managed state store; the reference's sequential
+    online-insert semantics MIBloomFilter.hpp:309-438 per key).
+    Self-validating: (a) classify-all — each key's final filter
+    classifies every one of ITS documents back to its own doc_id;
+    (b) cumulative insert counts equal the per-key row counts;
+    (c) a second availableNow pass over the SAME checkpoint emits
+    nothing (all input consumed exactly once — restart safety).
+    no_oracle by design: managed-state streaming is not expressible
+    as a DuckDB SQL oracle."""
+    import math
+    import tempfile
+
+    from btl_bloomfilter_spark.operators.base import Sketch
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.operators.mibf import MIBloomFilter
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+    from btl_bloomfilter_spark.streaming.accumulate import stream_keyed_online_mibf
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sel = (
+        docs.where(F.col("source").isin("src0", "src1"))
+        .where(F.col("doc_id") % 3 == 0)  # board-runtime trim
+        .withColumn("grp", F.regexp_replace("source", "src", "").cast("long"))
+        # +1: id 0 is the miBF empty-slot sentinel (ID_MASK semantics,
+        # MIBloomFilter.hpp — the reference's ids start at 1 too)
+        .select("grp", (F.col("doc_id") + 1).cast("long").alias("rid"), "text")
+    )
+    k = 10
+    n_win = int(
+        sel.agg(F.sum(F.greatest(F.octet_length("text") - (k - 1), F.lit(0)))).collect()[0][0]
+        or 1
+    )
+    m_bits = 1 << max(18, math.ceil(math.log2(8 * n_win)))
+    bv = build_sketch(sel, "text", lambda: BloomFilter(m_bits, 3, k))
+    template = MIBloomFilter(m_bits, 3, k)
+    template.freeze(bv.bits.copy())
+    blob = template.serialize()
+
+    tmp = tempfile.mkdtemp(prefix="q45_")
+    src_dir, ck_dir = f"{tmp}/src", f"{tmp}/ck"
+    # two files → two micro-batches under maxFilesPerTrigger=1
+    sel.where(F.col("rid") % 2 == 0).coalesce(1).write.mode("append").parquet(src_dir)
+    sel.where(F.col("rid") % 2 == 1).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_pass(collector):
+        stream = (
+            spark.readStream.schema("grp long, rid long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream_keyed_online_mibf(
+            stream, ["grp"], "text", "rid",
+            make_initial=lambda: Sketch.deserialize(blob),
+            emit_blob=True,
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, bid: collector.extend(bdf.collect()))
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return collector
+
+    emitted = run_pass([])
+    latest = {}
+    for r in sorted(emitted, key=lambda r: r["n_inserted"]):
+        latest[r["grp"]] = r
+    per_key = {
+        int(g): [(int(r["rid"]), r["text"]) for r in rows]
+        for g, rows in [
+            (g, sel.where(F.col("grp") == g).collect()) for g in latest
+        ]
+    }
+    classify_all_ok, counts_match = True, True
+    n_docs = 0
+    for g, rows in per_key.items():
+        n_docs += len(rows)
+        counts_match = counts_match and latest[g]["n_inserted"] == len(rows)
+        mibf = Sketch.deserialize(bytes(latest[g]["blob"]))
+        got = mibf.classify_batch([t for _, t in rows])
+        classify_all_ok = classify_all_ok and got.best_id.tolist() == [i for i, _ in rows]
+    second = run_pass([])
+    return spark.createDataFrame(
+        [
+            (
+                len(latest),
+                n_docs,
+                bool(classify_all_ok),
+                bool(counts_match),
+                bool(len(second) == 0),
+            )
+        ],
+        "n_keys long, n_docs long, classify_all_ok boolean, counts_match boolean, "
+        "second_pass_silent boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -1350,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_contamination_screen": q42_contamination_screen,
         "q43_paired_classify": q43_paired_classify,
         "q44_bpe_token_stats": q44_bpe_token_stats,
+        "q45_stream_keyed_build": q45_stream_keyed_build,
     }
 
 

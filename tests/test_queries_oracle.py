@@ -111,6 +111,10 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.distributed_matches_driver and r.paired_tracks_full
         assert r.accuracy_paired >= 0.9  # sf0.01 corpus is sparse enough
+    if name == "q45_stream_keyed_build":
+        r = out.iloc[0]
+        assert r.classify_all_ok and r.counts_match and r.second_pass_silent
+        assert r.n_keys == 2 and r.n_docs > 0
     if name == "q42_contamination_screen":
         r = out.iloc[0]
         assert r.no_false_negatives and r.planted_all_flagged
