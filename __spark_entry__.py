@@ -1333,6 +1333,7 @@ def q45_stream_keyed_build(spark, sf_dir):
         # +1: id 0 is the miBF empty-slot sentinel (ID_MASK semantics,
         # MIBloomFilter.hpp — the reference's ids start at 1 too)
         .select("grp", (F.col("doc_id") + 1).cast("long").alias("rid"), "text")
+        .cache()  # consumed ~6x below (sizing agg, BV build, 2 writes, per-key collects)
     )
     k = 10
     n_win = int(
@@ -1369,7 +1370,9 @@ def q45_stream_keyed_build(spark, sf_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q45 streaming pass timed out after 300s")
         return collector
 
     emitted = run_pass([])
@@ -1391,6 +1394,7 @@ def q45_stream_keyed_build(spark, sf_dir):
         got = mibf.classify_batch([t for _, t in rows])
         classify_all_ok = classify_all_ok and got.best_id.tolist() == [i for i, _ in rows]
     second = run_pass([])
+    sel.unpersist()
     return spark.createDataFrame(
         [
             (

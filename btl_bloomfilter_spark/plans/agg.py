@@ -326,13 +326,16 @@ def require_local_checkpoint_dir(checkpoint_dir: str) -> None:
     driver's disk and resume never triggers (ADVICE r4).  Fail fast on
     any non-file scheme instead; a remote store needs the markers
     routed through the Hadoop FileSystem API, which this library
-    deliberately keeps out of its driver path."""
-    head = checkpoint_dir.split("://", 1)
-    if len(head) == 2 and head[0] not in ("file", ""):
+    deliberately keeps out of its driver path.  Any URI scheme is
+    rejected — including file:// , which Spark's writer would accept
+    but the driver's open()/os.path marker I/O would mangle into a
+    relative './file:...' path — pass the plain POSIX path instead."""
+    if "://" in checkpoint_dir:
+        scheme = checkpoint_dir.split("://", 1)[0]
         raise ValueError(
-            f"checkpoint_dir must be a driver-visible local/shared filesystem "
-            f"path (got scheme {head[0]!r}: {checkpoint_dir!r}); mount the "
-            f"store or use a file:// path visible to driver AND executors"
+            f"checkpoint_dir must be a plain driver-visible local/shared "
+            f"filesystem path (got scheme {scheme!r}: {checkpoint_dir!r}); "
+            f"mount the store and pass the POSIX mount path (no file:// prefix)"
         )
 
 

@@ -36,10 +36,15 @@ Design notes (100-TB shape):
   Scala's sortBy is stable, and the smaller tail split (the file's
   last bytes) sorts after its full-size siblings — so
   monotonically_increasing_id order == byte-offset order per file.
-  We additionally verify each (file, partition) group is one
-  contiguous id run (count == max-min+1) and raise if a future Spark
-  changes split packing in a way that breaks the contract, instead of
-  silently mis-framing.
+  Two layered guards watch this contract: (1) each (file, partition)
+  group must be one contiguous id run (count == max-min+1) — catches
+  any packing that interleaves another file INSIDE a file's run and
+  raises up front; (2) with ``validate=True`` (the default) the
+  per-record '@'/'+'/4-line frame checks catch a cross-partition
+  reorder of a file's splits (which guard 1 cannot see) with
+  overwhelming probability.  ``validate=False`` skips guard 2 by
+  definition — use it only on inputs whose framing a prior validated
+  read (or jobs/fastq_to_parquet.py) already established.
 """
 
 from __future__ import annotations

@@ -66,8 +66,16 @@ def test_checkpoint_dir_rejects_remote_schemes():
 
     from btl_bloomfilter_spark.plans.agg import require_local_checkpoint_dir
 
-    require_local_checkpoint_dir("/tmp/ckpt")          # plain path ok
-    require_local_checkpoint_dir("file:///tmp/ckpt")   # file scheme ok
-    for bad in ("hdfs://nn/ckpt", "s3a://bucket/ckpt", "s3://b/x", "abfs://c@a/x"):
+    require_local_checkpoint_dir("/tmp/ckpt")  # plain path ok
+    # file:// is rejected too: Spark's writer would accept it, but the
+    # driver-side open()/os.path marker I/O would resolve it as a
+    # relative './file:...' path — data written, markers lost
+    for bad in (
+        "hdfs://nn/ckpt",
+        "s3a://bucket/ckpt",
+        "s3://b/x",
+        "abfs://c@a/x",
+        "file:///tmp/ckpt",
+    ):
         with pytest.raises(ValueError, match="driver-visible"):
             require_local_checkpoint_dir(bad)

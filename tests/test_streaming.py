@@ -292,7 +292,7 @@ def test_stream_keyed_online_mibf(spark, tmp_path):
 
     rows = []
     q = start(rows)
-    q.awaitTermination(180)
+    assert q.awaitTermination(180), "first streaming pass timed out"
     rows.sort(key=lambda r: r["n_inserted"])
     latest = {r["grp"]: r for r in rows}  # last (max n_inserted) per key wins
     assert latest[0]["n_inserted"] == 6 and latest[1]["n_inserted"] == 6
@@ -310,7 +310,7 @@ def test_stream_keyed_online_mibf(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(str(src))
     rows2 = []
     q2 = start(rows2)
-    q2.awaitTermination(180)
+    assert q2.awaitTermination(180), "restart streaming pass timed out"
     assert {r["grp"] for r in rows2} == {0}
     (r0,) = [r for r in rows2 if r["grp"] == 0]
     assert r0["n_inserted"] == 7  # cumulative count resumed from state
