@@ -86,6 +86,78 @@ def _minstd_shuffle(order: list[int], seed: int) -> None:
         order[i], order[j] = order[j], order[i]
 
 
+def _tally_numpy(sub) -> "pd.DataFrame":
+    """CountResult tally (MIBFQuerySupport.hpp:430-504) as pure numpy
+    segment reduces — stage 1 per (frame, id) slot roll-up (frame is a
+    GLOBAL index, so it encodes row), stage 2 per (row, id) frame
+    roll-up into the six counters.  Output rows are ordered by FIRST
+    OCCURRENCE of (row, id) in ``sub`` order — byte-identical to the
+    pandas groupby(sort=False) chain it replaces (pinned by the tally
+    parity test); order matters because summarize's best selection
+    keeps the first of ties."""
+    import pandas as pd
+
+    row = sub["row"].to_numpy(np.int64)
+    frame = sub["frame"].to_numpy(np.int64)
+    ids = sub["id"].to_numpy(np.int64)
+    nonsat = sub["slot_nonsat"].to_numpy(bool)
+    fsat = sub["frame_sat"].to_numpy(bool)
+    miss0 = sub["miss0"].to_numpy(bool)
+    n = row.size
+    cols6 = ["count", "solidCount", "nonSatCount", "nonSatFrameCount", "totalCount", "totalNonSatCount"]
+    if n == 0:
+        return pd.DataFrame(
+            {c: np.empty(0, dtype=np.int64) for c in ["row", "id"] + cols6}
+        )
+    orig = np.arange(n, dtype=np.int64)
+
+    # stage 1: group by (frame, id)
+    o1 = np.lexsort((ids, frame))
+    f1, i1 = frame[o1], ids[o1]
+    new1 = np.empty(n, dtype=bool)
+    new1[0] = True
+    np.logical_or(np.diff(f1) != 0, np.diff(i1) != 0, out=new1[1:])
+    s1 = np.flatnonzero(new1)
+    slots = np.diff(np.concatenate([s1, [n]]))
+    nonsat_slots = np.add.reduceat(nonsat[o1].astype(np.int64), s1)
+    g_row = row[o1][s1]
+    g_id = i1[s1]
+    g_fsat = fsat[o1][s1]
+    g_miss0 = miss0[o1][s1]
+    first1 = np.minimum.reduceat(orig[o1], s1)
+
+    # solidCount (MIBFQuerySupport.hpp:500-504): frames with NO
+    # saturated slot and NO misses
+    has_nonsat = (nonsat_slots > 0).astype(np.int64)
+    nonsat_frame = (~g_fsat).astype(np.int64)
+    solid_frame = ((~g_fsat) & g_miss0).astype(np.int64)
+
+    # stage 2: group by (row, id)
+    m = g_row.size
+    o2 = np.lexsort((g_id, g_row))
+    r2, i2 = g_row[o2], g_id[o2]
+    new2 = np.empty(m, dtype=bool)
+    new2[0] = True
+    np.logical_or(np.diff(r2) != 0, np.diff(i2) != 0, out=new2[1:])
+    s2 = np.flatnonzero(new2)
+
+    def seg(a):
+        return np.add.reduceat(a[o2], s2)
+
+    out = {
+        "row": r2[s2],
+        "id": i2[s2],
+        "count": np.diff(np.concatenate([s2, [m]])),
+        "solidCount": seg(solid_frame),
+        "nonSatCount": seg(has_nonsat),
+        "nonSatFrameCount": seg(nonsat_frame),
+        "totalCount": seg(slots),
+        "totalNonSatCount": seg(nonsat_slots),
+    }
+    order = np.argsort(np.minimum.reduceat(first1[o2], s2), kind="stable")
+    return pd.DataFrame({k: v[order] for k, v in out.items()})
+
+
 class MIBloomFilter(Sketch):
     """Driver-side finished miBF (broadcastable for query)."""
 
@@ -416,33 +488,13 @@ class MIBloomFilter(Sketch):
         if not len(df):
             return results
 
-        def _tally(sub: pd.DataFrame) -> pd.DataFrame:
-            per_frame = sub.groupby(["row", "frame", "id"], sort=False).agg(
-                slots=("id", "size"),
-                nonsat_slots=("slot_nonsat", "sum"),
-                frame_sat=("frame_sat", "first"),
-                miss0=("miss0", "first"),
-            )
-            per_frame = per_frame.reset_index()
-            # solidCount (MIBFQuerySupport.hpp:500-504): frames with NO
-            # saturated slot and NO misses
-            return (
-                per_frame.assign(
-                    has_nonsat=(per_frame["nonsat_slots"] > 0).astype(int),
-                    nonsat_frame=(~per_frame["frame_sat"]).astype(int),
-                    solid_frame=((~per_frame["frame_sat"]) & per_frame["miss0"]).astype(int),
-                )
-                .groupby(["row", "id"], sort=False)
-                .agg(
-                    count=("frame", "size"),
-                    solidCount=("solid_frame", "sum"),
-                    nonSatCount=("has_nonsat", "sum"),
-                    nonSatFrameCount=("nonsat_frame", "sum"),
-                    totalCount=("slots", "sum"),
-                    totalNonSatCount=("nonsat_slots", "sum"),
-                )
-                .reset_index()
-            )
+        # numpy segment-reduce tally (profiling showed the previous
+        # two-stage pandas groupby spent most of its time in block
+        # consolidation/copies); group ORDER is preserved exactly —
+        # first-occurrence of (row, id) in df order, the same order
+        # pandas groupby(sort=False) produced — because the order
+        # feeds summarize's first-of-ties best selection
+        _tally = _tally_numpy
 
         if extra_frame_limit is None:
             tall = _tally(df)

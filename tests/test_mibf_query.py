@@ -190,3 +190,70 @@ def test_summarize_batch_matches_loop():
         )
         for r in range(n_rows):
             assert got[r] == want.get(r, []), (trial, r, got[r], want.get(r))
+
+
+def test_tally_numpy_matches_pandas_chain():
+    """_tally_numpy must be byte-identical (values AND row order) to
+    the two-stage pandas groupby(sort=False) chain it replaced —
+    order feeds summarize's first-of-ties best selection."""
+    import numpy as np
+    import pandas as pd
+
+    from btl_bloomfilter_spark.operators.mibf import _tally_numpy
+
+    def pandas_tally(sub):
+        per_frame = sub.groupby(["row", "frame", "id"], sort=False).agg(
+            slots=("id", "size"),
+            nonsat_slots=("slot_nonsat", "sum"),
+            frame_sat=("frame_sat", "first"),
+            miss0=("miss0", "first"),
+        ).reset_index()
+        return (
+            per_frame.assign(
+                has_nonsat=(per_frame["nonsat_slots"] > 0).astype(int),
+                nonsat_frame=(~per_frame["frame_sat"]).astype(int),
+                solid_frame=((~per_frame["frame_sat"]) & per_frame["miss0"]).astype(int),
+            )
+            .groupby(["row", "id"], sort=False)
+            .agg(
+                count=("frame", "size"),
+                solidCount=("solid_frame", "sum"),
+                nonSatCount=("has_nonsat", "sum"),
+                nonSatFrameCount=("nonsat_frame", "sum"),
+                totalCount=("slots", "sum"),
+                totalNonSatCount=("nonsat_slots", "sum"),
+            )
+            .reset_index()
+        )
+
+    rng = np.random.default_rng(73)
+    for trial in range(25):
+        n_frames = int(rng.integers(1, 60))
+        h = int(rng.integers(1, 5))
+        rows_of_frame = np.sort(rng.integers(0, 8, size=n_frames))
+        recs = []
+        for f in range(n_frames):
+            fs = bool(rng.random() < 0.3)
+            m0 = bool(rng.random() < 0.7)
+            for _ in range(h):
+                recs.append(
+                    (int(rows_of_frame[f]), f, int(rng.integers(1, 6)),
+                     bool(rng.random() < 0.8), fs, m0)
+                )
+        sub = pd.DataFrame(
+            recs, columns=["row", "frame", "id", "slot_nonsat", "frame_sat", "miss0"]
+        )
+        # random chunk-style row subset too (the chunked path filters df)
+        for s in (sub, sub[rng.random(len(sub)) < 0.6]):
+            if not len(s):
+                continue
+            got = _tally_numpy(s)
+            want = pandas_tally(s)
+            assert list(got.columns) == list(want.columns)
+            for c in got.columns:
+                assert got[c].tolist() == want[c].tolist(), (trial, c)
+    # empty input
+    empty = pd.DataFrame(
+        {c: [] for c in ["row", "frame", "id", "slot_nonsat", "frame_sat", "miss0"]}
+    )
+    assert len(_tally_numpy(empty)) == 0
