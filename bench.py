@@ -409,7 +409,10 @@ def run_single_build(cpus: int) -> dict:
 
 
 def _scaling_data_dir() -> str:
-    return os.path.join(tempfile.gettempdir(), "btl_scaling_transcripts")
+    # keyed by corpus size: a BENCH_SCALE_CONVS change must generate a
+    # new corpus, not silently reuse whatever size was cached first
+    n_convs = int(os.environ.get("BENCH_SCALE_CONVS", "25000"))
+    return os.path.join(tempfile.gettempdir(), f"btl_scaling_transcripts_{n_convs}")
 
 
 def prep_scaling_data() -> None:

@@ -232,3 +232,23 @@ def test_cli_parity_jobs_roundtrip(spark, tmp_path, monkeypatch):
     pdf = per_contig.toPandas()
     assert (pdf.hits == pdf.total).all()  # no false negatives
     assert "Found" in err.getvalue()
+
+
+@pytest.mark.spark
+def test_read_fastq_glob_edge_files(spark, tmp_path):
+    """Glob containing an EMPTY file, a CRLF-terminated file and a
+    single-record file: empty contributes nothing (and does not trip
+    per-file validation), CRLF is stripped, and per-file framing
+    handles a 1-record file."""
+    d = tmp_path / "edge"
+    d.mkdir()
+    (d / "empty.fq").write_text("")
+    (d / "crlf.fq").write_text("@r1\r\nACGT\r\n+\r\n!!!!\r\n@r2\r\nTTTT\r\n+\r\n####\r\n")
+    (d / "single.fq").write_text("@s1\nGGGG\n+\n....\n")
+    df = read_fastq(spark, str(d / "*.fq"))
+    got = {r["read_id"]: (r["seq"], r["qual"]) for r in df.collect()}
+    assert got == {
+        "r1": ("ACGT", "!!!!"),
+        "r2": ("TTTT", "####"),
+        "s1": ("GGGG", "...."),
+    }
