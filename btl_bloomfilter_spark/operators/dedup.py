@@ -713,3 +713,33 @@ def duplicate_spans(
         .where(F.col("span_len") >= min_len)
         .select("id_a", "id_b", "start_a", "start_b", "span_len", "n_anchors")
     )
+
+
+def drop_hot_fingerprints(fps: DataFrame, max_anchor_freq: int = 100) -> DataFrame:
+    """Pre-drop degenerate ultra-hot fingerprints from a (persisted)
+    :func:`winnow_fingerprints` map before :func:`duplicate_spans`.
+
+    The in-line cap inside duplicate_spans drops hot groups AFTER
+    collect_list has materialized them on a reducer — fine up to the
+    cap scale, but a pathological window shared by millions of
+    documents (identical boilerplate) would still concentrate its
+    anchor rows on one task.  This helper is the documented escape
+    hatch: an aggregate count (map-side partial combine — the hot key
+    arrives at its reducer as a handful of partial counts, never as
+    rows) plus a broadcast anti-join, i.e. two cheap passes over the
+    persisted map and NO hot-group materialization anywhere.
+
+    Usage at degenerate scale::
+
+        f = winnow_fingerprints(df, col, id).persist()
+        f2 = drop_hot_fingerprints(f, 100)
+        spans = duplicate_spans(df, col, id, fingerprints=f2)
+        f.unpersist()
+    """
+    hot = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("__n"))
+        .where(F.col("__n") > max_anchor_freq)
+        .select("fp")
+    )
+    return fps.join(F.broadcast(hot), "fp", "left_anti")

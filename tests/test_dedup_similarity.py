@@ -593,3 +593,50 @@ def test_duplicate_spans_fingerprints_passthrough(spark):
         map(tuple, via[key].values.tolist())
     )
     assert ((direct.id_a == 0) & (direct.id_b == 7)).any()
+
+
+@pytest.mark.spark
+def test_drop_hot_fingerprints_matches_inline_cap(spark):
+    """drop_hot_fingerprints (pre-aggregated anti-join — the
+    degenerate-corpus escape hatch) must yield the same spans as
+    duplicate_spans' in-line cap, and actually remove the hot groups."""
+    from btl_bloomfilter_spark.operators.dedup import (
+        drop_hot_fingerprints,
+        duplicate_spans,
+        winnow_fingerprints,
+    )
+
+    rng = np.random.default_rng(59)
+    base = "".join(rng.choice(list("abcdefgh "), size=400))
+    shared = "".join(rng.choice(list("ABCDEFGH"), size=120))
+    boiler = "ZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZZ"  # hot in every doc
+    rows = []
+    for i in range(30):
+        filler = "".join(rng.choice(list("abcdefgh "), size=300))
+        text = boiler + filler + (shared if i < 2 else "") + boiler
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k, w, cap = 12, 8, 10
+    fps = winnow_fingerprints(df, "text", "doc_id", k=k, w=w).persist()
+    try:
+        filtered = drop_hot_fingerprints(fps, cap)
+        # hot fingerprints really gone
+        maxn = (
+            filtered.groupBy("fp").count().agg(F.max("count")).collect()[0][0]
+        )
+        assert maxn is not None and maxn <= cap
+        a = duplicate_spans(
+            df, "text", "doc_id", k=k, w=w, min_len=60, max_anchor_freq=cap
+        ).toPandas()
+        b = duplicate_spans(
+            df, "text", "doc_id", k=k, w=w, min_len=60,
+            max_anchor_freq=cap, fingerprints=filtered,
+        ).toPandas()
+        key = ["id_a", "id_b", "start_a", "start_b", "span_len", "n_anchors"]
+        assert sorted(map(tuple, a[key].values.tolist())) == sorted(
+            map(tuple, b[key].values.tolist())
+        )
+        # the planted cross-doc span between docs 0 and 1 survives
+        assert ((a.id_a == 0) & (a.id_b == 1)).any()
+    finally:
+        fps.unpersist()
