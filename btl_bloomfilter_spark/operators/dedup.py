@@ -659,8 +659,10 @@ def duplicate_spans(
     (the same co-location the previous window-count formulation had).
     A pathologically hot window — identical boilerplate in millions of
     documents — concentrates on one reducer; at that scale persist a
-    ``fingerprints=`` map and pre-drop hot fps with a count + anti-join
-    (two passes over the persisted map, not two kernel runs).
+    ``fingerprints=`` map and pre-drop hot fps with
+    :func:`drop_hot_fingerprints` (aggregate count + broadcast
+    anti-join — two passes over the persisted map, not two kernel
+    runs, no hot-group materialization anywhere).
 
     Detection bound (SIGMOD'03 guarantee): every shared substring of
     true length L >= w + k - 1 produces >= 1 anchor; the reported
