@@ -196,3 +196,30 @@ def test_build_sketches_job_end_to_end(spark, tmp_path):
     bf2 = bfio.load_bloom(out / "text_ngrams.bf")
     assert bf2.bits.tobytes() == bf.bits.tobytes()
     assert m2["bloom"]["sec"] <= m1["bloom"]["sec"] * 2  # resume not slower-class
+
+
+@pytest.mark.spark
+def test_expand_testdata_deterministic(spark, tmp_path):
+    """jobs/expand_testdata.py must be bit-deterministic (fixed SEED):
+    two runs at factor=2 over sf0.001 produce identical documents
+    (content digest) and identical row counts per table — the
+    scale-proof corpus is reproducible, not a one-off."""
+    import jobs.expand_testdata as ex
+    from pyspark.sql import functions as F
+
+    src = "/root/testdata/sf0.001"
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        ex.expand_documents(spark, src, out, 2)
+        ex.expand_offset(spark, src, out, "events", 2, {"user_id": 1_000_000})
+        d = spark.read.parquet(f"{out}/documents.parquet")
+        agg = d.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(doc_id, source, text))").alias("digest"),
+        ).collect()[0]
+        ev = spark.read.parquet(f"{out}/events.parquet").count()
+        outs.append((int(agg["n"]), int(agg["digest"]), int(ev)))
+    assert outs[0] == outs[1]
+    n_src = spark.read.parquet(f"{src}/documents.parquet").count()
+    assert outs[0][0] == 2 * n_src
