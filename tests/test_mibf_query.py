@@ -257,3 +257,79 @@ def test_tally_numpy_matches_pandas_chain():
         {c: [] for c in ["row", "frame", "id", "slot_nonsat", "frame_sat", "miss0"]}
     )
     assert len(_tally_numpy(empty)) == 0
+
+
+def test_summarize_batch_hypothesis_parity():
+    """Property form of the batch-vs-loop parity: hypothesis explores
+    adversarial tally shapes (all-ties, singletons, zero counters,
+    large extra_count) and shrinks failures to minimal cases."""
+    import numpy as np
+    import pandas as pd
+    from hypothesis import given, settings, strategies as st
+
+    from btl_bloomfilter_spark.operators.mibf_query import (
+        QueryResult,
+        summarize_candidates,
+        summarize_candidates_batch,
+    )
+
+    cols = ["count", "solidCount", "nonSatCount", "nonSatFrameCount", "totalCount", "totalNonSatCount"]
+
+    cand = st.tuples(
+        st.integers(1, 4),                      # id
+        *[st.integers(0, 3) for _ in cols],     # six counters (tiny → ties)
+    )
+    rows_strategy = st.lists(st.lists(cand, min_size=0, max_size=5), min_size=1, max_size=6)
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        rows=rows_strategy,
+        min_count=st.one_of(st.integers(0, 3), st.just("dict")),
+        extra_count=st.sampled_from([0.5, 1.0, 3.0]),
+        bha=st.booleans(),
+        probs=st.lists(st.floats(0, 1, allow_nan=False), min_size=4, max_size=4),
+    )
+    def check(rows, min_count, extra_count, bha, probs):
+        recs = []
+        for r, cands in enumerate(rows):
+            seen = set()
+            for tup in cands:
+                if tup[0] in seen:  # one candidate per (row, id)
+                    continue
+                seen.add(tup[0])
+                recs.append([r, tup[0]] + list(tup[1:]))
+        if not recs:
+            return
+        tall = pd.DataFrame(recs, columns=["row", "id"] + cols)
+        frame_probs = {i + 1: probs[i] for i in range(4)}
+        mc = {i + 1: i % 3 for i in range(4)} if min_count == "dict" else min_count
+        want = {}
+        for r, sub in tall.groupby("row", sort=False):
+            if isinstance(mc, dict):
+                keep = sub["count"].to_numpy() >= np.array(
+                    [mc.get(int(i), 0) for i in sub["id"]]
+                )
+                sub = sub[keep]
+                floor = 0
+            else:
+                floor = mc
+            cands = [
+                QueryResult(
+                    id=int(t.id), count=int(t.count), solidCount=int(t.solidCount),
+                    nonSatCount=int(t.nonSatCount), nonSatFrameCount=int(t.nonSatFrameCount),
+                    totalCount=int(t.totalCount), totalNonSatCount=int(t.totalNonSatCount),
+                    frameProb=float(frame_probs.get(int(t.id), 0.0)),
+                )
+                for t in sub.itertuples()
+            ]
+            want[int(r)] = summarize_candidates(
+                cands, min_count=floor, extra_count=extra_count, best_hit_agree=bha
+            )
+        got = [[] for _ in range(len(rows))]
+        summarize_candidates_batch(
+            tall, frame_probs, got, min_count=mc, extra_count=extra_count, best_hit_agree=bha
+        )
+        for r in range(len(rows)):
+            assert got[r] == want.get(r, []), (r, got[r], want.get(r))
+
+    check()
