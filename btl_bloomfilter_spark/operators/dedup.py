@@ -731,12 +731,21 @@ def drop_hot_fingerprints(fps: DataFrame, max_anchor_freq: int = 100) -> DataFra
     rows) plus a broadcast anti-join, i.e. two cheap passes over the
     persisted map and NO hot-group materialization anywhere.
 
-    Usage at degenerate scale::
+    Usage at degenerate scale (unpersist only AFTER an action has
+    consumed the spans — duplicate_spans is lazy, and releasing the
+    cache first would re-run the winnow kernel for both branches)::
 
         f = winnow_fingerprints(df, col, id).persist()
-        f2 = drop_hot_fingerprints(f, 100)
-        spans = duplicate_spans(df, col, id, fingerprints=f2)
+        spans = duplicate_spans(df, col, id,
+                                fingerprints=drop_hot_fingerprints(f, 100))
+        spans.write.parquet(out)   # action while f is cached
         f.unpersist()
+
+    No broadcast hint on the hot set: on a truly degenerate corpus
+    the >cap fingerprints can themselves be huge (every boilerplate
+    window in a web crawl), and a forced broadcast would collect them
+    all to the driver — Catalyst/AQE picks broadcast vs shuffled
+    anti-join from the measured size instead.
     """
     hot = (
         fps.groupBy("fp")
@@ -744,4 +753,4 @@ def drop_hot_fingerprints(fps: DataFrame, max_anchor_freq: int = 100) -> DataFra
         .where(F.col("__n") > max_anchor_freq)
         .select("fp")
     )
-    return fps.join(F.broadcast(hot), "fp", "left_anti")
+    return fps.join(hot, "fp", "left_anti")

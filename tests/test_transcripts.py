@@ -207,7 +207,7 @@ def test_expand_testdata_deterministic(spark, tmp_path):
     import jobs.expand_testdata as ex
     from pyspark.sql import functions as F
 
-    src = "/root/testdata/sf0.001"
+    from tests.conftest import SF_DIR as src
     outs = []
     for run in ("a", "b"):
         out = str(tmp_path / run)
