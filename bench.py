@@ -301,6 +301,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         .collect()[0][0]
         or 1
     )
+    # the 3-pass miBF build is the heaviest construction path; it runs
+    # once per invocation (the classify entry times the QUERY kernel),
+    # so record its single wall time in the artifact rather than
+    # quadrupling suite time under the 4-rep protocol
+    t0 = time.perf_counter()
     state["mibf_docs"] = build_mibf(
         state["docs_with_id"],
         "text",
@@ -309,6 +314,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         hash_num=3,
         k=10,
     )
+    extras["mibf_build_once_sec"] = round(time.perf_counter() - t0, 3)
+    extras["mibf_build_windows"] = n_win
 
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
