@@ -1053,19 +1053,23 @@ def _winners_df(counts: DataFrame) -> DataFrame:
     max-key candidate wins, ties broken by id.  Pure function of
     {(rpos, id, count)} → associative and partition-order independent
     (replaces the reference's fetch-add race,
-    MIBFConstructSupport.hpp:120-129)."""
-    from pyspark.sql import Window
+    MIBFConstructSupport.hpp:120-129).
 
+    Implemented as a max_by AGGREGATION, not a row_number window: the
+    aggregation partial-combines map-side and never sorts, where the
+    window formulation paid a full per-partition sort on (rpos, score,
+    id) — measured 1.3-2.3x faster at 3M count rows with identical
+    output (struct(score, -id) max == highest score, ties to smallest
+    id — the window's orderBy(desc score, asc id) exactly)."""
     # pmod keeps u strictly in (0, 1] (F.abs maps Long.MIN_VALUE to a
     # negative value with probability 2^-63, yielding a NaN score)
     u = (F.pmod(F.xxhash64(F.col("rpos"), F.col("id")), F.lit(2**62)).cast("double") + F.lit(1.0)) / F.lit(
         float(2**62)
     )
-    w = Window.partitionBy("rpos").orderBy(F.desc("score"), F.asc("id"))
     return (
         counts.withColumn("score", F.pow(u, F.lit(1.0) / F.col("c").cast("double")))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("rpos")
+        .agg(F.expr("max_by(id, struct(score, -id))").alias("id"))
         .select("rpos", "id")
     )
 
