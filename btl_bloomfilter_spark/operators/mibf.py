@@ -1476,16 +1476,17 @@ def _build_mibf_passes(
         lost = ~(stored == vals).any(axis=1)
         if not lost.any():
             return None
-        return pd.DataFrame({"rpos": rpos[lost].ravel()})
+        # batch-local dedup: the same rank position saturates once —
+        # np.unique here compresses the shuffle like a map-side
+        # partial distinct, WITHOUT the extra rpos exchange a
+        # .distinct() would add (the dense assemble assignment of the
+        # constant 1 is idempotent, so cross-batch duplicates are
+        # harmless)
+        return pd.DataFrame({"rpos": np.unique(rpos[lost].ravel())})
 
-    lost = (
-        df.select(text_col, id_col)
-        .mapInPandas(
-            _frames_fn(blob2, text_col, id_col, lost_emit, strand_dir=strand_dir), "rpos long"
-        )
-        .distinct()
-        .withColumn("one", F.lit(1))
-    )
+    lost = df.select(text_col, id_col).mapInPandas(
+        _frames_fn(blob2, text_col, id_col, lost_emit, strand_dir=strand_dir), "rpos long"
+    ).withColumn("one", F.lit(1))
     sat_mask = _assemble_u32(lost, total, val_col="one")
     mibf.data[sat_mask != 0] |= SAT_BIT
     mibf.freeze_rank_only()
