@@ -1304,6 +1304,31 @@ def q44_bpe_token_stats(spark, sf_dir):
     )
 
 
+def q46_gopher_quality(spark, sf_dir):
+    """Gopher-rule document quality filtering (Rae et al. 2021 §A1.1:
+    word-count bounds, mean word length, symbol ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, stopword floor) — pure
+    Catalyst columns with byte-identical DuckDB twins, rolled up per
+    source.  The standard pre-training corpus hygiene pass, fully
+    hash-oracled."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    cols = T.gopher_quality("text", min_words=50)
+    return (
+        docs.select("source", *cols)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("passes_gopher").cast("long")).alias("n_pass"),
+            F.round(F.avg("n_words"), 6).alias("avg_words"),
+            F.round(F.avg("mean_word_len"), 6).alias("avg_word_len"),
+            F.round(F.avg("alpha_word_frac"), 6).alias("avg_alpha_frac"),
+            F.sum("n_stopwords").alias("total_stopwords"),
+        )
+    )
+
+
 def q45_stream_keyed_build(spark, sf_dir):
     """Keyed streaming ONLINE miBF build (streaming/accumulate.
     stream_keyed_online_mibf — applyInPandasWithState, per-key filter
@@ -1457,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_paired_classify": q43_paired_classify,
         "q44_bpe_token_stats": q44_bpe_token_stats,
         "q45_stream_keyed_build": q45_stream_keyed_build,
+        "q46_gopher_quality": q46_gopher_quality,
     }
 
 
@@ -1467,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
+
+    G = T.gopher_quality_sql("text", min_words=50)
 
     shingle_cte = """
         WITH toks AS (
@@ -1527,6 +1555,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id_a = sa.doc_id
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.03
+        """,
+        "q46_gopher_quality": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN g_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+                   round(avg(g_words), 6) AS avg_words,
+                   round(avg(g_wl), 6) AS avg_word_len,
+                   round(avg(g_alpha), 6) AS avg_alpha_frac,
+                   CAST(sum(g_stop) AS BIGINT) AS total_stopwords
+            FROM (SELECT source,
+                         {G['n_words']} AS g_words,
+                         {G['mean_word_len']} AS g_wl,
+                         {G['alpha_word_frac']} AS g_alpha,
+                         {G['n_stopwords']} AS g_stop,
+                         {G['passes_gopher']} AS g_pass
+                  FROM documents)
+            GROUP BY source
         """,
         "q44_bpe_token_stats": f"""
             SELECT source,

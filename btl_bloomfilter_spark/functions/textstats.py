@@ -211,3 +211,119 @@ def fingerprint_sql(col: str) -> str:
 def bpe_token_count_sql(col: str) -> str:
     pat = BPE_SPLIT_PATTERN.replace("'", "''")
     return f"len(regexp_extract_all(coalesce({col}, ''), '{pat}'))"
+
+
+# ---- Gopher-style document quality rules (Rae et al. 2021, §A1.1) ----
+# Every rule is a pure Catalyst expression with a byte-identical DuckDB
+# twin (gopher_quality_sql) so the whole filter is exactly oracled.
+# Published thresholds; word splitting shares _WS with token_count.
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def _words(col: str):
+    t = _clean(col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, rf"[{_WS}]+")
+    )
+
+
+def gopher_quality(col: str, *, min_words: int = 50, max_words: int = 100000) -> list[Column]:
+    """Columns implementing the Gopher quality-filter rules: word
+    count bounds, mean word length in [3, 10], symbol-to-word ratio
+    ('#' and '...') < 0.1, <90% bullet-started lines, <30%
+    ellipsis-ended lines, >80% words with an alphabetic character,
+    >=2 stopwords.  Returns [n_words, mean_word_len,
+    symbol_word_ratio, bullet_line_frac, ellipsis_line_frac,
+    alpha_word_frac, n_stopwords, passes_gopher] — ratios rounded to
+    6 so Spark and the DuckDB oracle hash-match exactly."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    words = _words(col)
+    n_words = F.size(words).cast("long")
+    nw = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = F.round(
+        F.length(F.regexp_replace(c, rf"[{_WS}]", "")).cast("double") / nw, 6
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))
+    n_ell = (F.length(c) - F.length(F.replace(c, F.lit("..."), F.lit("")))) / F.lit(3)
+    sym_ratio = F.round((n_hash + n_ell).cast("double") / nw, 6)
+    lines = F.split(c, "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet = F.round(
+        F.size(
+            F.filter(
+                lines,
+                lambda x: x.startswith("•") | x.startswith("- ") | x.startswith("* "),
+            )
+        ).cast("double")
+        / n_lines,
+        6,
+    )
+    ell_end = F.round(
+        F.size(F.filter(lines, lambda x: x.endswith("..."))).cast("double") / n_lines, 6
+    )
+    alpha = F.round(
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("double") / nw, 6
+    )
+    stop = F.size(
+        F.filter(words, lambda x: F.lower(x).isin(*[F.lit(w) for w in GOPHER_STOPWORDS]))
+    ).cast("long")
+    passes = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_wl >= 3)
+        & (mean_wl <= 10)
+        & (sym_ratio < 0.1)
+        & (bullet < 0.9)
+        & (ell_end < 0.3)
+        & (alpha > 0.8)
+        & (stop >= 2)
+    )
+    return [
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        bullet.alias("bullet_line_frac"),
+        ell_end.alias("ellipsis_line_frac"),
+        alpha.alias("alpha_word_frac"),
+        stop.alias("n_stopwords"),
+        passes.alias("passes_gopher"),
+    ]
+
+
+def gopher_quality_sql(col: str, *, min_words: int = 50, max_words: int = 100000) -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_quality`, keyed by output name."""
+    c = f"coalesce({col}, '')"
+    t = _clean_sql(col)
+    words = f"(case when {t} = '' then [] else string_split_regex({t}, '[{_WS}]+') end)"
+    n_words = f"len({words})"
+    nw = f"greatest({n_words}, 1)::double"
+    mean_wl = f"round(length(regexp_replace({c}, '[{_WS}]', '', 'g'))::double / {nw}, 6)"
+    n_hash = f"(length({c}) - length(replace({c}, '#', '')))"
+    n_ell = f"((length({c}) - length(replace({c}, '...', ''))) / 3)"
+    sym = f"round(({n_hash} + {n_ell})::double / {nw}, 6)"
+    lines = f"string_split({c}, chr(10))"
+    n_lines = f"greatest(len({lines}), 1)::double"
+    bullet = (
+        f"round(len(list_filter({lines}, x -> starts_with(x, '•') or "
+        f"starts_with(x, '- ') or starts_with(x, '* ')))::double / {n_lines}, 6)"
+    )
+    ell_end = f"round(len(list_filter({lines}, x -> ends_with(x, '...')))::double / {n_lines}, 6)"
+    alpha = f"round(len(list_filter({words}, x -> regexp_matches(x, '[A-Za-z]')))::double / {nw}, 6)"
+    stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    stop = f"len(list_filter({words}, x -> lower(x) in ({stops})))"
+    passes = (
+        f"({n_words} >= {min_words} and {n_words} <= {max_words} and {mean_wl} >= 3 "
+        f"and {mean_wl} <= 10 and {sym} < 0.1 and {bullet} < 0.9 and {ell_end} < 0.3 "
+        f"and {alpha} > 0.8 and {stop} >= 2)"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "symbol_word_ratio": sym,
+        "bullet_line_frac": bullet,
+        "ellipsis_line_frac": ell_end,
+        "alpha_word_frac": alpha,
+        "n_stopwords": stop,
+        "passes_gopher": passes,
+    }
