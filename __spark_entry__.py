@@ -1329,6 +1329,63 @@ def q46_gopher_quality(spark, sf_dir):
     )
 
 
+def q47_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table
+    (operators/similarity.semantic_dedup — seeded k-means cells, then
+    greedy smallest-id-keeps within each cell at cosine >= 0.9).
+    Self-validating gate columns computed IN Spark over the full
+    output: (a) kept_pairs_clean — no kept pair within a cell reaches
+    the threshold (exact within-cell self-join on the kept set);
+    (b) dropped_have_keeper — every dropped row's dup_of is kept and
+    >= threshold.  no_oracle: k-means is not SQL-expressible."""
+    from btl_bloomfilter_spark.operators.similarity import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    out = semantic_dedup(emb, n_cells=8, threshold=0.9, seed=11).cache()
+    joined = out.join(emb, "vec_id")
+    dot = F.aggregate(
+        F.zip_with("a_emb", "b_emb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(F.zip_with(c, c, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    )
+    cos = (dot / (norm("a_emb") * norm("b_emb"))).alias("cos")
+    kept = joined.where("keep").select("vec_id", "cell", F.col("embedding").alias("a_emb"))
+    kb = kept.select(F.col("vec_id").alias("b_id"), F.col("cell").alias("b_cell"),
+                     F.col("a_emb").alias("b_emb"))
+    kept_viol = (
+        kept.join(kb, (F.col("cell") == F.col("b_cell")) & (F.col("vec_id") < F.col("b_id")))
+        .select(cos).where(F.col("cos") >= 0.9).count()
+    )
+    dropped = joined.where(~F.col("keep")).select(
+        "vec_id", "dup_of", F.col("embedding").alias("a_emb")
+    )
+    keeper = joined.where("keep").select(
+        F.col("vec_id").alias("dup_of"), F.col("embedding").alias("b_emb")
+    )
+    dpairs = dropped.join(keeper, "dup_of").select(cos)
+    n_drop = dropped.count()
+    d_ok = dpairs.where(F.col("cos") >= 0.9 - 1e-9).count()
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.countDistinct("cell").alias("n_cells"),
+    ).collect()[0]
+    out.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(agg["n"]), int(agg["n_kept"]), int(agg["n_cells"]), int(n_drop),
+                bool(kept_viol == 0), bool(d_ok == n_drop),
+            )
+        ],
+        "n long, n_kept long, n_cells long, n_dropped long, "
+        "kept_pairs_clean boolean, dropped_have_keeper boolean",
+    )
+
+
 def q45_stream_keyed_build(spark, sf_dir):
     """Keyed streaming ONLINE miBF build (streaming/accumulate.
     stream_keyed_online_mibf — applyInPandasWithState, per-key filter
@@ -1483,6 +1540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_bpe_token_stats": q44_bpe_token_stats,
         "q45_stream_keyed_build": q45_stream_keyed_build,
         "q46_gopher_quality": q46_gopher_quality,
+        "q47_semantic_dedup": q47_semantic_dedup,
     }
 
 

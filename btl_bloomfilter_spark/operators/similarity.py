@@ -414,3 +414,79 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    seed: int = 42,
+    sample: int = 2048,
+    iters: int = 10,
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings with the library's seeded k-means, then WITHIN
+    each cluster greedily keep the smallest-id member of every
+    cosine-≥threshold duplicate group.  Returns
+    (id, cell, keep boolean, dup_of) — dropped rows carry the kept id
+    that removed them (dup_of = -1 for kept rows).
+
+    Greedy law (deterministic, id-ascending): a row is DROPPED iff
+    some already-kept row in its cluster has cosine ≥ threshold with
+    it; hence (a) no two KEPT rows in one cluster are ≥ threshold,
+    and (b) every dropped row's ``dup_of`` is a kept row with
+    cosine ≥ threshold — both checked by q47's gate columns.
+
+    100-TB shape: comparisons never leave a cluster — ONE shuffle on
+    the cell id (k-means fit reads only a bounded sample); the
+    within-cluster pass compares each row against the cluster's KEPT
+    set only (matrix-vector per row over ~|kept| ≤ |cluster| rows,
+    no c×c matrix).  Cross-cluster near-duplicates are missed by
+    design — that recall/cost trade is the published algorithm's; at
+    higher recall lower n_cells (bigger clusters) or run
+    cosine_near_dup_lsh instead.
+    """
+    import pandas as pd
+
+    if cents is None:
+        cents = fit_centroids(
+            df, col=col, n_cells=n_cells, sample=sample, iters=iters, seed=seed
+        )
+    with_cell = with_ivf_cells(df.select(id_col, col), cents, col=col)
+    id_type = dict(df.dtypes)[id_col]
+    out_schema = f"{id_col} {id_type}, cell int, keep boolean, dup_of {id_type}"
+
+    def dedup_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[col]])
+        n = len(pdf)
+        nrm = np.linalg.norm(mat, axis=1)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm[:, None]
+        ids = pdf[id_col].to_numpy()
+        keep = np.zeros(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        kept_rows: list[int] = []
+        for i in range(n):
+            if kept_rows:
+                sims = mat[kept_rows] @ mat[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= threshold:
+                    dup_of[i] = ids[kept_rows[j]]
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cell": pdf["__cell"].to_numpy(),
+                "keep": keep,
+                "dup_of": dup_of,
+            }
+        )
+
+    return with_cell.groupBy("__cell").applyInPandas(dedup_cluster, out_schema)

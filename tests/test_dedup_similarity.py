@@ -640,3 +640,52 @@ def test_drop_hot_fingerprints_matches_inline_cap(spark):
         assert ((a.id_a == 0) & (a.id_b == 1)).any()
     finally:
         fps.unpersist()
+
+
+@pytest.mark.spark
+def test_semantic_dedup_laws_and_planted(spark):
+    """semantic_dedup (SemDeDup-style): planted jittered copies drop,
+    and the greedy laws hold — no two KEPT rows in a cluster are
+    >= threshold, and every dropped row's dup_of is a kept row with
+    cosine >= threshold (verified brute-force driver-side)."""
+    from btl_bloomfilter_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(67)
+    dim, n_base = 16, 120
+    base = rng.normal(size=(n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(n_base)]
+    # plant near-identical copies of the first 15 vectors (tiny jitter)
+    for i in range(15):
+        v = base[i] + rng.normal(0, 0.005, size=dim)
+        rows.append((1000 + i, (v / np.linalg.norm(v)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(
+        df, n_cells=6, threshold=0.95, seed=7
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    assert len(out) == len(rows)
+    vecs = {i: np.asarray(v) / np.linalg.norm(v) for i, v in rows}
+    kept = out[out.keep]
+    dropped = out[~out.keep]
+    # planted copies: copy and original share a cell with cosine ~0.9999
+    # >> threshold, so at most one of each (orig, copy) pair survives —
+    # unless k-means split them across cells; count that split case
+    same_cell = 0
+    cell_of = dict(zip(out.vec_id, out.cell))
+    for i in range(15):
+        if cell_of[i] == cell_of[1000 + i]:
+            same_cell += 1
+            assert not (bool(out[out.vec_id == i].keep.iloc[0])
+                        and bool(out[out.vec_id == 1000 + i].keep.iloc[0])), i
+    assert same_cell >= 10  # near-identical vectors co-cluster almost always
+    # law (a): no kept pair within one cell >= threshold
+    for cell, grp in kept.groupby("cell"):
+        ids = grp.vec_id.tolist()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                assert float(vecs[ids[x]] @ vecs[ids[y]]) < 0.95, (ids[x], ids[y])
+    # law (b): every dropped row points at a kept >= threshold neighbor
+    kept_ids = set(kept.vec_id)
+    for r in dropped.itertuples():
+        assert r.dup_of in kept_ids
+        assert float(vecs[r.vec_id] @ vecs[r.dup_of]) >= 0.95
