@@ -1329,6 +1329,35 @@ def q46_gopher_quality(spark, sf_dir):
     )
 
 
+def q48_pii_redaction(spark, sf_dir):
+    """PII masking pre-pass (textstats.redact_pii / pii_counts —
+    conservative email/phone/IP patterns shared verbatim by Java regex
+    and RE2): per-source match counts plus redacted-output equivalence
+    (sum of redacted lengths, count of changed rows, and min md5 of
+    the redacted text — md5 agrees across engines, so the oracle
+    hash-checks the REDACTION itself, not just the counts)."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    red = T.redact_pii("text")
+    rows = docs.select(
+        "source",
+        *T.pii_counts("text"),
+        F.length(red).alias("red_len"),
+        (red != F.coalesce(F.col("text"), F.lit(""))).cast("long").alias("changed"),
+        F.md5(red).alias("red_md5"),
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("emails"),
+        F.sum("n_phone").alias("phones"),
+        F.sum("n_ip").alias("ips"),
+        F.sum("red_len").alias("total_red_len"),
+        F.sum("changed").alias("n_changed"),
+        F.min("red_md5").alias("min_red_md5"),
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1541,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_stream_keyed_build": q45_stream_keyed_build,
         "q46_gopher_quality": q46_gopher_quality,
         "q47_semantic_dedup": q47_semantic_dedup,
+        "q48_pii_redaction": q48_pii_redaction,
     }
 
 
@@ -1553,6 +1583,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
 
     G = T.gopher_quality_sql("text", min_words=50)
+    P = T.pii_counts_sql("text")
 
     shingle_cte = """
         WITH toks AS (
@@ -1613,6 +1644,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id_a = sa.doc_id
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.03
+        """,
+        "q48_pii_redaction": f"""
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_email) AS BIGINT) AS emails,
+                   CAST(sum(n_phone) AS BIGINT) AS phones,
+                   CAST(sum(n_ip) AS BIGINT) AS ips,
+                   CAST(sum(length(red)) AS BIGINT) AS total_red_len,
+                   CAST(sum(CASE WHEN red != coalesce(text, '') THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+                   min(md5(red)) AS min_red_md5
+            FROM (SELECT source, text,
+                         {P['n_email']} AS n_email,
+                         {P['n_phone']} AS n_phone,
+                         {P['n_ip']} AS n_ip,
+                         {T.redact_pii_sql('text')} AS red
+                  FROM documents)
+            GROUP BY source
         """,
         "q46_gopher_quality": f"""
             SELECT source,

@@ -268,6 +268,11 @@ def gopher_quality(col: str, *, min_words: int = 50, max_words: int = 100000) ->
     stop = F.size(
         F.filter(words, lambda x: F.lower(x).isin(*[F.lit(w) for w in GOPHER_STOPWORDS]))
     ).cast("long")
+    # duplicate-line fraction (Gopher's repetition family): fraction
+    # of lines that are repeats of an earlier line
+    dup_lines = F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines))).cast("double") / n_lines, 6
+    )
     passes = (
         (n_words >= min_words)
         & (n_words <= max_words)
@@ -278,6 +283,7 @@ def gopher_quality(col: str, *, min_words: int = 50, max_words: int = 100000) ->
         & (ell_end < 0.3)
         & (alpha > 0.8)
         & (stop >= 2)
+        & (dup_lines < 0.3)
     )
     return [
         n_words.alias("n_words"),
@@ -287,6 +293,7 @@ def gopher_quality(col: str, *, min_words: int = 50, max_words: int = 100000) ->
         ell_end.alias("ellipsis_line_frac"),
         alpha.alias("alpha_word_frac"),
         stop.alias("n_stopwords"),
+        dup_lines.alias("dup_line_frac"),
         passes.alias("passes_gopher"),
     ]
 
@@ -312,10 +319,11 @@ def gopher_quality_sql(col: str, *, min_words: int = 50, max_words: int = 100000
     alpha = f"round(len(list_filter({words}, x -> regexp_matches(x, '[A-Za-z]')))::double / {nw}, 6)"
     stops = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
     stop = f"len(list_filter({words}, x -> lower(x) in ({stops})))"
+    dup_lines = f"round((len({lines}) - len(list_distinct({lines})))::double / {n_lines}, 6)"
     passes = (
         f"({n_words} >= {min_words} and {n_words} <= {max_words} and {mean_wl} >= 3 "
         f"and {mean_wl} <= 10 and {sym} < 0.1 and {bullet} < 0.9 and {ell_end} < 0.3 "
-        f"and {alpha} > 0.8 and {stop} >= 2)"
+        f"and {alpha} > 0.8 and {stop} >= 2 and {dup_lines} < 0.3)"
     )
     return {
         "n_words": n_words,
@@ -325,5 +333,58 @@ def gopher_quality_sql(col: str, *, min_words: int = 50, max_words: int = 100000
         "ellipsis_line_frac": ell_end,
         "alpha_word_frac": alpha,
         "n_stopwords": stop,
+        "dup_line_frac": dup_lines,
         "passes_gopher": passes,
     }
+
+
+# ---- PII redaction (pure Catalyst, byte-identical DuckDB twin) ------
+# Conservative patterns shared verbatim by Java regex and RE2 (no
+# lookaround, explicit classes): emails, international-ish phone
+# numbers, dotted-quad IPs.  Redaction is a masking pre-pass for
+# training corpora, not a compliance guarantee.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+    "ip": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(col: str) -> Column:
+    """Text with emails/phones/IPs replaced by <EMAIL>/<PHONE>/<IP>
+    (applied in that order; NULL passes through as '')."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    c = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    c = F.regexp_replace(c, PII_PATTERNS["ip"], "<IP>")
+    c = F.regexp_replace(c, PII_PATTERNS["phone"], "<PHONE>")
+    return c
+
+
+def pii_counts(col: str) -> list[Column]:
+    """[n_email, n_phone, n_ip] match counts per row."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    return [
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["email"]), F.lit(0))).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["phone"]), F.lit(0))).cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["ip"]), F.lit(0))).cast("long").alias("n_ip"),
+    ]
+
+
+def redact_pii_sql(col: str) -> str:
+    c = f"coalesce({col}, '')"
+    e = PII_PATTERNS["email"].replace("'", "''")
+    i = PII_PATTERNS["ip"].replace("'", "''")
+    ph = PII_PATTERNS["phone"].replace("'", "''")
+    return (
+        f"regexp_replace(regexp_replace(regexp_replace({c}, '{e}', '<EMAIL>', 'g'), "
+        f"'{i}', '<IP>', 'g'), '{ph}', '<PHONE>', 'g')"
+    )
+
+
+def pii_counts_sql(col: str) -> dict[str, str]:
+    c = f"coalesce({col}, '')"
+    out = {}
+    for name, key in (("n_email", "email"), ("n_phone", "phone"), ("n_ip", "ip")):
+        pat = PII_PATTERNS[key].replace("'", "''")
+        out[name] = f"len(regexp_extract_all({c}, '{pat}'))"
+    return out

@@ -206,3 +206,47 @@ def test_entry_smoke(spark):
     assert len(out) >= 1
     assert set(out.columns) == {"lang", "n_docs", "fully_seen"}
     assert (out.n_docs == out.fully_seen).all()  # every doc fully seen
+
+
+@pytest.mark.spark
+def test_pii_redaction_cross_engine_planted(spark, tmp_path):
+    """Planted PII: emails, phones, IPs (and lookalikes that must NOT
+    match) — Spark and DuckDB must produce byte-identical redactions
+    and identical counts."""
+    import duckdb
+
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    rows = [
+        (1, "mail me at a.b+c@example.org or x@y.io thanks"),
+        (2, "call +1 (555) 123-4567 or 020 7946 0958 now"),
+        (3, "server at 192.168.0.1 and 10.0.0.255:8080"),
+        (4, "no pii here, just words and 42 numbers"),
+        (5, "at sign @ alone and 1.2 version number stay"),
+        (6, None),
+        (7, "mixed: bob@corp.example, 172.16.254.3, +44 7911 123456!"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["id", "text"])
+    path = str(tmp_path / "pii.parquet")
+    pdf.to_parquet(path)
+    got = (
+        spark.read.parquet(path)
+        .select("id", T.redact_pii("text").alias("red"), *T.pii_counts("text"))
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{path}'")
+    P = T.pii_counts_sql("text")
+    want = con.sql(
+        f"SELECT id, {T.redact_pii_sql('text')} AS red, "
+        f"{P['n_email']} AS n_email, {P['n_phone']} AS n_phone, {P['n_ip']} AS n_ip "
+        f"FROM t ORDER BY id"
+    ).df().reset_index(drop=True)
+    assert got.red.tolist() == want.red.tolist()
+    for c in ("n_email", "n_phone", "n_ip"):
+        assert got[c].tolist() == want[c].tolist(), c
+    assert "<EMAIL>" in got.red[0] and got.n_email[0] == 2
+    assert "<PHONE>" in got.red[1] and got.n_phone[1] >= 2
+    assert "<IP>" in got.red[2] and got.n_ip[2] == 2
+    assert got.red[3] == rows[3][1]  # untouched
+    assert got.red[5] == ""  # NULL → ''
