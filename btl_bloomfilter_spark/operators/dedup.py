@@ -80,30 +80,37 @@ def ngram_jaccard_pairs(
     → pair-count agg → join per-doc set sizes.  Only co-shingled
     pairs ever materialize.
 
-    ``max_doc_freq`` caps shingle document frequency BEFORE the
-    self-join: a single hot shingle (a stopword trigram appearing in
-    d documents) otherwise contributes d² join rows — the classic
-    skew blow-up.  Shingles in more than max_doc_freq docs are
-    dropped from the universe (both intersections AND set sizes), so
-    the result is the exact Jaccard over the capped shingle universe.
-    The hot set is tiny by definition → broadcast anti-join.
+    ``max_doc_freq`` caps shingle document frequency: a single hot
+    shingle (a stopword trigram appearing in d documents) otherwise
+    contributes d² pair rows — the classic skew blow-up.  Shingles in
+    more than max_doc_freq docs are dropped from the universe (both
+    intersections AND set sizes), so the result is the exact Jaccard
+    over the capped shingle universe.  Shingles are DISTINCT per
+    (id, shingle), so the structural group-size cap below IS the
+    document-frequency cap.
+
+    Plan (round-5 rewrite, mirrors duplicate_spans): ONE shuffle of
+    the shingle table into groupBy(shingle).collect_list, pair
+    expansion inside each group — the exploded shingle table is never
+    self-joined and never session-cached (the previous formulation
+    left a .cache() of a table BIGGER than the corpus in executor
+    storage for the session's lifetime).  The grouped aggregate feeds
+    two branches (pairs + set sizes); both share the one Exchange via
+    ReuseExchange, so the source is scanned once.
     """
     sh = shingles(df, col, id_col, n)
+    grouped = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
     if max_doc_freq is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") > max_doc_freq)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
-    sh = sh.cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        grouped = grouped.where(F.size("ids") <= max_doc_freq)
+    sizes = grouped.select(F.explode("ids").alias("id")).groupBy("id").agg(
+        F.count("*").alias("sz")
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        grouped.where(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("a"), "ids")
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .groupBy(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.alias("sa")
