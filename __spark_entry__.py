@@ -1358,6 +1358,83 @@ def q48_pii_redaction(spark, sf_dir):
     )
 
 
+def q49_hash_split(spark, sf_dir):
+    """Deterministic dataset splitting + sampling (functions/splits):
+    content-keyed md5 buckets assign train/val/test (0.8/0.1/0.1) and
+    a 20% deterministic-Bernoulli sample — stable under
+    repartitioning, retries and engine (md5 hex is identical in Spark
+    and DuckDB).  The per-(source, split) rollup hash-checks the
+    ASSIGNMENT itself via min md5 of doc_id||split, not just the
+    counts."""
+    from btl_bloomfilter_spark.functions import splits as S
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    rows = docs.select(
+        "source",
+        "doc_id",
+        S.assign_split(["doc_id"], fr, seed=7).alias("split"),
+        S.sample_flag(["doc_id"], 0.2, seed=3).cast("long").alias("sampled"),
+    )
+    return rows.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("sampled").alias("n_sampled"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min(F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), "split"))).alias(
+            "min_assign_md5"
+        ),
+    )
+
+
+def _q50_derived_text() -> "F.Column":
+    """The synthetic corpus is single-line and unpunctuated, so raw C4
+    would keep zero lines everywhere — a degenerate oracle.  Derive a
+    line-structured variant with literal replaces shared verbatim by
+    both engines (' row ' → '.\\n' makes terminal lines, ' scan ' →
+    '\\n' makes non-terminal ones, modular doc_id arms plant
+    javascript / brace / lorem-ipsum cases) so every rule branch is
+    exercised and hash-checked."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.replace(t, F.lit(" row "), F.lit(".\n"))
+    t = F.replace(t, F.lit(" scan "), F.lit("\n"))
+    t = F.concat(t, F.lit("."))
+    t = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(t, F.lit("\nplease enable javascript to view this page.")),
+    ).otherwise(t)
+    t = F.when(F.col("doc_id") % 17 == 0, F.concat(t, F.lit(" {"))).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 23 == 0, F.concat(t, F.lit("\nlorem ipsum dolor sit amet."))
+    ).otherwise(t)
+    return t.alias("ctext")
+
+
+def q50_c4_filter(spark, sf_dir):
+    """C4-style line-level corpus cleaning (Raffel et al. 2020 §2.2,
+    textstats.c4_line_filter): terminal-punctuation / min-words /
+    javascript line rules + lorem-ipsum / brace page rules, pure
+    Catalyst higher-order functions.  Runs over a line-structured
+    derivation of the synthetic corpus (see _q50_derived_text) so
+    every rule branch fires; the per-source rollup hash-checks the
+    CLEANED TEXT byte-for-byte via min md5 alongside kept-line
+    counts."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    rows = docs.select("source", _q50_derived_text()).select(
+        "source", *T.c4_line_filter("ctext", min_words_per_line=5)
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("passes_c4").cast("long")).alias("n_pass"),
+        F.sum("n_lines").alias("total_lines"),
+        F.sum("n_kept_lines").alias("total_kept"),
+        F.round(F.avg("kept_line_frac"), 6).alias("avg_kept_frac"),
+        F.sum(F.col("has_brace").cast("long")).alias("n_brace"),
+        F.min(F.md5("clean_text")).alias("min_clean_md5"),
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1571,12 +1648,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q46_gopher_quality": q46_gopher_quality,
         "q47_semantic_dedup": q47_semantic_dedup,
         "q48_pii_redaction": q48_pii_redaction,
+        "q49_hash_split": q49_hash_split,
+        "q50_c4_filter": q50_c4_filter,
     }
 
 
 # ======================================================================
 # DuckDB oracles
 # ======================================================================
+
+
+def _q49_oracle_sql() -> str:
+    from btl_bloomfilter_spark.functions import splits as S
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    return f"""
+        SELECT source, split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(sampled) AS BIGINT) AS n_sampled,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               min(md5(concat_ws('|', doc_id::varchar, split))) AS min_assign_md5
+        FROM (SELECT source, doc_id,
+                     {S.assign_split_sql(['doc_id'], fr, seed=7)} AS split,
+                     CASE WHEN {S.sample_flag_sql(['doc_id'], 0.2, seed=3)} THEN 1 ELSE 0 END AS sampled
+              FROM documents)
+        GROUP BY source, split
+    """
+
+
+def _q50_oracle_sql() -> str:
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    C = T.c4_line_filter_sql("ctext", min_words_per_line=5)
+    derived = (
+        "SELECT source, doc_id, "
+        "(CASE WHEN doc_id % 23 = 0 THEN t2 || chr(10) || 'lorem ipsum dolor sit amet.' ELSE t2 END) AS ctext "
+        "FROM (SELECT source, doc_id, "
+        "(CASE WHEN doc_id % 17 = 0 THEN t1 || ' {' ELSE t1 END) AS t2 "
+        "FROM (SELECT source, doc_id, "
+        "(CASE WHEN doc_id % 13 = 0 THEN t0 || chr(10) || 'please enable javascript to view this page.' ELSE t0 END) AS t1 "
+        "FROM (SELECT source, doc_id, "
+        "replace(replace(coalesce(text, ''), ' row ', '.' || chr(10)), ' scan ', chr(10)) || '.' AS t0 "
+        "FROM documents)))"
+    )
+    return f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN c_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               CAST(sum(c_lines) AS BIGINT) AS total_lines,
+               CAST(sum(c_kept) AS BIGINT) AS total_kept,
+               round(avg(c_frac), 6) AS avg_kept_frac,
+               CAST(sum(CASE WHEN c_brace THEN 1 ELSE 0 END) AS BIGINT) AS n_brace,
+               min(md5(c_clean)) AS min_clean_md5
+        FROM (SELECT source,
+                     {C['clean_text']} AS c_clean,
+                     {C['n_lines']} AS c_lines,
+                     {C['n_kept_lines']} AS c_kept,
+                     {C['kept_line_frac']} AS c_frac,
+                     {C['has_brace']} AS c_brace,
+                     {C['passes_c4']} AS c_pass
+              FROM ({derived}))
+        GROUP BY source
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1662,6 +1795,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             GROUP BY source
         """,
+        "q49_hash_split": _q49_oracle_sql(),
+        "q50_c4_filter": _q50_oracle_sql(),
         "q46_gopher_quality": f"""
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -388,3 +388,89 @@ def pii_counts_sql(col: str) -> dict[str, str]:
         pat = PII_PATTERNS[key].replace("'", "''")
         out[name] = f"len(regexp_extract_all({c}, '{pat}'))"
     return out
+
+
+# ---- C4-style line-level filtering (Raffel et al. 2020 §2.2) --------
+# Line rules: keep lines that end in terminal punctuation (optionally
+# followed by a closing quote), have >= min words, and do not mention
+# 'javascript'.  Page rules: drop pages containing 'lorem ipsum' or a
+# curly brace; require >= min_kept_lines surviving lines.  Pure
+# Catalyst higher-order functions with byte-identical DuckDB twins.
+# \z (absolute end-of-input) instead of $ because Java's $ matches
+# before a trailing \r line terminator while RE2's does not.
+_WSL = r" \t\x0B\f\r"  # intra-line whitespace (lines cannot hold \n)
+C4_TERMINAL_RE = "[.!?][\"']?\\z"
+
+
+def _line_words(x: Column) -> Column:
+    t = F.regexp_replace(x, rf"^[{_WSL}]+|[{_WSL}]+$", "")
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, rf"[{_WSL}]+")
+    )
+
+
+def c4_line_filter(
+    col: str, *, min_words_per_line: int = 5, min_kept_lines: int = 3
+) -> list[Column]:
+    """Columns: [clean_text, n_lines, n_kept_lines, kept_line_frac,
+    has_lorem_ipsum, has_brace, passes_c4].  clean_text is the kept
+    lines rejoined with newlines — the actual C4 output document."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(C4_TERMINAL_RE)
+        & (F.size(_line_words(x)) >= min_words_per_line)
+        & ~F.contains(F.lower(x), F.lit("javascript")),
+    )
+    n_lines = F.size(lines).cast("long")
+    n_kept = F.size(kept).cast("long")
+    frac = F.round(n_kept.cast("double") / F.greatest(n_lines, F.lit(1)).cast("double"), 6)
+    has_lorem = F.contains(F.lower(c), F.lit("lorem ipsum"))
+    has_brace = F.contains(c, F.lit("{"))
+    passes = (~has_lorem) & (~has_brace) & (n_kept >= min_kept_lines)
+    return [
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        frac.alias("kept_line_frac"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_brace"),
+        passes.alias("passes_c4"),
+    ]
+
+
+def c4_line_filter_sql(
+    col: str, *, min_words_per_line: int = 5, min_kept_lines: int = 3
+) -> dict[str, str]:
+    """DuckDB twins of :func:`c4_line_filter`, keyed by output name."""
+    c = f"coalesce({col}, '')"
+    term = C4_TERMINAL_RE.replace("'", "''")
+    lines = f"string_split({c}, chr(10))"
+    wt = f"regexp_replace(x, '^[{_WSL}]+|[{_WSL}]+$', '', 'g')"
+    words = (
+        f"(case when {wt} = '' then [] else "
+        f"string_split_regex({wt}, '[{_WSL}]+') end)"
+    )
+    kept = (
+        f"list_filter({lines}, x -> regexp_matches(x, '{term}') "
+        f"and len({words}) >= {min_words_per_line} "
+        f"and not contains(lower(x), 'javascript'))"
+    )
+    n_lines = f"len({lines})"
+    n_kept = f"len({kept})"
+    frac = f"round({n_kept}::double / greatest({n_lines}, 1)::double, 6)"
+    has_lorem = f"contains(lower({c}), 'lorem ipsum')"
+    has_brace = f"contains({c}, '{{')"
+    passes = f"(not {has_lorem} and not {has_brace} and {n_kept} >= {min_kept_lines})"
+    return {
+        # DuckDB's array_to_string is NULL on an empty list; Spark's
+        # array_join is '' — coalesce to match
+        "clean_text": f"coalesce(array_to_string({kept}, chr(10)), '')",
+        "n_lines": n_lines,
+        "n_kept_lines": n_kept,
+        "kept_line_frac": frac,
+        "has_lorem_ipsum": has_lorem,
+        "has_brace": has_brace,
+        "passes_c4": passes,
+    }
