@@ -1435,6 +1435,27 @@ def q50_c4_filter(spark, sf_dir):
     )
 
 
+def q51_repetition_filter(spark, sf_dir):
+    """Gopher repetition-family filtering (Rae et al. 2021 §A1.1 'rep'
+    rules, textstats.repetition_stats): top-2/3-gram character
+    fraction, duplicate-5-gram character fraction, duplicate-line
+    character fraction — pure row-local nested higher-order functions
+    (no shuffle before the rollup), fully hash-oracled per source."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    rows = docs.select("source", *T.repetition_stats("text"))
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("passes_repetition").cast("long")).alias("n_pass"),
+        F.round(F.avg("top_2gram_char_frac"), 6).alias("avg_top2"),
+        F.round(F.avg("top_3gram_char_frac"), 6).alias("avg_top3"),
+        F.round(F.avg("dup_5gram_char_frac"), 6).alias("avg_dup5"),
+        F.round(F.avg("dup_line_char_frac"), 6).alias("avg_dup_line"),
+        F.round(F.max("top_2gram_char_frac"), 6).alias("max_top2"),
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1650,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_pii_redaction": q48_pii_redaction,
         "q49_hash_split": q49_hash_split,
         "q50_c4_filter": q50_c4_filter,
+        "q51_repetition_filter": q51_repetition_filter,
     }
 
 
@@ -1708,6 +1730,61 @@ def _q50_oracle_sql() -> str:
                      {C['has_brace']} AS c_brace,
                      {C['passes_c4']} AS c_pass
               FROM ({derived}))
+        GROUP BY source
+    """
+
+
+def _q51_oracle_sql() -> str:
+    """Staged unnest + GROUP BY oracle for q51 — computes the same
+    per-document values as textstats.repetition_stats LINEARLY (the
+    flat repetition_stats_sql twins re-evaluate the gram list per
+    distinct gram: fine on planted test rows, ~300x too slow over a
+    corpus)."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    R = T.repetition_stats_sql("text")  # dup_line twin is linear; reuse it
+
+    def counts(gcol: str) -> str:
+        return (
+            f"(SELECT doc_id, gm, count(*) AS c FROM "
+            f"(SELECT doc_id, unnest({gcol}) AS gm FROM base) GROUP BY doc_id, gm)"
+        )
+
+    return f"""
+        WITH base AS (
+            SELECT doc_id, source,
+                   {T.repetition_grams_sql('text', 2)} AS g2,
+                   {T.repetition_grams_sql('text', 3)} AS g3,
+                   {T.repetition_grams_sql('text', 5)} AS g5,
+                   greatest(length({T._clean_sql('text')}), 1)::double AS total,
+                   {R['dup_line_char_frac']} AS r_dl
+            FROM documents
+        ),
+        t2 AS (SELECT doc_id, max(c * length(gm)) AS occ FROM {counts('g2')} GROUP BY doc_id),
+        t3 AS (SELECT doc_id, max(c * length(gm)) AS occ FROM {counts('g3')} GROUP BY doc_id),
+        d5 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(gm) ELSE 0 END) AS dup
+               FROM {counts('g5')} GROUP BY doc_id),
+        per AS (
+            SELECT source,
+                   round(least(coalesce(t2.occ, 0)::double / b.total, 1.0), 6) AS r_t2,
+                   round(least(coalesce(t3.occ, 0)::double / b.total, 1.0), 6) AS r_t3,
+                   round(least(coalesce(d5.dup, 0)::double / b.total, 1.0), 6) AS r_d5,
+                   b.r_dl AS r_dl
+            FROM base b
+            LEFT JOIN t2 USING (doc_id)
+            LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN d5 USING (doc_id)
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN r_t2 <= 0.2 AND r_t3 <= 0.18 AND r_d5 <= 0.15
+                             AND r_dl <= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+               round(avg(r_t2), 6) AS avg_top2,
+               round(avg(r_t3), 6) AS avg_top3,
+               round(avg(r_d5), 6) AS avg_dup5,
+               round(avg(r_dl), 6) AS avg_dup_line,
+               round(max(r_t2), 6) AS max_top2
+        FROM per
         GROUP BY source
     """
 
@@ -1797,6 +1874,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q49_hash_split": _q49_oracle_sql(),
         "q50_c4_filter": _q50_oracle_sql(),
+        "q51_repetition_filter": _q51_oracle_sql(),
         "q46_gopher_quality": f"""
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

@@ -474,3 +474,195 @@ def c4_line_filter_sql(
         "has_brace": has_brace,
         "passes_c4": passes,
     }
+
+
+# ---- Gopher repetition family (Rae et al. 2021 §A1.1, "rep" rules) --
+# Top n-gram character fraction (fraction of text characters occupied
+# by the single most frequent word n-gram, occurrence-overlap counted)
+# and duplicate n-gram character fraction (characters inside n-grams
+# that occur more than once).  Row-local and LINEAR: one array_sort of
+# the gram array plus a single aggregate() fold per statistic — NO
+# shuffle, no nested re-evaluation of the gram list (a naive
+# transform(distinct(g), y -> size(filter(g, =y))) formulation
+# re-materializes g for every distinct gram and measured ~300x slower
+# at 500 docs).  Embarrassingly parallel at 100 TB.  Fractions are
+# occurrence-overlap counted and clamped to 1, rounded to 6 so Spark
+# and the DuckDB oracle hash-match.
+
+
+def _grams(words: Column, n: int) -> Column:
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    return F.when(
+        F.size(words) >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _run_chars(acc: Column) -> Column:
+    """Characters occupied by the run just ended: count x gram length."""
+    return acc["cnt"] * F.length(acc["prev"]).cast("long")
+
+
+def _fold_top(grams: Column) -> Column:
+    """max over distinct grams of count*length, via one linear fold
+    over the sorted array (equal grams are adjacent after sort)."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("best"),
+    )
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(acc["prev"].alias("prev"), (acc["cnt"] + 1).alias("cnt"),
+                     acc["best"].alias("best")),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("cnt"),
+                     F.greatest(acc["best"], _run_chars(acc)).alias("best"))
+        ),
+        lambda acc: F.greatest(acc["best"], _run_chars(acc)),
+    )
+
+
+def _fold_dup(grams: Column) -> Column:
+    """sum over distinct grams occurring >1 time of count*length, via
+    the same linear sorted-run fold."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+    run_dup = lambda acc: F.when(acc["cnt"] > 1, _run_chars(acc)).otherwise(  # noqa: E731
+        F.lit(0).cast("long")
+    )
+    return F.aggregate(
+        F.array_sort(grams),
+        init,
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(acc["prev"].alias("prev"), (acc["cnt"] + 1).alias("cnt"),
+                     acc["dup"].alias("dup")),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("cnt"),
+                     (acc["dup"] + run_dup(acc)).alias("dup"))
+        ),
+        lambda acc: acc["dup"] + run_dup(acc),
+    )
+
+
+def repetition_stats(
+    col: str, *, top_ns: tuple[int, ...] = (2, 3), dup_ns: tuple[int, ...] = (5,)
+) -> list[Column]:
+    """Columns: top_{n}gram_char_frac for each n in top_ns,
+    dup_{n}gram_char_frac for each n in dup_ns, dup_line_char_frac
+    (characters on lines that repeat an earlier line), plus
+    passes_repetition using Gopher's published thresholds
+    (top-2 <= 0.20, top-3 <= 0.18, dup-5 <= 0.15 — applied to
+    whichever of those ns are requested; dup-line <= 0.30)."""
+    c = F.coalesce(F.col(col), F.lit(""))
+    words = _words(col)
+    total = F.greatest(F.length(_clean(col)), F.lit(1)).cast("double")
+    out: list[Column] = []
+    gates: list[Column] = []
+    thresholds = {("top", 2): 0.20, ("top", 3): 0.18, ("dup", 5): 0.15}
+    for n in top_ns:
+        frac = F.round(F.least(_fold_top(_grams(words, n)).cast("double") / total, F.lit(1.0)), 6)
+        out.append(frac.alias(f"top_{n}gram_char_frac"))
+        if ("top", n) in thresholds:
+            gates.append(frac <= thresholds[("top", n)])
+    for n in dup_ns:
+        frac = F.round(F.least(_fold_dup(_grams(words, n)).cast("double") / total, F.lit(1.0)), 6)
+        out.append(frac.alias(f"dup_{n}gram_char_frac"))
+        if ("dup", n) in thresholds:
+            gates.append(frac <= thresholds[("dup", n)])
+    lines = F.split(c, "\n")
+    line_chars = lambda ls: F.aggregate(  # noqa: E731
+        F.transform(ls, F.length), F.lit(0), lambda a, x: a + x
+    )
+    dup_line = F.round(
+        F.least(
+            (line_chars(lines) - line_chars(F.array_distinct(lines))).cast("double")
+            / total,
+            F.lit(1.0),
+        ),
+        6,
+    )
+    out.append(dup_line.alias("dup_line_char_frac"))
+    gates.append(dup_line <= 0.30)
+    passes = gates[0]
+    for gcol in gates[1:]:
+        passes = passes & gcol
+    out.append(passes.alias("passes_repetition"))
+    return out
+
+
+def repetition_stats_sql(
+    col: str, *, top_ns: tuple[int, ...] = (2, 3), dup_ns: tuple[int, ...] = (5,)
+) -> dict[str, str]:
+    """Flat per-column DuckDB twins of :func:`repetition_stats`.
+
+    TEST-SCALE ONLY: these re-evaluate the gram list once per distinct
+    gram (DuckDB lacks a struct-typed list fold), i.e. O(u x g x n)
+    per row — fine for planted unit-test rows, pathological over a
+    corpus.  The corpus-scale oracle is the staged unnest + GROUP BY
+    SQL in __spark_entry__._q51_oracle_sql, which computes identical
+    values linearly."""
+    c = f"coalesce({col}, '')"
+    t = _clean_sql(col)
+    words = f"(case when {t} = '' then [] else string_split_regex({t}, '[{_WS}]+') end)"
+    total = f"greatest(length({t}), 1)::double"
+
+    def grams(n: int) -> str:
+        return (
+            f"(case when len({words}) >= {n} then "
+            f"list_transform(range(1, len({words}) - {n} + 2), "
+            f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) "
+            f"else [] end)"
+        )
+
+    out: dict[str, str] = {}
+    gates: list[str] = []
+    thresholds = {("top", 2): 0.20, ("top", 3): 0.18, ("dup", 5): 0.15}
+    for n in top_ns:
+        g = grams(n)
+        occ = (
+            f"list_max(list_concat([0], list_transform(list_distinct({g}), "
+            f"y -> len(list_filter({g}, x -> x = y)) * length(y))))"
+        )
+        frac = f"round(least({occ}::double / {total}, 1.0), 6)"
+        out[f"top_{n}gram_char_frac"] = frac
+        if ("top", n) in thresholds:
+            gates.append(f"{frac} <= {thresholds[('top', n)]}")
+    for n in dup_ns:
+        g = grams(n)
+        dup = (
+            f"coalesce(list_sum(list_transform(list_distinct({g}), "
+            f"y -> case when len(list_filter({g}, x -> x = y)) > 1 "
+            f"then len(list_filter({g}, x -> x = y)) * length(y) else 0 end)), 0)"
+        )
+        frac = f"round(least({dup}::double / {total}, 1.0), 6)"
+        out[f"dup_{n}gram_char_frac"] = frac
+        if ("dup", n) in thresholds:
+            gates.append(f"{frac} <= {thresholds[('dup', n)]}")
+    lines = f"string_split({c}, chr(10))"
+    lc = lambda ls: f"coalesce(list_sum(list_transform({ls}, l -> length(l))), 0)"  # noqa: E731
+    dup_line = (
+        f"round(least(({lc(lines)} - {lc(f'list_distinct({lines})')})::double / {total}, 1.0), 6)"
+    )
+    out["dup_line_char_frac"] = dup_line
+    gates.append(f"{dup_line} <= 0.3")
+    out["passes_repetition"] = "(" + " and ".join(gates) + ")"
+    return out
+
+
+def repetition_grams_sql(col: str, n: int) -> str:
+    """The word-n-gram list expression (DuckDB), for staged oracles
+    that unnest it once instead of nesting it per distinct gram."""
+    t = _clean_sql(col)
+    words = f"(case when {t} = '' then [] else string_split_regex({t}, '[{_WS}]+') end)"
+    return (
+        f"(case when len({words}) >= {n} then "
+        f"list_transform(range(1, len({words}) - {n} + 2), "
+        f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) "
+        f"else [] end)"
+    )
