@@ -237,6 +237,29 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             .collect()[0][0]
         )
 
+    def q_corpus_quality_pass():
+        # the full text-hygiene battery (Gopher quality + repetition
+        # family + C4 line rules + PII counts) in ONE scan of the
+        # corpus — all pure-Catalyst row-local columns, a single
+        # shuffle for the per-source rollup; the shape a 100-TB
+        # pre-training quality pass takes
+        from btl_bloomfilter_spark.functions import textstats as T
+
+        rows = docs.select(
+            "source",
+            *T.gopher_quality("text"),
+            *T.repetition_stats("text"),
+            *T.c4_line_filter("text"),
+            *T.pii_counts("text"),
+        )
+        return rows.groupBy("source").agg(
+            F.sum(F.col("passes_gopher").cast("long")).alias("gopher"),
+            F.sum(F.col("passes_repetition").cast("long")).alias("rep"),
+            F.sum(F.col("passes_c4").cast("long")).alias("c4"),
+            F.sum("n_email").alias("emails"),
+            F.sum("n_kept_lines").alias("kept"),
+        ).collect()
+
     def q_canonical_spaced_build():
         # mode-overhead tracker: canonical spaced-seed hashing (NTMSM64
         # analog — forward + RC fold per seed) over the same corpus so
@@ -333,6 +356,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "classify_full_distributed": q_classify_full_distributed,
         "pricing_summary": q_pricing_summary,
         "cosine_topk": q_cosine_topk,
+        "corpus_quality_pass": q_corpus_quality_pass,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
