@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Training-corpus preparation pipeline (spark-submit friendly).
+
+    python jobs/clean_corpus.py --input docs.parquet -o clean.parquet \\
+        [--col text] [--id doc_id] \\
+        [--gopher] [--repetition] [--c4-rewrite] [--redact-pii] \\
+        [--exact-dedup] [--near-dedup] [--min-words 50] \\
+        [--split train=0.98,val=0.01,test=0.01] [--seed 7] [--cpus N]
+
+Composes the library's text-hygiene battery into the standard
+pre-training data flow, in the order production pipelines run it:
+
+  1. C4 line-level rewrite (``--c4-rewrite``): drop non-sentence /
+     javascript lines, drop lorem-ipsum / brace pages, REPLACE the
+     text column with the cleaned text.        (pure map)
+  2. Quality gates (``--gopher``, ``--repetition``): keep rows
+     passing the Gopher rule set / repetition thresholds, evaluated
+     on the (possibly rewritten) text.         (pure map + filter)
+  3. PII redaction (``--redact-pii``).         (pure map)
+  4. Exact dedup (``--exact-dedup``): keep the min-id row per
+     distinct text.                            (one shuffle)
+  5. MinHash near-dedup (``--near-dedup``): drop the higher id of
+     each near-dup pair at jaccard >= 0.8.     (banded, never all-pairs)
+  6. Deterministic split assignment (``--split``): content-keyed
+     hash split, written ``partitionBy(split)`` so downstream readers
+     partition-prune their own split.
+
+Every stage before dedup is a row-local Catalyst projection — at
+100 TB the whole filter battery is one scan.  Prints one JSON line of
+per-stage row counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def parse_split(s: str) -> dict[str, float]:
+    out = {}
+    for part in s.split(","):
+        name, _, frac = part.partition("=")
+        out[name.strip()] = float(frac)
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument("-o", "--output", required=True, help="cleaned parquet output")
+    ap.add_argument("--col", default="text")
+    ap.add_argument("--id", dest="id_col", default="doc_id")
+    ap.add_argument("--gopher", action="store_true", help="apply Gopher quality gate")
+    ap.add_argument("--repetition", action="store_true", help="apply repetition gate")
+    ap.add_argument("--c4-rewrite", action="store_true", help="C4 line cleanup, rewrite text")
+    ap.add_argument("--redact-pii", action="store_true")
+    ap.add_argument("--exact-dedup", action="store_true")
+    ap.add_argument("--near-dedup", action="store_true", help="MinHash near-dedup @ 0.8")
+    ap.add_argument("--min-words", type=int, default=50, help="Gopher word floor")
+    ap.add_argument("--split", default=None, help="e.g. train=0.98,val=0.01,test=0.01")
+    ap.add_argument("--seed", default="7")
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from btl_bloomfilter_spark.functions import splits as S
+    from btl_bloomfilter_spark.functions import textstats as T
+    from btl_bloomfilter_spark.session import get_spark
+
+    spark = get_spark("clean_corpus", master=f"local[{args.cpus}]" if args.cpus else None)
+    df = spark.read.parquet(args.input)
+    col, id_col = args.col, args.id_col
+    stats = {"input": df.count()}
+
+    if args.c4_rewrite:
+        c4 = T.c4_line_filter(col, min_words_per_line=5)
+        df = (
+            df.select("*", *c4)
+            .where(F.col("passes_c4"))
+            .drop(col)
+            .withColumnRenamed("clean_text", col)
+            .drop("n_lines", "n_kept_lines", "kept_line_frac", "has_lorem_ipsum",
+                  "has_brace", "passes_c4")
+        )
+        stats["after_c4"] = df.count()
+
+    if args.gopher:
+        g = T.gopher_quality(col, min_words=args.min_words)
+        df = df.select("*", *g).where(F.col("passes_gopher")).drop(
+            "n_words", "mean_word_len", "symbol_word_ratio", "bullet_line_frac",
+            "ellipsis_line_frac", "alpha_word_frac", "n_stopwords", "dup_line_frac",
+            "passes_gopher",
+        )
+        stats["after_gopher"] = df.count()
+
+    if args.repetition:
+        df = df.select("*", *T.repetition_stats(col)).where(F.col("passes_repetition")).drop(
+            "top_2gram_char_frac", "top_3gram_char_frac", "dup_5gram_char_frac",
+            "dup_line_char_frac", "passes_repetition",
+        )
+        stats["after_repetition"] = df.count()
+
+    if args.redact_pii:
+        df = df.withColumn(col, T.redact_pii(col))
+
+    if args.exact_dedup:
+        from btl_bloomfilter_spark.operators.dedup import exact_dedup_keep
+
+        df = exact_dedup_keep(df, col, id_col)
+        stats["after_exact_dedup"] = df.count()
+
+    if args.near_dedup:
+        from btl_bloomfilter_spark.operators.dedup import minhash_dedup
+
+        pairs = minhash_dedup(df, col, id_col, num_perm=64, bands=16, threshold=0.8)
+        losers = pairs.select(
+            F.greatest(F.col("id_a"), F.col("id_b")).alias(id_col)
+        ).distinct()
+        df = df.join(losers, id_col, "left_anti")
+        stats["after_near_dedup"] = df.count()
+
+    writer = df
+    if args.split:
+        fractions = parse_split(args.split)
+        writer = df.withColumn(
+            "split", S.assign_split([id_col], fractions, seed=args.seed)
+        )
+        writer.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    else:
+        writer.write.mode("overwrite").parquet(args.output)
+    stats["output"] = spark.read.parquet(args.output).count()
+    print(json.dumps(stats))
+    return stats
+
+
+if __name__ == "__main__":
+    main()
