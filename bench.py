@@ -245,7 +245,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         # pre-training quality pass takes
         from btl_bloomfilter_spark.functions import textstats as T
 
-        rows = docs.select(
+        rows = state["docs_part"].select(
             "source",
             *T.gopher_quality("text"),
             *T.repetition_stats("text"),
@@ -312,6 +312,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     # repartition to the core count: the classification is a pure map,
     # so its parallelism IS the partition count — a 1-2 split parquet
     # scan would serialize the kernel on 2 of 32 cores
+    # quality pass is likewise a pure map: the tiny sf0.1 parquet scans
+    # as 1-2 splits, which would serialize the (interpreted
+    # higher-order-function) battery on 1-2 of 32 cores — 22s vs 0.8s
+    state["docs_part"] = docs.select("source", "text").repartition(cpus).cache()
+    state["docs_part"].count()
     state["docs_with_id"] = (
         docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
         .select("text", "src_id")

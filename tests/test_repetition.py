@@ -62,3 +62,54 @@ def test_repetition_stats_cross_engine(spark, tmp_path):
     # id=7: 400 × 'w ' → occupied 'w w' chars 3×399 >> total → clamped
     assert out[7].top_2gram_char_frac == 1.0
     assert not bool(out[7].passes_repetition)
+
+
+@pytest.mark.spark
+def test_repetition_fold_matches_bruteforce(spark):
+    """Randomized adversarial check of the sorted-run fold: 60 texts
+    with tie-heavy tiny vocabularies vs a brute-force Python oracle
+    (count every n-gram with dict, same overlap/clamp/round spec)."""
+    import random
+
+    rng = random.Random(73)
+    vocab = ["a", "bb", "ccc", "dd", "e"]
+    texts = []
+    for _ in range(60):
+        n = rng.randint(0, 25)
+        texts.append(" ".join(rng.choice(vocab) for _ in range(n)))
+    texts += ["", "a", "a a a a a a"]
+
+    def brute(text):
+        words = text.split()
+        total = max(len(text.strip()), 1)
+
+        def grams(n):
+            return [" ".join(words[i:i + n]) for i in range(len(words) - n + 1)]
+
+        def top(n):
+            cnt = {}
+            for g in grams(n):
+                cnt[g] = cnt.get(g, 0) + 1
+            occ = max([c * len(g) for g, c in cnt.items()], default=0)
+            return round(min(occ / total, 1.0), 6)
+
+        def dup(n):
+            cnt = {}
+            for g in grams(n):
+                cnt[g] = cnt.get(g, 0) + 1
+            d = sum(c * len(g) for g, c in cnt.items() if c > 1)
+            return round(min(d / total, 1.0), 6)
+
+        return top(2), top(3), dup(5)
+
+    pdf = pd.DataFrame({"id": range(len(texts)), "text": texts})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("id", *T.repetition_stats("text"))
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    for i, text in enumerate(texts):
+        t2, t3, d5 = brute(text)
+        assert got.top_2gram_char_frac[i] == pytest.approx(t2), (i, text)
+        assert got.top_3gram_char_frac[i] == pytest.approx(t3), (i, text)
+        assert got.dup_5gram_char_frac[i] == pytest.approx(d5), (i, text)
