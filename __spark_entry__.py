@@ -1456,6 +1456,23 @@ def q51_repetition_filter(spark, sf_dir):
     )
 
 
+def q52_priority_sample(spark, sf_dir):
+    """Weighted per-group sampling via priority sampling
+    (Duffield-Lund-Thorup, JACM 2007; functions/splits.priority_sample):
+    k=3 docs per source weighted by n_chars.  Priorities use only
+    IEEE-exact ops (no pow), so Spark and DuckDB agree bit-for-bit and
+    the SELECTION itself is hash-oracled (ids, ranks, priorities)."""
+    from btl_bloomfilter_spark.functions import splits as S
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return S.priority_sample(docs, ["source"], "n_chars", 3, ["doc_id"], seed=19).select(
+        "source",
+        "doc_id",
+        "sample_rank",
+        F.round("priority", 6).alias("priority_r"),
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1672,6 +1689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_hash_split": q49_hash_split,
         "q50_c4_filter": q50_c4_filter,
         "q51_repetition_filter": q51_repetition_filter,
+        "q52_priority_sample": q52_priority_sample,
     }
 
 
@@ -1789,6 +1807,20 @@ def _q51_oracle_sql() -> str:
     """
 
 
+def _q52_oracle_sql() -> str:
+    from btl_bloomfilter_spark.functions import splits as S
+
+    pri = S.priority_sql("n_chars", ["doc_id"], seed=19)
+    return f"""
+        SELECT source, doc_id, sample_rank, round(priority, 6) AS priority_r
+        FROM (SELECT source, doc_id, {pri} AS priority,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY {pri} DESC, doc_id) AS sample_rank
+              FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+        WHERE sample_rank <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
 
@@ -1875,6 +1907,7 @@ def oracle_sql() -> dict[str, str]:
         "q49_hash_split": _q49_oracle_sql(),
         "q50_c4_filter": _q50_oracle_sql(),
         "q51_repetition_filter": _q51_oracle_sql(),
+        "q52_priority_sample": _q52_oracle_sql(),
         "q46_gopher_quality": f"""
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,

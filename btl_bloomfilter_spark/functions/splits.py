@@ -164,3 +164,67 @@ def stratified_sample_flag_sql(
     if not arms:
         return f"({default})"
     return f"(CASE {arms} ELSE {default} END)"
+
+
+# ---- weighted sampling: priority sampling (Duffield-Lund-Thorup) ----
+# Priority sampling (JACM 2007): priority q_i = w_i / u_i with
+# u_i ~ U(0,1]; keep the k largest priorities per group.  Yields
+# near-optimal unbiased subset-sum estimates via w_hat = max(w_i, tau)
+# where tau is the (k+1)-th priority.  Chosen over Efraimidis-
+# Spirakis (u^(1/w)) deliberately: ES needs pow(), whose libm
+# implementations differ across engines in the last ulp and can flip
+# near-tie orderings; priority sampling needs only int->double
+# conversion, + and / — all IEEE-754-exact — so Spark and DuckDB
+# produce BIT-IDENTICAL priorities and the operator is exactly
+# hash-oracle-able.
+
+
+def _hash60(cols: list[str], seed: int | str) -> Column:
+    """The raw 60-bit content hash behind hash_bucket."""
+    return F.conv(F.substring(_key(seed, cols), 1, 15), 16, 10).cast("long")
+
+
+_TWO60 = float(1 << 60)
+
+
+def priority_sample(
+    df,
+    keys: list[str],
+    weight_col: str,
+    k: int,
+    id_cols: list[str],
+    *,
+    seed: int | str = 0,
+):
+    """Top-k weighted sample per key group, deterministic and
+    engine-portable.  Returns the sampled rows with ``priority`` and
+    ``sample_rank`` columns.  Rows with non-positive or NULL weight
+    are excluded (they have zero inclusion probability in the
+    estimator anyway).
+
+    Plan shape: one shuffle on ``keys`` into a rank window; Spark's
+    WindowGroupLimit pushes the ``rank <= k`` filter into the sort, so
+    each partition keeps only k rows per group.  Ties in priority are
+    broken by ``id_cols`` so the selection is total-ordered.
+    """
+    from pyspark.sql import Window
+
+    u = (_hash60(id_cols, seed).cast("double") + F.lit(0.5)) / F.lit(_TWO60)
+    pri = F.col(weight_col).cast("double") / u
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("priority"), *[F.col(c).asc() for c in id_cols]
+    )
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("priority", pri)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def priority_sql(weight_col: str, id_cols: list[str], *, seed: int | str = 0) -> str:
+    """DuckDB twin of the priority expression (bit-identical: the
+    60-bit hash -> double conversion, + 0.5 and the division are all
+    IEEE-exact in both engines)."""
+    h = f"('0x' || substr({_key_sql(seed, id_cols)}, 1, 15))::ubigint"
+    return f"({weight_col}::double / (({h}::double + 0.5) / {1 << 60}.0))"

@@ -180,3 +180,84 @@ def test_c4_line_filter_cross_engine(spark, tmp_path):
     assert out[8].n_kept_lines == 0  # \r-tailed line NOT terminal in either engine
     assert out[9].clean_text == "" and out[9].n_kept_lines == 0
     assert bool(out[10].passes_c4) and out[10].n_kept_lines == 3
+
+
+@pytest.mark.spark
+def test_priority_sample_cross_engine(spark, tmp_path):
+    """Priority sampling: Spark window top-k per group must match the
+    DuckDB twin row-for-row INCLUDING bit-identical priorities (the
+    design claim: only IEEE-exact ops, no pow)."""
+    import duckdb
+
+    rows = [(i, f"g{i % 3}", (i * 37) % 100 + 1) for i in range(60)]
+    pdf = pd.DataFrame(rows, columns=["id", "grp", "w"])
+    path = str(tmp_path / "w.parquet")
+    pdf.to_parquet(path)
+
+    got = (
+        S.priority_sample(
+            spark.read.parquet(path), ["grp"], "w", 4, ["id"], seed=11
+        )
+        .select("grp", "id", "sample_rank", "priority")
+        .toPandas().sort_values(["grp", "sample_rank"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{path}'")
+    want = con.sql(
+        f"""
+        SELECT grp, id, sample_rank, priority FROM (
+            SELECT grp, id, {S.priority_sql('w', ['id'], seed=11)} AS priority,
+                   row_number() OVER (PARTITION BY grp ORDER BY
+                       {S.priority_sql('w', ['id'], seed=11)} DESC, id) AS sample_rank
+            FROM t WHERE w IS NOT NULL AND w > 0)
+        WHERE sample_rank <= 4 ORDER BY grp, sample_rank
+        """
+    ).df().reset_index(drop=True)
+    assert got.grp.tolist() == want.grp.tolist()
+    assert got.id.tolist() == want.id.tolist()
+    assert got.priority.tolist() == want.priority.tolist()  # bit-identical
+
+    # determinism under repartition
+    again = (
+        S.priority_sample(
+            spark.read.parquet(path).repartition(7), ["grp"], "w", 4, ["id"], seed=11
+        )
+        .select("grp", "id").toPandas()
+    )
+    assert sorted(map(tuple, again.values.tolist())) == sorted(
+        map(tuple, got[["grp", "id"]].values.tolist())
+    )
+
+
+@pytest.mark.spark
+def test_priority_sample_excludes_bad_weights(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 0.0), (3, "a", -1.0), (4, "a", None), (5, "a", 2.0)],
+        "id long, grp string, w double",
+    )
+    out = S.priority_sample(df, ["grp"], "w", 10, ["id"]).select("id").toPandas()
+    assert sorted(out.id.tolist()) == [1, 5]
+
+
+def test_priority_estimator_unbiased():
+    """Engine-independent law: the Duffield-Lund-Thorup estimator
+    w_hat = max(w, tau) (tau = (k+1)-th priority) is unbiased for the
+    total weight.  Simulated with the SAME formula the operator uses
+    (hash-derived u) over many seeds."""
+    import hashlib
+
+    ws = [1.0, 2.0, 5.0, 10.0, 3.0, 7.0, 2.5, 40.0, 1.5, 6.0]
+    total = sum(ws)
+    k = 4
+    ests = []
+    for seed in range(400):
+        pris = []
+        for i, w in enumerate(ws):
+            h = int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+            u = (h + 0.5) / float(1 << 60)
+            pris.append((w / u, w))
+        pris.sort(reverse=True)
+        tau = pris[k][0] if len(pris) > k else 0.0
+        ests.append(sum(max(w, tau) for _, w in pris[:k]))
+    mean = sum(ests) / len(ests)
+    assert abs(mean - total) / total < 0.08, mean
