@@ -1473,6 +1473,26 @@ def q52_priority_sample(spark, sf_dir):
     )
 
 
+def q53_bloom_semi_join(spark, sf_dir):
+    """Bloom semi-join (operators/bloomjoin.bloom_semi_join — the
+    classic sideways-information-passing use of the reference's
+    membership query, BloomFilter.hpp:237-262): lineitem pre-filtered
+    by a broadcast filter over high-value orders' keys BEFORE the
+    join shuffle, then exact semi-join.  Result is exactly the
+    semi-join, so the oracle is plain IN-subquery SQL."""
+    from btl_bloomfilter_spark.operators.bloomjoin import bloom_semi_join
+
+    t = _load(spark, sf_dir, "lineitem", "orders")
+    orders = t["orders"].where(F.col("o_totalprice") > 150000)
+    joined = bloom_semi_join(t["lineitem"], "l_orderkey", orders, "o_orderkey", fpr=0.01)
+    return joined.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1690,6 +1710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_c4_filter": q50_c4_filter,
         "q51_repetition_filter": q51_repetition_filter,
         "q52_priority_sample": q52_priority_sample,
+        "q53_bloom_semi_join": q53_bloom_semi_join,
     }
 
 
@@ -1908,6 +1929,17 @@ def oracle_sql() -> dict[str, str]:
         "q50_c4_filter": _q50_oracle_sql(),
         "q51_repetition_filter": _q51_oracle_sql(),
         "q52_priority_sample": _q52_oracle_sql(),
+        "q53_bloom_semi_join": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n_items,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 150000)
+            GROUP BY l_returnflag
+        """,
         "q46_gopher_quality": f"""
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,
