@@ -6,6 +6,7 @@
         [--gopher] [--repetition] [--c4-rewrite] [--redact-pii] \\
         [--exact-dedup] [--near-dedup] [--min-words 50] \\
         [--split train=0.98,val=0.01,test=0.01] [--seed 7] [--cpus N]
+        [--no-stats]
 
 Composes the library's text-hygiene battery into the standard
 pre-training data flow, in the order production pipelines run it:
@@ -28,6 +29,12 @@ pre-training data flow, in the order production pipelines run it:
 Every stage before dedup is a row-local Catalyst projection — at
 100 TB the whole filter battery is one scan.  Prints one JSON line of
 per-stage row counts.
+
+Per-stage counts are diagnostics: each count re-executes the lineage
+up to that stage (the filters are cheap maps, but at 100 TB that is
+extra full scans).  ``--no-stats`` skips them — the job then runs
+exactly ONE pass over the data (plus the dedup shuffles) and reports
+only input/output counts.
 """
 
 from __future__ import annotations
@@ -63,6 +70,8 @@ def main(argv=None):
     ap.add_argument("--min-words", type=int, default=50, help="Gopher word floor")
     ap.add_argument("--split", default=None, help="e.g. train=0.98,val=0.01,test=0.01")
     ap.add_argument("--seed", default="7")
+    ap.add_argument("--no-stats", action="store_true",
+                    help="skip per-stage counts (single data pass)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -87,7 +96,8 @@ def main(argv=None):
             .drop("n_lines", "n_kept_lines", "kept_line_frac", "has_lorem_ipsum",
                   "has_brace", "passes_c4")
         )
-        stats["after_c4"] = df.count()
+        if not args.no_stats:
+            stats["after_c4"] = df.count()
 
     if args.gopher:
         g = T.gopher_quality(col, min_words=args.min_words)
@@ -96,14 +106,16 @@ def main(argv=None):
             "ellipsis_line_frac", "alpha_word_frac", "n_stopwords", "dup_line_frac",
             "passes_gopher",
         )
-        stats["after_gopher"] = df.count()
+        if not args.no_stats:
+            stats["after_gopher"] = df.count()
 
     if args.repetition:
         df = df.select("*", *T.repetition_stats(col)).where(F.col("passes_repetition")).drop(
             "top_2gram_char_frac", "top_3gram_char_frac", "dup_5gram_char_frac",
             "dup_line_char_frac", "passes_repetition",
         )
-        stats["after_repetition"] = df.count()
+        if not args.no_stats:
+            stats["after_repetition"] = df.count()
 
     if args.redact_pii:
         df = df.withColumn(col, T.redact_pii(col))
@@ -112,7 +124,8 @@ def main(argv=None):
         from btl_bloomfilter_spark.operators.dedup import exact_dedup_keep
 
         df = exact_dedup_keep(df, col, id_col)
-        stats["after_exact_dedup"] = df.count()
+        if not args.no_stats:
+            stats["after_exact_dedup"] = df.count()
 
     if args.near_dedup:
         from btl_bloomfilter_spark.operators.dedup import minhash_dedup
@@ -122,7 +135,8 @@ def main(argv=None):
             F.greatest(F.col("id_a"), F.col("id_b")).alias(id_col)
         ).distinct()
         df = df.join(losers, id_col, "left_anti")
-        stats["after_near_dedup"] = df.count()
+        if not args.no_stats:
+            stats["after_near_dedup"] = df.count()
 
     writer = df
     if args.split:

@@ -90,3 +90,22 @@ def test_clean_corpus_c4_rewrite(spark, tmp_path):
     assert stats == {"input": 2, "after_c4": 1, "output": 1}
     txt = spark.read.parquet(out).collect()[0]["text"]
     assert "no punct line" not in txt and txt.count("\n") == 2
+
+
+@pytest.mark.spark
+def test_clean_corpus_no_stats_single_pass(spark, tmp_path):
+    import jobs.clean_corpus as cj
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "in.parquet")
+    base.write.parquet(inp)
+    out = str(tmp_path / "ns.parquet")
+    stats = cj.main(
+        ["--input", inp, "-o", out, "--gopher", "--min-words", "10", "--no-stats"]
+    )
+    # only input/output recorded; result identical to the stats run
+    assert set(stats) == {"input", "output"}
+    stats2 = cj.main(
+        ["--input", inp, "-o", str(tmp_path / "ws.parquet"), "--gopher", "--min-words", "10"]
+    )
+    assert stats["output"] == stats2["output"] == stats2["after_gopher"]
