@@ -137,6 +137,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     li.count()
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     emb.count()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").cache()
+    orders.count()
     tdf, n_turns = _transcripts(spark, cpus)
 
     state: dict = {}
@@ -260,6 +262,15 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             F.sum("n_kept_lines").alias("kept"),
         ).collect()
 
+    def q_bloom_semi_join():
+        # sideways information passing: key filter over high-value
+        # orders pre-prunes lineitem before the join shuffle; exact
+        # result (q53's operator) — times build + pre-filter + semi-join
+        from btl_bloomfilter_spark.operators.bloomjoin import bloom_semi_join
+
+        hot = orders.where(F.col("o_totalprice") > 150000)
+        return bloom_semi_join(li, "l_orderkey", hot, "o_orderkey", fpr=0.01).count()
+
     def q_canonical_spaced_build():
         # mode-overhead tracker: canonical spaced-seed hashing (NTMSM64
         # analog — forward + RC fold per seed) over the same corpus so
@@ -362,6 +373,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "pricing_summary": q_pricing_summary,
         "cosine_topk": q_cosine_topk,
         "corpus_quality_pass": q_corpus_quality_pass,
+        "bloom_semi_join": q_bloom_semi_join,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
