@@ -1493,6 +1493,34 @@ def q53_bloom_semi_join(spark, sf_dir):
     )
 
 
+def q54_asof_join(spark, sf_dir):
+    """As-of join (operators/asof.asof_join — Spark has no ASOF;
+    linear union+window formulation, ONE shuffle, no range-join
+    explosion): each purchase event gets the user's most recent
+    prior-or-same-time click.  Oracled against DuckDB's NATIVE
+    ASOF LEFT JOIN (right side deduped on (user, ts) first — tie
+    choice among duplicate right timestamps is engine-specific)."""
+    from btl_bloomfilter_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    j = asof_join(purchases, clicks, ["user_id"], "ts")
+    return j.groupBy((F.col("user_id") % 7).alias("ub")).agg(
+        F.count("*").alias("n_purchases"),
+        F.sum(F.col("ts_right").isNotNull().cast("long")).alias("n_matched"),
+        F.round(F.sum("click_value_right"), 2).alias("sum_click_value"),
+        F.min("ts_right").alias("min_click_ts"),
+        F.max("ts_right").alias("max_click_ts"),
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1711,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_repetition_filter": q51_repetition_filter,
         "q52_priority_sample": q52_priority_sample,
         "q53_bloom_semi_join": q53_bloom_semi_join,
+        "q54_asof_join": q54_asof_join,
     }
 
 
@@ -1939,6 +1968,31 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_totalprice > 150000)
             GROUP BY l_returnflag
+        """,
+        "q54_asof_join": """
+            WITH purchases AS (
+                SELECT user_id, ts, event_id, value FROM events
+                WHERE event_type = 'purchase'
+            ),
+            clicks AS (
+                SELECT user_id, ts, max_by(value, event_id) AS click_value
+                FROM events WHERE event_type = 'click'
+                GROUP BY user_id, ts
+            ),
+            j AS (
+                SELECT p.user_id, p.ts, c.ts AS ts_right,
+                       c.click_value AS click_value_right
+                FROM purchases p ASOF LEFT JOIN clicks c
+                  ON p.user_id = c.user_id AND c.ts <= p.ts
+            )
+            SELECT (user_id % 7) AS ub,
+                   CAST(count(*) AS BIGINT) AS n_purchases,
+                   CAST(sum(CASE WHEN ts_right IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+                   round(sum(click_value_right), 2) AS sum_click_value,
+                   min(ts_right) AS min_click_ts,
+                   max(ts_right) AS max_click_ts
+            FROM j
+            GROUP BY ub
         """,
         "q46_gopher_quality": f"""
             SELECT source,

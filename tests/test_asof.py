@@ -1,0 +1,92 @@
+"""As-of join: hand-planted semantics, DuckDB ASOF JOIN parity on
+random data, tolerance, plan shape (single exchange, no range join)."""
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from btl_bloomfilter_spark.operators.asof import asof_join
+
+
+@pytest.mark.spark
+def test_asof_join_planted(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "q1"), (1, 25, "q2"), (1, 8, "q0"), (2, 5, "q3"), (3, 7, "q4"),
+         (1, 20, "qt")],
+        "k long, ts long, q string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (2, 9, "c"), (1, None, "junk")],
+        "k long, ts long, v string",
+    )
+    out = {
+        (r["k"], r["ts"]): (r["v_right"], r["ts_right"])
+        for r in asof_join(left, right, ["k"], "ts").collect()
+    }
+    assert out[(1, 10)] == ("a", 8)
+    assert out[(1, 25)] == ("b", 20)
+    assert out[(1, 8)] == ("a", 8)      # equal ts matches (<=)
+    assert out[(1, 20)] == ("b", 20)    # equal ts matches
+    assert out[(2, 5)] == (None, None)  # right is later only
+    assert out[(3, 7)] == (None, None)  # no right key
+    # tolerance: (1,25) gap to b is 5 — tolerance 4 nulls it, 5 keeps it
+    tol = {
+        (r["k"], r["ts"]): r["v_right"]
+        for r in asof_join(left, right, ["k"], "ts", tolerance=4).collect()
+    }
+    assert tol[(1, 25)] is None and tol[(1, 10)] == "a"
+
+
+@pytest.mark.spark
+def test_asof_join_matches_duckdb_on_random(spark, tmp_path):
+    import duckdb
+    import random
+
+    rng = random.Random(5)
+    lrows = [(rng.randint(0, 9), rng.randint(0, 1000), i) for i in range(400)]
+    # unique (k, ts) on the right: DuckDB ASOF tie-breaking among
+    # duplicate right timestamps is unspecified, ours is documented
+    seen = set()
+    rrows = []
+    for j in range(300):
+        k, t = rng.randint(0, 9), rng.randint(0, 1000)
+        if (k, t) not in seen:
+            seen.add((k, t))
+            rrows.append((k, t, j))
+    lp, rp = str(tmp_path / "l.parquet"), str(tmp_path / "r.parquet")
+    pd.DataFrame(lrows, columns=["k", "ts", "lid"]).to_parquet(lp)
+    pd.DataFrame(rrows, columns=["k", "ts", "rid"]).to_parquet(rp)
+
+    got = (
+        asof_join(spark.read.parquet(lp), spark.read.parquet(rp), ["k"], "ts")
+        .select("lid", "ts_right", "rid_right")
+        .toPandas().sort_values("lid").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    want = con.sql(
+        f"""
+        SELECT l.lid, r.ts AS ts_right, r.rid AS rid_right
+        FROM '{lp}' l ASOF LEFT JOIN '{rp}' r
+          ON l.k = r.k AND r.ts <= l.ts
+        ORDER BY l.lid
+        """
+    ).df().reset_index(drop=True)
+    assert got.ts_right.where(got.ts_right.notna(), -1).tolist() == \
+        want.ts_right.where(want.ts_right.notna(), -1).tolist()
+    assert got.rid_right.where(got.rid_right.notna(), -1).tolist() == \
+        want.rid_right.where(want.rid_right.notna(), -1).tolist()
+
+
+@pytest.mark.spark
+def test_asof_join_plan_single_exchange(spark, tmp_path):
+    lrows = [(i % 4, i * 3, i) for i in range(100)]
+    rrows = [(i % 4, i * 5, i) for i in range(60)]
+    lp, rp = str(tmp_path / "l2.parquet"), str(tmp_path / "r2.parquet")
+    pd.DataFrame(lrows, columns=["k", "ts", "lid"]).to_parquet(lp)
+    pd.DataFrame(rrows, columns=["k", "ts", "rid"]).to_parquet(rp)
+    out = asof_join(spark.read.parquet(lp), spark.read.parquet(rp), ["k"], "ts")
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    # one hash partitioning exchange on the key (the window's)
+    assert plan.count("Exchange hashpartitioning(k") == 1, plan
