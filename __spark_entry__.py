@@ -1521,6 +1521,104 @@ def q54_asof_join(spark, sf_dir):
     )
 
 
+def q55_windowed_stream(spark, sf_dir):
+    """Event-time-windowed streaming sketch aggregation with
+    WATERMARK late-data handling (streaming/accumulate.
+    stream_windowed_sketch_by_key — applyInPandasWithState +
+    EventTimeTimeout): per (1-day window, event_type) HLL blobs over
+    the events table streamed in 3 ts-ordered micro-batches.
+    Self-validating gates: (a) exactly ONE final row per finalized
+    (window, key); (b) every final's row count equals the batch
+    ground truth for that window and its HLL distinct-user estimate
+    matches the exact batch distinct within 2%%; (c) a PLANTED late
+    row (valid window, arrives after that window finalized) changes
+    nothing; (d) a replay pass over the same checkpoint emits
+    nothing.  no_oracle by design: managed-state streaming with
+    watermark timeouts is not expressible as a DuckDB oracle."""
+    import tempfile
+
+    from btl_bloomfilter_spark.operators.hll import HyperLogLog
+    from btl_bloomfilter_spark.streaming.accumulate import stream_windowed_sketch_by_key
+
+    ev = _load(spark, sf_dir, "events")["events"].select(
+        "ts", "event_type", F.col("user_id").cast("string").alias("uid")
+    ).cache()
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = hi - lo
+    t1 = lo + span / 3
+    t2 = lo + 2 * span / 3
+
+    tmp = tempfile.mkdtemp(prefix="q55_")
+    src_dir, ck_dir = f"{tmp}/src", f"{tmp}/ck"
+    import time as _time
+
+    for part in (
+        ev.where(F.col("ts") < F.lit(t1)),
+        ev.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        # last file: the tail PLUS one late row for day 1 (new user)
+        ev.where(F.col("ts") >= F.lit(t2)).unionByName(
+            spark.createDataFrame(
+                [(lo, "click", "late-user-999999")], "ts timestamp, event_type string, uid string"
+            )
+        ),
+    ):
+        part.coalesce(1).write.mode("append").parquet(src_dir)
+        _time.sleep(1.1)  # distinct mtimes keep trigger order = ts order
+
+    def run_pass(collector):
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, uid string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out = stream_windowed_sketch_by_key(
+            stream, "ts", ["event_type"], "uid",
+            lambda: HyperLogLog(p=12), lambda s: s.estimate(),
+            window_duration="1 day", watermark_delay="1 hour",
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, bid: collector.extend(bdf.collect()))
+            .option("checkpointLocation", ck_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q55 streaming pass timed out after 300s")
+        return collector
+
+    emitted = run_pass([])
+    finals = [r for r in emitted if r["is_final"]]
+    fkeys = [(r["win_start"], r["event_type"]) for r in finals]
+    one_final = len(fkeys) == len(set(fkeys))
+
+    # batch ground truth over the GENUINE events (the planted late row
+    # is absent -> counts_match also proves the late row was dropped)
+    truth = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["d"])
+        for r in ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.countDistinct("uid").alias("d"))
+        .collect()
+    }
+    counts_match, est_close = True, True
+    for r in finals:
+        n, d = truth.get((r["win_start"], r["event_type"]), (None, None))
+        counts_match = counts_match and (n == r["n_rows"])
+        est_close = est_close and d is not None and abs(r["estimate"] - d) <= max(0.02 * d, 1)
+    day1_final = [r for r in finals if r["win_start"] == lo.replace(hour=0, minute=0, second=0, microsecond=0) and r["event_type"] == "click"]
+    late_dropped = len(day1_final) == 1 and counts_match
+    replay_silent = len(run_pass([])) == 0
+    ev.unpersist()
+    return spark.createDataFrame(
+        [(len(finals), bool(one_final), bool(counts_match), bool(est_close),
+          bool(late_dropped), bool(replay_silent))],
+        "n_finals long, one_final_per_key boolean, counts_match boolean, "
+        "est_close boolean, late_dropped boolean, replay_silent boolean",
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1740,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_priority_sample": q52_priority_sample,
         "q53_bloom_semi_join": q53_bloom_semi_join,
         "q54_asof_join": q54_asof_join,
+        "q55_windowed_stream": q55_windowed_stream,
     }
 
 

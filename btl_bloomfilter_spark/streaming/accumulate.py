@@ -360,3 +360,104 @@ def stream_keyed_online_mibf(
     return stream_df.groupBy(*keys).applyInPandasWithState(
         update_fn, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def stream_windowed_sketch_by_key(
+    stream_df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    col: str,
+    make_sketch: Callable[[], Sketch],
+    finalize: Callable[[Sketch], float],
+    *,
+    window_duration: str = "10 seconds",
+    watermark_delay: str = "0 seconds",
+    out_col: str = "estimate",
+    key_schema: str | None = None,
+):
+    """Event-time-windowed per-key sketch aggregation with
+    watermark-governed late-data handling — the brief's "watermarks +
+    windowed aggs" for sketch state that built-in aggregates cannot
+    hold.
+
+    One sketch blob per (event-time window, key) lives in the managed
+    state store (``applyInPandasWithState`` with EventTimeTimeout):
+    each micro-batch merges its rows and emits a PROVISIONAL row
+    (``is_final = false``); when the watermark passes the window end
+    the state times out and the group emits one FINAL row
+    (``is_final = true``) and frees its state.  Rows arriving after
+    their window's finalization are dropped (Spark's watermark filter
+    plus an in-operator guard: a late group whose window end <= the
+    current watermark is ignored rather than resurrected).
+
+    Plan/scale notes: ONE shuffle (the keyed state partitioning);
+    state volume is one blob per LIVE window x key — the watermark
+    bounds liveness, so state does not grow with stream length.
+    Start with ``.writeStream.outputMode("update")``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    type_of = {f.name: f.dataType.simpleString() for f in stream_df.schema.fields}
+    if key_schema is None:
+        key_schema = ", ".join(f"{k} {type_of[k]}" for k in keys)
+    out_schema = (
+        f"win_start timestamp, win_end timestamp, {key_schema}, "
+        f"{out_col} double, n_rows long, is_final boolean"
+    )
+    state_schema = "blob binary, n long"
+
+    def update_fn(key, pdf_iter, state):
+        w = key[0]  # window struct: dict {'start','end'} or Row/tuple
+        if isinstance(w, dict):
+            w_start, w_end = w["start"], w["end"]
+        else:
+            w_start, w_end = w[0], w[1]
+        key_part = key[1:]
+        end_ms = int(pd.Timestamp(w_end).value // 1_000_000)
+
+        def row(sk, n, final):
+            out = {"win_start": [w_start], "win_end": [w_end]}
+            for k, v in zip(keys, key_part):
+                out[k] = [v]
+            out[out_col] = [float(finalize(sk))]
+            out["n_rows"] = [n]
+            out["is_final"] = [final]
+            return pd.DataFrame(out)
+
+        if state.hasTimedOut:
+            if state.exists:
+                blob, n = state.get
+                sk = Sketch.deserialize(bytes(blob))
+                state.remove()
+                yield row(sk, int(n), True)
+            return
+        if state.getCurrentWatermarkMs() >= end_ms:
+            # late group: its window already closed — do not resurrect
+            for _ in pdf_iter:
+                pass
+            return
+        if state.exists:
+            blob, n = state.get
+            sk = Sketch.deserialize(bytes(blob))
+            n = int(n)
+        else:
+            sk, n = make_sketch(), 0
+        for pdf in pdf_iter:
+            sk.update(pdf[col])
+            n += len(pdf)
+        state.update((sk.serialize(), n))
+        state.setTimeoutTimestamp(end_ms)
+        yield row(sk, n, False)
+
+    # the window struct inherits the event-time tag; the raw ts column
+    # must go or Spark sees two event-time columns in one stream
+    s = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .withColumn("__win", F.window(F.col(ts_col), window_duration))
+        .drop(ts_col)
+    )
+    return s.groupBy("__win", *keys).applyInPandasWithState(
+        update_fn, out_schema, state_schema, "update", "EventTimeTimeout"
+    )

@@ -115,6 +115,10 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.classify_all_ok and r.counts_match and r.second_pass_silent
         assert r.n_keys == 2 and r.n_docs > 0
+    if name == "q55_windowed_stream":
+        r = out.iloc[0]
+        assert r.one_final_per_key and r.counts_match and r.est_close
+        assert r.late_dropped and r.replay_silent and r.n_finals > 50
     if name == "q47_semantic_dedup":
         r = out.iloc[0]
         assert r.kept_pairs_clean and r.dropped_have_keeper

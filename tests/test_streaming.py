@@ -318,3 +318,74 @@ def test_stream_keyed_online_mibf(spark, tmp_path):
     ids0 = [i for i in range(1, 14) if grp_of[i] == 0]
     got0 = mibf0.classify_batch([texts[i] for i in ids0])
     assert got0.best_id.tolist() == ids0
+
+
+@pytest.mark.spark
+def test_stream_windowed_sketch_with_watermark(spark, tmp_path):
+    """Event-time windows + watermark: provisional updates per batch,
+    ONE final row per (window, key) once the watermark passes the
+    window end, and a row arriving after its window finalized is
+    DROPPED (neither resurrects state nor changes the final)."""
+    import datetime as dt
+    import time as _time
+
+    from btl_bloomfilter_spark.operators.hll import HyperLogLog
+    from btl_bloomfilter_spark.streaming.accumulate import stream_windowed_sketch_by_key
+
+    def t(sec):
+        return dt.datetime(2026, 1, 1, 0, 0, sec)
+
+    src = tmp_path / "win_src"
+    src.mkdir()
+    batches = [
+        # window [0,10): grp a rows at 1,3 (distinct u1,u2), grp b at 2
+        [(t(1), "a", "u1"), (t(3), "a", "u2"), (t(2), "b", "u9")],
+        # advances watermark to 25-5=20 after this batch; window [20,30)
+        [(t(25), "a", "u3")],
+        # LATE row for [0,10) (watermark 20 >= end 10) + a fresh row
+        [(t(4), "a", "uLATE"), (t(26), "a", "u4")],
+        # push watermark past 30 so [20,30) also finalizes
+        [(t(40), "b", "u5")],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, "ts timestamp, grp string, uid string").coalesce(
+            1
+        ).write.mode("append").parquet(str(src))
+        _time.sleep(1.1)  # distinct mtimes → deterministic trigger order
+
+    stream = (
+        spark.readStream.schema("ts timestamp, grp string, uid string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = stream_windowed_sketch_by_key(
+        stream, "ts", ["grp"], "uid", lambda: HyperLogLog(p=12), lambda s: s.estimate(),
+        window_duration="10 seconds", watermark_delay="5 seconds",
+    )
+    rows = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+        .option("checkpointLocation", str(tmp_path / "win_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "windowed streaming timed out"
+
+    def win(r):
+        return (r["win_start"].second, r["win_end"].second if r["win_end"].second else 60)
+
+    finals = [r for r in rows if r["is_final"]]
+    # exactly one final per (window, key) that had on-time data
+    fkeys = {(win(r), r["grp"]): r for r in finals}
+    assert ((0, 10), "a") in fkeys and ((0, 10), "b") in fkeys
+    fa = fkeys[((0, 10), "a")]
+    # the late 'uLATE' row is NOT in the final: 2 rows, ~2 distinct
+    assert fa["n_rows"] == 2 and abs(fa["estimate"] - 2) < 0.1
+    assert fkeys[((0, 10), "b")]["n_rows"] == 1
+    # no duplicate finals, and no provisional for [0,10) AFTER its final
+    assert len(finals) == len(fkeys)
+    # window [20,30) finalized with both on-time rows (25, 26)
+    assert ((20, 30), "a") in fkeys and fkeys[((20, 30), "a")]["n_rows"] == 2
+    # provisional updates were emitted before finals
+    assert any(not r["is_final"] and win(r) == (0, 10) and r["grp"] == "a" for r in rows)
