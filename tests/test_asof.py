@@ -90,3 +90,46 @@ def test_asof_join_plan_single_exchange(spark, tmp_path):
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     # one hash partitioning exchange on the key (the window's)
     assert plan.count("Exchange hashpartitioning(k") == 1, plan
+
+
+@pytest.mark.spark
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Third-engine check: pandas merge_asof(direction='backward') is
+    the reference implementation of as-of semantics — 500 random left
+    rows, tolerance both on and off."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 8, 500),
+        "ts": rng.integers(0, 2000, 500),
+        "lid": np.arange(500),
+    })
+    right = (
+        pd.DataFrame({
+            "k": rng.integers(0, 8, 300),
+            "ts": rng.integers(0, 2000, 300),
+            "rid": np.arange(300),
+        })
+        .drop_duplicates(["k", "ts"], keep="last")
+        .reset_index(drop=True)
+    )
+
+    for tol in (None, 100):
+        got = (
+            asof_join(
+                spark.createDataFrame(left), spark.createDataFrame(right),
+                ["k"], "ts", tolerance=tol,
+            )
+            .select("lid", "rid_right")
+            .toPandas().sort_values("lid").reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="mergesort"),
+            right.sort_values("ts", kind="mergesort"),
+            on="ts", by="k", direction="backward",
+            **({"tolerance": tol} if tol is not None else {}),
+        ).sort_values("lid").reset_index(drop=True)
+        g = got.rid_right.where(got.rid_right.notna(), -1).astype(int).tolist()
+        w = want.rid.where(want.rid.notna(), -1).astype(int).tolist()
+        assert g == w, f"tolerance={tol}"
