@@ -262,6 +262,26 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             F.sum("n_kept_lines").alias("kept"),
         ).collect()
 
+    def q_asof_join_events():
+        # as-of join at events scale: every purchase gets the user's
+        # most recent prior click (one shuffle, union+window plan)
+        from btl_bloomfilter_spark.operators.asof import asof_join
+
+        ev = state["events_asof"]
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        clicks = (
+            ev.where(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("value").alias("click_value"))
+        )
+        return (
+            asof_join(purchases, clicks, ["user_id"], "ts")
+            .agg(F.sum(F.col("ts_right").isNotNull().cast("long")))
+            .collect()[0][0]
+        )
+
     def q_bloom_semi_join():
         # sideways information passing: key filter over high-value
         # orders pre-prunes lineitem before the join shuffle; exact
@@ -328,6 +348,10 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     # higher-order-function) battery on 1-2 of 32 cores — 22s vs 0.8s
     state["docs_part"] = docs.select("source", "text").repartition(cpus).cache()
     state["docs_part"].count()
+    state["events_asof"] = ev.select("ts", "user_id", "event_type", "value").repartition(
+        cpus
+    ).cache()
+    state["events_asof"].count()
     state["docs_with_id"] = (
         docs.withColumn("src_id", (F.regexp_replace("source", "src", "").cast("long") + 1))
         .select("text", "src_id")
@@ -374,6 +398,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "cosine_topk": q_cosine_topk,
         "corpus_quality_pass": q_corpus_quality_pass,
         "bloom_semi_join": q_bloom_semi_join,
+        "asof_join_events": q_asof_join_events,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
