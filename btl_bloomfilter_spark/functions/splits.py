@@ -29,14 +29,29 @@ RESOLUTION = 1_000_000
 
 
 def _key(seed: int | str, cols: list[str]) -> Column:
-    """md5 over seed + key columns.  concat_ws skips NULLs, so a NULL
-    key column behaves like '' — key on non-null id columns."""
-    return F.md5(F.concat_ws("|", F.lit(str(seed)), *[F.col(c).cast("string") for c in cols]))
+    """md5 over seed + key columns.  NULL key values are encoded as a
+    NUL byte (concat_ws would otherwise DROP a NULL together with its
+    separator, making ('x', NULL) and (NULL, 'x') collide)."""
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.lit(str(seed)),
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+        )
+    )
 
 
 def _key_sql(seed: int | str, cols: list[str]) -> str:
-    parts = ", ".join(f"{c}::varchar" for c in cols)
-    return f"md5(concat_ws('|', '{seed}', {parts}))"
+    parts = ", ".join(f"coalesce({c}::varchar, chr(0))" for c in cols)
+    s = str(seed).replace("'", "''")
+    return f"md5(concat_ws('|', '{s}', {parts}))"
+
+
+def _hash60(cols: list[str], seed: int | str) -> Column:
+    """Raw 60-bit content hash (first 15 md5 hex digits; < 2^63, so
+    the signed-long cast is lossless) — the shared primitive behind
+    every operator in this module."""
+    return F.conv(F.substring(_key(seed, cols), 1, 15), 16, 10).cast("long")
 
 
 def hash_bucket(cols: list[str], num_buckets: int, *, seed: int | str = 0) -> Column:
@@ -47,8 +62,7 @@ def hash_bucket(cols: list[str], num_buckets: int, *, seed: int | str = 0) -> Co
     is engine-portable (Spark's ``hash`` is Murmur3-with-Spark-seed,
     DuckDB's differs) and unlike ``rand`` it is content-keyed.
     """
-    h = F.conv(F.substring(_key(seed, cols), 1, 15), 16, 10).cast("long")
-    return (h % F.lit(num_buckets)).alias("bucket")
+    return (_hash60(cols, seed) % F.lit(num_buckets)).alias("bucket")
 
 
 def hash_bucket_sql(cols: list[str], num_buckets: int, *, seed: int | str = 0) -> str:
@@ -101,11 +115,12 @@ def sample_flag(cols: list[str], rate: float, *, seed: int | str = 0) -> Column:
     """Boolean deterministic-Bernoulli(rate) flag keyed on content.
 
     ``df.where(sample_flag(...))`` is a stable sample: the same rows
-    survive on every run and on every engine.  Complementary rates
-    with the same seed partition the data (rate and its complement
-    never overlap), and nested rates with the same seed are monotone
-    (a 1% sample is a subset of the 10% sample) — both properties
-    follow from thresholding one shared bucket value.
+    survive on every run and on every engine.  Same-seed rates are
+    NESTED (monotone): a 1% sample is a subset of the 10% sample,
+    because both threshold one shared bucket value — so two same-seed
+    flags always OVERLAP and are NOT a partition.  For disjoint
+    train/eval-style partitioning use one flag and its negation
+    (``flag`` vs ``~flag``), or :func:`assign_split`.
     """
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
@@ -155,9 +170,12 @@ def stratified_sample_flag_sql(
     default_rate: float = 0.0,
     seed: int | str = 0,
 ) -> str:
+    # SQL twin compares strata as quoted string literals — use string
+    # stratum values (the Spark twin's F.lit accepts any type)
     bucket = hash_bucket_sql(cols, RESOLUTION, seed=seed)
     arms = " ".join(
-        f"WHEN {strata_col} = '{value}' THEN {bucket} < {int(round(rate * RESOLUTION))}"
+        f"WHEN {strata_col} = '{str(value).replace(chr(39), chr(39) * 2)}' "
+        f"THEN {bucket} < {int(round(rate * RESOLUTION))}"
         for value, rate in rates.items()
     )
     default = f"{bucket} < {int(round(default_rate * RESOLUTION))}"
@@ -177,11 +195,6 @@ def stratified_sample_flag_sql(
 # conversion, + and / — all IEEE-754-exact — so Spark and DuckDB
 # produce BIT-IDENTICAL priorities and the operator is exactly
 # hash-oracle-able.
-
-
-def _hash60(cols: list[str], seed: int | str) -> Column:
-    """The raw 60-bit content hash behind hash_bucket."""
-    return F.conv(F.substring(_key(seed, cols), 1, 15), 16, 10).cast("long")
 
 
 _TWO60 = float(1 << 60)

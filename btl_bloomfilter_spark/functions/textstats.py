@@ -609,16 +609,11 @@ def repetition_stats_sql(
     values linearly."""
     c = f"coalesce({col}, '')"
     t = _clean_sql(col)
-    words = f"(case when {t} = '' then [] else string_split_regex({t}, '[{_WS}]+') end)"
     total = f"greatest(length({t}), 1)::double"
 
     def grams(n: int) -> str:
-        return (
-            f"(case when len({words}) >= {n} then "
-            f"list_transform(range(1, len({words}) - {n} + 2), "
-            f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) "
-            f"else [] end)"
-        )
+        # one source of truth with the staged oracle's gram expression
+        return repetition_grams_sql(col, n)
 
     out: dict[str, str] = {}
     gates: list[str] = []

@@ -47,19 +47,25 @@ def asof_join(
     ``right_cols`` selects which right columns to attach (default:
     all non-key, non-ts columns), each renamed with ``suffix``; the
     matched right timestamp is attached as ``ts + suffix``.
-    ``tolerance`` (same type as ts differences — seconds for
-    timestamps cast to long, plain number otherwise) nulls matches
-    older than the gap.  Left rows with NULL ts never match.
+    ``tolerance`` (seconds — fractional allowed — for timestamp ts,
+    plain number otherwise) nulls matches older than the gap;
+    timestamp gaps compare at full microsecond precision via interval
+    arithmetic.  NULL join keys never match (SQL equality semantics:
+    right rows with a NULL key are excluded, left rows with a NULL
+    key pass through unmatched), and rows with NULL ts never match.
     """
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in on and c != ts]
     payload = F.struct(
         F.col(ts).alias("__ts"), *[F.col(c).alias(c) for c in right_cols]
     )
-    r = (
-        right.where(F.col(ts).isNotNull())
-        .select(*on, F.col(ts).alias("__ev_ts"), payload.alias("__p"))
-        .withColumn("__tag", F.lit(1))
+    r = right.where(F.col(ts).isNotNull())
+    for k in on:
+        # NULL never equals NULL in a join; Window.partitionBy would
+        # group NULL keys together, so drop them from the build side
+        r = r.where(F.col(k).isNotNull())
+    r = r.select(*on, F.col(ts).alias("__ev_ts"), payload.alias("__p")).withColumn(
+        "__tag", F.lit(1)
     )
     l = left.withColumn("__ev_ts", F.col(ts)).withColumn(
         "__p", F.lit(None).cast(r.schema["__p"].dataType)
@@ -86,11 +92,14 @@ def asof_join(
     m = F.col("__m")
     if tolerance is not None:
         ts_col, m_ts = F.col(ts), m["__ts"]
-        if dict(left.dtypes)[ts] == "timestamp":
-            gap = ts_col.cast("long") - m_ts.cast("long")
-        else:
+        if dict(left.dtypes)[ts].startswith("timestamp"):
+            # interval arithmetic keeps microsecond precision (a long
+            # cast truncates to seconds and mis-ranks sub-second gaps)
             gap = ts_col - m_ts
-        m = F.when(gap <= tolerance, m)
+            tol = F.expr(f"make_dt_interval(0, 0, 0, {float(tolerance)!r})")
+        else:
+            gap, tol = ts_col - m_ts, F.lit(tolerance)
+        m = F.when(gap <= tol, m)
     out = matched.select(
         *left.columns,
         m["__ts"].alias(ts + suffix),

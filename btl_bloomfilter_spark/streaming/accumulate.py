@@ -407,6 +407,13 @@ def stream_windowed_sketch_by_key(
         f"{out_col} double, n_rows long, is_final boolean"
     )
     state_schema = "blob binary, n long"
+    # the window struct reaches the Python worker as a NAIVE datetime
+    # rendered in the SESSION timezone; treating it as UTC would skew
+    # setTimeoutTimestamp/the late-group guard by the tz offset on any
+    # non-UTC cluster — capture the session tz at operator build time
+    session_tz = (
+        stream_df.sparkSession.conf.get("spark.sql.session.timeZone", None) or "UTC"
+    )
 
     def update_fn(key, pdf_iter, state):
         w = key[0]  # window struct: dict {'start','end'} or Row/tuple
@@ -415,7 +422,15 @@ def stream_windowed_sketch_by_key(
         else:
             w_start, w_end = w[0], w[1]
         key_part = key[1:]
-        end_ms = int(pd.Timestamp(w_end).value // 1_000_000)
+        end_ts = pd.Timestamp(w_end)
+        if end_ts.tzinfo is None:
+            # DST-ambiguous wall times resolve to the post-transition
+            # offset — a one-hour, twice-a-year skew bound; pass UTC
+            # session tz (the Spark default worth setting) to avoid it
+            end_ts = end_ts.tz_localize(
+                session_tz, ambiguous=False, nonexistent="shift_forward"
+            )
+        end_ms = int(end_ts.value // 1_000_000)
 
         def row(sk, n, final):
             out = {"win_start": [w_start], "win_end": [w_end]}

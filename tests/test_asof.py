@@ -133,3 +133,37 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         g = got.rid_right.where(got.rid_right.notna(), -1).astype(int).tolist()
         w = want.rid.where(want.rid.notna(), -1).astype(int).tolist()
         assert g == w, f"tolerance={tol}"
+
+
+@pytest.mark.spark
+def test_asof_join_null_keys_never_match(spark):
+    """NULL join keys follow SQL equality: a NULL-key right row is
+    never a match candidate, a NULL-key left row passes through
+    unmatched (review finding: Window.partitionBy groups NULLs)."""
+    left = spark.createDataFrame(
+        [(None, 10, "lnull"), (1, 10, "l1")], "k long, ts long, q string"
+    )
+    right = spark.createDataFrame(
+        [(None, 5, "rnull"), (1, 5, "r1")], "k long, ts long, v string"
+    )
+    out = {r["q"]: r["v_right"] for r in asof_join(left, right, ["k"], "ts").collect()}
+    assert out == {"lnull": None, "l1": "r1"}
+
+
+@pytest.mark.spark
+def test_asof_join_subsecond_tolerance(spark):
+    """Timestamp tolerance compares at microsecond precision (review
+    finding: a cast-to-long truncated gaps to whole seconds)."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+
+    def t(ms):
+        return base + dt.timedelta(milliseconds=ms)
+
+    left = spark.createDataFrame([(1, t(10900), "q")], "k long, ts timestamp, q string")
+    right = spark.createDataFrame([(1, t(10000), "v")], "k long, ts timestamp, v string")
+    # true gap 0.9s: tolerance 0 must null it, 0.5 must null it, 1.0 keeps it
+    for tol, want in ((0, None), (0.5, None), (1.0, "v")):
+        got = asof_join(left, right, ["k"], "ts", tolerance=tol).collect()[0]["v_right"]
+        assert got == want, (tol, got)

@@ -43,8 +43,12 @@ def test_repetition_stats_cross_engine(spark, tmp_path):
     # cleaned length 11 → 9/11
     assert out[1].top_2gram_char_frac == pytest.approx(round(9 / 11, 6))
     assert not bool(out[1].passes_repetition)
-    # id=2: no repeated grams → top2 = single occurrence of the longest 2-gram
-    assert bool(out[2].passes_repetition) is False or True  # gate checked below
+    # id=2: no repeated grams, but the doc is SHORT, so the single
+    # longest 2-gram ('distinct words', count 1 × len 14) occupies
+    # 14/27 > 0.2 of the text — the top-gram rule correctly fails
+    # short texts (Gopher applies repetition rules to long docs)
+    assert out[2].top_2gram_char_frac == pytest.approx(round(14 / 27, 6))
+    assert not bool(out[2].passes_repetition)
     assert out[2].dup_5gram_char_frac == 0.0
     assert out[2].dup_line_char_frac == 0.0
     # id=3/4: empty → all zeros, passes

@@ -3,7 +3,8 @@
 Cross-engine: every expression must agree with its DuckDB SQL twin
 value-for-value (the md5-hex bucket is the shared primitive).
 Laws: split proportions, repartition/run stability, nested-rate
-monotonicity, complement disjointness, per-stratum rates.
+monotonicity (same-seed samples are subsets, NOT disjoint),
+seed decorrelation, per-stratum rates.
 """
 import pandas as pd
 import pytest
@@ -83,7 +84,7 @@ def test_split_laws(spark):
     assert diff == 0
     sp.unpersist()
 
-    # nested rates with one seed are monotone; complements are disjoint
+    # nested rates with one seed are monotone (subsets, NOT disjoint)
     flags = df.select(
         "id",
         S.sample_flag(["id"], 0.01, seed=9).alias("s1"),
@@ -261,3 +262,34 @@ def test_priority_estimator_unbiased():
         ests.append(sum(max(w, tau) for _, w in pris[:k]))
     mean = sum(ests) / len(ests)
     assert abs(mean - total) / total < 0.08, mean
+
+
+@pytest.mark.spark
+def test_null_key_encoding_and_seed_escaping(spark, tmp_path):
+    """Review findings: (a) NULL key values must hash distinctly from
+    their position-swapped twins ((NULL,'x') vs ('x',NULL) collided
+    under bare concat_ws); (b) a seed containing a quote must not
+    break the SQL twin."""
+    import duckdb
+
+    rows = [(1, None, "x"), (2, "x", None), (3, "x", "x"), (4, None, None)]
+    pdf = pd.DataFrame(rows, columns=["id", "a", "b"])
+    path = str(tmp_path / "nk.parquet")
+    pdf.to_parquet(path)
+
+    seed = "o'brien"
+    got = (
+        spark.read.parquet(path)
+        .select("id", S.hash_bucket(["a", "b"], 10**6, seed=seed).alias("bk"))
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{path}'")
+    want = con.sql(
+        f"SELECT id, {S.hash_bucket_sql(['a', 'b'], 10**6, seed=seed)} AS bk "
+        f"FROM t ORDER BY id"
+    ).df().reset_index(drop=True)
+    assert got.bk.tolist() == want.bk.tolist()
+    # the swapped-null rows land in different buckets
+    assert got.bk[0] != got.bk[1]
+    assert len(set(got.bk.tolist())) == 4

@@ -389,3 +389,64 @@ def test_stream_windowed_sketch_with_watermark(spark, tmp_path):
     assert ((20, 30), "a") in fkeys and fkeys[((20, 30), "a")]["n_rows"] == 2
     # provisional updates were emitted before finals
     assert any(not r["is_final"] and win(r) == (0, 10) and r["grp"] == "a" for r in rows)
+
+
+@pytest.mark.spark
+def test_stream_windowed_sketch_non_utc_session_tz(spark, tmp_path):
+    """Review finding: the window struct reaches Python as a naive
+    datetime in the SESSION timezone; treating it as UTC skews
+    EventTimeTimeout by the tz offset.  Run the windowed operator
+    under a non-UTC session tz and assert the finalization still
+    fires exactly when the watermark passes the window end."""
+    import datetime as dt
+    import time as _time
+
+    from btl_bloomfilter_spark.operators.hll import HyperLogLog
+    from btl_bloomfilter_spark.streaming.accumulate import stream_windowed_sketch_by_key
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        def t(sec):
+            return dt.datetime(2026, 6, 1, 0, 0, sec)
+
+        src = tmp_path / "tz_src"
+        src.mkdir()
+        batches = [
+            [(t(1), "a", "u1"), (t(3), "a", "u2")],   # window [0,10)
+            [(t(25), "a", "u3")],                     # watermark -> 20
+            [(t(40), "a", "u4")],                     # watermark -> 35
+        ]
+        for b in batches:
+            spark.createDataFrame(b, "ts timestamp, grp string, uid string").coalesce(
+                1
+            ).write.mode("append").parquet(str(src))
+            _time.sleep(1.1)
+
+        stream = (
+            spark.readStream.schema("ts timestamp, grp string, uid string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        out = stream_windowed_sketch_by_key(
+            stream, "ts", ["grp"], "uid",
+            lambda: HyperLogLog(p=12), lambda s: s.estimate(),
+            window_duration="10 seconds", watermark_delay="5 seconds",
+        )
+        rows = []
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, bid: rows.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "tz_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240), "tz streaming timed out"
+        finals = [r for r in rows if r["is_final"]]
+        # window [0,10) MUST have finalized (watermark 35 > end 10);
+        # with the pre-fix UTC interpretation, end_ms was +4-5h and the
+        # timeout would never fire within this stream
+        f0 = [r for r in finals if r["win_start"].second == 0 and r["win_start"].minute == 0]
+        assert len(f0) == 1 and f0[0]["n_rows"] == 2, finals
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
