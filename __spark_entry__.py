@@ -1619,6 +1619,18 @@ def q55_windowed_stream(spark, sf_dir):
     )
 
 
+def q56_tfidf_terms(spark, sf_dir):
+    """TF-IDF top terms per document (operators/tfidf.top_terms_tfidf
+    — explode → tf agg → broadcast doc-frequency join → WindowGroupLimit
+    top-k).  Ranking is integer-keyed (tf desc, df asc, term) so the
+    selection is exactly engine-reproducible; the smooth-IDF score is
+    hash-compared rounded to 6.  Fully oracled."""
+    from btl_bloomfilter_spark.operators.tfidf import top_terms_tfidf
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return top_terms_tfidf(docs, "text", "doc_id", k=3)
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1839,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_bloom_semi_join": q53_bloom_semi_join,
         "q54_asof_join": q54_asof_join,
         "q55_windowed_stream": q55_windowed_stream,
+        "q56_tfidf_terms": q56_tfidf_terms,
     }
 
 
@@ -1970,6 +1983,12 @@ def _q52_oracle_sql() -> str:
     """
 
 
+def _q56_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.tfidf import top_terms_tfidf_sql
+
+    return top_terms_tfidf_sql("documents", "text", "doc_id", k=3)
+
+
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
 
@@ -2057,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "q50_c4_filter": _q50_oracle_sql(),
         "q51_repetition_filter": _q51_oracle_sql(),
         "q52_priority_sample": _q52_oracle_sql(),
+        "q56_tfidf_terms": _q56_oracle_sql(),
         "q53_bloom_semi_join": """
             SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n_items,

@@ -1,0 +1,105 @@
+"""TF-IDF top terms per document.
+
+Classic corpus-analytics operator: characterize each document by its
+most significant terms.  Plan shape (the 100-TB one):
+
+    explode words → groupBy(doc, term) count        (shuffle 1: tf)
+    → groupBy(term) doc-frequency                   (shuffle 2, small out)
+    → broadcast(df table) join back onto tf         (no shuffle)
+    → per-doc top-k via rank window                 (WindowGroupLimit:
+                                                     map-side top-k)
+
+Ranking is deliberately INTEGER-KEYED — (tf DESC, df ASC, term ASC):
+highest in-document frequency first, rarer corpus-wide first on ties,
+lexicographic last.  Ordering by the float tf-idf score itself would
+make the top-k selection sensitive to last-ulp ln() differences
+between engines; with integer ordering the selection is exactly
+reproducible and the smooth-IDF score (sklearn formula
+``ln((N+1)/(df+1)) + 1``) rides along as an informational column,
+rounded to 6 for cross-engine hashing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.textstats import _WS
+
+
+def top_terms_tfidf(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    *,
+    k: int = 5,
+    min_df: int = 1,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per document: the k most significant terms as
+    (id, term, tf, doc_freq, tfidf, term_rank).
+
+    ``min_df`` drops terms appearing in fewer documents (noise/typos
+    at corpus scale).  N (corpus size) is computed with one count —
+    the only driver-side scalar.
+    """
+    c = F.coalesce(F.col(col), F.lit(""))
+    if lowercase:
+        c = F.lower(c)
+    words = F.when(
+        F.regexp_replace(c, rf"^[{_WS}]+|[{_WS}]+$", "") == "",
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(F.regexp_replace(c, rf"^[{_WS}]+|[{_WS}]+$", ""), rf"[{_WS}]+"))
+    n_docs = df.count()
+
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("doc_freq") >= min_df)
+    scored = tf.join(F.broadcast(dfreq), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf")
+            * (F.log((F.lit(float(n_docs + 1))) / (F.col("doc_freq") + 1)) + 1),
+            6,
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("tf").desc(), F.col("doc_freq").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term", "tf", "doc_freq", "tfidf", "term_rank"
+        )
+    )
+
+
+def top_terms_tfidf_sql(
+    table: str, col: str, id_col: str, *, k: int = 5, min_df: int = 1
+) -> str:
+    """DuckDB twin (lowercase=True variant)."""
+    t = f"regexp_replace(lower(coalesce({col}, '')), '^[{_WS}]+|[{_WS}]+$', '', 'g')"
+    words = f"(case when {t} = '' then [] else string_split_regex({t}, '[{_WS}]+') end)"
+    return f"""
+        WITH toks AS (
+            SELECT {id_col} AS id, unnest({words}) AS term FROM {table}
+        ),
+        tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+                  HAVING count(*) >= {min_df}),
+        n AS (SELECT count(*) AS n_docs FROM {table}),
+        scored AS (
+            SELECT tf.id, tf.term, tf.tf, dfreq.doc_freq,
+                   round(tf.tf * (ln((n.n_docs + 1)::double / (dfreq.doc_freq + 1)) + 1), 6) AS tfidf,
+                   row_number() OVER (PARTITION BY tf.id ORDER BY
+                       tf.tf DESC, dfreq.doc_freq ASC, tf.term ASC) AS term_rank
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT id AS {id_col}, term, tf, doc_freq, tfidf, term_rank
+        FROM scored WHERE term_rank <= {k}
+    """
