@@ -1631,6 +1631,80 @@ def q56_tfidf_terms(spark, sf_dir):
     return top_terms_tfidf(docs, "text", "doc_id", k=3)
 
 
+def q57_theta_set_ops(spark, sf_dir):
+    """Distinct-conversation SET ALGEBRA via theta/KMV sketches
+    (operators/theta.py) — the estimator family HLL cannot provide:
+    |A|, |B|, |A∪B|, |A∩B|, |A\\B| and Jaccard(A,B) for
+    A = conversations that called tool00, B = tool01 callers.  Each
+    per-set sketch is a distributed build (plans/agg.build_sketch:
+    mapInArrow partials → tree merge; merged state bit-identical to a
+    serial build by the KMV trim law, pinned in test_theta).  Exact
+    truths computed in the same query; gates use the theta-framework
+    deviation sigma ≈ sqrt(n(1-θ)/θ) at 5 sigma plus a small-count
+    floor.  Self-validating (sketch estimates — no SQL oracle by
+    design, like q21/q29)."""
+    from btl_bloomfilter_spark.operators.theta import (
+        ThetaSketch,
+        theta_a_not_b,
+        theta_intersect,
+        theta_jaccard,
+        theta_union,
+    )
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    t = _transcripts_for(spark, sf_dir)
+    k = 256  # small on purpose: exercises estimating mode even at sf0.01
+    sets = {}
+    for name, tool in (("a", "tool00"), ("b", "tool01")):
+        sets[name] = build_sketch(
+            t.filter(F.col("tool") == tool).select("conv_id"),
+            "conv_id",
+            lambda: ThetaSketch(k=k),
+            fanin=8,
+        )
+    a, b = sets["a"], sets["b"]
+    results = {
+        "card_a": (a, None),
+        "card_b": (b, None),
+        "union": (theta_union([a, b]), None),
+        "intersect": (theta_intersect(a, b), None),
+        "a_not_b": (theta_a_not_b(a, b), None),
+    }
+    exact_row = (
+        t.agg(
+            F.countDistinct(F.when(F.col("tool") == "tool00", F.col("conv_id"))).alias("card_a"),
+            F.countDistinct(F.when(F.col("tool") == "tool01", F.col("conv_id"))).alias("card_b"),
+            F.countDistinct(
+                F.when(F.col("tool").isin("tool00", "tool01"), F.col("conv_id"))
+            ).alias("union"),
+        ).collect()[0]
+    )
+    exact = dict(exact_row.asDict())
+    # inclusion-exclusion for the two derived measures
+    inter_exact = (
+        t.filter(F.col("tool") == "tool00")
+        .select("conv_id")
+        .intersect(t.filter(F.col("tool") == "tool01").select("conv_id"))
+        .count()
+    )
+    exact["intersect"] = inter_exact
+    exact["a_not_b"] = exact["card_a"] - inter_exact
+    rows = []
+    for measure, (sk, _) in results.items():
+        est, ex = sk.estimate(), float(exact[measure])
+        theta = max(sk.theta_fraction, 1e-12)
+        sigma = float(np.sqrt(max(ex, 1.0) * max(1.0 - theta, 0.0) / theta))
+        ok = abs(est - ex) <= 5 * sigma + 5.0
+        rows.append((measure, round(est, 2), ex, bool(ok)))
+    j_est = theta_jaccard(a, b)
+    j_exact = inter_exact / max(exact["union"], 1)
+    rows.append(("jaccard", round(j_est, 4), float(round(j_exact, 4)),
+                 bool(abs(j_est - j_exact) <= 0.15)))
+    return spark.createDataFrame(
+        rows, "measure string, theta_est double, exact double, within_bound boolean"
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1852,6 +1926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_asof_join": q54_asof_join,
         "q55_windowed_stream": q55_windowed_stream,
         "q56_tfidf_terms": q56_tfidf_terms,
+        "q57_theta_set_ops": q57_theta_set_ops,
     }
 
 

@@ -170,6 +170,29 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             ev, ["event_type"], "user_id", lambda: HyperLogLog(p=14), lambda s: s.estimate(), "est"
         ).collect()
 
+    def q_theta_set_ops():
+        # distinct-set algebra: two theta builds over transcript
+        # conv_id (user- vs assistant-heavy halves) + union/intersect
+        from btl_bloomfilter_spark.operators.theta import (
+            ThetaSketch,
+            theta_intersect,
+            theta_union,
+        )
+
+        a = build_sketch(
+            tdf.where(F.col("role") == "user").select("conv_id"),
+            "conv_id",
+            lambda: ThetaSketch(k=4096),
+            fanin=16,
+        )
+        b = build_sketch(
+            tdf.where(F.col("role") == "assistant").select("conv_id"),
+            "conv_id",
+            lambda: ThetaSketch(k=4096),
+            fanin=16,
+        )
+        return (theta_union([a, b]).estimate(), theta_intersect(a, b).estimate())
+
     def q_cms_events():
         cms = build_sketch(ev, "event_type", lambda: CountMinSketch.from_error(0.001, 0.01), fanin=16)
         return cms.estimate_batch(["error"])[0]
@@ -386,6 +409,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "doc_bloom_build": q_doc_bloom_build,
         "canonical_spaced_build": q_canonical_spaced_build,
         "hll_by_event_type": q_hll_by_event_type,
+        "theta_set_ops": q_theta_set_ops,
         "cms_events": q_cms_events,
         "kll_prices": q_kll_prices,
         "tdigest_prices": q_tdigest_prices,

@@ -123,6 +123,11 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.kept_pairs_clean and r.dropped_have_keeper
         assert r.n_kept + r.n_dropped == r.n
+    if name == "q57_theta_set_ops":
+        assert set(out.measure) == {"card_a", "card_b", "union", "intersect", "a_not_b", "jaccard"}
+        # the sketch must actually be estimating (k chosen below the
+        # corpus's distinct count), not trivially exact
+        assert (out.theta_est != out.exact).any()
     if name == "q42_contamination_screen":
         r = out.iloc[0]
         assert r.no_false_negatives and r.planted_all_flagged
