@@ -1705,6 +1705,36 @@ def q57_theta_set_ops(spark, sf_dir):
     )
 
 
+def q58_interval_join(spark, sf_dir):
+    """Interval (range) join — events counted into 2-hour campaign
+    windows keyed by event_type (operators/rangejoin.interval_join:
+    bucket-explode + shuffled equi-join + exact refine; each
+    qualifying pair meets in exactly one bucket so no dedup pass, and
+    the plan contains no NestedLoop/Cartesian node — pinned in
+    test_rangejoin).  Fully oracled against DuckDB's NATIVE inequality
+    join.  Campaign windows derive deterministically from the events
+    table itself (every event_id % 97 == 0 opens one)."""
+    from btl_bloomfilter_spark.operators.rangejoin import interval_join
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    ivs = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("iv_id"),
+        "event_type",
+        F.col("ts").alias("iv_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("iv_end"),
+    )
+    pts = ev.select("event_type", F.col("ts").alias("pt"))
+    j = interval_join(
+        pts, "pt", ivs, "iv_start", "iv_end", on=["event_type"],
+        bucket_width=2 * 3600 * 1_000_000,
+    )
+    return j.groupBy("iv_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("pt").alias("min_pt"),
+        F.max("pt").alias("max_pt"),
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1927,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_windowed_stream": q55_windowed_stream,
         "q56_tfidf_terms": q56_tfidf_terms,
         "q57_theta_set_ops": q57_theta_set_ops,
+        "q58_interval_join": q58_interval_join,
     }
 
 
@@ -2152,6 +2183,18 @@ def oracle_sql() -> dict[str, str]:
         "q51_repetition_filter": _q51_oracle_sql(),
         "q52_priority_sample": _q52_oracle_sql(),
         "q56_tfidf_terms": _q56_oracle_sql(),
+        "q58_interval_join": """
+            SELECT i.iv_id, i.event_type,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   min(e.ts) AS min_pt, max(e.ts) AS max_pt
+            FROM events e
+            JOIN (SELECT event_id AS iv_id, event_type, ts AS iv_start,
+                         ts + INTERVAL 2 HOUR AS iv_end
+                  FROM events WHERE event_id % 97 = 0) i
+              ON e.event_type = i.event_type
+             AND e.ts >= i.iv_start AND e.ts < i.iv_end
+            GROUP BY i.iv_id, i.event_type
+        """,
         "q53_bloom_semi_join": """
             SELECT l_returnflag,
                    CAST(count(*) AS BIGINT) AS n_items,

@@ -305,6 +305,29 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             .collect()[0][0]
         )
 
+    def q_interval_join_events():
+        # bucketized range join: events counted into 2h windows keyed
+        # by event_type — shuffled equi-join, never a nested loop
+        from btl_bloomfilter_spark.operators.rangejoin import interval_join
+
+        ev2 = state["events_asof"]
+        ivs = ev2.where(F.col("user_id") % 29 == 0).select(
+            F.col("user_id").alias("iv_uid"),
+            "event_type",
+            F.col("ts").alias("iv_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("iv_end"),
+        )
+        pts = ev2.select("event_type", F.col("ts").alias("pt"))
+        return (
+            interval_join(
+                pts, "pt", ivs, "iv_start", "iv_end", on=["event_type"],
+                bucket_width=2 * 3600 * 1_000_000,
+            )
+            .groupBy("iv_uid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .count()
+        )
+
     def q_bloom_semi_join():
         # sideways information passing: key filter over high-value
         # orders pre-prunes lineitem before the join shuffle; exact
@@ -423,6 +446,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "corpus_quality_pass": q_corpus_quality_pass,
         "bloom_semi_join": q_bloom_semi_join,
         "asof_join_events": q_asof_join_events,
+        "interval_join_events": q_interval_join_events,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
