@@ -1735,6 +1735,100 @@ def q58_interval_join(spark, sf_dir):
     )
 
 
+def q59_rollup_report(spark, sf_dir):
+    """Multi-level rollup report (SURVEY §2.9 'grouping sets /
+    cube / rollup' row): revenue by (returnflag, linestatus), by
+    returnflag subtotal, and grand total in ONE pass — Spark
+    `.rollup()` expands to a single Expand + hash aggregate with
+    map-side partial combine (no re-scan per level; the 100-TB shape
+    for report queries).  grouping_id disambiguates NULL-as-subtotal
+    from NULL data.  Fully oracled vs DuckDB ROLLUP."""
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("level"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "level",
+            "n_rows",
+            "revenue",
+            "avg_qty",
+        )
+    )
+
+
+def q60_grouped_quantiles(spark, sf_dir):
+    """Turn-length quantiles PER ROLE via KLL through sketch_by_key
+    (grouped mergeable-sketch path: map-side partial sketches, only
+    (key, blob) rows shuffle — q32 is the global build, this is the
+    per-key one; finalize emits array<double>, the out_type
+    generalization).  Gate is RANK-based, not value-based: for each
+    estimated quantile v at target q, the true rank interval
+    [P(x<v), P(x<=v)] (ties straddle) must contain q within eps =
+    4 * 2.2/k — KLL's empirical rank-error bound at 4x slack —
+    robust to the integer-tied length distribution where value
+    relative error is meaningless at low quantiles."""
+    from btl_bloomfilter_spark.operators.kll import KLL
+    from btl_bloomfilter_spark.plans.agg import sketch_by_key
+
+    t = _transcripts_for(spark, sf_dir)
+    lens = t.select(
+        "role", F.size(F.split(F.trim("text"), r"\s+")).cast("double").alias("x")
+    ).cache()
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = sketch_by_key(
+        lens,
+        ["role"],
+        "x",
+        lambda: KLL(k=200),
+        lambda s: [float(s.quantile(q)) for q in qs],
+        "kll_q",
+        out_type="array<double>",
+    )
+    exact = lens.groupBy("role").agg(
+        F.expr(f"percentile(x, array({', '.join(map(str, qs))}))").alias("exact_q")
+    )
+    qlit = F.array(*[F.lit(float(q)) for q in qs])
+    per_q = (
+        est.join(exact, "role")
+        .select("role", F.posexplode(F.arrays_zip("kll_q", "exact_q")))
+        .select(
+            "role",
+            F.element_at(qlit, F.col("pos") + 1).alias("q"),
+            F.col("col.kll_q").alias("kll"),
+            F.col("col.exact_q").alias("exact"),
+        )
+    )
+    eps = 4 * 2.2 / 200
+    ranked = (
+        lens.join(per_q, "role")
+        .groupBy("role", "q", "kll", "exact")
+        .agg(
+            F.avg((F.col("x") < F.col("kll")).cast("double")).alias("rank_lt"),
+            F.avg((F.col("x") <= F.col("kll")).cast("double")).alias("rank_le"),
+        )
+    )
+    return ranked.select(
+        "role",
+        "q",
+        "kll",
+        "exact",
+        F.round("rank_lt", 4).alias("rank_lt"),
+        F.round("rank_le", 4).alias("rank_le"),
+        ((F.col("q") >= F.col("rank_lt") - eps) & (F.col("q") <= F.col("rank_le") + eps)).alias(
+            "within_bound"
+        ),
+    )
+
+
 def q47_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup over the embeddings table
     (operators/similarity.semantic_dedup — seeded k-means cells, then
@@ -1958,6 +2052,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_tfidf_terms": q56_tfidf_terms,
         "q57_theta_set_ops": q57_theta_set_ops,
         "q58_interval_join": q58_interval_join,
+        "q59_rollup_report": q59_rollup_report,
+        "q60_grouped_quantiles": q60_grouped_quantiles,
     }
 
 
@@ -2183,6 +2279,16 @@ def oracle_sql() -> dict[str, str]:
         "q51_repetition_filter": _q51_oracle_sql(),
         "q52_priority_sample": _q52_oracle_sql(),
         "q56_tfidf_terms": _q56_oracle_sql(),
+        "q59_rollup_report": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS level,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   round(avg(l_quantity), 4) AS avg_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "q58_interval_join": """
             SELECT i.iv_id, i.event_type,
                    CAST(count(*) AS BIGINT) AS n_points,

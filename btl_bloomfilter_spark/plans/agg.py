@@ -432,8 +432,13 @@ def sketch_by_key(
     *,
     key_schema: str | None = None,
     salt_partitions: int | None = None,
+    out_type: str = "double",
 ) -> DataFrame:
     """Per-key sketch estimates with map-side partial aggregation.
+
+    ``out_type`` is the DDL type of ``finalize``'s return value —
+    default scalar ``double``; pass e.g. ``array<double>`` for
+    multi-quantile finalizes (the value is emitted as-is then).
 
     Stage 1 (mapInPandas) builds one partial sketch per (partition,
     key) — the sketch analog of a map-side combine, so only
@@ -449,7 +454,7 @@ def sketch_by_key(
         type_of = {f.name: f.dataType.simpleString() for f in df.schema.fields}
         key_schema = ", ".join(f"{k} {type_of[k]}" for k in keys)
     partial_schema = f"{key_schema}, blob binary"
-    out_schema = f"{key_schema}, {out_col} double"
+    out_schema = f"{key_schema}, {out_col} {out_type}"
 
     sdf = df.select(*keys, col)
     proto = make_sketch()
@@ -504,6 +509,7 @@ def sketch_by_key(
             .drop("__salt")
         )
 
+    emit = (lambda sk: float(finalize(sk))) if out_type == "double" else finalize
     return partials.repartition(*[F.col(k) for k in keys]).mapInPandas(
-        _merge_partition_fn(keys, out_col, lambda sk: float(finalize(sk))), out_schema
+        _merge_partition_fn(keys, out_col, emit), out_schema
     )

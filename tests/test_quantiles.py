@@ -118,3 +118,39 @@ def test_tdigest_cdf_and_serialize():
     back = Sketch.deserialize(td.serialize())
     assert back.quantile(0.5) == td.quantile(0.5)
     assert back.n == td.n
+
+
+def test_sketch_by_key_array_out_type(spark):
+    """Grouped KLL with an array<double> finalize (out_type
+    generalization): per-key quantile arrays land intact, and each
+    key's distributed sketch answers within the rank bound of the
+    key's own data."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from btl_bloomfilter_spark.plans.agg import sketch_by_key
+
+    rng = np.random.default_rng(11)
+    keys = ["a"] * 30_000 + ["b"] * 10_000
+    vals = np.concatenate([rng.normal(100, 15, 30_000), rng.exponential(5, 10_000)])
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": keys, "v": vals.astype(float)})
+    ).repartition(8)
+    qs = [0.1, 0.5, 0.9]
+    out = sketch_by_key(
+        df,
+        ["k"],
+        "v",
+        lambda: KLL(k=200),
+        lambda s: [float(s.quantile(q)) for q in qs],
+        "qv",
+        out_type="array<double>",
+    ).toPandas()
+    assert sorted(out["k"]) == ["a", "b"]
+    data = {"a": vals[:30_000], "b": vals[30_000:]}
+    for _, row in out.iterrows():
+        xs = np.sort(data[row["k"]])
+        assert len(row["qv"]) == 3
+        for q, v in zip(qs, row["qv"]):
+            rank = np.searchsorted(xs, v) / xs.size
+            assert abs(rank - q) <= 4 * 2.2 / 200, (row["k"], q, v, rank)
