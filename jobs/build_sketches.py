@@ -107,6 +107,26 @@ def main(argv=None, *, stop_session: bool = True):
         "estimates": {r["role"]: r["est"] for r in hll_rows},
     }
 
+    # per-role theta sketches over conv_id: persisted, they support
+    # later SET ALGEBRA across profiles/shards (|user ∩ assistant|,
+    # conversations in shard A not in B, ...) — HLL can't intersect
+    t0 = time.perf_counter()
+    from btl_bloomfilter_spark.operators.theta import ThetaSketch
+
+    theta_est = {}
+    for role in [r["role"] for r in df.select("role").distinct().collect()]:
+        th = build_sketch(
+            df.filter(F.col("role") == role).select("conv_id"),
+            "conv_id",
+            lambda: ThetaSketch(k=4096),
+        )
+        (out / f"convs_{role}.theta").write_bytes(th.serialize())
+        theta_est[role] = th.estimate()
+    metrics["theta_distinct_convs_per_role"] = {
+        "sec": round(time.perf_counter() - t0, 2),
+        "estimates": theta_est,
+    }
+
     ldf = df.select(F.length("text").cast("double").alias("len")).cache()
     t0 = time.perf_counter()
     kll = build_sketch(ldf, "len", lambda: KLL(k=200), lineage=lineage)

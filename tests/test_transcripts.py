@@ -191,8 +191,18 @@ def test_build_sketches_job_end_to_end(spark, tmp_path):
     # per-key HLL estimates are sane (roles each see ~all convs)
     ests = m1["hll_distinct_convs_per_role"]["estimates"]
     assert ests and all(v > 50 for v in ests.values())
+    # persisted theta sketches support cross-profile set algebra
+    from btl_bloomfilter_spark.operators.base import Sketch
+    from btl_bloomfilter_spark.operators.theta import theta_intersect
+
+    th_user = Sketch.deserialize((out / "convs_user.theta").read_bytes())
+    th_asst = Sketch.deserialize((out / "convs_assistant.theta").read_bytes())
+    inter = theta_intersect(th_user, th_asst).estimate()
+    assert 50 <= inter <= 250  # every conv has both roles at 200 convs
     # rerun with matching lineage resumes from checkpoints, same filter
     m2 = bj.main(args, stop_session=False)
+    # theta rebuild is value-deterministic: identical bytes
+    assert (out / "convs_user.theta").read_bytes() == th_user.serialize()
     bf2 = bfio.load_bloom(out / "text_ngrams.bf")
     assert bf2.bits.tobytes() == bf.bits.tobytes()
     assert m2["bloom"]["sec"] <= m1["bloom"]["sec"] * 2  # resume not slower-class
