@@ -1992,6 +1992,27 @@ def q45_stream_keyed_build(spark, sf_dir):
     )
 
 
+def q61_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: the near-dup PAIR graph (q06's
+    exact n-gram Jaccard, identical params) resolved into connected
+    COMPONENTS via alternating large-star/small-star
+    (operators/components.py; O(log² n) rounds, per-round lineage
+    truncation), summarized per cluster.  Fully oracled: DuckDB
+    recursive-CTE reachability closure computes the same min-label
+    components over the same pair SQL."""
+    from btl_bloomfilter_spark.operators.components import connected_components
+    from btl_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.03, max_doc_freq=100)
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc"),
+        F.sum("node").alias("sum_docs"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2054,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q58_interval_join": q58_interval_join,
         "q59_rollup_report": q59_rollup_report,
         "q60_grouped_quantiles": q60_grouped_quantiles,
+        "q61_dup_clusters": q61_dup_clusters,
     }
 
 
@@ -2256,6 +2278,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON id_a = sa.doc_id
             JOIN sizes sb ON id_b = sb.doc_id
             WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.03
+        """,
+        # same shingle/pair derivation, then recursive-CTE reachability
+        # closure → min-label components (mirrors q61's large-star/
+        # small-star result exactly: both label a component by its
+        # minimum doc_id)
+        "q61_dup_clusters": shingle_cte.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + """
+            , pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.03
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            reach AS (
+                SELECT u AS node, u AS lbl FROM edges GROUP BY u
+                UNION
+                SELECT r.node, e.v AS lbl FROM reach r JOIN edges e ON e.u = r.lbl
+            ),
+            comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+            SELECT component,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   max(node) AS max_doc,
+                   CAST(sum(node) AS BIGINT) AS sum_docs
+            FROM comp GROUP BY component
         """,
         "q48_pii_redaction": f"""
             SELECT source,
