@@ -2013,6 +2013,52 @@ def q61_dup_clusters(spark, sf_dir):
     )
 
 
+Q62_PATH = "/tmp/bbs_q62_transcripts"
+
+
+def q62_conv_fingerprints(spark, sf_dir):
+    """Ordered conversation fingerprinting + duplicate-conversation
+    resolution — the north_rule per-row invariant ('per-turn text
+    equality under stable (conv_id, turn_idx) ordering') as a
+    hash-oracled cross-engine query.  The synthetic transcript table
+    is materialized to parquet so DuckDB reconstructs every
+    conversation independently (md5 over string_agg ORDER BY
+    turn_idx) — all ~2k fingerprints must match Spark's
+    array_sort(collect_list(struct)) reconstruction byte-for-byte.
+    Duplicates are planted by relabeling conversations whose id ends
+    in '00' (same rule in both engines)."""
+    from btl_bloomfilter_spark.operators.dedup import duplicate_groups, group_fingerprints
+
+    _transcripts_for(spark, sf_dir).write.mode("overwrite").parquet(Q62_PATH)
+    t = spark.read.parquet(Q62_PATH).select("conv_id", "turn_idx", "text")
+    dup = t.where(F.col("conv_id").endswith("00")).withColumn(
+        "conv_id", F.concat(F.col("conv_id"), F.lit("-dup"))
+    )
+    fps = group_fingerprints(t.unionByName(dup), "conv_id", "turn_idx", "text")
+    return duplicate_groups(fps, "conv_id").select(
+        "conv_id",
+        F.col("n_rows").alias("n_turns"),
+        "fingerprint",
+        "dup_group_size",
+        "keeper",
+    )
+
+
+def q63_novelty_scores(spark, sf_dir):
+    """Exact shingle-novelty of odd-id documents vs the even-id
+    reference corpus, computed via the Bloom-accelerated exact plan
+    (operators/novelty.py: misses are certainly novel map-side, only
+    hits pay the FP-removing anti-join) — hash-oracled against
+    DuckDB's plain anti-join, which is what 'exact despite the lossy
+    pre-filter' means."""
+    from btl_bloomfilter_spark.operators.novelty import novelty_scores
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return novelty_scores(new, ref, "text", "doc_id", n=3, fpr=0.01)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2076,6 +2122,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_rollup_report": q59_rollup_report,
         "q60_grouped_quantiles": q60_grouped_quantiles,
         "q61_dup_clusters": q61_dup_clusters,
+        "q62_conv_fingerprints": q62_conv_fingerprints,
+        "q63_novelty_scores": q63_novelty_scores,
     }
 
 
@@ -2340,6 +2388,49 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 4) AS avg_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        # conversation reconstruction: DuckDB rebuilds every
+        # conversation with ORDER BY turn_idx inside string_agg; every
+        # md5 must equal Spark's array_sort(collect_list) one — the
+        # per-turn text-equality invariant, checked cross-engine
+        "q62_conv_fingerprints": f"""
+            WITH t AS (SELECT conv_id, turn_idx, text
+                       FROM read_parquet('{Q62_PATH}/*.parquet')),
+            u AS (
+                SELECT conv_id, turn_idx, text FROM t
+                UNION ALL
+                SELECT conv_id || '-dup', turn_idx, text FROM t
+                WHERE conv_id LIKE '%00'
+            ),
+            fp AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       md5(string_agg(text, chr(30) ORDER BY turn_idx)) AS fingerprint
+                FROM u GROUP BY conv_id
+            )
+            SELECT conv_id, n_turns, fingerprint,
+                   CAST(count(*) OVER (PARTITION BY fingerprint) AS BIGINT) AS dup_group_size,
+                   min(conv_id) OVER (PARTITION BY fingerprint) AS keeper
+            FROM fp
+        """,
+        # plain anti-join novelty — must equal the Bloom-accelerated
+        # exact plan bit-for-bit (misses certainly novel, hits
+        # FP-checked)
+        "q63_novelty_scores": shingle_cte.split("-- hot-shingle cap")[0].rstrip().rstrip(",")
+        + """
+            , cand AS (SELECT doc_id, shingle FROM sh0 WHERE doc_id % 2 = 1),
+            refu AS (SELECT DISTINCT shingle FROM sh0 WHERE doc_id % 2 = 0),
+            novel AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS novel_shingles
+                FROM cand ANTI JOIN refu USING (shingle)
+                GROUP BY doc_id
+            ),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS total_shingles
+                    FROM cand GROUP BY doc_id)
+            SELECT tot.doc_id AS id, total_shingles,
+                   coalesce(novel_shingles, 0) AS novel_shingles,
+                   round(coalesce(novel_shingles, 0)::double / total_shingles, 6) AS novelty
+            FROM tot LEFT JOIN novel ON tot.doc_id = novel.doc_id
         """,
         "q58_interval_join": """
             SELECT i.iv_id, i.event_type,

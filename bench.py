@@ -426,6 +426,28 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     extras["mibf_build_once_sec"] = round(time.perf_counter() - t0, 3)
     extras["mibf_build_windows"] = n_win
 
+    def q_novelty_scores():
+        # Bloom-accelerated EXACT novelty: even-id docs are the
+        # reference, odd-id the candidates; misses counted map-side,
+        # only Bloom hits pay the FP-removing anti-join
+        from btl_bloomfilter_spark.operators.novelty import novelty_scores
+
+        ref = docs.where(F.col("doc_id") % 2 == 0)
+        new = docs.where(F.col("doc_id") % 2 == 1)
+        return novelty_scores(new, ref, "text", "doc_id", fpr=0.01).count()
+
+    def q_conv_fingerprints():
+        # ordered conversation reconstruction + duplicate-group
+        # resolution over the transcript corpus (one shuffle on
+        # conv_id + one on the md5 fingerprint)
+        from btl_bloomfilter_spark.operators.dedup import (
+            duplicate_groups,
+            group_fingerprints,
+        )
+
+        fps = group_fingerprints(tdf, "conv_id", "turn_idx", "text")
+        return duplicate_groups(fps, "conv_id").count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -447,6 +469,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "bloom_semi_join": q_bloom_semi_join,
         "asof_join_events": q_asof_join_events,
         "interval_join_events": q_interval_join_events,
+        "novelty_scores": q_novelty_scores,
+        "conv_fingerprints": q_conv_fingerprints,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet

@@ -23,6 +23,7 @@ import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from ..functions import hashing as H
 
@@ -761,3 +762,56 @@ def drop_hot_fingerprints(fps: DataFrame, max_anchor_freq: int = 100) -> DataFra
         .select("fp")
     )
     return fps.join(hot, "fp", "left_anti")
+
+
+def group_fingerprints(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    text_col: str,
+    *,
+    sep: str = "\x1e",
+) -> DataFrame:
+    """Order-stable content fingerprint per group: md5 over the
+    group's ``text_col`` values concatenated in ``order_col`` order.
+
+    The transcript use-case (north_rule's per-row invariant): a
+    conversation's identity is its turns' text *in stable
+    (conv_id, turn_idx) order* — two conversations are duplicates iff
+    the ordered reconstruction matches byte-for-byte.  ``collect_list``
+    alone is NOT order-stable under Spark's partitioning, so the sort
+    happens inside the group via ``array_sort`` over
+    (order, text) structs — deterministic on any cluster layout.
+
+    Returns (group_col, n_rows, fingerprint).  Assumes ``order_col``
+    is unique within a group (struct sort falls back to text on ties,
+    which is still deterministic but no longer "by order alone") and
+    ``text_col`` is non-null.  Scale: ONE shuffle on the group key;
+    per-group state is the group's own rows, fine for conversations
+    (bounded turns).  For pathological million-row groups, fold
+    fixed-size chunks first and fingerprint the chunk digests
+    (Merkle-style) instead of materializing the full array.
+    """
+    parts = F.array_sort(
+        F.collect_list(F.struct(F.col(order_col).alias("o"), F.col(text_col).alias("t")))
+    )
+    return df.groupBy(group_col).agg(
+        F.count("*").alias("n_rows"),
+        F.md5(F.array_join(F.transform(parts, lambda s: s["t"]), sep)).alias("fingerprint"),
+    )
+
+
+def duplicate_groups(fp_df: DataFrame, group_col: str) -> DataFrame:
+    """Duplicate-group resolution over :func:`group_fingerprints`
+    output: per input group, the size of its identical-content class
+    and the canonical keeper (min group id).  A second shuffle on the
+    fingerprint — both exchanges are on near-uniform keys (md5 /
+    conversation id), no skew mitigation needed."""
+    w = Window.partitionBy("fingerprint")
+    return fp_df.select(
+        group_col,
+        "n_rows",
+        "fingerprint",
+        F.count("*").over(w).alias("dup_group_size"),
+        F.min(group_col).over(w).alias("keeper"),
+    )
