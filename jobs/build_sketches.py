@@ -32,7 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None, *, stop_session: bool = True):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", help="parquet path of transcripts (conv_id, turn_idx, role, text, tool, ts)")
+    ap.add_argument("--input", help="transcripts: parquet path, or table:<catalog-identifier> (Iceberg/Hive; table:ident@<snapshot> pins an Iceberg snapshot)")
     ap.add_argument("--synthetic-convs", type=int, default=0, help="generate N synthetic conversations instead")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
@@ -64,8 +64,10 @@ def main(argv=None, *, stop_session: bool = True):
         df = transcripts_df(spark, args.synthetic_convs)
         lineage = f"synthetic:seed=42:convs={args.synthetic_convs}"
     else:
-        df = spark.read.parquet(args.input)
-        lineage = f"parquet:{args.input}"
+        from btl_bloomfilter_spark.sources.catalog import load_table
+
+        df = load_table(spark, args.input)
+        lineage = f"input:{args.input}"
     df = df.cache()
     n_turns = df.count()
 

@@ -57,7 +57,7 @@ def parse_split(s: str) -> dict[str, float]:
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument("--input", required=True, help="input parquet path or table:<identifier>")
     ap.add_argument("-o", "--output", required=True, help="cleaned parquet output")
     ap.add_argument("--col", default="text")
     ap.add_argument("--id", dest="id_col", default="doc_id")
@@ -82,7 +82,9 @@ def main(argv=None):
     from btl_bloomfilter_spark.session import get_spark
 
     spark = get_spark("clean_corpus", master=f"local[{args.cpus}]" if args.cpus else None)
-    df = spark.read.parquet(args.input)
+    from btl_bloomfilter_spark.sources.catalog import load_table
+
+    df = load_table(spark, args.input)
     col, id_col = args.col, args.id_col
     stats = {"input": df.count()}
 

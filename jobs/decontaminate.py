@@ -47,8 +47,10 @@ def main(argv=None):
     from btl_bloomfilter_spark.sources import bfio
 
     spark = get_spark("decontaminate", master=f"local[{args.cpus}]" if args.cpus else None)
-    corpus = spark.read.parquet(args.corpus)
-    bench = spark.read.parquet(args.bench).select(args.col) if args.bench else None
+    from btl_bloomfilter_spark.sources.catalog import load_table
+
+    corpus = load_table(spark, args.corpus)
+    bench = load_table(spark, args.bench).select(args.col) if args.bench else None
     bloom = bfio.load_bloom(args.filter_in) if args.filter_in else None
     screened, bloom = contamination_screen(
         corpus, bench, args.col, k=args.k, fpr=args.fpr, bloom=bloom
