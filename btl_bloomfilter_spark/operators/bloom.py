@@ -607,6 +607,22 @@ class BloomFilter(Sketch):
     def fpr(self) -> float:
         return P.observed_fpr(self.pop(), self.m_bits, self.hash_num)
 
+    def estimate_cardinality(self) -> float:
+        """Distinct-element estimate from the fill level (Swamidass &
+        Baldi 2007): n̂ = -(m/h)·ln(1 − X/m) with X = pop().  The
+        inverse of the expected-fill law the reference's sizing
+        formulas assume (BloomFilter.hpp:406-419) — a Bloom filter
+        built for membership doubles as a coarse distinct counter
+        with no extra state.  For windowed filters (k>0) the
+        "elements" are k-gram windows, not input strings.  Saturated
+        filters (X == m) have no finite estimate → inf."""
+        import math
+
+        x = self.pop()
+        if x >= self.m_bits:
+            return float("inf")
+        return -(self.m_bits / self.hash_num) * math.log1p(-x / self.m_bits)
+
     def theoretical_fpr(self) -> float:
         return P.fpr_num_inserted(self.n_entry, self.m_bits, self.hash_num)
 

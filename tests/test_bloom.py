@@ -264,3 +264,25 @@ def test_bf_file_roundtrip_preserves_hash_mode(tmp_path):
     assert back2.canonical
     # RC probe only works if the canonical mode survived the round trip
     assert back2.contains_batch(["ACGTACGTACGT"]).all()
+
+
+def test_estimate_cardinality_law():
+    """Swamidass-Baldi fill inversion: within a few % across fill
+    levels, exact at the expected-fill fixed point, inf when
+    saturated."""
+    import numpy as np
+
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+
+    rng = np.random.default_rng(7)
+    for n in (500, 5000, 40000):
+        bf = BloomFilter(1 << 20, 4, 0)
+        items = [f"item{i:07d}" for i in range(n)]
+        bf.update(items)
+        est = bf.estimate_cardinality()
+        assert abs(est - n) / n < 0.03, (n, est)
+    # saturated filter -> inf
+    bf = BloomFilter(64, 1, 0)
+    bf.update([f"x{i}" for i in range(2000)])
+    if bf.pop() == bf.m_bits:
+        assert bf.estimate_cardinality() == float("inf")
