@@ -13,6 +13,7 @@ oracle_sql()   — DuckDB-equivalent ANSI SQL per query where the
 
 from __future__ import annotations
 
+import os
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -2054,7 +2055,10 @@ def q64_bloom_cardinality(spark, sf_dir):
     )
 
 
-Q62_PATH = "/tmp/bbs_q62_transcripts"
+# per-process path: queries() and oracle_sql() run in one process, so
+# the oracle sees exactly the parquet this run wrote — concurrent
+# runs (bench + tests on a shared box) cannot race on a shared dir
+Q62_PATH = f"/tmp/bbs_q62_transcripts_{os.getpid()}"
 
 
 def q62_conv_fingerprints(spark, sf_dir):
@@ -2447,7 +2451,7 @@ def oracle_sql() -> dict[str, str]:
             fp AS (
                 SELECT conv_id,
                        CAST(count(*) AS BIGINT) AS n_turns,
-                       md5(string_agg(text, chr(30) ORDER BY turn_idx)) AS fingerprint
+                       md5(string_agg(md5(text), '' ORDER BY turn_idx)) AS fingerprint
                 FROM u GROUP BY conv_id
             )
             SELECT conv_id, n_turns, fingerprint,

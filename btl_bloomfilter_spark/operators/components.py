@@ -127,14 +127,19 @@ def cluster_assign(
     The components table is tiny relative to the corpus (only docs
     that matched ANY candidate pair), so the join broadcasts.
     """
-    comp = connected_components(pairs, src, dst)
+    comp = connected_components(pairs, src, dst).withColumnRenamed(
+        "component", "__cc_component"
+    )
     return (
         df.join(
             F.broadcast(comp.withColumnRenamed("node", id_col)),
             id_col,
             "left",
         )
-        .withColumn("component", F.coalesce("component", F.col(id_col)))
+        # temp name avoids AMBIGUOUS_REFERENCE when df already carries
+        # a 'component' column (e.g. re-clustering a prior assignment)
+        .withColumn("component", F.coalesce("__cc_component", F.col(id_col)))
+        .drop("__cc_component")
     )
 
 
@@ -148,15 +153,19 @@ def cluster_representatives(
 
     Default policy: minimum id (matches the component label, so the
     representative is stable under re-clustering).  With
-    ``quality_col``: highest quality wins, ties broken by smallest id
-    — ``max_by(id, struct(quality, -id))``, a partial-combining
-    aggregate (no window sort, no shuffle beyond the groupBy).
+    ``quality_col`` (numeric): highest quality wins, ties broken by
+    smallest id — ``min_by(id, struct(-quality, id))``, a
+    partial-combining aggregate (no window sort, no shuffle beyond
+    the groupBy).  The negation sits on the NUMERIC quality, never on
+    the id, so string ids (conv_id, doc hashes) work — negating the
+    id would throw under ANSI mode / NULL out otherwise.
     """
     if quality_col is None:
         keep = F.min(id_col).alias("rep_id")
     else:
-        keep = F.max_by(
-            id_col, F.struct(F.col(quality_col), (-F.col(id_col)).alias("neg"))
+        keep = F.min_by(
+            id_col,
+            F.struct((-F.col(quality_col)).alias("nq"), F.col(id_col).alias("i")),
         ).alias("rep_id")
     return assigned.groupBy("component").agg(
         keep, F.count(F.lit(1)).alias("cluster_size")

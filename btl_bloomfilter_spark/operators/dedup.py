@@ -769,11 +769,14 @@ def group_fingerprints(
     group_col: str,
     order_col: str,
     text_col: str,
-    *,
-    sep: str = "\x1e",
 ) -> DataFrame:
     """Order-stable content fingerprint per group: md5 over the
-    group's ``text_col`` values concatenated in ``order_col`` order.
+    concatenation of each turn's OWN md5 in ``order_col`` order
+    (a digest chain).  Hashing per-element digests instead of the
+    raw texts makes the fingerprint injection-proof: with a raw
+    separator-join, a text containing the separator byte would make
+    ('foo<sep>bar') collide with ('foo','bar') — fixed-width hex
+    digests need no separator and cannot encode one.
 
     The transcript use-case (north_rule's per-row invariant): a
     conversation's identity is its turns' text *in stable
@@ -797,7 +800,9 @@ def group_fingerprints(
     )
     return df.groupBy(group_col).agg(
         F.count("*").alias("n_rows"),
-        F.md5(F.array_join(F.transform(parts, lambda s: s["t"]), sep)).alias("fingerprint"),
+        F.md5(F.array_join(F.transform(parts, lambda s: F.md5(s["t"])), "")).alias(
+            "fingerprint"
+        ),
     )
 
 

@@ -85,7 +85,18 @@ def novelty_scores(
     if ref_sh is None:
         ref_sh = reference_shingles(ref_docs, col, id_col, n)
     if bloom is None:
-        bloom = build_reference_filter(ref_sh, fpr=fpr)
+        # Persist the universe across the sizing count and the filter
+        # build (2 consumers -> 1 source pass), then release: the
+        # anti-join recomputes it ONCE at action time.  Net 2 passes
+        # over the reference corpus instead of 3; callers wanting the
+        # 1-pass path persist it themselves and pass ref_sh= (the
+        # bloom=/ref_sh= reuse pattern, same as decontam).
+        ref_sh.persist()
+        try:
+            capacity = ref_sh.count()
+            bloom = build_reference_filter(ref_sh, fpr=fpr, capacity=capacity)
+        finally:
+            ref_sh.unpersist()
     if bloom.k != 0:
         raise ValueError("reference filter must be a whole-string (k=0) BloomFilter")
 

@@ -39,11 +39,17 @@ from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
 
 def _fdiv(col: F.Column, w: int) -> F.Column:
-    """Exact floor division on longs: (x - pmod(x, w)) / w.  The
-    numerator is an exact multiple of w and the quotient an exactly
-    representable integer, so the double division introduces no
-    rounding (unlike floor(x / w) on raw epoch-microsecond values)."""
-    return ((col - F.pmod(col, F.lit(w))) / F.lit(w)).cast("long")
+    """Exact floor division on longs: (x - pmod(x, w)) / w with the
+    division done in DECIMAL(38,0).  The numerator is an exact
+    multiple of w, but for |x| > 2^53 it is not exactly representable
+    as a double — a double division can land just below the true
+    integer quotient and the long cast would truncate to bucket-1
+    (silently dropping qualifying pairs, e.g. nanosecond-epoch
+    longs).  Decimal arithmetic is exact at this width for the full
+    long range, negatives included (pmod keeps the numerator a
+    floor-multiple)."""
+    numer = (col - F.pmod(col, F.lit(w))).cast("decimal(38,0)")
+    return (numer / F.lit(w)).cast("long")
 
 
 def _as_long(df: DataFrame, col: str) -> F.Column:

@@ -196,7 +196,10 @@ def theta_union(sketches: Iterable[ThetaSketch]) -> ThetaSketch:
     """Union of any number of sketches (a fresh sketch; inputs
     untouched).  Identical to folding ``merge``."""
     it = iter(sketches)
-    first = next(it)
+    try:
+        first = next(it)
+    except StopIteration:
+        raise ValueError("theta_union requires at least one sketch") from None
     out = _result(first, first._theta, first._vals.copy(), first.t_entry)
     for sk in it:
         out.merge(sk)

@@ -67,7 +67,10 @@ def main(argv=None, *, stop_session: bool = True):
         from btl_bloomfilter_spark.sources.catalog import load_table
 
         df = load_table(spark, args.input)
-        lineage = f"input:{args.input}"
+        # keep the historical 'parquet:' prefix for path inputs —
+        # lineage is part of the checkpoint identity, so changing it
+        # would silently invalidate existing --checkpoint state
+        lineage = args.input if args.input.startswith("table:") else f"parquet:{args.input}"
     df = df.cache()
     n_turns = df.count()
 
@@ -118,12 +121,16 @@ def main(argv=None, *, stop_session: bool = True):
     theta_est = {}
     for role in [r["role"] for r in df.select("role").distinct().collect()]:
         th = build_sketch(
-            df.filter(F.col("role") == role).select("conv_id"),
+            # eqNullSafe: a NULL role group (possible with table:
+            # inputs) matches its own rows instead of silently
+            # producing an empty sketch
+            df.filter(F.col("role").eqNullSafe(F.lit(role))).select("conv_id"),
             "conv_id",
             lambda: ThetaSketch(k=4096),
         )
-        (out / f"convs_{role}.theta").write_bytes(th.serialize())
-        theta_est[role] = th.estimate()
+        name = role if role is not None else "null"
+        (out / f"convs_{name}.theta").write_bytes(th.serialize())
+        theta_est[name] = th.estimate()
     metrics["theta_distinct_convs_per_role"] = {
         "sec": round(time.perf_counter() - t0, 2),
         "estimates": theta_est,

@@ -102,6 +102,36 @@ def test_cluster_assign_and_representatives(spark):
     assert reps_q == {1: 2, 4: 4, 9: 9}
 
 
+def test_string_ids_quality_policy(spark):
+    """Quality-based representatives must work with STRING ids
+    (conv_id / doc hashes): the tie-break negates the numeric quality,
+    never the id — negating a string id throws under ANSI mode."""
+    df = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.9), ("c", 0.9), ("z", 0.1)],
+        "doc_id string, quality double",
+    )
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")], "id_a string, id_b string")
+    assigned = cluster_assign(df, pairs, "doc_id")
+    reps = {
+        r["component"]: r["rep_id"]
+        for r in cluster_representatives(assigned, "doc_id", quality_col="quality").collect()
+    }
+    # b and c tie at 0.9 -> smaller id wins; z is a singleton
+    assert reps == {"a": "b", "z": "z"}
+
+
+def test_recluster_existing_component_column(spark):
+    """cluster_assign over a frame that already carries a 'component'
+    column (re-clustering a prior assignment) must not hit an
+    ambiguous-reference error and must overwrite with the new labels."""
+    df = spark.createDataFrame(
+        [(1, 99), (2, 99), (3, 99)], "doc_id long, component long"
+    )
+    pairs = spark.createDataFrame([(2, 3)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["component"] for r in cluster_assign(df, pairs, "doc_id").collect()}
+    assert got == {1: 1, 2: 2, 3: 2}
+
+
 def test_null_keys_dropped(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (None, 3), (4, None)], "id_a long, id_b long"

@@ -11,7 +11,9 @@ from btl_bloomfilter_spark.sources.transcripts import transcripts_df
 
 
 def _md5(parts):
-    return hashlib.md5("\x1e".join(parts).encode()).hexdigest()
+    # digest chain: md5 of the concatenated per-turn md5 hex digests
+    chain = "".join(hashlib.md5(p.encode()).hexdigest() for p in parts)
+    return hashlib.md5(chain.encode()).hexdigest()
 
 
 def test_matches_driver_reconstruction(spark):
@@ -45,6 +47,18 @@ def test_order_and_content_sensitivity(spark):
     fp = {r["g"]: r["fingerprint"] for r in group_fingerprints(base, "g", "o", "t").collect()}
     assert fp["c1"] != fp["c2"]  # same bag of turns, different order
     assert fp["c1"] == _md5(["hello", "world"])
+
+
+def test_separator_injection_immune(spark):
+    """A text containing any would-be separator byte cannot make two
+    different groups collide (digest chain, not raw join)."""
+    df = spark.createDataFrame(
+        [("a", 0, "foo\x1ebar"), ("b", 0, "foo"), ("b", 1, "bar")],
+        "g string, o int, t string",
+    )
+    fp = {r["g"]: r["fingerprint"] for r in group_fingerprints(df, "g", "o", "t").collect()}
+    assert fp["a"] != fp["b"]
+    assert fp["a"] == _md5(["foo\x1ebar"])
 
 
 def test_duplicate_groups(spark):

@@ -167,3 +167,25 @@ def test_plan_has_no_nested_loop(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
     assert "Join" in plan
+
+@pytest.mark.spark
+def test_exact_bucketing_beyond_double_precision(spark):
+    """Nanosecond-epoch-scale longs (>2^53): bucket assignment must be
+    exact — a double division can land one bucket low and silently
+    drop qualifying pairs."""
+    base = 1_700_000_000_123_456_789  # ns epoch, far beyond 2^53
+    w = 3_600_000_000_000  # 1h in ns
+    pt_rows = [(i, base + i * 977_777_777) for i in range(200)]
+    iv_rows = [(j, base + j * w // 2, base + j * w // 2 + w) for j in range(8)]
+    pts = spark.createDataFrame(pt_rows, "pid long, v long")
+    ivs = spark.createDataFrame(iv_rows, "iv long, s long, e long")
+
+    got = sorted(
+        (r["pid"], r["iv"])
+        for r in interval_join(pts, "v", ivs, "s", "e", bucket_width=w).collect()
+    )
+    want = sorted(
+        (p, j) for p, v in pt_rows for j, s, e in iv_rows if s <= v < e
+    )
+    assert len(want) > 0
+    assert got == want

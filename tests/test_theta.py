@@ -120,6 +120,11 @@ def test_empty_and_empty_ops():
     assert theta_jaccard(e, a) == 0.0
 
 
+def test_union_of_nothing_raises():
+    with pytest.raises(ValueError, match="at least one"):
+        theta_union([])
+
+
 def test_serialize_roundtrip_both_modes():
     small = _built([f"s{i}" for i in range(10)], k=64)  # exact mode
     big = _built([f"b{i}" for i in range(10_000)], k=64)  # estimating mode
