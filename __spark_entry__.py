@@ -2104,6 +2104,53 @@ def q63_novelty_scores(spark, sf_dir):
     return novelty_scores(new, ref, "text", "doc_id", n=3, fpr=0.01)
 
 
+BM25_TERMS = ["hash", "spark", "scan"]
+
+
+def q65_bm25_retrieval(spark, sf_dir):
+    """BM25 query scoring (operators/bm25.bm25_scores — Robertson &
+    Zaragoza 2009): the retrieval primitive for targeted corpus
+    curation.  Plan: one combined-scalar scan (N, avgdl), explode with
+    the query-term filter BELOW the first shuffle (only matching
+    tokens leave the map stage), broadcast doc-frequency join,
+    per-doc sum.  Scores rounded to 6 BEFORE the (score desc, id)
+    ranking so the top-n selection is engine-reproducible; fully
+    hash-oracled vs an identically-staged DuckDB query."""
+    from btl_bloomfilter_spark.operators.bm25 import bm25_scores
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return bm25_scores(docs, "text", "doc_id", BM25_TERMS, top_n=50)
+
+
+def _q66_derived_text() -> "F.Column":
+    """Line-structured derivation for corpus-level line dedup: the
+    single-line synthetic corpus gets line breaks at ' table '
+    (frequent token -> natural short duplicate lines across docs) and
+    planted cookie-banner boilerplate on doc_id % 7 (literal replaces
+    shared verbatim by the DuckDB oracle)."""
+    t = F.replace(F.coalesce(F.col("text"), F.lit("")), F.lit(" table "), F.lit("\n"))
+    return F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(t, F.lit("\naccept all cookies to continue.")),
+    ).otherwise(t).alias("ltext")
+
+
+def q66_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-level duplicated-line removal (Wenzek et al.
+    2020 §3.1, operators/linededup.dedup_lines): lines recurring
+    corpus-wide beyond max_count (boilerplate) are dropped, documents
+    reassembled in original line order.  Plan: map-side md5 per line,
+    partial-agg hot-set count (tiny by construction), broadcast
+    anti-join, sort-free reassembly via array_sort(collect_list).
+    Fully hash-oracled — the CLEANED TEXT itself is compared
+    byte-for-byte per document."""
+    from btl_bloomfilter_spark.operators.linededup import dedup_lines
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    lined = docs.select("doc_id", _q66_derived_text())
+    return dedup_lines(lined, "ltext", "doc_id", max_count=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2170,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_conv_fingerprints": q62_conv_fingerprints,
         "q63_novelty_scores": q63_novelty_scores,
         "q64_bloom_cardinality": q64_bloom_cardinality,
+        "q65_bm25_retrieval": q65_bm25_retrieval,
+        "q66_line_dedup": q66_line_dedup,
     }
 
 
@@ -2307,6 +2356,27 @@ def _q56_oracle_sql() -> str:
     return top_terms_tfidf_sql("documents", "text", "doc_id", k=3)
 
 
+def _q65_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.bm25 import bm25_scores_sql
+
+    return bm25_scores_sql("documents", "text", "doc_id", BM25_TERMS, top_n=50)
+
+
+def _q66_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.linededup import dedup_lines_sql
+
+    derived = (
+        "(SELECT doc_id, "
+        "(CASE WHEN doc_id % 7 = 0 "
+        "THEN t0 || chr(10) || 'accept all cookies to continue.' "
+        "ELSE t0 END) AS ltext "
+        "FROM (SELECT doc_id, "
+        "replace(coalesce(text, ''), ' table ', chr(10)) AS t0 "
+        "FROM documents)) lined"
+    )
+    return dedup_lines_sql(derived, "ltext", "doc_id", max_count=3)
+
+
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
 
@@ -2425,6 +2495,8 @@ def oracle_sql() -> dict[str, str]:
         "q51_repetition_filter": _q51_oracle_sql(),
         "q52_priority_sample": _q52_oracle_sql(),
         "q56_tfidf_terms": _q56_oracle_sql(),
+        "q65_bm25_retrieval": _q65_oracle_sql(),
+        "q66_line_dedup": _q66_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -448,6 +448,29 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         fps = group_fingerprints(tdf, "conv_id", "turn_idx", "text")
         return duplicate_groups(fps, "conv_id").count()
 
+    def q_bm25_retrieval():
+        # query-term filter below the first shuffle, window-derived
+        # doc frequency (no second corpus scan), TakeOrderedAndProject
+        # top-n
+        from btl_bloomfilter_spark.operators.bm25 import bm25_scores
+
+        return bm25_scores(
+            docs, "text", "doc_id", ["hash", "spark", "scan"], top_n=100
+        ).count()
+
+    def q_line_dedup():
+        # corpus-level boilerplate-line removal: hot-set partial agg +
+        # broadcast flag join + single reassembly shuffle
+        from btl_bloomfilter_spark.operators.linededup import dedup_lines
+
+        lined = docs.select(
+            "doc_id",
+            F.replace(
+                F.coalesce(F.col("text"), F.lit("")), F.lit(" table "), F.lit("\n")
+            ).alias("ltext"),
+        )
+        return dedup_lines(lined, "ltext", "doc_id", max_count=3).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -471,6 +494,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "interval_join_events": q_interval_join_events,
         "novelty_scores": q_novelty_scores,
         "conv_fingerprints": q_conv_fingerprints,
+        "bm25_retrieval": q_bm25_retrieval,
+        "line_dedup": q_line_dedup,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
