@@ -2151,6 +2151,46 @@ def q66_line_dedup(spark, sf_dir):
     return dedup_lines(lined, "ltext", "doc_id", max_count=3)
 
 
+def q67_lm_quality(spark, sf_dir):
+    """CCNet-style LM quality scoring (operators/lmscore — Wenzek et
+    al. 2020 §3.3 pipeline shape with a self-contained Laplace
+    unigram model; no KenLM runtime in this container).  Per-token
+    negative log-probs are quantized ONCE to micro-nats (long) on the
+    tiny LM table, so the per-document aggregate is an exact,
+    order-independent long sum — hash-oracled bit-for-bit against the
+    identically-staged DuckDB query, including the min_count=2 OOV
+    floor path.  Plan: one train scan (explode -> map-side partial
+    count), one score scan (explode -> broadcast LM join -> long
+    sum)."""
+    from btl_bloomfilter_spark.operators.lmscore import lm_doc_scores
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return lm_doc_scores(docs, "text", "doc_id", min_count=2)
+
+
+def q68_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (operators/dsir — Xie et al. NeurIPS
+    2023): hashed unigram+bigram bucket profiles (md5 buckets, the
+    engine-portable splits hash), Laplace-smoothed ln-ratio quantized
+    ONCE per bucket to micro-nats, per-document exact long sum.
+    Target profile = documents with doc_id % 10 == 0 (trusted-subset
+    proxy), raw profile = the full corpus; every document scored.
+    Hash-oracled bit-for-bit against the identically-staged DuckDB
+    query.  Plan: two profile scans (map-side partial agg to <= B
+    rows each), one candidate scan with a broadcast B-row ratio
+    join."""
+    from btl_bloomfilter_spark.operators.dsir import bucket_counts, dsir_log_weights
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    nb, seed = 1024, "dsir"
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    tc = bucket_counts(target, "text", num_buckets=nb, seed=seed)
+    rc = bucket_counts(docs, "text", num_buckets=nb, seed=seed)
+    return dsir_log_weights(
+        docs, "text", "doc_id", tc, rc, num_buckets=nb, seed=seed
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2219,6 +2259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_bloom_cardinality": q64_bloom_cardinality,
         "q65_bm25_retrieval": q65_bm25_retrieval,
         "q66_line_dedup": q66_line_dedup,
+        "q67_lm_quality": q67_lm_quality,
+        "q68_dsir_weights": q68_dsir_weights,
     }
 
 
@@ -2362,6 +2404,26 @@ def _q65_oracle_sql() -> str:
     return bm25_scores_sql("documents", "text", "doc_id", BM25_TERMS, top_n=50)
 
 
+def _q68_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.dsir import dsir_log_weights_sql
+
+    return dsir_log_weights_sql(
+        "documents",
+        "text",
+        "doc_id",
+        "(SELECT * FROM documents WHERE doc_id % 10 = 0) AS tgt",
+        "documents",
+        num_buckets=1024,
+        seed="dsir",
+    )
+
+
+def _q67_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.lmscore import lm_doc_scores_sql
+
+    return lm_doc_scores_sql("documents", "text", "doc_id", min_count=2)
+
+
 def _q66_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.linededup import dedup_lines_sql
 
@@ -2497,6 +2559,8 @@ def oracle_sql() -> dict[str, str]:
         "q56_tfidf_terms": _q56_oracle_sql(),
         "q65_bm25_retrieval": _q65_oracle_sql(),
         "q66_line_dedup": _q66_oracle_sql(),
+        "q67_lm_quality": _q67_oracle_sql(),
+        "q68_dsir_weights": _q68_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -471,6 +471,30 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return dedup_lines(lined, "ltext", "doc_id", max_count=3).count()
 
+    def q_lm_quality_scores():
+        # self-trained unigram LM scoring: train scan (explode +
+        # partial-agg count) + score scan (broadcast LM join, exact
+        # long sums)
+        from btl_bloomfilter_spark.operators.lmscore import lm_doc_scores
+
+        return lm_doc_scores(docs, "text", "doc_id", min_count=2).count()
+
+    def q_dsir_weights():
+        # hashed-gram importance weights: two profile scans collapse
+        # to <=B rows map-side; candidate scan joins the broadcast
+        # ratio table
+        from btl_bloomfilter_spark.operators.dsir import (
+            bucket_counts,
+            dsir_log_weights,
+        )
+
+        target = docs.where(F.col("doc_id") % 10 == 0)
+        tc = bucket_counts(target, "text", num_buckets=1024, seed="dsir")
+        rc = bucket_counts(docs, "text", num_buckets=1024, seed="dsir")
+        return dsir_log_weights(
+            docs, "text", "doc_id", tc, rc, num_buckets=1024, seed="dsir"
+        ).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -496,6 +520,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "conv_fingerprints": q_conv_fingerprints,
         "bm25_retrieval": q_bm25_retrieval,
         "line_dedup": q_line_dedup,
+        "lm_quality_scores": q_lm_quality_scores,
+        "dsir_weights": q_dsir_weights,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
