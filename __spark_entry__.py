@@ -2191,6 +2191,22 @@ def q68_dsir_weights(spark, sf_dir):
     )
 
 
+def q69_sessionization(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions): per-user
+    sessions over the events stream with a 30-minute inactivity gap,
+    one row per session with exact integer durations.  Assignment is
+    exact long arithmetic on epoch micros (break iff gap > threshold;
+    ties can never break), so the whole result — counts, bounds,
+    durations — is hash-oracled against the identical DuckDB window
+    query.  Plan: ONE shuffle on user_id; the running-sum window and
+    the (user_id, session_idx) stats agg both reuse that
+    partitioning (single-Exchange plan pinned in test_sessions)."""
+    from btl_bloomfilter_spark.operators.sessions import session_stats
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return session_stats(ev, ["user_id"], "ts", gap_seconds=1800)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2261,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_line_dedup": q66_line_dedup,
         "q67_lm_quality": q67_lm_quality,
         "q68_dsir_weights": q68_dsir_weights,
+        "q69_sessionization": q69_sessionization,
     }
 
 
@@ -2402,6 +2419,12 @@ def _q65_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.bm25 import bm25_scores_sql
 
     return bm25_scores_sql("documents", "text", "doc_id", BM25_TERMS, top_n=50)
+
+
+def _q69_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.sessions import session_stats_sql
+
+    return session_stats_sql("events", ["user_id"], "ts", gap_seconds=1800)
 
 
 def _q68_oracle_sql() -> str:
@@ -2561,6 +2584,7 @@ def oracle_sql() -> dict[str, str]:
         "q66_line_dedup": _q66_oracle_sql(),
         "q67_lm_quality": _q67_oracle_sql(),
         "q68_dsir_weights": _q68_oracle_sql(),
+        "q69_sessionization": _q69_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -495,6 +495,13 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             docs, "text", "doc_id", tc, rc, num_buckets=1024, seed="dsir"
         ).count()
 
+    def q_sessionization():
+        # one shuffle on user_id; window + stats agg share the
+        # partitioning (single-Exchange plan, pinned in tests)
+        from btl_bloomfilter_spark.operators.sessions import session_stats
+
+        return session_stats(ev, ["user_id"], "ts", gap_seconds=1800).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -522,6 +529,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "line_dedup": q_line_dedup,
         "lm_quality_scores": q_lm_quality_scores,
         "dsir_weights": q_dsir_weights,
+        "sessionization": q_sessionization,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
