@@ -2207,6 +2207,58 @@ def q69_sessionization(spark, sf_dir):
     return session_stats(ev, ["user_id"], "ts", gap_seconds=1800)
 
 
+def q70_sql_udaf(spark, sf_dir):
+    """SQL-surface sketch aggregates (functions/udaf): the library's
+    estimators invoked straight from spark.sql — ``btl_hll_distinct``,
+    ``btl_theta_distinct``, ``btl_kll_quantile`` GROUP BY role over
+    the transcript table.  Self-validating: HLL within the published
+    4*1.04/sqrt(m) bound of exact (computed in a separate grouped
+    subquery — pandas UDAFs can't mix with built-in aggregates),
+    theta exact below k, KLL within rank-error of the exact quantile.
+    Convenience surface only — the UDAF path shuffles raw group rows;
+    the 100-TB build path remains plans.agg (q31's map-side partial
+    sketch-by-key)."""
+    import math
+
+    from btl_bloomfilter_spark.functions.udaf import register_sketch_aggs
+
+    register_sketch_aggs(spark)
+    t = _transcripts_for(spark, sf_dir)
+    t.createOrReplaceTempView("q70_turns")
+    est = spark.sql(
+        """SELECT role, btl_hll_distinct(conv_id) AS hll_est,
+                  btl_theta_distinct(conv_id) AS theta_est,
+                  btl_kll_quantile(CAST(length(text) AS DOUBLE), 0.5) AS kll_med_len
+           FROM q70_turns GROUP BY role"""
+    )
+    exact = spark.sql(
+        """SELECT role, count(DISTINCT conv_id) AS exact_convs,
+                  median(length(text)) AS exact_med_len
+           FROM q70_turns GROUP BY role"""
+    )
+    hll_bound = 4 * 1.04 / math.sqrt(1 << 14)
+    return est.join(exact, "role").select(
+        "role",
+        F.round("hll_est", 2).alias("hll_est"),
+        F.round("theta_est", 2).alias("theta_est"),
+        F.round("kll_med_len", 2).alias("kll_med_len"),
+        "exact_convs",
+        (
+            F.abs(F.col("hll_est") - F.col("exact_convs")) / F.col("exact_convs")
+            <= hll_bound
+        ).alias("hll_within_bound"),
+        # theta with k=4096 is exact while distinct-per-role < k
+        (
+            (F.col("exact_convs") >= 4096)
+            | (F.col("theta_est") == F.col("exact_convs"))
+        ).alias("theta_exact_below_k"),
+        (
+            F.abs(F.col("kll_med_len") - F.col("exact_med_len"))
+            <= F.greatest(F.lit(2.0), F.col("exact_med_len") * 0.05)
+        ).alias("kll_within_bound"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2278,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_lm_quality": q67_lm_quality,
         "q68_dsir_weights": q68_dsir_weights,
         "q69_sessionization": q69_sessionization,
+        "q70_sql_udaf": q70_sql_udaf,
     }
 
 

@@ -132,6 +132,11 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.no_false_negatives and r.planted_all_flagged
         assert r.clean_bounded and r.clean_dirty_separated
+    if name == "q70_sql_udaf":
+        assert len(out) >= 3  # one row per role
+        assert out.hll_within_bound.all()
+        assert out.theta_exact_below_k.all()
+        assert out.kll_within_bound.all()
     if name == "q32_turn_length_quantiles":
         rel = (out.kll - out.exact).abs() / out.exact
         assert (rel < 0.25).all()
