@@ -2259,6 +2259,46 @@ def q70_sql_udaf(spark, sf_dir):
     )
 
 
+Q71_PATH = f"/tmp/bbs_q71_transcripts_{os.getpid()}"
+
+
+def q71_sft_examples(spark, sf_dir):
+    """SFT example assembly (operators/examples): for every assistant
+    turn, the preceding 4 turns rendered 'role: text' in stable
+    turn_idx order become the context — the transcript pipeline's
+    last mile, exercising the north_rule ordering invariant as
+    assembled training text.  The transcript table is mirrored to
+    parquet so DuckDB assembles the same examples independently;
+    contexts and targets hash-compared byte-for-byte.  Plan: one
+    shuffle on conv_id; the window frame holds at most 4 rows."""
+    from btl_bloomfilter_spark.operators.examples import sft_examples
+
+    _transcripts_for(spark, sf_dir).write.mode("overwrite").parquet(Q71_PATH)
+    t = spark.read.parquet(Q71_PATH).select("conv_id", "turn_idx", "role", "text")
+    return sft_examples(t, n_context=4)
+
+
+def q72_sequence_packing(spark, sf_dir):
+    """Context-window sequence packing (operators/packing):
+    best-fit-decreasing into 512-token bins across 8 md5 shards —
+    the padding-waste minimizer of a training pipeline, as the
+    sharded sequential fold SQL can't express (applyInPandas with
+    hash-bounded extent).  Self-validating per shard via the any-fit
+    laws: no bin over capacity, at most one half-empty bin, bin
+    count within [LP lower bound, 2x+1] on the non-oversize mass;
+    assignment is partition-layout invariant (pinned in
+    test_packing)."""
+    from btl_bloomfilter_spark.functions.textstats import token_count
+    from btl_bloomfilter_spark.operators.packing import pack_documents, packing_report
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    sized = docs.select("doc_id", token_count("text").alias("tokens"))
+    packed = pack_documents(
+        sized, "doc_id", "tokens", capacity=512, num_shards=8
+    )
+    return packing_report(packed, capacity=512)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2331,6 +2371,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_dsir_weights": q68_dsir_weights,
         "q69_sessionization": q69_sessionization,
         "q70_sql_udaf": q70_sql_udaf,
+        "q71_sft_examples": q71_sft_examples,
+        "q72_sequence_packing": q72_sequence_packing,
     }
 
 
@@ -2478,6 +2520,14 @@ def _q69_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.sessions import session_stats_sql
 
     return session_stats_sql("events", ["user_id"], "ts", gap_seconds=1800)
+
+
+def _q71_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.examples import sft_examples_sql
+
+    return sft_examples_sql(
+        f"read_parquet('{Q71_PATH}/*.parquet')", n_context=4
+    )
 
 
 def _q68_oracle_sql() -> str:
@@ -2638,6 +2688,7 @@ def oracle_sql() -> dict[str, str]:
         "q67_lm_quality": _q67_oracle_sql(),
         "q68_dsir_weights": _q68_oracle_sql(),
         "q69_sessionization": _q69_oracle_sql(),
+        "q71_sft_examples": _q71_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

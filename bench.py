@@ -502,6 +502,24 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return session_stats(ev, ["user_id"], "ts", gap_seconds=1800).count()
 
+    def q_sft_examples():
+        # one shuffle on conv_id; sliding 4-row window frame
+        from btl_bloomfilter_spark.operators.examples import sft_examples
+
+        return sft_examples(tdf, n_context=4).count()
+
+    def q_sequence_packing():
+        # sharded best-fit-decreasing: 8 independent sequential folds
+        from btl_bloomfilter_spark.functions.textstats import token_count
+        from btl_bloomfilter_spark.operators.packing import (
+            pack_documents,
+            packing_report,
+        )
+
+        sized = docs.select("doc_id", token_count("text").alias("tokens"))
+        packed = pack_documents(sized, "doc_id", "tokens", capacity=512, num_shards=8)
+        return packing_report(packed, capacity=512).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -530,6 +548,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "lm_quality_scores": q_lm_quality_scores,
         "dsir_weights": q_dsir_weights,
         "sessionization": q_sessionization,
+        "sft_examples": q_sft_examples,
+        "sequence_packing": q_sequence_packing,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet

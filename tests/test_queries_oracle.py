@@ -137,6 +137,13 @@ def test_rows_only_queries_run(spark, name):
         assert out.hll_within_bound.all()
         assert out.theta_exact_below_k.all()
         assert out.kll_within_bound.all()
+    if name == "q72_sequence_packing":
+        assert len(out) == 8  # one row per shard
+        assert out.within_capacity.all()
+        assert out.one_halffull.all()
+        assert out.bins_bounded.all()
+        # packing must actually pack (multiple docs per bin on avg)
+        assert (out.n_docs > out.n_bins).all()
     if name == "q32_turn_length_quantiles":
         rel = (out.kll - out.exact).abs() / out.exact
         assert (rel < 0.25).all()
