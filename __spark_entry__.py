@@ -2299,6 +2299,24 @@ def q72_sequence_packing(spark, sf_dir):
     return packing_report(packed, capacity=512)
 
 
+def q73_drift_psi(spark, sf_dir):
+    """Corpus drift monitoring (operators/drift): PSI between two
+    snapshot slices (doc_id mod-3 split as a stand-in for release
+    vs candidate crawl) over document length, with explicit bucket
+    edges.  Per-bucket contributions quantized to nano-units make
+    the full report — including the windowed total — hash-oracled
+    bit-for-bit.  Plan: each side collapses to <= K+1 histogram rows
+    map-side; only the K-row join and window run downstream."""
+    from btl_bloomfilter_spark.operators.drift import psi_report
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    ref = docs.where(F.col("doc_id") % 3 != 0)
+    cur = docs.where(F.col("doc_id") % 3 == 0)
+    return psi_report(
+        ref, cur, "n_chars", edges=[200.0, 400.0, 600.0, 800.0, 1200.0]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2373,6 +2391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_sql_udaf": q70_sql_udaf,
         "q71_sft_examples": q71_sft_examples,
         "q72_sequence_packing": q72_sequence_packing,
+        "q73_drift_psi": q73_drift_psi,
     }
 
 
@@ -2527,6 +2546,17 @@ def _q71_oracle_sql() -> str:
 
     return sft_examples_sql(
         f"read_parquet('{Q71_PATH}/*.parquet')", n_context=4
+    )
+
+
+def _q73_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.drift import psi_report_sql
+
+    return psi_report_sql(
+        "(SELECT * FROM documents WHERE doc_id % 3 <> 0) AS refd",
+        "(SELECT * FROM documents WHERE doc_id % 3 = 0) AS curd",
+        "n_chars",
+        edges=[200.0, 400.0, 600.0, 800.0, 1200.0],
     )
 
 
@@ -2689,6 +2719,7 @@ def oracle_sql() -> dict[str, str]:
         "q68_dsir_weights": _q68_oracle_sql(),
         "q69_sessionization": _q69_oracle_sql(),
         "q71_sft_examples": _q71_oracle_sql(),
+        "q73_drift_psi": _q73_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

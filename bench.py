@@ -520,6 +520,16 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         packed = pack_documents(sized, "doc_id", "tokens", capacity=512, num_shards=8)
         return packing_report(packed, capacity=512).count()
 
+    def q_drift_psi():
+        # two map-side histogram collapses + K-row join
+        from btl_bloomfilter_spark.operators.drift import psi_report
+
+        ref = docs.where(F.col("doc_id") % 3 != 0)
+        cur = docs.where(F.col("doc_id") % 3 == 0)
+        return psi_report(
+            ref, cur, "n_chars", edges=[200.0, 400.0, 600.0, 800.0, 1200.0]
+        ).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -550,6 +560,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "sessionization": q_sessionization,
         "sft_examples": q_sft_examples,
         "sequence_packing": q_sequence_packing,
+        "drift_psi": q_drift_psi,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
