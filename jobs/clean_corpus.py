@@ -4,6 +4,7 @@
     python jobs/clean_corpus.py --input docs.parquet -o clean.parquet \\
         [--col text] [--id doc_id] \\
         [--gopher] [--repetition] [--c4-rewrite] [--redact-pii] \\
+        [--lm-nll-max 8.5] [--dsir-target trusted.parquet] \\
         [--exact-dedup] [--near-dedup] [--min-words 50] \\
         [--split train=0.98,val=0.01,test=0.01] [--seed 7] [--cpus N]
         [--no-stats]
@@ -17,6 +18,12 @@ pre-training data flow, in the order production pipelines run it:
   2. Quality gates (``--gopher``, ``--repetition``): keep rows
      passing the Gopher rule set / repetition thresholds, evaluated
      on the (possibly rewritten) text.         (pure map + filter)
+  2b. LM atypicality gate (``--lm-nll-max``): self-trained unigram
+     LM, drop docs above the mean-NLL ceiling (CCNet-style; adds a
+     train scan, a score scan and an id semi-join).
+  2c. DSIR selection (``--dsir-target`` + ``--dsir-min-logw``):
+     hashed-gram importance weights vs a trusted corpus, keep
+     target-like docs.                         (2 profile scans + semi-join)
   3. PII redaction (``--redact-pii``).         (pure map)
   4. Exact dedup (``--exact-dedup``): keep the min-id row per
      distinct text.                            (one shuffle)
@@ -68,6 +75,16 @@ def main(argv=None):
     ap.add_argument("--exact-dedup", action="store_true")
     ap.add_argument("--near-dedup", action="store_true", help="MinHash near-dedup @ 0.8")
     ap.add_argument("--min-words", type=int, default=50, help="Gopher word floor")
+    ap.add_argument("--lm-nll-max", type=float, default=None,
+                    help="drop docs whose self-trained unigram-LM mean NLL "
+                         "exceeds this (CCNet-style atypicality gate; adds one "
+                         "train scan + one score scan + an id-join)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet path / table: of a trusted target corpus; "
+                         "computes DSIR log-weights (hashed grams) vs this corpus")
+    ap.add_argument("--dsir-min-logw", type=float, default=0.0,
+                    help="with --dsir-target: keep docs with log_weight above "
+                         "this (default 0 = more target-like than raw)")
     ap.add_argument("--split", default=None, help="e.g. train=0.98,val=0.01,test=0.01")
     ap.add_argument("--seed", default="7")
     ap.add_argument("--no-stats", action="store_true",
@@ -118,6 +135,31 @@ def main(argv=None):
         )
         if not args.no_stats:
             stats["after_repetition"] = df.count()
+
+    if args.lm_nll_max is not None:
+        from btl_bloomfilter_spark.operators.lmscore import lm_doc_scores
+
+        keep = lm_doc_scores(df, col, id_col, min_count=2).where(
+            F.col("mean_nll").isNull() | (F.col("mean_nll") <= args.lm_nll_max)
+        ).select(id_col)
+        df = df.join(keep, id_col, "left_semi")
+        if not args.no_stats:
+            stats["after_lm_gate"] = df.count()
+
+    if args.dsir_target is not None:
+        from btl_bloomfilter_spark.operators.dsir import bucket_counts, dsir_log_weights
+
+        target = load_table(spark, args.dsir_target)
+        tc = bucket_counts(target, col, seed=args.seed)
+        rc = bucket_counts(df, col, seed=args.seed)
+        w = dsir_log_weights(df, col, id_col, tc, rc, seed=args.seed)
+        keep = w.where(
+            F.col("log_weight").isNotNull()
+            & (F.col("log_weight") > args.dsir_min_logw)
+        ).select(id_col)
+        df = df.join(keep, id_col, "left_semi")
+        if not args.no_stats:
+            stats["after_dsir"] = df.count()
 
     if args.redact_pii:
         df = df.withColumn(col, T.redact_pii(col))

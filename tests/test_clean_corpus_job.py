@@ -109,3 +109,46 @@ def test_clean_corpus_no_stats_single_pass(spark, tmp_path):
         ["--input", inp, "-o", str(tmp_path / "ws.parquet"), "--gopher", "--min-words", "10"]
     )
     assert stats["output"] == stats2["output"] == stats2["after_gopher"]
+
+
+@pytest.mark.spark
+def test_clean_corpus_lm_and_dsir_gates(spark, tmp_path):
+    import jobs.clean_corpus as cj
+
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    # plant an atypical doc (gibberish vocabulary): the LM gate's prey
+    extra = spark.createDataFrame(
+        [(300001, " ".join(f"zq{i}x" for i in range(80)), "en", "srcX", 300)],
+        base.schema,
+    )
+    inp = str(tmp_path / "in.parquet")
+    base.unionByName(extra).write.parquet(inp)
+    target = str(tmp_path / "target.parquet")
+    base.limit(30).write.parquet(target)
+    out = str(tmp_path / "clean.parquet")
+
+    # derive the gate: midway between the worst normal doc and the
+    # planted all-singleton doc (whose mean NLL is near the maximum)
+    from btl_bloomfilter_spark.operators.lmscore import lm_doc_scores
+
+    scores = lm_doc_scores(
+        spark.read.parquet(inp), "text", "doc_id", min_count=2
+    ).toPandas().set_index("doc_id")
+    planted = scores.loc[300001, "mean_nll"]
+    worst_normal = scores.drop(300001)["mean_nll"].max()
+    assert planted > worst_normal  # test premise
+    thresh = (planted + worst_normal) / 2
+
+    stats = cj.main(
+        [
+            "--input", inp, "-o", out,
+            "--lm-nll-max", str(thresh),
+            "--dsir-target", target, "--dsir-min-logw", "-1000000.0",
+        ]
+    )
+    assert stats["after_lm_gate"] <= stats["input"]
+    # the gibberish doc is all rare singletons -> extreme mean NLL
+    ids = {r.doc_id for r in spark.read.parquet(out).select("doc_id").collect()}
+    assert 300001 not in ids
+    assert stats["after_dsir"] <= stats["after_lm_gate"]
+    assert stats["output"] == stats["after_dsir"] > 0
