@@ -42,7 +42,15 @@ NANO = 1_000_000_000
 NULL_SENTINEL = "\x00"
 
 
+def _check_edges(edges: list[float]) -> None:
+    if not edges:
+        raise ValueError("edges must be non-empty")
+    if sorted(edges) != list(edges) or len(set(edges)) != len(edges):
+        raise ValueError("edges must be strictly increasing")
+
+
 def _bucket_num(col: str, edges: list[float]) -> F.Column:
+    _check_edges(edges)
     b = None
     for e in edges:
         ind = (F.col(col) > F.lit(float(e))).cast("long")
@@ -51,6 +59,7 @@ def _bucket_num(col: str, edges: list[float]) -> F.Column:
 
 
 def _bucket_num_sql(col: str, edges: list[float]) -> str:
+    _check_edges(edges)
     s = " + ".join(f"(({col} > {float(e)!r})::bigint)" for e in edges)
     return f"(CASE WHEN {col} IS NULL THEN '-1' ELSE ({s})::varchar END)"
 

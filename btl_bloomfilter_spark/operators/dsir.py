@@ -111,32 +111,31 @@ def bucket_counts(
 
 
 def _ratio_table(
-    target_counts: DataFrame, raw_counts: DataFrame, num_buckets: int
+    candidates_spark, target_counts: DataFrame, raw_counts: DataFrame, num_buckets: int
 ) -> tuple[DataFrame, int]:
     """B-row (bucket, lr_micro) table: quantized ln-ratio per bucket,
-    plus the floor ratio for buckets seen in neither corpus."""
-    t_tot = int(target_counts.agg(F.sum("cnt")).collect()[0][0] or 0)
-    r_tot = int(raw_counts.agg(F.sum("cnt")).collect()[0][0] or 0)
-    td, rd = float(t_tot + num_buckets), float(r_tot + num_buckets)
+    plus the floor ratio for buckets seen in neither corpus.
 
-    def _micro(cnt_col: F.Column, denom: float) -> F.Column:
-        return F.round(
-            F.log((cnt_col + 1).cast("double") / F.lit(denom)) * MICRO, 0
-        ).cast("long")
+    Each profile is collected ONCE (<= num_buckets rows) and the
+    ratio table is assembled driver-side — evaluating the totals agg
+    and the join against the same lazy ``bucket_counts`` plan would
+    scan each profile corpus twice.  ``round(ln(x) * 1e6)`` lands on
+    the same micro grid in CPython, the JVM and DuckDB (<= 1-ulp ln
+    differences, absorbed by the grid — same policy as lmscore)."""
+    t_cnt = {int(r["bucket"]): int(r["cnt"]) for r in target_counts.collect()}
+    r_cnt = {int(r["bucket"]): int(r["cnt"]) for r in raw_counts.collect()}
+    td = float(sum(t_cnt.values()) + num_buckets)
+    rd = float(sum(r_cnt.values()) + num_buckets)
 
-    joined = target_counts.select(
-        "bucket", F.col("cnt").alias("t_cnt")
-    ).join(
-        raw_counts.select("bucket", F.col("cnt").alias("r_cnt")), "bucket", "full"
-    )
-    ratios = joined.select(
-        "bucket",
-        (
-            _micro(F.coalesce("t_cnt", F.lit(0)), td)
-            - _micro(F.coalesce("r_cnt", F.lit(0)), rd)
-        ).alias("lr_micro"),
-    )
-    floor_micro = round(math.log(1.0 / td) * MICRO) - round(math.log(1.0 / rd) * MICRO)
+    def _micro(c: int, denom: float) -> int:
+        return round(math.log((c + 1) / denom) * MICRO)
+
+    rows = [
+        (b, _micro(t_cnt.get(b, 0), td) - _micro(r_cnt.get(b, 0), rd))
+        for b in sorted(t_cnt.keys() | r_cnt.keys())
+    ]
+    ratios = candidates_spark.createDataFrame(rows or [], "bucket long, lr_micro long")
+    floor_micro = _micro(0, td) - _micro(0, rd)
     return ratios, floor_micro
 
 
@@ -162,7 +161,9 @@ def dsir_log_weights(
     number of shards).  Resample with weight exp(log_weight), e.g. via
     ``functions.splits.priority_sample``.
     """
-    ratios, floor_micro = _ratio_table(target_counts, raw_counts, num_buckets)
+    ratios, floor_micro = _ratio_table(
+        candidates.sparkSession, target_counts, raw_counts, num_buckets
+    )
 
     grams = candidates.select(
         F.col(id_col).alias("__id"), F.explode(_grams(col, lowercase)).alias("gram")

@@ -108,7 +108,9 @@ def pack_documents(
         raise ValueError("capacity must be >= 1")
     prepped = docs.select(
         F.col(id_col).alias("__id"),
-        F.coalesce(F.col(token_col), F.lit(0)).cast("long").alias("__tokens"),
+        F.greatest(F.lit(0), F.coalesce(F.col(token_col), F.lit(0)))
+        .cast("long")
+        .alias("__tokens"),
         hash_bucket([id_col], num_shards, seed=seed).alias("__shard"),
     )
     schema = (
