@@ -2317,6 +2317,26 @@ def q73_drift_psi(spark, sf_dir):
     )
 
 
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+def q74_dataset_mixing(spark, sf_dir):
+    """Deterministic dataset mixing (operators/mixing): target
+    mixture weights -> per-source content-keyed sampling rates, with
+    the feasibility bound T = floor(min n_s/w_s) and thresholds
+    derived by IEEE-exact arithmetic from the exact source counts —
+    the SELECTED ROWS are identical across engines, so the mixture
+    itself is hash-oracled (same verification standard as q49's
+    split assignment).  Plan: |sources|-row count agg, then a
+    pure-map md5 filter."""
+    from btl_bloomfilter_spark.operators.mixing import mixture_sample
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return mixture_sample(
+        docs, "source", ["doc_id"], MIX_WEIGHTS, seed="mix"
+    ).select("doc_id", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2392,6 +2412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q71_sft_examples": q71_sft_examples,
         "q72_sequence_packing": q72_sequence_packing,
         "q73_drift_psi": q73_drift_psi,
+        "q74_dataset_mixing": q74_dataset_mixing,
     }
 
 
@@ -2547,6 +2568,15 @@ def _q71_oracle_sql() -> str:
     return sft_examples_sql(
         f"read_parquet('{Q71_PATH}/*.parquet')", n_context=4
     )
+
+
+def _q74_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.mixing import mixture_sample_sql
+
+    inner = mixture_sample_sql(
+        "documents", "source", ["doc_id"], MIX_WEIGHTS, seed="mix"
+    )
+    return f"SELECT doc_id, source, n_chars FROM ({inner})"
 
 
 def _q73_oracle_sql() -> str:
@@ -2720,6 +2750,7 @@ def oracle_sql() -> dict[str, str]:
         "q69_sessionization": _q69_oracle_sql(),
         "q71_sft_examples": _q71_oracle_sql(),
         "q73_drift_psi": _q73_oracle_sql(),
+        "q74_dataset_mixing": _q74_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -394,6 +394,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     # higher-order-function) battery on 1-2 of 32 cores — 22s vs 0.8s
     state["docs_part"] = docs.select("source", "text").repartition(cpus).cache()
     state["docs_part"].count()
+    # id+text projection for the explode-heavy entries (lm, dsir,
+    # packing): same serialization trap — their tokenize/explode map
+    # stage runs at the SCAN's parallelism
+    state["docs_id_part"] = docs.select("doc_id", "text").repartition(cpus).cache()
+    state["docs_id_part"].count()
     state["events_asof"] = ev.select("ts", "user_id", "event_type", "value").repartition(
         cpus
     ).cache()
@@ -477,7 +482,9 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         # long sums)
         from btl_bloomfilter_spark.operators.lmscore import lm_doc_scores
 
-        return lm_doc_scores(docs, "text", "doc_id", min_count=2).count()
+        return lm_doc_scores(
+            state["docs_id_part"], "text", "doc_id", min_count=2
+        ).count()
 
     def q_dsir_weights():
         # hashed-gram importance weights: two profile scans collapse
@@ -488,11 +495,12 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             dsir_log_weights,
         )
 
-        target = docs.where(F.col("doc_id") % 10 == 0)
+        d = state["docs_id_part"]
+        target = d.where(F.col("doc_id") % 10 == 0)
         tc = bucket_counts(target, "text", num_buckets=1024, seed="dsir")
-        rc = bucket_counts(docs, "text", num_buckets=1024, seed="dsir")
+        rc = bucket_counts(d, "text", num_buckets=1024, seed="dsir")
         return dsir_log_weights(
-            docs, "text", "doc_id", tc, rc, num_buckets=1024, seed="dsir"
+            d, "text", "doc_id", tc, rc, num_buckets=1024, seed="dsir"
         ).count()
 
     def q_sessionization():
@@ -516,7 +524,9 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             packing_report,
         )
 
-        sized = docs.select("doc_id", token_count("text").alias("tokens"))
+        sized = state["docs_id_part"].select(
+            "doc_id", token_count("text").alias("tokens")
+        )
         packed = pack_documents(sized, "doc_id", "tokens", capacity=512, num_shards=8)
         return packing_report(packed, capacity=512).count()
 
