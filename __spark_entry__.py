@@ -2337,6 +2337,24 @@ def q74_dataset_mixing(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def q75_column_profile(spark, sf_dir):
+    """Column-level data-quality profile (operators/profile): per
+    column of the events table — completeness, exact distinct count,
+    typed min/max (numeric round-6 doubles, string raw values,
+    timestamps counts-only) — computed in ONE scan (single
+    aggregation; the K output rows are assembled from the collected
+    agg row, not K lazy branches that would rescan).  Hash-oracled
+    vs a per-column UNION ALL DuckDB profile.  approx mode
+    (approx_count_distinct, no Expand) is the documented 10^12-row
+    path, bound-tested separately."""
+    from btl_bloomfilter_spark.operators.profile import profile_columns
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return profile_columns(
+        ev, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2413,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q72_sequence_packing": q72_sequence_packing,
         "q73_drift_psi": q73_drift_psi,
         "q74_dataset_mixing": q74_dataset_mixing,
+        "q75_column_profile": q75_column_profile,
     }
 
 
@@ -2568,6 +2587,20 @@ def _q71_oracle_sql() -> str:
     return sft_examples_sql(
         f"read_parquet('{Q71_PATH}/*.parquet')", n_context=4
     )
+
+
+def _q75_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.profile import profile_columns_sql
+
+    kinds = {
+        "event_id": "num",
+        "ts": "other",
+        "user_id": "num",
+        "event_type": "str",
+        "value": "num",
+        "props": "str",
+    }
+    return profile_columns_sql("events", kinds, list(kinds))
 
 
 def _q74_oracle_sql() -> str:
@@ -2751,6 +2784,7 @@ def oracle_sql() -> dict[str, str]:
         "q71_sft_examples": _q71_oracle_sql(),
         "q73_drift_psi": _q73_oracle_sql(),
         "q74_dataset_mixing": _q74_oracle_sql(),
+        "q75_column_profile": _q75_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
