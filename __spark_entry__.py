@@ -2355,6 +2355,40 @@ def q75_column_profile(spark, sf_dir):
     )
 
 
+Q76_PATH = f"/tmp/bbs_q76_transcripts_{os.getpid()}"
+
+
+def q76_dialog_stats(spark, sf_dir):
+    """Dialog-structure validation (operators/dialog): per-
+    conversation turn count, first/last role, empty turns,
+    alternation breaks, index gaps/duplicates, and a well_formed
+    verdict — the structural gate a transcript pipeline runs before
+    training.  Exact integer/string aggregates, hash-oracled against
+    the DuckDB twin over a parquet mirror.  Plan: ONE shuffle on
+    conv_id; the groupBy reuses the window's partitioning."""
+    from btl_bloomfilter_spark.operators.dialog import dialog_stats
+
+    _transcripts_for(spark, sf_dir).write.mode("overwrite").parquet(Q76_PATH)
+    t = spark.read.parquet(Q76_PATH).select("conv_id", "turn_idx", "role", "text")
+    return dialog_stats(t)
+
+
+def q77_budget_truncation(spark, sf_dir):
+    """Token-budget conversation truncation (operators/dialog): the
+    maximal whole-turn SUFFIX of each conversation fitting a
+    256-token context budget (most recent turns win), token counts
+    derived by the shared cross-engine whitespace tokenizer.
+    Hash-oracled row-for-row.  Plan: one shuffle on conv_id, one
+    running-sum window, a pure filter."""
+    from btl_bloomfilter_spark.operators.dialog import truncate_to_budget
+
+    _transcripts_for(spark, sf_dir).write.mode("overwrite").parquet(Q76_PATH)
+    t = spark.read.parquet(Q76_PATH).select("conv_id", "turn_idx", "role", "text")
+    return truncate_to_budget(t, 256).select(
+        "conv_id", "turn_idx", "role", "turn_tokens", "suffix_tokens"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2432,6 +2466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q73_drift_psi": q73_drift_psi,
         "q74_dataset_mixing": q74_dataset_mixing,
         "q75_column_profile": q75_column_profile,
+        "q76_dialog_stats": q76_dialog_stats,
+        "q77_budget_truncation": q77_budget_truncation,
     }
 
 
@@ -2612,6 +2648,24 @@ def _q74_oracle_sql() -> str:
     return f"SELECT doc_id, source, n_chars FROM ({inner})"
 
 
+def _q76_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.dialog import dialog_stats_sql
+
+    return dialog_stats_sql(f"read_parquet('{Q76_PATH}/*.parquet')")
+
+
+def _q77_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.dialog import truncate_to_budget_sql
+
+    inner = truncate_to_budget_sql(
+        f"read_parquet('{Q76_PATH}/*.parquet')", 256
+    )
+    return (
+        "SELECT conv_id, turn_idx, role, turn_tokens, suffix_tokens "
+        f"FROM ({inner})"
+    )
+
+
 def _q73_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.drift import psi_report_sql
 
@@ -2785,6 +2839,8 @@ def oracle_sql() -> dict[str, str]:
         "q73_drift_psi": _q73_oracle_sql(),
         "q74_dataset_mixing": _q74_oracle_sql(),
         "q75_column_profile": _q75_oracle_sql(),
+        "q76_dialog_stats": _q76_oracle_sql(),
+        "q77_budget_truncation": _q77_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

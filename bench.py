@@ -534,11 +534,21 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         # two map-side histogram collapses + K-row join
         from btl_bloomfilter_spark.operators.drift import psi_report
 
-        ref = docs.where(F.col("doc_id") % 3 != 0)
-        cur = docs.where(F.col("doc_id") % 3 == 0)
+        # length derived in-query: the 10x expanded corpus has no
+        # n_chars column (word-bootstrap docs carry doc_id/source/text)
+        sized = docs.select("doc_id", F.length("text").alias("len"))
+        ref = sized.where(F.col("doc_id") % 3 != 0)
+        cur = sized.where(F.col("doc_id") % 3 == 0)
         return psi_report(
-            ref, cur, "n_chars", edges=[200.0, 400.0, 600.0, 800.0, 1200.0]
+            ref, cur, "len", edges=[200.0, 400.0, 600.0, 800.0, 1200.0]
         ).count()
+
+    def q_dialog_validation():
+        # one shuffle on conv_id; lag/first windows + groupBy reuse
+        # the same partitioning (single-Exchange plan, pinned)
+        from btl_bloomfilter_spark.operators.dialog import dialog_stats
+
+        return dialog_stats(tdf).count()
 
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
@@ -571,6 +581,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "sft_examples": q_sft_examples,
         "sequence_packing": q_sequence_packing,
         "drift_psi": q_drift_psi,
+        "dialog_validation": q_dialog_validation,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
