@@ -2389,6 +2389,38 @@ def q77_budget_truncation(spark, sf_dir):
     )
 
 
+def q78_near_dup_convs(spark, sf_dir):
+    """Conversation-granularity near-dup detection
+    (operators/dialog.near_dup_conversations): exact Jaccard over
+    order-sensitive turn-digest 2-gram shingles.  Synthetic turns are
+    unique across conversations, so near-dups are PLANTED in-query
+    from the shared parquet mirror (q50's plant-in-query standard):
+    conversations whose md5 starts with '0' get a drop-last-turn
+    '_v2' variant; both engines derive variants, shingles, the capped
+    universe, and Jaccard identically — the PAIR LIST is hash-oracled.
+    Plan: one conv shuffle to shingle, one shingle shuffle to group;
+    only co-shingled pairs materialize (no cartesian, pinned in
+    test_dialog)."""
+    from pyspark.sql import Window
+    from btl_bloomfilter_spark.operators.dialog import near_dup_conversations
+
+    _transcripts_for(spark, sf_dir).write.mode("overwrite").parquet(Q76_PATH)
+    t = spark.read.parquet(Q76_PATH).select("conv_id", "turn_idx", "text")
+    variant = (
+        t.where(F.substring(F.md5(F.encode(F.col("conv_id"), "UTF-8")), 1, 1) == "0")
+        .withColumn("__mx", F.max("turn_idx").over(Window.partitionBy("conv_id")))
+        .where(F.col("turn_idx") < F.col("__mx"))
+        .select(
+            F.concat(F.col("conv_id"), F.lit("_v2")).alias("conv_id"),
+            "turn_idx",
+            "text",
+        )
+    )
+    return near_dup_conversations(
+        t.unionByName(variant), w=2, threshold=0.4, max_conv_freq=50
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2468,6 +2500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q75_column_profile": q75_column_profile,
         "q76_dialog_stats": q76_dialog_stats,
         "q77_budget_truncation": q77_budget_truncation,
+        "q78_near_dup_convs": q78_near_dup_convs,
     }
 
 
@@ -2652,6 +2685,23 @@ def _q76_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.dialog import dialog_stats_sql
 
     return dialog_stats_sql(f"read_parquet('{Q76_PATH}/*.parquet')")
+
+
+def _q78_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.dialog import near_dup_conversations_sql
+
+    inp = f"""(
+  WITH __b AS (SELECT conv_id, turn_idx, text
+               FROM read_parquet('{Q76_PATH}/*.parquet')),
+  __v AS (
+    SELECT conv_id || '_v2' AS conv_id, turn_idx, text FROM (
+      SELECT conv_id, turn_idx, text,
+             max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+      FROM __b WHERE substring(md5(conv_id), 1, 1) = '0')
+    WHERE turn_idx < mx)
+  SELECT * FROM __b UNION ALL SELECT * FROM __v
+) AS __inp"""
+    return near_dup_conversations_sql(inp, w=2, threshold=0.4, max_conv_freq=50)
 
 
 def _q77_oracle_sql() -> str:
@@ -2841,6 +2891,7 @@ def oracle_sql() -> dict[str, str]:
         "q75_column_profile": _q75_oracle_sql(),
         "q76_dialog_stats": _q76_oracle_sql(),
         "q77_budget_truncation": _q77_oracle_sql(),
+        "q78_near_dup_convs": _q78_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

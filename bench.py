@@ -543,6 +543,16 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             ref, cur, "len", edges=[200.0, 400.0, 600.0, 800.0, 1200.0]
         ).count()
 
+    def q_conv_near_dup():
+        # one conv shuffle to shingle, one shingle shuffle to group;
+        # only co-shingled pairs materialize (synthetic corpus has
+        # ~none — the cost measured is the shingle/group machinery)
+        from btl_bloomfilter_spark.operators.dialog import near_dup_conversations
+
+        return near_dup_conversations(
+            tdf, w=2, threshold=0.4, max_conv_freq=50
+        ).count()
+
     def q_dialog_validation():
         # one shuffle on conv_id; lag/first windows + groupBy reuse
         # the same partitioning (single-Exchange plan, pinned)
@@ -582,6 +592,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "sequence_packing": q_sequence_packing,
         "drift_psi": q_drift_psi,
         "dialog_validation": q_dialog_validation,
+        "conv_near_dup": q_conv_near_dup,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet

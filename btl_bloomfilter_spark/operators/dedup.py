@@ -100,6 +100,22 @@ def ngram_jaccard_pairs(
     ReuseExchange, so the source is scanned once.
     """
     sh = shingles(df, col, id_col, n)
+    return jaccard_pairs_from_shingles(
+        sh, threshold=threshold, max_doc_freq=max_doc_freq
+    )
+
+
+def jaccard_pairs_from_shingles(
+    sh: DataFrame,
+    *,
+    threshold: float = 0.2,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard pairs from a pre-built DISTINCT (id, shingle)
+    table — the grouped pair-expansion core of
+    :func:`ngram_jaccard_pairs`, reusable over any shingle
+    derivation (word n-grams, conversation turn-digest w-grams, …).
+    Same plan and capping semantics as documented there."""
     grouped = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
     if max_doc_freq is not None:
         grouped = grouped.where(F.size("ids") <= max_doc_freq)

@@ -156,6 +156,153 @@ FROM __dlg_agg
 """.strip()
 
 
+def conversation_shingles(
+    turns: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    w: int = 3,
+) -> DataFrame:
+    """DISTINCT order-sensitive w-gram shingles of per-turn md5
+    digests, one (id, shingle) row each — the conversation-granularity
+    analogue of :func:`dedup.shingles`.  A shingle is the md5 of ``w``
+    consecutive turn digests concatenated (fixed-width hex, so no
+    separator-injection ambiguity — same argument as
+    ``group_fingerprints``'s digest chain); turn order is
+    (idx, digest) so duplicate indices stay engine-deterministic.
+    Conversations shorter than ``w`` turns contribute ONE shingle over
+    all their turns, so short exact-duplicate conversations still
+    pair at Jaccard 1.0.
+
+    Plan: one shuffle on conv (collect_list), shingling is a pure
+    array expression, then the distinct explode."""
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    digests = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(idx_col).alias("i"),
+                    F.md5(
+                        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+                    ).alias("d"),
+                )
+            )
+        ),
+        lambda x: x["d"],
+    )
+    grams = F.when(
+        F.size("__ds") >= w,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ds") - w + 1),
+            lambda i: F.md5(F.encode(F.array_join(F.slice("__ds", i, w), ""), "UTF-8")),
+        ),
+    ).otherwise(F.array(F.md5(F.encode(F.array_join("__ds", ""), "UTF-8"))))
+    return (
+        turns.groupBy(F.col(conv_col).alias("id"))
+        .agg(digests.alias("__ds"))
+        .select("id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def near_dup_conversations(
+    turns: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    w: int = 3,
+    threshold: float = 0.5,
+    max_conv_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate CONVERSATION pairs: exact Jaccard >= threshold
+    over order-sensitive turn-digest w-gram shingles.  Catches what
+    exact conversation fingerprints (dedup.group_fingerprints) and
+    document-level MinHash both miss: the same conversation re-logged
+    with one turn added/dropped/edited scores high-but-below-1.0
+    here, while unrelated conversations sharing common phrases score
+    ~0 (digest grams only collide on EXACT turn runs).
+
+    ``max_conv_freq`` caps shingle conversation-frequency (the
+    boilerplate-opening skew guard — the analogue of
+    ngram_jaccard_pairs' max_doc_freq, same capped-universe
+    semantics).  Plan: one conv shuffle to shingle, one shingle
+    shuffle to group; only co-shingled pairs materialize — never
+    all-pairs."""
+    from .dedup import jaccard_pairs_from_shingles
+
+    sh = conversation_shingles(
+        turns, conv_col=conv_col, idx_col=idx_col, text_col=text_col, w=w
+    )
+    out = jaccard_pairs_from_shingles(
+        sh, threshold=threshold, max_doc_freq=max_conv_freq
+    )
+    return out.select(
+        F.col("id_a").alias("conv_a"),
+        F.col("id_b").alias("conv_b"),
+        "jaccard",
+    )
+
+
+def near_dup_conversations_sql(
+    table: str,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "text",
+    w: int = 3,
+    threshold: float = 0.5,
+    max_conv_freq: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`near_dup_conversations` (same shingle
+    derivation, same capped universe, same rounding)."""
+    cap = (
+        f"WHERE cnt <= {int(max_conv_freq)}"
+        if max_conv_freq is not None
+        else ""
+    )
+    return f"""
+WITH __nd_arr AS (
+  SELECT {conv_col} AS id,
+         list(md5(coalesce({text_col}, ''))
+              ORDER BY {idx_col}, md5(coalesce({text_col}, ''))) AS ds
+  FROM {table} GROUP BY {conv_col}
+),
+__nd_sh AS (
+  SELECT DISTINCT id, shingle FROM (
+    SELECT id, unnest(
+      CASE WHEN len(ds) >= {w}
+           THEN list_transform(generate_series(1, len(ds) - {w} + 1),
+                               i -> md5(array_to_string(ds[i : i + {w} - 1], '')))
+           ELSE [md5(array_to_string(ds, ''))]
+      END) AS shingle
+    FROM __nd_arr)
+),
+__nd_kept AS (
+  SELECT id, shingle FROM (
+    SELECT id, shingle, count(*) OVER (PARTITION BY shingle) AS cnt
+    FROM __nd_sh) {cap}
+),
+__nd_sizes AS (
+  SELECT id, count(*) AS sz FROM __nd_kept GROUP BY id
+),
+__nd_inter AS (
+  SELECT a.id AS conv_a, b.id AS conv_b, count(*) AS inter
+  FROM __nd_kept a JOIN __nd_kept b
+    ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id
+)
+SELECT conv_a, conv_b,
+       round(inter::double / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM __nd_inter
+JOIN __nd_sizes sa ON conv_a = sa.id
+JOIN __nd_sizes sb ON conv_b = sb.id
+WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= {threshold}
+""".strip()
+
+
 def truncate_to_budget(
     turns: DataFrame,
     token_budget: int,

@@ -5,8 +5,11 @@ import pandas as pd
 import pytest
 
 from btl_bloomfilter_spark.operators.dialog import (
+    conversation_shingles,
     dialog_stats,
     dialog_stats_sql,
+    near_dup_conversations,
+    near_dup_conversations_sql,
     truncate_to_budget,
     truncate_to_budget_sql,
 )
@@ -122,6 +125,107 @@ def test_truncate_cross_engine(spark, tmp_path):
     )
     assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
     assert got["suffix_tokens"].tolist() == want["suffix_tokens"].tolist()
+
+
+def _turn(c, i, txt):
+    return (c, i, "user", txt)
+
+
+@pytest.mark.spark
+def test_near_dup_conversations_planted(spark):
+    # A: 6 turns; B: A minus last turn -> w=3 shingles 4 vs 3, all of
+    # B's shared => jaccard 3/4.  C unrelated.  D/E: identical 2-turn
+    # convs (< w) -> single equal shingle => 1.0.
+    rows = (
+        [_turn("A", i, f"ta{i}") for i in range(6)]
+        + [_turn("B", i, f"ta{i}") for i in range(5)]
+        + [_turn("C", i, f"tc{i}") for i in range(6)]
+        + [_turn("D", i, f"td{i}") for i in range(2)]
+        + [_turn("E", i, f"td{i}") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r.conv_a, r.conv_b): r.jaccard
+        for r in near_dup_conversations(df, w=3, threshold=0.5).collect()
+    }
+    assert got == {("A", "B"): 0.75, ("D", "E"): 1.0}
+    # an edited MIDDLE turn only perturbs the w shingles covering it
+    rows2 = rows + [_turn("F", i, f"ta{i}" if i != 3 else "EDIT") for i in range(6)]
+    df2 = spark.createDataFrame(rows2, SCHEMA)
+    got2 = {
+        (r.conv_a, r.conv_b): r.jaccard
+        for r in near_dup_conversations(df2, w=3, threshold=0.1).collect()
+    }
+    # A vs F: 4 shingles each, 1 shared (the run not covering idx 3)
+    assert got2[("A", "F")] == pytest.approx(1 / 7, abs=1e-6)
+
+
+@pytest.mark.spark
+def test_near_dup_cap_and_short(spark):
+    # a boilerplate opening shared by many convs: the capped universe
+    # drops the hot shingle, so boilerplate-only overlap yields no pair
+    rows = []
+    for c in range(20):
+        rows += [_turn(f"c{c:02d}", 0, "hello"), _turn(f"c{c:02d}", 1, "hi"),
+                 _turn(f"c{c:02d}", 2, f"unique{c}")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    uncapped = near_dup_conversations(df, w=2, threshold=0.2)
+    capped = near_dup_conversations(df, w=2, threshold=0.2, max_conv_freq=5)
+    assert uncapped.count() == 20 * 19 // 2  # all pairs share hello+hi gram
+    assert capped.count() == 0
+    # single-turn convs use the whole-conversation fallback shingle
+    one = spark.createDataFrame(
+        [_turn("x", 0, "same"), _turn("y", 0, "same")], SCHEMA
+    )
+    assert near_dup_conversations(one, w=3, threshold=0.9).count() == 1
+
+
+@pytest.mark.spark
+def test_near_dup_cross_engine(spark, tmp_path):
+    import duckdb
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(60):
+        n = rng.randint(1, 12)
+        base = [f"w{rng.randint(0, 30)} w{rng.randint(0, 30)}" for _ in range(n)]
+        rows += [(f"c{c:03d}", i, "user", base[i]) for i in range(n)]
+        if rng.random() < 0.4:  # drop-last-turn variant
+            rows += [(f"c{c:03d}_v", i, "user", base[i]) for i in range(max(1, n - 1))]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    path = str(tmp_path / "t.parquet")
+    pdf.to_parquet(path)
+    got = (
+        near_dup_conversations(
+            spark.read.parquet(path), w=2, threshold=0.3, max_conv_freq=10
+        )
+        .toPandas().sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW tt AS SELECT * FROM '{path}'")
+    want = (
+        con.sql(near_dup_conversations_sql("tt", w=2, threshold=0.3, max_conv_freq=10))
+        .df().sort_values(["conv_a", "conv_b"]).reset_index(drop=True)
+    )
+    assert len(got) > 0
+    assert got["conv_a"].tolist() == want["conv_a"].tolist()
+    assert got["conv_b"].tolist() == want["conv_b"].tolist()
+    assert got["jaccard"].tolist() == want["jaccard"].tolist()
+
+
+@pytest.mark.spark
+def test_near_dup_no_cartesian(spark):
+    rows = [_turn("A", i, f"t{i}") for i in range(4)] + [
+        _turn("B", i, f"t{i}") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    q = near_dup_conversations(df, w=2, threshold=0.1)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # shingle table is distinct per (id, shingle)
+    sh = conversation_shingles(df, w=2)
+    assert sh.count() == sh.distinct().count()
 
 
 @pytest.mark.spark
