@@ -2421,6 +2421,21 @@ def q78_near_dup_convs(spark, sf_dir):
     )
 
 
+def q79_tool_chains(spark, sf_dir):
+    """Tool-call chain mining (operators/dialog.tool_sequences):
+    corpus-wide exact counts of ordered tool bigrams per conversation
+    — the sequence analogue of q33's single-tool heavy hitters, over
+    the real Zipf-distributed tool column.  (seq, n_occurrences,
+    n_convs) hash-oracled.  Plan: one conv shuffle (ordered
+    collect_list ≤ 64 rows/group), pure-array n-gramming, one
+    map-side-partial count agg on the chain key."""
+    from btl_bloomfilter_spark.operators.dialog import tool_sequences
+
+    _transcripts_for(spark, sf_dir).write.mode("overwrite").parquet(Q76_PATH)
+    t = spark.read.parquet(Q76_PATH).select("conv_id", "turn_idx", "tool")
+    return tool_sequences(t, n=2, min_count=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2501,6 +2516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q76_dialog_stats": q76_dialog_stats,
         "q77_budget_truncation": q77_budget_truncation,
         "q78_near_dup_convs": q78_near_dup_convs,
+        "q79_tool_chains": q79_tool_chains,
     }
 
 
@@ -2704,6 +2720,14 @@ def _q78_oracle_sql() -> str:
     return near_dup_conversations_sql(inp, w=2, threshold=0.4, max_conv_freq=50)
 
 
+def _q79_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.dialog import tool_sequences_sql
+
+    return tool_sequences_sql(
+        f"read_parquet('{Q76_PATH}/*.parquet')", n=2, min_count=2
+    )
+
+
 def _q77_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.dialog import truncate_to_budget_sql
 
@@ -2892,6 +2916,7 @@ def oracle_sql() -> dict[str, str]:
         "q76_dialog_stats": _q76_oracle_sql(),
         "q77_budget_truncation": _q77_oracle_sql(),
         "q78_near_dup_convs": _q78_oracle_sql(),
+        "q79_tool_chains": _q79_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

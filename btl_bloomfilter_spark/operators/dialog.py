@@ -13,11 +13,20 @@ data:
   whose token total fits a context budget (how a trainer trims long
   histories: most recent turns win).  Reverse running sum per
   conversation; exact long arithmetic.
+- :func:`near_dup_conversations`: conversation-granularity near-dup
+  pairs — exact Jaccard over order-sensitive w-grams of per-turn md5
+  digests (catches a re-logged conversation one turn apart, which
+  exact fingerprints and document-level MinHash both miss).
+- :func:`tool_sequences`: corpus-wide exact counts of ordered
+  tool-call chains (per-conversation tool n-grams).
 
-Plan shape: one shuffle on conv_id each; windows stream within the
+Plan shapes: one shuffle on conv_id each; windows stream within the
 partition (running sums / lag only), and the stats groupBy reuses
 the window's partitioning (same single-Exchange argument as
-operators/sessions, pinned in tests).
+operators/sessions, pinned in tests).  near_dup/tool chains add one
+downstream shuffle on the shingle / chain key; pair expansion goes
+through dedup.jaccard_pairs_from_shingles (never a self-join or
+cartesian).  See PLANS.md §16.
 """
 
 from __future__ import annotations
@@ -300,6 +309,101 @@ FROM __nd_inter
 JOIN __nd_sizes sa ON conv_a = sa.id
 JOIN __nd_sizes sb ON conv_b = sb.id
 WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= {threshold}
+""".strip()
+
+
+def tool_sequences(
+    turns: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    n: int = 2,
+    min_count: int = 1,
+    sep: str = ">",
+) -> DataFrame:
+    """Tool-call chain mining: corpus-wide counts of ordered n-grams
+    over each conversation's non-null ``tool`` sequence — "which tool
+    chains are common" (the sequence analogue of single-tool heavy
+    hitters).  One row per chain: (seq, n_occurrences, n_convs);
+    occurrences are counted per position (a chain appearing twice in
+    one conversation counts twice), ``n_convs`` is the distinct
+    conversations containing it.  Exact long counts — hash-oracle-able.
+
+    Chains render as tool names joined by ``sep``.  A tool name
+    containing ``sep`` would make the rendering ambiguous, so the
+    plan embeds a guard that raises on such input (fused into the
+    first scan — no extra pass).
+
+    Plan: one shuffle on conv (ordered collect_list, ≤ conversation
+    length per group), n-gramming as a pure array expression, then
+    one count aggregation on the chain key (map-side partial agg)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    guarded = F.when(
+        F.col(tool_col).contains(sep),
+        F.raise_error(
+            F.concat(
+                F.lit(f"tool_sequences: tool name contains separator {sep!r}: "),
+                F.col(tool_col),
+            )
+        ),
+    ).otherwise(F.col(tool_col))
+    tools = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(idx_col).alias("i"), guarded.alias("t")))
+        ),
+        lambda x: x["t"],
+    )
+    grams = F.when(
+        F.size("__ts") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__ts") - n + 1),
+            lambda i: F.array_join(F.slice("__ts", i, n), sep),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        turns.where(F.col(tool_col).isNotNull())
+        .groupBy(F.col(conv_col).alias("__conv"))
+        .agg(tools.alias("__ts"))
+        .select("__conv", F.explode(grams).alias("seq"))
+        .groupBy("seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__conv").alias("n_convs"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def tool_sequences_sql(
+    table: str,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    tool_col: str = "tool",
+    n: int = 2,
+    min_count: int = 1,
+    sep: str = ">",
+) -> str:
+    """DuckDB twin of :func:`tool_sequences` (same ordering tie-break,
+    same per-position counting)."""
+    sep_sql = sep.replace("'", "''")
+    return f"""
+WITH __ts AS (
+  SELECT {conv_col} AS conv,
+         list({tool_col} ORDER BY {idx_col}, {tool_col}) AS ts
+  FROM {table} WHERE {tool_col} IS NOT NULL GROUP BY {conv_col}
+),
+__tg AS (
+  SELECT conv,
+         unnest(list_transform(generate_series(1, len(ts) - {n} + 1),
+                               i -> array_to_string(ts[i : i + {n} - 1], '{sep_sql}'))) AS seq
+  FROM __ts WHERE len(ts) >= {n}
+)
+SELECT seq, count(*)::bigint AS n_occurrences,
+       count(DISTINCT conv)::bigint AS n_convs
+FROM __tg GROUP BY seq HAVING count(*) >= {int(min_count)}
 """.strip()
 
 

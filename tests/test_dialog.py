@@ -10,9 +10,13 @@ from btl_bloomfilter_spark.operators.dialog import (
     dialog_stats_sql,
     near_dup_conversations,
     near_dup_conversations_sql,
+    tool_sequences,
+    tool_sequences_sql,
     truncate_to_budget,
     truncate_to_budget_sql,
 )
+
+TOOL_SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string"
 
 SCHEMA = "conv_id string, turn_idx int, role string, text string"
 
@@ -212,6 +216,67 @@ def test_near_dup_cross_engine(spark, tmp_path):
     assert got["conv_a"].tolist() == want["conv_a"].tolist()
     assert got["conv_b"].tolist() == want["conv_b"].tolist()
     assert got["jaccard"].tolist() == want["jaccard"].tolist()
+
+
+@pytest.mark.spark
+def test_tool_sequences_planted(spark):
+    rows = [
+        # c1 tools in idx order: a, b, a, b (NULL-tool turns skipped)
+        ("c1", 0, "tool", "x", "a"), ("c1", 1, "user", "x", None),
+        ("c1", 2, "tool", "x", "b"), ("c1", 3, "tool", "x", "a"),
+        ("c1", 5, "tool", "x", "b"),
+        # c2: a, b
+        ("c2", 0, "tool", "x", "a"), ("c2", 1, "tool", "x", "b"),
+        # c3: single tool -> no bigram
+        ("c3", 0, "tool", "x", "a"),
+    ]
+    df = spark.createDataFrame(rows, TOOL_SCHEMA)
+    got = {r.seq: (r.n_occurrences, r.n_convs)
+           for r in tool_sequences(df, n=2).collect()}
+    assert got == {"a>b": (3, 2), "b>a": (1, 1)}
+    # per-position counting: a chain twice in one conv counts twice
+    assert got["a>b"][0] == 3 and got["a>b"][1] == 2
+    # min_count filters
+    assert tool_sequences(df, n=2, min_count=2).count() == 1
+    # separator-bearing tool name raises (rendering would be ambiguous)
+    bad = spark.createDataFrame(
+        [("c", 0, "tool", "x", "a>b"), ("c", 1, "tool", "x", "c")], TOOL_SCHEMA
+    )
+    with pytest.raises(Exception, match="separator"):
+        tool_sequences(bad, n=2).collect()
+
+
+@pytest.mark.spark
+def test_tool_sequences_cross_engine(spark, tmp_path):
+    import duckdb
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for c in range(80):
+        for i in range(rng.randint(1, 15)):
+            rows.append(
+                (f"c{c:03d}", i, "tool", "x",
+                 None if rng.random() < 0.3 else f"tool{rng.randint(0, 5):02d}")
+            )
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool"])
+    path = str(tmp_path / "t.parquet")
+    pdf.to_parquet(path)
+    for n, mc in ((2, 1), (3, 2)):
+        got = (
+            tool_sequences(spark.read.parquet(path), n=n, min_count=mc)
+            .toPandas().sort_values("seq").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW tt AS SELECT * FROM '{path}'")
+        want = (
+            con.sql(tool_sequences_sql("tt", n=n, min_count=mc))
+            .df().sort_values("seq").reset_index(drop=True)
+        )
+        assert len(got) > 0
+        assert got["seq"].tolist() == want["seq"].tolist()
+        assert got["n_occurrences"].tolist() == want["n_occurrences"].tolist()
+        assert got["n_convs"].tolist() == want["n_convs"].tolist()
 
 
 @pytest.mark.spark
