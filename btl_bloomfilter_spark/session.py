@@ -26,15 +26,37 @@ _DEFAULTS = {
 _ZIP_CACHE: str | None = None
 
 
+def _enclosing_zip() -> str | None:
+    """Path of the .zip archive this package is imported from (the
+    ``spark-submit --py-files`` launch mode), else None.  Detected by
+    walking up from ``__file__``: inside an archive, some ancestor
+    "directory" component is actually a file on disk."""
+    p = os.path.dirname(os.path.abspath(__file__))
+    while p and p != os.path.dirname(p):
+        if os.path.isfile(p):
+            return p if p.lower().endswith(".zip") else None
+        p = os.path.dirname(p)
+    return None
+
+
 def package_zip() -> str:
     """Zip this package into a PER-PROCESS temp dir; returns the zip
     path (cached for the process).  A fixed shared path would let two
     concurrent drivers ship each other's half-written archive, and on
     a multi-user host the second user would hit PermissionError on
-    the first user's directory."""
+    the first user's directory.
+
+    When the package is ITSELF imported from a ``--py-files`` zip
+    (the north-rule spark-submit launch), that archive IS the package
+    zip — re-archiving would try to walk a directory inside the zip
+    and fail — so the enclosing archive path is returned as-is."""
     global _ZIP_CACHE
     if _ZIP_CACHE is not None and os.path.exists(_ZIP_CACHE):
         return _ZIP_CACHE
+    zp = _enclosing_zip()
+    if zp is not None:
+        _ZIP_CACHE = zp
+        return zp
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     base = tempfile.mkdtemp(prefix="btl_bloomfilter_spark_pyfiles_")
     out = os.path.join(base, "btl_bloomfilter_spark")
@@ -87,5 +109,16 @@ def get_spark(
 
 
 def attach_package(spark: SparkSession) -> None:
-    """Ship this package to executors of an existing session."""
-    spark.sparkContext.addPyFile(package_zip())
+    """Ship this package to executors of an existing session.
+
+    No-op when the package is already imported from a
+    ``spark-submit --py-files`` archive: spark-submit has distributed
+    that zip to every executor, and re-adding the same logical name
+    from a different local path can conflict with the existing
+    registration.  (Corner case: a zip placed on ``sys.path`` by hand
+    WITHOUT --py-files is also skipped — ship it yourself in that
+    launch mode.)"""
+    zp = package_zip()
+    if _enclosing_zip() == zp:
+        return
+    spark.sparkContext.addPyFile(zp)
