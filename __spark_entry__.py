@@ -2436,6 +2436,93 @@ def q79_tool_chains(spark, sf_dir):
     return tool_sequences(t, n=2, min_count=2)
 
 
+def q80_corpus_diff(spark, sf_dir):
+    """Snapshot diff (operators/snapshot.corpus_diff): added/removed/
+    content-changed keys between two corpus versions by md5
+    fingerprint — the release-engineering gate before shipping crawl
+    N+1.  The second snapshot is derived in-query (drop doc_id%10==0,
+    mutate %10==1, add re-keyed fresh docs), both engines derive it
+    identically — the DIFF itself is hash-oracled.  Plan: each side
+    collapses to (key, fp) map-side; one full outer join on the key;
+    unchanged mass filtered immediately."""
+    from btl_bloomfilter_spark.operators.snapshot import corpus_diff
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    old = docs.select("doc_id", "text")
+    new = (
+        old.where(F.col("doc_id") % 10 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            old.where(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+            )
+        )
+    )
+    return corpus_diff(old, new, "doc_id", "text")
+
+
+def q81_bpe_tokenizer(spark, sf_dir):
+    """Trainable BPE tokenizer (operators/bpe): distributed word
+    table -> deterministic driver merge learning (Sennrich ACL'16
+    two-stage distillation, the HF/SentencePiece shape) ->
+    broadcast-encode.  SQL cannot express iterative merge learning
+    (rows-only by design); gate columns carry the proof instead:
+    roundtrip_ok (token concatenation reproduces every word + marker,
+    checked IN-PLAN corpus-wide), deterministic_retrain (merges
+    byte-identical when retrained on a repartitioned corpus),
+    compression > 1 (subwords beat characters)."""
+    from btl_bloomfilter_spark.operators.bpe import (
+        EOW,
+        train_bpe,
+        with_bpe_tokens,
+    )
+    import hashlib
+
+    docs = _load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    merges = train_bpe(docs, "text", 200)
+    merges2 = train_bpe(docs.repartition(7), "text", 200)
+    fp = hashlib.md5(repr(merges).encode()).hexdigest()
+    enc = with_bpe_tokens(docs, "text", merges)
+    words = F.filter(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"), lambda w: w != "")
+    agg = enc.select(
+        F.size("bpe_tokens").alias("n_tok"),
+        F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w) + 1).alias("n_char_syms"),
+        (
+            F.array_join("bpe_tokens", "")
+            == F.concat_ws("", F.transform(words, lambda w: F.concat(w, F.lit(EOW))))
+        ).alias("rt"),
+    ).agg(
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_char_syms").alias("total_char_symbols"),
+        F.min("rt").alias("roundtrip_ok"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    row = agg.collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                len(merges),
+                fp,
+                bool(merges == merges2),
+                int(row["total_tokens"]),
+                int(row["total_char_symbols"]),
+                bool(row["roundtrip_ok"]),
+                float(row["total_char_symbols"]) / float(row["total_tokens"]),
+                bool(row["total_char_symbols"] > row["total_tokens"]),
+                int(row["n_docs"]),
+            )
+        ],
+        "n_merges int, merges_md5 string, deterministic_retrain boolean, "
+        "total_tokens long, total_char_symbols long, roundtrip_ok boolean, "
+        "chars_per_token double, compression_gt_1 boolean, n_docs int",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2517,6 +2604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q77_budget_truncation": q77_budget_truncation,
         "q78_near_dup_convs": q78_near_dup_convs,
         "q79_tool_chains": q79_tool_chains,
+        "q80_corpus_diff": q80_corpus_diff,
+        "q81_bpe_tokenizer": q81_bpe_tokenizer,
     }
 
 
@@ -2728,6 +2817,22 @@ def _q79_oracle_sql() -> str:
     )
 
 
+def _q80_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.snapshot import corpus_diff_sql
+
+    new_table = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN text || '!' ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 25 = 0
+) AS __new"""
+    return corpus_diff_sql(
+        "(SELECT doc_id, text FROM documents) AS __old", new_table, "doc_id", "text"
+    )
+
+
 def _q77_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.dialog import truncate_to_budget_sql
 
@@ -2917,6 +3022,7 @@ def oracle_sql() -> dict[str, str]:
         "q77_budget_truncation": _q77_oracle_sql(),
         "q78_near_dup_convs": _q78_oracle_sql(),
         "q79_tool_chains": _q79_oracle_sql(),
+        "q80_corpus_diff": _q80_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

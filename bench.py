@@ -553,6 +553,30 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             tdf, w=2, threshold=0.4, max_conv_freq=50
         ).count()
 
+    def q_corpus_diff():
+        # two map-side (key, fp) collapses + one full outer join
+        from btl_bloomfilter_spark.operators.snapshot import corpus_diff
+
+        old = docs.select("doc_id", "text")
+        new = old.where(F.col("doc_id") % 10 != 0).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 == 1, F.concat(F.col("text"), F.lit("!")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return corpus_diff(old, new, "doc_id", "text").count()
+
+    def q_bpe_train_encode():
+        # distributed word table -> driver merge learning (bounded by
+        # DISTINCT words, not corpus bytes) -> broadcast pandas encode
+        from btl_bloomfilter_spark.operators.bpe import bpe_token_count, train_bpe
+
+        d = state["docs_id_part"]
+        merges = train_bpe(d, "text", 200)
+        return bpe_token_count(d, "text", merges).agg(
+            F.sum("bpe_token_count")
+        ).collect()[0][0]
+
     def q_dialog_validation():
         # one shuffle on conv_id; lag/first windows + groupBy reuse
         # the same partitioning (single-Exchange plan, pinned)
@@ -593,6 +617,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "drift_psi": q_drift_psi,
         "dialog_validation": q_dialog_validation,
         "conv_near_dup": q_conv_near_dup,
+        "corpus_diff": q_corpus_diff,
+        "bpe_train_encode": q_bpe_train_encode,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
