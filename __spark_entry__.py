@@ -2523,6 +2523,51 @@ def q81_bpe_tokenizer(spark, sf_dir):
     )
 
 
+def q82_pq_shortlist(spark, sf_dir):
+    """Product quantization ANN (operators/pq, Jégou TPAMI'11): 64-d
+    float vectors -> 8 one-byte codes (32x storage cut), per-query
+    ADC table broadcast to a vectorized gather scan.  Iterative
+    k-means training is not SQL-expressible (rows-only by design);
+    gates: the exact top-10 lands in the ADC top-50 shortlist
+    (recall >= 0.8 — the shortlist-then-rerank contract), refit on a
+    repartitioned table is byte-identical, every code is exactly m
+    bytes."""
+    import numpy as np
+    from btl_bloomfilter_spark.operators.pq import fit_pq, pq_topk, with_pq_codes
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].select("vec_id", "embedding")
+    books = fit_pq(emb, m=8, nbits=6, sample=2048, seed=5)
+    books2 = fit_pq(emb.repartition(5), m=8, nbits=6, sample=2048, seed=5)
+    coded = with_pq_codes(emb, books).select("vec_id", "pq_code").cache()
+    mat_rows = emb.orderBy("vec_id").collect()
+    mat = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in mat_rows])
+    ids = np.asarray([r.vec_id for r in mat_rows])
+    recalls = []
+    code_w_ok = True
+    for qi in (0, len(ids) // 2, len(ids) - 1):
+        q = mat[qi]
+        exact = set(ids[np.argsort(((mat - q[None, :]) ** 2).sum(axis=1))[:10]].tolist())
+        short = {r.vec_id for r in pq_topk(coded, list(q), 50, books).collect()}
+        recalls.append(len(exact & short) / 10.0)
+    code_w_ok = all(len(r.pq_code) == 8 for r in coded.limit(200).collect())
+    coded.unpersist()
+    mean_recall = sum(recalls) / len(recalls)
+    return spark.createDataFrame(
+        [
+            (
+                int(len(ids)),
+                float(round(mean_recall, 3)),
+                bool(mean_recall >= 0.8),
+                bool(np.array_equal(books, books2)),
+                bool(code_w_ok),
+                float(4 * mat.shape[1] / 8.0),
+            )
+        ],
+        "n_vectors int, shortlist_recall_at_10 double, recall_ok boolean, "
+        "deterministic_refit boolean, code_width_ok boolean, compression_x double",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2606,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q79_tool_chains": q79_tool_chains,
         "q80_corpus_diff": q80_corpus_diff,
         "q81_bpe_tokenizer": q81_bpe_tokenizer,
+        "q82_pq_shortlist": q82_pq_shortlist,
     }
 
 

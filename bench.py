@@ -577,6 +577,16 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             F.sum("bpe_token_count")
         ).collect()[0][0]
 
+    def q_pq_encode_search():
+        # fit on a content-keyed sample, pure-map encode (32x storage
+        # cut), broadcast ADC-table shortlist scan
+        from btl_bloomfilter_spark.operators.pq import fit_pq, pq_topk, with_pq_codes
+
+        books = fit_pq(emb, m=8, nbits=6, sample=2048, seed=5)
+        coded = with_pq_codes(emb, books).select("vec_id", "pq_code")
+        q = emb.where(F.col("vec_id") == 0).collect()[0].embedding
+        return pq_topk(coded, list(q), 50, books).count()
+
     def q_dialog_validation():
         # one shuffle on conv_id; lag/first windows + groupBy reuse
         # the same partitioning (single-Exchange plan, pinned)
@@ -619,6 +629,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "conv_near_dup": q_conv_near_dup,
         "corpus_diff": q_corpus_diff,
         "bpe_train_encode": q_bpe_train_encode,
+        "pq_encode_search": q_pq_encode_search,
     }
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
