@@ -181,3 +181,37 @@ def pq_topk(
         .orderBy("pq_dist", id_col)
         .limit(k)
     )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    vec,
+    k: int,
+    codebooks: np.ndarray,
+    coarse_cents: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    cell_col: str = "__cell",
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF+PQ (the FAISS IVFPQ shape): probe the ``nprobe`` coarse
+    cells nearest the query, ADC-scan only THOSE cells' codes.
+
+    ``codes_df`` must carry both the PQ codes and a coarse cell id —
+    build the index once with ``similarity.with_ivf_cells`` +
+    :func:`with_pq_codes` and persist it partitioned by cell, so the
+    ``isin`` filter prunes partitions at scan time and a query reads
+    nprobe/n_cells of the codes, each row 8 bytes.  That compound
+    reduction is what makes 10^12-vector search interactive."""
+    q = np.asarray(vec, dtype=np.float64)
+    d = ((np.asarray(coarse_cents, dtype=np.float64) - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in np.argsort(d)[:nprobe]]
+    return pq_topk(
+        codes_df.where(F.col(cell_col).isin(probe)),
+        vec,
+        k,
+        codebooks,
+        id_col=id_col,
+        code_col=code_col,
+    )

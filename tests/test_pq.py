@@ -80,6 +80,32 @@ def test_recall_vs_bruteforce(spark):
 
 
 @pytest.mark.spark
+def test_ivfpq_shortlist(spark):
+    from btl_bloomfilter_spark.operators.pq import ivfpq_topk
+    from btl_bloomfilter_spark.operators.similarity import fit_centroids, with_ivf_cells
+
+    mat = _blobs(n=500, d=16, n_blobs=6, seed=21)
+    df = _df(spark, mat)
+    cents = fit_centroids(df, n_cells=6, sample=400, seed=8)
+    books = fit_pq(df, m=8, nbits=6, sample=400, seed=8)
+    index = with_ivf_cells(with_pq_codes(df, books), cents).select(
+        "vec_id", "pq_code", "__cell"
+    ).cache()
+    recalls = []
+    for qi in (3, 77, 410):
+        q = mat[qi]
+        exact = set(np.argsort(((mat - q[None, :]) ** 2).sum(axis=1))[:10].tolist())
+        short = {r.vec_id for r in ivfpq_topk(index, list(q), 50, books, cents, nprobe=2).collect()}
+        recalls.append(len(exact & short) / 10)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    # nprobe=all cells degenerates to plain pq_topk
+    all_cells = {r.vec_id for r in ivfpq_topk(index, list(mat[3]), 50, books, cents, nprobe=6).collect()}
+    plain = {r.vec_id for r in pq_topk(index, list(mat[3]), 50, books).collect()}
+    assert all_cells == plain
+    index.unpersist()
+
+
+@pytest.mark.spark
 def test_null_vectors(spark):
     pdf = pd.DataFrame({"vec_id": [0, 1], "embedding": [[1.0, 2.0, 3.0, 4.0], None]})
     df = spark.createDataFrame(pdf)
