@@ -132,11 +132,22 @@ def learn_bpe(words: Iterable[tuple[str, int]], num_merges: int) -> list[tuple[s
     return merges
 
 
-def train_bpe(df: DataFrame, col: str, num_merges: int) -> list[tuple[str, str]]:
+def train_bpe(
+    df: DataFrame, col: str, num_merges: int, *, min_count: int = 1
+) -> list[tuple[str, str]]:
     """Distributed word table → driver merge learning.  The collect
     is the word TABLE (distinct pre-tokens), not the corpus — the
-    documented scale contract of stage 2."""
-    rows = word_counts(df, col).collect()
+    documented scale contract of stage 2.  ``min_count`` prunes
+    hapax/near-hapax words BEFORE the collect (the HF
+    ``min_frequency`` knob): on web-scale corpora the distinct-word
+    tail is dominated by typos/URLs/code identifiers, so pruning
+    bounds driver memory.  Note it is an approximation — pruned
+    words' pair counts are gone, which can flip near-tied merges;
+    that is the standard trade every production BPE trainer makes."""
+    wc = word_counts(df, col)
+    if min_count > 1:
+        wc = wc.where(F.col("n") >= min_count)
+    rows = wc.collect()
     return learn_bpe(((r["word"], r["n"]) for r in rows), num_merges)
 
 
@@ -160,23 +171,6 @@ def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
             break
         s[best_i : best_i + 2] = [s[best_i] + s[best_i + 1]]
     return s
-
-
-def encode_tokens(words: "pd.Series", merges: list[tuple[str, str]]) -> "pd.Series":
-    """pandas kernel: word -> list of BPE tokens (memoized per
-    distinct word)."""
-    ranks = {p: i for i, p in enumerate(merges)}
-    memo: dict[str, list[str]] = {}
-
-    def one(w) -> list[str]:
-        if w is None or w == "":
-            return []
-        got = memo.get(w)
-        if got is None:
-            got = memo[w] = _encode_word(w, ranks)
-        return got
-
-    return words.map(one)
 
 
 def with_bpe_tokens(

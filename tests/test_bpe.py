@@ -106,6 +106,9 @@ def test_train_and_encode_distributed(spark):
     m1 = train_bpe(df, "text", 25)
     m8 = train_bpe(df.repartition(8), "text", 25)
     assert m1 == m8 and len(m1) > 0  # partition-invariant training
+    # min_count prunes the word table before the collect; a threshold
+    # above every word's count empties it
+    assert train_bpe(df, "text", 25, min_count=10_000) == []
     out = with_bpe_tokens(df.limit(3), "text", m1).collect()
     ranks = {p: i for i, p in enumerate(m1)}
     for r in out:
