@@ -30,6 +30,7 @@ subwords (the classic formulation).
 
 from __future__ import annotations
 
+import re
 from typing import Iterable
 
 import pandas as pd
@@ -37,6 +38,17 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 EOW = "▁"  # end-of-word marker (block char, same choice as SentencePiece)
+
+# The trainer splits with Spark's Java-regex \s+, which is ASCII-only
+# ([ \t\n\x0B\f\r]).  The encode kernel MUST split identically —
+# Python's str.split() treats Unicode whitespace (U+00A0, U+2009, …)
+# as separators where Java \s does not, which would tokenize words
+# the trainer never saw and break the corpus-wide roundtrip gate.
+_WS_RE = re.compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _split_words(text: str) -> list[str]:
+    return [w for w in _WS_RE.split(text) if w]
 
 
 # ------------------------------------------------------------------ #
@@ -74,9 +86,13 @@ def learn_bpe(words: Iterable[tuple[str, int]], num_merges: int) -> list[tuple[s
     Deterministic: ties on pair count break to the lexicographically
     smallest (a, b).  Stops early when no adjacent pair occurs twice.
     Incremental: an inverted pair->word-ids index means each round
-    touches only the words containing the merged pair (the standard
-    trainer optimization; results identical to naive recounting,
-    pinned by test)."""
+    REWRITES only the words containing the merged pair, and exhausted
+    pairs are deleted at the moment their count hits zero (no
+    end-of-round dict rebuild).  The best-pair argmax is still a scan
+    of the live pair set per round — at word-table scale that scan is
+    cheap relative to the rewrites; a lazy max-heap is the upgrade
+    path if it ever isn't.  Results identical to naive recounting,
+    pinned by test."""
     syms: list[list[str]] = []
     counts: list[int] = []
     for word, n in words:
@@ -91,9 +107,17 @@ def learn_bpe(words: Iterable[tuple[str, int]], num_merges: int) -> list[tuple[s
         s = syms[wi]
         for a, b in zip(s, s[1:]):
             p = (a, b)
-            pair_counts[p] = pair_counts.get(p, 0) + sign * counts[wi]
-            if sign > 0:
-                pair_words.setdefault(p, set()).add(wi)
+            c = pair_counts.get(p, 0) + sign * counts[wi]
+            if c > 0:
+                pair_counts[p] = c
+                if sign > 0:
+                    pair_words.setdefault(p, set()).add(wi)
+            else:
+                # exhausted: drop the key NOW so per-round cost stays
+                # proportional to the touched words (no end-of-round
+                # full-dict rebuild)
+                pair_counts.pop(p, None)
+                pair_words.pop(p, None)
 
     for wi in range(len(syms)):
         add_word_pairs(wi, +1)
@@ -125,10 +149,11 @@ def learn_bpe(words: Iterable[tuple[str, int]], num_merges: int) -> list[tuple[s
                     i += 1
             syms[wi] = out
             add_word_pairs(wi, +1)
-        # drop exhausted entries so the scan stays proportional to
-        # the LIVE pair set
-        pair_counts = {p: c for p, c in pair_counts.items() if c > 0}
-        pair_words = {p: ws for p, ws in pair_words.items() if p in pair_counts}
+        # the merged pair's count hit zero in the subtract pass above
+        # (pair_words never under-covers: every +1 add registers wi);
+        # pop defensively in case of stale extras
+        pair_counts.pop((a, b), None)
+        pair_words.pop((a, b), None)
     return merges
 
 
@@ -195,7 +220,7 @@ def with_bpe_tokens(
             if text is None:
                 return []
             out: list[str] = []
-            for w in text.split():
+            for w in _split_words(text):
                 got = memo.get(w)
                 if got is None:
                     got = memo[w] = _encode_word(w, ranks)

@@ -127,21 +127,21 @@ WITH __dlg AS (
          coalesce({text_col}, '') AS txt,
          CASE WHEN coalesce({role_col}, '') = lag(coalesce({role_col}, ''))
                    OVER (PARTITION BY {conv_col}
-                         ORDER BY {idx_col}, coalesce({role_col}, ''))
+                         ORDER BY {idx_col} NULLS FIRST, coalesce({role_col}, ''))
               THEN 1 ELSE 0 END AS brk,
          CASE WHEN {idx_col} - lag({idx_col})
                    OVER (PARTITION BY {conv_col}
-                         ORDER BY {idx_col}, coalesce({role_col}, '')) > 1
+                         ORDER BY {idx_col} NULLS FIRST, coalesce({role_col}, '')) > 1
               THEN 1 ELSE 0 END AS gap,
          CASE WHEN {idx_col} = lag({idx_col})
                    OVER (PARTITION BY {conv_col}
-                         ORDER BY {idx_col}, coalesce({role_col}, ''))
+                         ORDER BY {idx_col} NULLS FIRST, coalesce({role_col}, ''))
               THEN 1 ELSE 0 END AS dup,
          first_value(coalesce({role_col}, ''))
-           OVER (PARTITION BY {conv_col} ORDER BY {idx_col}, coalesce({role_col}, ''))
+           OVER (PARTITION BY {conv_col} ORDER BY {idx_col} NULLS FIRST, coalesce({role_col}, ''))
            AS fr,
          first_value(coalesce({role_col}, ''))
-           OVER (PARTITION BY {conv_col} ORDER BY {idx_col} DESC, coalesce({role_col}, '') DESC)
+           OVER (PARTITION BY {conv_col} ORDER BY {idx_col} DESC NULLS LAST, coalesce({role_col}, '') DESC)
            AS lr
   FROM {table}
 ),
@@ -276,7 +276,7 @@ def near_dup_conversations_sql(
 WITH __nd_arr AS (
   SELECT {conv_col} AS id,
          list(md5(coalesce({text_col}, ''))
-              ORDER BY {idx_col}, md5(coalesce({text_col}, ''))) AS ds
+              ORDER BY {idx_col} NULLS FIRST, md5(coalesce({text_col}, ''))) AS ds
   FROM {table} GROUP BY {conv_col}
 ),
 __nd_sh AS (
@@ -392,7 +392,7 @@ def tool_sequences_sql(
     return f"""
 WITH __ts AS (
   SELECT {conv_col} AS conv,
-         list({tool_col} ORDER BY {idx_col}, {tool_col}) AS ts
+         list({tool_col} ORDER BY {idx_col} NULLS FIRST, {tool_col}) AS ts
   FROM {table} WHERE {tool_col} IS NOT NULL GROUP BY {conv_col}
 ),
 __tg AS (
@@ -434,7 +434,13 @@ def truncate_to_budget(
 
         toks = token_count(text_col)
     else:
-        toks = F.coalesce(F.col(tokens_col), F.lit(0)).cast("long")
+        # clamp corrupt negative counts: a negative value would make
+        # the reverse running sum non-monotone and the kept set a
+        # non-contiguous hole-y "suffix" (same guard packing has)
+        toks = F.greatest(
+            F.lit(0).cast("long"),
+            F.coalesce(F.col(tokens_col), F.lit(0)).cast("long"),
+        )
     w = (
         Window.partitionBy(conv_col)
         .orderBy(F.col(idx_col).desc())
@@ -463,10 +469,11 @@ def truncate_to_budget_sql(
         from ..functions.textstats import token_count_sql
 
         tokens_expr = token_count_sql(text_col)
+    toks = f"greatest(0, coalesce(({tokens_expr}), 0))::bigint"
     return f"""
 SELECT * FROM (
-  SELECT *, ({tokens_expr})::bigint AS turn_tokens,
-         sum(({tokens_expr})::bigint)
+  SELECT *, {toks} AS turn_tokens,
+         sum({toks})
            OVER (PARTITION BY {conv_col} ORDER BY {idx_col} DESC
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::bigint
            AS suffix_tokens

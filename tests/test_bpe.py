@@ -121,6 +121,23 @@ def test_train_and_encode_distributed(spark):
 
 
 @pytest.mark.spark
+def test_unicode_whitespace_train_encode_agree(spark):
+    # U+00A0 is whitespace to Python str.split() but NOT to the
+    # trainer's Java \s+ — the encode kernel must side with the
+    # trainer or tokenize words the vocabulary never saw
+    from pyspark.sql import functions as F
+    from btl_bloomfilter_spark.operators.bpe import EOW
+
+    df = spark.createDataFrame([("caf bar baz",)] * 8, "text string")
+    assert {r.word for r in word_counts(df, "text").collect()} == {"caf bar", "baz"}
+    merges = train_bpe(df, "text", 10)
+    out = with_bpe_tokens(df.limit(1), "text", merges).collect()[0]
+    joined = "".join(out.bpe_tokens)
+    # one EOW per trainer-word: the \xa0 word stays whole
+    assert joined == "caf bar" + EOW + "baz" + EOW
+
+
+@pytest.mark.spark
 def test_word_counts_guard(spark):
     df = spark.createDataFrame([(f"bad{EOW}word",)], "text string")
     with pytest.raises(Exception, match="EOW"):

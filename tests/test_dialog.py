@@ -294,6 +294,59 @@ def test_near_dup_no_cartesian(spark):
 
 
 @pytest.mark.spark
+def test_null_turn_idx_cross_engine(spark, tmp_path):
+    # NULL turn_idx: Spark ASC windows put NULLS FIRST while DuckDB
+    # defaults to NULLS LAST — the twins pin NULLS FIRST/LAST
+    # explicitly; this pins the pin
+    import duckdb
+
+    pdf = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b", "b"],
+            "turn_idx": pd.array([None, 0, 1, None, None], dtype="Int32"),
+            "role": ["tool", "user", "assistant", "user", "tool"],
+            "text": ["x", "hi", "yo", "p", "q"],
+        }
+    )
+    path = str(tmp_path / "t.parquet")
+    pdf.to_parquet(path)
+    got = (
+        dialog_stats(spark.read.parquet(path))
+        .toPandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW tt AS SELECT * FROM '{path}'")
+    want = (
+        con.sql(dialog_stats_sql("tt"))
+        .df().sort_values("conv_id").reset_index(drop=True)
+    )
+    for c in ("n_turns", "first_role", "last_role", "n_empty",
+              "n_alternation_breaks", "n_idx_gaps", "n_idx_dups"):
+        assert got[c].tolist() == want[c].tolist(), c
+    # NULL-idx conv cannot be well_formed (min_idx is not 0)
+    assert not bool(got[got.conv_id == "a"].well_formed.iloc[0])
+
+
+@pytest.mark.spark
+def test_truncate_negative_tokens_clamped(spark):
+    # a corrupt negative precomputed count must not break suffix
+    # contiguity (clamped to 0 in both engines)
+    import duckdb
+
+    rows = [("c1", 0, 5), ("c1", 1, -9), ("c1", 2, 3)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, tok long")
+    out = truncate_to_budget(df, 4, tokens_col="tok").toPandas()
+    kept = sorted(out.turn_idx.tolist())
+    # suffix sums with clamp: idx2=3, idx1=3, idx0=8 -> keep {1, 2}
+    assert kept == [1, 2]
+    con = duckdb.connect()
+    con.sql("CREATE TABLE tt AS SELECT * FROM (VALUES "
+            "('c1', 0, 5), ('c1', 1, -9), ('c1', 2, 3)) t(conv_id, turn_idx, tok)")
+    want = con.sql(truncate_to_budget_sql("tt", 4, tokens_expr="tok")).df()
+    assert sorted(want.turn_idx.tolist()) == kept
+
+
+@pytest.mark.spark
 def test_dialog_single_exchange(spark):
     rows = [("c1", 0, "user", "a"), ("c1", 1, "assistant", "b")]
     df = spark.createDataFrame(rows, SCHEMA)
