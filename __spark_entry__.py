@@ -2580,6 +2580,74 @@ def q82_pq_shortlist(spark, sf_dir):
     )
 
 
+_Q83_TERMS = ["badword", "gambling"]
+_Q83_PHRASES = ("dark pattern",)
+
+
+def _q83_derived_text() -> "F.Column":
+    """The synthetic corpus never contains blocklist terms, so plant
+    them in-query with literal arms shared verbatim by both engines
+    (q50's standard): a cased+punctuated term hit (%7), a multi-space
+    cased phrase hit (%11), a hyphen-boundary term hit (%13), and a
+    sub-token NEAR-MISS (%5, 'badwordish' must NOT match)."""
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.when(F.col("doc_id") % 5 == 0, F.concat(t, F.lit(" badwordish"))).otherwise(t)
+    t = F.when(F.col("doc_id") % 7 == 0, F.concat(t, F.lit(" Badword!"))).otherwise(t)
+    t = F.when(
+        F.col("doc_id") % 11 == 0, F.concat(t, F.lit(" a DARK  pattern appears"))
+    ).otherwise(t)
+    t = F.when(F.col("doc_id") % 13 == 0, F.concat(t, F.lit(" gambling-free"))).otherwise(t)
+    return t.alias("btext")
+
+
+def q83_blocklist_screen(spark, sf_dir):
+    """Term/phrase blocklist screening (the C4 §2.2 'bad words' stage
+    shape, textstats.blocklist_screen): word-boundary-exact matching
+    via lowercase alnum tokenization + array_intersect — no regex
+    word boundaries (Java \\b and RE2 \\b diverge), 'badwordish'
+    never matches 'badword'.  Pure Catalyst single pass; the rollup
+    hash-checks the matched-term SETS via min md5 of the csv."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    rows = docs.select("source", _q83_derived_text()).select(
+        "source", *T.blocklist_screen("btext", _Q83_TERMS, phrases=_Q83_PHRASES)
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("blocked").cast("long")).alias("n_blocked"),
+        F.sum("n_blocked_terms").alias("total_term_hits"),
+        F.sum("n_blocked_phrases").alias("total_phrase_hits"),
+        F.min(F.md5("blocked_terms_csv")).alias("min_terms_md5"),
+    )
+
+
+def q84_char_entropy(spark, sf_dir):
+    """Shannon character-entropy quality signal (textstats.char_entropy):
+    row-local sorted-run fold (no shuffle), per-run ln quantized ONCE
+    to micro-nat longs so the per-doc value is exact integer
+    arithmetic — the per-source rollup (sums, min/max, and a
+    division-from-exact-sums mean) hash-matches the DuckDB staged
+    unnest+GROUP BY oracle bit-for-bit."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    rows = docs.select("source", *T.char_entropy("text"))
+    e = F.col("entropy_micro_nats")
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("distinct_chars").alias("total_distinct_chars"),
+        F.sum(e).alias("sum_entropy_micro"),
+        F.min(e).alias("min_entropy_micro"),
+        F.max(e).alias("max_entropy_micro"),
+        # mean from exact integer sums (one correctly-rounded double
+        # division) — NOT avg(), whose accumulation order is
+        # engine-dependent
+        F.round(F.sum(e) / F.count("*"), 6).alias("avg_entropy_micro"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2664,6 +2732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q80_corpus_diff": q80_corpus_diff,
         "q81_bpe_tokenizer": q81_bpe_tokenizer,
         "q82_pq_shortlist": q82_pq_shortlist,
+        "q83_blocklist_screen": q83_blocklist_screen,
+        "q84_char_entropy": q84_char_entropy,
     }
 
 
@@ -2865,6 +2935,80 @@ def _q78_oracle_sql() -> str:
   SELECT * FROM __b UNION ALL SELECT * FROM __v
 ) AS __inp"""
     return near_dup_conversations_sql(inp, w=2, threshold=0.4, max_conv_freq=50)
+
+
+def _q83_oracle_sql() -> str:
+    """Blocklist twin over the same planted derivation as the Spark
+    side (literal CASE arms shared verbatim — q50's standard)."""
+    from btl_bloomfilter_spark.functions import textstats as T
+
+    derived = (
+        "(SELECT source, "
+        "(CASE WHEN doc_id % 13 = 0 THEN t2 || ' gambling-free' ELSE t2 END) AS btext "
+        "FROM (SELECT source, doc_id, "
+        "(CASE WHEN doc_id % 11 = 0 THEN t1 || ' a DARK  pattern appears' ELSE t1 END) AS t2 "
+        "FROM (SELECT source, doc_id, "
+        "(CASE WHEN doc_id % 7 = 0 THEN t0 || ' Badword!' ELSE t0 END) AS t1 "
+        "FROM (SELECT source, doc_id, "
+        "(CASE WHEN doc_id % 5 = 0 THEN coalesce(text, '') || ' badwordish' "
+        "ELSE coalesce(text, '') END) AS t0 "
+        "FROM documents))))"
+    )
+    B = T.blocklist_screen_sql("btext", _Q83_TERMS, phrases=_Q83_PHRASES)
+    return f"""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN b_blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+               CAST(sum(b_terms) AS BIGINT) AS total_term_hits,
+               CAST(sum(b_phrases) AS BIGINT) AS total_phrase_hits,
+               min(md5(b_csv)) AS min_terms_md5
+        FROM (SELECT source,
+                     {B['blocked_terms_csv']} AS b_csv,
+                     {B['n_blocked_terms']} AS b_terms,
+                     {B['n_blocked_phrases']} AS b_phrases,
+                     {B['blocked']} AS b_blocked
+              FROM {derived})
+        GROUP BY source
+    """
+
+
+def _q84_oracle_sql() -> str:
+    """Staged unnest + GROUP BY entropy oracle (linear, like q51's):
+    per-char counts -> per-doc exact micro-nat integers -> rollup.
+    string_split(x, '') yields [''] for empty text in BOTH engines —
+    the chf filter drops it so empty/NULL docs land at entropy 0 via
+    the LEFT JOIN, matching the Spark n>0 branch."""
+    return """
+        WITH ch AS (
+            SELECT doc_id, unnest(string_split(coalesce(text, ''), '')) AS c
+            FROM documents
+        ),
+        chf AS (SELECT * FROM ch WHERE c <> ''),
+        cnt AS (SELECT doc_id, c, count(*)::BIGINT AS cc FROM chf GROUP BY doc_id, c),
+        per AS (
+            SELECT doc_id, sum(cc)::BIGINT AS n, count(*)::BIGINT AS runs,
+                   sum(cc * (round(ln(cc) * 1000000)::BIGINT))::BIGINT AS s
+            FROM cnt GROUP BY doc_id
+        ),
+        docs AS (
+            SELECT d.source,
+                   coalesce(per.n, 0) AS n_chars,
+                   CASE WHEN coalesce(per.n, 0) > 0 THEN per.runs ELSE 0 END AS dch,
+                   CASE WHEN coalesce(per.n, 0) > 0
+                        THEN (round(ln(per.n) * 1000000)::BIGINT - (per.s // per.n))
+                        ELSE 0::BIGINT END AS e
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(dch) AS BIGINT) AS total_distinct_chars,
+               CAST(sum(e) AS BIGINT) AS sum_entropy_micro,
+               CAST(min(e) AS BIGINT) AS min_entropy_micro,
+               CAST(max(e) AS BIGINT) AS max_entropy_micro,
+               round(CAST(sum(e) AS BIGINT)::DOUBLE / count(*), 6) AS avg_entropy_micro
+        FROM docs GROUP BY source
+    """
 
 
 def _q79_oracle_sql() -> str:
@@ -3081,6 +3225,8 @@ def oracle_sql() -> dict[str, str]:
         "q78_near_dup_convs": _q78_oracle_sql(),
         "q79_tool_chains": _q79_oracle_sql(),
         "q80_corpus_diff": _q80_oracle_sql(),
+        "q83_blocklist_screen": _q83_oracle_sql(),
+        "q84_char_entropy": _q84_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

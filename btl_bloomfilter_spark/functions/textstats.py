@@ -661,3 +661,161 @@ def repetition_grams_sql(col: str, n: int) -> str:
         f"i -> array_to_string({words}[i:i+{n - 1}], ' ')) "
         f"else [] end)"
     )
+
+
+# ---- Blocklist screening (the C4 §2.2 "bad words" stage shape) -----
+# Raffel et al. 2020 drop any page containing a term from a blocklist.
+# Matching is word-boundary-exact WITHOUT regex word boundaries (Java
+# \b and RE2 \b have different word-char definitions on non-ASCII):
+# the text is lowercased and split on non-alphanumeric runs, so
+# 'class' never matches 'classic'; multi-word phrases match on the
+# space-joined normalized token stream.  Pure Catalyst, one codegen'd
+# pass, exact DuckDB twins (list_intersect / contains).
+
+import re as _re
+
+_TERM_RE = _re.compile(r"^[a-z0-9]+$")
+_PHRASE_RE = _re.compile(r"^[a-z0-9]+( [a-z0-9]+)+$")
+
+
+def _check_blocklist(terms, phrases) -> None:
+    for t in terms:
+        if not _TERM_RE.match(t):
+            raise ValueError(
+                f"blocklist term {t!r} must be lowercase [a-z0-9]+ "
+                "(normalized matching would silently never hit it)"
+            )
+    for p in phrases:
+        if not _PHRASE_RE.match(p):
+            raise ValueError(
+                f"blocklist phrase {p!r} must be lowercase single-spaced "
+                "[a-z0-9]+ words"
+            )
+
+
+def _block_tokens(col: str) -> Column:
+    return F.split(F.lower(F.coalesce(F.col(col), F.lit(""))), "[^a-z0-9]+")
+
+
+def blocklist_screen(
+    col: str, terms: list[str], *, phrases: tuple[str, ...] = ()
+) -> list[Column]:
+    """Columns: blocked_terms_csv (sorted distinct matched terms,
+    comma-joined — csv not array so the oracle compare is
+    engine-stable), n_blocked_terms, n_blocked_phrases, blocked."""
+    _check_blocklist(terms, phrases)
+    toks = _block_tokens(col)
+    matched = F.array_sort(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in terms]))
+    )
+    n_terms = F.size(matched).cast("long")
+    norm = F.concat(
+        F.lit(" "), F.array_join(F.filter(toks, lambda x: x != ""), " "), F.lit(" ")
+    )
+    n_phrases = F.lit(0).cast("long")
+    for p in phrases:
+        n_phrases = n_phrases + F.contains(norm, F.lit(f" {p} ")).cast("long")
+    return [
+        F.array_join(matched, ",").alias("blocked_terms_csv"),
+        n_terms.alias("n_blocked_terms"),
+        n_phrases.alias("n_blocked_phrases"),
+        ((n_terms > 0) | (n_phrases > 0)).alias("blocked"),
+    ]
+
+
+def blocklist_screen_sql(
+    col: str, terms: list[str], *, phrases: tuple[str, ...] = ()
+) -> dict[str, str]:
+    """DuckDB twins of :func:`blocklist_screen`, keyed by output name."""
+    _check_blocklist(terms, phrases)
+    toks = f"string_split_regex(lower(coalesce({col}, '')), '[^a-z0-9]+')"
+    lits = ", ".join(f"'{t}'" for t in terms)
+    matched = f"list_sort(list_intersect({toks}, [{lits}]))"
+    n_terms = f"len({matched})::bigint"
+    # DuckDB array_to_string([]) is NULL (Spark array_join is '') —
+    # coalesce, else contains() nulls out and the phrase sum goes NULL
+    norm = (
+        f"(' ' || coalesce(array_to_string(list_filter({toks}, x -> x != ''), ' '), '')"
+        " || ' ')"
+    )
+    n_phrases = " + ".join(
+        [f"contains({norm}, ' {p} ')::bigint" for p in phrases] or ["0::bigint"]
+    )
+    return {
+        # DuckDB array_to_string(NULL/[]) quirk: coalesce to '' like c4
+        "blocked_terms_csv": f"coalesce(array_to_string({matched}, ','), '')",
+        "n_blocked_terms": n_terms,
+        "n_blocked_phrases": f"({n_phrases})",
+        "blocked": f"(({n_terms}) > 0 or ({n_phrases}) > 0)",
+    }
+
+
+# ---- Character-entropy quality signal ------------------------------
+# Shannon unigram character entropy per document — low entropy flags
+# boilerplate/repeated filler, high entropy flags binary-ish noise;
+# a standard cheap corpus-quality feature.  Row-local and LINEAR via
+# the same sorted-run fold as the repetition family (equal chars are
+# adjacent after array_sort) — NO shuffle, embarrassingly parallel.
+# Fixed-point policy (see lmscore): ln is quantized ONCE per run
+# count to micro-nat LONGS, so every aggregate downstream is an exact
+# order-independent integer sum and the DuckDB oracle (staged unnest
+# + GROUP BY in __spark_entry__) matches bit-for-bit.
+#   H_micro = ln_micro(n) - (sum_runs cnt*ln_micro(cnt)) div n
+# (exact integer rearrangement of H = ln n - (1/n)·Σ c·ln c; `div` is
+# truncating integer division in BOTH engines for positive operands).
+
+
+def _ln_micro(x: Column) -> Column:
+    return F.round(F.log(x.cast("double")) * F.lit(1000000.0)).cast("long")
+
+
+def char_entropy(col: str) -> list[Column]:
+    """Columns: n_chars (long), distinct_chars (long),
+    entropy_micro_nats (long; 0 for empty/NULL text)."""
+    chars = F.array_sort(F.split(F.coalesce(F.col(col), F.lit("")), ""))
+    # split('','') == [''] in both engines; a lone '' char behaves as
+    # one run of count 1 → entropy 0, same as genuinely empty text.
+    run_term = lambda acc: F.when(  # noqa: E731
+        acc["cnt"] > 0, acc["cnt"] * _ln_micro(acc["cnt"])
+    ).otherwise(F.lit(0).cast("long"))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0).cast("long").alias("s"),
+        F.lit(0).cast("long").alias("runs"),
+    )
+    fold = F.aggregate(
+        chars,
+        init,
+        lambda acc, x: F.when(
+            acc["prev"].eqNullSafe(x),
+            F.struct(
+                acc["prev"].alias("prev"), (acc["cnt"] + 1).alias("cnt"),
+                acc["s"].alias("s"), acc["runs"].alias("runs"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"), F.lit(1).cast("long").alias("cnt"),
+                (acc["s"] + run_term(acc)).alias("s"),
+                (acc["runs"] + 1).alias("runs"),
+            )
+        ),
+        lambda acc: F.struct(
+            (acc["s"] + run_term(acc)).alias("s"), acc["runs"].alias("runs")
+        ),
+    )
+    n = F.length(F.coalesce(F.col(col), F.lit(""))).cast("long")
+    s = fold["s"]
+    # exact truncating integer division for NON-NEGATIVE longs below
+    # 2^53: (s - pmod(s,n)) is an exact multiple of n and both fit in
+    # a double, so the correctly-rounded double quotient IS the exact
+    # integer (s ≤ n·ln_micro(n) ≈ 1.4e13 at 1 MB docs — headroom
+    # checked; DuckDB twin uses bigint `//`, identical for positives).
+    sdivn = ((s - F.pmod(s, n)) / n).cast("long")
+    return [
+        n.alias("n_chars"),
+        F.when(n > 0, fold["runs"]).otherwise(F.lit(0).cast("long")).alias("distinct_chars"),
+        F.when(n > 0, _ln_micro(n) - sdivn)
+        .otherwise(F.lit(0).cast("long"))
+        .alias("entropy_micro_nats"),
+    ]
