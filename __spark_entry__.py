@@ -2648,6 +2648,37 @@ def q84_char_entropy(spark, sf_dir):
     )
 
 
+def q85_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth (operators/growth.vocabulary_growth):
+    exact cumulative token occurrences and cumulative distinct
+    vocabulary per 50-doc corpus prefix — the standard corpus-scaling
+    diagnostic (V(n) ≈ K·n^β).  ONE corpus-sized shuffle on
+    (token, bucket) with map-side partial counts; first-appearance and
+    per-bucket tables are vocabulary-/report-sized; the cumulative
+    window runs over K rows.  Hash-oracled via the staged DuckDB twin
+    (Spark `div` == DuckDB `//` for non-negative longs)."""
+    from btl_bloomfilter_spark.operators.growth import vocabulary_growth
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return vocabulary_growth(docs, "text", F.expr("doc_id div 50"))
+
+
+def q86_distinct_to_date(spark, sf_dir):
+    """north_star 'approximate distinct conversations per role' in its
+    time-rollup form (operators/growth.distinct_to_date): per-(role,
+    day) HLL blobs from the map-side partial-agg path, PREFIX-MERGED
+    into distinct-conversations-to-date — K blob merges for K days
+    instead of K corpus rescans; the mergeability law as an analytic
+    primitive.  Gates per row: |est−exact|/exact within the
+    4·1.04/√m HLL bound (exact from the first-day-per-conv pass) and
+    register-level equality of two opposite-order merge chains (the
+    north rule's 'merge associativity under arbitrary orderings')."""
+    from btl_bloomfilter_spark.operators.growth import distinct_to_date
+
+    t = _transcripts_for(spark, sf_dir)
+    return distinct_to_date(t, "role", "conv_id", F.col("ts"), p=13)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2734,6 +2765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q82_pq_shortlist": q82_pq_shortlist,
         "q83_blocklist_screen": q83_blocklist_screen,
         "q84_char_entropy": q84_char_entropy,
+        "q85_vocab_growth": q85_vocab_growth,
+        "q86_distinct_to_date": q86_distinct_to_date,
     }
 
 
@@ -3011,6 +3044,12 @@ def _q84_oracle_sql() -> str:
     """
 
 
+def _q85_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.growth import vocabulary_growth_sql
+
+    return vocabulary_growth_sql("documents", "text", "doc_id // 50")
+
+
 def _q79_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.dialog import tool_sequences_sql
 
@@ -3227,6 +3266,7 @@ def oracle_sql() -> dict[str, str]:
         "q80_corpus_diff": _q80_oracle_sql(),
         "q83_blocklist_screen": _q83_oracle_sql(),
         "q84_char_entropy": _q84_oracle_sql(),
+        "q85_vocab_growth": _q85_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -1,0 +1,215 @@
+"""Corpus-growth analytics: Heaps-law vocabulary growth and
+cumulative distinct-to-date via HLL prefix merges.
+
+Two report operators over ordered corpus prefixes:
+
+- :func:`vocabulary_growth` — EXACT cumulative token occurrences and
+  cumulative distinct vocabulary per ordered bucket (Heaps' law
+  measurement, the standard corpus-scaling diagnostic).  Fully
+  SQL-expressible, hash-oracled on the board (q85).
+- :func:`distinct_to_date` — approximate distinct IDs to date per
+  group via per-day HLL blobs PREFIX-MERGED on the driver: the
+  mergeability law (north_rule: "merge associativity ... under
+  arbitrary partition orderings") doing real analytic work — K blob
+  merges for K days, no per-prefix rescan.  Gated against the exact
+  first-appearance cumulative count and against a reverse-merge-order
+  replay (register-level equality).
+
+100-TB shape (vocabulary_growth): ONE corpus-sized shuffle on
+(token, bucket) collapsing to distinct pairs with map-side partial
+counts; the pair table (≤ vocabulary × buckets rows) re-aggregates to
+a first-appearance table (partial-agg on token) and a per-bucket
+occurrence table (K rows); the final cumulative window runs over K
+rows.  Nothing corpus-sized moves twice.
+
+100-TB shape (distinct_to_date): the per-(group, day) blob build is
+plans.agg.sketch_by_key's map-side partial path (only (key, blob)
+rows shuffle); the driver holds groups × days blobs — report-sized,
+not corpus-sized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.textstats import _WS, _clean, _clean_sql
+
+__all__ = ["vocabulary_growth", "vocabulary_growth_sql", "distinct_to_date"]
+
+
+def _tokens(text_col: str) -> Column:
+    t = _clean(text_col)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, rf"[{_WS}]+")
+    )
+
+
+def vocabulary_growth(df: DataFrame, text_col: str, bucket: Column) -> DataFrame:
+    """Heaps-law growth report.
+
+    ``bucket`` is an integer column expression defining the corpus
+    prefix order (e.g. ``F.expr("doc_id div 50")``, an ingest-date
+    ordinal, a snapshot id).  Output per bucket: ``n_docs``,
+    ``bucket_tokens`` (occurrences), ``new_types`` (tokens whose FIRST
+    corpus appearance is this bucket), ``cum_tokens``, ``cum_types`` —
+    all exact longs; (cum_tokens, cum_types) pairs are the Heaps-law
+    curve V(n) ≈ K·n^β.
+    """
+    b = bucket.cast("long").alias("bucket")
+    toks = df.select(b, F.explode(_tokens(text_col)).alias("tok"))
+    pairs = toks.groupBy("tok", "bucket").agg(F.count("*").alias("c"))
+    occ = pairs.groupBy("bucket").agg(F.sum("c").alias("bucket_tokens"))
+    first = pairs.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    new = first.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count("*").alias("new_types")
+    )
+    ndocs = df.select(b).groupBy("bucket").agg(F.count("*").alias("n_docs"))
+    rep = (
+        ndocs.join(occ, "bucket", "left")
+        .join(new, "bucket", "left")
+        .fillna(0, ["bucket_tokens", "new_types"])
+    )
+    # report-sized window (K buckets) — global order is the point here
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return rep.select(
+        "bucket",
+        "n_docs",
+        "bucket_tokens",
+        "new_types",
+        F.sum("bucket_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_types"),
+    )
+
+
+def vocabulary_growth_sql(table_expr: str, text_col: str, bucket_sql: str) -> str:
+    """DuckDB twin of :func:`vocabulary_growth` (same staged shape).
+
+    ``table_expr`` is a table name or parenthesized subquery;
+    ``bucket_sql`` the bucket expression (e.g. ``doc_id // 50`` —
+    DuckDB ``//`` and Spark ``div`` agree for non-negative longs).
+    """
+    t = _clean_sql(text_col)
+    words = f"(CASE WHEN {t} = '' THEN [] ELSE string_split_regex({t}, '[{_WS}]+') END)"
+    return f"""
+        WITH docs0 AS (
+            SELECT ({bucket_sql})::BIGINT AS bucket, {words} AS ws FROM {table_expr}
+        ),
+        toks AS (SELECT bucket, unnest(ws) AS tok FROM docs0),
+        pairs AS (SELECT tok, bucket, count(*)::BIGINT AS c FROM toks GROUP BY tok, bucket),
+        occ AS (SELECT bucket, sum(c)::BIGINT AS bucket_tokens FROM pairs GROUP BY bucket),
+        firsts AS (SELECT tok, min(bucket) AS fb FROM pairs GROUP BY tok),
+        nw AS (SELECT fb AS bucket, count(*)::BIGINT AS new_types FROM firsts GROUP BY fb),
+        nd AS (SELECT bucket, count(*)::BIGINT AS n_docs FROM docs0 GROUP BY bucket)
+        SELECT nd.bucket AS bucket, nd.n_docs AS n_docs,
+               coalesce(occ.bucket_tokens, 0) AS bucket_tokens,
+               coalesce(nw.new_types, 0) AS new_types,
+               CAST(sum(coalesce(occ.bucket_tokens, 0))
+                    OVER (ORDER BY nd.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens,
+               CAST(sum(coalesce(nw.new_types, 0))
+                    OVER (ORDER BY nd.bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_types
+        FROM nd
+        LEFT JOIN occ ON nd.bucket = occ.bucket
+        LEFT JOIN nw ON nd.bucket = nw.bucket
+    """
+
+
+def distinct_to_date(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    day: Column,
+    *,
+    p: int = 13,
+    bound_mult: float = 4.0,
+) -> DataFrame:
+    """Cumulative distinct ``id_col`` values to date, per group.
+
+    Per-(group, day) HLL blobs are built with the map-side
+    partial-agg path and prefix-merged per group on the driver (days
+    in ascending order), so distinct-to-date for K days costs K blob
+    merges instead of K corpus rescans.  Every row carries:
+
+    - ``exact_cum`` — exact distinct-to-date (from the first-day-per-id
+      aggregation, one extra exact pass),
+    - ``hll_cum`` — the prefix-merge estimate,
+    - ``within_bound`` — |est−exact|/exact ≤ bound_mult·1.04/√(2^p),
+    - ``order_invariant`` — a REVERSE-merge-order replay produced
+      register-identical sketches (merge commutativity/associativity
+      evidence on real data, per the north rule).
+    """
+    from ..plans.agg import sketch_by_key
+    from .hll import HyperLogLog
+
+    t = df.select(
+        F.col(group_col).alias("g"),
+        F.col(id_col).alias("id"),
+        day.cast("date").alias("d"),
+    )
+    blobs = sketch_by_key(
+        t,
+        ["g", "d"],
+        "id",
+        lambda: HyperLogLog(p=p),
+        lambda sk: sk.serialize(),
+        "blob",
+        out_type="binary",
+    ).collect()  # groups × days rows — report-sized by construction
+
+    # exact distinct-to-date: each id counts on its FIRST day
+    firsts = (
+        t.groupBy("g", "id")
+        .agg(F.min("d").alias("fd"))
+        .groupBy("g", "fd")
+        .agg(F.count("*").alias("nnew"))
+        .collect()
+    )
+
+    from collections import defaultdict
+
+    from .base import Sketch
+
+    by_group: dict = defaultdict(dict)
+    for r in blobs:
+        by_group[r.g][r.d] = bytes(r.blob)
+    new_by_group: dict = defaultdict(dict)
+    for r in firsts:
+        new_by_group[r.g][r.fd] = r.nnew
+
+    import numpy as np
+
+    bound = bound_mult * 1.04 / float((1 << p) ** 0.5)
+    rows = []
+    for g in sorted(by_group):
+        days = sorted(by_group[g])
+        acc = None
+        desc = None
+        exact = 0
+        for d in days:
+            # two merge chains with OPPOSITE operand order and a
+            # different association tree — register equality at every
+            # prefix is the order-invariance law, checked per row
+            sk_a = Sketch.deserialize(by_group[g][d])
+            sk_b = Sketch.deserialize(by_group[g][d])
+            acc = sk_a if acc is None else acc.merge(sk_a)
+            desc = sk_b if desc is None else sk_b.merge(desc)
+            exact += new_by_group[g].get(d, 0)
+            est = float(acc.estimate())
+            rows.append(
+                (
+                    g,
+                    d,
+                    int(exact),
+                    round(est, 2),
+                    bool(abs(est - exact) / max(exact, 1) <= bound),
+                    bool(np.array_equal(acc.registers, desc.registers)),
+                )
+            )
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "g string, day date, exact_cum long, hll_cum double, "
+        "within_bound boolean, order_invariant boolean",
+    ).withColumnsRenamed({"g": group_col})
