@@ -2679,6 +2679,38 @@ def q86_distinct_to_date(spark, sf_dir):
     return distinct_to_date(t, "role", "conv_id", F.col("ts"), p=13)
 
 
+def q87_sql_tvf(spark, sf_dir):
+    """SQL table-function surface (functions/tvf): btl_kmers — the
+    reference's k-mer iterator (ntHashIterator.hpp) as a LATERAL
+    table function — and btl_shingles (word n-grams, textstats
+    tokenization), both exercised through literal spark.sql LATERAL
+    joins and hash-oracled against DuckDB LATERAL twins (positions
+    AND values, via min md5 of pos:value).  Completes the §2.7
+    binding triple: scalar UDF + aggregate UDAF + table UDTF."""
+    from btl_bloomfilter_spark.functions.tvf import register_tvfs
+
+    register_tvfs(spark)
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    docs.createOrReplaceTempView("q87_docs")
+    return spark.sql(
+        """
+        SELECT source, 'kmers' AS tvf, count(*) AS n_rows,
+               count(DISTINCT x) AS n_distinct,
+               min(md5(concat(cast(pos AS string), ':', x))) AS min_md5
+        FROM (SELECT d.source, s.pos, s.kmer AS x
+              FROM q87_docs d, LATERAL btl_kmers(d.text, 12) s)
+        GROUP BY source
+        UNION ALL
+        SELECT source, 'shingles' AS tvf, count(*) AS n_rows,
+               count(DISTINCT x) AS n_distinct,
+               min(md5(concat(cast(pos AS string), ':', x))) AS min_md5
+        FROM (SELECT d.source, s.pos, s.shingle AS x
+              FROM q87_docs d, LATERAL btl_shingles(d.text, 3) s)
+        GROUP BY source
+        """
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2767,6 +2799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q84_char_entropy": q84_char_entropy,
         "q85_vocab_growth": q85_vocab_growth,
         "q86_distinct_to_date": q86_distinct_to_date,
+        "q87_sql_tvf": q87_sql_tvf,
     }
 
 
@@ -3050,6 +3083,24 @@ def _q85_oracle_sql() -> str:
     return vocabulary_growth_sql("documents", "text", "doc_id // 50")
 
 
+def _q87_oracle_sql() -> str:
+    from btl_bloomfilter_spark.functions.tvf import kmers_tvf_sql, shingles_tvf_sql
+
+    km = kmers_tvf_sql("documents", "text", 12)
+    sh = shingles_tvf_sql("documents", "text", 3)
+    return f"""
+        SELECT source, 'kmers' AS tvf, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT kmer) AS BIGINT) AS n_distinct,
+               min(md5(pos::VARCHAR || ':' || kmer)) AS min_md5
+        FROM {km} GROUP BY source
+        UNION ALL
+        SELECT source, 'shingles' AS tvf, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT shingle) AS BIGINT) AS n_distinct,
+               min(md5(pos::VARCHAR || ':' || shingle)) AS min_md5
+        FROM {sh} GROUP BY source
+    """
+
+
 def _q79_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.dialog import tool_sequences_sql
 
@@ -3267,6 +3318,7 @@ def oracle_sql() -> dict[str, str]:
         "q83_blocklist_screen": _q83_oracle_sql(),
         "q84_char_entropy": _q84_oracle_sql(),
         "q85_vocab_growth": _q85_oracle_sql(),
+        "q87_sql_tvf": _q87_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
