@@ -2652,11 +2652,12 @@ def q85_vocab_growth(spark, sf_dir):
     """Heaps-law vocabulary growth (operators/growth.vocabulary_growth):
     exact cumulative token occurrences and cumulative distinct
     vocabulary per 50-doc corpus prefix — the standard corpus-scaling
-    diagnostic (V(n) ≈ K·n^β).  ONE corpus-sized shuffle on
-    (token, bucket) with map-side partial counts; first-appearance and
-    per-bucket tables are vocabulary-/report-sized; the cumulative
-    window runs over K rows.  Hash-oracled via the staged DuckDB twin
-    (Spark `div` == DuckDB `//` for non-negative longs)."""
+    diagnostic (V(n) ≈ K·n^β).  Raw rows never shuffle: map-side
+    partial aggs sit directly above each tokenize, so only distinct
+    (token, bucket) pairs and distinct tokens per partition move; the
+    cumulative window runs over K report rows.  Hash-oracled via the
+    staged DuckDB twin (Spark `div` == DuckDB `//` for non-negative
+    longs)."""
     from btl_bloomfilter_spark.operators.growth import vocabulary_growth
 
     docs = _load(spark, sf_dir, "documents")["documents"]

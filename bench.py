@@ -594,6 +594,38 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return dialog_stats(tdf).count()
 
+    def q_corpus_signals():
+        # blocklist screen (pure codegen intersect) + char-entropy fold
+        # (interpreted HOF — runs on the repartitioned cache, PLANS §11)
+        from btl_bloomfilter_spark.functions import textstats as T
+
+        rows = state["docs_part"].select(
+            "source",
+            *T.blocklist_screen("text", ["badword", "gambling"], phrases=("dark pattern",)),
+            *T.char_entropy("text"),
+        )
+        return rows.groupBy("source").agg(
+            F.sum(F.col("blocked").cast("long")).alias("blocked"),
+            F.sum("entropy_micro_nats").alias("ent"),
+            F.sum("distinct_chars").alias("dch"),
+        ).collect()
+
+    def q_vocab_growth():
+        # one (token, bucket) shuffle with map-side partial counts;
+        # first-appearance + per-bucket tables are vocab-/report-sized
+        from btl_bloomfilter_spark.operators.growth import vocabulary_growth
+
+        return vocabulary_growth(
+            state["docs_id_part"], "text", F.expr("doc_id div 50")
+        ).count()
+
+    def q_distinct_to_date():
+        # per-(role, day) HLL blobs (map-side partial path) + driver
+        # prefix merges; exact first-day pass rides the same corpus
+        from btl_bloomfilter_spark.operators.growth import distinct_to_date
+
+        return distinct_to_date(tdf, "role", "conv_id", F.col("ts"), p=13).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -630,7 +662,17 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "corpus_diff": q_corpus_diff,
         "bpe_train_encode": q_bpe_train_encode,
         "pq_encode_search": q_pq_encode_search,
+        "corpus_signals": q_corpus_signals,
+        "vocab_growth": q_vocab_growth,
+        "distinct_to_date": q_distinct_to_date,
     }
+    only = os.environ.get("BENCH_ONLY")
+    if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
+        keep = {k.strip() for k in only.split(",")}
+        unknown = keep - set(jobs)
+        if unknown:
+            raise SystemExit(f"BENCH_ONLY names unknown entries: {sorted(unknown)}")
+        jobs = {k: v for k, v in jobs.items() if k in keep}
     # Steady-state protocol (r3 verdict: best-of-2 was demonstrably
     # insufficient — 3.7/8.2/15.8s for identical builds in one quiet
     # session): TWO full suite passes, 2 reps per query per pass
@@ -651,7 +693,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
     extras["rep_times"] = rep_times
     extras["n_turns"] = n_turns
     extras["corpus_version"] = CORPUS_VERSION
-    extras["turns_per_sec"] = round(n_turns / times["transcript_bloom_build"], 1)
+    if "transcript_bloom_build" in times:  # absent under a BENCH_ONLY subset
+        extras["turns_per_sec"] = round(n_turns / times["transcript_bloom_build"], 1)
     return times, extras
 
 

@@ -15,12 +15,16 @@ Two report operators over ordered corpus prefixes:
   first-appearance cumulative count and against a reverse-merge-order
   replay (register-level equality).
 
-100-TB shape (vocabulary_growth): ONE corpus-sized shuffle on
-(token, bucket) collapsing to distinct pairs with map-side partial
-counts; the pair table (≤ vocabulary × buckets rows) re-aggregates to
-a first-appearance table (partial-agg on token) and a per-bucket
-occurrence table (K rows); the final cumulative window runs over K
-rows.  Nothing corpus-sized moves twice.
+100-TB shape (vocabulary_growth, read from the executed plan): the
+raw corpus NEVER crosses a shuffle — Catalyst plants a map-side
+partial agg directly above each tokenize, so what moves is (a) the
+distinct (token, bucket) pairs per scan partition and (b) the
+distinct tokens per scan partition (Catalyst collapses the
+first-appearance branch to a direct groupBy(token).min(bucket),
+skipping the pair stage — strictly less shuffle than reusing the
+pair exchange would cost).  The corpus is tokenized twice (cheap,
+embarrassingly parallel CPU); the cumulative window runs over K
+report rows.
 
 100-TB shape (distinct_to_date): the per-(group, day) blob build is
 plans.agg.sketch_by_key's map-side partial path (only (key, blob)
@@ -59,6 +63,8 @@ def vocabulary_growth(df: DataFrame, text_col: str, bucket: Column) -> DataFrame
     toks = df.select(b, F.explode(_tokens(text_col)).alias("tok"))
     pairs = toks.groupBy("tok", "bucket").agg(F.count("*").alias("c"))
     occ = pairs.groupBy("bucket").agg(F.sum("c").alias("bucket_tokens"))
+    # written over `pairs` for clarity; Catalyst rewrites this to a
+    # direct groupBy(tok).min over the tokens (see module docstring)
     first = pairs.groupBy("tok").agg(F.min("bucket").alias("fb"))
     new = first.groupBy(F.col("fb").alias("bucket")).agg(
         F.count("*").alias("new_types")
