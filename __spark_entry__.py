@@ -2712,6 +2712,23 @@ def q87_sql_tvf(spark, sf_dir):
     )
 
 
+def q88_windowed_heavy_hitters(spark, sf_dir):
+    """north_star 'heavy-hitter tools' in its trailing-window form
+    (operators/growth.windowed_heavy_hitters): one CMS blob per day
+    (map-side partial path), each 7-day window answered by 7 blob
+    adds — the linear CMS's additivity as an analytic primitive, no
+    per-window rescan.  Per (day, top-5 tool) row: the structural
+    no_undercount law and the published eps·N_window guarantee, both
+    gate-enforced."""
+    from btl_bloomfilter_spark.operators.growth import windowed_heavy_hitters
+
+    t = _transcripts_for(spark, sf_dir)
+    return windowed_heavy_hitters(
+        t.where(F.col("role") == "tool"), "tool", F.col("ts"),
+        window=7, eps=0.005, delta=0.01, topk=5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2801,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q85_vocab_growth": q85_vocab_growth,
         "q86_distinct_to_date": q86_distinct_to_date,
         "q87_sql_tvf": q87_sql_tvf,
+        "q88_windowed_heavy_hitters": q88_windowed_heavy_hitters,
     }
 
 

@@ -1,7 +1,8 @@
-"""Corpus-growth analytics: Heaps-law vocabulary growth and
-cumulative distinct-to-date via HLL prefix merges.
+"""Corpus-growth and temporal-rollup analytics: Heaps-law vocabulary
+growth, cumulative distinct-to-date via HLL prefix merges, and
+trailing-window heavy hitters via CMS blob merges.
 
-Two report operators over ordered corpus prefixes:
+Report operators over ordered corpus prefixes / time windows:
 
 - :func:`vocabulary_growth` — EXACT cumulative token occurrences and
   cumulative distinct vocabulary per ordered bucket (Heaps' law
@@ -14,6 +15,10 @@ Two report operators over ordered corpus prefixes:
   merges for K days, no per-prefix rescan.  Gated against the exact
   first-appearance cumulative count and against a reverse-merge-order
   replay (register-level equality).
+- :func:`windowed_heavy_hitters` — trailing-window heavy hitters via
+  per-day CMS blobs (the linear CMS is additive, so a window query is
+  ``window`` blob adds, not a re-scan); gated by the structural
+  no-undercount law and the published eps·N guarantee per window.
 
 100-TB shape (vocabulary_growth, read from the executed plan): the
 raw corpus NEVER crosses a shuffle — Catalyst plants a map-side
@@ -38,7 +43,12 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.textstats import _WS, _clean, _clean_sql
 
-__all__ = ["vocabulary_growth", "vocabulary_growth_sql", "distinct_to_date"]
+__all__ = [
+    "vocabulary_growth",
+    "vocabulary_growth_sql",
+    "distinct_to_date",
+    "windowed_heavy_hitters",
+]
 
 
 def _tokens(text_col: str) -> Column:
@@ -219,3 +229,92 @@ def distinct_to_date(
         "g string, day date, exact_cum long, hll_cum double, "
         "within_bound boolean, order_invariant boolean",
     ).withColumnsRenamed({"g": group_col})
+
+
+def windowed_heavy_hitters(
+    df: DataFrame,
+    item_col: str,
+    day: Column,
+    *,
+    window: int = 7,
+    eps: float = 0.005,
+    delta: float = 0.01,
+    topk: int = 5,
+) -> DataFrame:
+    """Trailing-window heavy hitters: CMS-estimated counts over a
+    sliding ``window``-day range, one CMS blob per day.
+
+    The linear (non-conservative) CMS is additive, so the merge of a
+    window's per-day blobs IS the CMS of the window's rows — the
+    window query costs ``window`` blob adds instead of a re-scan, and
+    the same K day-blobs serve every window length.  Candidates come
+    from the exact per-(day, item) aggregate, which is report-sized
+    whenever the item domain is bounded (tool names, event types);
+    ranking ties break on item so output is deterministic.
+
+    Per output row ((day, item) for the window's exact top-k):
+    ``cms_est`` (the merged-window estimate), ``exact`` (windowed
+    truth), ``no_undercount`` (CMS ≥ exact — the structural law) and
+    ``within_eps`` (CMS ≤ exact + eps·N_window — the published
+    guarantee at 1−delta).
+    """
+    from ..plans.agg import sketch_by_key
+    from .base import Sketch
+    from .counting import CountMinSketch
+
+    t = df.select(
+        F.col(item_col).alias("it"), day.cast("date").alias("d")
+    ).where(F.col("it").isNotNull())
+    blobs = sketch_by_key(
+        t,
+        ["d"],
+        "it",
+        lambda: CountMinSketch.from_error(eps, delta),
+        lambda sk: sk.serialize(),
+        "blob",
+        out_type="binary",
+    ).collect()
+    exact = t.groupBy("d", "it").agg(F.count("*").alias("c")).collect()
+
+    from collections import defaultdict
+
+    blob_by_day = {r.d: bytes(r.blob) for r in blobs}
+    counts: dict = defaultdict(dict)
+    for r in exact:
+        counts[r.d][r.it] = r.c
+
+    days = sorted(blob_by_day)
+    rows = []
+    for d in days:
+        in_win = [d2 for d2 in days if 0 <= (d - d2).days < window]
+        cms = None
+        win_counts: dict = defaultdict(int)
+        for d2 in in_win:
+            sk = Sketch.deserialize(blob_by_day[d2])
+            cms = sk if cms is None else cms.merge(sk)
+            for it, c in counts[d2].items():
+                win_counts[it] += c
+        n_win = sum(win_counts.values())
+        top = sorted(win_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:topk]
+        if not top:
+            continue
+        ests = cms.estimate_batch([it for it, _ in top])
+        for rank, ((it, ex), est) in enumerate(zip(top, ests), start=1):
+            rows.append(
+                (
+                    d,
+                    it,
+                    rank,
+                    float(est),
+                    int(ex),
+                    bool(est >= ex),
+                    bool(est <= ex + eps * n_win),
+                )
+            )
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        "day date, item string, rank int, cms_est double, exact long, "
+        "no_undercount boolean, within_eps boolean",
+    )

@@ -97,3 +97,54 @@ def test_distinct_to_date_single_day_equals_per_key(spark):
     # parities — every role sees all 17 conversations
     assert (rep.exact_cum == 17).all()
     assert rep.within_bound.all() and rep.order_invariant.all()
+
+
+@pytest.mark.spark
+def test_windowed_heavy_hitters_exact_and_bounds(spark):
+    """Planted item stream where windowed truth is hand-computable and
+    a width so generous the CMS is exact — cms_est must EQUAL exact."""
+    from btl_bloomfilter_spark.operators.growth import windowed_heavy_hitters
+
+    rows = []
+    # day 1: 5×a 2×b ; day 2: 3×b ; day 4: 1×a (window 2 forgets day 2 by day 4)
+    rows += [("a", "2026-03-01")] * 5 + [("b", "2026-03-01")] * 2
+    rows += [("b", "2026-03-02")] * 3
+    rows += [("a", "2026-03-04")] * 1
+    df = spark.createDataFrame(rows, "item string, d string").withColumn(
+        "d", F.col("d").cast("timestamp")
+    )
+    rep = (
+        windowed_heavy_hitters(df, "item", F.col("d"), window=2, eps=0.001, topk=3)
+        .toPandas()
+        .sort_values(["day", "rank"])
+    )
+    assert rep.no_undercount.all() and rep.within_eps.all()
+    got = [
+        (str(r.day), r.item, int(r.rank), int(r.exact), float(r.cms_est))
+        for r in rep.itertuples()
+    ]
+    # window=2 truths: d1 {a:5,b:2}; d2 {a:5,b:5} (tie → 'a' first);
+    # d4 {a:1} (day 2 out of range)
+    assert got == [
+        ("2026-03-01", "a", 1, 5, 5.0),
+        ("2026-03-01", "b", 2, 2, 2.0),
+        ("2026-03-02", "a", 1, 5, 5.0),
+        ("2026-03-02", "b", 2, 5, 5.0),
+        ("2026-03-04", "a", 1, 1, 1.0),
+    ]
+
+
+@pytest.mark.spark
+def test_windowed_heavy_hitters_transcript_tools(spark):
+    from btl_bloomfilter_spark.operators.growth import windowed_heavy_hitters
+    from btl_bloomfilter_spark.sources.transcripts import transcripts_df
+
+    t = transcripts_df(spark, 600, partitions=8).where(F.col("role") == "tool")
+    rep = windowed_heavy_hitters(t, "tool", F.col("ts"), window=7, topk=5).toPandas()
+    assert len(rep) > 0
+    assert rep.no_undercount.all() and rep.within_eps.all()
+    # ranks are 1..k per day and exact counts are nonincreasing in rank
+    for _, sub in rep.groupby("day"):
+        sub = sub.sort_values("rank")
+        assert list(sub["rank"]) == list(range(1, len(sub) + 1))
+        assert (sub.exact.diff().dropna() <= 0).all()
