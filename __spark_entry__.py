@@ -2729,6 +2729,42 @@ def q88_windowed_heavy_hitters(spark, sf_dir):
     )
 
 
+def q89_repeated_turns(spark, sf_dir):
+    """Boilerplate turn mining (operators/dialog.repeated_turns):
+    corpus-wide counts of byte-identical turn texts — canned
+    greetings / templated tool output detection.  The synthetic turns
+    are unique, so cross-conversation duplicates are planted IN-QUERY
+    from the shared mirror (q78's standard: a '-b' relabeled copy of
+    the length%3==0 openers), derived identically by both engines.
+    The shuffle key is md5(text) — 32-hex keys + partial counts move,
+    never the texts.  Hash-oracled."""
+    from btl_bloomfilter_spark.operators.dialog import repeated_turns
+
+    t = _transcripts_mirror(spark, sf_dir).select("conv_id", "turn_idx", "role", "text")
+    planted = t.unionByName(
+        t.where((F.col("turn_idx") == 0) & (F.length("text") % 3 == 0)).select(
+            F.concat(F.col("conv_id"), F.lit("-b")).alias("conv_id"),
+            "turn_idx",
+            "role",
+            "text",
+        )
+    )
+    return repeated_turns(planted, min_count=2)
+
+
+def q90_role_transitions(spark, sf_dir):
+    """Dialog-flow transition matrix (operators/dialog.role_transitions):
+    exact corpus counts of (from_role → to_role) edges in turn order,
+    with a '<start>' edge per conversation opening; NULL mid-dialog
+    roles normalize to '' and never masquerade as starts.  One conv
+    shuffle for the lag window + one map-side-partial count agg.
+    Hash-oracled against the identical DuckDB window query."""
+    from btl_bloomfilter_spark.operators.dialog import role_transitions
+
+    t = _transcripts_mirror(spark, sf_dir).select("conv_id", "turn_idx", "role")
+    return role_transitions(t)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2819,6 +2855,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q86_distinct_to_date": q86_distinct_to_date,
         "q87_sql_tvf": q87_sql_tvf,
         "q88_windowed_heavy_hitters": q88_windowed_heavy_hitters,
+        "q89_repeated_turns": q89_repeated_turns,
+        "q90_role_transitions": q90_role_transitions,
     }
 
 
@@ -3102,6 +3140,25 @@ def _q85_oracle_sql() -> str:
     return vocabulary_growth_sql("documents", "text", "doc_id // 50")
 
 
+def _q89_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.dialog import repeated_turns_sql
+
+    base = f"read_parquet('{Q76_PATH}/*.parquet')"
+    planted = f"""(
+  SELECT conv_id, turn_idx, role, text FROM {base}
+  UNION ALL
+  SELECT conv_id || '-b' AS conv_id, turn_idx, role, text
+  FROM {base} WHERE turn_idx = 0 AND length(text) % 3 = 0
+) AS __p89"""
+    return repeated_turns_sql(planted, min_count=2)
+
+
+def _q90_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.dialog import role_transitions_sql
+
+    return role_transitions_sql(f"read_parquet('{Q76_PATH}/*.parquet')")
+
+
 def _q87_oracle_sql() -> str:
     from btl_bloomfilter_spark.functions.tvf import kmers_tvf_sql, shingles_tvf_sql
 
@@ -3338,6 +3395,8 @@ def oracle_sql() -> dict[str, str]:
         "q84_char_entropy": _q84_oracle_sql(),
         "q85_vocab_growth": _q85_oracle_sql(),
         "q87_sql_tvf": _q87_oracle_sql(),
+        "q89_repeated_turns": _q89_oracle_sql(),
+        "q90_role_transitions": _q90_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -481,3 +481,122 @@ SELECT * FROM (
 )
 WHERE suffix_tokens <= {int(token_budget)}
 """.strip()
+
+
+def repeated_turns(
+    turns: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Boilerplate turn mining: corpus-wide counts of byte-identical
+    turn texts — "which exact turns repeat across conversations"
+    (canned greetings, templated tool output, injected system text).
+    One row per repeated text: (text_md5, text_len, n_occurrences,
+    n_convs, n_roles).  Exact long counts — hash-oracle-able.
+
+    Plan (100-TB shape): the group key is md5(text), so the shuffle
+    moves 32-hex keys + map-side partial counts, never the texts; the
+    two exact count-distincts share the one Expand over the collapsed
+    key table.  NULL text groups with '' (both are 'empty turn')."""
+    key = F.md5(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        turns.select(
+            key.alias("text_md5"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).cast("long").alias("__len"),
+            F.col(conv_col).alias("__conv"),
+            F.col(role_col).alias("__role"),
+        )
+        .groupBy("text_md5")
+        .agg(
+            F.max("__len").alias("text_len"),
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("__conv").alias("n_convs"),
+            F.countDistinct("__role").alias("n_roles"),
+        )
+        .where(F.col("n_occurrences") >= min_count)
+    )
+
+
+def repeated_turns_sql(
+    table: str,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`repeated_turns`."""
+    return f"""
+SELECT md5(coalesce({text_col}, '')) AS text_md5,
+       max(length(coalesce({text_col}, '')))::bigint AS text_len,
+       count(*)::bigint AS n_occurrences,
+       count(DISTINCT {conv_col})::bigint AS n_convs,
+       count(DISTINCT {role_col})::bigint AS n_roles
+FROM {table}
+GROUP BY md5(coalesce({text_col}, ''))
+HAVING count(*) >= {int(min_count)}
+""".strip()
+
+
+def role_transitions(
+    turns: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    start_marker: str = "<start>",
+) -> DataFrame:
+    """Dialog-flow transition counts: corpus totals of (from_role →
+    to_role) over each conversation's turn order, with a synthetic
+    ``start_marker`` → first-role edge so conversation openings are
+    countable.  One row per edge: (from_role, to_role, n, n_convs).
+    Exact longs — hash-oracle-able.
+
+    Windows tie-break on (idx, role) — the module-wide convention
+    that keeps duplicate turn indices engine-deterministic.
+
+    Plan: one shuffle on conv for the lag window, then one count
+    aggregation on the (from, to) pair (map-side partial agg)."""
+    w = Window.partitionBy(conv_col).orderBy(F.col(idx_col), F.col(role_col))
+    pairs = turns.select(
+        F.col(conv_col).alias("__conv"),
+        # normalize NULL roles to '' BEFORE the lag: only the true
+        # first turn coalesces to the start marker, a NULL mid-dialog
+        # role must not masquerade as a conversation start
+        F.coalesce(
+            F.lag(F.coalesce(F.col(role_col), F.lit(""))).over(w), F.lit(start_marker)
+        ).alias("from_role"),
+        F.coalesce(F.col(role_col), F.lit("")).alias("to_role"),
+    )
+    return pairs.groupBy("from_role", "to_role").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("__conv").alias("n_convs"),
+    )
+
+
+def role_transitions_sql(
+    table: str,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    start_marker: str = "<start>",
+) -> str:
+    """DuckDB twin of :func:`role_transitions` (same tie-break)."""
+    m = start_marker.replace("'", "''")
+    return f"""
+SELECT from_role, to_role, count(*)::bigint AS n,
+       count(DISTINCT conv)::bigint AS n_convs
+FROM (
+  SELECT {conv_col} AS conv,
+         coalesce(lag(coalesce({role_col}, '')) OVER (PARTITION BY {conv_col}
+                  ORDER BY {idx_col} NULLS FIRST, {role_col} NULLS FIRST),
+                  '{m}') AS from_role,
+         coalesce({role_col}, '') AS to_role
+  FROM {table}
+)
+GROUP BY from_role, to_role
+""".strip()

@@ -353,3 +353,78 @@ def test_dialog_single_exchange(spark):
     for q in (dialog_stats(df), truncate_to_budget(df, 10)):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") - plan.count("ReusedExchange") == 1, plan
+
+
+@pytest.mark.spark
+def test_repeated_turns_planted(spark):
+    from btl_bloomfilter_spark.operators.dialog import repeated_turns
+
+    rows = [
+        ("c1", 0, "user", "hello"),
+        ("c1", 1, "assistant", "hi there"),
+        ("c2", 0, "user", "hello"),          # cross-conv duplicate
+        ("c2", 1, "assistant", "unique a"),
+        ("c3", 0, "tool", "hello"),          # third occurrence, new role
+        ("c3", 1, "assistant", None),        # NULL groups with ''
+        ("c3", 2, "assistant", ""),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    out = {r.text_md5: r for r in repeated_turns(df, min_count=2).collect()}
+    import hashlib
+
+    h = hashlib.md5(b"hello").hexdigest()
+    e = hashlib.md5(b"").hexdigest()
+    assert set(out) == {h, e}
+    assert (out[h].n_occurrences, out[h].n_convs, out[h].n_roles) == (3, 3, 2)
+    assert out[h].text_len == 5
+    # NULL and '' are both "empty turn": one group, two occurrences
+    assert (out[e].n_occurrences, out[e].n_convs, out[e].n_roles) == (2, 1, 1)
+    assert out[e].text_len == 0
+
+
+@pytest.mark.spark
+def test_role_transitions_planted_and_null_role(spark):
+    from btl_bloomfilter_spark.operators.dialog import role_transitions
+
+    rows = [
+        ("c1", 0, "user"),
+        ("c1", 1, "assistant"),
+        ("c1", 2, "user"),
+        ("c2", 0, "user"),
+        ("c2", 1, None),        # NULL mid-dialog → '' node, NOT a start
+        ("c2", 2, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    got = {(r.from_role, r.to_role): (r.n, r.n_convs) for r in role_transitions(df).collect()}
+    assert got == {
+        ("<start>", "user"): (2, 2),
+        ("user", "assistant"): (1, 1),
+        ("assistant", "user"): (1, 1),
+        ("user", ""): (1, 1),
+        ("", "assistant"): (1, 1),
+    }
+
+
+@pytest.mark.spark
+def test_role_transitions_duplicate_idx_cross_engine(spark, tmp_path):
+    """Duplicate turn indices: the (idx, role) tie-break must make
+    both engines see one row sequence."""
+    import duckdb
+
+    from btl_bloomfilter_spark.operators.dialog import role_transitions, role_transitions_sql
+
+    rows = [
+        ("c1", 0, "user"), ("c1", 1, "tool"), ("c1", 1, "assistant"),  # dup idx
+        ("c1", 2, "user"), ("c2", 0, None), ("c2", 0, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    p = str(tmp_path / "t.parquet")
+    df.write.parquet(p)
+    got = sorted(
+        (r.from_role, r.to_role, r.n, r.n_convs) for r in role_transitions(df).collect()
+    )
+    con = duckdb.connect()
+    want = sorted(
+        tuple(r) for r in con.sql(role_transitions_sql(f"read_parquet('{p}/*.parquet')")).fetchall()
+    )
+    assert got == want
