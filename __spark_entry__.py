@@ -2765,6 +2765,19 @@ def q90_role_transitions(spark, sf_dir):
     return role_transitions(t)
 
 
+def q91_quantile_histogram(spark, sf_dir):
+    """Sketch-planned equi-depth histogram (operators/growth.
+    quantile_histogram): KLL pass chooses decile edges (mergeable
+    blobs, one to the driver), ONE exact codegen scan fills them —
+    the classic plan-from-sketch / verify-exact two-pass.  Gate per
+    bucket: |fill − 0.1| within the rank-error tolerance
+    (within_tol), plus the fills summing to 1 by construction."""
+    from btl_bloomfilter_spark.operators.growth import quantile_histogram
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return quantile_histogram(li, "l_extendedprice", buckets=10, k=400)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2857,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q88_windowed_heavy_hitters": q88_windowed_heavy_hitters,
         "q89_repeated_turns": q89_repeated_turns,
         "q90_role_transitions": q90_role_transitions,
+        "q91_quantile_histogram": q91_quantile_histogram,
     }
 
 

@@ -19,6 +19,9 @@ Report operators over ordered corpus prefixes / time windows:
   per-day CMS blobs (the linear CMS is additive, so a window query is
   ``window`` blob adds, not a re-scan); gated by the structural
   no-undercount law and the published eps·N guarantee per window.
+- :func:`quantile_histogram` — equi-depth histogram whose edges come
+  from a KLL sketch pass and whose fills come from one exact codegen
+  scan; gated on |fill − 1/buckets| against the rank-error budget.
 
 100-TB shape (vocabulary_growth, read from the executed plan): the
 raw corpus NEVER crosses a shuffle — Catalyst plants a map-side
@@ -48,6 +51,7 @@ __all__ = [
     "vocabulary_growth_sql",
     "distinct_to_date",
     "windowed_heavy_hitters",
+    "quantile_histogram",
 ]
 
 
@@ -317,4 +321,73 @@ def windowed_heavy_hitters(
         rows,
         "day date, item string, rank int, cms_est double, exact long, "
         "no_undercount boolean, within_eps boolean",
+    )
+
+
+def quantile_histogram(
+    df: DataFrame,
+    col: str,
+    *,
+    buckets: int = 10,
+    k: int = 400,
+    tolerance_mult: float = 3.0,
+) -> DataFrame:
+    """Equi-depth histogram with sketch-planned edges (the classic
+    sketch-driven two-pass: plan from an approximation, verify with
+    one exact scan).
+
+    Pass 1 builds a mergeable KLL sketch (map-side partials, one blob
+    to the driver) whose (1/buckets, 2/buckets, ...) quantiles become
+    bucket edges.  Pass 2 is ONE exact scan counting rows per edge
+    interval — the bucket expression is an additive chain of
+    ``col > edge_i`` longs, pure codegen, no UDF.
+
+    Per bucket: (bucket, lo, hi, n, fill_frac, within_tol) where
+    ``within_tol`` gates |fill_frac − 1/buckets| ≤ tolerance_mult ·
+    eps_rank (the KLL rank-error budget ~1.75/k per merge depth,
+    conservatively multiplied) — i.e. the sketch planned an equi-depth
+    layout and the exact pass PROVES how equi-depth it came out.
+    Edge ties (heavy repeated values) can legitimately starve a
+    bucket; tolerance_mult is the caller's knob for that.
+    """
+    from ..plans.agg import build_sketch
+    from .kll import KLL
+
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    df = df.where(F.col(col).isNotNull())  # NULLs belong to no bucket
+    sk = build_sketch(df.select(col), col, lambda: KLL(k=k), fanin=16)
+    qs = [i / buckets for i in range(1, buckets)]
+    edges = [float(e) for e in sk.quantiles(qs)]
+
+    b = F.lit(0).cast("long")
+    for e in edges:
+        b = b + (F.col(col) > F.lit(e)).cast("long")
+    hist = (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    counts = {r.bucket: r.n for r in hist.collect()}
+    total = sum(counts.values())
+    eps = 1.75 / k  # per-level budget; tolerance_mult absorbs depth
+    lo = [float("-inf")] + edges
+    hi = edges + [float("inf")]
+    rows = []
+    for i in range(buckets):
+        n = int(counts.get(i, 0))
+        fill = n / total if total else 0.0
+        rows.append(
+            (
+                i,
+                lo[i],
+                hi[i],
+                n,
+                round(fill, 6),
+                bool(abs(fill - 1.0 / buckets) <= tolerance_mult * eps + 1e-12),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "bucket int, lo double, hi double, n long, fill_frac double, within_tol boolean",
     )

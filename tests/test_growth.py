@@ -148,3 +148,36 @@ def test_windowed_heavy_hitters_transcript_tools(spark):
         sub = sub.sort_values("rank")
         assert list(sub["rank"]) == list(range(1, len(sub) + 1))
         assert (sub.exact.diff().dropna() <= 0).all()
+
+
+@pytest.mark.spark
+def test_quantile_histogram_uniform_and_laws(spark):
+    from btl_bloomfilter_spark.operators.growth import quantile_histogram
+
+    df = spark.range(0, 10000).select((F.col("id").cast("double")).alias("x"))
+    rep = quantile_histogram(df, "x", buckets=10, k=400).toPandas().sort_values("bucket")
+    assert len(rep) == 10
+    assert rep.n.sum() == 10000
+    assert abs(rep.fill_frac.sum() - 1.0) < 1e-6
+    assert rep.within_tol.all()
+    # edges are monotone and cover the line
+    assert rep.lo.iloc[0] == float("-inf") and rep.hi.iloc[-1] == float("inf")
+    assert (rep.hi.iloc[:-1].values == rep.lo.iloc[1:].values).all()
+    # uniform data: every decile within the rank-error budget of 10%
+    assert (abs(rep.fill_frac - 0.1) <= 3 * 1.75 / 400 + 1e-9).all()
+
+
+@pytest.mark.spark
+def test_quantile_histogram_null_and_skew(spark):
+    from btl_bloomfilter_spark.operators.growth import quantile_histogram
+
+    # heavy-tailed + NULLs: NULLs belong to no bucket, totals exclude them
+    df = spark.range(0, 5000).select(
+        F.when(F.col("id") % 10 == 0, None)
+        .otherwise(F.pow(F.col("id").cast("double"), 2.0))
+        .alias("x")
+    )
+    rep = quantile_histogram(df, "x", buckets=5, k=400, tolerance_mult=5.0).toPandas()
+    assert rep.n.sum() == 4500
+    assert abs(rep.fill_frac.sum() - 1.0) < 1e-6
+    assert rep.within_tol.all()
