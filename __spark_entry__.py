@@ -2778,6 +2778,83 @@ def q91_quantile_histogram(spark, sf_dir):
     return quantile_histogram(li, "l_extendedprice", buckets=10, k=400)
 
 
+def q92_stream_dedup(spark, sf_dir):
+    """Streaming Bloom-backed dedup (streaming/accumulate.stream_dedup):
+    per micro-batch, rows whose text the running filter has seen are
+    dropped; survivors fold into the filter under the batch-id-guarded
+    atomic state write; outputs land in overwrite-mode batch_id=N
+    dirs so replays rewrite instead of append.  The no-false-negative
+    law makes the guarantee one-sided: NO duplicate ever survives;
+    novel texts risk only an FPR-bounded false drop.  Gates:
+    uniqueness of the output texts, exact expected survivor set
+    (filter sized so FP drops are ~impossible at this scale), and a
+    second availableNow pass over the same checkpoint emitting
+    nothing.  no_oracle by design (streaming)."""
+    import tempfile
+
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.streaming.accumulate import stream_dedup
+
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="q92_")
+    src, out, state, ck = f"{tmp}/src", f"{tmp}/out", f"{tmp}/state.bloom", f"{tmp}/ck"
+    # three files → three micro-batches; files 2 and 3 re-send earlier
+    # texts under new ids (the planted cross-batch duplicates)
+    docs.where(F.col("doc_id") % 3 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 3 == 1).unionByName(
+        docs.where(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    ).coalesce(1).write.mode("append").parquet(src)
+    docs.where(F.col("doc_id") % 3 == 2).unionByName(
+        docs.where(F.col("doc_id") % 9 == 1).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text"
+        )
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("doc_id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = stream_dedup(
+            stream,
+            "text",
+            lambda: BloomFilter.for_capacity(100000, 1e-8, k=0),
+            out_dir=out,
+            state_path=state,
+            checkpoint_dir=ck,
+            id_col="doc_id",
+        )
+        q.awaitTermination(300)
+
+    run()
+    got = spark.read.parquet(out).select("doc_id", "text")
+    n_out = got.count()
+    n_distinct_texts = got.select("text").distinct().count()
+    n_expected = docs.select("text").distinct().count()
+    survivors_original_ids = got.where(F.col("doc_id") < 1000000).count()
+    run()  # replay/restart: nothing new to emit
+    n_after_replay = spark.read.parquet(out).count()
+    return spark.createDataFrame(
+        [
+            (
+                int(n_out),
+                int(n_expected),
+                bool(n_out == n_distinct_texts),
+                bool(n_out == n_expected),
+                bool(survivors_original_ids == n_out),
+                bool(n_after_replay == n_out),
+            )
+        ],
+        "n_out long, n_expected long, output_unique boolean, "
+        "exact_survivor_set boolean, dups_never_win boolean, replay_silent boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2871,6 +2948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q89_repeated_turns": q89_repeated_turns,
         "q90_role_transitions": q90_role_transitions,
         "q91_quantile_histogram": q91_quantile_histogram,
+        "q92_stream_dedup": q92_stream_dedup,
     }
 
 

@@ -476,3 +476,101 @@ def stream_windowed_sketch_by_key(
     return s.groupBy("__win", *keys).applyInPandasWithState(
         update_fn, out_schema, state_schema, "update", "EventTimeTimeout"
     )
+
+
+def stream_dedup(
+    stream_df: DataFrame,
+    col: str,
+    make_bloom: Callable[[], Sketch],
+    *,
+    out_dir: str | Path,
+    state_path: str | Path,
+    checkpoint_dir: str | Path,
+    id_col: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming exact-pass dedup backed by a running Bloom filter —
+    the classic "have I seen this text before?" stream stage.
+
+    Contract (one-sided, from the Bloom no-false-negative law): a
+    text the filter has NOT seen is CERTAINLY new, so **no duplicate
+    ever survives** — across batches and within a batch.  The cost is
+    one-sided too: a novel text can be falsely dropped with
+    probability ≤ the filter's FPR (size ``make_bloom`` for the
+    expected distinct count; the q92 board query measures the
+    realized false-drop rate against the bound).  Build the filter
+    with ``k=0`` (whole-string mode).
+
+    Per micro-batch: (1) in-batch exact dedup (min ``id_col`` row per
+    text when given, else any single row — dropDuplicates); (2) rows
+    whose text the running filter already contains are dropped
+    (broadcast Arrow probe, pure map); (3) survivors are written to
+    ``out_dir/batch_id=N`` with mode=overwrite — a replayed batch
+    rewrites the same directory byte-for-byte instead of appending
+    duplicates; (4) the survivors' texts are folded into the running
+    filter via the same batch-id-guarded atomic state write as
+    :func:`stream_build_sketch`, so a replay neither double-inserts
+    nor re-drops.
+
+    Returns the StreamingQuery; read the deduped stream back with
+    ``spark.read.parquet(str(out_dir))`` (batch_id is a partition
+    column).
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.probe import bloom_seen_fraction
+
+    out_dir = Path(out_dir)
+    state_path = Path(state_path)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last_id, lineage, bloom = _read_state(state_path)
+        if lineage and lineage != str(checkpoint_dir):
+            raise ValueError(
+                f"state {state_path} belongs to checkpoint {lineage!r}, "
+                f"not {str(checkpoint_dir)!r}"
+            )
+        if batch_id <= last_id:
+            return  # replay: output dir + filter state already committed
+        spark = batch_df.sparkSession
+        if id_col is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(col).orderBy(id_col)
+            batch_df = (
+                batch_df.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            batch_df = batch_df.dropDuplicates([col])
+        if bloom is not None:
+            batch_df = batch_df.where(
+                bloom_seen_fraction(spark, bloom, F.col(col)) < 1.0
+            )
+        kept = batch_df.cache()
+        try:
+            (
+                kept.write.mode("overwrite").parquet(
+                    str(out_dir / f"batch_id={batch_id}")
+                )
+            )
+            rows = partial_sketches(kept.select(col), col, make_bloom).collect()
+            add = (
+                Sketch.merge_blobs([bytes(r["blob"]) for r in rows]) if rows else None
+            )
+            running = bloom if bloom is not None else make_bloom()
+            if add is not None:
+                running = running.merge(add)
+            _write_state(state_path, batch_id, str(checkpoint_dir), running)
+        finally:
+            kept.unpersist()
+
+    writer = (
+        stream_df.writeStream.outputMode("append")
+        .option("checkpointLocation", str(checkpoint_dir))
+        .foreachBatch(on_batch)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

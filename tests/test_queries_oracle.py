@@ -113,6 +113,11 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.distributed_matches_driver and r.paired_tracks_full
         assert r.accuracy_paired >= 0.9  # sf0.01 corpus is sparse enough
+    if name == "q92_stream_dedup":
+        r = out.iloc[0]
+        assert r.output_unique and r.exact_survivor_set
+        assert r.dups_never_win and r.replay_silent
+        assert r.n_out == r.n_expected > 0
     if name == "q45_stream_keyed_build":
         r = out.iloc[0]
         assert r.classify_all_ok and r.counts_match and r.second_pass_silent

@@ -450,3 +450,60 @@ def test_stream_windowed_sketch_non_utc_session_tz(spark, tmp_path):
         assert len(f0) == 1 and f0[0]["n_rows"] == 2, finals
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+@pytest.mark.spark
+def test_stream_dedup_cross_batch_and_restart(spark, tmp_path):
+    """Streaming Bloom dedup: in-batch dups keep the min-id row,
+    cross-batch dups are dropped, a restart over the same checkpoint
+    processes only new files, and NO text ever appears twice in the
+    output (the no-false-negative contract)."""
+    from btl_bloomfilter_spark.operators.bloom import BloomFilter
+    from btl_bloomfilter_spark.streaming.accumulate import stream_dedup
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    state = tmp_path / "state.bloom"
+    ck = tmp_path / "ck"
+    src.mkdir()
+
+    def write_file(rows, name):
+        spark.createDataFrame(rows, "id long, text string").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    # batch content is per-FILE under maxFilesPerTrigger=1
+    write_file([(3, "A"), (1, "A"), (2, "B"), (4, "C")], "f1")  # in-batch dup A
+    write_file([(5, "B"), (6, "D"), (7, "E")], "f2")            # cross-batch dup B
+
+    def run():
+        stream = spark.readStream.schema("id long, text string").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src))
+        q = stream_dedup(
+            stream,
+            "text",
+            lambda: BloomFilter.for_capacity(10000, 1e-6, k=0),
+            out_dir=out,
+            state_path=state,
+            checkpoint_dir=ck,
+            id_col="id",
+        )
+        q.awaitTermination(120)
+
+    run()
+    got = {
+        (r.id, r.text)
+        for r in spark.read.parquet(str(out)).select("id", "text").collect()
+    }
+    assert got == {(1, "A"), (2, "B"), (4, "C"), (6, "D"), (7, "E")}
+
+    # restart: one new file with a fresh text and two already-seen ones
+    write_file([(8, "F"), (9, "A"), (10, "E")], "f3")
+    run()
+    df = spark.read.parquet(str(out)).select("id", "text").toPandas()
+    assert set(map(tuple, df.itertuples(index=False))) == {
+        (1, "A"), (2, "B"), (4, "C"), (6, "D"), (7, "E"), (8, "F"),
+    }
+    # the hard invariant: no text twice, ever
+    assert df.text.is_unique
