@@ -2855,6 +2855,55 @@ def q92_stream_dedup(spark, sf_dir):
     )
 
 
+def q93_mg_topk(spark, sf_dir):
+    """Deterministic mergeable heavy hitters (operators/topk.mg_topk):
+    the Misra-Gries summary as the k-counter complement to q33's CMS —
+    underestimates, exactly k items of state, classic frequent-items
+    guarantee, PODS'12 mergeability under arbitrary partitionings
+    (north_rule "merge associativity").  Per reported tool: est vs
+    exact, `no_overcount` (est <= true — MG never inflates),
+    `within_bound` (true - est <= min(N/(k+1), tracked subtraction)),
+    plus the global `all_heavy_found` law (every tool with true count
+    > N/(k+1) is in the summary) and `repartition_robust` (a second
+    build over a different partitioning satisfies the same laws —
+    the summary may differ at the border, the guarantee may not).
+    Partition-dependent summary => no_oracle by design; the laws are
+    gate-enforced in tests/test_queries_oracle.py."""
+    from btl_bloomfilter_spark.operators.topk import mg_topk
+
+    t = _transcripts_for(spark, sf_dir)
+    tools = t.where(F.col("tool").isNotNull()).select("tool")
+    exact = {
+        r["tool"]: r["c"] for r in tools.groupBy("tool").agg(F.count("*").alias("c")).collect()
+    }
+
+    def laws(summ):
+        bound = min(summ.err_bound, summ.tracked_bound)
+        heavy_ok = all(
+            item in summ.counts for item, c in exact.items() if c > summ.err_bound
+        )
+        per_item = {
+            item: (est, exact.get(item, 0), est <= exact.get(item, 0),
+                   exact.get(item, 0) - est <= bound)
+            for item, est in summ.counts.items()
+        }
+        return heavy_ok, per_item
+
+    summ = mg_topk(tools, "tool", k=16)
+    heavy_ok, per_item = laws(summ)
+    summ_b = mg_topk(tools.repartition(13), "tool", k=16)
+    heavy_b, per_b = laws(summ_b)
+    robust = bool(heavy_b and all(ok1 and ok2 for _, _, ok1, ok2 in per_b.values()))
+    return spark.createDataFrame(
+        [
+            (item, int(est), int(true), bool(no_over), bool(within), bool(heavy_ok), robust)
+            for item, (est, true, no_over, within) in sorted(per_item.items())
+        ],
+        "tool string, mg_est long, exact long, no_overcount boolean, "
+        "within_bound boolean, all_heavy_found boolean, repartition_robust boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2949,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q90_role_transitions": q90_role_transitions,
         "q91_quantile_histogram": q91_quantile_histogram,
         "q92_stream_dedup": q92_stream_dedup,
+        "q93_mg_topk": q93_mg_topk,
     }
 
 

@@ -113,6 +113,10 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.distributed_matches_driver and r.paired_tracks_full
         assert r.accuracy_paired >= 0.9  # sf0.01 corpus is sparse enough
+    if name == "q93_mg_topk":
+        assert out.no_overcount.all() and out.within_bound.all()
+        assert out.all_heavy_found.all() and out.repartition_robust.all()
+        assert len(out) > 0
     if name == "q92_stream_dedup":
         r = out.iloc[0]
         assert r.output_unique and r.exact_survivor_set
