@@ -2904,6 +2904,41 @@ def q93_mg_topk(spark, sf_dir):
     )
 
 
+def q94_prefix_simjoin(spark, sf_dir):
+    """Exact threshold Jaccard join via prefix filtering
+    (operators/setjoin.prefix_similarity_join, AllPairs WWW'07):
+    candidates come only from each doc's df-ascending token PREFIX —
+    hot tokens sort last and never key a candidate bucket — then
+    exact verification on the full sorted arrays.  Output is provably
+    identical to the brute-force all-pairs join, so the oracle IS the
+    brute force (DuckDB token self-join) over the identically planted
+    corpus: every doc, plus doc_id%3==0 copies with 3 novel suffix
+    tokens and doc_id%7==0 copies with 9 — guaranteed above/around
+    the t=0.5 boundary at ~54 tokens/doc.  Hash-oracled on
+    (id_a, id_b, inter_n, union_n); integers only per the fixed-point
+    oracle policy."""
+    from btl_bloomfilter_spark.operators.setjoin import prefix_similarity_join
+
+    docs = _load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    corpus = (
+        docs.unionByName(
+            docs.where(F.col("doc_id") % 3 == 0).select(
+                (F.col("doc_id") + 100000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" q94zza q94zzb q94zzc")).alias("text"),
+            )
+        ).unionByName(
+            docs.where(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(
+                    F.col("text"),
+                    F.lit(" q94zz1 q94zz2 q94zz3 q94zz4 q94zz5 q94zz6 q94zz7 q94zz8 q94zz9"),
+                ).alias("text"),
+            )
+        )
+    )
+    return prefix_similarity_join(corpus, "text", "doc_id", threshold=0.5)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -2999,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q91_quantile_histogram": q91_quantile_histogram,
         "q92_stream_dedup": q92_stream_dedup,
         "q93_mg_topk": q93_mg_topk,
+        "q94_prefix_simjoin": q94_prefix_simjoin,
     }
 
 
@@ -3401,6 +3437,48 @@ def _q66_oracle_sql() -> str:
     return dedup_lines_sql(derived, "ltext", "doc_id", max_count=3)
 
 
+def _q94_oracle_sql() -> str:
+    """Brute-force all-pairs token Jaccard (no prefix filter) over the
+    identically planted corpus — the prefix-filter theorem says the
+    operator's output must match this exactly."""
+    from btl_bloomfilter_spark.functions.textstats import _WS
+
+    return f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, text || ' q94zza q94zzb q94zzc'
+            FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 200000,
+                   text || ' q94zz1 q94zz2 q94zz3 q94zz4 q94zz5 q94zz6 q94zz7 q94zz8 q94zz9'
+            FROM documents WHERE doc_id % 7 = 0
+        ),
+        tok AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(
+                           regexp_replace(coalesce(text, ''),
+                                          '^[{_WS}]+|[{_WS}]+$', '', 'g'),
+                           '[{_WS}]+')) AS token
+                FROM corpus)
+            WHERE token <> ''
+        ),
+        sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_n
+            FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT p.id_a, p.id_b, CAST(p.inter_n AS BIGINT) AS inter_n,
+               CAST(sa.sz + sb.sz - p.inter_n AS BIGINT) AS union_n
+        FROM pairs p
+        JOIN sz sa ON sa.doc_id = p.id_a
+        JOIN sz sb ON sb.doc_id = p.id_b
+        WHERE CAST(p.inter_n AS DOUBLE) >= 0.5 * CAST(sa.sz + sb.sz - p.inter_n AS DOUBLE)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
 
@@ -3539,6 +3617,7 @@ def oracle_sql() -> dict[str, str]:
         "q87_sql_tvf": _q87_oracle_sql(),
         "q89_repeated_turns": _q89_oracle_sql(),
         "q90_role_transitions": _q90_oracle_sql(),
+        "q94_prefix_simjoin": _q94_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
