@@ -610,6 +610,31 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             F.sum("distinct_chars").alias("dch"),
         ).collect()
 
+    def q_mg_topk_tools():
+        # mapInPandas partials (<= k+1 rows/partition) -> one tiny
+        # groupBy(item).sum shuffle -> driver compress
+        from btl_bloomfilter_spark.operators.topk import mg_topk
+
+        summ = mg_topk(tdf.where(F.col("tool").isNotNull()), "tool", k=16)
+        return summ.n
+
+    def q_prefix_simjoin_docs():
+        # the documented scale path: persist-once ordered token sets,
+        # prefix-keyed candidate groups, exact verify joins
+        from btl_bloomfilter_spark.operators.setjoin import (
+            ordered_token_sets,
+            prefix_similarity_join,
+        )
+
+        d = state["docs_id_part"]
+        sets = ordered_token_sets(d, "text", "doc_id").persist()
+        try:
+            return prefix_similarity_join(
+                d, "text", "doc_id", threshold=0.8, token_sets=sets
+            ).count()
+        finally:
+            sets.unpersist()
+
     def q_vocab_growth():
         # one (token, bucket) shuffle with map-side partial counts;
         # first-appearance + per-bucket tables are vocab-/report-sized
@@ -665,6 +690,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "corpus_signals": q_corpus_signals,
         "vocab_growth": q_vocab_growth,
         "distinct_to_date": q_distinct_to_date,
+        "mg_topk_tools": q_mg_topk_tools,
+        "prefix_simjoin_docs": q_prefix_simjoin_docs,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -109,6 +109,7 @@ def prefix_similarity_join(
     threshold: float,
     tokens_col: str | None = None,
     token_sets: DataFrame | None = None,
+    block: int = 512,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with token-set Jaccard >= threshold.
 
@@ -120,6 +121,8 @@ def prefix_similarity_join(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError("threshold must be in (0, 1]")
+    if block < 1:
+        raise ValueError("block must be >= 1")
     t = float(threshold)
     docs = (
         token_sets
@@ -129,21 +132,76 @@ def prefix_similarity_join(
 
     # prefix length |x| - ceil(t*|x|) + 1; epsilon only ever lengthens
     plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1).cast("int")
-    pref = docs.select("id", "sz", F.explode(F.slice("toks", F.lit(1), plen)).alias("token"))
+    pref = docs.select(
+        "id", "sz", F.posexplode(F.slice("toks", F.lit(1), plen)).alias("pos0", "token")
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
 
-    cand = (
-        pref.groupBy("token")
-        .agg(F.collect_list(F.struct("id", "sz")).alias("xs"))
-        .where(F.size("xs") >= 2)
-        .select(F.explode("xs").alias("a"), "xs")
-        .select("a", F.explode("xs").alias("b"))
-        .where(F.col("a.id") < F.col("b.id"))
-        # size filter: Jaccard >= t forces min|set| >= t * max|set|
-        .where(
-            F.least("a.sz", "b.sz").cast("double")
-            >= F.lit(t) * F.greatest("a.sz", "b.sz").cast("double")
+    # event-level filters, both lossless:
+    #  - size: Jaccard >= t forces min|set| >= t * max|set|
+    #  - positional (PPJoin §3): a token at 1-based order-position i of
+    #    x / j of y can witness at most 1 + min(|x|-i, |y|-j) overlap,
+    #    which must reach alpha = ceil(t/(1+t)*(|x|+|y|)); a true
+    #    pair's FIRST common token always passes (all its overlap sits
+    #    at or after that token), and the prefix theorem puts that
+    #    token inside both prefixes, so at least one generating event
+    #    per true pair survives.  Epsilon before ceil: only ever keeps
+    #    more.
+    def _event_ok(a, b):
+        alpha = F.ceil(
+            F.lit(t / (1.0 + t)) * (a["sz"] + b["sz"]).cast("double") - F.lit(1e-9)
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        return (
+            (F.least(a["sz"], b["sz"]).cast("double")
+             >= F.lit(t) * F.greatest(a["sz"], b["sz"]).cast("double"))
+            & ((1 + F.least(a["sz"] - a["pos"], b["sz"] - b["pos"])) >= alpha)
+        )
+
+    # Triangular chunk blocking caps the pair-expansion TASK size: a
+    # token shared by d docs owes d²/2 candidate events, and a plain
+    # groupBy(token).collect_list pair expansion computes all of them
+    # in ONE task (measured: one 3,823-doc bucket = 14.6M rows in a
+    # single task while 31 cores idle — AQE cannot split inside a
+    # group).  Instead, hash every prefix row into one of
+    # ceil(bucket/block) chunks (hash, not row_number — a window
+    # would re-serialize the bucket to number it), expand within-chunk
+    # pairs per (token, chunk) group and cross-chunk pairs per
+    # (token, chunk_a < chunk_b) join row, round-robined so the c²
+    # expansions spread over the cluster.  Each unordered pair lands
+    # in exactly one chunk pair; orientation is least/greatest by id.
+    # Work is the same O(d²); the largest task is now ~O(block²).
+    pdfreq = pref.groupBy("token").agg(F.count("*").alias("pdf"))
+    chunked = (
+        pref.join(pdfreq, "token")
+        .withColumn("nck", F.ceil(F.col("pdf") / F.lit(block)).cast("int"))
+        .withColumn("ck", F.pmod(F.xxhash64("id"), F.col("nck")).cast("int"))
+    )
+    lists = chunked.groupBy("token", "ck").agg(
+        F.collect_list(F.struct("id", "sz", "pos")).alias("xs")
+    )
+    a, b = F.col("a"), F.col("b")
+    within = (
+        lists.select(F.explode("xs").alias("a"), "xs")
+        .select("a", F.explode("xs").alias("b"))
+        .where(a["id"] < b["id"])
+    )
+    x, y = lists.alias("x"), lists.alias("y")
+    cross = (
+        x.join(
+            y,
+            (F.col("x.token") == F.col("y.token")) & (F.col("x.ck") < F.col("y.ck")),
+        )
+        .select(F.col("x.xs").alias("xs_a"), F.col("y.xs").alias("xs_b"))
+        .repartition(pref.sparkSession.sparkContext.defaultParallelism * 2)
+        .select(F.explode("xs_a").alias("a"), "xs_b")
+        .select("a", F.explode("xs_b").alias("b"))
+    )
+    cand = (
+        within.unionByName(cross)
+        .where(_event_ok(a, b))
+        .select(
+            F.least(a["id"], b["id"]).alias("id_a"),
+            F.greatest(a["id"], b["id"]).alias("id_b"),
+        )
         .distinct()
     )
 

@@ -93,6 +93,17 @@ def test_single_token_docs(spark):
 
 
 @pytest.mark.spark
+@pytest.mark.parametrize("block", [1, 2, 7])
+def test_chunk_blocking_exact(spark, block):
+    # tiny blocks force heavy cross-chunk traffic through the
+    # triangular blocking path; output must not change
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(20)]
+    docs = {i: " ".join(rng.choices(vocab, k=rng.randint(1, 18))) for i in range(50)}
+    assert _run(spark, docs, 0.5, block=block) == _brute(docs, 0.5)
+
+
+@pytest.mark.spark
 def test_token_sets_persist_path_identical(spark):
     from btl_bloomfilter_spark.operators.setjoin import ordered_token_sets
 
