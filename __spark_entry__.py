@@ -2939,6 +2939,30 @@ def q94_prefix_simjoin(spark, sf_dir):
     return prefix_similarity_join(corpus, "text", "doc_id", threshold=0.5)
 
 
+def q95_zorder_key(spark, sf_dir):
+    """Iceberg-style Z-ORDER clustering key (functions/layout):
+    price-cents and quantity normalized onto the 16-bit lattice with
+    EXACT integer affine scaling (BIGINT `div`, no float division),
+    then Morton bit-interleaved — pure unrolled shift/mask codegen,
+    no UDF, no shuffle.  Hash-oracled per row against the identical
+    unrolled DuckDB expression (interleave_bits_sql twin); cents via
+    floor(x*100) — floor is IEEE-identical across engines where
+    round's half-case tie-break is not.  The layout operator itself
+    (cluster_by_zorder) and the measured both-dimensions pruning win
+    are pinned in tests/test_layout.py."""
+    from btl_bloomfilter_spark.functions.layout import interleave_bits, normalize_minmax
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    nx = normalize_minmax(cents, 90_000, 10_500_000, bits=16)
+    ny = normalize_minmax(F.col("l_quantity").cast("long"), 1, 50, bits=16)
+    return li.where(F.col("l_orderkey") % 17 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        interleave_bits(nx, ny, bits=16).alias("zkey"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3035,6 +3059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q92_stream_dedup": q92_stream_dedup,
         "q93_mg_topk": q93_mg_topk,
         "q94_prefix_simjoin": q94_prefix_simjoin,
+        "q95_zorder_key": q95_zorder_key,
     }
 
 
@@ -3479,6 +3504,18 @@ def _q94_oracle_sql() -> str:
     """
 
 
+def _q95_oracle_sql() -> str:
+    from btl_bloomfilter_spark.functions.layout import interleave_bits_sql, normalize_minmax_sql
+
+    nx = normalize_minmax_sql("floor(l_extendedprice * 100)", 90_000, 10_500_000, bits=16)
+    ny = normalize_minmax_sql("l_quantity", 1, 50, bits=16)
+    z = interleave_bits_sql(nx, ny, bits=16)
+    return f"""
+        SELECT l_orderkey, l_linenumber, {z} AS zkey
+        FROM lineitem WHERE l_orderkey % 17 = 0
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
 
@@ -3618,6 +3655,7 @@ def oracle_sql() -> dict[str, str]:
         "q89_repeated_turns": _q89_oracle_sql(),
         "q90_role_transitions": _q90_oracle_sql(),
         "q94_prefix_simjoin": _q94_oracle_sql(),
+        "q95_zorder_key": _q95_oracle_sql(),
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
