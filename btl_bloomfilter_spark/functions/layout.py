@@ -50,10 +50,11 @@ def _validate(ncols: int, bits: int) -> None:
 
 def interleave_bits(*cols: Column | str, bits: int = 16) -> Column:
     """Morton-interleave ``bits`` low bits of each column into one
-    BIGINT: bit i of column j lands at position ``i * ncols + j``
-    counted from the least-significant end — column 0 owns the HIGH
-    bit of each group, so earlier columns sort coarsest (matching the
-    usual ZORDER BY column order intuition).  Inputs must already be
+    BIGINT: bit i of column j lands at output position
+    ``i * ncols + (ncols - 1 - j)`` counted from the least-significant
+    end — column 0 owns the HIGH bit of each group, so earlier columns
+    sort coarsest (matching the usual ZORDER BY column order
+    intuition).  Inputs must already be
     non-negative and < 2^bits (see :func:`normalize_minmax`); higher
     bits are masked off defensively."""
     cs = [F.col(c) if isinstance(c, str) else c for c in cols]
@@ -118,6 +119,8 @@ def cluster_by_zorder(
     dimension.  One range shuffle (sampled range bounds — the same
     cost as any globally sorted write); the key column is dropped
     from the result."""
+    if "__zkey" in df.columns:
+        raise ValueError("input already has a __zkey column")
     keyed = df.withColumn("__zkey", zkey)
     parted = (
         keyed.repartitionByRange(num_partitions, "__zkey")

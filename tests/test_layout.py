@@ -74,6 +74,13 @@ def test_normalize_exact_and_clamped(spark):
         assert 0 <= got[v] <= top
 
 
+@pytest.mark.spark
+def test_zkey_name_collision_raises(spark):
+    df = spark.createDataFrame([(1, 2, 0)], "x long, y long, __zkey long")
+    with pytest.raises(ValueError):
+        cluster_by_zorder(df, interleave_bits("x", "y", bits=4))
+
+
 def test_validation():
     with pytest.raises(ValueError):
         interleave_bits("a", bits=16)  # 1 column
