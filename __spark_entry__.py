@@ -2963,6 +2963,40 @@ def q95_zorder_key(spark, sf_dir):
     )
 
 
+def q96_bucketed_join(spark, sf_dir):
+    """Co-located join via bucketed tables (sources/bucketing): both
+    sides materialized bucketed by order key — the join and its
+    downstream aggregation then run with NO Exchange on either side
+    (pinned on the executed plan by tests/test_bucketing.py); at
+    100 TB the shuffle is paid once at write time instead of per
+    query.  Values are hash-oracled against DuckDB's plain join —
+    bucketing must change the plan, never the answer.  Revenue in
+    exact cents (floor(x*100) summed as BIGINT — order-free, per the
+    fixed-point policy)."""
+    import tempfile
+
+    from btl_bloomfilter_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    t = _load(spark, sf_dir, "orders", "lineitem")
+    tmp = tempfile.mkdtemp(prefix="q96_")
+    cents = F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    write_bucketed(
+        t["orders"].select("o_orderkey", "o_orderpriority"),
+        "q96_orders", f"{tmp}/o", "o_orderkey", 8,
+    )
+    write_bucketed(
+        t["lineitem"].select("l_orderkey", cents),
+        "q96_lineitem", f"{tmp}/l", "l_orderkey", 8,
+    )
+    o = read_bucketed(spark, "q96_orders")
+    li = read_bucketed(spark, "q96_lineitem")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"), F.sum("cents").alias("revenue_cents"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3060,6 +3094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q93_mg_topk": q93_mg_topk,
         "q94_prefix_simjoin": q94_prefix_simjoin,
         "q95_zorder_key": q95_zorder_key,
+        "q96_bucketed_join": q96_bucketed_join,
     }
 
 
@@ -3656,6 +3691,12 @@ def oracle_sql() -> dict[str, str]:
         "q90_role_transitions": _q90_oracle_sql(),
         "q94_prefix_simjoin": _q94_oracle_sql(),
         "q95_zorder_key": _q95_oracle_sql(),
+        "q96_bucketed_join": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "q59_rollup_report": """
             SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                    coalesce(l_linestatus, 'ALL') AS linestatus,
