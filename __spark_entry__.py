@@ -2997,6 +2997,20 @@ def q96_bucketed_join(spark, sf_dir):
     )
 
 
+def q97_doc_chunks(spark, sf_dir):
+    """Sliding-window chunking (operators/chunking.chunk_documents):
+    the RAG / context-budget prep step — overlapping 40-token windows
+    stepping 32, with deterministic (chunk_idx, tok_start, n_tokens)
+    provenance.  Pure per-row codegen (sequence + transform + one
+    explode, no UDF, no shuffle).  Hash-oracled: chunk TEXT itself is
+    compared row-for-row against the DuckDB range/list_transform
+    twin."""
+    from btl_bloomfilter_spark.operators.chunking import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return chunk_documents(docs, "text", "doc_id", size=40, overlap=8)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3095,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q94_prefix_simjoin": q94_prefix_simjoin,
         "q95_zorder_key": q95_zorder_key,
         "q96_bucketed_join": q96_bucketed_join,
+        "q97_doc_chunks": q97_doc_chunks,
     }
 
 
@@ -3551,6 +3566,12 @@ def _q95_oracle_sql() -> str:
     """
 
 
+def _q97_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.chunking import chunk_documents_sql
+
+    return chunk_documents_sql("documents", "text", "doc_id", size=40, overlap=8)
+
+
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
 
@@ -3691,6 +3712,7 @@ def oracle_sql() -> dict[str, str]:
         "q90_role_transitions": _q90_oracle_sql(),
         "q94_prefix_simjoin": _q94_oracle_sql(),
         "q95_zorder_key": _q95_oracle_sql(),
+        "q97_doc_chunks": _q97_oracle_sql(),
         "q96_bucketed_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
