@@ -3011,6 +3011,79 @@ def q97_doc_chunks(spark, sf_dir):
     return chunk_documents(docs, "text", "doc_id", size=40, overlap=8)
 
 
+def q98_quality_classifier(spark, sf_dir):
+    """Deterministic distributed quality classifier (operators/
+    classifier): hashed-feature logistic regression, the DataComp/
+    fastText filtering stage — with per-row nano-quantized gradient
+    contributions so every aggregation is exact int64 addition and
+    training is BIT-identical under any partitioning.  Labels planted
+    in-query (doc_id%2==0 docs get junk-token suffixes); holdout by
+    content hash.  Gates: `partition_invariant` (weights from
+    repartition(5) vs repartition(23) byte-equal), holdout accuracy
+    >= 0.9, final loss below initial.  no_oracle by design (iterative
+    algorithm; SQL cannot express the training loop)."""
+    import numpy as np
+
+    from btl_bloomfilter_spark.operators.classifier import (
+        hashed_features,
+        score_documents,
+        train_quality_classifier,
+    )
+
+    dim = 1 << 12
+    docs = _load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    labeled = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" zzjunk zzspam zzscam zzjunk")),
+        ).otherwise(F.col("text")).alias("text"),
+        (F.col("doc_id") % 2 == 0).cast("double").alias("label"),
+    )
+    is_holdout = F.pmod(F.xxhash64("doc_id"), F.lit(5)) == 0
+    train, hold = labeled.where(~is_holdout), labeled.where(is_holdout)
+
+    # invariance pair at 6 iterations (each iteration's update is a
+    # deterministic function of the previous weights and the EXACT
+    # int64 gradient, so bit-equality at 6 chained iterations implies
+    # it at any depth); accuracy model trained once at 30
+    weights = {}
+    for parts in (5, 23):
+        feat = hashed_features(train.repartition(parts), "text", "label", dim=dim).cache()
+        feat.count()
+        weights[parts], _ = train_quality_classifier(feat, dim=dim, iters=6, lr=8.0)
+        if parts == 5:
+            w_full, losses = train_quality_classifier(feat, dim=dim, iters=30, lr=8.0)
+        feat.unpersist()
+    invariant = bool(np.array_equal(weights[5], weights[23]))
+
+    scored = score_documents(hold, "text", w_full, dim=dim)
+    acc = (
+        scored.select(
+            (((F.col("quality_prob") > 0.5).cast("double")) == F.col("label"))
+            .cast("long")
+            .alias("ok")
+        )
+        .agg(F.avg("ok"))
+        .collect()[0][0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(dim),
+                float(losses[0]),
+                float(losses[-1]),
+                float(acc),
+                invariant,
+                bool(losses[-1] < losses[0]),
+                bool(acc >= 0.9),
+            )
+        ],
+        "dim long, loss_first double, loss_last double, holdout_accuracy double, "
+        "partition_invariant boolean, loss_decreased boolean, accuracy_ok boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3110,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q95_zorder_key": q95_zorder_key,
         "q96_bucketed_join": q96_bucketed_join,
         "q97_doc_chunks": q97_doc_chunks,
+        "q98_quality_classifier": q98_quality_classifier,
     }
 
 

@@ -117,6 +117,10 @@ def test_rows_only_queries_run(spark, name):
         assert out.no_overcount.all() and out.within_bound.all()
         assert out.all_heavy_found.all() and out.repartition_robust.all()
         assert len(out) > 0
+    if name == "q98_quality_classifier":
+        r = out.iloc[0]
+        assert r.partition_invariant and r.loss_decreased and r.accuracy_ok
+        assert r.holdout_accuracy >= 0.9
     if name == "q92_stream_dedup":
         r = out.iloc[0]
         assert r.output_unique and r.exact_survivor_set
