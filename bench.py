@@ -635,6 +635,27 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         finally:
             sets.unpersist()
 
+    def q_quality_classifier():
+        # featurize (pure codegen) + 5 exact-gradient iterations; the
+        # per-iteration shuffle is vocab-sized (idx, grad) rows only
+        from btl_bloomfilter_spark.operators.classifier import (
+            hashed_features,
+            train_quality_classifier,
+        )
+
+        labeled = state["docs_id_part"].select(
+            "doc_id",
+            "text",
+            (F.col("doc_id") % 2 == 0).cast("double").alias("label"),
+        )
+        feat = hashed_features(labeled, "text", "label", dim=1 << 14).cache()
+        try:
+            feat.count()
+            w, losses = train_quality_classifier(feat, dim=1 << 14, iters=5, lr=8.0)
+            return losses[-1]
+        finally:
+            feat.unpersist()
+
     def q_vocab_growth():
         # one (token, bucket) shuffle with map-side partial counts;
         # first-appearance + per-bucket tables are vocab-/report-sized
@@ -692,6 +713,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "distinct_to_date": q_distinct_to_date,
         "mg_topk_tools": q_mg_topk_tools,
         "prefix_simjoin_docs": q_prefix_simjoin_docs,
+        "quality_classifier_train": q_quality_classifier,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
