@@ -3084,6 +3084,21 @@ def q98_quality_classifier(spark, sf_dir):
     )
 
 
+def q99_mg_topk_by_role(spark, sf_dir):
+    """Per-group Misra-Gries (operators/topk.mg_topk_by_key): heavy
+    hitters per role via applyInPandas — exact in-group value_counts
+    (distinct-bounded state) then one compress, deterministic because
+    the whole group reaches one task.  k=256 exceeds every role's
+    distinct tool count on this corpus, so the summary IS the exact
+    per-(role, tool) count table — hash-oracled against the plain
+    GROUP BY + window twin (the small-k bound laws are pinned in
+    tests/test_topk.py)."""
+    from btl_bloomfilter_spark.operators.topk import mg_topk_by_key
+
+    t = _transcripts_mirror(spark, sf_dir).select("role", "tool")
+    return mg_topk_by_key(t.where(F.col("tool").isNotNull()), ["role"], "tool", k=256)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3184,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q96_bucketed_join": q96_bucketed_join,
         "q97_doc_chunks": q97_doc_chunks,
         "q98_quality_classifier": q98_quality_classifier,
+        "q99_mg_topk_by_role": q99_mg_topk_by_role,
     }
 
 
@@ -3787,6 +3803,15 @@ def oracle_sql() -> dict[str, str]:
         "q94_prefix_simjoin": _q94_oracle_sql(),
         "q95_zorder_key": _q95_oracle_sql(),
         "q97_doc_chunks": _q97_oracle_sql(),
+        "q99_mg_topk_by_role": f"""
+            WITH t AS (SELECT role, tool FROM read_parquet('{Q76_PATH}/*.parquet')
+                       WHERE tool IS NOT NULL),
+            g AS (SELECT role, tool AS item, count(*) AS cnt FROM t GROUP BY role, tool)
+            SELECT role, item, CAST(cnt AS BIGINT) AS mg_est,
+                   CAST(sum(cnt) OVER (PARTITION BY role) AS BIGINT) AS n_group,
+                   CAST(sum(cnt) OVER (PARTITION BY role) // 257 AS BIGINT) AS err_bound
+            FROM g
+        """,
         "q96_bucketed_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

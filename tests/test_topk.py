@@ -102,6 +102,53 @@ def test_mg_nulls_excluded_and_empty(spark):
     assert s2.counts == {} and s2.n == 0 and s2.err_bound == 0
 
 
+@pytest.mark.spark
+def test_mg_by_key_exact_under_k(spark):
+    from btl_bloomfilter_spark.operators.topk import mg_topk_by_key
+
+    rows = [("a", "x")] * 5 + [("a", "y")] * 2 + [("b", "x")] * 3 + [("b", None)] * 2
+    df = spark.createDataFrame(rows, "g string, item string")
+    out = {(r.g, r.item): (r.mg_est, r.n_group, r.err_bound)
+           for r in mg_topk_by_key(df, ["g"], "item", k=8).collect()}
+    assert out == {
+        ("a", "x"): (5, 7, 0), ("a", "y"): (2, 7, 0), ("b", "x"): (3, 3, 0),
+    }
+
+
+@pytest.mark.spark
+def test_mg_by_key_bounds_small_k(spark):
+    from btl_bloomfilter_spark.operators.topk import mg_topk_by_key
+
+    rng = random.Random(13)
+    rows = [(f"g{i % 3}", s) for i, s in enumerate(_zipf_stream(rng, 3000, 120))]
+    df = spark.createDataFrame(rows, "g string, item string").repartition(7)
+    got = mg_topk_by_key(df, ["g"], "item", k=6).collect()
+    truth = {}
+    for g, s in rows:
+        truth.setdefault(g, collections.Counter())[s] += 1
+    per_group = {}
+    for r in got:
+        per_group.setdefault(r.g, []).append(r)
+        t = truth[r.g][r.item]
+        assert r.mg_est <= t <= r.mg_est + r.err_bound, (r, t)
+    for g, rs in per_group.items():
+        assert len(rs) <= 6
+        n = sum(truth[g].values())
+        assert all(r.n_group == n for r in rs)
+        heavy = [i for i, c in truth[g].items() if c > n // 7]
+        present = {r.item for r in rs}
+        assert all(h in present for h in heavy)
+
+
+@pytest.mark.spark
+def test_mg_by_key_all_null_group_empty(spark):
+    from btl_bloomfilter_spark.operators.topk import mg_topk_by_key
+
+    df = spark.createDataFrame([("a", None), ("a", None), ("b", "x")], "g string, item string")
+    got = mg_topk_by_key(df, ["g"], "item", k=4).collect()
+    assert {(r.g, r.item) for r in got} == {("b", "x")}
+
+
 def test_mg_invalid_args():
     class _Fake:  # mg_partials validates args before touching df
         pass
@@ -110,3 +157,9 @@ def test_mg_invalid_args():
         mg_partials(_Fake(), "c", 0)
     with pytest.raises(ValueError):
         mg_partials(_Fake(), "c", 8, compress_at=3)
+    from btl_bloomfilter_spark.operators.topk import mg_topk_by_key
+
+    with pytest.raises(ValueError):
+        mg_topk_by_key(_Fake(), ["g"], "c", 0)
+    with pytest.raises(ValueError):
+        mg_topk_by_key(_Fake(), [], "c", 4)
