@@ -618,6 +618,15 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         summ = mg_topk(tdf.where(F.col("tool").isNotNull()), "tool", k=16)
         return summ.n
 
+    def q_mg_topk_by_role():
+        # per-group variant: whole group to one applyInPandas task,
+        # exact value_counts then one compress (deterministic)
+        from btl_bloomfilter_spark.operators.topk import mg_topk_by_key
+
+        return mg_topk_by_key(
+            tdf.where(F.col("tool").isNotNull()), ["role"], "tool", k=16
+        ).count()
+
     def q_prefix_simjoin_docs():
         # the documented scale path: persist-once ordered token sets,
         # prefix-keyed candidate groups, exact verify joins
@@ -712,6 +721,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "vocab_growth": q_vocab_growth,
         "distinct_to_date": q_distinct_to_date,
         "mg_topk_tools": q_mg_topk_tools,
+        "mg_topk_by_role": q_mg_topk_by_role,
         "prefix_simjoin_docs": q_prefix_simjoin_docs,
         "quality_classifier_train": q_quality_classifier,
     }
