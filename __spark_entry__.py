@@ -3099,6 +3099,82 @@ def q99_mg_topk_by_role(spark, sf_dir):
     return mg_topk_by_key(t.where(F.col("tool").isNotNull()), ["role"], "tool", k=256)
 
 
+def q100_incremental_minhash(spark, sf_dir):
+    """Incremental near-dup mining of a NEW shard against a persisted
+    corpus MinHash signature table (dedup.incremental_minhash_dedup):
+    the 100-TB shape where re-mining corpus x corpus per arriving shard
+    is unaffordable — the corpus keeps ONE (id, sig) artifact, its band
+    view derives by pure map, and the shard's band table broadcasts so
+    the corpus never shuffles.  New shard derived IN-QUERY (q50's
+    planted-arm standard): doc_id % 25 == 0 -> exact copy at
+    id + 100000, doc_id % 25 == 1 -> half-truncated variant.  Gates:
+    matches_full_rebuild — incremental pairs+estimates EQUAL the full
+    corpus+new rebuild restricted to pairs touching a new id (the
+    operator's defining contract, checked both directions via
+    exceptAll); planted_copies_found — every exact-copy plant pairs
+    with its source at est 1.0; no_corpus_internal_pairs.  no_oracle:
+    LSH banding is signature-kernel-dependent; the full-rebuild
+    equality gate carries the verification weight instead."""
+    from btl_bloomfilter_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_dedup,
+        minhash_signatures,
+    )
+
+    OFF = 100000
+    docs = _load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    copies = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + OFF).alias("doc_id"), "text"
+    )
+    trunc = docs.where(F.col("doc_id") % 25 == 1).select(
+        (F.col("doc_id") + OFF).alias("doc_id"),
+        F.expr("substring(text, 1, cast(length(text) / 2 as int))").alias("text"),
+    )
+    new_df = copies.unionByName(trunc)
+    corpus_sigs = minhash_signatures(docs, "text", "doc_id", num_perm=64).cache()
+    inc = incremental_minhash_dedup(
+        new_df, "text", "doc_id", corpus_sigs, num_perm=64, bands=16, threshold=0.3
+    ).cache()
+    full = minhash_dedup(
+        docs.unionByName(new_df), "text", "doc_id", num_perm=64, bands=16, threshold=0.3
+    )
+    restricted = full.where((F.col("id_a") >= OFF) | (F.col("id_b") >= OFF)).cache()
+    matches = (
+        inc.exceptAll(restricted).count() == 0 and restricted.exceptAll(inc).count() == 0
+    )
+    n_copy_plants = copies.count()
+    copies_found = (
+        inc.where(
+            (F.col("id_b") == F.col("id_a") + OFF)
+            & (F.col("id_a") % 25 == 0)
+            & (F.col("est_jaccard") == 1.0)
+        ).count()
+        == n_copy_plants
+    )
+    corpus_internal = inc.where((F.col("id_a") < OFF) & (F.col("id_b") < OFF)).count()
+    n_pairs = inc.count()
+    n_restricted = restricted.count()
+    for c in (corpus_sigs, inc, restricted):
+        c.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                int(docs.count()),
+                int(new_df.count()),
+                int(n_pairs),
+                int(n_restricted),
+                int(n_copy_plants),
+                bool(matches),
+                bool(copies_found),
+                bool(corpus_internal == 0),
+            )
+        ],
+        "n_corpus long, n_new long, n_pairs long, n_full_restricted long, "
+        "n_copy_plants long, matches_full_rebuild boolean, "
+        "planted_copies_found boolean, no_corpus_internal_pairs boolean",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3200,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q97_doc_chunks": q97_doc_chunks,
         "q98_quality_classifier": q98_quality_classifier,
         "q99_mg_topk_by_role": q99_mg_topk_by_role,
+        "q100_incremental_minhash": q100_incremental_minhash,
     }
 
 

@@ -230,17 +230,17 @@ def minhash_signatures(
     return sdf.mapInArrow(fn, out_schema)
 
 
-def minhash_lsh_candidates(
-    sig_df: DataFrame, *, bands: int = 32, rows_per_band: int = 4
-) -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on all rows of ≥1 band.
+def minhash_bands(sig_df: DataFrame, *, bands: int = 32, rows_per_band: int = 4) -> DataFrame:
+    """(id, band, band_key) banded view of a signature table.
 
-    Band key = (band_idx, hash of the band's slice); groupBy band key
-    then pair within buckets.  Shuffle is keyed by band hash
-    (uniform); bucket sizes stay tiny for non-dup corpora.
+    A PURE MAP (explode + slice-hash, no shuffle): the band table never
+    needs to be persisted — it is always derivable from the (id, sig)
+    signature table, which is therefore the ONLY artifact an
+    incremental pipeline has to keep (see
+    :func:`incremental_minhash_pairs`).
     """
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    banded = sig_df.select("id", "sig", band_idx).withColumn(
+    return sig_df.select("id", "sig", band_idx).withColumn(
         "band_key",
         F.xxhash64(
             F.concat_ws(
@@ -250,6 +250,18 @@ def minhash_lsh_candidates(
             )
         ),
     ).drop("sig")
+
+
+def minhash_lsh_candidates(
+    sig_df: DataFrame, *, bands: int = 32, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on all rows of ≥1 band.
+
+    Band key = (band_idx, hash of the band's slice); groupBy band key
+    then pair within buckets.  Shuffle is keyed by band hash
+    (uniform); bucket sizes stay tiny for non-dup corpora.
+    """
+    banded = minhash_bands(sig_df, bands=bands, rows_per_band=rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -302,6 +314,90 @@ def minhash_dedup(
     cands = minhash_lsh_candidates(sigs, bands=bands, rows_per_band=max(1, num_perm // bands))
     est = minhash_jaccard_estimate(sigs, cands)
     return est.where(F.col("est_jaccard") >= threshold)
+
+
+def incremental_minhash_pairs(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    *,
+    bands: int = 32,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Near-dup pairs touching a NEW shard, against an already-indexed
+    corpus — without re-mining corpus x corpus.
+
+    The incremental contract (pinned by test + the q100 gate): with
+    identical signature parameters, the result EQUALS
+    :func:`minhash_dedup` over corpus+new restricted to pairs that
+    involve at least one new id.  ``new_sigs`` / ``corpus_sigs`` are
+    (id, sig) tables from :func:`minhash_signatures` built with the
+    SAME num_perm / shingle_n / seed_salt (signatures are deterministic,
+    so the persisted corpus table composes with freshly computed shard
+    signatures).  Id spaces must be disjoint across the two tables.
+
+    100-TB shape: the corpus signature table is read ONCE and its band
+    view is derived by a pure map (:func:`minhash_bands` — no shuffle);
+    with ``broadcast_new`` (the normal case: shard << corpus) the
+    new-side band table broadcasts, so the new-vs-corpus candidate
+    step is a MAP-SIDE join over the corpus scan — the corpus never
+    shuffles.  The estimate join then broadcasts the (tiny) candidate
+    pair list back over one more corpus-sig scan.  New-vs-new pairs
+    go through the standard band-bucket path on the shard alone.
+    """
+    nb = minhash_bands(new_sigs, bands=bands, rows_per_band=rows_per_band)
+    cb = minhash_bands(corpus_sigs, bands=bands, rows_per_band=rows_per_band)
+    left = F.broadcast(nb) if broadcast_new else nb
+    cross = (
+        left.alias("a")
+        .join(
+            cb.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .distinct()
+    )
+    within = minhash_lsh_candidates(new_sigs, bands=bands, rows_per_band=rows_per_band)
+    cands = cross.unionByName(within).distinct()
+    all_sigs = corpus_sigs.unionByName(new_sigs)
+    est = minhash_jaccard_estimate(all_sigs, cands)
+    return est.where(F.col("est_jaccard") >= threshold)
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    col: str,
+    id_col: str,
+    corpus_sigs: DataFrame,
+    *,
+    num_perm: int = 128,
+    shingle_n: int = 3,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed_salt: int = 0,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """Convenience: signature the new shard, then
+    :func:`incremental_minhash_pairs` against the persisted corpus
+    signature table.  num_perm / shingle_n / seed_salt MUST match the
+    corpus index build (mismatched widths fail the zip_with estimate;
+    a mismatched salt silently estimates ~0 — parameterize both sides
+    from one config)."""
+    sigs = minhash_signatures(
+        new_df, col, id_col, num_perm=num_perm, shingle_n=shingle_n, seed_salt=seed_salt
+    )
+    return incremental_minhash_pairs(
+        sigs,
+        corpus_sigs,
+        bands=bands,
+        rows_per_band=max(1, num_perm // bands),
+        threshold=threshold,
+        broadcast_new=broadcast_new,
+    )
 
 
 # ----------------------------- SimHash -------------------------------

@@ -113,6 +113,11 @@ def test_rows_only_queries_run(spark, name):
         r = out.iloc[0]
         assert r.distributed_matches_driver and r.paired_tracks_full
         assert r.accuracy_paired >= 0.9  # sf0.01 corpus is sparse enough
+    if name == "q100_incremental_minhash":
+        r = out.iloc[0]
+        assert r.matches_full_rebuild and r.planted_copies_found
+        assert r.no_corpus_internal_pairs
+        assert r.n_pairs == r.n_full_restricted >= r.n_copy_plants > 0
     if name == "q93_mg_topk":
         assert out.no_overcount.all() and out.within_bound.all()
         assert out.all_heavy_found.all() and out.repartition_robust.all()
