@@ -3175,6 +3175,61 @@ def q100_incremental_minhash(spark, sf_dir):
     )
 
 
+def _q101_oracle_sql() -> str:
+    from btl_bloomfilter_spark.functions import urls as U
+
+    case = _Q101_URL_CASE.format(S="varchar")
+    return (
+        f"WITH b AS (SELECT doc_id, {case} AS url FROM documents), "
+        f"h AS (SELECT doc_id, url, {U.url_host_sql('url')} AS host FROM b), "
+        f"d AS (SELECT doc_id, url, host, {U.registrable_domain_sql('host')} AS domain FROM h), "
+        f"r AS (SELECT *, {U.cap_rank_sql('domain', ['doc_id'], seed=11)} AS cap_rank FROM d) "
+        f"SELECT doc_id, url, host, domain, CAST(cap_rank AS BIGINT) AS cap_rank, "
+        f"cap_rank <= 5 AS kept FROM r"
+    )
+
+
+# q101's derived-URL arms, shared VERBATIM by both engines (only the
+# string type name differs): subdomain, cased host + port + query,
+# userinfo, IPv4, schemeless (NULL host), source-keyed subdomain.
+_Q101_URL_CASE = (
+    "CASE cast(doc_id % 6 as int) "
+    "WHEN 0 THEN 'https://www.example.com/p/' || cast(doc_id as {S}) "
+    "WHEN 1 THEN 'http://Sub.Example.CO.UK:8080/x?q=' || cast(doc_id as {S}) "
+    "WHEN 2 THEN 'https://user:pw@api.example.org/v' || cast(doc_id % 3 as {S}) "
+    "WHEN 3 THEN 'ftp://192.168.0.' || cast(doc_id % 200 as {S}) || '/pub' "
+    "WHEN 4 THEN 'no scheme here ' || cast(doc_id as {S}) "
+    "ELSE 'https://' || source || '.cdn.example.net/a/' || cast(doc_id as {S}) "
+    "END"
+)
+
+
+def q101_domain_cap(spark, sf_dir):
+    """URL curation: host extraction (Java/RE2-safe regex, no-match ->
+    NULL both engines), registrable-domain folding (documented
+    public-suffix heuristic incl. co.uk-style registry labels, IPs and
+    single-label hosts fold to themselves), and a deterministic
+    per-domain cap ranked by the engine-portable md5 priority
+    (functions/urls).  URLs derived IN-QUERY from documents via a
+    CASE shared verbatim with the oracle (q50's standard).  The FULL
+    assignment — host, domain, cap_rank, kept — is hash-oracled, the
+    q49/q52 verification bar: the selection itself is engine-identical,
+    not just its counts."""
+    from btl_bloomfilter_spark.functions import urls as U
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    b = docs.select("doc_id", "source").withColumn(
+        "url", F.expr(_Q101_URL_CASE.format(S="string"))
+    )
+    h = b.select("doc_id", "url", U.url_host("url").alias("host"))
+    d = h.withColumn("domain", U.registrable_domain("host"))
+    capped = U.domain_cap(d, "domain", ["doc_id"], 5, seed=11)
+    return capped.select(
+        "doc_id", "url", "host", "domain",
+        F.col("cap_rank").cast("long").alias("cap_rank"), "kept",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3277,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q98_quality_classifier": q98_quality_classifier,
         "q99_mg_topk_by_role": q99_mg_topk_by_role,
         "q100_incremental_minhash": q100_incremental_minhash,
+        "q101_domain_cap": q101_domain_cap,
     }
 
 
@@ -3880,6 +3936,7 @@ def oracle_sql() -> dict[str, str]:
         "q94_prefix_simjoin": _q94_oracle_sql(),
         "q95_zorder_key": _q95_oracle_sql(),
         "q97_doc_chunks": _q97_oracle_sql(),
+        "q101_domain_cap": _q101_oracle_sql(),
         "q99_mg_topk_by_role": f"""
             WITH t AS (SELECT role, tool FROM read_parquet('{Q76_PATH}/*.parquet')
                        WHERE tool IS NOT NULL),

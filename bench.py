@@ -642,6 +642,25 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             num_perm=64, bands=16, threshold=0.3,
         ).count()
 
+    def q_domain_cap():
+        # host/domain are pure codegen projections; the cap is ONE
+        # shuffle on the domain key with WindowGroupLimit truncating
+        # each input partition to the cap before the exchange
+        from btl_bloomfilter_spark.functions import urls as U
+
+        u = state["docs_id_part"].selectExpr(
+            "doc_id",
+            "CASE cast(doc_id % 4 as int) "
+            "WHEN 0 THEN 'https://www.example.com/p/' || cast(doc_id as string) "
+            "WHEN 1 THEN 'http://Sub.Example.CO.UK:8080/x?q=' || cast(doc_id as string) "
+            "WHEN 2 THEN 'https://user@api.example.org/v' || cast(doc_id % 3 as string) "
+            "ELSE 'https://s' || cast(doc_id % 40 as string) || '.cdn.example.net/a' "
+            "END AS url",
+        )
+        h = u.withColumn("host", U.url_host("url"))
+        d = h.withColumn("domain", U.registrable_domain("host"))
+        return U.domain_cap_filter(d, "domain", ["doc_id"], 50).count()
+
     def q_mg_topk_by_role():
         # per-group variant: whole group to one applyInPandas task,
         # exact value_counts then one compress (deterministic)
@@ -747,6 +766,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "distinct_to_date": q_distinct_to_date,
         "mg_topk_tools": q_mg_topk_tools,
         "mg_topk_by_role": q_mg_topk_by_role,
+        "domain_cap": q_domain_cap,
         "prefix_simjoin_docs": q_prefix_simjoin_docs,
         "quality_classifier_train": q_quality_classifier,
     }
