@@ -3230,6 +3230,28 @@ def q101_domain_cap(spark, sf_dir):
     )
 
 
+def q102_salted_join(spark, sf_dir):
+    """Explicit skew mitigation (plans/joins.salted_join): the skewed
+    side carries a deterministic content-hash salt, the dimension side
+    replicates once per salt value, and the join runs on key+salt so a
+    hot key spreads over `salt` reducers.  Salting provably preserves
+    join semantics (each skewed row meets each match exactly once), so
+    the aggregated join output is hash-oracled against DuckDB's PLAIN
+    join — the salt must be invisible in values; that it reaches the
+    shuffle key (and that retry-style recomputation re-salts
+    identically) is pinned in tests/test_salted_join.py."""
+    from btl_bloomfilter_spark.plans.joins import salted_join
+
+    t = _load(spark, sf_dir, "lineitem", "orders")
+    li = t["lineitem"].select(F.col("l_orderkey").alias("okey"), "l_extendedprice")
+    orders = t["orders"].select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    j = salted_join(li, orders, ["okey"], salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias("revenue_cents"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3333,6 +3355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q99_mg_topk_by_role": q99_mg_topk_by_role,
         "q100_incremental_minhash": q100_incremental_minhash,
         "q101_domain_cap": q101_domain_cap,
+        "q102_salted_join": q102_salted_join,
     }
 
 
@@ -3937,6 +3960,12 @@ def oracle_sql() -> dict[str, str]:
         "q95_zorder_key": _q95_oracle_sql(),
         "q97_doc_chunks": _q97_oracle_sql(),
         "q101_domain_cap": _q101_oracle_sql(),
+        "q102_salted_join": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+                   CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
         "q99_mg_topk_by_role": f"""
             WITH t AS (SELECT role, tool FROM read_parquet('{Q76_PATH}/*.parquet')
                        WHERE tool IS NOT NULL),
