@@ -3252,6 +3252,31 @@ def q102_salted_join(spark, sf_dir):
     )
 
 
+def _q103_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.stats import exact_comoments_sql
+
+    return exact_comoments_sql(
+        "lineitem", ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], scale=1000
+    )
+
+
+def q103_pearson_moments(spark, sf_dir):
+    """Exact pairwise co-moments + Pearson over lineitem's numeric
+    columns in ONE scan (operators/stats.exact_comoments): each column
+    quantized floor(x*1000) to int64 once, Σx/Σx²/Σxy as EXACT integer
+    sums (Spark decimal(38,0) vs DuckDB hugeint — digit-identical
+    strings), and the corr double DERIVED from those exact sums with a
+    fixed expression shape, so even the float column hash-matches
+    bit-for-bit.  The fixed-point policy applied to second moments —
+    built-in corr() could never oracle (accumulation-order floats)."""
+    from btl_bloomfilter_spark.operators.stats import exact_comoments
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return exact_comoments(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], scale=1000
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3356,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q100_incremental_minhash": q100_incremental_minhash,
         "q101_domain_cap": q101_domain_cap,
         "q102_salted_join": q102_salted_join,
+        "q103_pearson_moments": q103_pearson_moments,
     }
 
 
@@ -3960,6 +3986,7 @@ def oracle_sql() -> dict[str, str]:
         "q95_zorder_key": _q95_oracle_sql(),
         "q97_doc_chunks": _q97_oracle_sql(),
         "q101_domain_cap": _q101_oracle_sql(),
+        "q103_pearson_moments": _q103_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

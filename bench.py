@@ -642,6 +642,16 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             num_perm=64, bands=16, threshold=0.3,
         ).count()
 
+    def q_pearson_moments():
+        # ONE scan, ONE reduce of 15 exact integer sums; the pair
+        # table assembles from the single agg row — nothing row-shaped
+        # shuffles
+        from btl_bloomfilter_spark.operators.stats import exact_comoments
+
+        return exact_comoments(
+            li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], scale=1000
+        ).count()
+
     def q_domain_cap():
         # host/domain are pure codegen projections; the cap is ONE
         # shuffle on the domain key with WindowGroupLimit truncating
@@ -767,6 +777,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "mg_topk_tools": q_mg_topk_tools,
         "mg_topk_by_role": q_mg_topk_by_role,
         "domain_cap": q_domain_cap,
+        "pearson_moments": q_pearson_moments,
         "prefix_simjoin_docs": q_prefix_simjoin_docs,
         "quality_classifier_train": q_quality_classifier,
     }

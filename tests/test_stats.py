@@ -1,0 +1,116 @@
+"""Exact co-moments / Pearson: three-engine digit-exact sums (Python
+bigint truth, Spark decimal, DuckDB hugeint), corr parity, laws."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from btl_bloomfilter_spark.operators.stats import exact_comoments, exact_comoments_sql
+
+
+def _truth(pdf, cols, scale):
+    """Python-bigint exact moments after the same quantization."""
+    rows = pdf.dropna(subset=cols)
+    q = {c: [math.floor(float(v) * scale) for v in rows[c]] for c in cols}
+    n = len(rows)
+    out = {}
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sa, sb = sum(q[a]), sum(q[b])
+            saa = sum(x * x for x in q[a])
+            sbb = sum(x * x for x in q[b])
+            sab = sum(x * y for x, y in zip(q[a], q[b]))
+            out[(a, b)] = (n, str(sa), str(sb), str(saa), str(sbb), str(sab))
+    return out
+
+
+@pytest.fixture(scope="module")
+def stats_pdf():
+    rng = np.random.default_rng(5)
+    x = rng.normal(50, 20, 400)
+    pdf = pd.DataFrame(
+        {
+            "x": x,
+            "y": 3.0 * x + 7.0,          # corr exactly ~1 (pre-quantization)
+            "z": -x,                      # corr ~ -1
+            "w": rng.normal(0, 1, 400),   # ~independent
+        }
+    )
+    pdf.loc[5, "x"] = None
+    pdf.loc[9, "w"] = None
+    return pdf
+
+
+@pytest.mark.spark
+def test_three_engine_digit_exact(spark, stats_pdf, tmp_path):
+    import duckdb
+
+    cols = ["x", "y", "z", "w"]
+    path = str(tmp_path / "s.parquet")
+    stats_pdf.to_parquet(path)
+    got = (
+        exact_comoments(spark.read.parquet(path), cols, scale=1000)
+        .toPandas().set_index(["col_a", "col_b"]).sort_index()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM '{path}'")
+    want = (
+        con.sql(exact_comoments_sql("t", cols, scale=1000))
+        .df().set_index(["col_a", "col_b"]).sort_index()
+    )
+    truth = _truth(stats_pdf, cols, 1000)
+    assert set(got.index) == set(truth)
+    for key, (n, sa, sb, saa, sbb, sab) in truth.items():
+        g, w = got.loc[key], want.loc[key]
+        assert (int(g.n), g.sum_a, g.sum_b, g.sumsq_a, g.sumsq_b, g.sum_ab) == (
+            n, sa, sb, saa, sbb, sab
+        ), key
+        assert (int(w.n), w.sum_a, w.sum_b, w.sumsq_a, w.sumsq_b, w.sum_ab) == (
+            n, sa, sb, saa, sbb, sab
+        ), key
+        # the derived double agrees bit-for-bit across engines
+        assert g["corr"] == w["corr"], (key, g["corr"], w["corr"])
+    # values: planted structure survives quantization
+    assert got.loc[("x", "y")]["corr"] > 0.9999
+    assert got.loc[("x", "z")]["corr"] < -0.9999
+    assert abs(got.loc[("x", "w")]["corr"]) < 0.2
+
+
+@pytest.mark.spark
+def test_partition_invariance_and_numpy(spark, stats_pdf):
+    cols = ["x", "y", "w"]
+    df = spark.createDataFrame(stats_pdf)
+    a = exact_comoments(df.repartition(3), cols).toPandas().sort_values(["col_a", "col_b"])
+    b = exact_comoments(df.repartition(17), cols).toPandas().sort_values(["col_a", "col_b"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    # corr of the QUANTIZED values matches numpy to float precision
+    rows = stats_pdf.dropna(subset=cols)
+    qx = np.floor(rows.x.to_numpy() * 100)
+    qw = np.floor(rows.w.to_numpy() * 100)
+    ref = np.corrcoef(qx, qw)[0, 1]
+    got = a.set_index(["col_a", "col_b"]).loc[("x", "w")]["corr"]
+    assert abs(got - ref) < 1e-12
+
+
+@pytest.mark.spark
+def test_single_scan_plan(spark, stats_pdf):
+    df = spark.createDataFrame(stats_pdf)
+    out = exact_comoments(df, ["x", "y", "z"])
+    out.count()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    # one aggregate pipeline: no join, no window, nothing pair-shaped
+    assert "Join" not in executed and "Window" not in executed
+
+
+def test_stats_invalid_args(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        exact_comoments(df, ["id"])
+    with pytest.raises(ValueError):
+        exact_comoments(df, ["id", "id2"], scale=0)
+    with pytest.raises(ValueError):
+        exact_comoments_sql("t", ["a"])
