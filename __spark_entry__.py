@@ -3277,6 +3277,37 @@ def q103_pearson_moments(spark, sf_dir):
     )
 
 
+# suppliers offset into their own id space — suppkey and partkey
+# ranges overlap numerically and must not merge graph identities
+_Q104_EDGES_SQL = (
+    "SELECT DISTINCT l_suppkey + 1000000 AS src, l_partkey AS dst FROM lineitem"
+)
+
+
+def _q104_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.pagerank import pagerank_int_sql
+
+    return pagerank_int_sql(_Q104_EDGES_SQL, iters=6)
+
+
+def q104_pagerank(spark, sf_dir):
+    """Deterministic integer PageRank (operators/pagerank) over the
+    supplier->part graph derived from lineitem — the library's
+    fixed-point treatment of an ITERATIVE algorithm: int64 micro-unit
+    ranks, floor-division contributions, exact integer sums, so the
+    whole 6-iteration trajectory is partition-invariant and
+    hash-oracled against a generated DuckDB unrolled-CTE twin of the
+    same recurrence.  Variant semantics (unnormalized init, leaked
+    dangling mass) documented in the module and matched exactly."""
+    from btl_bloomfilter_spark.operators.pagerank import pagerank_int
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    edges = li.select(
+        (F.col("l_suppkey") + 1000000).alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    return pagerank_int(edges, iters=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3382,6 +3413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q101_domain_cap": q101_domain_cap,
         "q102_salted_join": q102_salted_join,
         "q103_pearson_moments": q103_pearson_moments,
+        "q104_pagerank": q104_pagerank,
     }
 
 
@@ -3987,6 +4019,7 @@ def oracle_sql() -> dict[str, str]:
         "q97_doc_chunks": _q97_oracle_sql(),
         "q101_domain_cap": _q101_oracle_sql(),
         "q103_pearson_moments": _q103_oracle_sql(),
+        "q104_pagerank": _q104_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

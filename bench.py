@@ -642,6 +642,20 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             num_perm=64, bands=16, threshold=0.3,
         ).count()
 
+    def q_pagerank():
+        # per iteration: one edges-ranks join + one dst-sum with
+        # map-side combine; ranks persist each round so lineage stays
+        # one iteration deep
+        from btl_bloomfilter_spark.operators.pagerank import pagerank_int
+
+        edges = li.select(
+            (F.col("l_suppkey") + 1000000).alias("src"), F.col("l_partkey").alias("dst")
+        ).distinct()
+        out = pagerank_int(edges, iters=6)
+        n = out.count()
+        out.unpersist()
+        return n
+
     def q_pearson_moments():
         # ONE scan, ONE reduce of 15 exact integer sums; the pair
         # table assembles from the single agg row — nothing row-shaped
@@ -778,6 +792,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "mg_topk_by_role": q_mg_topk_by_role,
         "domain_cap": q_domain_cap,
         "pearson_moments": q_pearson_moments,
+        "pagerank_supplier_part": q_pagerank,
         "prefix_simjoin_docs": q_prefix_simjoin_docs,
         "quality_classifier_train": q_quality_classifier,
     }
