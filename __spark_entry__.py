@@ -3305,7 +3305,12 @@ def q104_pagerank(spark, sf_dir):
     edges = li.select(
         (F.col("l_suppkey") + 1000000).alias("src"), F.col("l_partkey").alias("dst")
     ).distinct()
-    return pagerank_int(edges, iters=6)
+    out = pagerank_int(edges, iters=6)
+    # node-bounded result: release the iteration cache instead of
+    # leaking it into the shared session (the driver never unpersists)
+    rows = out.collect()
+    out.unpersist()
+    return spark.createDataFrame(rows, "node long, rank long")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -364,7 +364,13 @@ def incremental_minhash_pairs(
     within = minhash_lsh_candidates(new_sigs, bands=bands, rows_per_band=rows_per_band)
     cands = cross.unionByName(within).distinct()
     all_sigs = corpus_sigs.unionByName(new_sigs)
-    est = minhash_jaccard_estimate(all_sigs, cands)
+    # the candidate list is pair-bounded by the shard — hint it as the
+    # broadcast side or the estimate join would shuffle the FULL
+    # corpus signature table (twice: sa and sb), which is exactly the
+    # corpus shuffle this operator exists to avoid
+    est = minhash_jaccard_estimate(
+        all_sigs, F.broadcast(cands) if broadcast_new else cands
+    )
     return est.where(F.col("est_jaccard") >= threshold)
 
 

@@ -7,8 +7,8 @@ every contribution is ``floor(d_num * r / (d_den * out_deg))`` —
 integer division, exact in both engines — and each iteration's
 per-node update is an exact integer sum.  The whole trajectory is
 therefore partition-invariant, retry-stable, and equal to an unrolled
-SQL evaluation of the same recurrence (q104 hash-oracles 8 iterations
-against a generated DuckDB CTE chain).
+SQL evaluation of the same recurrence (q104 hash-oracles 6 iterations
+against a generated DuckDB CTE chain; the tests go to 8).
 
 Variant semantics (documented, matched exactly by the twin):
 - unnormalized: every node starts at ``scale``; the damping base is

@@ -31,7 +31,7 @@ rest of the fixed-point family.
 """
 from __future__ import annotations
 
-from itertools import combinations_with_replacement
+from itertools import combinations, combinations_with_replacement
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -46,7 +46,15 @@ def exact_comoments(df: DataFrame, cols: list[str], *, scale: int = 100) -> Data
         raise ValueError("need at least two columns")
     if scale <= 0:
         raise ValueError("scale must be positive")
-    q = df.na.drop(subset=list(cols)).select(
+    # listwise drop of NULL *and* NaN, stated explicitly in BOTH
+    # engines: Spark's na.drop treats NaN as null but SQL IS NOT NULL
+    # does not, so the twin must share one spelled-out predicate or a
+    # NaN-bearing double column silently diverges the support set
+    keep = None
+    for c in cols:
+        cond = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        keep = cond if keep is None else (keep & cond)
+    q = df.where(keep).select(
         *[F.floor(F.col(c).cast("double") * scale).cast("long").alias(c) for c in cols]
     )
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -64,21 +72,24 @@ def exact_comoments(df: DataFrame, cols: list[str], *, scale: int = 100) -> Data
         return num / F.sqrt(dx) / F.sqrt(dy)
 
     pair_structs = [
-        F.struct(
-            F.lit(a).alias("col_a"),
-            F.lit(b).alias("col_b"),
-            F.col("n").alias("n"),
-            F.col(f"s_{a}").cast("string").alias("sum_a"),
-            F.col(f"s_{b}").cast("string").alias("sum_b"),
-            F.col(f"p_{a}_{a}").cast("string").alias("sumsq_a"),
-            F.col(f"p_{b}_{b}").cast("string").alias("sumsq_b"),
-            F.col(f"p_{a}_{b}").cast("string").alias("sum_ab"),
-            corr_expr(a, b).alias("corr"),
-        )
-        for a, b in combinations_with_replacement(cols, 2)
-        if a != b
+        _pair_struct(a, b, corr_expr)
+        for a, b in combinations(cols, 2)
     ]
     return row.select(F.explode(F.array(*pair_structs)).alias("pair")).select("pair.*")
+
+
+def _pair_struct(a: str, b: str, corr_expr):
+    return F.struct(
+        F.lit(a).alias("col_a"),
+        F.lit(b).alias("col_b"),
+        F.col("n").alias("n"),
+        F.col(f"s_{a}").cast("string").alias("sum_a"),
+        F.col(f"s_{b}").cast("string").alias("sum_b"),
+        F.col(f"p_{a}_{a}").cast("string").alias("sumsq_a"),
+        F.col(f"p_{b}_{b}").cast("string").alias("sumsq_b"),
+        F.col(f"p_{a}_{b}").cast("string").alias("sum_ab"),
+        corr_expr(a, b).alias("corr"),
+    )
 
 
 def exact_comoments_sql(table: str, cols: list[str], *, scale: int = 100) -> str:
@@ -87,7 +98,9 @@ def exact_comoments_sql(table: str, cols: list[str], *, scale: int = 100) -> str
     per pair) — the Spark operator is the corpus path."""
     if len(cols) < 2:
         raise ValueError("need at least two columns")
-    not_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
+    not_null = " AND ".join(
+        f"({c} IS NOT NULL AND NOT isnan(CAST({c} AS DOUBLE)))" for c in cols
+    )
     qexprs = ", ".join(
         f"CAST(floor(CAST({c} AS DOUBLE) * {scale}) AS BIGINT) AS {c}" for c in cols
     )
@@ -101,9 +114,7 @@ def exact_comoments_sql(table: str, cols: list[str], *, scale: int = 100) -> str
         f"m AS (SELECT {', '.join(sums)} FROM q)"
     )
     arms = []
-    for a, b in combinations_with_replacement(cols, 2):
-        if a == b:
-            continue
+    for a, b in combinations(cols, 2):
         num = f"(n::hugeint * p_{a}_{b} - s_{a} * s_{b})"
         dx = f"(n::hugeint * p_{a}_{a} - s_{a} * s_{a})"
         dy = f"(n::hugeint * p_{b}_{b} - s_{b} * s_{b})"

@@ -162,6 +162,10 @@ def mg_topk_by_key(df: DataFrame, keys: list[str], col: str, k: int) -> DataFram
         raise ValueError("k must be positive")
     if not keys:
         raise ValueError("keys must name at least one column")
+    reserved = {"item", "mg_est", "n_group", "err_bound"}
+    clash = reserved.intersection(keys)
+    if clash:
+        raise ValueError(f"key columns collide with output names: {sorted(clash)}")
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     out_schema = StructType(

@@ -49,6 +49,15 @@ def salted_join(
     unmatched row per replica — rejected rather than silently wrong).
     Output columns = skewed's then other's non-key columns, exactly
     like ``skewed.join(other, on, how)``.
+
+    Degeneracy caveat: the salt is a hash of the ROW, so rows that are
+    byte-identical across every column co-salt and still land on one
+    reducer.  If a hot key's rows are exact duplicates, salting cannot
+    spread them (and nothing can make their join output smaller) —
+    pre-aggregate the duplicates (count them, join once, re-expand)
+    instead of salting.  A row-nondeterministic salt would spread
+    them, but re-salts differently on stage retry — the correctness
+    bug this operator's determinism exists to prevent.
     """
     if salt <= 1:
         raise ValueError("salt must be > 1 (1 would be a plain join)")

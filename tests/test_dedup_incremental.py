@@ -112,9 +112,12 @@ def test_incremental_broadcast_plan(spark, inc_setup):
     cs = minhash_signatures(corpus_df, "text", "doc_id", num_perm=64)
     ns = minhash_signatures(new_df, "text", "doc_id", num_perm=64)
     out = incremental_minhash_pairs(ns, cs, bands=16, rows_per_band=4, threshold=0.3)
+    out.count()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
-    out.count()
+    # the corpus-sig table must never be the shuffled side of a
+    # sort-merge join — the candidate list and shard bands broadcast
+    assert "SortMergeJoin" not in plan
 
 
 @pytest.mark.spark

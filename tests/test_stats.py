@@ -42,6 +42,10 @@ def stats_pdf():
     )
     pdf.loc[5, "x"] = None
     pdf.loc[9, "w"] = None
+    # NaN (not NULL) must drop identically in both engines — Spark
+    # na.drop vs SQL IS NOT NULL diverge here; the operators spell
+    # out the NaN predicate explicitly (review finding, pinned)
+    pdf.loc[11, "y"] = float("nan")
     return pdf
 
 

@@ -163,3 +163,5 @@ def test_mg_invalid_args():
         mg_topk_by_key(_Fake(), ["g"], "c", 0)
     with pytest.raises(ValueError):
         mg_topk_by_key(_Fake(), [], "c", 4)
+    with pytest.raises(ValueError):  # key name collides with output schema
+        mg_topk_by_key(_Fake(), ["item"], "c", 4)
