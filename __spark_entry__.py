@@ -3313,6 +3313,93 @@ def q104_pagerank(spark, sf_dir):
     return spark.createDataFrame(rows, "node long, rank long")
 
 
+_Q105_CORPUS_SQL = """
+    WITH ej_base AS (
+        SELECT doc_id AS id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 16) AS s
+        FROM documents
+    ), ej_corpus AS (
+        SELECT id, s FROM ej_base
+        UNION ALL
+        SELECT id + 100000, substr(s, 1, 6) || 'z' || substr(s, 8)
+        FROM ej_base WHERE id % 5 = 0
+        UNION ALL
+        SELECT id + 200000, substr(s, 1, 3) || substr(s, 6)
+        FROM ej_base WHERE id % 7 = 0
+        UNION ALL
+        SELECT id + 300000,
+               substr(s, 1, 2) || 'z' || substr(s, 4, 5) || 'z' ||
+               substr(s, 10, 5) || 'z' || substr(s, 16)
+        FROM ej_base WHERE id % 11 = 0
+    )
+"""
+
+
+def _q105_oracle_sql() -> str:
+    # Brute force IS the oracle: the operator's two prunes (q-gram
+    # prefix filter + short-string length blocking) are provably
+    # lossless, so its output must EQUAL the unblocked all-pairs join.
+    # ASCII (hex-digest) corpus by construction: Spark's levenshtein
+    # counts characters, DuckDB's counts bytes (pinned in
+    # test_editjoin) — identical only on single-byte text.
+    return (
+        _Q105_CORPUS_SQL
+        + """
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+    FROM ej_corpus a JOIN ej_corpus b
+      ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+    WHERE levenshtein(a.s, b.s) <= 2
+    """
+    )
+
+
+def q105_edit_distance_join(spark, sf_dir):
+    """Exact threshold Levenshtein self-join (operators/editjoin,
+    Ed-Join VLDB'08): q-gram prefix filtering — one edit changes at
+    most q distinct q-grams, so prefixes of q*d+1 grams under the
+    global df-ascending order must intersect for any pair within
+    distance d — plus a provably-complete length-blocked fallback for
+    strings with too few grams, then Spark's banded O(d*len)
+    thresholded levenshtein verify.  Output provably equals brute
+    force, so the oracle IS the brute-force DuckDB twin over the
+    identically derived corpus: per-doc 16-char md5-hex keys (ASCII —
+    Spark levenshtein is char-based, DuckDB's byte-based) plus planted
+    1-substitution (dist 1), 2-deletion (dist 2) and 3-substitution
+    (dist 3, above threshold: pure negatives) variants.  Hash-oracled
+    on (id_a, id_b, dist)."""
+    from btl_bloomfilter_spark.operators.editjoin import edit_distance_join
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    base = docs.select(
+        F.col("doc_id").alias("id"),
+        F.expr("substring(md5(cast(doc_id as string)), 1, 16)").alias("s"),
+    )
+    corpus = (
+        base.unionByName(
+            base.where(F.col("id") % 5 == 0).select(
+                (F.col("id") + 100000).alias("id"),
+                F.expr("substring(s, 1, 6) || 'z' || substring(s, 8)").alias("s"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("id") % 7 == 0).select(
+                (F.col("id") + 200000).alias("id"),
+                F.expr("substring(s, 1, 3) || substring(s, 6)").alias("s"),
+            )
+        )
+        .unionByName(
+            base.where(F.col("id") % 11 == 0).select(
+                (F.col("id") + 300000).alias("id"),
+                F.expr(
+                    "substring(s, 1, 2) || 'z' || substring(s, 4, 5) || 'z' || "
+                    "substring(s, 10, 5) || 'z' || substring(s, 16)"
+                ).alias("s"),
+            )
+        )
+    )
+    return edit_distance_join(corpus, "s", "id", max_dist=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3419,6 +3506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q102_salted_join": q102_salted_join,
         "q103_pearson_moments": q103_pearson_moments,
         "q104_pagerank": q104_pagerank,
+        "q105_edit_distance_join": q105_edit_distance_join,
     }
 
 
@@ -4025,6 +4113,7 @@ def oracle_sql() -> dict[str, str]:
         "q101_domain_cap": _q101_oracle_sql(),
         "q103_pearson_moments": _q103_oracle_sql(),
         "q104_pagerank": _q104_oracle_sql(),
+        "q105_edit_distance_join": _q105_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -58,6 +58,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..functions.textstats import _WS, _clean
+from ..plans.pairs import grouped_pair_events
 
 __all__ = ["ordered_token_sets", "prefix_similarity_join"]
 
@@ -159,45 +160,19 @@ def prefix_similarity_join(
     # Triangular chunk blocking caps the pair-expansion TASK size: a
     # token shared by d docs owes d²/2 candidate events, and a plain
     # groupBy(token).collect_list pair expansion computes all of them
-    # in ONE task (measured: one 3,823-doc bucket = 14.6M rows in a
-    # single task while 31 cores idle — AQE cannot split inside a
-    # group).  Instead, hash every prefix row into one of
-    # ceil(bucket/block) chunks (hash, not row_number — a window
-    # would re-serialize the bucket to number it), expand within-chunk
-    # pairs per (token, chunk) group and cross-chunk pairs per
-    # (token, chunk_a < chunk_b) join row, round-robined so the c²
-    # expansions spread over the cluster.  Each unordered pair lands
-    # in exactly one chunk pair; orientation is least/greatest by id.
-    # Work is the same O(d²); the largest task is now ~O(block²).
-    pdfreq = pref.groupBy("token").agg(F.count("*").alias("pdf"))
-    chunked = (
-        pref.join(pdfreq, "token")
-        .withColumn("nck", F.ceil(F.col("pdf") / F.lit(block)).cast("int"))
-        .withColumn("ck", F.pmod(F.xxhash64("id"), F.col("nck")).cast("int"))
-    )
-    lists = chunked.groupBy("token", "ck").agg(
-        F.collect_list(F.struct("id", "sz", "pos")).alias("xs")
+    # in ONE task.  The shared kernel (plans/pairs.grouped_pair_events,
+    # extracted from this operator — its docstring carries the
+    # measurement and proof sketch) hashes rows into chunks and emits
+    # each unordered pair exactly once; orientation is least/greatest
+    # by id below.  Work is the same O(d²); the largest task ~O(block²).
+    events = grouped_pair_events(
+        pref.select("token", F.struct("id", "sz", "pos").alias("p")),
+        ["token"],
+        block=block,
     )
     a, b = F.col("a"), F.col("b")
-    within = (
-        lists.select(F.explode("xs").alias("a"), "xs")
-        .select("a", F.explode("xs").alias("b"))
-        .where(a["id"] < b["id"])
-    )
-    x, y = lists.alias("x"), lists.alias("y")
-    cross = (
-        x.join(
-            y,
-            (F.col("x.token") == F.col("y.token")) & (F.col("x.ck") < F.col("y.ck")),
-        )
-        .select(F.col("x.xs").alias("xs_a"), F.col("y.xs").alias("xs_b"))
-        .repartition(pref.sparkSession.sparkContext.defaultParallelism * 2)
-        .select(F.explode("xs_a").alias("a"), "xs_b")
-        .select("a", F.explode("xs_b").alias("b"))
-    )
     cand = (
-        within.unionByName(cross)
-        .where(_event_ok(a, b))
+        events.where(_event_ok(a, b))
         .select(
             F.least(a["id"], b["id"]).alias("id_a"),
             F.greatest(a["id"], b["id"]).alias("id_b"),
