@@ -711,6 +711,40 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         finally:
             sets.unpersist()
 
+    def q_edit_distance_join():
+        # Ed-Join: df-ascending q-gram prefix candidates through the
+        # chunked pair expansion, banded thresholded levenshtein
+        # verify.  Persist-once qgram_profile (the documented scale
+        # path, same convention as prefix_simjoin_docs): the profile
+        # has ~7 consumers (candidate + fallback + both verify
+        # probes); uncached it is recomputed per consumer (measured
+        # 11.5s vs ~4s at sf0.1).  Corpus: 22-char base64 digests —
+        # 64-symbol alphabet so q=3 grams are selective (hex 2-grams
+        # have only 256 values and candidates blow up ~500x: an
+        # alphabet-driven q choice, documented in the operator).
+        from btl_bloomfilter_spark.operators.editjoin import (
+            edit_distance_join,
+            qgram_profile,
+        )
+
+        base = state["docs_id_part"].select(
+            F.col("doc_id").alias("id"),
+            F.base64(F.unhex(F.md5(F.col("doc_id").cast("string")))).alias("s"),
+        )
+        corpus = base.unionByName(
+            base.where(F.col("id") % 5 == 0).select(
+                (F.col("id") + 100000).alias("id"),
+                F.expr("substring(s, 1, 6) || 'z' || substring(s, 8)").alias("s"),
+            )
+        )
+        prof = qgram_profile(corpus, "s", "id", q=3, max_dist=2).persist()
+        try:
+            return edit_distance_join(
+                corpus, "s", "id", max_dist=2, q=3, profile=prof
+            ).count()
+        finally:
+            prof.unpersist()
+
     def q_quality_classifier():
         # featurize (pure codegen) + 5 exact-gradient iterations; the
         # per-iteration shuffle is vocab-sized (idx, grad) rows only
@@ -794,6 +828,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "pearson_moments": q_pearson_moments,
         "pagerank_supplier_part": q_pagerank,
         "prefix_simjoin_docs": q_prefix_simjoin_docs,
+        "edit_distance_join": q_edit_distance_join,
         "quality_classifier_train": q_quality_classifier,
     }
     only = os.environ.get("BENCH_ONLY")

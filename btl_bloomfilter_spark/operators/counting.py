@@ -438,6 +438,31 @@ class CountMinSketch(Sketch):
         self.t_entry += other.t_entry
         return self
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Count-min inner-product estimate of Σ_k f_A(k)·f_B(k)
+        (Cormode & Muthukrishnan '05 §4.2): min over the d rows of the
+        row-wise dot product.  When each sketch holds one side's
+        per-row join-key frequencies this IS an inner-join cardinality
+        estimate from two blob-sized summaries — no data shuffle, the
+        exact pre-join sizing a planner wants before picking
+        broadcast/salt/bucket strategies at 100 TB.  Guarantees
+        (same-seed tables required): never undercounts — every true
+        (k, k) frequency product lands in some shared cell of every
+        row — and overcounts by at most eps·N_A·N_B with probability
+        ≥ 1−delta (eps = e/width, delta = e^−depth), the published
+        bound q106 gates on.  Conservative-update tables are rejected:
+        a conservative cell may hold LESS than the sum of its keys'
+        counts, which breaks the no-undercount side.  Exact integer
+        arithmetic (object dtype) — row dot products of uint64 tables
+        can exceed 2^64 long before the counts themselves do.
+        """
+        self._require_compatible(other)
+        if self.conservative or other.conservative:
+            raise ValueError("inner_product requires standard (non-conservative) CMS updates")
+        a = self.table.astype(object)
+        b = other.table.astype(object)
+        return int(min((a * b).sum(axis=1)))
+
     def metrics(self) -> dict[str, Any]:
         return {"nonzero": int(np.count_nonzero(self.table)), "n_entry": self.n_entry}
 

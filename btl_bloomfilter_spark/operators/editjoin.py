@@ -78,13 +78,30 @@ __all__ = ["qgram_profile", "edit_distance_join"]
 
 
 def qgram_profile(
-    df: DataFrame, col: str, id_col: str, *, q: int = 2, max_dist: int = 2
+    df: DataFrame, col: str, id_col: str, *, q: int = 2, max_dist: int = 2,
+    order: str = "df",
 ) -> DataFrame:
     """The per-string table the join runs over: ``(id, s, len, gsz,
     prefix)`` where ``prefix`` is the first ``q·max_dist + 1`` distinct
-    q-grams under the global (df ascending, gram) order and ``gsz``
-    the distinct-gram count.  NULL strings are dropped (no distance is
-    defined against NULL); empty strings participate (len 0, 0 grams).
+    q-grams under a global total order and ``gsz`` the distinct-gram
+    count.  NULL strings are dropped (no distance is defined against
+    NULL); empty strings participate (len 0, 0 grams).
+
+    ``order`` picks the global gram order — ANY total order is correct
+    (the prefix theorem only needs both sides sorted the same way);
+    the choice is pure candidate selectivity:
+
+    - ``"df"`` (default): document frequency ascending, ties by gram —
+      hot grams sort LAST and fall outside almost every prefix, so
+      candidate buckets are keyed by RARE grams.  Costs one extra
+      corpus-gram aggregation + join-back.  The right default for
+      natural text, whose gram distribution is always skewed.
+    - ``"hash"``: ``xxhash64(gram)`` ascending, ties by gram — the
+      profile becomes a PURE MAP (zero shuffles before candidate
+      generation).  Prefixes are a pseudo-random gram sample, so hot
+      grams DO enter prefixes: only safe when the gram distribution is
+      near-uniform (digests, ids, codes), where it is measurably
+      faster for identical output.
 
     Exposed separately for the persist-once path (the
     ``setjoin.ordered_token_sets`` / ``duplicate_spans(fingerprints=)``
@@ -98,19 +115,31 @@ def qgram_profile(
         raise ValueError("q must be >= 1")
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
+    if order not in ("df", "hash"):
+        raise ValueError("order must be 'df' or 'hash'")
     pl = q * max_dist + 1
     base = df.select(
         F.col(id_col).alias("id"), F.col(col).alias("s")
     ).where(F.col(col).isNotNull())
     base = base.withColumn("len", F.length("s"))
-    grams = base.where(F.col("len") >= q).select(
-        "id",
-        F.explode(
-            F.array_distinct(
-                F.expr(f"transform(sequence(1, len - {q} + 1), i -> substring(s, i, {q}))")
-            )
-        ).alias("gram"),
+    gram_arr = F.array_distinct(
+        F.expr(f"transform(sequence(1, len - {q} + 1), i -> substring(s, i, {q}))")
     )
+    if order == "hash":
+        ordered = F.transform(
+            F.array_sort(
+                F.transform(gram_arr, lambda g: F.struct(F.xxhash64(g).alias("h"), g.alias("gram")))
+            ),
+            lambda st: st["gram"],
+        )
+        return base.withColumn(
+            "gsz", F.when(F.col("len") >= q, F.size(gram_arr)).otherwise(F.lit(0)).cast("int")
+        ).withColumn(
+            "prefix",
+            F.when(F.col("len") >= q, F.slice(ordered, 1, pl))
+            .otherwise(F.array().cast("array<string>")),
+        )
+    grams = base.where(F.col("len") >= q).select("id", F.explode(gram_arr).alias("gram"))
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("dfq"))
     per_id = (
         grams.join(dfreq, "gram")
@@ -142,6 +171,7 @@ def edit_distance_join(
     max_dist: int = 2,
     q: int = 2,
     block: int = 512,
+    order: str = "df",
     profile: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs ``(id_a < id_b, dist)`` with
@@ -157,7 +187,11 @@ def edit_distance_join(
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     d = int(max_dist)
-    prof = profile if profile is not None else qgram_profile(df, col, id_col, q=q, max_dist=d)
+    prof = (
+        profile
+        if profile is not None
+        else qgram_profile(df, col, id_col, q=q, max_dist=d, order=order)
+    )
     qd = q * d
 
     # --- long path: q-gram prefix filter, both sides >= qd+1 grams ---

@@ -97,6 +97,21 @@ def test_profile_passthrough_identical(spark):
 
 
 @pytest.mark.spark
+def test_hash_order_identical_output(spark):
+    """Any global gram order is correct (the prefix theorem needs only
+    a shared total order): order='hash' (pure-map profile) must give
+    the same pairs as the df-ascending default."""
+    df = _corpus(spark, n=120)
+    want = {(r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(df, "s", "id", max_dist=2).collect()}
+    got = {(r.id_a, r.id_b, r.dist)
+           for r in edit_distance_join(df, "s", "id", max_dist=2, order="hash").collect()}
+    assert got == want
+    with pytest.raises(ValueError):
+        edit_distance_join(df, "s", "id", max_dist=2, order="nope").collect()
+
+
+@pytest.mark.spark
 def test_char_vs_byte_levenshtein_divergence(spark):
     """Spark counts CHARACTERS, DuckDB counts BYTES: 'café'->'cafe' is
     1 vs 2.  Pins why q105's oracle corpus is ASCII (hex digests); the
