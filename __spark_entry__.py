@@ -3400,6 +3400,103 @@ def q105_edit_distance_join(spark, sf_dir):
     return edit_distance_join(corpus, "s", "id", max_dist=2)
 
 
+def q106_cms_join_size(spark, sf_dir):
+    """Join-cardinality estimation from two CMS blobs
+    (CountMinSketch.inner_product, Cormode & Muthukrishnan '05 §4.2):
+    the pre-join sizing a planner wants before picking
+    broadcast/salt/bucket strategies — at 100 TB each side is
+    summarized by the existing distributed sketch build (map-side
+    partial CMS, blob-only shuffle) and the estimate is a driver-side
+    dot product of two ~1 MB tables; no data row ever crosses the
+    network for the estimate.  Gates (published bounds, both sides
+    same-seeded): `no_undercount` — every true (k,k) frequency product
+    lands in a shared cell of every row, so est >= exact always;
+    `within_bound` — overcount <= eps*N_A*N_B with prob >= 1-delta.
+    Cases: the orders⋈customer FK join and the skew-heavier
+    events⋈events user self-join (F2-style).  NULL keys are filtered
+    before sketching (the kernel folds NULL to "" which a join never
+    matches).  Sketch query: no SQL oracle by design; the exact join
+    sizes are computed alongside and gated."""
+    from btl_bloomfilter_spark.operators.counting import CountMinSketch
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    t = _load(spark, sf_dir, "orders", "customer", "events")
+    eps, delta = 1e-4, 0.01
+
+    def mk():
+        return CountMinSketch.from_error(eps, delta)
+
+    def case(name, dfa, ka, dfb, kb):
+        a = dfa.where(F.col(ka).isNotNull()).select(F.col(ka).cast("string").alias("k"))
+        b = dfb.where(F.col(kb).isNotNull()).select(F.col(kb).cast("string").alias("k"))
+        est = build_sketch(a, "k", mk).inner_product(build_sketch(b, "k", mk))
+        exact = (
+            a.groupBy("k").agg(F.count("*").alias("ca"))
+            .join(b.groupBy("k").agg(F.count("*").alias("cb")), "k")
+            .agg(F.sum(F.col("ca") * F.col("cb")))
+            .collect()[0][0]
+            or 0
+        )
+        na, nb = a.count(), b.count()
+        bound = eps * na * nb
+        return (
+            name, int(est), int(exact), na, nb, float(bound),
+            bool(est >= exact), bool(est <= exact + bound),
+        )
+
+    rows = [
+        case("orders_customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        case("events_user_self", t["events"], "user_id", t["events"], "user_id"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "join_name string, est_pairs long, exact_pairs long, n_left long, "
+        "n_right long, bound_overcount double, no_undercount boolean, within_bound boolean",
+    )
+
+
+def _q107_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.bm25 import bm25_scores_sql
+    from btl_bloomfilter_spark.operators.fusion import rrf_fuse_sql
+    from btl_bloomfilter_spark.operators.tfidf import tfidf_query_scores_sql
+
+    return rrf_fuse_sql(
+        [
+            ("bm25", bm25_scores_sql("documents", "text", "doc_id", BM25_TERMS, top_n=50)),
+            ("tfidf", tfidf_query_scores_sql("documents", "text", "doc_id", BM25_TERMS, top_n=50)),
+        ],
+        "doc_id",
+        k=60,
+    )
+
+
+def q107_rrf_fusion(spark, sf_dir):
+    """Hybrid-retrieval rank fusion (operators/fusion.rrf_fuse, RRF —
+    Cormack et al. SIGIR'09): combine two genuinely different lexical
+    scorers over one query — BM25 (q65's operator) and smooth-IDF
+    TF-IDF (tfidf.tfidf_query_scores) — without score calibration.
+    Fixed-point policy: contributions are integer nano-units
+    (10^9 div (60 + rank)) summed as longs, so rrf_nano, the derived
+    rrf double (one division of identical longs) and the
+    (rrf_nano DESC, id) fused_rank all hash-match the DuckDB twin,
+    which composes the SAME two system SQLs via rrf_fuse_sql.  Fusion
+    itself is report-sized (top-50 lists): id-universe union + one
+    LEFT JOIN per system + one rank window."""
+    from btl_bloomfilter_spark.operators.bm25 import bm25_scores
+    from btl_bloomfilter_spark.operators.fusion import rrf_fuse
+    from btl_bloomfilter_spark.operators.tfidf import tfidf_query_scores
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return rrf_fuse(
+        [
+            ("bm25", bm25_scores(docs, "text", "doc_id", BM25_TERMS, top_n=50)),
+            ("tfidf", tfidf_query_scores(docs, "text", "doc_id", BM25_TERMS, top_n=50)),
+        ],
+        "doc_id",
+        k=60,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3507,6 +3604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q103_pearson_moments": q103_pearson_moments,
         "q104_pagerank": q104_pagerank,
         "q105_edit_distance_join": q105_edit_distance_join,
+        "q106_cms_join_size": q106_cms_join_size,
+        "q107_rrf_fusion": q107_rrf_fusion,
     }
 
 
@@ -4114,6 +4213,7 @@ def oracle_sql() -> dict[str, str]:
         "q103_pearson_moments": _q103_oracle_sql(),
         "q104_pagerank": _q104_oracle_sql(),
         "q105_edit_distance_join": _q105_oracle_sql(),
+        "q107_rrf_fusion": _q107_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -197,6 +197,19 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         cms = build_sketch(ev, "event_type", lambda: CountMinSketch.from_error(0.001, 0.01), fanin=16)
         return cms.estimate_batch(["error"])[0]
 
+    def q_cms_join_size():
+        # join-cardinality estimate from two CMS blobs: both sides
+        # sketched via the distributed build (blob-only shuffle),
+        # estimate = driver dot product; no data row crosses the wire
+        a = ev.where(F.col("user_id").isNotNull()).select(
+            F.col("user_id").cast("string").alias("k")
+        )
+        b = orders.where(F.col("o_custkey").isNotNull()).select(
+            F.col("o_custkey").cast("string").alias("k")
+        )
+        mk = lambda: CountMinSketch.from_error(1e-4, 0.01)  # noqa: E731
+        return build_sketch(a, "k", mk).inner_product(build_sketch(b, "k", mk))
+
     def q_kll_prices():
         k = build_sketch(
             li.select(F.col("l_extendedprice").alias("x")), "x", lambda: KLL(k=200), fanin=16
@@ -790,6 +803,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "hll_by_event_type": q_hll_by_event_type,
         "theta_set_ops": q_theta_set_ops,
         "cms_events": q_cms_events,
+        "cms_join_size": q_cms_join_size,
         "kll_prices": q_kll_prices,
         "tdigest_prices": q_tdigest_prices,
         "minhash_dedup_docs": q_minhash_dedup_docs,

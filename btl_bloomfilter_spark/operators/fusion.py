@@ -1,0 +1,132 @@
+"""Reciprocal-rank fusion (RRF) of ranked retrieval lists
+(Cormack, Clarke & Buettcher, SIGIR'09).
+
+The standard way to combine retrieval systems without score
+calibration — lexical + lexical (q107: BM25 + TF-IDF), lexical +
+vector, any mix: each system contributes ``1 / (k + rank)`` for every
+item it ranked, items missing from a system contribute nothing, and
+the fused order is by the summed contribution.  ``k`` (default 60, the
+paper's value) damps the head so one system's #1 cannot dominate.
+
+Fixed-point policy (the repo's oracle convention): contributions are
+computed in INTEGER nano-units — ``grid div (k + rank)`` with
+``grid = 10^9`` — and summed as longs, so the fused score is exact,
+partition-invariant, and hash-oracle-able; the float ``rrf`` column is
+derived from the long by ONE division (identical longs → identical
+doubles in both engines).  Integer floor quantization preserves the
+true RRF order whenever ``k + rank < sqrt(grid)`` (≈ 31,623 — far
+beyond any real fused list); beyond that, adjacent ranks may tie and
+the id tie-break decides, deterministically.
+
+100-TB shape: retrieval lists are top-n bounded by construction, so
+fusion is report-sized — the id-universe union plus one LEFT JOIN per
+system, then one rank window.  The expensive part of hybrid retrieval
+is the systems themselves (bm25_scores' corpus scan, similarity's ANN
+index), not the fusion.  For millions of concurrent queries, carry a
+query id through the rank tables and fuse per query: every join and
+window here keys on the id column(s) verbatim, so passing
+``id_col=["query_id", "doc_id"]``-style composite keys via a struct
+column works unchanged.
+"""
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["rrf_fuse", "rrf_fuse_sql"]
+
+_NAME = re.compile(r"^[A-Za-z][A-Za-z0-9_]*$")
+_GRID = 10**9
+
+
+def _check_names(names: list[str]) -> None:
+    if not names:
+        raise ValueError("at least one system is required")
+    if len(set(names)) != len(names):
+        raise ValueError("system names must be distinct")
+    for n in names:
+        if not _NAME.match(n):
+            raise ValueError(f"system name {n!r} must match [A-Za-z][A-Za-z0-9_]*")
+
+
+def rrf_fuse(
+    systems: list[tuple[str, DataFrame]],
+    id_col: str,
+    rank_col: str = "score_rank",
+    *,
+    k: int = 60,
+) -> DataFrame:
+    """Fuse named ranked lists into
+    ``(id_col, rank_<name>..., rrf_nano, rrf, fused_rank)``.
+
+    Each system DataFrame must carry ``id_col`` and an integer
+    ``rank_col`` (1-based; ``bm25_scores`` / ``tfidf_query_scores``
+    emit ``score_rank`` directly).  ``rank_<name>`` is NULL for items
+    a system did not rank; those contribute 0.  ``fused_rank`` is
+    ``row_number`` over (rrf_nano DESC, id ASC) — fully deterministic.
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    names = [n for n, _ in systems]
+    _check_names(names)
+    ids = systems[0][1].select(F.col(id_col))
+    for _, df in systems[1:]:
+        ids = ids.unionByName(df.select(F.col(id_col)))
+    out = ids.distinct()
+    for name, df in systems:
+        out = out.join(
+            df.select(F.col(id_col), F.col(rank_col).cast("long").alias(f"rank_{name}")),
+            id_col,
+            "left",
+        )
+    contrib = [
+        F.coalesce(
+            F.expr(f"{_GRID} div ({k} + rank_{name})"), F.lit(0).cast("long")
+        )
+        for name in names
+    ]
+    nano = contrib[0]
+    for c in contrib[1:]:
+        nano = nano + c
+    out = out.withColumn("rrf_nano", nano.cast("long"))
+    out = out.withColumn("rrf", F.col("rrf_nano") / F.lit(float(_GRID)))
+    w = Window.orderBy(F.col("rrf_nano").desc(), F.col(id_col).asc())
+    return out.withColumn("fused_rank", F.row_number().over(w))
+
+
+def rrf_fuse_sql(
+    systems: list[tuple[str, str]],
+    id_col: str,
+    rank_col: str = "score_rank",
+    *,
+    k: int = 60,
+) -> str:
+    """DuckDB twin: ``systems`` pairs (name, SELECT producing at least
+    ``id_col`` and ``rank_col``).  Identical integer arithmetic
+    (``//`` is DuckDB's floor division; ranks are positive so floor =
+    trunc = Spark's ``div``)."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    names = [n for n, _ in systems]
+    _check_names(names)
+    ctes = ",\n".join(f"sys_{n} AS ({sql})" for n, sql in systems)
+    id_union = "\nUNION\n".join(f"SELECT {id_col} FROM sys_{n}" for n in names)
+    joins = "\n".join(f"LEFT JOIN sys_{n} USING ({id_col})" for n in names)
+    ranks = ", ".join(f"sys_{n}.{rank_col} AS rank_{n}" for n in names)
+    nano = " + ".join(f"coalesce({_GRID} // ({k} + rank_{n}), 0)" for n in names)
+    return f"""
+        WITH {ctes},
+        rrf_ids AS ({id_union}),
+        rrf_joined AS (
+            SELECT rrf_ids.{id_col}, {ranks}
+            FROM rrf_ids
+            {joins}
+        ),
+        rrf_scored AS (
+            SELECT *, CAST({nano} AS BIGINT) AS rrf_nano FROM rrf_joined
+        )
+        SELECT *, rrf_nano / {float(_GRID)} AS rrf,
+               row_number() OVER (ORDER BY rrf_nano DESC, {id_col} ASC) AS fused_rank
+        FROM rrf_scored
+    """

@@ -103,3 +103,101 @@ def top_terms_tfidf_sql(
         SELECT id AS {id_col}, term, tf, doc_freq, tfidf, term_rank
         FROM scored WHERE term_rank <= {k}
     """
+
+
+def tfidf_query_scores(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    query_terms: list[str],
+    *,
+    top_n: int | None = None,
+    lowercase: bool = True,
+) -> DataFrame:
+    """TF-IDF query scoring — the lexical sibling of
+    ``bm25.bm25_scores`` with this module's smooth IDF
+    (``ln((N+1)/(df+1)) + 1``, sklearn formula):
+    ``score(d, Q) = sum over t in Q of tf(t, d) * idf(t)``.
+
+    Returns ``(id_col, n_terms_matched, tfidf, score_rank)`` with
+    tfidf rounded to 6 before the (tfidf DESC, id ASC) ranking so the
+    selection is engine-reproducible.  Same 100-TB plan shape as
+    bm25_scores: one corpus count, explode with the query-term filter
+    BELOW the first shuffle (only matching tokens leave the map
+    stage), doc-frequency as a count-window over the tiny tf table,
+    per-doc sum; ``top_n`` via TakeOrderedAndProject.  Exists chiefly
+    as the second system for ``fusion.rrf_fuse`` (q107): two
+    genuinely different lexical scorers over one query.
+    """
+    from .bm25 import _words
+
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() if lowercase else t for t in query_terms})
+    n_docs = df.count()
+
+    words = _words(col, lowercase)
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(words).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    with_df = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    per_term = F.col("tf") * (
+        F.log(F.lit(float(n_docs + 1)) / (F.col("doc_freq") + 1)) + 1
+    )
+    scored = with_df.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum(per_term), 6).alias("tfidf"),
+    )
+    w = Window.orderBy(F.col("tfidf").desc(), F.col("id").asc())
+    if top_n is not None:
+        out = scored.orderBy(F.col("tfidf").desc(), F.col("id").asc()).limit(top_n)
+    else:
+        out = scored
+    return out.withColumn("score_rank", F.row_number().over(w)).select(
+        F.col("id").alias(id_col), "n_terms_matched", "tfidf", "score_rank"
+    )
+
+
+def tfidf_query_scores_sql(
+    table: str,
+    col: str,
+    id_col: str,
+    query_terms: list[str],
+    *,
+    top_n: int | None = None,
+) -> str:
+    """DuckDB twin (lowercase=True variant), staged identically."""
+    terms = sorted({t.lower() for t in query_terms})
+    tlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    t = f"regexp_replace(lower(coalesce({col}, '')), '^[{_WS}]+|[{_WS}]+$', '', 'g')"
+    words = f"(case when {t} = '' then [] else string_split_regex({t}, '[{_WS}]+') end)"
+    limit = f"WHERE score_rank <= {top_n}" if top_n is not None else ""
+    return f"""
+        WITH qstats AS (SELECT count(*) AS n FROM {table}),
+        qtoks AS (
+            SELECT {id_col} AS id, unnest({words}) AS term FROM {table}
+        ),
+        qtf AS (
+            SELECT id, term, count(*) AS tf FROM qtoks
+            WHERE term IN ({tlist}) GROUP BY id, term
+        ),
+        qdfreq AS (SELECT term, count(*) AS doc_freq FROM qtf GROUP BY term),
+        qscored AS (
+            SELECT qtf.id,
+                   count(*) AS n_terms_matched,
+                   round(sum(qtf.tf * (ln((qstats.n + 1) / (qdfreq.doc_freq + 1.0)) + 1)), 6) AS tfidf
+            FROM qtf JOIN qdfreq USING (term) CROSS JOIN qstats
+            GROUP BY qtf.id
+        ),
+        qranked AS (
+            SELECT id AS {id_col}, n_terms_matched, tfidf,
+                   row_number() OVER (ORDER BY tfidf DESC, id ASC) AS score_rank
+            FROM qscored
+        )
+        SELECT * FROM qranked {limit}
+    """

@@ -200,3 +200,49 @@ def test_cms_conservative_tighter():
     t = np.array([truth[k] for k in keys], dtype=float)
     assert (cons.estimate_batch(keys) >= t).all()
     assert cons.estimate_batch(keys).sum() <= plain.estimate_batch(keys).sum()
+
+
+def test_cms_inner_product_join_size():
+    """Inner-product estimate (Cormode-Muthukrishnan '05 §4.2): never
+    undercounts the true Σ f_A(k)·f_B(k) (= inner-join cardinality),
+    overcount within eps·N_A·N_B (eps = e/width), symmetric."""
+    import math
+
+    rng = np.random.default_rng(11)
+    a_keys = [f"k{v}" for v in rng.integers(0, 50, 4000)]
+    b_keys = [f"k{v}" for v in rng.integers(0, 80, 3000)]
+    from collections import Counter
+
+    ca, cb = Counter(a_keys), Counter(b_keys)
+    exact = sum(ca[k] * cb[k] for k in ca)
+    A = CountMinSketch(2048, 5)
+    A.update(a_keys)
+    B = CountMinSketch(2048, 5)
+    B.update(b_keys)
+    est = A.inner_product(B)
+    assert est >= exact
+    assert est <= exact + (math.e / 2048) * len(a_keys) * len(b_keys)
+    assert B.inner_product(A) == est
+
+
+def test_cms_inner_product_guards():
+    A = CountMinSketch(128, 3)
+    A.update(["x", "y"])
+    cons = CountMinSketch(128, 3, conservative=True)
+    cons.update(["x"])
+    with pytest.raises(ValueError):
+        A.inner_product(cons)
+    other_dims = CountMinSketch(256, 3)
+    with pytest.raises(ValueError):
+        A.inner_product(other_dims)
+
+
+def test_cms_inner_product_exact_arithmetic_no_overflow():
+    """Row dot products must not wrap at 2^64: two single-key sketches
+    with counts ~2^33 have products ~2^66."""
+    big = 1 << 33
+    A = CountMinSketch(16, 2)
+    A.update_weighted(["hot"], [big])
+    B = CountMinSketch(16, 2)
+    B.update_weighted(["hot"], [big])
+    assert A.inner_product(B) == big * big

@@ -76,3 +76,47 @@ def test_tfidf_plan_shape(spark, tmp_path):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+def test_tfidf_query_scores_semantics_and_twin(spark):
+    """Hand-computed scores on a 4-doc corpus plus cross-engine parity
+    of the SQL twin (the q107 fusion feeds on both)."""
+    import math
+
+    import duckdb
+
+    from btl_bloomfilter_spark.operators.tfidf import (
+        tfidf_query_scores,
+        tfidf_query_scores_sql,
+    )
+
+    rows = [
+        (1, "spark hash spark"),   # tf(spark)=2, tf(hash)=1
+        (2, "hash scan"),
+        (3, "nothing relevant"),
+        (4, "SPARK"),              # lowercased match
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           tfidf_query_scores(df, "text", "doc_id", ["spark", "hash", "scan"]).collect()}
+    assert set(out) == {1, 2, 4}  # doc 3 matches nothing
+    n = 4
+    idf = lambda dfq: math.log((n + 1) / (dfq + 1)) + 1  # noqa: E731
+    # df: spark in docs {1,4} -> 2; hash in {1,2} -> 2; scan in {2} -> 1
+    assert out[1].tfidf == pytest.approx(round(2 * idf(2) + 1 * idf(2), 6))
+    assert out[2].tfidf == pytest.approx(round(1 * idf(2) + 1 * idf(1), 6))
+    assert out[4].tfidf == pytest.approx(round(1 * idf(2), 6))
+    assert out[1].n_terms_matched == 2 and out[4].n_terms_matched == 1
+    assert [out[i].score_rank for i in (1, 2, 4)] == [1, 2, 3]
+
+    con = duckdb.connect()
+    vals = " UNION ALL ".join(
+        f"SELECT {i} AS doc_id, '{t}' AS text" for i, t in rows
+    )
+    con.sql(f"CREATE VIEW qdocs AS {vals}")
+    want = con.sql(
+        tfidf_query_scores_sql("qdocs", "text", "doc_id", ["spark", "hash", "scan"])
+    ).fetchall()
+    got = {(r.doc_id, r.n_terms_matched, r.tfidf, r.score_rank) for r in out.values()}
+    assert got == {tuple(t) for t in want}
