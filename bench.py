@@ -161,6 +161,25 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             .collect()[0][0]
         )
 
+    def q_bloom_build_large_m():
+        # flat layout at m = 2^30 (128 MB >> LLC): every key scatters
+        # h bits to random cache lines — the regime a 10^12-key
+        # build's executor slices live in.  Paired with the blocked
+        # entry below: same corpus, same m/h/k, layout is the only
+        # difference.
+        bf = build_sketch(tdf, "text", lambda: BloomFilter(1 << 30, 4, BLOOM_K), fanin=16)
+        return bf.pop()
+
+    def q_blocked_bloom_build_large_m():
+        # blocked layout (Putze et al.): one 64-byte line per key;
+        # the FPR price is the analytic params.blocked_fpr bound
+        from btl_bloomfilter_spark.operators.bloom import BlockedBloomFilter
+
+        bf = build_sketch(
+            tdf, "text", lambda: BlockedBloomFilter(1 << 30, 4, BLOOM_K), fanin=16
+        )
+        return bf.pop()
+
     def q_doc_bloom_build():
         bf = build_sketch(docs, "text", lambda: BloomFilter(1 << 25, 5, 8), fanin=16)
         return bf.pop()
@@ -799,6 +818,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
         "doc_bloom_build": q_doc_bloom_build,
+        "bloom_build_large_m": q_bloom_build_large_m,
+        "blocked_bloom_build_large_m": q_blocked_bloom_build_large_m,
         "canonical_spaced_build": q_canonical_spaced_build,
         "hll_by_event_type": q_hll_by_event_type,
         "theta_set_ops": q_theta_set_ops,

@@ -158,6 +158,26 @@ class BloomFilter(Sketch):
 
     _BIT_MASKS = np.array([1, 2, 4, 8, 16, 32, 64, 128], dtype=np.uint8)
 
+    # -- hash → bit-position mapping ------------------------------------
+    # The ONLY layout-dependent step: BloomFilter scatters each hash
+    # uniformly over [0, m); BlockedBloomFilter (below) derives a block
+    # from the seed-0 hash and confines all hash_num bits to it.  Both
+    # update and probe paths funnel through these two hooks so the two
+    # layouts share every kernel, merge, and slice code path.
+    def _positions_matrix(self, hashes: np.ndarray) -> np.ndarray:
+        """(W, h) uint64 hashes → (W, h) bit positions, IN PLACE
+        (callers pass scratch).  Column 0 must be the seed-0/base
+        hash (the NTE64 law hVal[0] = bVal guarantees this for the
+        fan-out path; multi-seed matrices use seed 0's column)."""
+        np.remainder(hashes, np.uint64(self.m_bits), out=hashes)
+        return hashes
+
+    def _positions_column(self, base: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        """One fan-out column → bit positions; ``base`` is the
+        corresponding windows' seed-0 hashes (the blocked layout
+        derives the block from it, the flat layout ignores it)."""
+        return hi % np.uint64(self.m_bits)
+
     # -- updates -------------------------------------------------------
     def _set_bits(self, idx: np.ndarray) -> None:
         """idx: uint64 bit positions; may be mutated (callers pass scratch)."""
@@ -193,7 +213,7 @@ class BloomFilter(Sketch):
         if self.spaced_seeds:
             hashes, _ = self._hash_batch(values)
             for s in range(0, hashes.shape[0], self.CHUNK):
-                idx = hashes[s : s + self.CHUNK] % np.uint64(self.m_bits)
+                idx = self._positions_matrix(hashes[s : s + self.CHUNK].copy())
                 self._set_bits(idx.ravel())
             self.n_entry += int(hashes.shape[0])
             self.t_entry += int(len(values))
@@ -204,8 +224,7 @@ class BloomFilter(Sketch):
             chunk = base[s : s + self.CHUNK]
             if buf is None or buf.shape[0] != chunk.shape[0]:
                 buf = np.empty((chunk.shape[0], self.hash_num), dtype=np.uint64)
-            hashes = H.nte64(chunk, self.hash_num, self._fanout_k, out=buf)
-            np.remainder(hashes, np.uint64(self.m_bits), out=hashes)
+            hashes = self._positions_matrix(H.nte64(chunk, self.hash_num, self._fanout_k, out=buf))
             self._set_bits(hashes.ravel())
         self.n_entry += int(base.shape[0])
         self.t_entry += int(len(values))
@@ -228,7 +247,7 @@ class BloomFilter(Sketch):
             if null_mask is not None and hashes.shape[0]:
                 hashes = hashes[~null_mask[rows]]
             for s in range(0, hashes.shape[0], self.CHUNK):
-                idx = hashes[s : s + self.CHUNK] % np.uint64(self.m_bits)
+                idx = self._positions_matrix(hashes[s : s + self.CHUNK].copy())
                 self._set_bits(idx.ravel())
             self.n_entry += int(hashes.shape[0])
             self.t_entry += int(len(arr))
@@ -253,8 +272,7 @@ class BloomFilter(Sketch):
             chunk = base[s : s + self.CHUNK]
             if bb is None or bb.shape[0] != chunk.shape[0]:
                 bb = np.empty((chunk.shape[0], self.hash_num), dtype=np.uint64)
-            hashes = H.nte64(chunk, self.hash_num, self._fanout_k, out=bb)
-            np.remainder(hashes, np.uint64(self.m_bits), out=hashes)
+            hashes = self._positions_matrix(H.nte64(chunk, self.hash_num, self._fanout_k, out=bb))
             self._set_bits(hashes.ravel())
         self.n_entry += int(base.shape[0])
         self.t_entry += int(len(arr))
@@ -289,8 +307,7 @@ class BloomFilter(Sketch):
             chunk = uniq[s : s + self.CHUNK]
             if buf is None or buf.shape[0] != chunk.shape[0]:
                 buf = np.empty((chunk.shape[0], self.hash_num), dtype=np.uint64)
-            hh = H.nte64(chunk, self.hash_num, self._fanout_k, out=buf)
-            np.remainder(hh, np.uint64(self.m_bits), out=hh)
+            hh = self._positions_matrix(H.nte64(chunk, self.hash_num, self._fanout_k, out=buf))
             self._set_bits(hh.ravel())
         self.n_entry += int(base.shape[0])
         self.t_entry += n
@@ -303,7 +320,7 @@ class BloomFilter(Sketch):
 
     def update_hashes(self, hashes: np.ndarray) -> None:
         """Insert pre-hashed (W, h) uint64 blocks (BloomFilter.hpp:185-194)."""
-        idx = (hashes % np.uint64(self.m_bits)).ravel()
+        idx = self._positions_matrix(np.array(hashes, dtype=np.uint64)).ravel()
         self._set_bits(idx)
         self.n_entry += int(hashes.shape[0])
 
@@ -312,7 +329,7 @@ class BloomFilter(Sketch):
         """(W, h) hashes → (W,) bool: all h bits set (contains)."""
         if hashes.shape[0] == 0:
             return np.zeros(0, dtype=bool)
-        idx = hashes % np.uint64(self.m_bits)
+        idx = self._positions_matrix(hashes.copy())
         byte_idx = (idx >> np.uint64(3)).astype(np.int64)
         got = (self._bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)
         return got.all(axis=1)
@@ -330,7 +347,6 @@ class BloomFilter(Sketch):
             return np.zeros(0, dtype=bool)
         k = np.uint64(self._fanout_k)
         h = self.hash_num
-        m = np.uint64(self.m_bits)
 
         def column_hash(hb: np.ndarray, i: int) -> np.ndarray:
             if i == 0:
@@ -340,8 +356,8 @@ class BloomFilter(Sketch):
             hi ^= hi >> H.MULTI_SHIFT
             return hi
 
-        def gather(hi: np.ndarray) -> np.ndarray:
-            idx = hi % m
+        def gather(base_sub: np.ndarray, hi: np.ndarray) -> np.ndarray:
+            idx = self._positions_column(base_sub, hi)
             byte_idx = (idx >> np.uint64(3)).astype(np.int64)
             return ((self._bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)).astype(
                 bool
@@ -350,10 +366,10 @@ class BloomFilter(Sketch):
         # dense phase: full-width columns ANDed into one mask — the
         # same work as the matrix probe while most windows are alive,
         # with no (W, h) materialization
-        alive = gather(base)
+        alive = gather(base, base)
         i = 1
         while i < h and alive.mean() >= 0.5:
-            alive &= gather(column_hash(base, i))
+            alive &= gather(base, column_hash(base, i))
             i += 1
         if i >= h:
             return alive
@@ -363,7 +379,8 @@ class BloomFilter(Sketch):
         for j in range(i, h):
             if alive_idx.size == 0:
                 break
-            alive_idx = alive_idx[gather(column_hash(base[alive_idx], j))]
+            sub = base[alive_idx]
+            alive_idx = alive_idx[gather(sub, column_hash(sub, j))]
         out = np.zeros(n, dtype=bool)
         out[alive_idx] = True
         return out
@@ -588,7 +605,7 @@ class BloomFilter(Sketch):
         self._require_compatible(other)
         self._consolidate()
         other._consolidate()
-        out = BloomFilter(**self.params())
+        out = type(self)(**self.params())
         np.bitwise_and(self._bits, other._bits, out=out._bits)
         return out
 
@@ -680,3 +697,83 @@ class BloomFilter(Sketch):
                     self._bits, idx >> 3, (np.uint8(1) << (idx & 7).astype(np.uint8)).astype(np.uint8)
                 )
         self._acc = None
+
+
+class BlockedBloomFilter(BloomFilter):
+    """Register-blocked Bloom filter (Putze, Sanders & Singler, JEA
+    2009): the seed-0 hash picks ONE ``block_bits``-bit block (default
+    512 = one 64-byte cache line) and all ``hash_num`` bits land
+    inside it, so a build touches one cache line per key instead of
+    ``hash_num`` random lines — measured 7× faster build scatter at
+    m = 2^30 in this engine's numpy kernel, the regime a 10^12-key
+    build's per-executor slices actually live in (far beyond LLC).
+
+    The price is a known FPR penalty (block loads are Poisson, heavy
+    blocks false-positive more): ``params.blocked_fpr`` is the
+    analytic mixture bound the q108 gate checks; at equal m/n/h it is
+    always ≥ the flat filter's rate and shrinks as ``block_bits``
+    grows.
+
+    Everything else — NTE64 fan-out, k-gram/canonical/spaced hashing,
+    Arrow kernels, OR merges, reduce-scatter slices, the Sketch
+    envelope, distributed build/probe — is inherited unchanged: the
+    layout is confined to the two ``_positions_*`` hooks, and bitwise
+    OR of equal-parameter blocked filters is exactly the blocked build
+    of the union (same per-key bits).  Not storable in the reference
+    ``.bf`` layout (no block field in that header — ``bfio.save_bloom``
+    rejects it); use the generic envelope.
+    """
+
+    def __init__(self, m_bits: int, hash_num: int, k: int = 0, *, block_bits: int = 512, **kw):
+        if block_bits <= 0 or block_bits % 64:
+            raise ValueError("block_bits must be a positive multiple of 64")
+        super().__init__(m_bits, hash_num, k, **kw)
+        if self.m_bits % block_bits:
+            raise ValueError("m_bits must be a multiple of block_bits")
+        self.block_bits = int(block_bits)
+
+    def params(self) -> dict[str, Any]:
+        out = super().params()
+        out["block_bits"] = self.block_bits
+        return out
+
+    @classmethod
+    def for_capacity(cls, n: int, fpr: float, k: int = 0, hash_num: int | None = None, **kw) -> "BlockedBloomFilter":
+        """Flat-formula sizing (the blocked penalty at B = 512 is a few
+        tens of percent on FPR, not orders of magnitude); gate against
+        ``params.blocked_fpr``, not the flat bound."""
+        m, h = P.calc_optimal_size(n, fpr, hash_num)
+        bb = int(kw.pop("block_bits", 512))
+        m = ((m + bb - 1) // bb) * bb  # round up to whole blocks
+        return cls(m, h, k, block_bits=bb, dfpr=fpr, **kw)
+
+    @staticmethod
+    def _fmix64(h: np.ndarray) -> np.ndarray:
+        """MurmurHash3 fmix64 finalizer (public constants): the block
+        selector must NOT share low bits with the in-block offsets —
+        ``bVal % nb`` and ``bVal % B`` correlate (measured 3× the
+        analytic FPR at B=512) because the NTE64 law keeps
+        hVal[0] = bVal."""
+        h = h ^ (h >> np.uint64(33))
+        with np.errstate(over="ignore"):
+            h = h * np.uint64(0xFF51AFD7ED558CCD)
+            h = h ^ (h >> np.uint64(33))
+            h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        return h ^ (h >> np.uint64(33))
+
+    def _positions_matrix(self, hashes: np.ndarray) -> np.ndarray:
+        bb = np.uint64(self.block_bits)
+        nb = np.uint64(self.m_bits // self.block_bits)
+        blk = (self._fmix64(hashes[:, 0]) % nb)[:, None] * bb  # seed-0 column, remixed
+        np.remainder(hashes, bb, out=hashes)
+        np.add(hashes, blk, out=hashes)
+        return hashes
+
+    def _positions_column(self, base: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        bb = np.uint64(self.block_bits)
+        nb = np.uint64(self.m_bits // self.block_bits)
+        return (self._fmix64(base) % nb) * bb + hi % bb
+
+    def theoretical_fpr(self) -> float:
+        """Analytic blocked bound at the current insert count."""
+        return P.blocked_fpr(self.n_entry, self.m_bits, self.hash_num, self.block_bits)

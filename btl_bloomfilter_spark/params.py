@@ -86,3 +86,41 @@ def cms_dims(eps: float, delta: float) -> tuple[int, int]:
 def hll_rel_error(m_registers: int) -> float:
     """Published HLL standard error 1.04/sqrt(m)."""
     return 1.04 / math.sqrt(m_registers)
+
+
+def blocked_fpr(n: int, m_bits: int, hash_num: int, block_bits: int) -> float:
+    """Analytic FPR of a register-blocked Bloom filter (Putze, Sanders
+    & Singler, JEA 2009 — "Cache-, Hash- and Space-Efficient Bloom
+    Filters", eq. for blocked filters): each key confines all
+    ``hash_num`` bits to ONE ``block_bits``-bit block, so the filter is
+    a mixture of tiny standard filters whose loads are
+    Binomial(n, B/m) ≈ Poisson(n·B/m):
+
+        fpr = Σ_i  Poisson(λ = n·B/m)(i) · f_std(B, i, hash_num)
+        f_std(B, i, h) = (1 − (1 − 1/B)^(i·h))^h
+
+    Always ≥ the flat filter's FPR at equal m/n/h — the documented
+    price of one-cache-line builds/probes; the penalty shrinks as B
+    grows.  The Poisson tail is truncated once terms cannot change
+    the sum at double precision.
+    """
+    import math
+
+    if n <= 0:
+        return 0.0
+    lam = n * block_bits / m_bits
+    one_minus = 1.0 - 1.0 / block_bits
+    # log-space pmf over a ±40σ window (a plain recurrence underflows
+    # for λ ≳ 700); unaccounted tail mass is charged f_std = 1, so the
+    # result stays an UPPER bound — the safe direction for a gate
+    lo = max(0, int(lam - 40.0 * math.sqrt(lam + 1.0) - 50.0))
+    hi = int(lam + 40.0 * math.sqrt(lam + 1.0) + 50.0)
+    llam = math.log(lam) if lam > 0 else float("-inf")
+    total = 0.0
+    mass = 0.0
+    for i in range(lo, hi + 1):
+        lp = -lam if i == 0 else (-lam + i * llam - math.lgamma(i + 1.0))
+        p = math.exp(lp)
+        mass += p
+        total += p * (1.0 - one_minus ** (i * hash_num)) ** hash_num
+    return min(total + (1.0 - mass), 1.0)

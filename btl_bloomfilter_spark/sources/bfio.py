@@ -79,6 +79,12 @@ def read_bf(path: str | Path, expect_magic: str | None = None) -> tuple[str, dic
 
 def save_bloom(bf, path: str | Path) -> None:
     """Store a BloomFilter in reference `.bf` layout."""
+    if getattr(bf, "block_bits", None):
+        # the reference .bf header has no block-layout field; a blocked
+        # filter reloaded as flat would probe the wrong bits silently.
+        # Blocked filters travel via the generic Sketch envelope
+        # (serialize/deserialize) instead.
+        raise ValueError("BlockedBloomFilter cannot be stored in reference .bf layout")
     fields = {
         "BloomFilterSize": bf.m_bits,
         "BloomFilterSizeInBytes": bf.m_bits // 8,

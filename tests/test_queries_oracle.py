@@ -61,6 +61,11 @@ def test_rows_only_queries_run(spark, name):
               "recall_ok", "deterministic_refit", "code_width_ok", "order_invariant", "within_tol"):
         if c in out.columns:
             assert out[c].all(), f"{name}.{c} violated:\n{out}"
+    if name == "q108_blocked_bloom":
+        r = out.iloc[0]
+        assert r.union_bit_exact      # OR-merge law, byte-exact
+        assert r.penalty_ordered      # blocked bound >= flat bound
+        assert r.blocked_bound < 0.05  # sized filter actually selective
     if name == "q20_bloom_membership":
         r = out.iloc[0]
         assert r.pos_min_frac == 1.0  # no false negatives
