@@ -161,22 +161,19 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             .collect()[0][0]
         )
 
-    def q_bloom_build_large_m():
-        # flat layout at m = 2^30 (128 MB >> LLC): every key scatters
-        # h bits to random cache lines — the regime a 10^12-key
-        # build's executor slices live in.  Paired with the blocked
-        # entry below: same corpus, same m/h/k, layout is the only
-        # difference.
-        bf = build_sketch(tdf, "text", lambda: BloomFilter(1 << 30, 4, BLOOM_K), fanin=16)
-        return bf.pop()
-
-    def q_blocked_bloom_build_large_m():
-        # blocked layout (Putze et al.): one 64-byte line per key;
-        # the FPR price is the analytic params.blocked_fpr bound
+    def q_blocked_bloom_build():
+        # register-blocked layout, same corpus/m/h/k as
+        # transcript_bloom_build: tracks the blocked build path
+        # end-to-end.  At this corpus size the two layouts tie —
+        # the per-partial slice scan and the rolling-hash kernel
+        # dominate, not the bit scatter; the blocked layout's
+        # measured 7x scatter advantage (m=2^30 kernel microbench,
+        # NOTES_r5) surfaces when windows-per-executor is large
+        # relative to m (high fill), the actual 10^12-key regime.
         from btl_bloomfilter_spark.operators.bloom import BlockedBloomFilter
 
         bf = build_sketch(
-            tdf, "text", lambda: BlockedBloomFilter(1 << 30, 4, BLOOM_K), fanin=16
+            tdf, "text", lambda: BlockedBloomFilter(BLOOM_M, BLOOM_H, BLOOM_K), fanin=16
         )
         return bf.pop()
 
@@ -818,8 +815,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
         "doc_bloom_build": q_doc_bloom_build,
-        "bloom_build_large_m": q_bloom_build_large_m,
-        "blocked_bloom_build_large_m": q_blocked_bloom_build_large_m,
+        "blocked_bloom_build": q_blocked_bloom_build,
         "canonical_spaced_build": q_canonical_spaced_build,
         "hll_by_event_type": q_hll_by_event_type,
         "theta_set_ops": q_theta_set_ops,

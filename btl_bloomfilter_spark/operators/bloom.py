@@ -705,8 +705,12 @@ class BlockedBloomFilter(BloomFilter):
     512 = one 64-byte cache line) and all ``hash_num`` bits land
     inside it, so a build touches one cache line per key instead of
     ``hash_num`` random lines — measured 7× faster build scatter at
-    m = 2^30 in this engine's numpy kernel, the regime a 10^12-key
-    build's per-executor slices actually live in (far beyond LLC).
+    m = 2^30 in this engine's numpy kernel (8M keys into one array,
+    far beyond LLC).  End-to-end caveat, measured honestly: at low
+    fill the per-partial slice scan and the rolling-hash kernel
+    dominate and the layouts tie; the scatter advantage governs when
+    keys-per-executor is large relative to m — the actual 10^12-key
+    regime (NOTES_r5 carries both measurements).
 
     The price is a known FPR penalty (block loads are Poisson, heavy
     blocks false-positive more): ``params.blocked_fpr`` is the
