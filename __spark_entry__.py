@@ -3320,13 +3320,13 @@ _Q105_CORPUS_SQL = """
     ), ej_corpus AS (
         SELECT id, s FROM ej_base
         UNION ALL
-        SELECT id + 100000, substr(s, 1, 6) || 'z' || substr(s, 8)
+        SELECT id + 1000000, substr(s, 1, 6) || 'z' || substr(s, 8)
         FROM ej_base WHERE id % 5 = 0
         UNION ALL
-        SELECT id + 200000, substr(s, 1, 3) || substr(s, 6)
+        SELECT id + 2000000, substr(s, 1, 3) || substr(s, 6)
         FROM ej_base WHERE id % 7 = 0
         UNION ALL
-        SELECT id + 300000,
+        SELECT id + 3000000,
                substr(s, 1, 2) || 'z' || substr(s, 4, 5) || 'z' ||
                substr(s, 10, 5) || 'z' || substr(s, 16)
         FROM ej_base WHERE id % 11 = 0
@@ -3377,19 +3377,19 @@ def q105_edit_distance_join(spark, sf_dir):
     corpus = (
         base.unionByName(
             base.where(F.col("id") % 5 == 0).select(
-                (F.col("id") + 100000).alias("id"),
+                (F.col("id") + 1000000).alias("id"),
                 F.expr("substring(s, 1, 6) || 'z' || substring(s, 8)").alias("s"),
             )
         )
         .unionByName(
             base.where(F.col("id") % 7 == 0).select(
-                (F.col("id") + 200000).alias("id"),
+                (F.col("id") + 2000000).alias("id"),
                 F.expr("substring(s, 1, 3) || substring(s, 6)").alias("s"),
             )
         )
         .unionByName(
             base.where(F.col("id") % 11 == 0).select(
-                (F.col("id") + 300000).alias("id"),
+                (F.col("id") + 3000000).alias("id"),
                 F.expr(
                     "substring(s, 1, 2) || 'z' || substring(s, 4, 5) || 'z' || "
                     "substring(s, 10, 5) || 'z' || substring(s, 16)"

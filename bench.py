@@ -762,7 +762,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         corpus = base.unionByName(
             base.where(F.col("id") % 5 == 0).select(
-                (F.col("id") + 100000).alias("id"),
+                (F.col("id") + 1000000).alias("id"),
                 F.expr("substring(s, 1, 6) || 'z' || substring(s, 8)").alias("s"),
             )
         )

@@ -172,10 +172,16 @@ class BloomFilter(Sketch):
         np.remainder(hashes, np.uint64(self.m_bits), out=hashes)
         return hashes
 
-    def _positions_column(self, base: np.ndarray, hi: np.ndarray) -> np.ndarray:
-        """One fan-out column → bit positions; ``base`` is the
-        corresponding windows' seed-0 hashes (the blocked layout
-        derives the block from it, the flat layout ignores it)."""
+    def _column_context(self, base: np.ndarray):
+        """Per-chunk precomputation for the column-wise probe: the
+        blocked layout derives each window's block base from the
+        seed-0 hashes ONCE here (instead of once per hash column);
+        the flat layout needs nothing."""
+        return None
+
+    def _positions_column(self, ctx, hi: np.ndarray) -> np.ndarray:
+        """One fan-out column → bit positions; ``ctx`` is this chunk's
+        ``_column_context`` (subset along with the windows)."""
         return hi % np.uint64(self.m_bits)
 
     # -- updates -------------------------------------------------------
@@ -356,8 +362,8 @@ class BloomFilter(Sketch):
             hi ^= hi >> H.MULTI_SHIFT
             return hi
 
-        def gather(base_sub: np.ndarray, hi: np.ndarray) -> np.ndarray:
-            idx = self._positions_column(base_sub, hi)
+        def gather(ctx, hi: np.ndarray) -> np.ndarray:
+            idx = self._positions_column(ctx, hi)
             byte_idx = (idx >> np.uint64(3)).astype(np.int64)
             return ((self._bits[byte_idx] >> (idx & np.uint64(7)).astype(np.uint8)) & np.uint8(1)).astype(
                 bool
@@ -365,11 +371,13 @@ class BloomFilter(Sketch):
 
         # dense phase: full-width columns ANDed into one mask — the
         # same work as the matrix probe while most windows are alive,
-        # with no (W, h) materialization
-        alive = gather(base, base)
+        # with no (W, h) materialization.  The layout context (blocked:
+        # fmix64 block bases) is computed ONCE per chunk, not per column.
+        ctx = self._column_context(base)
+        alive = gather(ctx, base)
         i = 1
         while i < h and alive.mean() >= 0.5:
-            alive &= gather(base, column_hash(base, i))
+            alive &= gather(ctx, column_hash(base, i))
             i += 1
         if i >= h:
             return alive
@@ -380,7 +388,8 @@ class BloomFilter(Sketch):
             if alive_idx.size == 0:
                 break
             sub = base[alive_idx]
-            alive_idx = alive_idx[gather(sub, column_hash(sub, j))]
+            sub_ctx = ctx if ctx is None else ctx[alive_idx]
+            alive_idx = alive_idx[gather(sub_ctx, column_hash(sub, j))]
         out = np.zeros(n, dtype=bool)
         out[alive_idx] = True
         return out
@@ -773,10 +782,13 @@ class BlockedBloomFilter(BloomFilter):
         np.add(hashes, blk, out=hashes)
         return hashes
 
-    def _positions_column(self, base: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    def _column_context(self, base: np.ndarray):
         bb = np.uint64(self.block_bits)
         nb = np.uint64(self.m_bits // self.block_bits)
-        return (self._fmix64(base) % nb) * bb + hi % bb
+        return (self._fmix64(base) % nb) * bb  # block base, once per chunk
+
+    def _positions_column(self, ctx, hi: np.ndarray) -> np.ndarray:
+        return ctx + hi % np.uint64(self.block_bits)
 
     def theoretical_fpr(self) -> float:
         """Analytic blocked bound at the current insert count."""

@@ -32,12 +32,15 @@ space is O(N²).  The two losless prunes, and why each is safe:
   with ``|D_x| ≤ q·d`` can lose *all* its grams within d edits, but
   its partner is bounded too: each edit CREATES at most q distinct
   grams, so ``|D_y| ≤ |D_x| + q·d ≤ 2·q·d``.  Route all strings with
-  ``|D| ≤ 2·q·d`` (including len < q: zero grams) through plain
-  length blocking — each string probes lengths ``len .. len+d``
-  against exact length (``|len_x − len_y| ≤ d`` is the edit-distance
-  lower bound, so this blocking is complete on its own) — and keep
-  only pairs where ``min(|D_a|, |D_b|) ≤ q·d``.  The two paths are
+  ``|D| ≤ 2·q·d`` (including len < q: zero grams) through length
+  blocking — each string probes lengths ``len .. len+d`` against
+  exact length (``|len_x − len_y| ≤ d`` is the edit-distance lower
+  bound, so this blocking is complete on its own) — and keep only
+  pairs where ``min(|D_a|, |D_b|) ≤ q·d``.  The two paths are
   DISJOINT (long path requires both ≥ q·d+1), so no cross-path dedup.
+  Length is a low-cardinality, naturally hot key, so the equi-join
+  runs through ``plans/joins.salted_join`` (``short_salt`` reducers
+  per length) instead of one task per length.
 
 Pair uniqueness: the long path canonicalizes least/greatest-by-id and
 ``.distinct()``s (two strings can share several prefix grams); the
@@ -72,6 +75,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.joins import salted_join
 from ..plans.pairs import grouped_pair_events
 
 __all__ = ["qgram_profile", "edit_distance_join"]
@@ -125,6 +129,7 @@ def qgram_profile(
     gram_arr = F.array_distinct(
         F.expr(f"transform(sequence(1, len - {q} + 1), i -> substring(s, i, {q}))")
     )
+    meta = {"q": q, "max_dist": max_dist, "order": order}
     if order == "hash":
         ordered = F.transform(
             F.array_sort(
@@ -132,12 +137,16 @@ def qgram_profile(
             ),
             lambda st: st["gram"],
         )
-        return base.withColumn(
-            "gsz", F.when(F.col("len") >= q, F.size(gram_arr)).otherwise(F.lit(0)).cast("int")
-        ).withColumn(
-            "prefix",
-            F.when(F.col("len") >= q, F.slice(ordered, 1, pl))
-            .otherwise(F.array().cast("array<string>")),
+        return (
+            base.withColumn(
+                "gsz", F.when(F.col("len") >= q, F.size(gram_arr)).otherwise(F.lit(0)).cast("int")
+            )
+            .withColumn(
+                "prefix",
+                F.when(F.col("len") >= q, F.slice(ordered, 1, pl))
+                .otherwise(F.array().cast("array<string>")),
+            )
+            .withMetadata("prefix", meta)
         )
     grams = base.where(F.col("len") >= q).select("id", F.explode(gram_arr).alias("gram"))
     dfreq = grams.groupBy("gram").agg(F.count("*").alias("dfq"))
@@ -160,6 +169,7 @@ def qgram_profile(
         base.join(per_id, "id", "left")
         .withColumn("gsz", F.coalesce(F.col("gsz"), F.lit(0)).cast("int"))
         .withColumn("prefix", F.coalesce(F.col("prefix"), F.array().cast("array<string>")))
+        .withMetadata("prefix", meta)
     )
 
 
@@ -172,6 +182,7 @@ def edit_distance_join(
     q: int = 2,
     block: int = 512,
     order: str = "df",
+    short_salt: int = 8,
     profile: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs ``(id_a < id_b, dist)`` with
@@ -187,11 +198,24 @@ def edit_distance_join(
     if max_dist < 0:
         raise ValueError("max_dist must be >= 0")
     d = int(max_dist)
-    prof = (
-        profile
-        if profile is not None
-        else qgram_profile(df, col, id_col, q=q, max_dist=d, order=order)
-    )
+    if profile is not None:
+        # the prefix theorem silently breaks on a mismatched profile
+        # (a q=3/d=1 profile stores 4-gram prefixes where a q=3/d=2
+        # join needs 7), so qgram_profile stamps its parameters into
+        # the prefix column's metadata and we refuse anything else.
+        # q must match exactly; a LARGER profile max_dist only
+        # lengthens prefixes (superset of candidates — still exact);
+        # the gram order never affects correctness, only selectivity.
+        m = dict(profile.schema["prefix"].metadata or {}) if "prefix" in profile.columns else {}
+        if m.get("q") != q or m.get("max_dist") is None or int(m["max_dist"]) < d:
+            raise ValueError(
+                f"profile incompatible with join parameters: profile metadata {m!r} "
+                f"vs q={q}, max_dist={d} (profiles must come from qgram_profile with "
+                f"the same q and max_dist >= the join's)"
+            )
+        prof = profile
+    else:
+        prof = qgram_profile(df, col, id_col, q=q, max_dist=d, order=order)
     qd = q * d
 
     # --- long path: q-gram prefix filter, both sides >= qd+1 grams ---
@@ -210,17 +234,26 @@ def edit_distance_join(
     )
 
     # --- short path: length blocking among <= 2*qd-gram strings,
-    #     keeping only pairs the long path cannot see (min gsz <= qd) ---
+    #     keeping only pairs the long path cannot see (min gsz <= qd).
+    #     Length is a LOW-CARDINALITY key and short strings bunch on
+    #     few lengths, so the equi-join goes through salted_join: the
+    #     build side salts deterministically, the probe side
+    #     replicates, and a hot length's d² verify work spreads over
+    #     `short_salt` reducers instead of one task (the same
+    #     single-task pathology plans/pairs fixes for the long path).
     short = prof.where(F.col("gsz") <= 2 * qd).select("id", "len", "gsz")
     probe = short.select(
         F.col("id").alias("pid"),
         F.col("len").alias("plen"),
         F.col("gsz").alias("pgsz"),
-        F.explode(F.sequence(F.col("len"), F.col("len") + d)).alias("blen"),
+        F.explode(F.sequence(F.col("len"), F.col("len") + d)).alias("len"),
     )
+    if short_salt > 1:
+        joined = salted_join(short, probe, ["len"], salt=short_salt)
+    else:
+        joined = short.join(probe, "len")
     cand_short = (
-        probe.join(short, probe["blen"] == short["len"])
-        .where(
+        joined.where(
             (
                 (F.col("plen") < F.col("len"))
                 | ((F.col("plen") == F.col("len")) & (F.col("pid") < F.col("id")))

@@ -119,15 +119,22 @@ def tfidf_query_scores(
     (``ln((N+1)/(df+1)) + 1``, sklearn formula):
     ``score(d, Q) = sum over t in Q of tf(t, d) * idf(t)``.
 
-    Returns ``(id_col, n_terms_matched, tfidf, score_rank)`` with
-    tfidf rounded to 6 before the (tfidf DESC, id ASC) ranking so the
-    selection is engine-reproducible.  Same 100-TB plan shape as
-    bm25_scores: one corpus count, explode with the query-term filter
-    BELOW the first shuffle (only matching tokens leave the map
-    stage), doc-frequency as a count-window over the tiny tf table,
-    per-doc sum; ``top_n`` via TakeOrderedAndProject.  Exists chiefly
-    as the second system for ``fusion.rrf_fuse`` (q107): two
-    genuinely different lexical scorers over one query.
+    Returns ``(id_col, n_terms_matched, tfidf_micro, tfidf,
+    score_rank)``.  Fixed-point policy (stricter than bm25_scores'
+    round-6-after-sum precedent): each per-term contribution is
+    quantized ONCE to micro-units (``floor(tf·idf·10^6)`` as long) and
+    summed as LONGS, so the score and the (tfidf_micro DESC, id ASC)
+    rank are exact and partition-invariant — a float sum's
+    partition-order ulp wobble at a rounding boundary could otherwise
+    flip score_rank and, through rrf_fuse, q107's whole fused output.
+    The ``tfidf`` double is derived from the long by one division.
+    Same 100-TB plan shape as bm25_scores: one corpus count, explode
+    with the query-term filter BELOW the first shuffle (only matching
+    tokens leave the map stage), doc-frequency as a count-window over
+    the tiny tf table, per-doc sum; ``top_n`` via
+    TakeOrderedAndProject.  Exists chiefly as the second system for
+    ``fusion.rrf_fuse`` (q107): two genuinely different lexical
+    scorers over one query.
     """
     from .bm25 import _words
 
@@ -146,20 +153,26 @@ def tfidf_query_scores(
     with_df = tf.withColumn(
         "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
     )
-    per_term = F.col("tf") * (
-        F.log(F.lit(float(n_docs + 1)) / (F.col("doc_freq") + 1)) + 1
-    )
+    per_term_micro = F.floor(
+        F.col("tf")
+        * (F.log(F.lit(float(n_docs + 1)) / (F.col("doc_freq") + 1)) + 1)
+        * F.lit(1000000.0)
+    ).cast("long")
     scored = with_df.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_terms_matched"),
-        F.round(F.sum(per_term), 6).alias("tfidf"),
+        F.sum(per_term_micro).alias("tfidf_micro"),
     )
-    w = Window.orderBy(F.col("tfidf").desc(), F.col("id").asc())
+    w = Window.orderBy(F.col("tfidf_micro").desc(), F.col("id").asc())
     if top_n is not None:
-        out = scored.orderBy(F.col("tfidf").desc(), F.col("id").asc()).limit(top_n)
+        out = scored.orderBy(F.col("tfidf_micro").desc(), F.col("id").asc()).limit(top_n)
     else:
         out = scored
     return out.withColumn("score_rank", F.row_number().over(w)).select(
-        F.col("id").alias(id_col), "n_terms_matched", "tfidf", "score_rank"
+        F.col("id").alias(id_col),
+        "n_terms_matched",
+        "tfidf_micro",
+        (F.col("tfidf_micro") / F.lit(1000000.0)).alias("tfidf"),
+        "score_rank",
     )
 
 
@@ -190,13 +203,14 @@ def tfidf_query_scores_sql(
         qscored AS (
             SELECT qtf.id,
                    count(*) AS n_terms_matched,
-                   round(sum(qtf.tf * (ln((qstats.n + 1) / (qdfreq.doc_freq + 1.0)) + 1)), 6) AS tfidf
+                   sum(CAST(floor(qtf.tf * (ln(CAST(qstats.n + 1 AS DOUBLE) / (qdfreq.doc_freq + 1)) + 1) * 1000000.0) AS BIGINT)) AS tfidf_micro
             FROM qtf JOIN qdfreq USING (term) CROSS JOIN qstats
             GROUP BY qtf.id
         ),
         qranked AS (
-            SELECT id AS {id_col}, n_terms_matched, tfidf,
-                   row_number() OVER (ORDER BY tfidf DESC, id ASC) AS score_rank
+            SELECT id AS {id_col}, n_terms_matched, tfidf_micro,
+                   tfidf_micro / 1000000.0 AS tfidf,
+                   row_number() OVER (ORDER BY tfidf_micro DESC, id ASC) AS score_rank
             FROM qscored
         )
         SELECT * FROM qranked {limit}

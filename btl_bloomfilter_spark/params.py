@@ -104,8 +104,6 @@ def blocked_fpr(n: int, m_bits: int, hash_num: int, block_bits: int) -> float:
     grows.  The Poisson tail is truncated once terms cannot change
     the sum at double precision.
     """
-    import math
-
     if n <= 0:
         return 0.0
     lam = n * block_bits / m_bits

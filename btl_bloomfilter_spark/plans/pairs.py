@@ -47,6 +47,19 @@ def grouped_pair_events(
     """
     if block < 1:
         raise ValueError("block must be >= 1")
+    # strict column contract: exactly keys + the payload struct.  The
+    # kernel injects working columns (pdf/nck/ck/xs/a/b); a caller row
+    # already carrying one of those names would be silently clobbered
+    # (the defect class mg_topk_by_key's reserved-name guard fixed).
+    expected = set(keys) | {"p"}
+    if set(rows.columns) != expected:
+        raise ValueError(
+            f"rows must carry exactly columns {sorted(expected)} (got {sorted(rows.columns)})"
+        )
+    reserved = {"p", "pdf", "nck", "ck", "xs", "a", "b"}
+    bad = reserved.intersection(keys)
+    if bad:
+        raise ValueError(f"key names {sorted(bad)} are reserved by grouped_pair_events")
     pdfreq = rows.groupBy(*keys).agg(F.count("*").alias("pdf"))
     chunked = (
         rows.join(pdfreq, keys)

@@ -231,7 +231,14 @@ def test_cms_inner_product_guards():
     cons = CountMinSketch(128, 3, conservative=True)
     cons.update(["x"])
     with pytest.raises(ValueError):
-        A.inner_product(cons)
+        A.inner_product(cons)  # params differ -> compatibility raise
+    # BOTH conservative: params match, so this exercises the dedicated
+    # conservative guard (a conservative cell can under-represent the
+    # sum of its keys' counts, breaking no-undercount)
+    cons2 = CountMinSketch(128, 3, conservative=True)
+    cons2.update(["x"])
+    with pytest.raises(ValueError, match="conservative"):
+        cons.inner_product(cons2)
     other_dims = CountMinSketch(256, 3)
     with pytest.raises(ValueError):
         A.inner_product(other_dims)

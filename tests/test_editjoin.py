@@ -37,7 +37,7 @@ def _brute(df, d):
 
 
 @pytest.mark.spark
-@pytest.mark.parametrize("d", [0, 1, 2])
+@pytest.mark.parametrize("d", [0, 1, 2, 3])
 def test_brute_force_parity(spark, d):
     """High-collision 3-letter alphabet, lengths 0-11: exercises the
     short fallback (most strings have <= 2*q*d distinct grams), heavy
@@ -140,3 +140,39 @@ def test_plan_no_cartesian(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.spark
+def test_profile_mismatch_rejected(spark):
+    """A profile built with different q/max_dist silently breaks the
+    prefix theorem, so the join must refuse it (metadata stamped by
+    qgram_profile); a LARGER profile max_dist only lengthens prefixes
+    and is accepted."""
+    df = _corpus(spark, n=40)
+    p_small = qgram_profile(df, "s", "id", q=3, max_dist=1)
+    with pytest.raises(ValueError, match="incompatible"):
+        edit_distance_join(df, "s", "id", max_dist=2, q=3, profile=p_small)
+    with pytest.raises(ValueError, match="incompatible"):
+        edit_distance_join(df, "s", "id", max_dist=1, q=2, profile=p_small)  # q differs
+    # foreign table without metadata: rejected too
+    with pytest.raises(ValueError, match="incompatible"):
+        edit_distance_join(df, "s", "id", max_dist=1, profile=df.withColumnRenamed("s", "other"))
+    p_big = qgram_profile(df, "s", "id", q=2, max_dist=3)
+    via_big = {(r.id_a, r.id_b, r.dist)
+               for r in edit_distance_join(df, "s", "id", max_dist=2, profile=p_big).collect()}
+    plain = {(r.id_a, r.id_b, r.dist)
+             for r in edit_distance_join(df, "s", "id", max_dist=2).collect()}
+    assert via_big == plain
+
+
+@pytest.mark.spark
+def test_short_salt_invariant(spark):
+    """short_salt spreads the hot-length join over reducers without
+    changing the result (salted_join is value-invisible)."""
+    df = _corpus(spark, n=150)
+    base = {(r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(df, "s", "id", max_dist=2).collect()}
+    for salt in (1, 3):
+        got = {(r.id_a, r.id_b, r.dist)
+               for r in edit_distance_join(df, "s", "id", max_dist=2, short_salt=salt).collect()}
+        assert got == base

@@ -158,7 +158,7 @@ def test_quantile_histogram_uniform_and_laws(spark):
     rep = quantile_histogram(df, "x", buckets=10, k=400).toPandas().sort_values("bucket")
     assert len(rep) == 10
     assert rep.n.sum() == 10000
-    assert abs(rep.fill_frac.sum() - 1.0) < 1e-6
+    assert abs(rep.fill_frac.sum() - 1.0) < 5e-7 * len(rep) + 1e-9  # per-bucket round-6 quantum
     assert rep.within_tol.all()
     # edges are monotone and cover the line
     assert rep.lo.iloc[0] == float("-inf") and rep.hi.iloc[-1] == float("inf")
@@ -179,5 +179,5 @@ def test_quantile_histogram_null_and_skew(spark):
     )
     rep = quantile_histogram(df, "x", buckets=5, k=400, tolerance_mult=5.0).toPandas()
     assert rep.n.sum() == 4500
-    assert abs(rep.fill_frac.sum() - 1.0) < 1e-6
+    assert abs(rep.fill_frac.sum() - 1.0) < 5e-7 * len(rep) + 1e-9  # per-bucket round-6 quantum
     assert rep.within_tol.all()

@@ -102,11 +102,14 @@ def test_tfidf_query_scores_semantics_and_twin(spark):
            tfidf_query_scores(df, "text", "doc_id", ["spark", "hash", "scan"]).collect()}
     assert set(out) == {1, 2, 4}  # doc 3 matches nothing
     n = 4
-    idf = lambda dfq: math.log((n + 1) / (dfq + 1)) + 1  # noqa: E731
+    # fixed-point policy: per-term contributions quantized ONCE to
+    # micro-longs, then summed exactly
+    micro = lambda tf, dfq: math.floor(tf * (math.log((n + 1) / (dfq + 1)) + 1) * 1e6)  # noqa: E731
     # df: spark in docs {1,4} -> 2; hash in {1,2} -> 2; scan in {2} -> 1
-    assert out[1].tfidf == pytest.approx(round(2 * idf(2) + 1 * idf(2), 6))
-    assert out[2].tfidf == pytest.approx(round(1 * idf(2) + 1 * idf(1), 6))
-    assert out[4].tfidf == pytest.approx(round(1 * idf(2), 6))
+    assert out[1].tfidf_micro == micro(2, 2) + micro(1, 2)
+    assert out[2].tfidf_micro == micro(1, 2) + micro(1, 1)
+    assert out[4].tfidf_micro == micro(1, 2)
+    assert out[1].tfidf == out[1].tfidf_micro / 1e6
     assert out[1].n_terms_matched == 2 and out[4].n_terms_matched == 1
     assert [out[i].score_rank for i in (1, 2, 4)] == [1, 2, 3]
 
@@ -118,5 +121,6 @@ def test_tfidf_query_scores_semantics_and_twin(spark):
     want = con.sql(
         tfidf_query_scores_sql("qdocs", "text", "doc_id", ["spark", "hash", "scan"])
     ).fetchall()
-    got = {(r.doc_id, r.n_terms_matched, r.tfidf, r.score_rank) for r in out.values()}
+    got = {(r.doc_id, r.n_terms_matched, r.tfidf_micro, r.tfidf, r.score_rank)
+           for r in out.values()}
     assert got == {tuple(t) for t in want}
