@@ -3455,6 +3455,16 @@ def q106_cms_join_size(spark, sf_dir):
     )
 
 
+def _q109_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.spectrum import kmer_spectrum_sql
+
+    return f"""
+        SELECT multiplicity, n_kmers
+        FROM {kmer_spectrum_sql('documents', 'text', 12)} s
+        ORDER BY multiplicity
+    """
+
+
 def _q107_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.bm25 import bm25_scores_sql
     from btl_bloomfilter_spark.operators.fusion import rrf_fuse_sql
@@ -3586,6 +3596,20 @@ def q108_blocked_bloom(spark, sf_dir):
     )
 
 
+def q109_kmer_spectrum(spark, sf_dir):
+    """K-mer abundance spectrum (operators/spectrum) — the ntCard
+    problem (Mohamadi et al., Bioinformatics 2017; the BTL sizing
+    companion to the reference: `writeBloom_rolling.cpp:96-103` takes
+    the distinct-entry count this histogram provides as `-n`).  Exact
+    path: pure-Catalyst k-mer explode → two hash aggregates with
+    map-side partial combine; hash-oracled against a DuckDB
+    substr-unnest twin row-for-row (every multiplicity class)."""
+    from btl_bloomfilter_spark.operators.spectrum import kmer_spectrum
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return kmer_spectrum(docs, "text", 12).orderBy("multiplicity")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3696,6 +3720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q106_cms_join_size": q106_cms_join_size,
         "q107_rrf_fusion": q107_rrf_fusion,
         "q108_blocked_bloom": q108_blocked_bloom,
+        "q109_kmer_spectrum": q109_kmer_spectrum,
     }
 
 
@@ -4304,6 +4329,7 @@ def oracle_sql() -> dict[str, str]:
         "q104_pagerank": _q104_oracle_sql(),
         "q105_edit_distance_join": _q105_oracle_sql(),
         "q107_rrf_fusion": _q107_oracle_sql(),
+        "q109_kmer_spectrum": _q109_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
