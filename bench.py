@@ -811,6 +811,26 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return distinct_to_date(tdf, "role", "conv_id", F.col("ts"), p=13).count()
 
+    def q_xor_filter_build_probe():
+        # static-set membership: distinct -> 12-byte/key shuffle ->
+        # per-block numpy peel (applyInPandas), then broadcast pure-map
+        # probe; tracks the full build+probe round trip
+        from btl_bloomfilter_spark.operators.xorfilter import build_xor_filter, xor_contains
+
+        xf = build_xor_filter(tdf, "text", fp_bits=8, salt=1, target_block_keys=1 << 16)
+        return (
+            tdf.select(xor_contains(spark, xf, "text").alias("h"))
+            .agg(F.min("h"))
+            .collect()[0][0]
+        )
+
+    def q_kmer_spectrum_docs():
+        # explode -> two hash aggregates, map-side combine carries the
+        # (kmer, partial) stream; histogram-sized result
+        from btl_bloomfilter_spark.operators.spectrum import kmer_spectrum
+
+        return kmer_spectrum(docs, "text", 12).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -861,6 +881,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "prefix_simjoin_docs": q_prefix_simjoin_docs,
         "edit_distance_join": q_edit_distance_join,
         "quality_classifier_train": q_quality_classifier,
+        "xor_filter_build_probe": q_xor_filter_build_probe,
+        "kmer_spectrum_docs": q_kmer_spectrum_docs,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -66,6 +66,11 @@ def test_rows_only_queries_run(spark, name):
         assert r.union_bit_exact      # OR-merge law, byte-exact
         assert r.penalty_ordered      # blocked bound >= flat bound
         assert r.blocked_bound < 0.05  # sized filter actually selective
+    if name == "q110_xor_filter":
+        r = out.iloc[0]
+        assert r.rebuild_identical    # deterministic build law
+        assert r.smaller_than_bloom   # the operator's reason to exist
+        assert r.nblocks > 1          # the distributed (sharded) path ran
     if name == "q20_bloom_membership":
         r = out.iloc[0]
         assert r.pos_min_frac == 1.0  # no false negatives
