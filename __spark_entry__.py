@@ -3455,6 +3455,40 @@ def q106_cms_join_size(spark, sf_dir):
     )
 
 
+def _q111_oracle_sql() -> str:
+    ws = " \t\n\x0b\f\r"
+    return f"""
+        WITH base AS (
+            SELECT CAST(doc_id AS BIGINT) AS id,
+                   string_split_regex(trim(coalesce(text, '')), '[{ws}]+') AS w
+            FROM documents
+        ),
+        frag AS (
+            SELECT id + 100000 AS id,
+                   w[1:greatest(CAST(ceil(0.6 * len(w)) AS INT), 3)] AS w
+            FROM base WHERE id % 10 = 0
+        ),
+        allw AS (SELECT * FROM base UNION ALL SELECT * FROM frag),
+        sh AS (
+            SELECT DISTINCT id,
+                   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                         i -> array_to_string(w[i:i+2], ' '))) AS s
+            FROM allw WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+        inter AS (
+            SELECT a.id AS id_sub, b.id AS id_sup, count(*) AS inter_n
+            FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id
+            GROUP BY 1, 2
+        )
+        SELECT i.id_sub, i.id_sup, CAST(i.inter_n AS BIGINT) AS inter_n,
+               CAST(sa.sz AS BIGINT) AS sub_sz
+        FROM inter i JOIN sizes sa ON sa.id = i.id_sub
+        WHERE i.inter_n >= ceil(0.8 * sa.sz - 1e-9)
+        ORDER BY id_sub, id_sup
+    """
+
+
 def _q109_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators.spectrum import kmer_spectrum_sql
 
@@ -3663,6 +3697,43 @@ def q110_xor_filter(spark, sf_dir):
     )
 
 
+def q111_containment_join(spark, sf_dir):
+    """Exact asymmetric containment join (operators/setjoin
+    .containment_join): fragment-inside-document detection — the
+    relation Jaccard can't see (a short quote barely moves the union).
+    Corpus: documents plus a planted 60%-word-prefix fragment for
+    every 10th doc; token universe = word 3-gram shingles (the q06
+    convention).  One-sided prefix filter (sub-prefix × sup-full
+    events under the df-ascending order) + exact array_intersect
+    verification; hash-oracled row-for-row against a brute-force
+    DuckDB shingle self-join at threshold 0.8."""
+    from btl_bloomfilter_spark.functions.textstats import _WS
+    from btl_bloomfilter_spark.operators.setjoin import containment_join
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("id"),
+        F.split(F.trim(F.coalesce("text", F.lit(""))), f"[{_WS}]+").alias("w"),
+    )
+    frag = base.where(F.col("id") % 10 == 0).select(
+        (F.col("id") + 100000).alias("id"),
+        F.expr("slice(w, 1, greatest(cast(ceil(0.6 * size(w)) as int), 3))").alias("w"),
+    )
+    allw = base.unionByName(frag)
+    sh = allw.select(
+        "id",
+        F.when(
+            F.size("w") >= 3,
+            F.expr("transform(sequence(1, size(w) - 2), i -> concat_ws(' ', slice(w, i, 3)))"),
+        )
+        .otherwise(F.expr("array(cast(null as string))"))
+        .alias("toks"),
+    )
+    return containment_join(sh, "toks", "id", threshold=0.8, tokens_col="toks").orderBy(
+        "id_sub", "id_sup"
+    )
+
+
 def q109_kmer_spectrum(spark, sf_dir):
     """K-mer abundance spectrum (operators/spectrum) — the ntCard
     problem (Mohamadi et al., Bioinformatics 2017; the BTL sizing
@@ -3789,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q108_blocked_bloom": q108_blocked_bloom,
         "q109_kmer_spectrum": q109_kmer_spectrum,
         "q110_xor_filter": q110_xor_filter,
+        "q111_containment_join": q111_containment_join,
     }
 
 
@@ -4398,6 +4470,7 @@ def oracle_sql() -> dict[str, str]:
         "q105_edit_distance_join": _q105_oracle_sql(),
         "q107_rrf_fusion": _q107_oracle_sql(),
         "q109_kmer_spectrum": _q109_oracle_sql(),
+        "q111_containment_join": _q111_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

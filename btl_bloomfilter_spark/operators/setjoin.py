@@ -60,7 +60,7 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.textstats import _WS, _clean
 from ..plans.pairs import grouped_pair_events
 
-__all__ = ["ordered_token_sets", "prefix_similarity_join"]
+__all__ = ["containment_join", "ordered_token_sets", "prefix_similarity_join"]
 
 
 def ordered_token_sets(
@@ -193,4 +193,92 @@ def prefix_similarity_join(
             (F.col("sz_a") + F.col("sz_b") - inter).cast("long").alias("union_n"),
         )
         .where(F.col("inter_n").cast("double") >= F.lit(t) * F.col("union_n").cast("double"))
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    *,
+    threshold: float,
+    tokens_col: str | None = None,
+    token_sets: DataFrame | None = None,
+) -> DataFrame:
+    """Exact ASYMMETRIC threshold join: all ORDERED pairs (id_sub,
+    id_sup), id_sub != id_sup, with containment |T_sub ∩ T_sup| /
+    |T_sub| >= threshold — "document id_sub's token set is (mostly)
+    inside id_sup's".  The quote/subset-detection complement of
+    :func:`prefix_similarity_join`: Jaccard is blind to a short
+    fragment inside a long document (union is dominated by the long
+    side), containment is exactly that relation — the dedup pass a
+    training pipeline needs for embedded copies, boilerplate
+    inclusions and benchmark fragments quoted inside crawl pages.
+
+    Returns ``(id_sub, id_sup, inter_n, sub_sz)`` — all integers, the
+    containment ratio ``inter_n / sub_sz`` left to the caller (the
+    hash-oracle convention of prefix_similarity_join).
+
+    Exactness (one-sided prefix filter): overlap needed is
+    alpha = ceil(t·|sub|); if sub and sup share >= alpha tokens, the
+    first ``|sub| - alpha + 1`` tokens of sub UNDER ANY COMMON TOTAL
+    ORDER contain at least one shared token (all-miss would leave
+    fewer than alpha positions).  So joining sub-PREFIX events against
+    sup-FULL token events on the token is a lossless candidate
+    superset; exact ``array_intersect`` verification removes the rest.
+    Unlike the symmetric join there is no useful prefix on the sup
+    side — alpha depends on the (unknown at explode time) sub size —
+    so the sup side explodes fully: the candidate volume per token is
+    ``prefix_df(token) · df(token)``, which the df-ascending order
+    keeps small exactly like the symmetric case (hot tokens fall out
+    of every prefix, so ``prefix_df ≈ 0`` where ``df`` is large).
+    A cheap lossless event filter ``sz_sup >= ceil(t·sz_sub)``
+    (overlap can't exceed |sup|) prunes fragments-of-fragments early.
+    Residual skew (rare-ish prefix token × large df) is AQE
+    skew-split territory — the join is a plain equi-join on token.
+
+    100-TB shape: token df table + ordered sets (one corpus scan when
+    ``token_sets`` is passed, the persist-once convention), sub-prefix
+    explode ~ |prefix| rows/doc, sup explode |T| rows/doc, ONE
+    token-keyed hash join, distinct candidates, two verify hash joins.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+    docs = (
+        token_sets
+        if token_sets is not None
+        else ordered_token_sets(df, col, id_col, tokens_col=tokens_col)
+    )
+
+    plen = (F.col("sz") - F.ceil(F.lit(t) * F.col("sz") - F.lit(1e-9)) + 1).cast("int")
+    pref = docs.select(
+        F.col("id").alias("id_sub"),
+        F.col("sz").alias("sub_sz0"),
+        F.explode(F.slice("toks", F.lit(1), plen)).alias("token"),
+    )
+    full = docs.select(
+        F.col("id").alias("id_sup"), F.col("sz").alias("sup_sz0"), F.explode("toks").alias("token")
+    )
+    alpha = F.ceil(F.lit(t) * F.col("sub_sz0") - F.lit(1e-9))
+    cand = (
+        pref.join(full, "token")
+        .where((F.col("id_sub") != F.col("id_sup")) & (F.col("sup_sz0") >= alpha))
+        .select("id_sub", "id_sup")
+        .distinct()
+    )
+
+    a = docs.select(F.col("id").alias("id_sub"), F.col("toks").alias("toks_sub"), F.col("sz").alias("sub_sz"))
+    b = docs.select(F.col("id").alias("id_sup"), F.col("toks").alias("toks_sup"))
+    inter = F.size(F.array_intersect("toks_sub", "toks_sup"))
+    return (
+        cand.join(a, "id_sub")
+        .join(b, "id_sup")
+        .select(
+            "id_sub",
+            "id_sup",
+            inter.cast("long").alias("inter_n"),
+            F.col("sub_sz").cast("long").alias("sub_sz"),
+        )
+        .where(F.col("inter_n") >= F.ceil(F.lit(t) * F.col("sub_sz") - F.lit(1e-9)))
     )
