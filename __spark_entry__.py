@@ -3748,6 +3748,97 @@ def q109_kmer_spectrum(spark, sf_dir):
     return kmer_spectrum(docs, "text", 12).orderBy("multiplicity")
 
 
+# q112 shared spec — dialect-neutral SQL fragments used VERBATIM by
+# both engines (one spec, two plans: see operators/linkage docstring).
+# Feed A = the clean customer registry; feed B = a deterministic noisy
+# re-ingest of every even-keyed customer: 1-char name deletion for
+# key%6==0 (caught by the lev<=1 comparator), first-digit phone garble
+# for key%5==0 (fails the exact comparator), balance and the blocking
+# fields (nation, segment) untouched.  `phone` is synthesized from the
+# key by a fixed affine map so both engines derive identical digits.
+_Q112_PHONE = "lpad(CAST((c_custkey * 7919 + 13) % 100000000 AS STRING), 8, '0')"
+_Q112_A_COLS = [
+    "c_custkey AS id",
+    "c_name AS name",
+    "c_nationkey AS nat",
+    "c_mktsegment AS seg",
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents",
+    f"{_Q112_PHONE} AS phone",
+]
+_Q112_B_COLS = [
+    "c_custkey + 500000 AS id",
+    "CASE WHEN c_custkey % 6 = 0 THEN substr(c_name, 1, length(c_name) - 1) "
+    "ELSE c_name END AS name",
+    "c_nationkey AS nat",
+    "c_mktsegment AS seg",
+    "CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents",
+    f"CASE WHEN c_custkey % 5 = 0 THEN concat('9', substr({_Q112_PHONE}, 2, 7)) "
+    f"ELSE {_Q112_PHONE} END AS phone",
+]
+_Q112_B_WHERE = "c_custkey % 2 = 0"
+_Q112_BLOCK = [("{t}nat", "{t}nat"), ("{t}seg", "{t}seg")]
+
+
+def _q112_spec():
+    """Comparators + threshold.  Weights are quantized ONCE here
+    (integer milli-bits, fs_weights) so the pair score is a LONG in
+    both engines.  Threshold 10000 separates the bands: a true pair's
+    worst case (name lev-agree, phone garbled, balance agree) scores
+    wa_name + wd_phone + wa_bal = 12944; the strongest plausible
+    non-match (adjacent-key lev-1 name collision inside a block)
+    scores wa_name + wd_phone + wd_bal = -2330."""
+    from btl_bloomfilter_spark.operators.linkage import Comparator, fs_weights
+
+    wn = fs_weights(0.99, 0.005)
+    wp = fs_weights(0.8, 0.0001)
+    wb = fs_weights(0.995, 0.005)
+    comps = [
+        Comparator("name", "{t}name", "{t}name", *wn, kind="lev", max_dist=1),
+        Comparator("phone", "{t}phone", "{t}phone", *wp, kind="exact"),
+        Comparator("bal", "{t}bal_cents", "{t}bal_cents", *wb, kind="exact"),
+    ]
+    return comps, 10000
+
+
+def q112_record_linkage(spark, sf_dir):
+    """Blocked probabilistic record linkage (operators/linkage,
+    Fellegi-Sunter JASA 1969): entity resolution between a clean
+    registry and a deterministic noisy re-ingest of half its rows
+    (typo'd names, garbled phones — spec above).  Blocking on
+    (nation, segment) keeps candidate generation a single equi-join
+    (never a cross join); scoring is a pure whole-stage-codegen
+    projection of integer milli-bit log-odds weights.  Returns ALL
+    blocked candidate pairs with per-field agreement flags, the LONG
+    score, and the match call — hash-oracled row-for-row against a
+    DuckDB twin generated from the SAME expression spec."""
+    from btl_bloomfilter_spark.operators.linkage import fellegi_sunter_link
+
+    cust = _load(spark, sf_dir, "customer")["customer"]
+    comps, thr = _q112_spec()
+    feed_a = cust.selectExpr(*_Q112_A_COLS)
+    feed_b = cust.where(_Q112_B_WHERE).selectExpr(*_Q112_B_COLS)
+    return fellegi_sunter_link(
+        feed_a, feed_b, id_a="id", id_b="id",
+        block=_Q112_BLOCK, comparators=comps, threshold_milli=thr,
+    ).orderBy("id_a", "id_b")
+
+
+def _q112_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.linkage import fellegi_sunter_sql
+
+    comps, thr = _q112_spec()
+    inner = fellegi_sunter_sql(
+        "feed_a", "feed_b", id_a="id", id_b="id",
+        block=_Q112_BLOCK, comparators=comps, threshold_milli=thr,
+    )
+    return f"""
+        WITH feed_a AS (SELECT {', '.join(_Q112_A_COLS)} FROM customer),
+             feed_b AS (SELECT {', '.join(_Q112_B_COLS)} FROM customer
+                        WHERE {_Q112_B_WHERE})
+        SELECT * FROM {inner} t ORDER BY id_a, id_b
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3861,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q109_kmer_spectrum": q109_kmer_spectrum,
         "q110_xor_filter": q110_xor_filter,
         "q111_containment_join": q111_containment_join,
+        "q112_record_linkage": q112_record_linkage,
     }
 
 
@@ -4471,6 +4563,7 @@ def oracle_sql() -> dict[str, str]:
         "q107_rrf_fusion": _q107_oracle_sql(),
         "q109_kmer_spectrum": _q109_oracle_sql(),
         "q111_containment_join": _q111_oracle_sql(),
+        "q112_record_linkage": _q112_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
