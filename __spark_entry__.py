@@ -3839,6 +3839,51 @@ def _q112_oracle_sql() -> str:
     """
 
 
+# q113 shared quantization — floor, not round: floor is IEEE-identical
+# across engines where round's tie-break convention is not (the
+# operators/stats.py precedent).
+_Q113_CENTS = "CAST(floor(value * 100) AS BIGINT)"
+
+
+def q113_robust_outliers(spark, sf_dir):
+    """Grouped robust anomaly flagging (operators/robust): exact
+    lower-median/MAD outliers of event value per event_type — the
+    robust 3-sigma rule (k_milli=4448 = milli-quantized 3*1.4826,
+    Hampel/Leys) in pure int64 arithmetic.  Scale shape: the data is
+    compressed to a per-group VALUE histogram before any ordering
+    (shuffle bounded by distinct cents values, not rows), the one-row-
+    per-group stats table is broadcast back, and the flagging pass is
+    a pure map.  Hash-oracled row-for-row against a DuckDB twin that
+    runs the SAME explicit lower-median construction (never the
+    builtin interpolating median)."""
+    from btl_bloomfilter_spark.operators.robust import robust_outliers
+
+    ev = _load(spark, sf_dir, "events")["events"].selectExpr(
+        "event_type", "event_id", f"{_Q113_CENTS} AS v_cents"
+    )
+    return (
+        robust_outliers(ev, ["event_type"], "v_cents")
+        .select("event_type", "event_id", "v_cents", "n", "med", "mad")
+        .orderBy("event_type", "event_id")
+    )
+
+
+def _q113_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.robust import grouped_median_mad_sql
+
+    stats = grouped_median_mad_sql("src", "event_type", "v_cents")
+    return f"""
+        WITH src AS (
+            SELECT event_type, event_id, {_Q113_CENTS} AS v_cents
+            FROM events WHERE value IS NOT NULL
+        )
+        SELECT src.event_type, event_id, v_cents, n, med, mad
+        FROM src JOIN {stats} stats ON src.event_type = stats.event_type
+        WHERE abs(v_cents - med) * 1000 > 4448 * mad
+        ORDER BY src.event_type, event_id
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3953,6 +3998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q110_xor_filter": q110_xor_filter,
         "q111_containment_join": q111_containment_join,
         "q112_record_linkage": q112_record_linkage,
+        "q113_robust_outliers": q113_robust_outliers,
     }
 
 
@@ -4564,6 +4610,7 @@ def oracle_sql() -> dict[str, str]:
         "q109_kmer_spectrum": _q109_oracle_sql(),
         "q111_containment_join": _q111_oracle_sql(),
         "q112_record_linkage": _q112_oracle_sql(),
+        "q113_robust_outliers": _q113_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

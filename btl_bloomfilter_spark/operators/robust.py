@@ -1,0 +1,150 @@
+"""Exact grouped robust statistics: lower median, MAD, and
+median/MAD outlier flagging — the robust companion to the KLL
+quantile sketch (operators/kll, q23) when the answer must be exact
+and hash-oracle-able.
+
+Why "lower median": interpolating medians (Spark ``median``, DuckDB
+``median``) average the two middle elements on even counts, producing
+a float that leaves the fixed-point domain (fixed-point-oracle-policy
+memory).  This module defines median(xs) = the element of rank
+ceil(n/2) under ascending order — always a real element, always a
+LONG, identical in both engines because BOTH use this explicit
+construction (the oracle twins below never call the engines' builtin
+``median``).  MAD is the same lower median of ``abs(x - med)``.
+
+Outlier rule: ``|x - med| * 1000 > k_milli * mad`` — pure int64
+arithmetic.  ``k_milli = 4448`` is the milli-quantized
+3·1.4826 ≈ 4.4478 (the normal-consistency constant: MAD·1.4826
+estimates sigma, so this is the robust 3-sigma rule, Hampel 1974 /
+Leys et al. JESP 2013).  A degenerate group (mad = 0) flags ANY
+deviation — the correct robust behavior when >half the group is one
+value.  Overflow contract: requires |v|·1000 < 2^63 (|v| < 9.2e15),
+documented not enforced, like the rest of the fixed-point family.
+
+100-TB shape (the reason this isn't a window over raw rows): exact
+per-group order statistics need per-group ordering, but NOT over
+rows.  The data is first compressed to a per-group VALUE HISTOGRAM
+(``groupBy(g, v).count()`` — map-side partial combine, one shuffle
+whose size is bounded by distinct values, not rows; cents-quantized
+prices at 100 TB are millions of distinct values, not trillions of
+rows), the cumulative-count window then runs over the histogram, the
+per-group (n, med, mad) table is tiny (one row per group) and is
+BROADCAST back for the outlier filter — a pure map over the source.
+Group skew is bounded by the value-domain size, never by the hottest
+group's row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["grouped_median_mad", "robust_outliers", "grouped_median_mad_sql"]
+
+# rank of the lower median: ceil(n/2) == floor((n+1)/2)
+_RANK = "CAST(floor((n + 1) / 2) AS BIGINT)"
+
+
+def _weighted_lower_median(hist: DataFrame, group_cols: list[str], v: str) -> DataFrame:
+    """hist = (group..., v, cnt) -> (group..., med, n): smallest v
+    whose cumulative count reaches rank ceil(n/2).  cum is monotone in
+    v, so min(v | cum >= rank) is the crossing element."""
+    w_cum = Window.partitionBy(*group_cols).orderBy(v).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(*group_cols)
+    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+    return (
+        h.where(F.col("cum") >= F.expr(_RANK))
+        .groupBy(*group_cols)
+        .agg(F.min(v).alias("med"), F.first("n").alias("n"))
+    )
+
+
+def grouped_median_mad(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """(group..., n, med, mad) — all LONG.  ``value_col`` must already
+    be integer-quantized (cast cents/micros yourself: quantize ONCE at
+    the edge).  NULL values are dropped (a missing measurement is not
+    a zero)."""
+    src = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("long").alias("v")
+    )
+    hist = src.groupBy(*group_cols, "v").agg(F.count("*").alias("cnt"))
+    med = _weighted_lower_median(hist, group_cols, "v")
+    dev_hist = (
+        hist.join(F.broadcast(med), group_cols)
+        .select(*group_cols, F.abs(F.col("v") - F.col("med")).alias("d"), "cnt")
+        .groupBy(*group_cols, "d")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    mad = _weighted_lower_median(dev_hist, group_cols, "d").select(
+        *group_cols, F.col("med").alias("mad")
+    )
+    return med.join(mad, group_cols).select(
+        *group_cols, F.col("n").cast("long").alias("n"), "med", "mad"
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    k_milli: int = 4448,
+) -> DataFrame:
+    """Source rows whose value is a median/MAD outlier within their
+    group, with the group's (n, med, mad) attached.  The stats table
+    (one row per group) is broadcast — the flagging pass is a pure
+    map over the source, no second shuffle of data rows."""
+    stats = grouped_median_mad(df, group_cols, value_col)
+    v = F.col(value_col).cast("long")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(stats), group_cols)
+        .where(F.abs(v - F.col("med")) * F.lit(1000) > F.lit(int(k_milli)) * F.col("mad"))
+    )
+
+
+def _median_sql(src: str, group: str, v: str) -> str:
+    """Weighted-lower-median SQL over a histogram CTE ``src`` with
+    columns (group, v, cnt) — the exact construction
+    _weighted_lower_median runs, in dialect-neutral SQL."""
+    return f"""(
+        SELECT {group}, min({v}) AS med, min(n) AS n
+        FROM (
+            SELECT {group}, {v}, n,
+                   sum(cnt) OVER (PARTITION BY {group} ORDER BY {v}
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM (SELECT {group}, {v}, cnt,
+                         sum(cnt) OVER (PARTITION BY {group}) AS n
+                  FROM {src}) h0
+        ) h WHERE cum >= {_RANK}
+        GROUP BY {group}
+    )"""
+
+
+def grouped_median_mad_sql(table: str, group: str, value_expr: str) -> str:
+    """DuckDB/ANSI twin of :func:`grouped_median_mad` — same
+    histogram-compressed lower-median construction, never the builtin
+    interpolating ``median``.  ``value_expr`` must produce the SAME
+    integer quantization used on the Spark side."""
+    return f"""(
+        WITH hist AS (
+            SELECT {group}, {value_expr} AS v, count(*) AS cnt
+            FROM {table} WHERE {value_expr} IS NOT NULL
+            GROUP BY {group}, {value_expr}
+        ),
+        med AS (SELECT * FROM {_median_sql('hist', group, 'v')} m),
+        dev_hist AS (
+            SELECT hist.{group}, abs(v - med.med) AS d, sum(cnt) AS cnt
+            FROM hist JOIN med ON hist.{group} = med.{group}
+            GROUP BY hist.{group}, abs(v - med.med)
+        ),
+        mad AS (SELECT {group}, med AS mad FROM {_median_sql('dev_hist', group, 'd')} m)
+        SELECT med.{group}, CAST(med.n AS BIGINT) AS n,
+               CAST(med.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad
+        FROM med JOIN mad ON med.{group} = mad.{group}
+    )"""

@@ -1,0 +1,109 @@
+"""Exact grouped lower-median/MAD: hand-checked semantics (odd/even
+counts, NULL drop, degenerate MAD=0), brute-force parity on random
+data, DuckDB-twin parity (same explicit construction, never builtin
+median), outlier-rule parity, and the broadcast plan shape."""
+
+import random
+
+import pytest
+
+from btl_bloomfilter_spark.operators.robust import (
+    grouped_median_mad,
+    grouped_median_mad_sql,
+    robust_outliers,
+)
+
+
+def _lower_median(xs):
+    s = sorted(xs)
+    return s[(len(s) + 1) // 2 - 1]
+
+
+def _brute(rows):
+    """rows: (g, v) with v possibly None -> {g: (n, med, mad)}"""
+    by_g = {}
+    for g, v in rows:
+        if v is not None:
+            by_g.setdefault(g, []).append(v)
+    return {
+        g: (
+            len(vs),
+            _lower_median(vs),
+            _lower_median([abs(v - _lower_median(vs)) for v in vs]),
+        )
+        for g, vs in by_g.items()
+    }
+
+
+@pytest.mark.spark
+def test_hand_cases(spark):
+    rows = [
+        ("odd", 1), ("odd", 3), ("odd", 100),          # med 3, devs {2,0,97} -> mad 2
+        ("even", 1), ("even", 2), ("even", 3), ("even", 4),  # lower med 2, devs {1,0,1,2} -> mad 1
+        ("null", 7), ("null", None), ("null", 9),      # NULL dropped -> n 2, med 7, mad 0
+        ("deg", 5), ("deg", 5), ("deg", 5), ("deg", 50),  # med 5, mad 0
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: (r.n, r.med, r.mad) for r in grouped_median_mad(df, ["g"], "v").collect()}
+    assert got == {
+        "odd": (3, 3, 2),
+        "even": (4, 2, 1),
+        "null": (2, 7, 0),
+        "deg": (4, 5, 0),
+    }
+    # degenerate mad=0: ANY deviation is an outlier
+    out = robust_outliers(df, ["g"], "v").collect()
+    assert {(r.g, r.v) for r in out} >= {("deg", 50), ("null", 9)}
+    assert all(r.v != r.med or r.mad > 0 for r in out)
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_brute_force_parity(spark, seed):
+    rng = random.Random(seed)
+    rows = [
+        (f"g{rng.randrange(4)}", rng.choice([None] + list(range(-50, 51))))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: (r.n, r.med, r.mad) for r in grouped_median_mad(df, ["g"], "v").collect()}
+    assert got == _brute(rows)
+    # outlier rule parity
+    k = 4448
+    want = {
+        (g, v) for g, v in rows
+        if v is not None and abs(v - got[g][1]) * 1000 > k * got[g][2]
+    }
+    have = [(r.g, r.v) for r in robust_outliers(df, ["g"], "v", k_milli=k).collect()]
+    assert sorted(have) == sorted(want)  # multiset: duplicates flagged per-row
+
+
+@pytest.mark.spark
+def test_duckdb_twin_parity(spark):
+    import duckdb
+
+    rng = random.Random(7)
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(-1000, 1000)) for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = sorted(
+        (r.g, r.n, r.med, r.mad) for r in grouped_median_mad(df, ["g"], "v").collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g TEXT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = grouped_median_mad_sql("t", "g", "v")
+    want = sorted(tuple(r) for r in con.execute(f"SELECT * FROM {sql} s").fetchall())
+    assert got == want
+
+
+@pytest.mark.spark
+def test_outlier_plan_broadcasts_stats(spark):
+    df = spark.createDataFrame([("a", i) for i in range(100)], "g string, v long")
+    plan = (
+        robust_outliers(df, ["g"], "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan.split(
+        "BroadcastHashJoin"
+    )[0]
