@@ -3884,6 +3884,30 @@ def _q113_oracle_sql() -> str:
     """
 
 
+def q114_collocations(spark, sf_dir):
+    """PMI-style collocation mining (operators/collocations, Church &
+    Hanks CL'90): top adjacent word pairs by exact observed/expected
+    lift over the bigram contingency margins.  The fixed-point policy
+    applied one step before the log: ln is monotone, so ranking by
+    the exact integer RATIO (decimal/hugeint products, one
+    correctly-rounded double division) is ranking by PMI without ever
+    calling libm — the lift doubles are bit-identical across engines
+    and the (lift desc, w1, w2) order is total, so the whole top-50
+    table hash-oracles.  Raw rows are touched once (tokenize + one
+    explode); margins and the total derive from the compressed pair
+    table."""
+    from btl_bloomfilter_spark.operators.collocations import collocations
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return collocations(docs, "text", min_count=5, top_n=50)
+
+
+def _q114_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.collocations import collocations_sql
+
+    return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -3999,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q111_containment_join": q111_containment_join,
         "q112_record_linkage": q112_record_linkage,
         "q113_robust_outliers": q113_robust_outliers,
+        "q114_collocations": q114_collocations,
     }
 
 
@@ -4611,6 +4636,7 @@ def oracle_sql() -> dict[str, str]:
         "q111_containment_join": _q111_oracle_sql(),
         "q112_record_linkage": _q112_oracle_sql(),
         "q113_robust_outliers": _q113_oracle_sql(),
+        "q114_collocations": _q114_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

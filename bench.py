@@ -831,6 +831,33 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return kmer_spectrum(docs, "text", 12).count()
 
+    def q_record_linkage():
+        # ONE equi-join on the (nation, segment) blocking tuple +
+        # whole-stage-codegen integer scoring; the lev comparator
+        # evaluates inside the join's output projection
+        from btl_bloomfilter_spark.operators.linkage import fellegi_sunter_link
+
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        comps, thr = em._q112_spec()
+        a = cust.selectExpr(*em._Q112_A_COLS)
+        b = cust.where(em._Q112_B_WHERE).selectExpr(*em._Q112_B_COLS)
+        out = fellegi_sunter_link(
+            a, b, id_a="id", id_b="id",
+            block=em._Q112_BLOCK, comparators=comps, threshold_milli=thr,
+        )
+        return out.where(F.col("is_match")).count()
+
+    def q_robust_outliers():
+        # histogram-compressed exact median/MAD: the only row-shaped
+        # work is groupBy(type, cents).count with map-side combine;
+        # one-row-per-group stats broadcast back, flagging is pure map
+        from btl_bloomfilter_spark.operators.robust import robust_outliers
+
+        src = ev.selectExpr(
+            "event_type", "CAST(floor(value * 100) AS BIGINT) AS v_cents"
+        )
+        return robust_outliers(src, ["event_type"], "v_cents").count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -883,6 +910,8 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "quality_classifier_train": q_quality_classifier,
         "xor_filter_build_probe": q_xor_filter_build_probe,
         "kmer_spectrum_docs": q_kmer_spectrum_docs,
+        "record_linkage": q_record_linkage,
+        "robust_outliers": q_robust_outliers,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
