@@ -3884,6 +3884,40 @@ def _q113_oracle_sql() -> str:
     """
 
 
+def q115_grouped_quantiles(spark, sf_dir):
+    """Exact grouped quantile report (operators/robust
+    .grouped_quantiles): lower p1/p25/p50/p75/p90/p99 of line-item
+    price cents per return flag — the per-group percentile table a
+    100-TB pipeline reports without sorting rows: ONE value-histogram
+    shuffle (map-side combine), a cumulative window over distinct
+    cents, and a broadcast (group, q, rank) join where the rank is
+    PURE INTEGER arithmetic ((q_milli*n + 999) div 1000), so both
+    engines select the same element with no float in sight.
+    Hash-oracled row-for-row; the q=500 row is grouped_median_mad's
+    med by construction (pinned in test_robust)."""
+    from btl_bloomfilter_spark.operators.robust import grouped_quantiles
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].selectExpr(
+        "l_returnflag", f"{_Q115_CENTS} AS price_cents"
+    )
+    return grouped_quantiles(
+        li, ["l_returnflag"], "price_cents", q_millis=_Q115_QS
+    ).orderBy("l_returnflag", "q_milli")
+
+
+_Q115_CENTS = "CAST(floor(l_extendedprice * 100) AS BIGINT)"
+_Q115_QS = [10, 250, 500, 750, 900, 990]
+
+
+def _q115_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.robust import grouped_quantiles_sql
+
+    inner = grouped_quantiles_sql(
+        "lineitem", "l_returnflag", _Q115_CENTS, q_millis=_Q115_QS
+    )
+    return f"SELECT * FROM {inner} s ORDER BY l_returnflag, q_milli"
+
+
 def q114_collocations(spark, sf_dir):
     """PMI-style collocation mining (operators/collocations, Church &
     Hanks CL'90): top adjacent word pairs by exact observed/expected
@@ -4024,6 +4058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q112_record_linkage": q112_record_linkage,
         "q113_robust_outliers": q113_robust_outliers,
         "q114_collocations": q114_collocations,
+        "q115_grouped_quantiles": q115_grouped_quantiles,
     }
 
 
@@ -4637,6 +4672,7 @@ def oracle_sql() -> dict[str, str]:
         "q112_record_linkage": _q112_oracle_sql(),
         "q113_robust_outliers": _q113_oracle_sql(),
         "q114_collocations": _q114_oracle_sql(),
+        "q115_grouped_quantiles": _q115_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -38,7 +38,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["grouped_median_mad", "robust_outliers", "grouped_median_mad_sql"]
+__all__ = [
+    "grouped_median_mad",
+    "robust_outliers",
+    "grouped_median_mad_sql",
+    "grouped_quantiles",
+    "grouped_quantiles_sql",
+]
 
 # rank of the lower median: ceil(n/2) == floor((n+1)/2)
 _RANK = "CAST(floor((n + 1) / 2) AS BIGINT)"
@@ -106,6 +112,95 @@ def robust_outliers(
         .join(F.broadcast(stats), group_cols)
         .where(F.abs(v - F.col("med")) * F.lit(1000) > F.lit(int(k_milli)) * F.col("mad"))
     )
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    q_millis: list[int],
+) -> DataFrame:
+    """Exact lower q-quantiles per group: for each q (in milli-units,
+    e.g. 500 = median — grouped_median_mad's med IS the q=500 row),
+    the element of rank ceil(q·n/1000).  The rank is pure integer
+    arithmetic — ``(q_milli·n + 999) div 1000`` — so no float ever
+    enters the selection and both engines pick the same element.
+
+    Returns (group..., q_milli, n, value), one row per group × q.
+    Same scale shape as grouped_median_mad: ONE histogram shuffle,
+    one cumulative window over distinct values, then a broadcast
+    hash join of the tiny (group, q, rank) table against the
+    histogram with a residual rank-interval filter — each (group, q)
+    matches exactly one histogram row (the one whose cumulative
+    interval (cum-cnt, cum] covers the rank)."""
+    qs = sorted(set(int(q) for q in q_millis))
+    if not qs or qs[0] < 1 or qs[-1] > 1000:
+        raise ValueError("q_millis must be within [1, 1000]")
+    src = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("long").alias("v")
+    )
+    hist = src.groupBy(*group_cols, "v").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy(*group_cols).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    ranks = (
+        h.groupBy(*group_cols)
+        .agg(F.first("n").alias("n"))
+        .crossJoin(
+            F.broadcast(
+                h.sparkSession.createDataFrame(
+                    [(q,) for q in qs], "q_milli long"
+                )
+            )
+        )
+        .withColumn("rank", F.expr("CAST((q_milli * n + 999) DIV 1000 AS BIGINT)"))
+    )
+    return (
+        h.join(F.broadcast(ranks.drop("n")), group_cols)
+        .where(
+            (F.col("rank") > F.col("cum") - F.col("cnt"))
+            & (F.col("rank") <= F.col("cum"))
+        )
+        .select(
+            *group_cols,
+            "q_milli",
+            F.col("n").cast("long").alias("n"),
+            F.col("v").alias("value"),
+        )
+    )
+
+
+def grouped_quantiles_sql(
+    table: str, group: str, value_expr: str, *, q_millis: list[int]
+) -> str:
+    """DuckDB/ANSI twin of :func:`grouped_quantiles` — same histogram,
+    same integer rank, same interval selection."""
+    qs = sorted(set(int(q) for q in q_millis))
+    vals = ", ".join(f"({q})" for q in qs)
+    return f"""(
+        WITH hist AS (
+            SELECT {group}, {value_expr} AS v, count(*) AS cnt
+            FROM {table} WHERE {value_expr} IS NOT NULL
+            GROUP BY {group}, {value_expr}
+        ),
+        h AS (
+            SELECT {group}, v, cnt,
+                   sum(cnt) OVER (PARTITION BY {group} ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY {group}) AS n
+            FROM hist
+        ),
+        qs(q_milli) AS (VALUES {vals})
+        SELECT {group}, CAST(q_milli AS BIGINT) AS q_milli,
+               CAST(n AS BIGINT) AS n, v AS value
+        FROM h CROSS JOIN qs
+        WHERE (q_milli * n + 999) // 1000 > cum - cnt
+          AND (q_milli * n + 999) // 1000 <= cum
+    )"""
 
 
 def _median_sql(src: str, group: str, v: str) -> str:

@@ -96,6 +96,71 @@ def test_duckdb_twin_parity(spark):
     assert got == want
 
 
+def _brute_q(vals, q_milli):
+    s = sorted(vals)
+    rank = (q_milli * len(s) + 999) // 1000
+    return s[rank - 1]
+
+
+@pytest.mark.spark
+def test_grouped_quantiles_hand_and_median_coherence(spark):
+    from btl_bloomfilter_spark.operators.robust import grouped_quantiles
+
+    rows = [("a", v) for v in [10, 20, 30, 40]] + [("b", v) for v in [5, 5, 7]]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r.g, r.q_milli): (r.n, r.value)
+        for r in grouped_quantiles(df, ["g"], "v", q_millis=[1, 250, 500, 750, 1000]).collect()
+    }
+    # a (n=4): ranks ceil(q*4) -> 1,1,2,3,4 ; b (n=3): 1,1,2,3,3
+    assert got == {
+        ("a", 1): (4, 10), ("a", 250): (4, 10), ("a", 500): (4, 20),
+        ("a", 750): (4, 30), ("a", 1000): (4, 40),
+        ("b", 1): (3, 5), ("b", 250): (3, 5), ("b", 500): (3, 5),
+        ("b", 750): (3, 7), ("b", 1000): (3, 7),
+    }
+    # q=500 IS grouped_median_mad's med
+    med = {r.g: r.med for r in grouped_median_mad(df, ["g"], "v").collect()}
+    assert med == {g: got[(g, 500)][1] for g in ("a", "b")}
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, ["g"], "v", q_millis=[0])
+    with pytest.raises(ValueError):
+        grouped_quantiles(df, ["g"], "v", q_millis=[1001])
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("seed", [4, 5])
+def test_grouped_quantiles_brute_and_twin(spark, seed):
+    import duckdb
+
+    from btl_bloomfilter_spark.operators.robust import (
+        grouped_quantiles,
+        grouped_quantiles_sql,
+    )
+
+    rng = random.Random(seed)
+    rows = [(f"g{rng.randrange(3)}", rng.randrange(-100, 100)) for _ in range(300)]
+    qs = [10, 333, 500, 900, 990]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = sorted(
+        (r.g, r.q_milli, r.n, r.value)
+        for r in grouped_quantiles(df, ["g"], "v", q_millis=qs).collect()
+    )
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    want = sorted(
+        (g, q, len(vs), _brute_q(vs, q)) for g, vs in by_g.items() for q in qs
+    )
+    assert got == want
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (g TEXT, v BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    sql = grouped_quantiles_sql("t", "g", "v", q_millis=qs)
+    duck = sorted(tuple(r) for r in con.execute(f"SELECT * FROM {sql} s").fetchall())
+    assert got == duck
+
+
 @pytest.mark.spark
 def test_outlier_plan_broadcasts_stats(spark):
     df = spark.createDataFrame([("a", i) for i in range(100)], "g string, v long")
