@@ -3884,6 +3884,98 @@ def _q113_oracle_sql() -> str:
     """
 
 
+def q116_cuckoo_filter(spark, sf_dir):
+    """Cuckoo filter (operators/cuckoo; Fan et al. CoNEXT 2014) —
+    deletion-supporting membership, completing the filter family's
+    mutability axis: Bloom inserts forever, counting deletes at 8
+    bits/counter, xor is static, cuckoo deletes at fingerprint cost.
+    Distributed build shares the xor filter's shape (hash-sharded
+    independent blocks, per-block deterministic eviction chains under
+    applyInPandas, 12 bytes/key shuffle).  Gates: `no_false_negatives`
+    (all inserted found, distributed probe), `fpr_consistent`
+    (observed ≤ 2·bucket/2^f + 4σ), `rebuild_identical`,
+    `kept_all_present` + `deleted_at_fpr_level` (the DELETE law: a
+    10% planted retraction leaves every kept key found and drops the
+    deleted set to false-positive level), `smaller_than_counting`
+    (bits/key below the counting Bloom at the same FPR — the
+    operator's reason to exist).  Sketch query: no SQL oracle by
+    design."""
+    import math
+
+    from btl_bloomfilter_spark.operators.cuckoo import (
+        build_cuckoo_filter,
+        cuckoo_contains,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    keys = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.md5(F.coalesce("text", F.lit("")))
+        ).alias("key"),
+    )
+    cf = build_cuckoo_filter(keys, "key", fp_bits=16, salt=5, target_block_keys=128)
+    n = cf.n_keys
+    pos_hits = int(
+        keys.select(cuckoo_contains(spark, cf, F.col("key")).cast("long").alias("h"))
+        .agg(F.sum("h"))
+        .collect()[0][0]
+    )
+    negs = keys.select(
+        F.explode(
+            F.expr("transform(sequence(1, 40), i -> concat('neg', i, ':', key))")
+        ).alias("key")
+    )
+    n_negs = n * 40
+    neg_hits = int(
+        negs.select(cuckoo_contains(spark, cf, F.col("key")).cast("long").alias("h"))
+        .agg(F.sum("h"))
+        .collect()[0][0]
+    )
+    bound = cf.fpr_bound()
+    observed = neg_hits / max(n_negs, 1)
+    sd = (bound * (1 - bound) / max(n_negs, 1)) ** 0.5
+    cf2 = build_cuckoo_filter(keys, "key", fp_bits=16, salt=5, target_block_keys=128)
+    rebuild_identical = cf2.state_bytes() == cf.state_bytes()
+    bits_per_key = cf.total_bits / max(n, 1)
+    counting_bits = 8.0 * 1.44 * math.log2(1.0 / bound)
+    # the DELETE law: retract every 10th doc's key, driver-side
+    del_rows = keys.where(F.col("doc_id") % 10 == 0).select("key").collect()
+    del_keys = [r.key for r in del_rows]
+    removed = cf.delete_batch(del_keys)
+    kept = keys.where(F.col("doc_id") % 10 != 0)
+    kept_hits = int(
+        kept.select(cuckoo_contains(spark, cf, F.col("key")).cast("long").alias("h"))
+        .agg(F.sum("h"))
+        .collect()[0][0]
+    )
+    n_kept = kept.count()
+    del_resid = float(cf.contains_batch(del_keys).mean()) if del_keys else 0.0
+    del_sd = (bound * (1 - bound) / max(len(del_keys), 1)) ** 0.5
+    return spark.createDataFrame(
+        [
+            (
+                n, cf.nblocks, cf.fp_bits, int(cf.total_bits), float(bits_per_key),
+                float(counting_bits), pos_hits, n_negs, neg_hits, float(observed),
+                float(bound), removed, n_kept, kept_hits, float(del_resid),
+                bool(pos_hits == n),
+                bool(observed <= bound + 4.0 * sd),
+                bool(rebuild_identical),
+                bool(kept_hits == n_kept),
+                bool(del_resid <= bound + 4.0 * del_sd),
+                bool(bits_per_key < counting_bits),
+                bool(cf.nblocks > 1),
+            )
+        ],
+        "n_keys long, nblocks int, fp_bits int, total_bits long, bits_per_key double, "
+        "counting_bits_per_key double, pos_hits long, n_negs long, neg_hits long, "
+        "observed_fpr double, fpr_bound double, n_deleted long, n_kept long, kept_hits long, "
+        "deleted_residual_rate double, no_false_negatives boolean, fpr_consistent boolean, "
+        "rebuild_identical boolean, kept_all_present boolean, deleted_at_fpr_level boolean, "
+        "smaller_than_counting boolean, sharded boolean",
+    )
+
+
 def q115_grouped_quantiles(spark, sf_dir):
     """Exact grouped quantile report (operators/robust
     .grouped_quantiles): lower p1/p25/p50/p75/p90/p99 of line-item
@@ -4059,6 +4151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q113_robust_outliers": q113_robust_outliers,
         "q114_collocations": q114_collocations,
         "q115_grouped_quantiles": q115_grouped_quantiles,
+        "q116_cuckoo_filter": q116_cuckoo_filter,
     }
 
 

@@ -831,6 +831,22 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return kmer_spectrum(docs, "text", 12).count()
 
+    def q_cuckoo_filter_build_probe():
+        # deletion-supporting membership: distinct -> 12-byte/key
+        # shuffle -> per-block deterministic eviction chains
+        # (applyInPandas), then broadcast pure-map probe
+        from btl_bloomfilter_spark.operators.cuckoo import (
+            build_cuckoo_filter,
+            cuckoo_contains,
+        )
+
+        cf = build_cuckoo_filter(tdf, "text", fp_bits=16, salt=1, target_block_keys=1 << 14)
+        return (
+            tdf.select(cuckoo_contains(spark, cf, "text").cast("int").alias("h"))
+            .agg(F.min("h"))
+            .collect()[0][0]
+        )
+
     def q_record_linkage():
         # ONE equi-join on the (nation, segment) blocking tuple +
         # whole-stage-codegen integer scoring; the lev comparator
@@ -912,6 +928,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "kmer_spectrum_docs": q_kmer_spectrum_docs,
         "record_linkage": q_record_linkage,
         "robust_outliers": q_robust_outliers,
+        "cuckoo_filter_build_probe": q_cuckoo_filter_build_probe,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

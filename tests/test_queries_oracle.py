@@ -66,6 +66,13 @@ def test_rows_only_queries_run(spark, name):
         assert r.union_bit_exact      # OR-merge law, byte-exact
         assert r.penalty_ordered      # blocked bound >= flat bound
         assert r.blocked_bound < 0.05  # sized filter actually selective
+    if name == "q116_cuckoo_filter":
+        r = out.iloc[0]
+        assert r.rebuild_identical              # deterministic eviction schedule
+        assert r.kept_all_present               # delete has no collateral FNs
+        assert r.deleted_at_fpr_level           # the DELETE law
+        assert r.smaller_than_counting          # the operator's reason to exist
+        assert r.sharded                        # the distributed path ran
     if name == "q110_xor_filter":
         r = out.iloc[0]
         assert r.rebuild_identical    # deterministic build law
