@@ -3884,6 +3884,38 @@ def _q113_oracle_sql() -> str:
     """
 
 
+def q117_chi2_keyness(spark, sf_dir):
+    """Corpus-comparison keyness (operators/keyness, Kilgarriff
+    IJCL'01): terms distinctive of one corpus vs another — here the
+    even- vs odd-id halves of documents — by the exact 2x2 chi-square.
+    Dunning LLR's c·ln(c) terms are libm calls that diverge across
+    engines in the last ulp; with fixed margins the chi-square
+    collapses to N·(a·N_b − b·N_a)²/(t·(N−t)·N_a·N_b) — every factor
+    an exact integer, the float derived by one division of two
+    correctly-rounded conversions, so chi2 is bit-identical across
+    engines and the top-50 table hash-oracles.  One explode + one
+    map-side-combined groupBy(term) is the only corpus-sized work."""
+    from btl_bloomfilter_spark.operators.keyness import chi2_keyness
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    da = docs.where(F.col("doc_id") % 2 == 0)
+    db = docs.where(F.col("doc_id") % 2 == 1)
+    return chi2_keyness(da, db, "text", min_count=10, top_n=50)
+
+
+def _q117_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.keyness import chi2_keyness_sql
+
+    inner = chi2_keyness_sql(
+        "(SELECT text FROM documents WHERE doc_id % 2 = 0)",
+        "(SELECT text FROM documents WHERE doc_id % 2 = 1)",
+        "text",
+        min_count=10,
+        top_n=50,
+    )
+    return f"SELECT * FROM {inner} q"
+
+
 def q116_cuckoo_filter(spark, sf_dir):
     """Cuckoo filter (operators/cuckoo; Fan et al. CoNEXT 2014) —
     deletion-supporting membership, completing the filter family's
@@ -4152,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q114_collocations": q114_collocations,
         "q115_grouped_quantiles": q115_grouped_quantiles,
         "q116_cuckoo_filter": q116_cuckoo_filter,
+        "q117_chi2_keyness": q117_chi2_keyness,
     }
 
 
@@ -4766,6 +4799,7 @@ def oracle_sql() -> dict[str, str]:
         "q113_robust_outliers": _q113_oracle_sql(),
         "q114_collocations": _q114_oracle_sql(),
         "q115_grouped_quantiles": _q115_oracle_sql(),
+        "q117_chi2_keyness": _q117_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -30,8 +30,10 @@ def _brute(texts, min_count=1):
     for (a, b), c in cnt.items():
         lm[a] = lm.get(a, 0) + c
         rm[b] = rm.get(b, 0) + c
+    # two-rounding path (int->double each side, then divide), mirroring
+    # both engines exactly rather than Python's exact-rational /
     return {
-        (a, b): (c, lm[a], rm[b], n, (c * n) / (lm[a] * rm[b]))
+        (a, b): (c, lm[a], rm[b], n, float(c * n) / float(lm[a] * rm[b]))
         for (a, b), c in cnt.items()
         if c >= min_count
     }
