@@ -3784,7 +3784,7 @@ def _q112_spec():
     (integer milli-bits, fs_weights) so the pair score is a LONG in
     both engines.  Threshold 10000 separates the bands: a true pair's
     worst case (name lev-agree, phone garbled, balance agree) scores
-    wa_name + wd_phone + wa_bal = 12944; the strongest plausible
+    wa_name + wd_phone + wa_bal = 12943; the strongest plausible
     non-match (adjacent-key lev-1 name collision inside a block)
     scores wa_name + wd_phone + wd_bal = -2330."""
     from btl_bloomfilter_spark.operators.linkage import Comparator, fs_weights
@@ -3882,6 +3882,75 @@ def _q113_oracle_sql() -> str:
         WHERE abs(v_cents - med) * 1000 > 4448 * mad
         ORDER BY src.event_type, event_id
     """
+
+
+def q118_iblt_reconciliation(spark, sf_dir):
+    """IBLT set reconciliation (operators/iblt; Eppstein et al.
+    SIGCOMM'11): recover the exact symmetric difference between two
+    corpus snapshots from two O(diff)-sized sketches — the
+    sketch-sized companion to q80's full diff (which shuffles the
+    corpus).  Snapshot B derives in-query (q80's arms, sparser: drop
+    every 100th doc, mutate every 79th — a mutation changes the
+    content key, so it appears as one removal + one addition — add 5
+    new docs; reconciliation's size win is governed by diff/corpus,
+    so the planted diff stays a few percent, as in production).
+    Both sides build through the STANDARD plans/agg.build_sketch
+    partial-merge path (IBLT cell ops are commutative/associative, so
+    it earns real update/merge where xor/cuckoo raise); subtract +
+    peel happen on the driver over a few-KB table.  Gates:
+    `decode_complete`, `diff_exact` (decoded hash sets equal the
+    exact distributed diff's, both directions), `sketch_smaller`
+    (table bytes well under the key-column bytes it reconciles).
+    Sketch query: no SQL oracle by design."""
+    from btl_bloomfilter_spark.operators.iblt import iblt_diff
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    key = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.md5(F.coalesce("text", F.lit("")))
+    )
+    snap_a = docs.select(key.alias("key"), F.col("doc_id").cast("long").alias("doc_id"))
+    mutated = F.concat_ws(
+        ":", F.col("doc_id").cast("string"), F.md5(F.concat(F.coalesce("text", F.lit("")), F.lit(" v2")))
+    )
+    b_kept = docs.where(F.col("doc_id") % 100 != 0).select(
+        F.when(F.col("doc_id") % 79 == 0, mutated).otherwise(key).alias("key"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    b_new = spark.range(5).select(
+        F.concat_ws(":", (F.col("id") + 900000).cast("string"), F.md5(F.col("id").cast("string"))).alias("key"),
+        (F.col("id") + 900000).alias("doc_id"),
+    )
+    snap_b = b_kept.unionByName(b_new)
+    n_docs = snap_a.count()
+    # exact truth, computed distributed (hash of every differing key)
+    from btl_bloomfilter_spark.functions import hashing as H
+
+    only_a = [r.key for r in snap_a.select("key").exceptAll(snap_b.select("key")).collect()]
+    only_b = [r.key for r in snap_b.select("key").exceptAll(snap_a.select("key")).collect()]
+    truth_a = {int(h) for h in H.hash_strings(only_a, 1)[:, 0]} if only_a else set()
+    truth_b = {int(h) for h in H.hash_strings(only_b, 1)[:, 0]} if only_b else set()
+    expected = len(only_a) + len(only_b)
+    left, right, complete, table = iblt_diff(
+        snap_a, snap_b, "key", expected_diff=max(2 * expected, 16), salt=6
+    )
+    sketch_bytes = len(table.state_bytes())
+    key_bytes = int(
+        snap_a.select(F.sum(F.length("key")).alias("s")).collect()[0][0] or 0
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_docs, len(only_a), len(only_b), expected, table.seglen * 3,
+                sketch_bytes, key_bytes, len(left), len(right),
+                bool(complete),
+                bool(set(left) == truth_a and set(right) == truth_b),
+                bool(sketch_bytes * 2 < key_bytes),
+            )
+        ],
+        "n_docs long, n_only_a long, n_only_b long, diff_size long, cells long, "
+        "sketch_bytes long, key_bytes long, decoded_left long, decoded_right long, "
+        "decode_complete boolean, diff_exact boolean, sketch_smaller boolean",
+    )
 
 
 def q117_chi2_keyness(spark, sf_dir):
@@ -4185,6 +4254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q115_grouped_quantiles": q115_grouped_quantiles,
         "q116_cuckoo_filter": q116_cuckoo_filter,
         "q117_chi2_keyness": q117_chi2_keyness,
+        "q118_iblt_reconciliation": q118_iblt_reconciliation,
     }
 
 

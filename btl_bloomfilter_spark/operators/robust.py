@@ -46,8 +46,12 @@ __all__ = [
     "grouped_quantiles_sql",
 ]
 
-# rank of the lower median: ceil(n/2) == floor((n+1)/2)
-_RANK = "CAST(floor((n + 1) / 2) AS BIGINT)"
+# rank of the lower median: ceil(n/2) == floor((n+1)/2).  INTEGER
+# division on both engines — a float `/` would lose exactness past
+# 2^53 rows per group (the operators/rangejoin._fdiv lesson applied
+# preemptively); Spark spells it DIV, DuckDB //.
+_RANK_SPARK = "CAST((n + 1) DIV 2 AS BIGINT)"
+_RANK_DUCK = "CAST((n + 1) // 2 AS BIGINT)"
 
 
 def _weighted_lower_median(hist: DataFrame, group_cols: list[str], v: str) -> DataFrame:
@@ -62,7 +66,7 @@ def _weighted_lower_median(hist: DataFrame, group_cols: list[str], v: str) -> Da
         "n", F.sum("cnt").over(w_all)
     )
     return (
-        h.where(F.col("cum") >= F.expr(_RANK))
+        h.where(F.col("cum") >= F.expr(_RANK_SPARK))
         .groupBy(*group_cols)
         .agg(F.min(v).alias("med"), F.first("n").alias("n"))
     )
@@ -216,7 +220,7 @@ def _median_sql(src: str, group: str, v: str) -> str:
             FROM (SELECT {group}, {v}, cnt,
                          sum(cnt) OVER (PARTITION BY {group}) AS n
                   FROM {src}) h0
-        ) h WHERE cum >= {_RANK}
+        ) h WHERE cum >= {_RANK_DUCK}
         GROUP BY {group}
     )"""
 

@@ -66,6 +66,12 @@ def test_rows_only_queries_run(spark, name):
         assert r.union_bit_exact      # OR-merge law, byte-exact
         assert r.penalty_ordered      # blocked bound >= flat bound
         assert r.blocked_bound < 0.05  # sized filter actually selective
+    if name == "q118_iblt_reconciliation":
+        r = out.iloc[0]
+        assert r.decode_complete            # peel finished
+        assert r.diff_exact                 # decoded == exact diff, both sides
+        assert r.sketch_smaller             # the operator's reason to exist
+        assert r.diff_size > 0              # the arms actually planted a diff
     if name == "q116_cuckoo_filter":
         r = out.iloc[0]
         assert r.rebuild_identical              # deterministic eviction schedule
