@@ -831,6 +831,17 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return kmer_spectrum(docs, "text", 12).count()
 
+    def q_iblt_reconcile():
+        # two O(diff)-sized sketches via the standard partial-merge
+        # build (blob-only shuffle), driver-side subtract + peel
+        from btl_bloomfilter_spark.operators.iblt import iblt_diff
+
+        keys = docs.selectExpr("md5(coalesce(text, '')) AS key")
+        shard = keys.where("substr(key, 1, 2) <> 'ab'")  # ~1/256 dropped
+        left, right, complete, _ = iblt_diff(keys, shard, "key", expected_diff=1024, salt=3)
+        assert complete and not right
+        return len(left)
+
     def q_cuckoo_filter_build_probe():
         # deletion-supporting membership: distinct -> 12-byte/key
         # shuffle -> per-block deterministic eviction chains
@@ -929,6 +940,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "record_linkage": q_record_linkage,
         "robust_outliers": q_robust_outliers,
         "cuckoo_filter_build_probe": q_cuckoo_filter_build_probe,
+        "iblt_reconcile": q_iblt_reconcile,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
