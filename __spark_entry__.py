@@ -3953,6 +3953,56 @@ def q118_iblt_reconciliation(spark, sf_dir):
     )
 
 
+def q119_count_sketch(spark, sf_dir):
+    """Count sketch / AMS (operators/countsketch; Charikar et al.
+    ICALP'02, Alon-Matias-Szegedy STOC'96): the SIGNED sibling of q22's
+    count-min — unbiased per-key frequency estimates plus the F2
+    second-moment (skew) estimate a shuffle planner wants before
+    picking a salting strategy.  Cells are int64 sums, so the merge is
+    exactly associative/commutative: the query builds the sketch TWICE
+    through plans/agg.build_sketch under different partitionings (11
+    vs 32) and gates byte-identity (`merge_partition_invariant`) — the
+    north_rule merge law demonstrated distributively, no driver
+    rebuild.  Per-key gate: |est − exact| ≤ sqrt(3·F2/width) (the
+    per-row Chebyshev radius, which the depth-7 median beats);
+    aggregate gate: |F2_est − F2| ≤ sqrt(6/width)·F2.  Exact truth via
+    one map-side-combined groupBy.  Sketch query: no SQL oracle by
+    design."""
+    from btl_bloomfilter_spark.operators.countsketch import CountSketch
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    make = lambda: CountSketch(width=256, depth=7, seed_salt=19)
+    cs = build_sketch(ev.repartition(11), "user_id", make)
+    cs2 = build_sketch(ev.repartition(32), "user_id", make)
+    merge_invariant = bool(
+        np.array_equal(cs.table, cs2.table) and cs.n_entry == cs2.n_entry
+    )
+    exact_rows = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact"))
+        .orderBy(F.desc("exact"), "user_id")
+        .collect()
+    )
+    f2 = float(sum(r["exact"] ** 2 for r in exact_rows))
+    f2_ok = bool(abs(cs.f2_estimate() - f2) <= np.sqrt(6.0 / cs.width) * f2)
+    radius = float(np.sqrt(3.0 * f2 / cs.width))
+    top = exact_rows[:15]
+    est = cs.estimate_batch([r["user_id"] for r in top])
+    return spark.createDataFrame(
+        [
+            (
+                r["user_id"], float(e), int(r["exact"]),
+                bool(abs(e - r["exact"]) <= radius),
+                f2_ok, merge_invariant,
+            )
+            for r, e in zip(top, est)
+        ],
+        "user_id string, cs_est double, exact long, within_bound boolean, "
+        "f2_within_eps boolean, merge_partition_invariant boolean",
+    )
+
+
 def q117_chi2_keyness(spark, sf_dir):
     """Corpus-comparison keyness (operators/keyness, Kilgarriff
     IJCL'01): terms distinctive of one corpus vs another — here the
@@ -4255,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q116_cuckoo_filter": q116_cuckoo_filter,
         "q117_chi2_keyness": q117_chi2_keyness,
         "q118_iblt_reconciliation": q118_iblt_reconciliation,
+        "q119_count_sketch": q119_count_sketch,
     }
 
 

@@ -885,6 +885,15 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return robust_outliers(src, ["event_type"], "v_cents").count()
 
+    def q_count_sketch_events():
+        # signed AMS sketch: int64 scatter-adds per Arrow batch,
+        # blob-only reduce-scatter merge; estimate/F2 read driver-side
+        from btl_bloomfilter_spark.operators.countsketch import CountSketch
+        from btl_bloomfilter_spark.plans.agg import build_sketch
+
+        cs = build_sketch(ev, "user_id", lambda: CountSketch(width=4096, depth=7, seed_salt=19))
+        return cs.f2_estimate()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -941,6 +950,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "robust_outliers": q_robust_outliers,
         "cuckoo_filter_build_probe": q_cuckoo_filter_build_probe,
         "iblt_reconcile": q_iblt_reconcile,
+        "count_sketch_events": q_count_sketch_events,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

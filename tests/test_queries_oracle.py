@@ -72,6 +72,10 @@ def test_rows_only_queries_run(spark, name):
         assert r.diff_exact                 # decoded == exact diff, both sides
         assert r.sketch_smaller             # the operator's reason to exist
         assert r.diff_size > 0              # the arms actually planted a diff
+    if name == "q119_count_sketch":
+        assert out.within_bound.all()              # Chebyshev radius per key
+        assert out.f2_within_eps.all()             # AMS F2 law
+        assert out.merge_partition_invariant.all() # byte-equal under 11 vs 32 parts
     if name == "q116_cuckoo_filter":
         r = out.iloc[0]
         assert r.rebuild_identical              # deterministic eviction schedule
