@@ -3953,6 +3953,34 @@ def q118_iblt_reconciliation(spark, sf_dir):
     )
 
 
+_Q120_KW = dict(num_perm=16, cap=4, min_matches=4, seed=20, hot_bucket_limit=50)
+
+
+def q120_weighted_minhash(spark, sf_dir):
+    """Weighted MinHash near-dup pairs (operators/wminhash; Broder-style
+    exact integer expansion — Ioffe's ICDM'10 sampler needs libm
+    exponentials, the expansion needs only the portable md5 hash60):
+    multiset-aware Jaccard over capped token counts, the similarity
+    boilerplate/template dedup wants where set-Jaccard saturates.
+    Signatures, banded candidates, match counts AND the exact capped
+    weighted Jaccard (one int->double division) are all deterministic
+    integer/md5 arithmetic, so the FULL output hash-oracles against
+    the generated DuckDB twin.  hot_bucket_limit=50 bounds the band
+    join against stop-token minima (deterministic count window,
+    mirrored in the twin)."""
+    from btl_bloomfilter_spark.operators.wminhash import weighted_minhash_pairs
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return weighted_minhash_pairs(docs, "text", "doc_id", **_Q120_KW)
+
+
+def _q120_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators.wminhash import weighted_minhash_pairs_sql
+
+    inner = weighted_minhash_pairs_sql("documents", "text", "doc_id", **_Q120_KW)
+    return f"SELECT * FROM {inner} q"
+
+
 def q119_count_sketch(spark, sf_dir):
     """Count sketch / AMS (operators/countsketch; Charikar et al.
     ICALP'02, Alon-Matias-Szegedy STOC'96): the SIGNED sibling of q22's
@@ -4306,6 +4334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q117_chi2_keyness": q117_chi2_keyness,
         "q118_iblt_reconciliation": q118_iblt_reconciliation,
         "q119_count_sketch": q119_count_sketch,
+        "q120_weighted_minhash": q120_weighted_minhash,
     }
 
 
@@ -4921,6 +4950,7 @@ def oracle_sql() -> dict[str, str]:
         "q114_collocations": _q114_oracle_sql(),
         "q115_grouped_quantiles": _q115_oracle_sql(),
         "q117_chi2_keyness": _q117_oracle_sql(),
+        "q120_weighted_minhash": _q120_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

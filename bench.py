@@ -885,6 +885,17 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return robust_outliers(src, ["event_type"], "v_cents").count()
 
+    def q_weighted_minhash_docs():
+        # multiset-aware near-dup: one corpus shuffle (token counts),
+        # min() partial-agg collapses the expansion pre-exchange,
+        # hot-bucket-capped band join + exact verify on survivors
+        from btl_bloomfilter_spark.operators.wminhash import weighted_minhash_pairs
+
+        return weighted_minhash_pairs(
+            docs, "text", "doc_id",
+            num_perm=16, cap=4, min_matches=4, seed=20, hot_bucket_limit=50,
+        ).count()
+
     def q_count_sketch_events():
         # signed AMS sketch: int64 scatter-adds per Arrow batch,
         # blob-only reduce-scatter merge; estimate/F2 read driver-side
@@ -951,6 +962,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "cuckoo_filter_build_probe": q_cuckoo_filter_build_probe,
         "iblt_reconcile": q_iblt_reconcile,
         "count_sketch_events": q_count_sketch_events,
+        "weighted_minhash_docs": q_weighted_minhash_docs,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
