@@ -3953,6 +3953,72 @@ def q118_iblt_reconciliation(spark, sf_dir):
     )
 
 
+def q121_frequent_directions(spark, sf_dir):
+    """Frequent Directions matrix sketch (operators/fd; Liberty KDD'13,
+    Ghashami et al. SICOMP'16): the embedding table's covariance/Gram
+    structure in ell*d floats with the deterministic worst-case
+    guarantee 0 <= A'A − B'B <= (||A||_F²/ell)·I — spectral
+    diagnostics (top principal energies, covariance drift) without
+    materializing 10^12 rows twice.  Builds through the standard
+    plans/agg.build_sketch partial->merge path (FD merge =
+    concat+shrink, Ghashami §3).  SVD floats aren't bit-order-
+    invariant, so unlike q119 the gates assert the GUARANTEE, not byte
+    equality: per top-5 direction, eigenvalue monotonicity + Weyl
+    (exact − err_ledger ≤ sk ≤ exact), `psd_ok` (min eigenvalue of the
+    deficit >= −tol), `within_bound` (spectral norm of the deficit ≤
+    the exact shrink ledger ≤ ||A||_F²/ell), and the same under a
+    second partitioning (`robust_repartition`).  Exact A'A via
+    operators/fd.exact_gramian — one mapInArrow pass, d² doubles per
+    partition cross the wire, never rows.  Note: the synthetic
+    embeddings are near-isotropic (flat spectrum), the regime where NO
+    ell-row sketch can track individual eigenvalues better than the
+    ||A||_F²/ell radius — so here the deterministic interval itself is
+    the deliverable; tests/test_fd.py exercises the low-rank regime
+    where the sketch additionally recovers the top directions.  Sketch
+    query: no SQL oracle by design."""
+    from btl_bloomfilter_spark.operators.fd import FrequentDirections, exact_gramian
+    from btl_bloomfilter_spark.plans.agg import build_sketch
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    ell = 16
+    make = lambda: FrequentDirections(ell=ell, dim=dim)
+    fd = build_sketch(emb.repartition(7), "embedding", make)
+    fd2 = build_sketch(emb.repartition(32), "embedding", make)
+    gram, n = exact_gramian(emb, "embedding", dim)
+    fn2 = float(np.trace(gram))
+    tol = 1e-6 * fn2
+
+    def checks(f):
+        diff = gram - f.gram()
+        w = np.linalg.eigvalsh(diff)
+        return (
+            bool(w.min() >= -tol),
+            bool(w.max() <= f.error_bound() + tol),
+            bool(f.error_bound() <= fn2 / ell + 1e-9),
+        )
+
+    psd_ok, within_bound, ledger_ok = checks(fd)
+    robust = all(checks(fd2))
+    exact_ev = np.linalg.eigvalsh(gram)[::-1][:5]
+    sk_ev = np.linalg.eigvalsh(fd.gram())[::-1][:5]
+    return spark.createDataFrame(
+        [
+            (
+                int(i), float(ex), float(sk), float(fd.error_bound()),
+                float(fn2 / ell),
+                bool(ex - fd.error_bound() - tol <= sk <= ex + tol),
+                psd_ok, within_bound, ledger_ok, robust, int(n),
+            )
+            for i, (ex, sk) in enumerate(zip(exact_ev, sk_ev))
+        ],
+        "direction int, exact_ev double, sketch_ev double, err_ledger double, "
+        "paper_bound double, ev_in_interval boolean, psd_ok boolean, "
+        "within_bound boolean, ledger_ok boolean, robust_repartition boolean, "
+        "n_rows long",
+    )
+
+
 _Q120_KW = dict(num_perm=16, cap=4, min_matches=4, seed=20, hot_bucket_limit=50)
 
 
@@ -4335,6 +4401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q118_iblt_reconciliation": q118_iblt_reconciliation,
         "q119_count_sketch": q119_count_sketch,
         "q120_weighted_minhash": q120_weighted_minhash,
+        "q121_frequent_directions": q121_frequent_directions,
     }
 
 

@@ -885,6 +885,18 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return robust_outliers(src, ["event_type"], "v_cents").count()
 
+    def q_frequent_directions():
+        # per-partition SVD folds (numpy, Arrow batches) -> ell*d*8-byte
+        # blobs -> tree merge; plus one exact-Gramian pass (d^2 doubles
+        # per partition over the wire)
+        from btl_bloomfilter_spark.operators.fd import FrequentDirections, exact_gramian
+        from btl_bloomfilter_spark.plans.agg import build_sketch
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        fd = build_sketch(emb, "embedding", lambda: FrequentDirections(ell=16, dim=64))
+        gram, _ = exact_gramian(emb, "embedding", 64)
+        return float(fd.error_bound()) + float(gram[0, 0])
+
     def q_weighted_minhash_docs():
         # multiset-aware near-dup: one corpus shuffle (token counts),
         # min() partial-agg collapses the expansion pre-exchange,
@@ -963,6 +975,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "iblt_reconcile": q_iblt_reconcile,
         "count_sketch_events": q_count_sketch_events,
         "weighted_minhash_docs": q_weighted_minhash_docs,
+        "frequent_directions_emb": q_frequent_directions,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -76,6 +76,12 @@ def test_rows_only_queries_run(spark, name):
         assert out.within_bound.all()              # Chebyshev radius per key
         assert out.f2_within_eps.all()             # AMS F2 law
         assert out.merge_partition_invariant.all() # byte-equal under 11 vs 32 parts
+    if name == "q121_frequent_directions":
+        assert out.psd_ok.all()                 # sketch never overcounts energy
+        assert out.within_bound.all()           # deficit <= exact shrink ledger
+        assert out.ledger_ok.all()              # ledger <= ||A||_F^2 / ell
+        assert out.ev_in_interval.all()         # Weyl interval per direction
+        assert out.robust_repartition.all()     # guarantee under 2nd partitioning
     if name == "q116_cuckoo_filter":
         r = out.iloc[0]
         assert r.rebuild_identical              # deterministic eviction schedule
