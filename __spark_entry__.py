@@ -3953,6 +3953,62 @@ def q118_iblt_reconciliation(spark, sf_dir):
     )
 
 
+def q122_bigsi_search(spark, sf_dir):
+    """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
+    Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
+    reference ecosystem's which-samples-contain-this-term-set search —
+    one same-m Bloom filter per document, stored TRANSPOSED (pos,
+    64-doc block, int64 word) so a query term reads h bit-rows, not
+    every filter.  Build = one explode + bit_or groupBy (map-side
+    combined); search = broadcast of the tiny (term, pos) probe + a
+    codegen bit walk; all JVM, no Python.  Query: 8 deterministic
+    tokens of doc 42 + 2 never-seen junk terms, theta = 0.5.  Gates
+    per returned match: `no_fn` (reported hits >= exact hits — Bloom
+    one-sidedness), and corpus-wide `truth_covered` (every doc whose
+    EXACT containment fraction >= theta was returned as a match; exact
+    truth computed distributed by token containment).  Sketch query:
+    no SQL oracle by design."""
+    from btl_bloomfilter_spark.operators.bigsi import bigsi_search, build_bigsi
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    M, H, SEED, THETA = 1 << 15, 2, 22, 500
+    index = build_bigsi(docs, "text", "doc_id", m=M, h=H, seed=SEED)
+    probe_toks = sorted(
+        set((docs.where("doc_id = 42").select("text").collect()[0][0] or "").split())
+    )[:8]
+    terms = probe_toks + ["zzjunkterm1", "zzjunkterm2"]
+    res = bigsi_search(index, terms, m=M, h=H, seed=SEED, theta_milli=THETA)
+    uniq = sorted(set(terms))
+    n_terms = len(uniq)
+    tdf = spark.createDataFrame([(t,) for t in uniq], "term string")
+    truth = (
+        docs.select(
+            F.col("doc_id").cast("long").alias("doc"),
+            F.explode_outer(F.split(F.coalesce("text", F.lit("")), r"[ \t\n\x0B\f\r]+")).alias("tok"),
+        )
+        .join(F.broadcast(tdf), F.col("tok") == F.col("term"))
+        .groupBy("doc")
+        .agg(F.countDistinct("term").alias("hits_true"))
+    )
+    joined = (
+        res.join(truth, "doc", "left")
+        .na.fill({"hits_true": 0})
+        .withColumn("no_fn", F.col("hits") >= F.col("hits_true"))
+    )
+    # every doc whose exact fraction >= theta must have been matched
+    missed = (
+        truth.join(res.where("is_match").select("doc"), "doc", "left_anti")
+        .where(F.col("hits_true") * 1000 >= F.lit(THETA * n_terms))
+        .count()
+    )
+    truth_covered = bool(missed == 0)
+    out = joined.where("is_match").orderBy("doc")
+    return out.select(
+        "doc", "hits", "hits_true", "n_terms", "score", "no_fn",
+        F.lit(truth_covered).alias("truth_covered"),
+    )
+
+
 def q121_frequent_directions(spark, sf_dir):
     """Frequent Directions matrix sketch (operators/fd; Liberty KDD'13,
     Ghashami et al. SICOMP'16): the embedding table's covariance/Gram
@@ -4402,6 +4458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q119_count_sketch": q119_count_sketch,
         "q120_weighted_minhash": q120_weighted_minhash,
         "q121_frequent_directions": q121_frequent_directions,
+        "q122_bigsi_search": q122_bigsi_search,
     }
 
 

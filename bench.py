@@ -897,6 +897,18 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         gram, _ = exact_gramian(emb, "embedding", 64)
         return float(fd.error_bound()) + float(gram[0, 0])
 
+    def q_bigsi_build_search():
+        # transposed per-doc Bloom index: one explode + bit_or groupBy
+        # builds; search broadcasts a tiny (term, pos) probe and walks
+        # bits in codegen — no Python anywhere
+        from btl_bloomfilter_spark.operators.bigsi import bigsi_search, build_bigsi
+
+        index = build_bigsi(docs, "text", "doc_id", m=1 << 15, h=2, seed=22)
+        terms = ["alpha", "beta", "gamma", "delta", "epsilon",
+                 "zeta", "eta", "theta", "iota", "kappa"]
+        return bigsi_search(index, terms, m=1 << 15, h=2, seed=22,
+                            theta_milli=300).count()
+
     def q_weighted_minhash_docs():
         # multiset-aware near-dup: one corpus shuffle (token counts),
         # min() partial-agg collapses the expansion pre-exchange,
@@ -976,6 +988,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "count_sketch_events": q_count_sketch_events,
         "weighted_minhash_docs": q_weighted_minhash_docs,
         "frequent_directions_emb": q_frequent_directions,
+        "bigsi_build_search": q_bigsi_build_search,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -82,6 +82,10 @@ def test_rows_only_queries_run(spark, name):
         assert out.ledger_ok.all()              # ledger <= ||A||_F^2 / ell
         assert out.ev_in_interval.all()         # Weyl interval per direction
         assert out.robust_repartition.all()     # guarantee under 2nd partitioning
+    if name == "q122_bigsi_search":
+        assert len(out) > 0
+        assert out.no_fn.all()            # Bloom one-sidedness per doc
+        assert out.truth_covered.all()    # every truly-qualifying doc matched
     if name == "q116_cuckoo_filter":
         r = out.iloc[0]
         assert r.rebuild_identical              # deterministic eviction schedule
