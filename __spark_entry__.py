@@ -3953,6 +3953,53 @@ def q118_iblt_reconciliation(spark, sf_dir):
     )
 
 
+def q123_triangle_counts(spark, sf_dir):
+    """Exact per-node triangle counts (operators/triangles; Cohen /
+    Suri-Vassilvitskii WWW'11 degree orientation) over the part
+    co-purchase graph (parts sharing an order).  Orientation makes the
+    count exact while bounding the wedge stage at O(|E|^1.5) under ANY
+    hub skew — the naive 3-way self-join is O(sum deg²).  The oracle
+    is an INDEPENDENT brute construction (u<v<w three-way self-join in
+    DuckDB, no orientation), so an orientation bug cannot cancel out
+    of both sides; hash-oracled row-for-row."""
+    from btl_bloomfilter_spark.operators.triangles import (
+        cooccurrence_edges,
+        triangle_counts,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return (
+        triangle_counts(edges, broadcast_adj=True)
+        .select(F.col("node").alias("part"), F.col("triangles").cast("long").alias("triangles"))
+        .orderBy("part")
+    )
+
+
+_Q123_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t AS (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM e e1
+    JOIN e e2 ON e1.v = e2.u
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST(node AS BIGINT) AS part, CAST(count(*) AS BIGINT) AS triangles
+FROM (
+    SELECT a AS node FROM t
+    UNION ALL SELECT b FROM t
+    UNION ALL SELECT c FROM t
+)
+GROUP BY node
+ORDER BY part
+"""
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -4459,6 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q120_weighted_minhash": q120_weighted_minhash,
         "q121_frequent_directions": q121_frequent_directions,
         "q122_bigsi_search": q122_bigsi_search,
+        "q123_triangle_counts": q123_triangle_counts,
     }
 
 
@@ -5075,6 +5123,7 @@ def oracle_sql() -> dict[str, str]:
         "q115_grouped_quantiles": _q115_oracle_sql(),
         "q117_chi2_keyness": _q117_oracle_sql(),
         "q120_weighted_minhash": _q120_oracle_sql(),
+        "q123_triangle_counts": _Q123_ORACLE,
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -897,6 +897,20 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         gram, _ = exact_gramian(emb, "embedding", 64)
         return float(fd.error_bound()) + float(gram[0, 0])
 
+    def q_triangle_counts():
+        # degree-oriented exact triangles over the part co-purchase
+        # graph (20k nodes / 1.2M edges at sf0.1): single-shuffle
+        # in-array pair expansion + broadcast adjacency (bounded by
+        # #nodes x sqrt|E| via the orientation); wedge stage bounded
+        # O(|E|^1.5) under any hub skew
+        from btl_bloomfilter_spark.operators.triangles import (
+            cooccurrence_edges,
+            triangle_counts,
+        )
+
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return triangle_counts(edges, broadcast_adj=True).count()
+
     def q_bigsi_build_search():
         # transposed per-doc Bloom index: one explode + bit_or groupBy
         # builds; search broadcasts a tiny (term, pos) probe and walks
@@ -989,6 +1003,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "weighted_minhash_docs": q_weighted_minhash_docs,
         "frequent_directions_emb": q_frequent_directions,
         "bigsi_build_search": q_bigsi_build_search,
+        "triangle_counts_parts": q_triangle_counts,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
