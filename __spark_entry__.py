@@ -4000,6 +4000,78 @@ ORDER BY part
 """
 
 
+def q124_kcore(spark, sf_dir):
+    """k-core decomposition at k=80 (operators/kcore; Seidman 1983 /
+    Batagelj-Zaversnik 2003 peeling) over the part co-purchase graph —
+    the graph-cleanup stage: drop weakly-attached tendrils before
+    community/triangle analysis.  Peeling is CONFLUENT (a weak node
+    stays weak under further deletions), so the distributed
+    round-synchronous fixpoint equals any sequential schedule; the
+    oracle exploits this with a 10-round unrolled peel CTE in DuckDB
+    (sf0.01 converges in 5 rounds — 2x slack; under-unrolling would
+    surface as a loud hash mismatch, never a silent pass).
+    Hash-oracled row-for-row including each survivor's in-core
+    degree."""
+    from btl_bloomfilter_spark.operators.kcore import k_core
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    core = k_core(cooccurrence_edges(li, "l_orderkey", "l_partkey"), k=80)
+    # node-bounded result: release the fixpoint cache instead of
+    # leaking it into the shared session (the driver never unpersists)
+    rows = [(int(r.node), int(r.core_deg)) for r in core.collect()]
+    core.unpersist()
+    return (
+        spark.createDataFrame(rows or [], "part long, core_deg long")
+        .orderBy("part")
+    )
+
+
+def _q124_oracle_sql(k: int = 80, rounds: int = 10) -> str:
+    """Unrolled round-by-round peel: d{i} = degrees of e{i},
+    w{i} = weak nodes, e{i+1} = e{i} minus weak endpoints."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # each round references the previous one twice, so 10 rounds would
+    # expand to 2^10 scans of lineitem (observed as an fd-exhaustion
+    # IOException, not just slowness)
+    parts = [
+        """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+    SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""
+    ]
+    for i in range(rounds):
+        parts.append(
+            f""",
+w{i} AS MATERIALIZED (
+    SELECT node
+    FROM (SELECT node, count(*) AS deg
+          FROM (SELECT u AS node FROM e{i} UNION ALL SELECT v FROM e{i})
+          GROUP BY node)
+    WHERE deg < {k}
+),
+e{i + 1} AS MATERIALIZED (
+    SELECT u, v FROM e{i}
+    WHERE u NOT IN (SELECT node FROM w{i})
+      AND v NOT IN (SELECT node FROM w{i})
+)"""
+        )
+    parts.append(
+        f""",
+dfinal AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS deg
+    FROM (SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node
+)
+SELECT CAST(node AS BIGINT) AS part, deg AS core_deg
+FROM dfinal WHERE deg >= {k} ORDER BY part"""
+    )
+    return "".join(parts)
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -4507,6 +4579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q121_frequent_directions": q121_frequent_directions,
         "q122_bigsi_search": q122_bigsi_search,
         "q123_triangle_counts": q123_triangle_counts,
+        "q124_kcore": q124_kcore,
     }
 
 
@@ -5124,6 +5197,7 @@ def oracle_sql() -> dict[str, str]:
         "q117_chi2_keyness": _q117_oracle_sql(),
         "q120_weighted_minhash": _q120_oracle_sql(),
         "q123_triangle_counts": _Q123_ORACLE,
+        "q124_kcore": _q124_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -911,6 +911,18 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
         return triangle_counts(edges, broadcast_adj=True).count()
 
+    def q_kcore():
+        # iterative peel to fixpoint at k=80 over the part co-purchase
+        # graph; per round = one degree agg + two anti-joins, lineage
+        # truncated via eager localCheckpoint
+        from btl_bloomfilter_spark.operators.kcore import k_core
+        from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+
+        core = k_core(cooccurrence_edges(li, "l_orderkey", "l_partkey"), k=80)
+        n = core.count()
+        core.unpersist()
+        return n
+
     def q_bigsi_build_search():
         # transposed per-doc Bloom index: one explode + bit_or groupBy
         # builds; search broadcasts a tiny (term, pos) probe and walks
@@ -1004,6 +1016,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "frequent_directions_emb": q_frequent_directions,
         "bigsi_build_search": q_bigsi_build_search,
         "triangle_counts_parts": q_triangle_counts,
+        "kcore_parts": q_kcore,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -1,0 +1,83 @@
+"""k-core decomposition (fixed k) by iterative peeling.
+
+The k-core is the maximal subgraph in which every node has degree
+>= k — the standard pre-clustering cleanup for co-occurrence graphs
+(drop weakly-attached leaves/spam/bot tendrils so community passes and
+triangle screens run on the cohesive interior; Seidman 1983, Batagelj-
+Zaversnik 2003).  Complements the existing graph suite: `components`
+(connectivity), `pagerank` (centrality), `triangles` (local density).
+
+Algorithm: peel to fixpoint — drop every node with degree < k,
+recompute degrees over the surviving edges, repeat until no node is
+weak.  The fixpoint is ORDER-INDEPENDENT (peeling is confluent: a node
+weak now stays weak under further deletions), so the distributed
+round-synchronous schedule and any sequential schedule produce the
+same core; q124's oracle exploits this with an unrolled round-by-round
+CTE in DuckDB.
+
+100-TB shape per round: ONE degree aggregation (union of the two edge
+endpoints, map-side combined) plus TWO anti-joins of the edge set
+against the weak-node set — weak sets shrink geometrically after the
+first round, so AQE turns the anti-joins into broadcasts exactly when
+that matters.  Lineage is truncated every round with eager
+``localCheckpoint`` (the iterative-DataFrame trap; same discipline as
+`components`/`pagerank`), and the edge set shrinks monotonically so
+later rounds are cheaper.  Rounds are data-dependent but bounded by
+the peel depth, which for heavy-tailed co-occurrence graphs is small
+(5 at k=80 on the sf0.01 part graph); ``max_rounds`` turns a
+pathological chain into a loud error instead of a silent half-peel.
+
+Reference relation: btl_bloomfilter stops at membership; this serves
+SURVEY's LLM-pipeline graph-cleanup axis alongside
+`triangles.triangle_counts`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["k_core"]
+
+
+def k_core(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
+    """(node, core_deg) — nodes of the k-core of a canonical (u, v)
+    edge set (see `triangles.canonical_edges` / `cooccurrence_edges`),
+    with each node's degree INSIDE the core subgraph (>= k by the
+    fixpoint; empty DataFrame when the whole graph peels away).
+
+    The returned DataFrame is persisted (it is the final round's
+    degree table, already materialized by the convergence check);
+    caller should ``.unpersist()`` it when done.  All intermediate
+    round state is released internally.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    alive = edges.select("u", "v").localCheckpoint(eager=True)
+    deg = None
+    for _ in range(max_rounds):
+        prev_deg = deg
+        deg = (
+            alive.select(F.col("u").alias("node"))
+            .unionAll(alive.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("core_deg"))
+            .persist()
+        )
+        weak = deg.where(F.col("core_deg") < k).select("node")
+        n_weak = weak.count()  # materializes deg; convergence check
+        if prev_deg is not None:
+            prev_deg.unpersist()
+        if n_weak == 0:
+            return deg
+        nxt = (
+            alive.join(weak.withColumnRenamed("node", "u"), "u", "left_anti")
+            .join(weak.withColumnRenamed("node", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        alive = nxt
+    raise RuntimeError(
+        f"k_core(k={k}) did not converge within max_rounds={max_rounds} "
+        "peel rounds; raise max_rounds for pathologically deep graphs "
+        "(a length-n path at k=2 peels in ~n/2 rounds)"
+    )
