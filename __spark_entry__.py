@@ -4072,6 +4072,105 @@ FROM dfinal WHERE deg >= {k} ORDER BY part"""
     return "".join(parts)
 
 
+def q125_kmeans(spark, sf_dir):
+    """Distributed integer-exact k-means (operators/kmeans; Lloyd
+    1982): embedding clustering for cluster-balanced curation and the
+    coarse quantizer behind pq.ivfpq_topk.  Every step is exact int64
+    arithmetic — quantize once via floor(double(x)*1e6 + 0.5) + offset
+    (floor sidesteps the HALF_UP-vs-HALF_EVEN round() divergence; the
+    explicit double cast sidesteps DuckDB's float32 multiply), init =
+    k smallest content hashes, ties to the lowest cluster, centroid
+    update by non-negative integer division — so the fit is
+    partitioning-independent and the oracle replays it as an unrolled
+    4-iteration CTE in DuckDB.  Hash-oracled row-for-row INCLUDING the
+    integer squared distances (a wrong centroid anywhere shifts some
+    qdist).  Per-iteration shuffle is O(partitions * k * d) longs —
+    per-partition numpy partials, never per-row state."""
+    from btl_bloomfilter_spark.operators.kmeans import kmeans
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].select("vec_id", "embedding")
+    # no cache: fit is iters+1 scans of a tiny parquet here, and the
+    # session-shared cache would otherwise leak (the driver never
+    # unpersists); bench.py caches its own copy at sf0.1
+    asg, _, _ = kmeans(emb, k=8, iters=4, seed=7)
+    return asg.orderBy("vec_id")
+
+
+def _q125_oracle_sql(
+    k: int = 8,
+    iters: int = 4,
+    scale: int = 1_000_000,
+    offset: int = 1 << 21,
+    seed: int = 7,
+) -> str:
+    """Unrolled Lloyd replay: c{t} -> per-(vec, cluster) integer
+    distances -> argmin assignment -> integer-division update, exactly
+    `iters` rounds, then the final assignment WITH distances.  AS
+    MATERIALIZED for the same fan-out reason as q124's peel.  The
+    empty-cluster branch (UNION ALL carry-over of untouched centroids)
+    mirrors kmeans_fit's keep-previous rule."""
+    h = f"((('0x' || substr(md5('{seed}|' || vec_id), 1, 15))::ubigint))::bigint"
+    parts = [
+        f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> cast(floor(cast(x as double) * {scale} + 0.5) as bigint) + {offset}) AS qv
+  FROM embeddings
+),
+dims AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS val FROM q
+),
+seeds AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY {h}, vec_id) - 1 AS cluster, qv
+  FROM q ORDER BY {h}, vec_id LIMIT {k}
+),
+c0 AS MATERIALIZED (
+  SELECT cluster, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS cval FROM seeds
+)"""
+    ]
+    for t in range(iters):
+        parts.append(
+            f""",
+dist{t} AS MATERIALIZED (
+  SELECT d.vec_id, c.cluster, sum((d.val - c.cval) * (d.val - c.cval)) AS dist
+  FROM dims d JOIN c{t} c USING (dim) GROUP BY 1, 2
+),
+asg{t} AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM dist{t}
+  ) WHERE rn = 1
+),
+sums{t} AS MATERIALIZED (
+  SELECT a.cluster, d.dim, sum(d.val) AS s, count(*) AS n
+  FROM asg{t} a JOIN dims d USING (vec_id) GROUP BY 1, 2
+),
+c{t + 1} AS MATERIALIZED (
+  SELECT cluster, dim, s // n AS cval FROM sums{t}
+  UNION ALL
+  SELECT cluster, dim, cval FROM c{t} p
+  WHERE p.cluster NOT IN (SELECT cluster FROM sums{t})
+)"""
+        )
+    parts.append(
+        f""",
+distF AS (
+  SELECT d.vec_id, c.cluster, sum((d.val - c.cval) * (d.val - c.cval)) AS dist
+  FROM dims d JOIN c{iters} c USING (dim) GROUP BY 1, 2
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
+       CAST(dist AS BIGINT) AS qdist
+FROM (
+  SELECT vec_id, cluster, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+  FROM distF
+) WHERE rn = 1 ORDER BY vec_id"""
+    )
+    return "".join(parts)
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -4580,6 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q122_bigsi_search": q122_bigsi_search,
         "q123_triangle_counts": q123_triangle_counts,
         "q124_kcore": q124_kcore,
+        "q125_kmeans": q125_kmeans,
     }
 
 
@@ -5198,6 +5298,7 @@ def oracle_sql() -> dict[str, str]:
         "q120_weighted_minhash": _q120_oracle_sql(),
         "q123_triangle_counts": _Q123_ORACLE,
         "q124_kcore": _q124_oracle_sql(),
+        "q125_kmeans": _q125_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -923,6 +923,16 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         core.unpersist()
         return n
 
+    def q_kmeans_embeddings():
+        # integer-exact Lloyd (k=8, 4 iterations) over the cached
+        # 5000x64 embedding table: per-iteration shuffle is
+        # O(partitions * k * d) longs (per-partition numpy partials),
+        # final assignment a pure map
+        from btl_bloomfilter_spark.operators.kmeans import kmeans
+
+        asg, _, _ = kmeans(emb.select("vec_id", "embedding"), k=8, iters=4, seed=7)
+        return asg.count()
+
     def q_bigsi_build_search():
         # transposed per-doc Bloom index: one explode + bit_or groupBy
         # builds; search broadcasts a tiny (term, pos) probe and walks
@@ -1017,6 +1027,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "bigsi_build_search": q_bigsi_build_search,
         "triangle_counts_parts": q_triangle_counts,
         "kcore_parts": q_kcore,
+        "kmeans_embeddings": q_kmeans_embeddings,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

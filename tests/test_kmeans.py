@@ -1,0 +1,131 @@
+"""Integer-exact k-means: brute-force parity, partition invariance,
+tie/empty-cluster laws, quantization twins, bound validation."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from btl_bloomfilter_spark.operators.kmeans import (
+    DEFAULT_OFFSET,
+    DEFAULT_SCALE,
+    kmeans,
+    kmeans_assign,
+    kmeans_fit,
+    quantize_expr,
+)
+
+
+def _hash60_py(seed, vid) -> int:
+    return int(hashlib.md5(f"{seed}|{vid}".encode()).hexdigest()[:15], 16)
+
+
+def _brute_kmeans(ids, X, k, iters, seed, scale=DEFAULT_SCALE, offset=DEFAULT_OFFSET):
+    """Independent driver-side implementation of the exact spec."""
+    Q = (np.floor(np.asarray(X, dtype=np.float64) * scale + 0.5) + offset).astype(np.int64)
+    order = sorted(range(len(ids)), key=lambda i: (_hash60_py(seed, ids[i]), ids[i]))
+    C = Q[order[:k]].copy()
+
+    def assign(C):
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        return a, d[np.arange(len(Q)), a]
+
+    for _ in range(iters):
+        a, _ = assign(C)
+        newC = C.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                newC[j] = Q[m].sum(axis=0) // m.sum()
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    a, dist = assign(C)
+    return C, {int(i): (int(c), int(dd)) for i, c, dd in zip(ids, a, dist)}
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding").cache()
+
+
+def test_matches_brute_force_exactly(spark, emb):
+    rows = emb.collect()
+    ids = [r.vec_id for r in rows]
+    X = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    bC, basg = _brute_kmeans(ids, X, k=5, iters=3, seed=11)
+    asg, cents, info = kmeans(emb, k=5, iters=3, seed=11)
+    assert np.array_equal(cents, bC)
+    got = {r.vec_id: (r.cluster, r.qdist) for r in asg.collect()}
+    assert got == basg
+    assert len(info["sizes"]) >= 1 and sum(info["sizes"][0]) == len(ids)
+
+
+def test_partition_invariance(spark, emb):
+    c1, _ = kmeans_fit(emb, k=4, iters=3, seed=2)
+    c2, _ = kmeans_fit(emb.repartition(7), k=4, iters=3, seed=2)
+    c3, _ = kmeans_fit(emb.repartition(1), k=4, iters=3, seed=2)
+    assert np.array_equal(c1, c2) and np.array_equal(c1, c3)
+
+
+def test_early_convergence_is_a_fixpoint(spark, emb):
+    c_long, info = kmeans_fit(emb, k=3, iters=50, seed=0)
+    assert info["converged_at"] is not None
+    c_exact, _ = kmeans_fit(emb, k=3, iters=info["converged_at"], seed=0)
+    assert np.array_equal(c_long, c_exact)
+
+
+def test_assignment_tie_goes_to_lowest_cluster(spark):
+    # point at 0 equidistant from centroids at -q and +q
+    df = spark.createDataFrame([(1, [0.0])], "vec_id long, embedding array<double>")
+    cents = np.asarray([[DEFAULT_OFFSET - 5], [DEFAULT_OFFSET + 5]], dtype=np.int64)
+    r = kmeans_assign(df, cents).collect()[0]
+    assert (r.cluster, r.qdist) == (0, 25)
+
+
+def test_duplicate_points_empty_cluster_keeps_centroid(spark):
+    # all rows identical: every row lands in the lowest-id cluster of
+    # the two identical centroids; cluster 1 stays empty and must keep
+    # its init centroid verbatim
+    df = spark.createDataFrame(
+        [(i, [0.25, -0.5]) for i in range(6)], "vec_id long, embedding array<double>"
+    )
+    cents, info = kmeans_fit(df, k=2, iters=3, seed=1)
+    q = np.floor(np.asarray([0.25, -0.5]) * DEFAULT_SCALE + 0.5).astype(np.int64) + DEFAULT_OFFSET
+    assert np.array_equal(cents[0], q) and np.array_equal(cents[1], q)
+    assert info["sizes"][0] == [6, 0]
+
+
+def test_quantize_expr_matches_kernel(spark, emb):
+    # the Catalyst twin and the numpy kernel must agree element-for-element
+    rows = emb.select("vec_id", quantize_expr("embedding").alias("qv")).collect()
+    raw = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb.collect()}
+    for r in rows:
+        q = (np.floor(raw[r.vec_id] * DEFAULT_SCALE + 0.5) + DEFAULT_OFFSET).astype(np.int64)
+        assert list(q) == list(r.qv)
+
+
+def test_offset_violation_raises(spark):
+    df = spark.createDataFrame([(1, [9.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="quantized coordinate outside"):
+        kmeans_fit(df, k=1, iters=1)
+
+
+def test_int64_bound_check_raises(spark):
+    df = spark.createDataFrame([(1, [0.1] * 4)], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="overflow int64"):
+        kmeans_fit(df, k=1, iters=1, offset=1 << 31)
+
+
+def test_k_exceeds_rows_raises(spark):
+    df = spark.createDataFrame([(1, [0.1])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_fit(df, k=3, iters=1)
+
+
+def test_assign_plan_is_pure_map(spark, emb):
+    cents, _ = kmeans_fit(emb, k=3, iters=1, seed=5)
+    plan = kmeans_assign(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
