@@ -50,6 +50,7 @@ import numpy as np
 
 from ..functions import hashing as H
 from .base import Sketch
+from .bloom import _strings_of  # library-wide null/str encoding — one source of truth
 
 __all__ = ["CountSketch"]
 
@@ -235,5 +236,3 @@ class CountSketch(Sketch):
         self.table = flat.reshape(self.depth, self.width).copy()
 
 
-def _strings_of(values) -> list[str]:
-    return ["" if v is None else str(v) for v in values]

@@ -45,6 +45,7 @@ from typing import Any
 import numpy as np
 from pyspark.sql import DataFrame
 
+from ..functions.vectors import rows_from_arrow
 from .base import Sketch
 
 __all__ = ["FrequentDirections", "exact_gramian"]
@@ -99,26 +100,9 @@ class FrequentDirections(Sketch):
                 self._shrink()
 
     def update_arrow(self, arr) -> None:
-        import pyarrow as pa
-
-        if isinstance(arr, pa.ChunkedArray):
-            for chunk in arr.chunks:
-                self.update_arrow(chunk)
-            return
-        if arr.null_count:
-            raise ValueError("null embeddings not supported")
-        if isinstance(arr, pa.FixedSizeListArray):
-            flat = np.asarray(arr.values, dtype=np.float64)
-            rows = flat.reshape(len(arr), -1)
-        else:
-            offs = np.asarray(arr.offsets, dtype=np.int64)
-            if not np.all(np.diff(offs) == self.dim):
-                raise ValueError("ragged embedding lengths")
-            flat = np.asarray(arr.values, dtype=np.float64)
-            rows = flat[offs[0] : offs[-1]].reshape(len(arr), -1)
-        if rows.shape[1] != self.dim:
-            raise ValueError(f"expected dim {self.dim}, got {rows.shape[1]}")
-        self.update(rows)
+        rows = rows_from_arrow(arr, self.dim)  # nulls/ragged/dim raise
+        if rows.shape[0]:
+            self.update(rows)
 
     def _shrink(self) -> None:
         """SVD the buffer; when it holds more than ell directions,
@@ -215,7 +199,9 @@ def exact_gramian(df: DataFrame, col: str, dim: int) -> tuple[np.ndarray, int]:
     distributed: one mapInArrow pass emits per-partition d*d partial
     Gramians (map-side combine in numpy), summed driver-side — d^2
     doubles per partition cross the wire, never the rows.  Returns
-    (gram, n_rows)."""
+    (gram, n_rows).  Same strict conversion as the sketch itself
+    (nulls/ragged/dim raise) — a silently misaligned 'exact' Gramian
+    would corrupt the very ground truth q121 judges the sketch by."""
     import pyarrow as pa
 
     d = int(dim)
@@ -225,20 +211,8 @@ def exact_gramian(df: DataFrame, col: str, dim: int) -> tuple[np.ndarray, int]:
         n = 0
         for rb in batches:
             arr = rb.column(rb.schema.get_field_index(col))
-            if len(arr) == 0:
-                continue
-            if isinstance(arr, pa.ChunkedArray):
-                chunks = arr.chunks
-            else:
-                chunks = [arr]
-            for c in chunks:
-                if isinstance(c, pa.FixedSizeListArray):
-                    rows = np.asarray(c.values, dtype=np.float64).reshape(len(c), -1)
-                else:
-                    offs = np.asarray(c.offsets, dtype=np.int64)
-                    rows = np.asarray(c.values, dtype=np.float64)[
-                        offs[0] : offs[-1]
-                    ].reshape(len(c), -1)
+            rows = rows_from_arrow(arr, d)
+            if rows.shape[0]:
                 acc += rows.T @ rows
                 n += rows.shape[0]
         yield pa.record_batch(

@@ -76,6 +76,8 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         alive = nxt
+    if deg is not None:
+        deg.unpersist()  # non-convergence must not leak the round table
     raise RuntimeError(
         f"k_core(k={k}) did not converge within max_rounds={max_rounds} "
         "peel rounds; raise max_rounds for pathologically deep graphs "

@@ -69,12 +69,13 @@ trains `pq.ivfpq_topk`'s coarse cells.
 
 from __future__ import annotations
 
-from typing import Any, Iterator, Optional
+from typing import Any, Iterator
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions.splits import _hash60
+from ..functions.vectors import rows_from_arrow as _rows_from_arrow
 
 __all__ = [
     "DEFAULT_SCALE",
@@ -98,31 +99,6 @@ def quantize_expr(vec_col: str, scale: int = DEFAULT_SCALE, offset: int = DEFAUL
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)) + F.lit(int(offset)),
     )
-
-
-def _rows_from_arrow(arr, dim: Optional[int]) -> np.ndarray:
-    """array<float/double> Arrow column -> (n, d) float64 matrix.
-    Same conversion discipline as fd.FrequentDirections.update_arrow:
-    nulls and ragged lengths raise instead of silently skewing sums."""
-    import pyarrow as pa
-
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if arr.null_count:
-        raise ValueError("null embeddings not supported in kmeans")
-    if isinstance(arr, pa.FixedSizeListArray):
-        flat = np.asarray(arr.values, dtype=np.float64)
-        rows = flat.reshape(len(arr), -1)
-    else:
-        offs = np.asarray(arr.offsets, dtype=np.int64)
-        widths = np.diff(offs)
-        if len(widths) and not np.all(widths == widths[0]):
-            raise ValueError("ragged embedding lengths in kmeans input")
-        flat = np.asarray(arr.values, dtype=np.float64)
-        rows = flat[offs[0] : offs[-1]].reshape(len(arr), -1) if len(arr) else flat.reshape(0, dim or 0)
-    if dim is not None and rows.shape[0] and rows.shape[1] != dim:
-        raise ValueError(f"expected dim {dim}, got {rows.shape[1]}")
-    return rows
 
 
 def _quantize(rows: np.ndarray, scale: int, offset: int) -> np.ndarray:

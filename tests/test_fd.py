@@ -138,3 +138,28 @@ def test_distributed_build_satisfies_bound(spark, sf_dir):
     assert w.min() >= -1e-6 * fn2
     assert w.max() <= fd.error_bound() + 1e-6 * fn2
     assert fd.error_bound() <= fn2 / 8 + 1e-9
+
+
+def test_exact_gramian_rejects_malformed(spark):
+    # the review scenario: ragged lengths whose total element count
+    # divides the row count would previously reshape into a misaligned
+    # matrix and SILENTLY corrupt the "exact" ground truth; nulls died
+    # with an opaque reshape error.  Both must raise ValueError now.
+    import pyspark.sql.functions as F
+
+    ragged = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [4.0, 5.0, 6.0, 7.0, 8.0])],
+        "id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged"):
+        exact_gramian(ragged.coalesce(1), "embedding", 4)
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="null embeddings"):
+        exact_gramian(withnull, "embedding", 2)
+    wrongdim = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="expected dim"):
+        exact_gramian(wrongdim, "embedding", 2)

@@ -99,3 +99,19 @@ def test_random_graph_parity(spark, seed, k):
         for _ in range(220)
     ]
     assert _run(spark, edges, k) == _brute(edges, k)
+
+
+def test_max_rounds_failure_releases_round_cache(spark):
+    # non-convergence must not leak the last round's persisted degree
+    # table into the session (review finding).  localCheckpoint RDDs
+    # are reaped asynchronously by the ContextCleaner, so the exact
+    # count can't be pinned — but deg's unpersist is SYNCHRONOUS, so
+    # the growth must be at most the 3 checkpoints (initial alive + 2
+    # rounds at max_rounds=2); a leaked deg would make it 4.
+    path = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(path, "s long, d long")
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(canonical_edges(df, "s", "d"), 2, max_rounds=2)
+    assert jsc.getPersistentRDDs().size() - before <= 3
