@@ -4096,19 +4096,21 @@ def q125_kmeans(spark, sf_dir):
     return asg.orderBy("vec_id")
 
 
-def _q125_oracle_sql(
+def _kmeans_lloyd_cte(
     k: int = 8,
     iters: int = 4,
     scale: int = 1_000_000,
     offset: int = 1 << 21,
     seed: int = 7,
 ) -> str:
-    """Unrolled Lloyd replay: c{t} -> per-(vec, cluster) integer
-    distances -> argmin assignment -> integer-division update, exactly
-    `iters` rounds, then the final assignment WITH distances.  AS
-    MATERIALIZED for the same fan-out reason as q124's peel.  The
-    empty-cluster branch (UNION ALL carry-over of untouched centroids)
-    mirrors kmeans_fit's keep-previous rule."""
+    """Shared unrolled-Lloyd CTE body (through distF, the final
+    per-(vec, cluster) distance table): c{t} -> integer distances ->
+    argmin assignment -> integer-division update, exactly `iters`
+    rounds.  AS MATERIALIZED for the same fan-out reason as q124's
+    peel.  The empty-cluster branch (UNION ALL carry-over of untouched
+    centroids) mirrors kmeans_fit's keep-previous rule.  q125 selects
+    assignments + distances from it; q126 composes it with the
+    priority-sampling twin."""
     h = f"((('0x' || substr(md5('{seed}|' || vec_id), 1, 15))::ubigint))::bigint"
     parts = [
         f"""
@@ -4156,19 +4158,74 @@ c{t + 1} AS MATERIALIZED (
         )
     parts.append(
         f""",
-distF AS (
+distF AS MATERIALIZED (
   SELECT d.vec_id, c.cluster, sum((d.val - c.cval) * (d.val - c.cval)) AS dist
   FROM dims d JOIN c{iters} c USING (dim) GROUP BY 1, 2
-)
-SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
-       CAST(dist AS BIGINT) AS qdist
-FROM (
-  SELECT vec_id, cluster, dist,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
-  FROM distF
-) WHERE rn = 1 ORDER BY vec_id"""
+),
+asgF AS MATERIALIZED (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM distF
+  ) WHERE rn = 1
+)"""
     )
     return "".join(parts)
+
+
+def _q125_oracle_sql() -> str:
+    return (
+        _kmeans_lloyd_cte()
+        + """
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
+       CAST(dist AS BIGINT) AS qdist
+FROM asgF ORDER BY vec_id"""
+    )
+
+
+def q126_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced sampling — the curation pass k-means exists
+    for: fit integer-exact centroids (same spec as q125), then draw a
+    deterministic uniform-weight priority sample of 25 vectors PER
+    CLUSTER (functions/splits.priority_sample, Duffield-Lund-Thorup
+    JACM'07) so a diverse subset survives even when cluster sizes are
+    skewed 86-vs-48 (sf0.01 actuals).  Everything composes exactly:
+    assignments replay as the unrolled Lloyd CTE, priorities are
+    bit-identical doubles (int->double, + and / only), selection is
+    total-ordered by (priority desc, vec_id).  Hash-oracled
+    row-for-row INCLUDING the double priority.  Plan: fit as in q125,
+    then ONE shuffle on cluster with WindowGroupLimit pushing the
+    top-25 into the sort on both sides of the exchange — at 100 TB
+    only k rows per cluster per input partition move."""
+    from btl_bloomfilter_spark.functions.splits import priority_sample
+    from btl_bloomfilter_spark.operators.kmeans import kmeans
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].select("vec_id", "embedding")
+    asg, _, _ = kmeans(emb, k=8, iters=4, seed=7)
+    sel = priority_sample(
+        asg.withColumn("w", F.lit(1)), ["cluster"], "w", 25, ["vec_id"], seed=126
+    )
+    return sel.select("vec_id", "cluster", "priority", "sample_rank").orderBy(
+        "cluster", "sample_rank"
+    )
+
+
+def _q126_oracle_sql() -> str:
+    from btl_bloomfilter_spark.functions.splits import priority_sql
+
+    pri = priority_sql("1", ["vec_id"], seed=126)
+    return (
+        _kmeans_lloyd_cte()
+        + f""",
+sel AS (
+  SELECT vec_id, cluster, {pri} AS priority,
+         row_number() OVER (PARTITION BY cluster ORDER BY {pri} DESC, vec_id) AS sample_rank
+  FROM asgF
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cluster AS INT) AS cluster,
+       priority, CAST(sample_rank AS INT) AS sample_rank
+FROM sel WHERE sample_rank <= 25 ORDER BY cluster, sample_rank"""
+    )
 
 
 def q122_bigsi_search(spark, sf_dir):
@@ -4680,6 +4737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q123_triangle_counts": q123_triangle_counts,
         "q124_kcore": q124_kcore,
         "q125_kmeans": q125_kmeans,
+        "q126_cluster_balanced_sample": q126_cluster_balanced_sample,
     }
 
 
@@ -5299,6 +5357,7 @@ def oracle_sql() -> dict[str, str]:
         "q123_triangle_counts": _Q123_ORACLE,
         "q124_kcore": _q124_oracle_sql(),
         "q125_kmeans": _q125_oracle_sql(),
+        "q126_cluster_balanced_sample": _q126_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
