@@ -4228,6 +4228,60 @@ FROM sel WHERE sample_rank <= 25 ORDER BY cluster, sample_rank"""
     )
 
 
+def q127_range_partition(spark, sf_dir):
+    """Quantile-driven balanced range partitioning
+    (functions/layout.exact_range_boundaries / range_bucket): the
+    write-layout complement to q95's z-order — Spark's own
+    repartitionByRange samples nondeterministically, so this computes
+    EXACT integer-rank boundaries (b_i = value at rank ceil(i*n/B))
+    with a distributed two-phase cumsum (repartitionByRange over the
+    value histogram + per-PARTITION windows + broadcast offsets —
+    never a global single-partition window) and assigns buckets with
+    one codegen projection of strict comparisons.  No float arithmetic
+    anywhere: boundaries are actual column values, ranks are integer
+    counts, so the DuckDB oracle RECOMPUTES the boundaries from
+    scratch and the per-bucket report (count/min/max over the raw
+    doubles) hash-matches.  KLL is the gated scale path (rank
+    tolerance pinned in test_layout)."""
+    from btl_bloomfilter_spark.functions.layout import (
+        exact_range_boundaries,
+        range_bucket,
+    )
+
+    ev = (
+        _load(spark, sf_dir, "events")["events"]
+        .select("value")
+        .where(F.col("value").isNotNull())
+    )
+    bounds = exact_range_boundaries(ev, "value", 32)
+    return (
+        ev.select(range_bucket("value", bounds).cast("int").alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_Q127_ORACLE = """
+WITH v AS (SELECT value AS v FROM events WHERE value IS NOT NULL),
+n AS (SELECT count(*) AS n FROM v),
+h AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum FROM h),
+bounds AS (
+  SELECT i, (SELECT min(v) FROM cum WHERE cum >= (i * n.n + 31) // 32) AS b
+  FROM range(1, 32) t(i), n
+),
+asg AS (SELECT v.v, (SELECT count(*) FROM bounds WHERE v.v > b) AS bucket FROM v)
+SELECT CAST(bucket AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(v) AS min_v, max(v) AS max_v
+FROM asg GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -4738,6 +4792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q124_kcore": q124_kcore,
         "q125_kmeans": q125_kmeans,
         "q126_cluster_balanced_sample": q126_cluster_balanced_sample,
+        "q127_range_partition": q127_range_partition,
     }
 
 
@@ -5358,6 +5413,7 @@ def oracle_sql() -> dict[str, str]:
         "q124_kcore": _q124_oracle_sql(),
         "q125_kmeans": _q125_oracle_sql(),
         "q126_cluster_balanced_sample": _q126_oracle_sql(),
+        "q127_range_partition": _Q127_ORACLE,
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

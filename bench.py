@@ -933,6 +933,24 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         asg, _, _ = kmeans(emb.select("vec_id", "embedding"), k=8, iters=4, seed=7)
         return asg.count()
 
+    def q_range_partition_events():
+        # exact integer-rank boundaries (B=32) via the distributed
+        # two-phase cumsum over the value histogram, then the
+        # one-projection bucket report; no float arithmetic anywhere
+        from btl_bloomfilter_spark.functions.layout import (
+            exact_range_boundaries,
+            range_bucket,
+        )
+
+        v = ev.select("value").where(F.col("value").isNotNull())
+        bounds = exact_range_boundaries(v, "value", 32)
+        return (
+            v.select(range_bucket("value", bounds).alias("b"))
+            .groupBy("b")
+            .count()
+            .count()
+        )
+
     def q_bigsi_build_search():
         # transposed per-doc Bloom index: one explode + bit_or groupBy
         # builds; search broadcasts a tiny (term, pos) probe and walks
@@ -1028,6 +1046,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "triangle_counts_parts": q_triangle_counts,
         "kcore_parts": q_kcore,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "range_partition_events": q_range_partition_events,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

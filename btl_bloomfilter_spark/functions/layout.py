@@ -38,7 +38,9 @@ import functools
 from pyspark.sql import Column, DataFrame, functions as F
 
 __all__ = ["interleave_bits", "interleave_bits_sql", "normalize_minmax",
-           "normalize_minmax_sql", "cluster_by_zorder"]
+           "normalize_minmax_sql", "cluster_by_zorder",
+           "exact_range_boundaries", "kll_range_boundaries",
+           "range_bucket", "range_bucket_sql"]
 
 
 def _validate(ncols: int, bits: int) -> None:
@@ -128,3 +130,154 @@ def cluster_by_zorder(
         else keyed.repartitionByRange("__zkey")
     )
     return parted.sortWithinPartitions("__zkey").drop("__zkey")
+
+
+# ---------------------------------------------------------------------------
+# Quantile-driven balanced range partitioning
+# ---------------------------------------------------------------------------
+#
+# The other half of write layout: z-order fixes WITHIN-file locality,
+# range partitioning fixes BETWEEN-file balance.  Spark's own
+# repartitionByRange draws boundaries from a nondeterministic reservoir
+# sample, so two runs of the same job lay the same table out
+# differently and no oracle can replay the assignment.  Here the
+# boundaries come from the data itself under an exact integer-rank
+# spec (engine-portable: no float arithmetic anywhere — boundaries are
+# actual column values, ranks are integer counts, assignment is strict
+# comparisons), with the library's KLL sketch as the scale path when
+# an exact pass over the value histogram is too expensive.
+#
+# Exact spec: boundary b_i (i = 1..B-1) is the value at ascending
+# 1-based rank ceil(i*n/B) = (i*n + B-1) DIV B over the non-null
+# values; bucket(x) = #{i : x > b_i}, a monotone map into [0, B-1].
+# Duplicate boundary values (heavy ties) collapse deterministically,
+# leaving empty buckets rather than splitting a tie arbitrarily.
+#
+# 100-TB shape of the exact path: ONE groupBy(value) histogram
+# (map-side combined, value-compressed), repartitionByRange over the
+# histogram, per-PARTITION cumsum windows (never a global
+# single-partition window) stitched with broadcast per-partition
+# offsets, and a broadcast rank-interval join that picks each rank's
+# crossing row.  Boundary extraction ships B-1 rows to the driver;
+# assignment is a pure codegen projection.
+
+
+def exact_range_boundaries(
+    df: DataFrame, col: str, n_buckets: int, *, partitions: int = 32
+) -> list:
+    """B-1 exact boundary VALUES for balanced range bucketing (see
+    module notes for the rank spec).  Raises on empty input."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    from pyspark.sql import Window
+
+    # localCheckpoint (not persist): repartitionByRange draws its
+    # partition bounds from a nondeterministic sample, so a cache
+    # eviction + lineage recompute could re-split the histogram AFTER
+    # the offsets below were collected; checkpointing truncates the
+    # lineage so the pid layout is pinned, not merely cached
+    hist = (
+        df.select(F.col(col).alias("v"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(F.count("*").alias("c"))
+        .repartitionByRange(partitions, "v")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    totals = sorted(
+        (r.pid, r.t) for r in hist.groupBy("pid").agg(F.sum("c").alias("t")).collect()
+    )
+    n = sum(t for _, t in totals)
+    if n == 0:
+        raise ValueError(f"exact_range_boundaries: no non-null values in {col!r}")
+    offsets, acc = {}, 0
+    for pid, t in totals:
+        offsets[pid] = acc
+        acc += t
+    off_expr = F.element_at(
+        F.create_map(
+            *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+        ),
+        F.col("pid"),
+    )
+    w_loc = Window.partitionBy("pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w_loc) + off_expr)
+    ranks = df.sparkSession.createDataFrame(
+        [(i, (i * n + n_buckets - 1) // n_buckets) for i in range(1, n_buckets)],
+        "i int, r long",
+    )
+    # crossing row: previous cum < r <= cum — exactly one per rank
+    bounds = cum.join(
+        F.broadcast(ranks),
+        (ranks.r <= cum.cum) & (ranks.r > cum.cum - cum.c),
+    )
+    rows = bounds.select("i", "v").collect()
+    got = {r.i: r.v for r in rows}
+    if len(got) != n_buckets - 1:
+        raise AssertionError(
+            f"rank join returned {len(got)} boundaries, expected {n_buckets - 1}"
+        )
+    return [got[i] for i in range(1, n_buckets)]
+
+
+def kll_range_boundaries(df: DataFrame, col: str, n_buckets: int, *, k: int = 200) -> list:
+    """Scale-path boundaries from the library's KLL sketch (one
+    mergeable pass, no histogram shuffle): quantiles at i/B.  Rank
+    error is the KLL guarantee (~O(1/k) of n) — callers that need the
+    exact spec use :func:`exact_range_boundaries`."""
+    from ..operators.kll import KLL
+    from ..plans.agg import build_sketch
+
+    sk = build_sketch(df.where(F.col(col).isNotNull()), col, lambda: KLL(k=k))
+    # native floats (KLL is float-domain): numpy scalars would break
+    # both F.lit and the SQL twin's literal formatting
+    return [float(x) for x in sk.quantiles([i / n_buckets for i in range(1, n_buckets)])]
+
+
+def _native(b):
+    """Coerce a boundary to a native int/float without precision loss
+    (float() on an int64 boundary would be lossy beyond 2^53)."""
+    if isinstance(b, bool):
+        raise TypeError("boolean boundaries are not orderable buckets")
+    if isinstance(b, int):
+        return b
+    if isinstance(b, float):
+        return b
+    if hasattr(b, "dtype"):  # numpy scalar
+        return int(b) if b.dtype.kind in "iu" else float(b)
+    return b  # str/date etc. pass through for Spark lit; SQL twin handles str
+
+
+def range_bucket(col: Column | str, boundaries: list) -> Column:
+    """bucket(x) = #{b in boundaries : x > b} — one codegen projection
+    (B-1 strict comparisons summed), monotone, engine-portable.  NULL
+    values map to NULL."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.lit(0)
+    for b in boundaries:
+        out = out + (c > F.lit(_native(b))).cast("int")
+    return out
+
+
+def range_bucket_sql(col: str, boundaries: list) -> str:
+    """DuckDB twin of :func:`range_bucket`.  Float boundaries are
+    emitted as shortest-round-trip literals CAST to DOUBLE (a bare
+    decimal literal would be DECIMAL-typed; the explicit cast
+    guarantees the comparison constant is the bit-identical double)."""
+    if not boundaries:
+        return "0"
+
+    def lit(b) -> str:
+        b = _native(b)
+        if isinstance(b, float):
+            return f"CAST({b!r} AS DOUBLE)"
+        if isinstance(b, int):
+            return repr(b)
+        s = str(b).replace("'", "''")
+        return f"'{s}'"
+
+    terms = " + ".join(f"(CASE WHEN {col} > {lit(b)} THEN 1 ELSE 0 END)" for b in boundaries)
+    return f"({terms})"

@@ -123,3 +123,135 @@ def test_zorder_prunes_both_dimensions(spark):
     assert lin_wy > 200  # linear layout: y unclustered, ~full width
     # z-order: both dims bounded well below full width
     assert z_wx < 128 and z_wy < 128, (z_wx, z_wy)
+
+
+# ---------------------------------------------------------------------------
+# Quantile-driven balanced range partitioning
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+from btl_bloomfilter_spark.functions.layout import (
+    exact_range_boundaries,
+    kll_range_boundaries,
+    range_bucket,
+    range_bucket_sql,
+)
+
+
+def _brute_boundaries(vals, B):
+    s = sorted(vals)
+    n = len(s)
+    return [s[(i * n + B - 1) // B - 1] for i in range(1, B)]
+
+
+def test_exact_boundaries_match_brute_force(spark):
+    rng = random.Random(31)
+    vals = [rng.randrange(0, 500) for _ in range(3000)]  # heavy duplicates
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    for B in (2, 7, 16):
+        assert exact_range_boundaries(df, "x", B) == _brute_boundaries(vals, B)
+
+
+def test_bucket_sizes_balanced_when_distinct(spark):
+    rng = random.Random(5)
+    vals = rng.sample(range(10**9), 4096)
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    B = 16
+    bounds = exact_range_boundaries(df, "x", B)
+    sizes = {
+        r.b: r.c
+        for r in df.select(range_bucket("x", bounds).alias("b"))
+        .groupBy("b")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    n = len(vals)
+    assert sum(sizes.values()) == n
+    assert set(sizes) == set(range(B))
+    assert all(n // B <= c <= -(-n // B) for c in sizes.values())
+
+
+def test_heavy_ties_collapse_deterministically(spark):
+    # one dominant value: its boundary repeats, buckets collapse (empty
+    # buckets) instead of splitting the tie arbitrarily
+    vals = [7] * 900 + list(range(100))
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    bounds = exact_range_boundaries(df, "x", 8)
+    assert bounds.count(7) >= 5
+    asg = df.select("x", range_bucket("x", bounds).alias("b"))
+    rows = asg.collect()
+    assert len({r.b for r in rows if r.x == 7}) == 1  # every tie, one bucket
+    assert sum(1 for _ in rows) == len(vals)
+
+
+def test_nulls_excluded_from_boundaries_and_null_bucket(spark):
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,), (None,)], "x int")
+    bounds = exact_range_boundaries(df, "x", 2)
+    assert bounds == [2]  # rank ceil(4/2)=2 over non-nulls
+    got = {r.x: r.b for r in df.select("x", range_bucket("x", bounds).alias("b")).collect()}
+    assert got[None] is None and got[2] == 0 and got[3] == 1
+
+
+def test_empty_input_raises(spark):
+    df = spark.createDataFrame([], "x long")
+    with pytest.raises(ValueError, match="no non-null values"):
+        exact_range_boundaries(df, "x", 4)
+    with pytest.raises(ValueError, match="n_buckets"):
+        exact_range_boundaries(df, "x", 1)
+
+
+def test_boundaries_partition_invariant(spark):
+    rng = random.Random(11)
+    vals = [rng.randrange(0, 1000) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    b1 = exact_range_boundaries(df, "x", 10)
+    b2 = exact_range_boundaries(df.repartition(17), "x", 10, partitions=5)
+    assert b1 == b2
+
+
+def test_range_bucket_sql_twin_parity(spark, tmp_path):
+    import duckdb
+
+    rng = random.Random(42)
+    vals = [rng.gauss(0.0, 10.0) for _ in range(1500)]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, x double")
+    path = str(tmp_path / "vals.parquet")
+    df.write.mode("overwrite").parquet(path)
+    df2 = spark.read.parquet(path)
+    bounds = exact_range_boundaries(df2, "x", 9)
+    got = {
+        r.id: r.b for r in df2.select("id", range_bucket("x", bounds).alias("b")).collect()
+    }
+    con = duckdb.connect()
+    ref = dict(
+        con.execute(
+            f"SELECT id, {range_bucket_sql('x', bounds)} FROM read_parquet('{path}/*.parquet')"
+        ).fetchall()
+    )
+    assert got == ref
+
+
+def test_numpy_scalar_boundaries_coerced(spark):
+    df = spark.createDataFrame([(1,), (5,), (9,)], "x long")
+    bounds = [np.int64(2), np.int64(2**60 + 3)]  # beyond float53 — must stay int
+    got = sorted(r.b for r in df.select(range_bucket("x", bounds).alias("b")).collect())
+    assert got == [0, 1, 1]
+    sql = range_bucket_sql("x", bounds)
+    assert repr(2**60 + 3) in sql and "CAST" not in sql
+
+
+def test_kll_boundaries_within_rank_tolerance(spark):
+    rng = random.Random(3)
+    vals = [rng.gauss(0, 1) for _ in range(20000)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    B = 10
+    bounds = kll_range_boundaries(df, "x", B, k=200)
+    assert all(isinstance(b, float) for b in bounds)
+    s = sorted(vals)
+    n = len(s)
+    import bisect
+
+    for i, b in enumerate(bounds, start=1):
+        rank = bisect.bisect_right(s, b)
+        assert abs(rank - (i * n + B - 1) // B) <= 0.03 * n  # KLL k=200 rank error
