@@ -4282,6 +4282,69 @@ FROM asg GROUP BY bucket ORDER BY bucket
 """
 
 
+def q128_ivf_flat_topk(spark, sf_dir):
+    """IVF-flat ANN with trained coarse cells (operators/kmeans
+    .ivf_flat_topk): the brief's 'IVF variant as the scale path' with
+    ORACLE-grade verification — because fit, probe ranking, and rerank
+    are all the same int64 arithmetic, the entire ANN query replays in
+    SQL: the shared unrolled-Lloyd CTE composed with a probe top-2 and
+    an exact top-10 rerank, hash-matched row-for-row including the
+    integer distances (q82's float IVFPQ is rows-only by nature; this
+    one is exact).  Plan: ONE pure-map scan emitting (query, vec,
+    dist) only for vectors in a probed cell, then one shuffle where
+    WindowGroupLimit keeps top-k per query on both sides; at rest,
+    write the assignment partitionBy(cluster) and the probe filter
+    becomes partition pruning (scan reads nprobe/k of the corpus).
+    nprobe >= k provably equals brute force (pinned in test_kmeans)."""
+    from btl_bloomfilter_spark.operators.kmeans import ivf_flat_topk, kmeans_fit
+
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].select("vec_id", "embedding")
+    cents, _ = kmeans_fit(emb, k=8, iters=4, seed=7)
+    return ivf_flat_topk(emb, cents, [0, 250, 499], topk=10, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _q128_oracle_sql(
+    query_ids: tuple = (0, 250, 499), topk: int = 10, nprobe: int = 2, iters: int = 4
+) -> str:
+    qvals = ", ".join(f"({q})" for q in query_ids)
+    return (
+        _kmeans_lloyd_cte()
+        + f""",
+qs AS (SELECT * FROM (VALUES {qvals}) t(query_id)),
+qdims AS MATERIALIZED (
+  SELECT q.query_id, d.dim, d.val FROM qs q JOIN dims d ON d.vec_id = q.query_id
+),
+cdist AS (
+  SELECT q.query_id, c.cluster, sum((q.val - c.cval) * (q.val - c.cval)) AS dist
+  FROM qdims q JOIN c{iters} c USING (dim) GROUP BY 1, 2
+),
+probe AS MATERIALIZED (
+  SELECT query_id, cluster FROM (
+    SELECT query_id, cluster,
+           row_number() OVER (PARTITION BY query_id ORDER BY dist, cluster) AS rn
+    FROM cdist
+  ) WHERE rn <= {nprobe}
+),
+cand AS (SELECT p.query_id, a.vec_id FROM probe p JOIN asgF a USING (cluster)),
+cd AS (
+  SELECT c.query_id, c.vec_id, sum((qd.val - d.val) * (qd.val - d.val)) AS dist
+  FROM cand c
+  JOIN dims d ON d.vec_id = c.vec_id
+  JOIN qdims qd ON qd.query_id = c.query_id AND qd.dim = d.dim
+  GROUP BY 1, 2
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id, CAST(dist AS BIGINT) AS qdist
+FROM (
+  SELECT query_id, vec_id, dist,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
+  FROM cd
+) WHERE rn <= {topk} ORDER BY query_id, rn"""
+    )
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -4793,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q125_kmeans": q125_kmeans,
         "q126_cluster_balanced_sample": q126_cluster_balanced_sample,
         "q127_range_partition": q127_range_partition,
+        "q128_ivf_flat_topk": q128_ivf_flat_topk,
     }
 
 
@@ -5414,6 +5478,7 @@ def oracle_sql() -> dict[str, str]:
         "q125_kmeans": _q125_oracle_sql(),
         "q126_cluster_balanced_sample": _q126_oracle_sql(),
         "q127_range_partition": _Q127_ORACLE,
+        "q128_ivf_flat_topk": _q128_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -925,13 +925,27 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
     def q_kmeans_embeddings():
         # integer-exact Lloyd (k=8, 4 iterations) over the cached
-        # 5000x64 embedding table: per-iteration shuffle is
+        # 2000x64 embedding table: per-iteration shuffle is
         # O(partitions * k * d) longs (per-partition numpy partials),
         # final assignment a pure map
         from btl_bloomfilter_spark.operators.kmeans import kmeans
 
-        asg, _, _ = kmeans(emb.select("vec_id", "embedding"), k=8, iters=4, seed=7)
+        asg, cents, _ = kmeans(emb.select("vec_id", "embedding"), k=8, iters=4, seed=7)
+        state["kmeans_cents"] = cents
         return asg.count()
+
+    def q_ivf_flat_search():
+        # search-only IVF-flat over prefit cells: ONE pure-map scan
+        # emitting candidates for probed cells + a WindowGroupLimit
+        # top-k shuffle of at most queries x partitions x k rows
+        from btl_bloomfilter_spark.operators.kmeans import ivf_flat_topk, kmeans_fit
+
+        v = emb.select("vec_id", "embedding")
+        cents = state.get("kmeans_cents")
+        if cents is None:  # BENCH_ONLY subset without the fit entry
+            cents, _ = kmeans_fit(v, k=8, iters=4, seed=7)
+            state["kmeans_cents"] = cents
+        return ivf_flat_topk(v, cents, [0, 666, 1333, 1999], topk=10, nprobe=2).count()
 
     def q_range_partition_events():
         # exact integer-rank boundaries (B=32) via the distributed
@@ -1047,6 +1061,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "kcore_parts": q_kcore,
         "kmeans_embeddings": q_kmeans_embeddings,
         "range_partition_events": q_range_partition_events,
+        "ivf_flat_search": q_ivf_flat_search,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

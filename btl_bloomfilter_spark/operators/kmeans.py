@@ -84,6 +84,7 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "kmeans",
+    "ivf_flat_topk",
 ]
 
 DEFAULT_SCALE = 1_000_000  # micro grid, per the repo's fixed-point policy
@@ -281,3 +282,106 @@ def kmeans(
     )
     asg = kmeans_assign(df, cents, id_col=id_col, vec_col=vec_col, scale=scale, offset=offset)
     return asg, cents, info
+
+
+def ivf_flat_topk(
+    df: DataFrame,
+    centroids: np.ndarray,
+    query_ids: list,
+    topk: int,
+    nprobe: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = DEFAULT_SCALE,
+    offset: int = DEFAULT_OFFSET,
+) -> DataFrame:
+    """IVF-flat ANN: for each query (a row of the table named by id),
+    probe the ``nprobe`` centroids nearest the query and return the
+    exact integer-distance top-``topk`` among vectors ASSIGNED to the
+    probed cells — (query_id, rank, vec_id, qdist).
+
+    Everything is the same int64 arithmetic as the fit, so the result
+    is deterministic and (given the same centroids) exactly
+    reproducible in SQL — q128 hash-oracles it end to end, which no
+    float ANN can offer.  With ``nprobe >= k`` the probe set is every
+    cell and the result provably equals brute-force top-k (pinned in
+    tests); smaller nprobe trades recall for scan fraction exactly as
+    IVF is meant to.
+
+    Plan shape: ONE pure-map scan — the kernel knows each query's
+    probe set and emits (query, vec, dist) rows only for vectors in a
+    probed cell — then one shuffle where WindowGroupLimit keeps top-k
+    per query on both sides, so the exchange carries at most
+    queries × partitions × topk rows.  At rest, write the assignment
+    partitioned by cluster and the probe filter becomes partition
+    pruning (same layout note as pq.ivfpq_topk); the scan then reads
+    nprobe/k of the corpus.
+    """
+    from pyspark.sql import Window
+
+    cents = np.ascontiguousarray(np.asarray(centroids, dtype=np.int64))
+    k, d = cents.shape
+    _check_bounds(d, offset)
+    if not 1 <= nprobe:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    nprobe = min(int(nprobe), k)
+    qrows = {
+        r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
+        for r in df.where(F.col(id_col).isin(list(query_ids)))
+        .select(id_col, vec_col)
+        .collect()
+    }
+    missing = [q for q in query_ids if q not in qrows]
+    if missing:
+        raise ValueError(f"query ids not present in the table: {missing}")
+    qmat = _quantize(np.stack([qrows[q] for q in query_ids]), scale, offset)
+    # probe sets: nprobe nearest centroids per query, ties -> lowest id
+    qc = ((qmat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qc, axis=1, kind="stable")[:, :nprobe]
+    probe_of = {}  # cluster -> [(query index, qvec)]
+    for qi in range(len(query_ids)):
+        for c in probes[qi]:
+            probe_of.setdefault(int(c), []).append(qi)
+    id_type = df.schema[id_col].dataType.simpleString()
+    qid_vals = list(query_ids)
+
+    def run(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            rows = _rows_from_arrow(batch.column(1), d)
+            if not rows.shape[0]:
+                continue
+            q = _quantize(rows, scale, offset)
+            a, _ = _assign_chunk(q, cents)
+            ids = batch.column(0)
+            out_qi, out_row, out_dist = [], [], []
+            for c, qis in probe_of.items():
+                m = np.flatnonzero(a == c)
+                if not len(m):
+                    continue
+                for qi in qis:
+                    dist = ((q[m] - qmat[qi][None, :]) ** 2).sum(axis=1)
+                    out_qi.extend([qi] * len(m))
+                    out_row.extend(m.tolist())
+                    out_dist.extend(dist.tolist())
+            if out_qi:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([qid_vals[i] for i in out_qi]),
+                        ids.take(pa.array(out_row, pa.int32())),
+                        pa.array(np.asarray(out_dist, dtype=np.int64)),
+                    ],
+                    names=["query_id", id_col, "qdist"],
+                )
+
+    cand = df.select(id_col, vec_col).mapInArrow(
+        run, f"query_id {id_type}, {id_col} {id_type}, qdist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("qdist"), F.asc(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(topk))
+        .select("query_id", "rank", id_col, "qdist")
+    )
