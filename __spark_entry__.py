@@ -4102,6 +4102,7 @@ def _kmeans_lloyd_cte(
     scale: int = 1_000_000,
     offset: int = 1 << 21,
     seed: int = 7,
+    source: str = "embeddings",
 ) -> str:
     """Shared unrolled-Lloyd CTE body (through distF, the final
     per-(vec, cluster) distance table): c{t} -> integer distances ->
@@ -4118,7 +4119,7 @@ WITH q AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> cast(floor(cast(x as double) * {scale} + 0.5) as bigint) + {offset}) AS qv
-  FROM embeddings
+  FROM {source}
 ),
 dims AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(qv, 1) - 1 AS dim, unnest(qv) AS val FROM q
@@ -4342,6 +4343,123 @@ FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS rn
   FROM cd
 ) WHERE rn <= {topk} ORDER BY query_id, rn"""
+    )
+
+
+_Q129_SRC_SQL = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL "
+    "SELECT vec_id + 100000, list_transform(embedding, x -> cast(x as double) * 0.999) "
+    "FROM embeddings WHERE vec_id % 25 = 0)"
+)
+
+
+def _q129_derived(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")["embeddings"].select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(100000)).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(0.999)).alias(
+            "embedding"
+        ),
+    )
+    return emb.unionByName(planted)
+
+
+def q129_semantic_dedup_exact(spark, sf_dir):
+    """SemDeDup with an EXACT, hash-oracled threshold (operators/kmeans
+    × a pure-Catalyst integer cosine law; Abbas et al. 2023 shape:
+    cluster, then prune near-dups WITHIN clusters so the pair blowup is
+    bounded by cluster size, never corpus size).  cos(a,b) >= 0.95 is
+    decided without any float division: on the centered micro-grid
+    vectors, cos >= 19/20 <=> dot >= 0 AND 10^6·dot² >= 950²·|a|²·|b|²
+    — dot and norms are exact int64 (|coord| <= 2^19 here), the squared
+    comparison runs in DECIMAL(38,0) in Spark and HUGEINT in DuckDB,
+    both exact at <= 2^106.  Planted truth: every 25th vector gets an
+    engine-identically derived 0.999-scaled twin (pure IEEE double ops
+    in both engines) — exactly those 20 pairs qualify (the corpus's max
+    natural cosine is 0.51).  Hash-oracled row-for-row including dot
+    and both norms.  No Python anywhere in the pair stage: zip_with /
+    aggregate fold for dot, one exchange on cluster."""
+    from btl_bloomfilter_spark.operators.kmeans import (
+        kmeans_assign,
+        kmeans_fit,
+        quantize_expr,
+    )
+
+    src = _q129_derived(spark, sf_dir)
+    cents, _ = kmeans_fit(src, k=8, iters=4, seed=7)
+    asg = kmeans_assign(src, cents).select("vec_id", "cluster")
+    t = (
+        src.select("vec_id", quantize_expr("embedding", offset=0).alias("qv"))
+        .join(asg, "vec_id")
+        .withColumn(
+            "nrm",
+            F.aggregate(
+                F.zip_with("qv", "qv", lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.qv"), F.col("b.qv"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            dot.alias("dot"),
+            F.col("a.nrm").alias("norm_a"),
+            F.col("b.nrm").alias("norm_b"),
+        )
+        .where(
+            (F.col("dot") >= 0)
+            & (
+                dec(F.col("dot")) * F.col("dot") * F.lit(1000000)
+                >= dec(F.lit(902500)) * F.col("norm_a") * F.col("norm_b")
+            )
+        )
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+def _q129_oracle_sql(offset: int = 1 << 21) -> str:
+    return (
+        _kmeans_lloyd_cte(source=_Q129_SRC_SQL)
+        + f""",
+cvec AS MATERIALIZED (
+  SELECT vec_id, dim, val - {offset} AS cv FROM dims
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id, sum(cv * cv) AS nrm FROM cvec GROUP BY vec_id
+),
+prs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asgF a JOIN asgF b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+),
+cd AS (
+  SELECT p.id_a, p.id_b, sum(da.cv * db.cv) AS dot
+  FROM prs p
+  JOIN cvec da ON da.vec_id = p.id_a
+  JOIN cvec db ON db.vec_id = p.id_b AND db.dim = da.dim
+  GROUP BY 1, 2
+)
+SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+       CAST(c.dot AS BIGINT) AS dot,
+       CAST(na.nrm AS BIGINT) AS norm_a, CAST(nb.nrm AS BIGINT) AS norm_b
+FROM cd c JOIN nrm na ON na.vec_id = c.id_a JOIN nrm nb ON nb.vec_id = c.id_b
+WHERE c.dot >= 0
+  AND 1000000::hugeint * c.dot * c.dot >= 902500::hugeint * na.nrm * nb.nrm
+ORDER BY id_a, id_b"""
     )
 
 
@@ -4857,6 +4975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q126_cluster_balanced_sample": q126_cluster_balanced_sample,
         "q127_range_partition": q127_range_partition,
         "q128_ivf_flat_topk": q128_ivf_flat_topk,
+        "q129_semantic_dedup_exact": q129_semantic_dedup_exact,
     }
 
 
@@ -5479,6 +5598,7 @@ def oracle_sql() -> dict[str, str]:
         "q126_cluster_balanced_sample": _q126_oracle_sql(),
         "q127_range_partition": _Q127_ORACLE,
         "q128_ivf_flat_topk": _q128_oracle_sql(),
+        "q129_semantic_dedup_exact": _q129_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -179,3 +179,27 @@ def test_ivf_flat_missing_query_raises(spark, emb):
     cents, _ = kmeans_fit(emb, k=3, iters=1, seed=9)
     with pytest.raises(ValueError, match="not present"):
         ivf_flat_topk(emb, cents, [10**9], topk=5, nprobe=2)
+
+
+def test_q129_planted_twins_recovered_exactly(spark, sf_dir):
+    # board query gate at test scale: the 0.999-scaled twins are the
+    # ONLY pairs above the 0.95 integer cosine law (max natural cosine
+    # in the synthetic corpus is ~0.51), and each twin co-clusters with
+    # its original under the L2 fit
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "_entry129", "/root/repo/__spark_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+    rows = em.queries()["q129_semantic_dedup_exact"](spark, sf_dir).collect()
+    n_planted = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        "vec_id % 25 = 0"
+    ).count()
+    assert len(rows) == n_planted > 0
+    assert all(r.id_b == r.id_a + 100000 and r.id_a % 25 == 0 for r in rows)
+    # the law's pieces are exact ints and the twin's cosine is ~1:
+    # 10^6 dot^2 vs 902500 na nb must hold with slack
+    for r in rows:
+        assert 10**6 * r.dot * r.dot >= 902500 * r.norm_a * r.norm_b
