@@ -4463,6 +4463,95 @@ ORDER BY id_a, id_b"""
     )
 
 
+def q130_phrase_search(spark, sf_dir):
+    """Positional inverted index + exact phrase search
+    (operators/postings): the exact-match complement to BM25/TF-IDF —
+    targeted decontamination and quote tracing need literal word
+    SEQUENCES, not bags.  Classic identity: phrase [t_0..t_{n-1}]
+    starts at p iff p ∈ ∩_i (positions(t_i) − i); the index build is
+    ONE map-side-combined shuffle, the search broadcasts the tiny
+    (term, idx) table, shifts in a codegen transform and folds
+    array_intersect — no text rescan, no Python.  Two phrases in one
+    report: a natural corpus bigram ('table value', ~34 docs) and a
+    PLANTED trigram appended engine-identically to every 20th doc
+    ('alpha beta gamma' — words outside the corpus vocabulary, so its
+    matches are exactly the planted docs at the exact appended
+    offset).  Hash-oracled row-for-row (doc, match count, first
+    position) against a DuckDB twin using the shared bm25 tokenizer
+    convention."""
+    from btl_bloomfilter_spark.operators.postings import build_postings, phrase_search
+
+    docs = _load(spark, sf_dir, "documents")["documents"].select("doc_id", "text")
+    src = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 20 == 0, F.concat("text", F.lit(" alpha beta gamma"))
+        ).otherwise(F.col("text")),
+    )
+    idx = build_postings(src, "text", "doc_id")
+    out = None
+    for pid, terms in enumerate((["table", "value"], ["alpha", "beta", "gamma"])):
+        r = phrase_search(idx, terms).select(
+            F.lit(pid).alias("phrase_id"),
+            F.col("doc").cast("long").alias("doc"),
+            F.col("n_matches").cast("int").alias("n_matches"),
+            F.col("first_pos").cast("int").alias("first_pos"),
+        )
+        out = r if out is None else out.unionByName(r)
+    return out.orderBy("phrase_id", "doc")
+
+
+def _q130_oracle_sql(phrases=((0, ["table", "value"]), (1, ["alpha", "beta", "gamma"]))) -> str:
+    from btl_bloomfilter_spark.functions.textstats import _WS
+
+    t = f"regexp_replace(lower(coalesce(text, '')), '^[{_WS}]+|[{_WS}]+$', '', 'g')"
+    words = f"(case when {t} = '' then [] else string_split_regex({t}, '[{_WS}]+') end)"
+    parts = [
+        f"""
+WITH src AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN doc_id % 20 = 0 THEN text || ' alpha beta gamma' ELSE text END AS text
+  FROM documents
+),
+wrds AS MATERIALIZED (
+  SELECT doc_id AS doc, {words} AS ws FROM src
+),
+toks AS MATERIALIZED (
+  SELECT doc, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS term FROM wrds
+)"""
+    ]
+    finals = []
+    for pid, terms in phrases:
+        joins = []
+        for i, term in enumerate(terms):
+            esc = term.lower().replace("'", "''")
+            parts.append(
+                f""",
+h{pid}_{i} AS MATERIALIZED (
+  SELECT doc, list(pos - {i}) AS s FROM toks WHERE term = '{esc}' GROUP BY doc
+)"""
+            )
+            joins.append(f"h{pid}_{i}")
+        inter = f"{joins[0]}.s"
+        for j in joins[1:]:
+            inter = f"list_intersect({inter}, {j}.s)"
+        join_sql = joins[0] + "".join(
+            f" JOIN {j} ON {j}.doc = {joins[0]}.doc" for j in joins[1:]
+        )
+        parts.append(
+            f""",
+m{pid} AS (
+  SELECT {joins[0]}.doc AS doc, {inter} AS starts FROM {join_sql}
+)"""
+        )
+        finals.append(
+            f"SELECT {pid} AS phrase_id, CAST(doc AS BIGINT) AS doc, "
+            f"CAST(len(starts) AS INT) AS n_matches, CAST(list_min(starts) AS INT) AS first_pos "
+            f"FROM m{pid} WHERE len(starts) > 0"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(finals) + "\nORDER BY phrase_id, doc")
+    return "".join(parts)
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -4976,6 +5065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q127_range_partition": q127_range_partition,
         "q128_ivf_flat_topk": q128_ivf_flat_topk,
         "q129_semantic_dedup_exact": q129_semantic_dedup_exact,
+        "q130_phrase_search": q130_phrase_search,
     }
 
 
@@ -5599,6 +5689,7 @@ def oracle_sql() -> dict[str, str]:
         "q127_range_partition": _Q127_ORACLE,
         "q128_ivf_flat_topk": _q128_oracle_sql(),
         "q129_semantic_dedup_exact": _q129_oracle_sql(),
+        "q130_phrase_search": _q130_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -965,6 +965,20 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             .count()
         )
 
+    def q_phrase_search_docs():
+        # positional index build (one map-side-combined shuffle) + two
+        # phrase queries resolved by broadcast + codegen intersections
+        from btl_bloomfilter_spark.operators.postings import (
+            build_postings,
+            phrase_search,
+        )
+
+        idx = build_postings(docs, "text", "doc_id")
+        return (
+            phrase_search(idx, ["table", "value"]).count()
+            + phrase_search(idx, ["row", "scan"]).count()
+        )
+
     def q_bigsi_build_search():
         # transposed per-doc Bloom index: one explode + bit_or groupBy
         # builds; search broadcasts a tiny (term, pos) probe and walks
@@ -1062,6 +1076,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "kmeans_embeddings": q_kmeans_embeddings,
         "range_partition_events": q_range_partition_events,
         "ivf_flat_search": q_ivf_flat_search,
+        "phrase_search_docs": q_phrase_search_docs,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
