@@ -175,7 +175,14 @@ def exact_range_boundaries(
     # partition bounds from a nondeterministic sample, so a cache
     # eviction + lineage recompute could re-split the histogram AFTER
     # the offsets below were collected; checkpointing truncates the
-    # lineage so the pid layout is pinned, not merely cached
+    # lineage so the pid layout is pinned, not merely cached.
+    # DataFrame.unpersist() does NOT release a localCheckpoint's
+    # blocks (they live in a separately persisted RDD), so the ids of
+    # the RDDs the checkpoint pins are diffed out here and unpersisted
+    # explicitly in the finally below — deterministic release instead
+    # of waiting on driver GC + the async ContextCleaner.
+    jsc = df.sparkSession.sparkContext._jsc
+    rdd_ids_before = set(jsc.getPersistentRDDs().keySet().toArray())
     hist = (
         df.select(F.col(col).alias("v"))
         .where(F.col("v").isNotNull())
@@ -185,36 +192,48 @@ def exact_range_boundaries(
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
-    totals = sorted(
-        (r.pid, r.t) for r in hist.groupBy("pid").agg(F.sum("c").alias("t")).collect()
-    )
-    n = sum(t for _, t in totals)
-    if n == 0:
-        raise ValueError(f"exact_range_boundaries: no non-null values in {col!r}")
-    offsets, acc = {}, 0
-    for pid, t in totals:
-        offsets[pid] = acc
-        acc += t
-    off_expr = F.element_at(
-        F.create_map(
-            *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
-        ),
-        F.col("pid"),
-    )
-    w_loc = Window.partitionBy("pid").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = hist.withColumn("cum", F.sum("c").over(w_loc) + off_expr)
-    ranks = df.sparkSession.createDataFrame(
-        [(i, (i * n + n_buckets - 1) // n_buckets) for i in range(1, n_buckets)],
-        "i int, r long",
-    )
-    # crossing row: previous cum < r <= cum — exactly one per rank
-    bounds = cum.join(
-        F.broadcast(ranks),
-        (ranks.r <= cum.cum) & (ranks.r > cum.cum - cum.c),
-    )
-    rows = bounds.select("i", "v").collect()
+    ckpt_ids = set(jsc.getPersistentRDDs().keySet().toArray()) - rdd_ids_before
+    try:
+        totals = sorted(
+            (r.pid, r.t)
+            for r in hist.groupBy("pid").agg(F.sum("c").alias("t")).collect()
+        )
+        n = sum(t for _, t in totals)
+        if n == 0:
+            raise ValueError(f"exact_range_boundaries: no non-null values in {col!r}")
+        offsets, acc = {}, 0
+        for pid, t in totals:
+            offsets[pid] = acc
+            acc += t
+        off_expr = F.element_at(
+            F.create_map(
+                *[x for pid, o in offsets.items() for x in (F.lit(pid), F.lit(o))]
+            ),
+            F.col("pid"),
+        )
+        w_loc = Window.partitionBy("pid").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        cum = hist.withColumn("cum", F.sum("c").over(w_loc) + off_expr)
+        ranks = df.sparkSession.createDataFrame(
+            [(i, (i * n + n_buckets - 1) // n_buckets) for i in range(1, n_buckets)],
+            "i int, r long",
+        )
+        # crossing row: previous cum < r <= cum — exactly one per rank
+        bounds = cum.join(
+            F.broadcast(ranks),
+            (ranks.r <= cum.cum) & (ranks.r > cum.cum - cum.c),
+        )
+        rows = bounds.select("i", "v").collect()
+    finally:
+        # release the checkpointed histogram blocks deterministically,
+        # including on the empty-input raise (the same leak class
+        # k_core's error path had)
+        live = jsc.getPersistentRDDs()
+        for rid in ckpt_ids:
+            jrdd = live.get(rid)
+            if jrdd is not None:
+                jrdd.unpersist()
     got = {r.i: r.v for r in rows}
     if len(got) != n_buckets - 1:
         raise AssertionError(
@@ -228,6 +247,8 @@ def kll_range_boundaries(df: DataFrame, col: str, n_buckets: int, *, k: int = 20
     mergeable pass, no histogram shuffle): quantiles at i/B.  Rank
     error is the KLL guarantee (~O(1/k) of n) — callers that need the
     exact spec use :func:`exact_range_boundaries`."""
+    if n_buckets < 2:  # same contract as the exact path — a silent []
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
     from ..operators.kll import KLL
     from ..plans.agg import build_sketch
 
@@ -247,6 +268,8 @@ def _native(b):
     if isinstance(b, float):
         return b
     if hasattr(b, "dtype"):  # numpy scalar
+        if b.dtype.kind == "b":
+            raise TypeError("boolean boundaries are not orderable buckets")
         return int(b) if b.dtype.kind in "iu" else float(b)
     return b  # str/date etc. pass through for Spark lit; SQL twin handles str
 

@@ -34,7 +34,10 @@ def rows_from_arrow(arr, dim: Optional[int] = None) -> np.ndarray:
     if arr.null_count:
         raise ValueError("null embeddings not supported")
     if isinstance(arr, pa.FixedSizeListArray):
-        rows = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), -1)
+        width = arr.type.list_size
+        if len(arr) == 0:  # reshape(0, -1) raises in numpy
+            return np.zeros((0, dim if dim is not None else width))
+        rows = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), width)
     else:
         offs = np.asarray(arr.offsets, dtype=np.int64)
         widths = np.diff(offs)

@@ -332,6 +332,11 @@ def ivf_flat_topk(
         .select(id_col, vec_col)
         .collect()
     }
+    if len(set(query_ids)) != len(list(query_ids)):
+        raise ValueError(
+            "duplicate query ids: each duplicate would emit its candidates "
+            "twice into the same top-k window and silently halve the result"
+        )
     missing = [q for q in query_ids if q not in qrows]
     if missing:
         raise ValueError(f"query ids not present in the table: {missing}")
@@ -369,7 +374,10 @@ def ivf_flat_topk(
             if out_qi:
                 yield pa.RecordBatch.from_arrays(
                     [
-                        pa.array([qid_vals[i] for i in out_qi]),
+                        # pin the id column's own arrow type: bare
+                        # pa.array() infers int64 for Python ints and
+                        # trips schema validation for int/short ids
+                        pa.array([qid_vals[i] for i in out_qi], type=ids.type),
                         ids.take(pa.array(out_row, pa.int32())),
                         pa.array(np.asarray(out_dist, dtype=np.int64)),
                     ],

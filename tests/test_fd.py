@@ -163,3 +163,13 @@ def test_exact_gramian_rejects_malformed(spark):
     )
     with pytest.raises(Exception, match="expected dim"):
         exact_gramian(wrongdim, "embedding", 2)
+
+
+def test_update_arrow_empty_fixed_size_list():
+    # empty FixedSizeList batch previously tripped numpy's
+    # reshape(0, -1); the shared converter must return a (0, d) matrix
+    import pyarrow as pa
+
+    fd = FrequentDirections(ell=4, dim=3)
+    fd.update_arrow(pa.array([], pa.list_(pa.float64(), 3)))
+    assert fd.n_entry == 0

@@ -203,3 +203,25 @@ def test_q129_planted_twins_recovered_exactly(spark, sf_dir):
     # 10^6 dot^2 vs 902500 na nb must hold with slack
     for r in rows:
         assert 10**6 * r.dot * r.dot >= 902500 * r.norm_a * r.norm_b
+
+
+def test_ivf_flat_duplicate_query_ids_raise(spark, emb):
+    from btl_bloomfilter_spark.operators.kmeans import ivf_flat_topk
+
+    cents, _ = kmeans_fit(emb, k=3, iters=1, seed=9)
+    with pytest.raises(ValueError, match="duplicate query ids"):
+        ivf_flat_topk(emb, cents, [3, 3], topk=5, nprobe=2)
+
+
+def test_ivf_flat_int_id_column(spark):
+    # pa.array() infers int64 for Python ints; the kernel must pin the
+    # id column's own arrow type or mapInArrow schema validation fails
+    from btl_bloomfilter_spark.operators.kmeans import ivf_flat_topk, kmeans_fit
+
+    df = spark.createDataFrame(
+        [(i, [0.01 * i, -0.02 * i]) for i in range(40)],
+        "vec_id int, embedding array<double>",
+    )
+    cents, _ = kmeans_fit(df, k=2, iters=2, seed=1)
+    rows = ivf_flat_topk(df, cents, [5], topk=3, nprobe=2).collect()
+    assert [r.vec_id for r in rows if r.rank == 1] == [5]

@@ -255,3 +255,29 @@ def test_kll_boundaries_within_rank_tolerance(spark):
     for i, b in enumerate(bounds, start=1):
         rank = bisect.bisect_right(s, b)
         assert abs(rank - (i * n + B - 1) // B) <= 0.03 * n  # KLL k=200 rank error
+
+
+def test_kll_boundaries_rejects_degenerate_buckets(spark):
+    df = spark.createDataFrame([(1.0,)], "x double")
+    with pytest.raises(ValueError, match="n_buckets"):
+        kll_range_boundaries(df, "x", 1)
+
+
+def test_numpy_bool_boundary_rejected(spark):
+    df = spark.createDataFrame([(1,)], "x long")
+    with pytest.raises(TypeError, match="boolean boundaries"):
+        df.select(range_bucket("x", [np.bool_(True)])).collect()
+
+
+def test_boundaries_release_checkpoint_blocks(spark):
+    # both the success path and the empty-input raise must unpersist
+    # the checkpointed histogram (review finding, k_core leak class)
+    jsc = spark.sparkContext._jsc.sc()
+    df = spark.createDataFrame([(v,) for v in range(100)], "x long")
+    before = jsc.getPersistentRDDs().size()
+    exact_range_boundaries(df, "x", 4)
+    assert jsc.getPersistentRDDs().size() == before
+    empty = spark.createDataFrame([], "x long")
+    with pytest.raises(ValueError, match="no non-null"):
+        exact_range_boundaries(empty, "x", 4)
+    assert jsc.getPersistentRDDs().size() == before
