@@ -4552,6 +4552,47 @@ m{pid} AS (
     return "".join(parts)
 
 
+def q131_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe dataset splitting — the composition the split and
+    dedup machinery exist for: a plain hash split can put two NEAR-
+    DUPLICATE documents on opposite sides of train/test, silently
+    inflating eval (the classic contamination-by-near-dup pitfall).
+    Here every near-dup connected component (q61's exact n-gram
+    Jaccard pairs resolved by large-star/small-star components) is
+    assigned as a UNIT: group_key = component label (or the doc's own
+    id for singletons), split = content-hash split of the group key —
+    so no qualifying near-dup pair ever straddles splits, by
+    construction in BOTH engines.  Hash-oracled row-for-row (doc,
+    group key, split) against the recursive-CTE closure + the split
+    twin.  Plan: the pair/component stages are q61's (bounded rounds,
+    per-round lineage truncation); the split itself is one row-local
+    md5 projection — no new shuffle beyond the component join."""
+    from btl_bloomfilter_spark.functions.splits import assign_split
+    from btl_bloomfilter_spark.operators.components import connected_components
+    from btl_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.03, max_doc_freq=100
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    grp = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id")).cast("long").alias("group_key"),
+        )
+    )
+    return grp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "group_key",
+        assign_split(
+            ["group_key"], {"train": 0.9, "val": 0.05, "test": 0.05}, seed=131
+        ),
+    ).orderBy("doc_id")
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -5066,6 +5107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q128_ivf_flat_topk": q128_ivf_flat_topk,
         "q129_semantic_dedup_exact": q129_semantic_dedup_exact,
         "q130_phrase_search": q130_phrase_search,
+        "q131_leakage_safe_split": q131_leakage_safe_split,
     }
 
 
@@ -5528,8 +5570,31 @@ def _q97_oracle_sql() -> str:
     return chunk_documents_sql("documents", "text", "doc_id", size=40, overlap=8)
 
 
+_COMPONENTS_CLOSURE = """
+            , pairs AS (
+                SELECT id_a, id_b
+                FROM inter
+                JOIN sizes sa ON id_a = sa.doc_id
+                JOIN sizes sb ON id_b = sb.doc_id
+                WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.03
+            ),
+            edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b AS u, id_a AS v FROM pairs
+            ),
+            reach AS (
+                SELECT u AS node, u AS lbl FROM edges GROUP BY u
+                UNION
+                SELECT r.node, e.v AS lbl FROM reach r JOIN edges e ON e.u = r.lbl
+            ),
+            comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
+    from btl_bloomfilter_spark.functions import splits as _SPLITS
 
     G = T.gopher_quality_sql("text", min_words=50)
     P = T.pii_counts_sql("text")
@@ -5599,30 +5664,27 @@ def oracle_sql() -> dict[str, str]:
         # small-star result exactly: both label a component by its
         # minimum doc_id)
         "q61_dup_clusters": shingle_cte.replace("WITH toks", "WITH RECURSIVE toks", 1)
+        + _COMPONENTS_CLOSURE
         + """
-            , pairs AS (
-                SELECT id_a, id_b
-                FROM inter
-                JOIN sizes sa ON id_a = sa.doc_id
-                JOIN sizes sb ON id_b = sb.doc_id
-                WHERE round(inter::double / (sa.sz + sb.sz - inter), 6) >= 0.03
-            ),
-            edges AS (
-                SELECT id_a AS u, id_b AS v FROM pairs
-                UNION
-                SELECT id_b AS u, id_a AS v FROM pairs
-            ),
-            reach AS (
-                SELECT u AS node, u AS lbl FROM edges GROUP BY u
-                UNION
-                SELECT r.node, e.v AS lbl FROM reach r JOIN edges e ON e.u = r.lbl
-            ),
-            comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
             SELECT component,
                    CAST(count(*) AS BIGINT) AS n_docs,
                    max(node) AS max_doc,
                    CAST(sum(node) AS BIGINT) AS sum_docs
             FROM comp GROUP BY component
+        """,
+        "q131_leakage_safe_split": shingle_cte.replace(
+            "WITH toks", "WITH RECURSIVE toks", 1
+        )
+        + _COMPONENTS_CLOSURE
+        + f"""
+            , grp AS (
+                SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_key
+                FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(group_key AS BIGINT) AS group_key,
+                   {_SPLITS.assign_split_sql(["group_key"], {"train": 0.9, "val": 0.05, "test": 0.05}, seed=131)} AS split
+            FROM grp ORDER BY doc_id
         """,
         "q48_pii_redaction": f"""
             SELECT source,

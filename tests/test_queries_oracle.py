@@ -328,3 +328,30 @@ def test_pii_redaction_cross_engine_planted(spark, tmp_path):
     assert "<IP>" in got.red[2] and got.n_ip[2] == 2
     assert got.red[3] == rows[3][1]  # untouched
     assert got.red[5] == ""  # NULL → ''
+
+
+def test_q131_no_near_dup_pair_straddles_splits(spark):
+    """The leakage property itself (not just cross-engine equality):
+    every qualifying near-dup pair lands in ONE split, and the
+    realized fractions are in the right neighborhood."""
+    import collections
+
+    import __spark_entry__ as em
+    from btl_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.01"
+    out = em.queries()["q131_leakage_safe_split"](spark, sf).collect()
+    split_of = {r.doc_id: r.split for r in out}
+    group_of = {r.doc_id: r.group_key for r in out}
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.03, max_doc_freq=100
+    ).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert split_of[p.id_a] == split_of[p.id_b], (p.id_a, p.id_b)
+        assert group_of[p.id_a] == group_of[p.id_b]
+    sizes = collections.Counter(r.split for r in out)
+    n = len(out)
+    assert 0.8 <= sizes["train"] / n <= 0.97
+    assert sizes["val"] > 0 and sizes["test"] > 0
