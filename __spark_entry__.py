@@ -4593,6 +4593,73 @@ def q131_leakage_safe_split(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q132_deterministic_walks(spark, sf_dir):
+    """Deterministic random walks (operators/walks; DeepWalk KDD'14 /
+    node2vec KDD'16 context sampling, made reproducible): the PRNG
+    step is replaced by the library's content hash — next node =
+    argmin over neighbors of (hash60(seed|walk|step|v), v) — a pure
+    function of (walk, step, candidate), so the walk is identical
+    under any partitioning and replays in SQL: q132's oracle unrolls
+    the 4 steps over the part co-purchase graph and hash-matches every
+    (walk, step, node) row.  Per step: one frontier-sized equi-join
+    against the adjacency + a per-walk WindowGroupLimit argmin;
+    lineage truncated per step."""
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+    from btl_bloomfilter_spark.operators.walks import deterministic_walks
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return (
+        deterministic_walks(edges, n_walks=24, steps=4, seed=9)
+        .select(
+            F.col("walk").cast("long").alias("walk"),
+            F.col("step").cast("int").alias("step"),
+            F.col("node").cast("long").alias("node"),
+        )
+        .orderBy("walk", "step")
+    )
+
+
+def _q132_oracle_sql(n_walks: int = 24, steps: int = 4, seed: int = 9) -> str:
+    def h60(expr: str) -> str:
+        return f"((('0x' || substr(md5({expr}), 1, 15))::ubigint))::bigint"
+
+    start_key = h60(f"concat_ws('|', '{seed}', node::varchar)")
+    parts = [
+        f"""
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+s0 AS MATERIALIZED (
+  SELECT node AS walk, node FROM (SELECT DISTINCT u AS node FROM adj)
+  ORDER BY {start_key}, node LIMIT {n_walks}
+)"""
+    ]
+    for t in range(1, steps + 1):
+        step_key = h60(
+            f"concat_ws('|', '{seed}', s.walk::varchar, '{t}', a.v::varchar)"
+        )
+        parts.append(
+            f""",
+s{t} AS MATERIALIZED (
+  SELECT walk, node FROM (
+    SELECT s.walk, a.v AS node,
+           row_number() OVER (PARTITION BY s.walk ORDER BY {step_key}, a.v) AS rn
+    FROM s{t - 1} s JOIN adj a ON a.u = s.node
+  ) WHERE rn = 1
+)"""
+        )
+    selects = [
+        f"SELECT CAST(walk AS BIGINT) AS walk, {t} AS step, CAST(node AS BIGINT) AS node FROM s{t}"
+        for t in range(steps + 1)
+    ]
+    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY walk, step")
+    return "".join(parts)
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -5108,6 +5175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q129_semantic_dedup_exact": q129_semantic_dedup_exact,
         "q130_phrase_search": q130_phrase_search,
         "q131_leakage_safe_split": q131_leakage_safe_split,
+        "q132_deterministic_walks": q132_deterministic_walks,
     }
 
 
@@ -5752,6 +5820,7 @@ def oracle_sql() -> dict[str, str]:
         "q128_ivf_flat_topk": _q128_oracle_sql(),
         "q129_semantic_dedup_exact": _q129_oracle_sql(),
         "q130_phrase_search": _q130_oracle_sql(),
+        "q132_deterministic_walks": _q132_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -979,6 +979,16 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             + phrase_search(idx, ["row", "scan"]).count()
         )
 
+    def q_deterministic_walks():
+        # 32 hash-deterministic walks x 6 steps over the part
+        # co-purchase graph: per step one frontier-sized join + a
+        # per-walk WindowGroupLimit argmin, lineage truncated per step
+        from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+        from btl_bloomfilter_spark.operators.walks import deterministic_walks
+
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return deterministic_walks(edges, n_walks=32, steps=6, seed=9).count()
+
     def q_bigsi_build_search():
         # transposed per-doc Bloom index: one explode + bit_or groupBy
         # builds; search broadcasts a tiny (term, pos) probe and walks
@@ -1077,6 +1087,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "range_partition_events": q_range_partition_events,
         "ivf_flat_search": q_ivf_flat_search,
         "phrase_search_docs": q_phrase_search_docs,
+        "deterministic_walks": q_deterministic_walks,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -1,0 +1,95 @@
+"""Deterministic random walks over a canonical edge set.
+
+Random-walk sampling is the standard context generator for graph
+embeddings (DeepWalk, Perozzi et al. KDD'14; node2vec, Grover &
+Leskovec KDD'16) and a cheap neighborhood summarizer for co-occurrence
+graphs.  A seeded PRNG walk is partition- and schedule-dependent in a
+distributed engine; this variant replaces the PRNG with the library's
+content hash: from walk w at node u on step t, the next node is
+
+    argmin over neighbors v of  (hash60(seed|w|t|v), v)
+
+— a pure function of (walk, step, candidate), so the walk is
+deterministic under any partitioning, replayable in SQL (q132's
+oracle unrolls the steps), and still hash-uniform over the
+neighborhood (each step re-keys on t, so walks don't freeze into
+fixed per-node successors; two walks meeting at the same node at
+different steps diverge).
+
+100-TB shape: one step = one equi-join of the frontier against the
+adjacency list plus a per-walk WindowGroupLimit argmin — the frontier
+is (walks) rows, never graph-sized, and the join is broadcast when
+the frontier is small.  Lineage is truncated per step (the iterative
+DataFrame trap, same discipline as kcore/components/pagerank).  Dead
+ends simply end the walk (the inner join drops it) — with a
+symmetric adjacency every edge endpoint has degree >= 1, so walks on
+co-occurrence graphs never die.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.splits import _hash60
+
+__all__ = ["deterministic_walks"]
+
+
+def deterministic_walks(
+    edges: DataFrame, n_walks: int, steps: int, *, seed: int | str = 0
+) -> DataFrame:
+    """(walk, step, node) — ``n_walks`` walks of up to ``steps`` steps
+    over a canonical (u, v) edge set (see triangles.canonical_edges /
+    cooccurrence_edges).  Walk ids are the start node ids; starts are
+    the ``n_walks`` nodes with the smallest (hash60(seed|node), node)
+    — content-keyed like the k-means init, so starts are deterministic
+    and spread."""
+    if steps < 0:
+        raise ValueError(f"steps must be >= 0, got {steps}")
+    if n_walks < 1:
+        raise ValueError(f"n_walks must be >= 1, got {n_walks}")
+    from pyspark.sql import Window
+
+    # persist the adjacency for the loop's lifetime: every step's join
+    # AND its eager checkpoint would otherwise re-execute the full
+    # upstream edge construction (for a co-occurrence graph that is
+    # the quadratic pair expansion — measured 2x+ end-to-end);
+    # released before return, the output references only the
+    # checkpointed per-step frontiers
+    adj = (
+        edges.select("u", "v")
+        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .persist()
+    )
+    nodes = adj.select("u").distinct().withColumnRenamed("u", "node")
+    starts = (
+        nodes.withColumn("__h", _hash60(["node"], seed))
+        .orderBy("__h", "node")
+        .limit(n_walks)
+        .select(F.col("node").alias("walk"), "node")
+    )
+    cur = starts.withColumn("step", F.lit(0)).localCheckpoint(eager=True)
+    out = [cur]
+    for t in range(1, steps + 1):
+        cand = (
+            F.broadcast(cur.select("walk", "node"))  # frontier is walk-count-sized
+            .join(adj, cur["node"] == adj["u"])
+            .select("walk", F.col("v").alias("node"))
+        )
+        h = _hash60(["walk", "__t", "node"], seed)
+        w = Window.partitionBy("walk").orderBy("__hh", "node")
+        nxt = (
+            cand.withColumn("__t", F.lit(t))
+            .withColumn("__hh", h)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("walk", "node", F.lit(t).alias("step"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(nxt)
+        cur = nxt
+    adj.unpersist()
+    acc = out[0]
+    for df in out[1:]:
+        acc = acc.unionAll(df)
+    return acc.select("walk", "step", "node")

@@ -1,0 +1,93 @@
+"""Deterministic walks: brute-force spec parity, partition invariance,
+edge cases."""
+
+import hashlib
+import random
+
+import pytest
+
+from btl_bloomfilter_spark.operators.walks import deterministic_walks
+
+
+def _h(seed, *parts):
+    key = "|".join([str(seed)] + [str(p) for p in parts])
+    return int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+
+
+def _brute_walks(edges, n_walks, steps, seed):
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    starts = sorted(adj, key=lambda n: (_h(seed, n), n))[:n_walks]
+    rows = set()
+    for w in starts:
+        node = w
+        rows.add((w, 0, node))
+        for t in range(1, steps + 1):
+            node = min(adj[node], key=lambda v: (_h(seed, w, t, v), v))
+            rows.add((w, t, node))
+    return rows
+
+
+def _graph(seed=4, n=30, m=60):
+    rng = random.Random(seed)
+    es = set()
+    while len(es) < m:
+        a, b = rng.sample(range(n), 2)
+        es.add((min(a, b), max(a, b)))
+    return sorted(es)
+
+
+def test_matches_brute_force(spark):
+    es = _graph()
+    df = spark.createDataFrame(es, "u long, v long")
+    got = {
+        (r.walk, r.step, r.node)
+        for r in deterministic_walks(df, n_walks=8, steps=5, seed=9).collect()
+    }
+    assert got == _brute_walks(es, 8, 5, 9)
+
+
+def test_partition_invariance(spark):
+    es = _graph(seed=7)
+    df = spark.createDataFrame(es, "u long, v long")
+    a = sorted(
+        map(tuple, deterministic_walks(df, 5, 4, seed=1).collect())
+    )
+    b = sorted(
+        map(tuple, deterministic_walks(df.repartition(13), 5, 4, seed=1).collect())
+    )
+    assert a == b
+
+
+def test_zero_steps_returns_starts_only(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3)], "u long, v long")
+    rows = deterministic_walks(df, 2, 0, seed=0).collect()
+    assert all(r.step == 0 for r in rows) and len(rows) == 2
+    assert all(r.walk == r.node for r in rows)
+
+
+def test_more_walks_than_nodes(spark):
+    df = spark.createDataFrame([(1, 2)], "u long, v long")
+    rows = deterministic_walks(df, 10, 1, seed=0).collect()
+    assert {r.walk for r in rows} == {1, 2}
+    assert len(rows) == 4  # 2 starts + 2 first steps
+
+
+def test_walks_rekey_per_step(spark):
+    # a 2-node path must ping-pong: step t from node A always goes to
+    # the only neighbor; verify the full trace
+    df = spark.createDataFrame([(10, 20)], "u long, v long")
+    rows = {(r.walk, r.step): r.node for r in deterministic_walks(df, 1, 3, seed=0).collect()}
+    w = next(iter({k[0] for k in rows}))
+    other = 30 - w
+    assert rows == {(w, 0): w, (w, 1): other, (w, 2): w, (w, 3): other}
+
+
+def test_validation(spark):
+    df = spark.createDataFrame([(1, 2)], "u long, v long")
+    with pytest.raises(ValueError, match="steps"):
+        deterministic_walks(df, 1, -1)
+    with pytest.raises(ValueError, match="n_walks"):
+        deterministic_walks(df, 0, 1)
