@@ -4660,6 +4660,26 @@ s{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+def q133_grouped_auc(spark, sf_dir):
+    """Exact per-group ROC AUC (operators/stats.grouped_auc;
+    Mann-Whitney U with midrank ties) — the eval every curation
+    classifier needs, computed EXACTLY so it hash-oracles: the rank
+    sum stays integral (2·ranksum tracked; a tied run of size g after
+    c lower rows contributes pos·(2c+g+1)), sums ride decimal(38,0) /
+    hugeint, and the only float is one division of exactly-integer-
+    valued doubles — hash-matched INCLUDING the auc double.  Scores =
+    events.value, labels = user_id % 3 == 0 (deterministic, both
+    engines), grouped by event_type.  Plan: one map-side-combined
+    histogram groupBy, per-GROUP cumulative windows (value-compressed,
+    never global), group-sized final agg."""
+    from btl_bloomfilter_spark.operators.stats import grouped_auc
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return grouped_auc(
+        ev, ["event_type"], "value", F.col("user_id") % 3 == 0
+    ).orderBy("event_type")
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -5176,6 +5196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q130_phrase_search": q130_phrase_search,
         "q131_leakage_safe_split": q131_leakage_safe_split,
         "q132_deterministic_walks": q132_deterministic_walks,
+        "q133_grouped_auc": q133_grouped_auc,
     }
 
 
@@ -5663,6 +5684,7 @@ _COMPONENTS_CLOSURE = """
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
     from btl_bloomfilter_spark.functions import splits as _SPLITS
+    from btl_bloomfilter_spark.operators import stats as _STATS
 
     G = T.gopher_quality_sql("text", min_words=50)
     P = T.pii_counts_sql("text")
@@ -5821,6 +5843,10 @@ def oracle_sql() -> dict[str, str]:
         "q129_semantic_dedup_exact": _q129_oracle_sql(),
         "q130_phrase_search": _q130_oracle_sql(),
         "q132_deterministic_walks": _q132_oracle_sql(),
+        "q133_grouped_auc": _STATS.grouped_auc_sql(
+            "events", "event_type", "value", "(user_id % 3 = 0)"
+        )
+        + " ORDER BY event_type",
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

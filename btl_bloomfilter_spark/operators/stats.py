@@ -127,3 +127,107 @@ def exact_comoments_sql(table: str, cols: list[str], *, scale: int = 100) -> str
             f"FROM m"
         )
     return f"WITH {base} " + " UNION ALL ".join(arms)
+
+
+def grouped_auc(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col,
+) -> DataFrame:
+    """Exact per-group ROC AUC via the Mann-Whitney U statistic with
+    midrank tie handling — the standard eval for a quality/filter
+    classifier's scores, computed exactly so it hash-oracles.
+
+    Identity: with positives' midranks summed over the ascending
+    score order, U = ranksum_pos - n_pos(n_pos+1)/2 and
+    AUC = U / (n_pos·n_neg).  Everything stays integral by tracking
+    2·ranksum: a tied group of size g starting after c lower-scored
+    rows contributes pos_in_group · (2c + g + 1).  Sums ride in
+    decimal(38,0) (2·ranksum ≤ 2n², fine to n ~ 7e18); the only float
+    is ONE division of two exactly-integer-valued doubles, identical
+    in every engine, so q133 hash-matches the double too.
+
+    ``label_col`` may be a column name or a boolean Column expression.
+    Rows with NULL score or label are dropped; groups with no
+    positives or no negatives are EXCLUDED (AUC undefined there).
+
+    Scale shape: one map-side-combined groupBy to the (group, score)
+    histogram, a per-GROUP cumulative window over the histogram
+    (value-compressed; partitioned by group, never global), and a
+    group-sized final aggregate.
+    """
+    from pyspark.sql import Window
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    g = [F.col(c) for c in group_cols]
+    h = (
+        df.where(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(*g, F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(lab.cast("int")).cast("decimal(38,0)").alias("__pos"),
+            F.sum(F.lit(1) - lab.cast("int")).cast("decimal(38,0)").alias("__neg"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = h.withColumn(
+        "__cb", F.coalesce(F.sum(F.col("__pos") + F.col("__neg")).over(w), F.lit(0))
+    )
+    agg = c.groupBy(*group_cols).agg(
+        F.sum(
+            F.col("__pos") * (F.lit(2) * F.col("__cb") + F.col("__pos") + F.col("__neg") + F.lit(1))
+        ).alias("__rs2"),
+        F.sum("__pos").alias("__np"),
+        F.sum("__neg").alias("__nn"),
+    )
+    u2 = F.col("__rs2") - F.col("__np") * (F.col("__np") + F.lit(1))
+    return (
+        agg.where((F.col("__np") > 0) & (F.col("__nn") > 0))
+        .select(
+            *group_cols,
+            F.col("__np").cast("long").alias("n_pos"),
+            F.col("__nn").cast("long").alias("n_neg"),
+            u2.cast("long").alias("u2"),
+            (
+                u2.cast("double")
+                / (F.lit(2) * F.col("__np") * F.col("__nn")).cast("double")
+            ).alias("auc"),
+        )
+    )
+
+
+def grouped_auc_sql(
+    table: str, group: str, score: str, label_pred: str
+) -> str:
+    """DuckDB twin of :func:`grouped_auc` (hugeint arithmetic; the
+    same single int-double division)."""
+    return f"""
+        WITH h AS (
+            SELECT {group} AS g, {score} AS s,
+                   sum(CASE WHEN {label_pred} THEN 1 ELSE 0 END)::hugeint AS pos,
+                   sum(CASE WHEN {label_pred} THEN 0 ELSE 1 END)::hugeint AS neg
+            FROM {table}
+            WHERE {score} IS NOT NULL AND ({label_pred}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT *, coalesce(sum(pos + neg) OVER (
+                PARTITION BY g ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM h
+        ),
+        a AS (
+            SELECT g, sum(pos * (2 * cb + pos + neg + 1)) AS rs2,
+                   sum(pos) AS np, sum(neg) AS nn
+            FROM c GROUP BY g
+        )
+        SELECT g AS {group},
+               CAST(np AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               CAST(rs2 - np * (np + 1) AS BIGINT) AS u2,
+               (CAST(rs2 - np * (np + 1) AS DOUBLE) / CAST(2 * np * nn AS DOUBLE)) AS auc
+        FROM a WHERE np > 0 AND nn > 0
+    """

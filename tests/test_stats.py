@@ -118,3 +118,85 @@ def test_stats_invalid_args(spark):
         exact_comoments(df, ["id", "id2"], scale=0)
     with pytest.raises(ValueError):
         exact_comoments_sql("t", ["a"])
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped AUC (Mann-Whitney with midranks)
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+from pyspark.sql import functions as _F
+
+from btl_bloomfilter_spark.operators.stats import grouped_auc
+
+
+def _brute_auc(scores, labels):
+    """Pair-counting definition: P(s_pos > s_neg) + 0.5 P(tie)."""
+    pos = [s for s, l in zip(scores, labels) if l]
+    neg = [s for s, l in zip(scores, labels) if not l]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return wins + 0.5 * ties, len(pos), len(neg)
+
+
+def test_grouped_auc_matches_pair_counting(spark):
+    rng = _random.Random(17)
+    rows = []
+    for g in ("a", "b"):
+        for i in range(300):
+            lab = rng.random() < 0.4
+            # ties guaranteed: integer scores from a small range,
+            # positives shifted so AUC is away from 0.5
+            s = rng.randrange(0, 40) + (5 if lab else 0)
+            rows.append((g, float(s), lab))
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    got = {r.g: r for r in grouped_auc(df, ["g"], "s", "lab").collect()}
+    by_g = {}
+    for g, s, l in rows:
+        by_g.setdefault(g, ([], []))[0].append(s)
+        by_g[g][1].append(l)
+    for g, (ss, ll) in by_g.items():
+        u_half, np_, nn_ = _brute_auc(ss, ll)
+        r = got[g]
+        assert (r.n_pos, r.n_neg) == (np_, nn_)
+        assert r.u2 == int(2 * u_half)  # exact integer identity
+        assert r.auc == (2 * u_half) / (2 * np_ * nn_)
+
+
+def test_grouped_auc_perfect_and_reversed(spark):
+    rows = [("g", float(i), i >= 50) for i in range(100)]
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    assert grouped_auc(df, ["g"], "s", "lab").collect()[0].auc == 1.0
+    flipped = df.withColumn("lab", ~_F.col("lab"))
+    assert grouped_auc(flipped, ["g"], "s", "lab").collect()[0].auc == 0.0
+
+
+def test_grouped_auc_all_tied_is_half(spark):
+    rows = [("g", 1.0, i % 2 == 0) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    assert grouped_auc(df, ["g"], "s", "lab").collect()[0].auc == 0.5
+
+
+def test_grouped_auc_degenerate_groups_excluded_and_nulls_dropped(spark):
+    rows = [
+        ("allpos", 1.0, True),
+        ("allpos", 2.0, True),
+        ("ok", 1.0, True),
+        ("ok", 0.0, False),
+        ("ok", None, True),  # null score dropped
+        ("ok", 3.0, None),  # null label dropped
+    ]
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    got = {r.g: r for r in grouped_auc(df, ["g"], "s", "lab").collect()}
+    assert set(got) == {"ok"}
+    assert got["ok"].auc == 1.0 and got["ok"].n_pos == 1 and got["ok"].n_neg == 1
+
+
+def test_grouped_auc_label_expression_and_partition_invariance(spark):
+    rows = [("g", float(i % 7), i) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, s double, i long")
+    lab = _F.col("i") % 3 == 0
+    a = sorted(map(tuple, grouped_auc(df, ["g"], "s", lab).collect()))
+    b = sorted(map(tuple, grouped_auc(df.repartition(9), ["g"], "s", lab).collect()))
+    assert a == b
