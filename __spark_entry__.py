@@ -4680,6 +4680,25 @@ def q133_grouped_auc(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q134_threshold_sweep(spark, sf_dir):
+    """Exact per-group precision/recall threshold sweep
+    (operators/stats.threshold_sweep): one row per distinct score
+    value with the confusion counts of 'predict positive iff
+    score >= t' — how a curation filter's operating point actually
+    gets chosen, exact for the same reason q133 is (integer counts,
+    single int-double divisions), hash-oracled INCLUDING the
+    precision/recall doubles over every distinct threshold (~6.6k
+    rows at sf0.01).  Same deterministic label as q133.  Plan: one
+    map-side-combined histogram + two per-GROUP windows over the
+    value-compressed histogram."""
+    from btl_bloomfilter_spark.operators.stats import threshold_sweep
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return threshold_sweep(
+        ev, ["event_type"], "value", F.col("user_id") % 3 == 0
+    ).orderBy("event_type", "threshold")
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -5197,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q131_leakage_safe_split": q131_leakage_safe_split,
         "q132_deterministic_walks": q132_deterministic_walks,
         "q133_grouped_auc": q133_grouped_auc,
+        "q134_threshold_sweep": q134_threshold_sweep,
     }
 
 
@@ -5847,6 +5867,10 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "value", "(user_id % 3 = 0)"
         )
         + " ORDER BY event_type",
+        "q134_threshold_sweep": _STATS.threshold_sweep_sql(
+            "events", "event_type", "value", "(user_id % 3 = 0)"
+        )
+        + " ORDER BY event_type, threshold",
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -231,3 +231,90 @@ def grouped_auc_sql(
                (CAST(rs2 - np * (np + 1) AS DOUBLE) / CAST(2 * np * nn AS DOUBLE)) AS auc
         FROM a WHERE np > 0 AND nn > 0
     """
+
+
+def threshold_sweep(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    label_col,
+) -> DataFrame:
+    """Exact per-group precision/recall sweep: one row per distinct
+    score value s with the confusion counts of the rule
+    ``predict positive iff score >= s`` — the threshold-picking
+    companion to :func:`grouped_auc`, and exact for the same reason
+    (counts are integers; precision/recall are single divisions of
+    exactly-integer-valued doubles, engine-identical).
+
+    Returns (group..., threshold, tp, fp, fn, tn, precision, recall).
+    NULL scores/labels are dropped.  Scale shape: the same
+    map-side-combined (group, score) histogram as grouped_auc, one
+    per-GROUP descending cumulative window, one per-group totals
+    window — value-compressed throughout.
+    """
+    from pyspark.sql import Window
+
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    g = [F.col(c) for c in group_cols]
+    h = (
+        df.where(F.col(score_col).isNotNull() & lab.isNotNull())
+        .groupBy(*g, F.col(score_col).alias("threshold"))
+        .agg(
+            F.sum(lab.cast("long")).alias("__pos"),
+            F.sum(F.lit(1) - lab.cast("long")).alias("__neg"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc("threshold"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    out = (
+        h.withColumn("tp", F.sum("__pos").over(w_desc))
+        .withColumn("fp", F.sum("__neg").over(w_desc))
+        .withColumn("__np", F.sum("__pos").over(w_all))
+        .withColumn("__nn", F.sum("__neg").over(w_all))
+    )
+    return out.select(
+        *group_cols,
+        "threshold",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        (F.col("__np") - F.col("tp")).cast("long").alias("fn"),
+        (F.col("__nn") - F.col("fp")).cast("long").alias("tn"),
+        (F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double")).alias(
+            "precision"
+        ),
+        (F.col("tp").cast("double") / F.col("__np").cast("double")).alias("recall"),
+    )
+
+
+def threshold_sweep_sql(table: str, group: str, score: str, label_pred: str) -> str:
+    """DuckDB twin of :func:`threshold_sweep`."""
+    return f"""
+        WITH h AS (
+            SELECT {group} AS g, {score} AS threshold,
+                   sum(CASE WHEN {label_pred} THEN 1 ELSE 0 END)::bigint AS pos,
+                   sum(CASE WHEN {label_pred} THEN 0 ELSE 1 END)::bigint AS neg
+            FROM {table}
+            WHERE {score} IS NOT NULL AND ({label_pred}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT g, threshold,
+                   sum(pos) OVER (PARTITION BY g ORDER BY threshold DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+                   sum(neg) OVER (PARTITION BY g ORDER BY threshold DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+                   sum(pos) OVER (PARTITION BY g) AS np,
+                   sum(neg) OVER (PARTITION BY g) AS nn
+            FROM h
+        )
+        SELECT g AS {group}, threshold,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(np - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
+               (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS precision,
+               (CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)) AS recall
+        FROM c
+    """

@@ -200,3 +200,28 @@ def test_grouped_auc_label_expression_and_partition_invariance(spark):
     a = sorted(map(tuple, grouped_auc(df, ["g"], "s", lab).collect()))
     b = sorted(map(tuple, grouped_auc(df.repartition(9), ["g"], "s", lab).collect()))
     assert a == b
+
+
+def test_threshold_sweep_matches_brute(spark):
+    rng = _random.Random(23)
+    rows = [("g", float(rng.randrange(0, 15)), rng.random() < 0.3) for _ in range(250)]
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    from btl_bloomfilter_spark.operators.stats import threshold_sweep
+
+    got = {r.threshold: r for r in threshold_sweep(df, ["g"], "s", "lab").collect()}
+    scores = sorted({s for _, s, _ in rows})
+    assert set(got) == set(scores)
+    np_ = sum(1 for r in rows if r[2])
+    nn_ = len(rows) - np_
+    for t in scores:
+        tp = sum(1 for _, s, l in rows if l and s >= t)
+        fp = sum(1 for _, s, l in rows if not l and s >= t)
+        r = got[t]
+        assert (r.tp, r.fp, r.fn, r.tn) == (tp, fp, np_ - tp, nn_ - fp)
+        assert r.precision == tp / (tp + fp) and r.recall == tp / np_
+    # endpoint: lowest threshold predicts everything positive
+    lo = got[scores[0]]
+    assert lo.recall == 1.0 and lo.tp == np_ and lo.fp == nn_
+    # recall monotone nonincreasing in threshold
+    recalls = [got[t].recall for t in scores]
+    assert all(a >= b for a, b in zip(recalls, recalls[1:]))
