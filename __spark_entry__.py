@@ -4620,7 +4620,7 @@ def q132_deterministic_walks(spark, sf_dir):
     )
 
 
-def _q132_oracle_sql(n_walks: int = 24, steps: int = 4, seed: int = 9) -> str:
+def _walks_cte(n_walks: int = 24, steps: int = 4, seed: int = 9) -> str:
     def h60(expr: str) -> str:
         return f"((('0x' || substr(md5({expr}), 1, 15))::ubigint))::bigint"
 
@@ -4653,11 +4653,36 @@ s{t} AS MATERIALIZED (
 )"""
         )
     selects = [
-        f"SELECT CAST(walk AS BIGINT) AS walk, {t} AS step, CAST(node AS BIGINT) AS node FROM s{t}"
-        for t in range(steps + 1)
+        f"SELECT walk, {t} AS step, node FROM s{t}" for t in range(steps + 1)
     ]
-    parts.append("\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY walk, step")
+    parts.append(
+        ",\nw_all AS MATERIALIZED (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+    )
     return "".join(parts)
+
+
+def _q132_oracle_sql(n_walks: int = 24, steps: int = 4, seed: int = 9) -> str:
+    return (
+        _walks_cte(n_walks, steps, seed)
+        + """
+SELECT CAST(walk AS BIGINT) AS walk, CAST(step AS INT) AS step,
+       CAST(node AS BIGINT) AS node
+FROM w_all ORDER BY walk, step"""
+    )
+
+
+def _q135_oracle_sql(window: int = 2, n_walks: int = 24, steps: int = 4, seed: int = 9) -> str:
+    return (
+        _walks_cte(n_walks, steps, seed)
+        + f"""
+SELECT CAST(least(a.node, b.node) AS BIGINT) AS a,
+       CAST(greatest(a.node, b.node) AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM w_all a JOIN w_all b
+  ON a.walk = b.walk AND b.step > a.step AND b.step <= a.step + {window}
+WHERE a.node != b.node
+GROUP BY 1, 2 ORDER BY a, b"""
+    )
 
 
 def q133_grouped_auc(spark, sf_dir):
@@ -4697,6 +4722,35 @@ def q134_threshold_sweep(spark, sf_dir):
     return threshold_sweep(
         ev, ["event_type"], "value", F.col("user_id") % 3 == 0
     ).orderBy("event_type", "threshold")
+
+
+def q135_walk_context_pairs(spark, sf_dir):
+    """Skip-gram context pairs from deterministic walks
+    (operators/walks.walk_context_pairs): DeepWalk/node2vec's
+    corpus-generation step — every unordered node pair within 2 steps
+    on the same walk, canonicalized and counted.  The q132 walks are
+    deterministic, so the WHOLE pipeline (walk + windowing + counts)
+    replays in SQL; hash-oracled row-for-row.  The pair join is
+    frontier-scale (walks × steps rows), never graph-scale."""
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+    from btl_bloomfilter_spark.operators.walks import (
+        deterministic_walks,
+        walk_context_pairs,
+    )
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    walks = deterministic_walks(
+        cooccurrence_edges(li, "l_orderkey", "l_partkey"), n_walks=24, steps=4, seed=9
+    )
+    return (
+        walk_context_pairs(walks, window=2)
+        .select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+        .orderBy("a", "b")
+    )
 
 
 def q122_bigsi_search(spark, sf_dir):
@@ -5217,6 +5271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q132_deterministic_walks": q132_deterministic_walks,
         "q133_grouped_auc": q133_grouped_auc,
         "q134_threshold_sweep": q134_threshold_sweep,
+        "q135_walk_context_pairs": q135_walk_context_pairs,
     }
 
 
@@ -5871,6 +5926,7 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "value", "(user_id % 3 = 0)"
         )
         + " ORDER BY event_type, threshold",
+        "q135_walk_context_pairs": _q135_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

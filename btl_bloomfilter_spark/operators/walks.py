@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.splits import _hash60
 
-__all__ = ["deterministic_walks"]
+__all__ = ["deterministic_walks", "walk_context_pairs"]
 
 
 def deterministic_walks(
@@ -93,3 +93,35 @@ def deterministic_walks(
     for df in out[1:]:
         acc = acc.unionAll(df)
     return acc.select("walk", "step", "node")
+
+
+def walk_context_pairs(walks: DataFrame, window: int) -> DataFrame:
+    """(a, b, cnt) — skip-gram co-occurrence pairs from a (walk, step,
+    node) table: every unordered node pair appearing within ``window``
+    steps on the same walk, canonicalized a < b, counted with
+    multiplicity.  This is DeepWalk/node2vec's corpus-generation step
+    (the pairs feed any embedding trainer); self-pairs from a walk
+    revisiting a node inside the window are dropped (a != b).
+
+    Plan: a self-equi-join on walk with a bounded step-range predicate
+    — walk tables are (n_walks × steps) rows, frontier-scale, so this
+    is a small-table join regardless of graph size; the count groupBy
+    map-side combines."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a, b = walks.alias("a"), walks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.walk") == F.col("b.walk"))
+            & (F.col("b.step") > F.col("a.step"))
+            & (F.col("b.step") <= F.col("a.step") + window),
+        )
+        .select(
+            F.least("a.node", "b.node").alias("a"),
+            F.greatest("a.node", "b.node").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -91,3 +91,44 @@ def test_validation(spark):
         deterministic_walks(df, 1, -1)
     with pytest.raises(ValueError, match="n_walks"):
         deterministic_walks(df, 0, 1)
+
+
+def test_context_pairs_match_brute(spark):
+    from btl_bloomfilter_spark.operators.walks import walk_context_pairs
+
+    es = _graph(seed=12)
+    df = spark.createDataFrame(es, "u long, v long")
+    walks = deterministic_walks(df, 6, 6, seed=3)
+    rows = walks.collect()
+    by_walk = {}
+    for r in rows:
+        by_walk.setdefault(r.walk, {})[r.step] = r.node
+    brute = {}
+    for w, steps in by_walk.items():
+        seq = [steps[t] for t in sorted(steps)]
+        for i in range(len(seq)):
+            for j in range(i + 1, min(i + 2, len(seq) - 1) + 1):
+                if j - i <= 2 and seq[i] != seq[j]:
+                    k = (min(seq[i], seq[j]), max(seq[i], seq[j]))
+                    brute[k] = brute.get(k, 0) + 1
+    got = {(r.a, r.b): r.cnt for r in walk_context_pairs(walks, window=2).collect()}
+    assert got == brute
+
+
+def test_context_pairs_window_one_is_edges_walked(spark):
+    from btl_bloomfilter_spark.operators.walks import walk_context_pairs
+
+    df = spark.createDataFrame([(10, 20)], "u long, v long")
+    walks = deterministic_walks(df, 1, 3, seed=0)
+    got = {(r.a, r.b): r.cnt for r in walk_context_pairs(walks, 1).collect()}
+    assert got == {(10, 20): 3}  # ping-pong path: 3 consecutive pairs
+
+
+def test_context_pairs_window_validation(spark):
+    from btl_bloomfilter_spark.operators.walks import walk_context_pairs
+
+    df = spark.createDataFrame([(1, 0, 1)], "walk long, step int, node long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window"):
+        walk_context_pairs(df, 0)
