@@ -35,8 +35,13 @@ def rows_from_arrow(arr, dim: Optional[int] = None) -> np.ndarray:
         raise ValueError("null embeddings not supported")
     if isinstance(arr, pa.FixedSizeListArray):
         width = arr.type.list_size
+        if dim is not None and width != int(dim):
+            # the type carries the true width even for 0 rows — check
+            # BEFORE the empty shortcut so an all-empty-partition run
+            # over a wrong-width column fails as loudly as a full one
+            raise ValueError(f"expected dim {dim}, got {width}")
         if len(arr) == 0:  # reshape(0, -1) raises in numpy
-            return np.zeros((0, dim if dim is not None else width))
+            return np.zeros((0, width))
         rows = np.asarray(arr.values, dtype=np.float64).reshape(len(arr), width)
     else:
         offs = np.asarray(arr.offsets, dtype=np.int64)

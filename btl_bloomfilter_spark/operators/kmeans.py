@@ -326,17 +326,19 @@ def ivf_flat_topk(
     if not 1 <= nprobe:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     nprobe = min(int(nprobe), k)
+    if len(set(query_ids)) != len(list(query_ids)):
+        # validate BEFORE the table scan — rejecting a bad argument
+        # list must not cost a cluster job
+        raise ValueError(
+            "duplicate query ids: each duplicate would emit its candidates "
+            "twice into the same top-k window and silently halve the result"
+        )
     qrows = {
         r[id_col]: np.asarray(r[vec_col], dtype=np.float64)
         for r in df.where(F.col(id_col).isin(list(query_ids)))
         .select(id_col, vec_col)
         .collect()
     }
-    if len(set(query_ids)) != len(list(query_ids)):
-        raise ValueError(
-            "duplicate query ids: each duplicate would emit its candidates "
-            "twice into the same top-k window and silently halve the result"
-        )
     missing = [q for q in query_ids if q not in qrows]
     if missing:
         raise ValueError(f"query ids not present in the table: {missing}")

@@ -247,7 +247,11 @@ def threshold_sweep(
     exactly-integer-valued doubles, engine-identical).
 
     Returns (group..., threshold, tp, fp, fn, tn, precision, recall).
-    NULL scores/labels are dropped.  Scale shape: the same
+    NULL scores/labels are dropped.  Groups with NO positives are
+    EXCLUDED (recall is 0/0 there — grouped_auc's contract, and a
+    cross-engine hazard: Spark yields NaN where a DuckDB install
+    without IEEE float ops yields NULL); groups with no negatives are
+    kept (every rate stays well-defined).  Scale shape: the same
     map-side-combined (group, score) histogram as grouped_auc, one
     per-GROUP descending cumulative window, one per-group totals
     window — value-compressed throughout.
@@ -276,7 +280,7 @@ def threshold_sweep(
         .withColumn("__np", F.sum("__pos").over(w_all))
         .withColumn("__nn", F.sum("__neg").over(w_all))
     )
-    return out.select(
+    return out.where(F.col("__np") > 0).select(
         *group_cols,
         "threshold",
         F.col("tp").cast("long").alias("tp"),
@@ -316,5 +320,5 @@ def threshold_sweep_sql(table: str, group: str, score: str, label_pred: str) -> 
                CAST(np - tp AS BIGINT) AS fn, CAST(nn - fp AS BIGINT) AS tn,
                (CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE)) AS precision,
                (CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)) AS recall
-        FROM c
+        FROM c WHERE np > 0
     """

@@ -68,27 +68,32 @@ def deterministic_walks(
         .limit(n_walks)
         .select(F.col("node").alias("walk"), "node")
     )
-    cur = starts.withColumn("step", F.lit(0)).localCheckpoint(eager=True)
-    out = [cur]
-    for t in range(1, steps + 1):
-        cand = (
-            F.broadcast(cur.select("walk", "node"))  # frontier is walk-count-sized
-            .join(adj, cur["node"] == adj["u"])
-            .select("walk", F.col("v").alias("node"))
-        )
-        h = _hash60(["walk", "__t", "node"], seed)
-        w = Window.partitionBy("walk").orderBy("__hh", "node")
-        nxt = (
-            cand.withColumn("__t", F.lit(t))
-            .withColumn("__hh", h)
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("walk", "node", F.lit(t).alias("step"))
-            .localCheckpoint(eager=True)
-        )
-        out.append(nxt)
-        cur = nxt
-    adj.unpersist()
+    try:
+        cur = starts.withColumn("step", F.lit(0)).localCheckpoint(eager=True)
+        out = [cur]
+        for t in range(1, steps + 1):
+            cand = (
+                F.broadcast(cur.select("walk", "node"))  # frontier is walk-count-sized
+                .join(adj, cur["node"] == adj["u"])
+                .select("walk", F.col("v").alias("node"))
+            )
+            h = _hash60(["walk", "__t", "node"], seed)
+            w = Window.partitionBy("walk").orderBy("__hh", "node")
+            nxt = (
+                cand.withColumn("__t", F.lit(t))
+                .withColumn("__hh", h)
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select("walk", "node", F.lit(t).alias("step"))
+                .localCheckpoint(eager=True)
+            )
+            out.append(nxt)
+            cur = nxt
+    finally:
+        # release even when a mid-loop job fails — the adjacency is
+        # the quadratic expansion, the leak class the review cadence
+        # keeps catching (kcore raise path, layout checkpoint)
+        adj.unpersist()
     acc = out[0]
     for df in out[1:]:
         acc = acc.unionAll(df)

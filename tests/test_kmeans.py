@@ -225,3 +225,14 @@ def test_ivf_flat_int_id_column(spark):
     cents, _ = kmeans_fit(df, k=2, iters=2, seed=1)
     rows = ivf_flat_topk(df, cents, [5], topk=3, nprobe=2).collect()
     assert [r.vec_id for r in rows if r.rank == 1] == [5]
+
+
+def test_rows_from_arrow_empty_fixed_width_mismatch_raises():
+    import pyarrow as pa
+
+    from btl_bloomfilter_spark.functions.vectors import rows_from_arrow
+
+    empty5 = pa.array([], pa.list_(pa.float64(), 5))
+    with pytest.raises(ValueError, match="expected dim 3"):
+        rows_from_arrow(empty5, 3)
+    assert rows_from_arrow(empty5, 5).shape == (0, 5)

@@ -339,7 +339,7 @@ def test_q131_no_near_dup_pair_straddles_splits(spark):
     import __spark_entry__ as em
     from btl_bloomfilter_spark.operators.dedup import ngram_jaccard_pairs
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF
     out = em.queries()["q131_leakage_safe_split"](spark, sf).collect()
     split_of = {r.doc_id: r.split for r in out}
     group_of = {r.doc_id: r.group_key for r in out}

@@ -225,3 +225,12 @@ def test_threshold_sweep_matches_brute(spark):
     # recall monotone nonincreasing in threshold
     recalls = [got[t].recall for t in scores]
     assert all(a >= b for a, b in zip(recalls, recalls[1:]))
+
+
+def test_threshold_sweep_excludes_no_positive_groups(spark):
+    from btl_bloomfilter_spark.operators.stats import threshold_sweep
+
+    rows = [("allneg", 1.0, False), ("allneg", 2.0, False), ("ok", 1.0, True), ("ok", 0.0, False)]
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    got = {r.g for r in threshold_sweep(df, ["g"], "s", "lab").collect()}
+    assert got == {"ok"}  # recall would be 0/0 in 'allneg' — excluded

@@ -132,3 +132,18 @@ def test_context_pairs_window_validation(spark):
 
     with _pytest.raises(ValueError, match="window"):
         walk_context_pairs(df, 0)
+
+
+def test_walks_failure_releases_adjacency(spark):
+    # a mid-loop failure (here: a poisoned edge expression) must not
+    # leak the persisted adjacency (review finding, kcore leak class)
+    from pyspark.sql import functions as F
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    bad = spark.createDataFrame([(1, 2)], "u long, v long").withColumn(
+        "u", F.expr("raise_error('boom')").cast("long")
+    )
+    with pytest.raises(Exception):
+        deterministic_walks(bad, 1, 2, seed=0)
+    assert jsc.getPersistentRDDs().size() == before
