@@ -4753,6 +4753,64 @@ def q135_walk_context_pairs(spark, sf_dir):
     )
 
 
+def q136_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities
+    (operators/labelprop; Raghavan et al. 2007, deterministic
+    synchronous schedule): every node simultaneously adopts the most
+    frequent neighbor label, ties toward the smallest — a pure
+    function of the previous round, so 3 rounds over the part
+    co-purchase graph replay exactly in SQL (q136's oracle unrolls
+    the rounds) and the result is partitioning-independent.  Per
+    round: one edge-sized vote join + one map-side-combined (node,
+    label) count + one per-node WindowGroupLimit argmax; lineage
+    truncated per round, adjacency persisted for the loop."""
+    from btl_bloomfilter_spark.operators.labelprop import label_propagation
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return (
+        label_propagation(edges, rounds=3)
+        .select(
+            F.col("node").cast("long").alias("node"),
+            F.col("label").cast("long").alias("label"),
+        )
+        .orderBy("node")
+    )
+
+
+def _q136_oracle_sql(rounds: int = 3) -> str:
+    parts = [
+        """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+adj AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS label FROM adj)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+l{t} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT a.u AS node, l.label,
+           row_number() OVER (PARTITION BY a.u
+                              ORDER BY count(*) DESC, l.label) AS rn
+    FROM adj a JOIN l{t - 1} l ON l.node = a.v
+    GROUP BY a.u, l.label
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+FROM l{rounds} ORDER BY node"""
+    )
+    return "".join(parts)
+
+
 def q122_bigsi_search(spark, sf_dir):
     """BIGSI/COBS bit-sliced Bloom document index (operators/bigsi;
     Bradley et al. Nat Biotech 2019, Bingmann et al. SPIRE 2019): the
@@ -5272,6 +5330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q133_grouped_auc": q133_grouped_auc,
         "q134_threshold_sweep": q134_threshold_sweep,
         "q135_walk_context_pairs": q135_walk_context_pairs,
+        "q136_label_propagation": q136_label_propagation,
     }
 
 
@@ -5927,6 +5986,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY event_type, threshold",
         "q135_walk_context_pairs": _q135_oracle_sql(),
+        "q136_label_propagation": _q136_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
