@@ -4779,6 +4779,25 @@ def q136_label_propagation(spark, sf_dir):
     )
 
 
+def q137_grouped_spearman(spark, sf_dir):
+    """Exact per-group Spearman rank correlation
+    (operators/stats.grouped_spearman): Pearson over integral
+    2·midranks (rank_asc + n + 1 − rank_desc; ranks are pure
+    comparisons so doubles rank engine-identically), co-moment sums
+    in decimal(38,0)/hugeint, rho derived with the library's fixed
+    num/sqrt/sqrt shape — hash-oracled INCLUDING the rho double plus
+    the exact Σ(2rx−2ry)² witness string.  Quantity vs extended price
+    per returnflag: the monotone-association eval Pearson (q103)
+    can't give on a nonlinear relation.  Plan: per-group rank windows
+    (never global) + one map-side-combined six-number aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_spearman
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return grouped_spearman(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+    ).orderBy("l_returnflag")
+
+
 def _q136_oracle_sql(rounds: int = 3) -> str:
     parts = [
         """
@@ -5331,6 +5350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q134_threshold_sweep": q134_threshold_sweep,
         "q135_walk_context_pairs": q135_walk_context_pairs,
         "q136_label_propagation": q136_label_propagation,
+        "q137_grouped_spearman": q137_grouped_spearman,
     }
 
 
@@ -5987,6 +6007,10 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY event_type, threshold",
         "q135_walk_context_pairs": _q135_oracle_sql(),
         "q136_label_propagation": _q136_oracle_sql(),
+        "q137_grouped_spearman": _STATS.grouped_spearman_sql(
+            "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
+        )
+        + " ORDER BY l_returnflag",
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

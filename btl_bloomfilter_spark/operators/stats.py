@@ -294,6 +294,121 @@ def threshold_sweep(
     )
 
 
+def grouped_spearman(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact per-group Spearman rank correlation with midrank ties —
+    the monotone-association companion to :func:`exact_comoments`
+    (Pearson) and :func:`grouped_auc`, computed exactly so it
+    hash-oracles.
+
+    Under ties the textbook 1 - 6Σd²/(n(n²-1)) formula is WRONG; the
+    correct statistic is Pearson over midranks.  Everything stays
+    integral by tracking 2·midrank = rank_asc + (n + 1 - rank_desc)
+    (ranks are pure comparisons — no float arithmetic — so doubles
+    rank identically in every engine); the five co-moment sums ride
+    decimal(38,0)/hugeint (bound: n·(2n)⁴-ish terms hold to n ~ 1e9
+    rows per group), and the derived rho uses the library's fixed
+    expression shape (cast each exact sum to double, one subtraction
+    order, num / sqrt(dx) / sqrt(dy)) — conversions correctly
+    rounded, /,sqrt IEEE-exact, so both engines produce the same
+    double and q137 hash-matches rho too.
+
+    Rows with NULL or NaN in either column are dropped; groups where
+    either column is constant (zero rank variance — rho undefined,
+    and a NaN-vs-NULL cross-engine hazard) are EXCLUDED, mirroring
+    grouped_auc's degenerate-group contract.  ``sum_d2`` = Σ(2rx-2ry)²
+    is emitted as an exact integer witness (string, digit-identical).
+
+    Scale shape: four rank windows + one count window per group
+    partition (never global), then one map-side-combined group
+    aggregate of six numbers.  Row-scale windows: per-group sorts are
+    the cost, same as any exact rank statistic.
+    """
+    from pyspark.sql import Window
+
+    keep = None
+    for c in (x_col, y_col):
+        cond = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        keep = cond if keep is None else (keep & cond)
+    q = df.where(keep)
+    g = Window.partitionBy(*group_cols)
+
+    def mid2(col: str) -> F.Column:
+        asc = F.rank().over(g.orderBy(F.col(col).asc()))
+        desc = F.rank().over(g.orderBy(F.col(col).desc()))
+        n = F.count(F.lit(1)).over(g)
+        return (asc.cast("long") + n + F.lit(1) - desc.cast("long")).cast(_D)
+
+    r = q.select(
+        *group_cols, mid2(x_col).alias("__rx"), mid2(y_col).alias("__ry")
+    )
+    a = r.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_D).alias("__n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+        F.sum(
+            (F.col("__rx") - F.col("__ry")) * (F.col("__rx") - F.col("__ry"))
+        ).alias("__sd2"),
+    )
+    num = F.col("__n") * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    dx = F.col("__n") * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    dy = F.col("__n") * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    return (
+        a.where((dx != F.lit(0)) & (dy != F.lit(0)))
+        .select(
+            *group_cols,
+            F.col("__n").cast("long").alias("n"),
+            F.col("__sd2").cast("string").alias("sum_d2"),
+            (
+                num.cast("double") / F.sqrt(dx.cast("double")) / F.sqrt(dy.cast("double"))
+            ).alias("rho"),
+        )
+    )
+
+
+def grouped_spearman_sql(table: str, group: str, x: str, y: str) -> str:
+    """DuckDB twin of :func:`grouped_spearman` (hugeint sums, same
+    2·midrank identity and rho expression shape)."""
+    not_null = (
+        f"{x} IS NOT NULL AND NOT isnan(CAST({x} AS DOUBLE)) AND "
+        f"{y} IS NOT NULL AND NOT isnan(CAST({y} AS DOUBLE))"
+    )
+    return f"""
+        WITH q AS (SELECT {group} AS g, {x} AS x, {y} AS y FROM {table} WHERE {not_null}),
+        r AS (
+            SELECT g,
+                   (rank() OVER (PARTITION BY g ORDER BY x)
+                    + count(*) OVER (PARTITION BY g) + 1
+                    - rank() OVER (PARTITION BY g ORDER BY x DESC))::hugeint AS rx,
+                   (rank() OVER (PARTITION BY g ORDER BY y)
+                    + count(*) OVER (PARTITION BY g) + 1
+                    - rank() OVER (PARTITION BY g ORDER BY y DESC))::hugeint AS ry
+            FROM q
+        ),
+        a AS (
+            SELECT g, count(*)::hugeint AS n,
+                   sum(rx) AS sx, sum(ry) AS sy,
+                   sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+                   sum(rx * ry) AS sxy,
+                   sum((rx - ry) * (rx - ry)) AS sd2
+            FROM r GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n AS BIGINT) AS n, sd2::varchar AS sum_d2,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS rho
+        FROM a
+        WHERE n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+    """
+
+
 def threshold_sweep_sql(table: str, group: str, score: str, label_pred: str) -> str:
     """DuckDB twin of :func:`threshold_sweep`."""
     return f"""

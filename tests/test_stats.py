@@ -234,3 +234,72 @@ def test_threshold_sweep_excludes_no_positive_groups(spark):
     df = spark.createDataFrame(rows, "g string, s double, lab boolean")
     got = {r.g for r in threshold_sweep(df, ["g"], "s", "lab").collect()}
     assert got == {"ok"}  # recall would be 0/0 in 'allneg' — excluded
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped Spearman (Pearson over integral 2-midranks)
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import grouped_spearman
+
+
+def test_spearman_matches_midrank_brute_with_ties(spark):
+    # brute oracle: pandas midranks (method='average' — no scipy) +
+    # numpy Pearson over the ranks, the defining formulation under ties
+    import numpy as np
+    import pandas as pd
+
+    rng = _random.Random(137)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(250):
+            x = float(rng.randrange(0, 25))  # heavy ties
+            y = x + rng.randrange(0, 30) * (1 if g == "a" else -1)
+            rows.append((g, x, float(y)))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_spearman(df, ["g"], "x", "y").collect()}
+    pdf = pd.DataFrame(rows, columns=["g", "x", "y"])
+    for g, sub in pdf.groupby("g"):
+        rx = sub["x"].rank(method="average").to_numpy()
+        ry = sub["y"].rank(method="average").to_numpy()
+        want = float(np.corrcoef(rx, ry)[0, 1])
+        assert abs(got[g].rho - want) < 1e-12, (g, got[g].rho, want)
+        assert got[g].n == len(sub)
+
+
+def test_spearman_monotone_and_footrule_witness(spark):
+    # distinct values: classic ties-free identity rho = 1 - 6*sumd2/(n(n^2-1)),
+    # and the emitted witness is sum((2rx-2ry)^2) = 4*sum(d^2)
+    perm = [(float(i), float((i * 7) % 101)) for i in range(101)]
+    rows = [("g", x, y) for x, y in perm]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    r = grouped_spearman(df, ["g"], "x", "y").collect()[0]
+    rx = {v: i + 1 for i, v in enumerate(sorted(x for x, _ in perm))}
+    ry = {v: i + 1 for i, v in enumerate(sorted(y for _, y in perm))}
+    sd2 = sum((rx[x] - ry[y]) ** 2 for x, y in perm)
+    assert int(r.sum_d2) == 4 * sd2
+    n = 101
+    classic = 1 - 6 * sd2 / (n * (n * n - 1))
+    assert abs(r.rho - classic) < 1e-12
+    up = spark.createDataFrame(
+        [("g", float(i), float(2 * i + 3)) for i in range(50)],
+        "g string, x double, y double",
+    )
+    assert abs(grouped_spearman(up, ["g"], "x", "y").collect()[0].rho - 1.0) < 1e-12
+    down = spark.createDataFrame(
+        [("g", float(i), float(-3 * i)) for i in range(50)],
+        "g string, x double, y double",
+    )
+    assert abs(grouped_spearman(down, ["g"], "x", "y").collect()[0].rho + 1.0) < 1e-12
+
+
+def test_spearman_degenerate_and_nulls(spark):
+    rows = [
+        ("const_x", 5.0, 1.0), ("const_x", 5.0, 2.0), ("const_x", 5.0, 3.0),
+        ("ok", 1.0, 1.0), ("ok", 2.0, 5.0), ("ok", 3.0, 4.0),
+        ("ok", None, 9.0), ("ok", 4.0, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_spearman(df, ["g"], "x", "y").collect()}
+    assert "const_x" not in got          # zero rank variance -> excluded
+    assert got["ok"].n == 3              # null / NaN rows dropped
