@@ -4798,6 +4798,56 @@ def q137_grouped_spearman(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q138_calibration_bins(spark, sf_dir):
+    """Exact reliability diagram + integral ECE
+    (operators/stats.calibration_bins; Guo et al. ICML'17): per
+    (event_type, decile bin) counts, micro-grid confidence mass, and
+    a per-group expected-calibration-error whose numerator is an
+    EXACT integer (Σ|micro·pos_b − Σ⌊s·micro⌋_b| re-associated from
+    the usual float chain) — every double a single division of
+    exactly-integer-valued operands, so the whole row hash-oracles.
+    The score/label pair is a deterministic dyadic construction both
+    engines compute bit-identically (a = knuth-mix of event_id mod
+    2^20, score = a/2^20; label = a + user-mix >= 2^20, so the
+    'classifier' is calibrated by construction and ECE lands near 0).
+    Plan: one row-local projection + one map-side-combined (group,
+    bin) aggregate + one window over the ≤ n_bins-row bin table."""
+    from btl_bloomfilter_spark.operators.stats import calibration_bins
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    M = 1 << 20
+    a = (F.col("event_id") % M) * F.lit(2654435761) % M
+    b = (F.col("user_id") % M) * F.lit(40503) % M
+    return (
+        calibration_bins(
+            ev,
+            ["event_type"],
+            a.cast("double") / F.lit(float(M)),
+            (a + b) >= M,
+            n_bins=10,
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+def _q138_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators import stats as _S
+
+    M = 1 << 20
+    a = f"(((event_id % {M}) * 2654435761) % {M})"
+    b = f"(((user_id % {M}) * 40503) % {M})"
+    return (
+        _S.calibration_bins_sql(
+            "events",
+            "event_type",
+            f"(CAST({a} AS DOUBLE) / {float(M)})",
+            f"(({a} + {b}) >= {M})",
+            n_bins=10,
+        )
+        + " ORDER BY event_type, bin"
+    )
+
+
 def _q136_oracle_sql(rounds: int = 3) -> str:
     parts = [
         """
@@ -5351,6 +5401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q135_walk_context_pairs": q135_walk_context_pairs,
         "q136_label_propagation": q136_label_propagation,
         "q137_grouped_spearman": q137_grouped_spearman,
+        "q138_calibration_bins": q138_calibration_bins,
     }
 
 
@@ -6011,6 +6062,7 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
         )
         + " ORDER BY l_returnflag",
+        "q138_calibration_bins": _q138_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

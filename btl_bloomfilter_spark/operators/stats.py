@@ -409,6 +409,127 @@ def grouped_spearman_sql(table: str, group: str, x: str, y: str) -> str:
     """
 
 
+def calibration_bins(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col,
+    label_col,
+    *,
+    n_bins: int,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Exact per-group reliability diagram + expected calibration
+    error — the third leg of the classifier-eval kit (grouped_auc
+    ranks, threshold_sweep picks the operating point, this checks
+    whether the scores MEAN what they say; Guo et al. ICML'17).
+
+    Scores are expected in [0, 1]; out-of-range values clamp into the
+    edge bins (documented contract, both engines).  Per (group, bin =
+    clamp(floor(score·n_bins))): n, n_pos, and the bin's score mass
+    quantized ONCE to the micro grid (floor(score·micro) per row —
+    the library's fixed-point policy), summed exactly.  Everything
+    derived is a single division of exactly-integer-valued operands:
+
+      confidence = Σ⌊s·micro⌋ / (micro·n_bin)
+      frac_pos   = n_pos / n_bin
+      ece        = Σ_bins |micro·pos_b − Σ⌊s·micro⌋_b| / (micro·n_grp)
+
+    — the ECE numerator is an EXACT integer (the usual Σ n_b/n·|acc−conf|
+    float chain re-associated into one integral sum), so the whole
+    row, doubles included, hash-oracles.  ``ece`` repeats on every row
+    of its group.  The micro-grid quantization of confidence is the
+    only approximation (≤ 1e-6 per row, policy-documented); counts
+    and ECE are exact on the grid.  NULL scores/labels are dropped.
+
+    ``score_col``/``label_col`` may be column names or Column
+    expressions.  Scale shape: one map-side-combined (group, bin)
+    aggregate over a pure row-local projection, plus one per-GROUP
+    window over the (≤ n_bins)-row bin table — nothing row-shaped
+    after the first aggregate.
+    """
+    from pyspark.sql import Window
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if micro < 1:
+        raise ValueError(f"micro must be >= 1, got {micro}")
+    sc = (F.col(score_col) if isinstance(score_col, str) else score_col).cast("double")
+    lab = F.col(label_col) if isinstance(label_col, str) else label_col
+    binc = F.greatest(
+        F.lit(0), F.least(F.floor(sc * n_bins).cast("long"), F.lit(n_bins - 1))
+    )
+    rows = df.where(sc.isNotNull() & lab.isNotNull()).select(
+        *group_cols,
+        binc.alias("bin"),
+        lab.cast("int").alias("__lab"),
+        F.floor(sc * micro).cast("long").alias("__sm"),
+    )
+    b = rows.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).cast(_D).alias("__n"),
+        F.sum("__lab").cast(_D).alias("__pos"),
+        F.sum(F.col("__sm").cast(_D)).alias("__s"),
+    )
+    w = Window.partitionBy(*group_cols)
+    mic = F.lit(micro).cast(_D)
+    b = b.withColumn("__ntot", F.sum("__n").over(w)).withColumn(
+        "__enum", F.sum(F.abs(mic * F.col("__pos") - F.col("__s"))).over(w)
+    )
+    return b.select(
+        *group_cols,
+        F.col("bin"),
+        F.col("__n").cast("long").alias("n"),
+        F.col("__pos").cast("long").alias("n_pos"),
+        F.col("__s").cast("string").alias("conf_micro_sum"),
+        (F.col("__s").cast("double") / (mic * F.col("__n")).cast("double")).alias(
+            "confidence"
+        ),
+        (F.col("__pos").cast("double") / F.col("__n").cast("double")).alias("frac_pos"),
+        (F.col("__enum").cast("double") / (mic * F.col("__ntot")).cast("double")).alias(
+            "ece"
+        ),
+    )
+
+
+def calibration_bins_sql(
+    table: str,
+    group: str,
+    score: str,
+    label_pred: str,
+    *,
+    n_bins: int,
+    micro: int = 1_000_000,
+) -> str:
+    """DuckDB twin of :func:`calibration_bins` (hugeint arithmetic,
+    identical clamp/quantize expressions and division shapes)."""
+    return f"""
+        WITH rows_q AS (
+            SELECT {group} AS g,
+                   greatest(0, least(CAST(floor(CAST({score} AS DOUBLE) * {n_bins}) AS BIGINT),
+                                     {n_bins - 1})) AS bin,
+                   CASE WHEN {label_pred} THEN 1 ELSE 0 END AS lab,
+                   CAST(floor(CAST({score} AS DOUBLE) * {micro}) AS BIGINT) AS sm
+            FROM {table}
+            WHERE ({score}) IS NOT NULL AND ({label_pred}) IS NOT NULL
+        ),
+        b AS (
+            SELECT g, bin, count(*)::hugeint AS n, sum(lab)::hugeint AS pos,
+                   sum(sm::hugeint) AS s
+            FROM rows_q GROUP BY g, bin
+        ),
+        wdw AS (
+            SELECT *, sum(n) OVER (PARTITION BY g) AS ntot,
+                   sum(abs({micro}::hugeint * pos - s)) OVER (PARTITION BY g) AS enum_
+            FROM b
+        )
+        SELECT g AS {group}, bin, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS n_pos,
+               s::varchar AS conf_micro_sum,
+               CAST(s AS DOUBLE) / CAST({micro}::hugeint * n AS DOUBLE) AS confidence,
+               CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+               CAST(enum_ AS DOUBLE) / CAST({micro}::hugeint * ntot AS DOUBLE) AS ece
+        FROM wdw
+    """
+
+
 def threshold_sweep_sql(table: str, group: str, score: str, label_pred: str) -> str:
     """DuckDB twin of :func:`threshold_sweep`."""
     return f"""

@@ -303,3 +303,77 @@ def test_spearman_degenerate_and_nulls(spark):
     got = {r.g: r for r in grouped_spearman(df, ["g"], "x", "y").collect()}
     assert "const_x" not in got          # zero rank variance -> excluded
     assert got["ok"].n == 3              # null / NaN rows dropped
+
+
+# ---------------------------------------------------------------------------
+# Exact calibration bins + integral ECE
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import calibration_bins
+
+
+def _brute_calibration(rows, n_bins, micro=1_000_000):
+    """Integer-arithmetic reliability bins, independent formulation."""
+    import collections as _c
+    import math
+
+    agg = _c.defaultdict(lambda: [0, 0, 0])  # (g, bin) -> [n, pos, s_micro]
+    tot = _c.Counter()
+    for g, s, lab in rows:
+        if s is None or lab is None:
+            continue
+        b = min(max(int(math.floor(s * n_bins)), 0), n_bins - 1)
+        cell = agg[(g, b)]
+        cell[0] += 1
+        cell[1] += int(lab)
+        cell[2] += int(math.floor(s * micro))
+        tot[g] += 1
+    enum = _c.Counter()
+    for (g, b), (n, pos, s) in agg.items():
+        enum[g] += abs(micro * pos - s)
+    out = {}
+    for (g, b), (n, pos, s) in agg.items():
+        out[(g, b)] = (
+            n, pos, s,
+            s / (micro * n), pos / n, enum[g] / (micro * tot[g]),
+        )
+    return out
+
+
+def test_calibration_matches_integer_brute(spark):
+    rng = _random.Random(138)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(400):
+            s = rng.randrange(0, 1 << 20) / (1 << 20)
+            lab = rng.random() < (s if g == "a" else 0.5)
+            rows.append((g, s, lab))
+    rows += [("a", None, True), ("a", 0.5, None)]  # dropped
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    got = calibration_bins(df, ["g"], "s", "lab", n_bins=10).collect()
+    want = _brute_calibration(rows, 10)
+    assert len(got) == len(want)
+    for r in got:
+        n, pos, s, conf, frac, ece = want[(r.g, r.bin)]
+        assert (r.n, r.n_pos, int(r.conf_micro_sum)) == (n, pos, s)
+        assert r.confidence == conf and r.frac_pos == frac and r.ece == ece
+
+
+def test_calibration_clamps_and_single_bin(spark):
+    rows = [("g", -0.3, True), ("g", 0.0, False), ("g", 1.0, True), ("g", 2.5, False)]
+    df = spark.createDataFrame(rows, "g string, s double, lab boolean")
+    got = {r.bin: r for r in calibration_bins(df, ["g"], "s", "lab", n_bins=4).collect()}
+    assert set(got) == {0, 3}           # -0.3 and 0.0 -> bin 0; 1.0 and 2.5 -> bin 3
+    assert got[0].n == 2 and got[3].n == 2
+    one = calibration_bins(df, ["g"], "s", "lab", n_bins=1).collect()
+    assert len(one) == 1 and one[0].n == 4
+
+
+def test_calibration_contract_errors(spark):
+    df = spark.createDataFrame([("g", 0.5, True)], "g string, s double, lab boolean")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        calibration_bins(df, ["g"], "s", "lab", n_bins=0)
+    with _pytest.raises(ValueError, match="micro"):
+        calibration_bins(df, ["g"], "s", "lab", n_bins=2, micro=0)
