@@ -4830,6 +4830,118 @@ def q138_calibration_bins(spark, sf_dir):
     )
 
 
+def q139_link_prediction(spark, sf_dir):
+    """Neighborhood link-prediction scores (operators/linkpred;
+    Liben-Nowell & Kleinberg CIKM'03, Adamic-Adar): top-500 missing
+    edges of the support-2 part co-purchase backbone by common
+    neighbors, with exact degrees, nano-grid Adamic-Adar (1/ln(deg)
+    quantized once per CENTER — the fixed-point policy's only
+    transcendental) and single-division Jaccard — hash-oracled
+    including both score columns against an INDEPENDENT construction
+    (DuckDB scores wedges by adjacency self-join; Spark expands pairs
+    inside per-center sorted arrays in codegen).  Plan: one center
+    groupBy + in-array pair expansion + one map-side-combined (a, b)
+    aggregate + anti-join/degree joins."""
+    from btl_bloomfilter_spark.operators.linkpred import link_prediction_scores
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    return (
+        link_prediction_scores(edges)
+        .orderBy(F.desc("cn"), "a", "b")
+        .limit(500)
+    )
+
+
+def q140_degree_assortativity(spark, sf_dir):
+    """Degree assortativity (Newman PRL 2002, the empirical
+    edge-endpoint formulation networkx uses): exact Pearson over the
+    DOUBLED edge-endpoint degree pairs of the support-2 co-purchase
+    backbone — pure composition of the graph kit with
+    operators/stats.exact_comoments (scale=1: degrees are already
+    integers), so the co-moment sums are digit-exact strings and the
+    corr double hash-oracles.  Positive r = hubs preferentially
+    co-purchase with hubs.  Plan: adjacency + two node-sized degree
+    joins feeding the ONE-scan six-number comoment aggregate."""
+    from btl_bloomfilter_spark.operators.stats import exact_comoments
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+    adj = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("w")).agg(F.count("*").alias("deg"))
+    pairs = (
+        adj.join(deg.select(F.col("w").alias("u"), F.col("deg").alias("deg_u")), "u")
+        .join(deg.select(F.col("w").alias("v"), F.col("deg").alias("deg_v")), "v")
+        .select(
+            F.col("deg_u").cast("double").alias("deg_u"),
+            F.col("deg_v").cast("double").alias("deg_v"),
+        )
+    )
+    return exact_comoments(pairs, ["deg_u", "deg_v"], scale=1)
+
+
+def _q140_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators import stats as _S
+
+    graph_ctes = """li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS sup
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE sup >= 2
+),
+adj AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS MATERIALIZED (SELECT u AS w, count(*) AS deg FROM adj GROUP BY u),
+edgedeg AS (
+  SELECT CAST(d1.deg AS DOUBLE) AS deg_u, CAST(d2.deg AS DOUBLE) AS deg_v
+  FROM adj JOIN deg d1 ON d1.w = adj.u JOIN deg d2 ON d2.w = adj.v
+), """
+    base = _S.exact_comoments_sql("edgedeg", ["deg_u", "deg_v"], scale=1)
+    assert base.startswith("WITH ")
+    return "WITH " + graph_ctes + base[len("WITH "):]
+
+
+def _q139_oracle_sql() -> str:
+    return """
+WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS sup
+    FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+  ) WHERE sup >= 2
+),
+adj AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+deg AS MATERIALIZED (SELECT u AS w, count(*) AS deg FROM adj GROUP BY u),
+aa AS (
+  SELECT w, CAST(floor(1000000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS aa
+  FROM deg WHERE deg >= 2
+),
+p AS (
+  SELECT x.v AS a, y.v AS b, x.u AS w
+  FROM adj x JOIN adj y ON x.u = y.u AND x.v < y.v
+),
+g AS (
+  SELECT p.a, p.b, count(*) AS cn, sum(aa.aa::hugeint) AS aan
+  FROM p JOIN aa ON aa.w = p.w GROUP BY p.a, p.b
+),
+nonadj AS (
+  SELECT g.* FROM g LEFT JOIN e0 e ON e.u = g.a AND e.v = g.b WHERE e.u IS NULL
+)
+SELECT CAST(n.a AS BIGINT) AS a, CAST(n.b AS BIGINT) AS b,
+       CAST(cn AS BIGINT) AS cn,
+       CAST(d1.deg AS BIGINT) AS deg_a, CAST(d2.deg AS BIGINT) AS deg_b,
+       aan::varchar AS aa_nano,
+       CAST(cn AS DOUBLE) / CAST(d1.deg + d2.deg - cn AS DOUBLE) AS jaccard
+FROM nonadj n JOIN deg d1 ON d1.w = n.a JOIN deg d2 ON d2.w = n.b
+ORDER BY cn DESC, a, b LIMIT 500"""
+
+
 def _q138_oracle_sql() -> str:
     from btl_bloomfilter_spark.operators import stats as _S
 
@@ -5402,6 +5514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q136_label_propagation": q136_label_propagation,
         "q137_grouped_spearman": q137_grouped_spearman,
         "q138_calibration_bins": q138_calibration_bins,
+        "q139_link_prediction": q139_link_prediction,
+        "q140_degree_assortativity": q140_degree_assortativity,
     }
 
 
@@ -6063,6 +6177,8 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY l_returnflag",
         "q138_calibration_bins": _q138_oracle_sql(),
+        "q139_link_prediction": _q139_oracle_sql(),
+        "q140_degree_assortativity": _q140_oracle_sql(),
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

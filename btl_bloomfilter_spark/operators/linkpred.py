@@ -1,0 +1,117 @@
+"""Neighborhood link-prediction scores over a canonical edge set.
+
+The classic local link predictors (Liben-Nowell & Kleinberg CIKM'03;
+Adamic & Adar 2003) score a NON-adjacent node pair by the structure
+around it: common-neighbor count, Jaccard overlap of neighborhoods,
+and Adamic-Adar (common neighbors weighted 1/ln(degree) so rare
+shared neighbors count more).  In a curation pipeline these rank the
+MISSING edges of a co-occurrence or near-dup graph — which products
+will be co-bought, which docs are probably duplicates the pair stage
+missed — before an expensive verification pass.
+
+Exactness/oracle policy: all three scores are derived from integer
+counts.  Common neighbors and degrees are exact longs; Jaccard is a
+single division of two exactly-integer-valued doubles (engine-
+identical); Adamic-Adar applies the library's fixed-point policy —
+the 1/ln(deg) weight is quantized ONCE per CENTER node to the nano
+grid (``floor(1e9 / ln(deg))``, ln evaluated once per node, never per
+pair — the only transcendental, with the policy's ~1e-9 grid-boundary
+risk) and pair scores are exact integer SUMS of those weights.
+
+Plan shape (wedge expansion, same kernel family as
+`triangles.cooccurrence_edges`): ONE groupBy collects each center's
+sorted neighbor array, pairs expand inside the array via nested
+``transform``/``slice`` entirely in codegen, ONE map-side-combined
+(a, b) aggregate, one anti-join against the existing edges, two
+degree joins (node-count-sized, broadcast when small).  A center of
+degree d emits d(d-1)/2 wedge rows — the standard quadratic hazard;
+``max_center_degree`` drops hub CENTERS above the cap (documented
+semantics change: wedges through dropped hubs don't score, the same
+opt-in hub-robustness contract as ``cooccurrence_edges``'s
+``max_group_size``).  Feed a support-pruned graph
+(``cooccurrence_edges(min_support=2)``) to keep the wedge stage
+sparse by construction.
+
+Reference relation: btl_bloomfilter stops at membership; this serves
+SURVEY's LLM-pipeline graph axis (densifying near-dup graphs built
+from its fingerprints).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["link_prediction_scores"]
+
+_D = "decimal(38,0)"
+
+
+def link_prediction_scores(
+    edges: DataFrame,
+    *,
+    max_center_degree: Optional[int] = None,
+) -> DataFrame:
+    """(a, b, cn, deg_a, deg_b, aa_nano, jaccard) — link-prediction
+    scores for every NON-adjacent pair (a < b) with at least one
+    common neighbor in a canonical (u, v) edge set.
+
+    ``cn`` = common-neighbor count (long, exact);
+    ``deg_a``/``deg_b`` = full degrees (never center-capped — degree
+    is a node property);
+    ``aa_nano`` = Adamic-Adar in nano units, Σ_w floor(1e9/ln(deg_w))
+    over common neighbors w (string, digit-exact);
+    ``jaccard`` = cn / (deg_a + deg_b − cn) (double, single division).
+    """
+    if max_center_degree is not None and max_center_degree < 2:
+        raise ValueError(
+            f"max_center_degree must be >= 2, got {max_center_degree}"
+        )
+    adj = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    # sorted neighbor array per center; size(ps) IS the degree (edges
+    # are canonical-distinct, so the symmetric adjacency has no dups)
+    ctr = adj.groupBy(F.col("u").alias("w")).agg(
+        F.array_sort(F.collect_set("v")).alias("ps")
+    )
+    deg = ctr.select("w", F.size("ps").alias("deg"))
+    wedge_src = ctr.where(F.size("ps") >= 2)
+    if max_center_degree is not None:
+        wedge_src = wedge_src.where(F.size("ps") <= int(max_center_degree))
+    aa_w = F.floor(F.lit(1e9) / F.log(F.size("ps").cast("double"))).cast("long")
+    pairs = wedge_src.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("e"),
+        aa_w.alias("__aa"),
+    ).select("e.a", "e.b", "__aa")
+    g = pairs.groupBy("a", "b").agg(
+        F.count("*").alias("cn"),
+        F.sum(F.col("__aa").cast(_D)).alias("__aan"),
+    )
+    nonadj = g.join(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("w").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("w").alias("b"), F.col("deg").alias("deg_b"))
+    out = nonadj.join(da, "a").join(db, "b")
+    return out.select(
+        "a",
+        "b",
+        F.col("cn").cast("long").alias("cn"),
+        F.col("deg_a").cast("long").alias("deg_a"),
+        F.col("deg_b").cast("long").alias("deg_b"),
+        F.col("__aan").cast("string").alias("aa_nano"),
+        (
+            F.col("cn").cast("double")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn")).cast("double")
+        ).alias("jaccard"),
+    )

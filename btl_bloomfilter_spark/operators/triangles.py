@@ -52,6 +52,7 @@ def cooccurrence_edges(
     group: str,
     item: str,
     max_group_size: Optional[int] = None,
+    min_support: int = 1,
 ) -> DataFrame:
     """Distinct undirected co-occurrence edges (u, v), u < v, between
     items sharing a group (parts sharing an order, terms sharing a
@@ -67,24 +68,37 @@ def cooccurrence_edges(
     but still quadratic; at scale pass ``max_group_size`` to drop
     groups above the cap (changes semantics — documented opt-in for
     hub robustness, exact when None).
+
+    ``min_support > 1`` keeps only pairs co-occurring in at least
+    that many distinct groups — the standard support prune that turns
+    a dense co-occurrence graph (every one-off basket pairing) into
+    the sparse genuinely-associated backbone link-prediction and
+    community passes want.  Same expansion; the final ``distinct``
+    becomes a map-side-combined pair count (one shuffle either way).
     """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
     grouped = df.groupBy(group).agg(
         F.array_sort(F.collect_set(F.col(item).cast("long"))).alias("ps")
     )
     if max_group_size is not None:
         grouped = grouped.where(F.size("ps") <= int(max_group_size))
+    pairs = grouped.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps) - i - 1), "
+                "y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    if min_support == 1:
+        return pairs.distinct()
     return (
-        grouped.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) -> "
-                    "transform(slice(ps, i + 2, size(ps) - i - 1), "
-                    "y -> struct(x AS u, y AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .distinct()
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("__sup"))
+        .where(F.col("__sup") >= min_support)
+        .select("u", "v")
     )
 
 
