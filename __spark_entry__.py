@@ -4830,6 +4830,25 @@ def q138_calibration_bins(spark, sf_dir):
     )
 
 
+def q141_grouped_kendall(spark, sf_dir):
+    """Exact per-group Kendall tau-b (operators/stats.grouped_kendall):
+    concordant/discordant pair counts from a self-join of the
+    value-compressed joint histogram (the exact-tau design point for
+    low-cardinality columns — quantity × discount are 50 × 11
+    distinct, so the cell join is ~300k pairs however many rows feed
+    it), tie corrections from the marginals, tau_b via the fixed
+    doubled num/sqrt/sqrt shape — hash-oracled INCLUDING the tau_b
+    double.  Completes the association kit: Pearson (q103, linear),
+    Spearman (q137, monotone), Kendall (pair concordance, the most
+    tie-robust of the three)."""
+    from btl_bloomfilter_spark.operators.stats import grouped_kendall
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return grouped_kendall(
+        li, ["l_returnflag"], "l_quantity", "l_discount"
+    ).orderBy("l_returnflag")
+
+
 def q139_link_prediction(spark, sf_dir):
     """Neighborhood link-prediction scores (operators/linkpred;
     Liben-Nowell & Kleinberg CIKM'03, Adamic-Adar): top-500 missing
@@ -5516,6 +5535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q138_calibration_bins": q138_calibration_bins,
         "q139_link_prediction": q139_link_prediction,
         "q140_degree_assortativity": q140_degree_assortativity,
+        "q141_grouped_kendall": q141_grouped_kendall,
     }
 
 
@@ -6179,6 +6199,10 @@ def oracle_sql() -> dict[str, str]:
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),
+        "q141_grouped_kendall": _STATS.grouped_kendall_sql(
+            "lineitem", "l_returnflag", "l_quantity", "l_discount"
+        )
+        + " ORDER BY l_returnflag",
         "q102_salted_join": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
                    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -1021,6 +1021,50 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         cs = build_sketch(ev, "user_id", lambda: CountSketch(width=4096, depth=7, seed_salt=19))
         return cs.f2_estimate()
 
+    def q_label_propagation():
+        # 3 synchronous LPA rounds over the part co-purchase graph:
+        # per round one edge-sized vote join + map-side-combined
+        # (node, label) count + per-node WindowGroupLimit argmax
+        from btl_bloomfilter_spark.operators.labelprop import label_propagation
+        from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return label_propagation(edges, rounds=3).count()
+
+    def q_link_prediction():
+        # support-2 backbone then CN/Jaccard/nano-AA wedge scoring:
+        # in-array pair expansion, one (a, b) aggregate, anti-join +
+        # two degree joins
+        from btl_bloomfilter_spark.operators.linkpred import link_prediction_scores
+        from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
+        return link_prediction_scores(edges).count()
+
+    def q_grouped_spearman():
+        # exact midrank Spearman: four per-group rank windows + one
+        # six-number aggregate (row-scale windows are the cost)
+        from btl_bloomfilter_spark.operators.stats import grouped_spearman
+
+        return grouped_spearman(
+            li, ["l_returnflag"], "l_quantity", "l_extendedprice"
+        ).count()
+
+    def q_calibration_bins():
+        # reliability bins + integral ECE: one row-local projection,
+        # one (group, bin) aggregate, one window over <= n_bins rows
+        from pyspark.sql import functions as F
+
+        from btl_bloomfilter_spark.operators.stats import calibration_bins
+
+        M = 1 << 20
+        a = (F.col("event_id") % M) * F.lit(2654435761) % M
+        b = (F.col("user_id") % M) * F.lit(40503) % M
+        return calibration_bins(
+            ev, ["event_type"], a.cast("double") / F.lit(float(M)),
+            (a + b) >= M, n_bins=10,
+        ).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -1088,6 +1132,10 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "ivf_flat_search": q_ivf_flat_search,
         "phrase_search_docs": q_phrase_search_docs,
         "deterministic_walks": q_deterministic_walks,
+        "label_propagation_parts": q_label_propagation,
+        "link_prediction_parts": q_link_prediction,
+        "grouped_spearman_lineitem": q_grouped_spearman,
+        "calibration_bins_events": q_calibration_bins,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

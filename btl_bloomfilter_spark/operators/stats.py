@@ -409,6 +409,131 @@ def grouped_spearman_sql(table: str, group: str, x: str, y: str) -> str:
     """
 
 
+def grouped_kendall(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact per-group Kendall tau-b with tie correction — the
+    pair-concordance companion to :func:`grouped_spearman`, computed
+    exactly so it hash-oracles.
+
+    All counts are integral: concordant/discordant pairs come from a
+    self-join of the per-group VALUE-COMPRESSED joint histogram
+    (cells (x, y, w); a cell pair with x_a < x_b contributes w_a·w_b
+    to C if y_a < y_b, to D if y_a > y_b), tie corrections n1/n2 from
+    the marginal histograms, n0 = n(n−1)/2.  Sums ride
+    decimal(38,0)/hugeint; tau_b = (C−D)/√(n0−n1)/√(n0−n2) uses the
+    library's fixed num/sqrt/sqrt shape, so the double is
+    engine-identical and q141 hash-matches it too.
+
+    COST CONTRACT: the cell self-join is O(Dx·Dy)² per group, where
+    Dx/Dy are the DISTINCT value counts — this is the exact-tau
+    design point for low-cardinality or pre-quantized columns (the
+    fixed-point policy: quantize first, then every engine agrees);
+    for high-cardinality doubles quantize to a grid before calling.
+    Rows with NULL/NaN in either column are dropped; groups with
+    zero variance in either column (tau undefined, NaN hazard) are
+    excluded, mirroring grouped_spearman.
+
+    Scale shape: one map-side-combined joint-histogram groupBy (the
+    only row-scale stage), two marginal aggregates, one cell-scale
+    self-join on the group key, one group-sized final reduce.
+    """
+    keep = None
+    for c in (x_col, y_col):
+        cond = F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+        keep = cond if keep is None else (keep & cond)
+    q = df.where(keep).select(
+        *group_cols, F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    )
+    cells = q.groupBy(*group_cols, "__x", "__y").agg(
+        F.count(F.lit(1)).cast(_D).alias("__w")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = F.col("a.__x") < F.col("b.__x")
+    for c in group_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    pairs = a.join(b, cond).select(
+        *[F.col(f"a.{c}").alias(c) for c in group_cols],
+        (F.col("a.__w") * F.col("b.__w")).alias("__ww"),
+        F.when(F.col("a.__y") < F.col("b.__y"), F.lit(1))
+        .when(F.col("a.__y") > F.col("b.__y"), F.lit(-1))
+        .otherwise(F.lit(0))
+        .alias("__sgn"),
+    )
+    cd = pairs.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("__sgn") == 1, F.col("__ww")).otherwise(F.lit(0).cast(_D))).alias("__c"),
+        F.sum(F.when(F.col("__sgn") == -1, F.col("__ww")).otherwise(F.lit(0).cast(_D))).alias("__d"),
+    )
+
+    def marginal(col: str, alias: str):
+        m = q.groupBy(*group_cols, col).agg(F.count(F.lit(1)).cast(_D).alias("__t"))
+        return m.groupBy(*group_cols).agg(
+            F.sum(F.col("__t") * (F.col("__t") - 1)).alias(alias),
+            F.sum("__t").alias(f"{alias}_n"),
+        )
+
+    mx = marginal("__x", "__tx2")  # 2·n1 (tie-pair count doubled)
+    my = marginal("__y", "__ty2")
+    agg = cd.join(mx, group_cols).join(my, group_cols)
+    n = F.col("__tx2_n")
+    n0_2 = n * (n - 1)  # 2·n0
+    da = n0_2 - F.col("__tx2")  # 2·(n0 − n1)
+    db = n0_2 - F.col("__ty2")
+    num = F.lit(2).cast(_D) * (F.col("__c") - F.col("__d"))  # 2·(C−D)
+    return (
+        agg.where((da != F.lit(0)) & (db != F.lit(0)))
+        .select(
+            *group_cols,
+            n.cast("long").alias("n"),
+            F.col("__c").cast("string").alias("concordant"),
+            F.col("__d").cast("string").alias("discordant"),
+            (
+                num.cast("double") / F.sqrt(da.cast("double")) / F.sqrt(db.cast("double"))
+            ).alias("tau_b"),
+        )
+    )
+
+
+def grouped_kendall_sql(table: str, group: str, x: str, y: str) -> str:
+    """DuckDB twin of :func:`grouped_kendall` (hugeint arithmetic,
+    identical doubled-count tau expression shape)."""
+    not_null = (
+        f"{x} IS NOT NULL AND NOT isnan(CAST({x} AS DOUBLE)) AND "
+        f"{y} IS NOT NULL AND NOT isnan(CAST({y} AS DOUBLE))"
+    )
+    return f"""
+        WITH q AS (SELECT {group} AS g, {x} AS x, {y} AS y FROM {table} WHERE {not_null}),
+        cells AS (SELECT g, x, y, count(*)::hugeint AS w FROM q GROUP BY g, x, y),
+        cd AS (
+            SELECT a.g,
+                   sum(CASE WHEN a.y < b.y THEN a.w * b.w ELSE 0::hugeint END) AS c,
+                   sum(CASE WHEN a.y > b.y THEN a.w * b.w ELSE 0::hugeint END) AS d
+            FROM cells a JOIN cells b ON a.g = b.g AND a.x < b.x
+            GROUP BY a.g
+        ),
+        mx AS (
+            SELECT g, sum(t * (t - 1)) AS tx2, sum(t) AS n FROM (
+                SELECT g, x, count(*)::hugeint AS t FROM q GROUP BY g, x
+            ) GROUP BY g
+        ),
+        my AS (
+            SELECT g, sum(t * (t - 1)) AS ty2 FROM (
+                SELECT g, y, count(*)::hugeint AS t FROM q GROUP BY g, y
+            ) GROUP BY g
+        )
+        SELECT cd.g AS {group}, CAST(mx.n AS BIGINT) AS n,
+               c::varchar AS concordant, d::varchar AS discordant,
+               CAST(2 * (c - d) AS DOUBLE)
+                 / sqrt(CAST(mx.n * (mx.n - 1) - tx2 AS DOUBLE))
+                 / sqrt(CAST(mx.n * (mx.n - 1) - ty2 AS DOUBLE)) AS tau_b
+        FROM cd JOIN mx ON cd.g = mx.g JOIN my ON cd.g = my.g
+        WHERE mx.n * (mx.n - 1) - tx2 <> 0 AND mx.n * (mx.n - 1) - ty2 <> 0
+    """
+
+
 def calibration_bins(
     df: DataFrame,
     group_cols: list[str],

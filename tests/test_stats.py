@@ -377,3 +377,76 @@ def test_calibration_contract_errors(spark):
         calibration_bins(df, ["g"], "s", "lab", n_bins=0)
     with _pytest.raises(ValueError, match="micro"):
         calibration_bins(df, ["g"], "s", "lab", n_bins=2, micro=0)
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped Kendall tau-b (joint-histogram pair counting)
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import grouped_kendall
+
+
+def _brute_kendall(xy):
+    n = len(xy)
+    c = d = tx = ty = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            (x1, y1), (x2, y2) = xy[i], xy[j]
+            if x1 == x2 and y1 == y2:
+                continue
+            if x1 == x2:
+                tx += 1
+            elif y1 == y2:
+                ty += 1
+            elif (x1 < x2) == (y1 < y2):
+                c += 1
+            else:
+                d += 1
+    n0 = n * (n - 1) // 2
+    # tie-pair counts INCLUDING joint ties (the tau-b definition)
+    import collections as _c
+
+    cx = _c.Counter(x for x, _ in xy)
+    cy = _c.Counter(y for _, y in xy)
+    n1 = sum(t * (t - 1) // 2 for t in cx.values())
+    n2 = sum(t * (t - 1) // 2 for t in cy.values())
+    # same doubled expression shape as the engines
+    tau = (2 * (c - d)) / math.sqrt(2 * (n0 - n1)) / math.sqrt(2 * (n0 - n2))
+    return c, d, n, tau
+
+
+def test_kendall_matches_brute_with_ties(spark):
+    rng = _random.Random(141)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(120):
+            x = float(rng.randrange(0, 8))  # heavy ties both axes
+            y = float(rng.randrange(0, 6) + (x if g == "a" else -x))
+            rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_kendall(df, ["g"], "x", "y").collect()}
+    for g in ("a", "b"):
+        xy = [(x, y) for gg, x, y in rows if gg == g]
+        c, d, n, tau = _brute_kendall(xy)
+        r = got[g]
+        assert (int(r.concordant), int(r.discordant), r.n) == (c, d, n)
+        assert r.tau_b == tau  # bit-identical: same expression shape
+    assert got["a"].tau_b > 0.3 and got["b"].tau_b < -0.3
+
+
+def test_kendall_degenerate_and_nulls(spark):
+    rows = [
+        ("const_x", 5.0, 1.0), ("const_x", 5.0, 2.0),
+        ("ok", 1.0, 2.0), ("ok", 2.0, 1.0), ("ok", 3.0, 3.0),
+        ("ok", None, 9.0), ("ok", 4.0, float("nan")),
+    ]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r.g: r for r in grouped_kendall(df, ["g"], "x", "y").collect()}
+    assert set(got) == {"ok"}
+    assert got["ok"].n == 3
+    # perfect anti/agreement sanity on clean sequences
+    up = spark.createDataFrame(
+        [("g", float(i), float(i * 2)) for i in range(30)],
+        "g string, x double, y double",
+    )
+    assert abs(grouped_kendall(up, ["g"], "x", "y").collect()[0].tau_b - 1.0) < 1e-12
