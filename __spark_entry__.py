@@ -4830,6 +4830,45 @@ def q138_calibration_bins(spark, sf_dir):
     )
 
 
+def q142_grouped_gini(spark, sf_dir):
+    """Exact per-source Gini of document lengths
+    (operators/stats.grouped_gini): the concentration metric data
+    mixing decisions key on — is a source's token mass spread evenly
+    or dominated by a few giant documents.  Tie-safe integral
+    identity 2A = Σ v·c·(2cb+c+1) off the value-compressed histogram
+    (the grouped_auc machinery), scale=1 since lengths are already
+    integers, ONE int-double division — hash-oracled including the
+    gini double.  Plan: map-side-combined (source, length) histogram
+    + per-GROUP cumulative window + group-sized aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_gini
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return grouped_gini(
+        docs, ["source"], F.length("text").cast("double"), scale=1
+    ).orderBy("source")
+
+
+def q143_bootstrap_ci(spark, sf_dir):
+    """Deterministic hash-Poisson bootstrap CI
+    (operators/stats.bootstrap_ci; Oza-Russell online bootstrap /
+    Chamandy et al. 2012): error bars for the per-event-type mean
+    value in ONE pass — Poisson(1) multiplicities from the content
+    hash through fixed integer thresholds (pure function of (seed,
+    event_id, replicate): partitioning-independent, SQL-replayable),
+    replicate sums exact integers, means single int-valued divisions,
+    CI = nearest-rank percentiles of the sorted replicate means.
+    Hash-oracled INCLUDING mean/ci_lo/ci_hi doubles.  Plan: the
+    ×48 explode feeds straight into a map-side-combined (group,
+    replicate) aggregate — nothing row-shaped shuffles."""
+    from btl_bloomfilter_spark.operators.stats import bootstrap_ci
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return bootstrap_ci(
+        ev, ["event_type"], "value", ["event_id"],
+        replicates=48, scale=100, seed=143, alpha_milli=50,
+    ).orderBy("event_type")
+
+
 def q141_grouped_kendall(spark, sf_dir):
     """Exact per-group Kendall tau-b (operators/stats.grouped_kendall):
     concordant/discordant pair counts from a self-join of the
@@ -5536,6 +5575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q139_link_prediction": q139_link_prediction,
         "q140_degree_assortativity": q140_degree_assortativity,
         "q141_grouped_kendall": q141_grouped_kendall,
+        "q142_grouped_gini": q142_grouped_gini,
+        "q143_bootstrap_ci": q143_bootstrap_ci,
     }
 
 
@@ -6196,6 +6237,15 @@ def oracle_sql() -> dict[str, str]:
             "lineitem", "l_returnflag", "l_quantity", "l_extendedprice"
         )
         + " ORDER BY l_returnflag",
+        "q142_grouped_gini": _STATS.grouped_gini_sql(
+            "documents", "source", "length(text)", scale=1
+        )
+        + " ORDER BY source",
+        "q143_bootstrap_ci": _STATS.bootstrap_ci_sql(
+            "events", "event_type", "value", "event_id",
+            replicates=48, scale=100, seed=143, alpha_milli=50,
+        )
+        + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),

@@ -534,6 +534,293 @@ def grouped_kendall_sql(table: str, group: str, x: str, y: str) -> str:
     """
 
 
+def grouped_gini(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    *,
+    scale: int = 100,
+) -> DataFrame:
+    """Exact per-group Gini coefficient — the concentration metric for
+    corpus curation (how skewed is token/byte mass across sources,
+    domains, conversations; a Gini near 1 says a handful of domains
+    dominate the mix), computed exactly so it hash-oracles.
+
+    Identity (sorted values x_(1..n), S = Σx, A = Σ i·x_(i)):
+    G = (2A − (n+1)·S) / (n·S).  Ties make the rank i ambiguous but
+    not the SUM — tied runs have equal x, so Σ i·x over a run is
+    order-independent: a run of c copies of value v after cb lower
+    rows contributes v·c·(2cb+c+1)/2 to A.  With values quantized
+    ONCE (floor(x·scale), the fixed-point policy) 2A and S are exact
+    integers off the value-compressed histogram (the grouped_auc
+    machinery), sums ride decimal(38,0)/hugeint, and G is ONE
+    division of exactly-integer-valued doubles — engine-identical.
+
+    Contract: values must be non-negative (Gini is undefined below
+    zero; negative quantized values raise nothing distributed —
+    documented, like the family's overflow bounds).  NULL/NaN rows
+    are dropped; groups with S = 0 (all-zero mass) are excluded.
+
+    Scale shape: one map-side-combined (group, value) histogram, one
+    per-GROUP cumulative window over it (value-compressed, never
+    global), one group-sized final aggregate.
+    """
+    from pyspark.sql import Window
+
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = (
+        df.where(v.isNotNull() & ~F.isnan(v.cast("double")))
+        .select(
+            *group_cols,
+            F.floor(v.cast("double") * scale).cast("long").alias("__v"),
+        )
+        .groupBy(*group_cols, "__v")
+        .agg(F.count(F.lit(1)).cast(_D).alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = h.withColumn("__cb", F.coalesce(F.sum("__c").over(w), F.lit(0).cast(_D)))
+    vq = F.col("__v").cast(_D)
+    agg = c.groupBy(*group_cols).agg(
+        F.sum("__c").alias("__n"),
+        F.sum(vq * F.col("__c")).alias("__s"),
+        F.sum(
+            vq * F.col("__c") * (F.lit(2).cast(_D) * F.col("__cb") + F.col("__c") + 1)
+        ).alias("__a2"),
+    )
+    num = F.col("__a2") - (F.col("__n") + 1) * F.col("__s")
+    den = F.col("__n") * F.col("__s")
+    return agg.where(F.col("__s") != F.lit(0)).select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        F.col("__s").cast("string").alias("mass_q"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+def grouped_gini_sql(table: str, group: str, value: str, *, scale: int = 100) -> str:
+    """DuckDB twin of :func:`grouped_gini` (hugeint arithmetic,
+    identical quantization and single-division shape)."""
+    return f"""
+        WITH h AS (
+            SELECT {group} AS g,
+                   CAST(floor(CAST({value} AS DOUBLE) * {scale}) AS BIGINT) AS v,
+                   count(*)::hugeint AS c
+            FROM {table}
+            WHERE {value} IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+            GROUP BY 1, 2
+        ),
+        cw AS (
+            SELECT *, coalesce(sum(c) OVER (
+                PARTITION BY g ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+            FROM h
+        ),
+        a AS (
+            SELECT g, sum(c) AS n, sum(v::hugeint * c) AS s,
+                   sum(v::hugeint * c * (2 * cb + c + 1)) AS a2
+            FROM cw GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n AS BIGINT) AS n, s::varchar AS mass_q,
+               CAST(a2 - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE) AS gini
+        FROM a WHERE s <> 0
+    """
+
+
+def _poisson1_thresholds(cap: int = 8) -> list[int]:
+    """Cumulative Poisson(1) CDF as integer thresholds on the 60-bit
+    hash space: multiplicity m = #{k < cap : u60 >= floor(cdf_k·2^60)}.
+    Computed once in Python floats and embedded as LITERALS in both
+    engines, so the mapping is engine-identical by construction.
+    P(X > 7) ~ 1e-5: the cap's truncation bias is far below bootstrap
+    resolution and, being part of the spec, identical everywhere."""
+    import math
+
+    cdf, acc = [], 0.0
+    for k in range(cap):
+        acc += math.exp(-1.0) / math.factorial(k)
+        cdf.append(min(int(acc * (1 << 60)), (1 << 60) - 1))
+    return cdf
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    key_cols: list[str],
+    *,
+    replicates: int = 48,
+    scale: int = 1_000_000,
+    seed: int | str = 0,
+    alpha_milli: int = 50,
+) -> DataFrame:
+    """Deterministic Poisson-bootstrap confidence interval for the
+    per-group mean — error bars for curation metrics in ONE pass over
+    100 TB, with none of the replay problems of sampled bootstraps.
+
+    The online/Poisson bootstrap (Oza & Russell AISTATS'01; Chamandy
+    et al., Google 2012) replaces resampling with an independent
+    Poisson(1) multiplicity per (row, replicate).  Here the Poisson
+    draw is the library's content hash pushed through the fixed
+    integer-threshold inverse CDF (:func:`_poisson1_thresholds`), so
+    every multiplicity is a pure function of (seed, key columns,
+    replicate) — partitioning-independent, replayable in SQL, and
+    hash-oracle-able end to end:
+
+      * values quantized ONCE (floor(x·scale)) — replicate sums are
+        exact integers in decimal(38,0)/hugeint;
+      * each replicate mean is ONE division of exactly-integer-valued
+        doubles; replicates whose total multiplicity is 0 are skipped
+        (identically in both engines);
+      * the CI is the nearest-rank percentile of the sorted replicate
+        means (sort_array/list_sort agree on non-NaN doubles):
+        lo_idx = max(1, ceil(alpha/2·R)), hi_idx = R+1−lo_idx.
+
+    NULL/NaN values are dropped; groups with no surviving replicate
+    are excluded.  ``key_cols`` must
+    identify rows stably (the same contract as every content-keyed
+    operator in `functions/splits`).
+
+    Scale shape: the ×replicates explode feeds DIRECTLY into a
+    map-side-combined (group, replicate) aggregate — the blowup never
+    shuffles row-shaped; then a (groups × replicates)-sized window-
+    free aggregate assembles the CI.  Cost is `replicates` extra
+    codegen projections per row, no extra scan.
+    """
+    from ..functions.splits import _hash60
+
+    if replicates < 4:
+        raise ValueError(f"replicates must be >= 4, got {replicates}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if not 0 < alpha_milli < 1000:
+        raise ValueError(f"alpha_milli must be in (0, 1000), got {alpha_milli}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("double")
+    base = df.where(v.isNotNull() & ~F.isnan(v)).select(
+        *group_cols,
+        *[F.col(k) for k in key_cols],
+        F.floor(v * scale).cast("long").alias("__xq"),
+    )
+    full = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("__xq").cast(_D)).alias("__sx"),
+    )
+    rep = base.select(
+        *group_cols,
+        "__xq",
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("__b"),
+        *[F.col(k) for k in key_cols],
+    )
+    u = _hash60(list(key_cols) + ["__b"], seed)
+    m = None
+    for t in _poisson1_thresholds():
+        term = F.when(u >= F.lit(t), 1).otherwise(0)
+        m = term if m is None else (m + term)
+    rep = rep.withColumn("__m", m.cast(_D))
+    g1 = rep.groupBy(*group_cols, "__b").agg(
+        F.sum(F.col("__m") * F.col("__xq").cast(_D)).alias("__smx"),
+        F.sum("__m").alias("__sm"),
+    )
+    means = g1.where(F.col("__sm") > 0).select(
+        *group_cols,
+        (
+            F.col("__smx").cast("double")
+            / (F.lit(scale).cast(_D) * F.col("__sm")).cast("double")
+        ).alias("__mean"),
+    )
+    arr = means.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("__mean")).alias("__a")
+    )
+    r_cnt = F.size("__a")
+    lo_idx = F.greatest(
+        F.lit(1),
+        F.ceil(
+            (F.lit(alpha_milli) * r_cnt).cast("double") / F.lit(2000.0)
+        ).cast("int"),
+    )
+    hi_idx = r_cnt + 1 - lo_idx
+    return arr.join(full, group_cols).select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        (
+            F.col("__sx").cast("double")
+            / (F.lit(scale).cast(_D) * F.col("__n").cast(_D)).cast("double")
+        ).alias("mean"),
+        F.element_at("__a", lo_idx).alias("ci_lo"),
+        F.element_at("__a", hi_idx).alias("ci_hi"),
+        r_cnt.cast("int").alias("n_replicates"),
+    )
+
+
+def bootstrap_ci_sql(
+    table: str,
+    group: str,
+    value: str,
+    key: str,
+    *,
+    replicates: int = 48,
+    scale: int = 1_000_000,
+    seed: int | str = 0,
+    alpha_milli: int = 50,
+) -> str:
+    """DuckDB twin of :func:`bootstrap_ci` (same literal Poisson
+    thresholds, hugeint sums, identical index arithmetic; ``key`` is
+    a single key expression — the test-scale twin)."""
+    from ..functions.splits import _key_sql
+
+    ts = _poisson1_thresholds()
+    h = f"((('0x' || substr({{k}}, 1, 15))::ubigint))::bigint"
+    key_md5 = _key_sql(seed, ["key_col", "b"])
+    u = h.format(k=key_md5)
+    m_expr = " + ".join(f"(CASE WHEN u >= {t} THEN 1 ELSE 0 END)" for t in ts)
+    return f"""
+        WITH base AS (
+            SELECT {group} AS g, {key} AS key_col,
+                   CAST(floor(CAST({value} AS DOUBLE) * {scale}) AS BIGINT) AS xq
+            FROM {table}
+            WHERE ({value}) IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+        ),
+        fullagg AS (
+            SELECT g, count(*)::hugeint AS n, sum(xq::hugeint) AS sx
+            FROM base GROUP BY g
+        ),
+        rep AS (
+            SELECT g, xq, b, {u} AS u
+            FROM (SELECT base.*, CAST(r.range AS BIGINT) AS b
+                  FROM base CROSS JOIN range(0, {replicates}) r)
+        ),
+        g1 AS (
+            SELECT g, b, sum(({m_expr})::hugeint * xq::hugeint) AS smx,
+                   sum(({m_expr})::hugeint) AS sm
+            FROM (SELECT g, xq, b, u FROM rep) GROUP BY g, b
+        ),
+        means AS (
+            SELECT g, CAST(smx AS DOUBLE) / CAST({scale}::hugeint * sm AS DOUBLE) AS mean
+            FROM g1 WHERE sm > 0
+        ),
+        arr AS (
+            SELECT g, list_sort(list(mean)) AS a FROM means GROUP BY g
+        ),
+        idx AS (
+            SELECT g, a, len(a) AS r,
+                   greatest(1, CAST(ceil(CAST({alpha_milli} * len(a) AS DOUBLE) / 2000.0) AS INT)) AS lo
+            FROM arr
+        )
+        SELECT idx.g AS {group}, CAST(n AS BIGINT) AS n,
+               CAST(sx AS DOUBLE) / CAST({scale}::hugeint * n AS DOUBLE) AS mean,
+               a[lo] AS ci_lo, a[r + 1 - lo] AS ci_hi,
+               CAST(r AS INT) AS n_replicates
+        FROM idx JOIN fullagg ON idx.g = fullagg.g
+    """
+
+
 def calibration_bins(
     df: DataFrame,
     group_cols: list[str],

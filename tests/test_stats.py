@@ -450,3 +450,138 @@ def test_kendall_degenerate_and_nulls(spark):
         "g string, x double, y double",
     )
     assert abs(grouped_kendall(up, ["g"], "x", "y").collect()[0].tau_b - 1.0) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped Gini (value-compressed histogram)
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import grouped_gini
+
+
+def _brute_gini(vals, scale=100):
+    q = sorted(math.floor(v * scale) for v in vals)
+    n, s = len(q), sum(q)
+    a = sum((i + 1) * x for i, x in enumerate(q))
+    return (2 * a - (n + 1) * s) / (n * s), n, s
+
+
+def test_gini_matches_brute_with_ties(spark):
+    rng = _random.Random(142)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(300):
+            v = rng.randrange(0, 30) if g == "a" else rng.randrange(0, 5) ** 3
+            rows.append((g, float(v) + 0.25))
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {r.g: r for r in grouped_gini(df, ["g"], "v").collect()}
+    for g in ("a", "b"):
+        want, n, s = _brute_gini([v for gg, v in rows if gg == g])
+        assert got[g].n == n and int(got[g].mass_q) == s
+        assert got[g].gini == want  # bit-identical: same single division
+
+
+def test_gini_extremes_and_contract(spark):
+    # all-equal -> 0; one-holder concentration -> (n-1)/n
+    eq = spark.createDataFrame([("g", 5.0)] * 20, "g string, v double")
+    assert grouped_gini(eq, ["g"], "v").collect()[0].gini == 0.0
+    conc = spark.createDataFrame(
+        [("g", 0.0)] * 19 + [("g", 100.0)], "g string, v double"
+    )
+    assert grouped_gini(conc, ["g"], "v").collect()[0].gini == 19 / 20
+    zeros = spark.createDataFrame([("z", 0.0)] * 5, "g string, v double")
+    assert grouped_gini(zeros, ["g"], "v").collect() == []  # S = 0 excluded
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scale"):
+        grouped_gini(eq, ["g"], "v", scale=0)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-Poisson bootstrap CI
+# ---------------------------------------------------------------------------
+
+import hashlib as _hashlib
+
+from btl_bloomfilter_spark.operators.stats import (
+    _poisson1_thresholds,
+    bootstrap_ci,
+)
+
+
+def _brute_bootstrap(rows, replicates, scale, seed, alpha_milli):
+    """Independent Python reimplementation of the spec."""
+    ts = _poisson1_thresholds()
+    by_g = {}
+    for g, key, v in rows:
+        if v is None or v != v:
+            continue
+        by_g.setdefault(g, []).append((key, math.floor(v * scale)))
+    out = {}
+    for g, items in by_g.items():
+        means = []
+        for b in range(replicates):
+            smx = sm = 0
+            for key, xq in items:
+                payload = f"{seed}|{key}|{b}".encode()
+                u = int(_hashlib.md5(payload).hexdigest()[:15], 16)
+                m = sum(1 for t in ts if u >= t)
+                smx += m * xq
+                sm += m
+            if sm > 0:
+                means.append(smx / (scale * sm))
+        means.sort()
+        r = len(means)
+        lo = max(1, math.ceil((alpha_milli * r) / 2000.0))
+        n = len(items)
+        sx = sum(x for _, x in items)
+        out[g] = (n, sx / (scale * n), means[lo - 1], means[r - lo], r)
+    return out
+
+
+def test_bootstrap_matches_independent_spec(spark):
+    rng = _random.Random(143)
+    rows = [
+        (g, i if g == "a" else i + 1000, float(rng.randrange(0, 500)) / 7.0)
+        for g in ("a", "b")
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    got = {
+        r.g: r
+        for r in bootstrap_ci(
+            df, ["g"], "v", ["k"], replicates=24, scale=1000, seed=9, alpha_milli=100
+        ).collect()
+    }
+    want = _brute_bootstrap(rows, 24, 1000, 9, 100)
+    for g, (n, mean, lo, hi, r) in want.items():
+        row = got[g]
+        assert (row.n, row.n_replicates) == (n, r)
+        assert row.mean == mean and row.ci_lo == lo and row.ci_hi == hi
+    assert all(got[g].ci_lo <= got[g].mean <= got[g].ci_hi for g in got)
+
+
+def test_bootstrap_partition_invariance_and_coverage_sanity(spark):
+    rows = [("g", i, float(i % 50)) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    a = bootstrap_ci(df.repartition(3), ["g"], "v", ["k"], replicates=16).collect()[0]
+    b = bootstrap_ci(df.repartition(17), ["g"], "v", ["k"], replicates=16).collect()[0]
+    assert a == b
+    # CI half-width should be in the plausible range for n=400, sd~14.4
+    assert 0.3 < (a.ci_hi - a.ci_lo) < 6.0
+
+
+def test_bootstrap_contract_errors(spark):
+    df = spark.createDataFrame([("g", 1, 1.0)], "g string, k long, v double")
+    import pytest as _pytest
+
+    for kw in (
+        dict(replicates=3),
+        dict(scale=0),
+        dict(alpha_milli=0),
+        dict(alpha_milli=1000),
+    ):
+        with _pytest.raises(ValueError):
+            bootstrap_ci(df, ["g"], "v", ["k"], **kw)
+    with _pytest.raises(ValueError, match="key_cols"):
+        bootstrap_ci(df, ["g"], "v", [])
