@@ -4848,6 +4848,42 @@ def q142_grouped_gini(spark, sf_dir):
     ).orderBy("source")
 
 
+def q145_welch_ttest(spark, sf_dir):
+    """Exact-moment Welch two-sample t-test
+    (operators/stats.grouped_welch): the A/B primitive — per
+    event_type, does mean value differ between even/odd user cohorts.
+    Quantize-once sums make n/Σx/Σx² exact integers; mean_diff, t and
+    Welch df are FIXED expression shapes over correctly-rounded casts
+    (single-operator IEEE ops in a deterministic order), so all three
+    doubles hash-match the DuckDB twin.  Degenerate groups (cohort
+    n < 2 or both variances zero) excluded on exact integers.  Plan:
+    ONE map-side-combined six-number conditional aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_welch
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return grouped_welch(
+        ev, ["event_type"], "value", F.col("user_id") % 2 == 0, scale=100
+    ).orderBy("event_type")
+
+
+def q144_grouped_ks(spark, sf_dir):
+    """Exact per-group two-sample Kolmogorov-Smirnov
+    (operators/stats.grouped_ks): the rank-based distribution-shift
+    test complementing the binned PSI kit (q73) — D's numerator
+    max|c1·n2 − c2·n1| is an exact integer over the merged
+    value-compressed histogram (values compare, never compute), and
+    D is ONE division — hash-oracled including the d double.  Value
+    distribution of events.value across even/odd user cohorts per
+    event_type.  Plan: one map-side-combined conditional histogram,
+    one per-GROUP cumulative window, group-sized max aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_ks
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return grouped_ks(
+        ev, ["event_type"], "value", F.col("user_id") % 2 == 0
+    ).orderBy("event_type")
+
+
 def q143_bootstrap_ci(spark, sf_dir):
     """Deterministic hash-Poisson bootstrap CI
     (operators/stats.bootstrap_ci; Oza-Russell online bootstrap /
@@ -5577,6 +5613,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q141_grouped_kendall": q141_grouped_kendall,
         "q142_grouped_gini": q142_grouped_gini,
         "q143_bootstrap_ci": q143_bootstrap_ci,
+        "q144_grouped_ks": q144_grouped_ks,
+        "q145_welch_ttest": q145_welch_ttest,
     }
 
 
@@ -6244,6 +6282,14 @@ def oracle_sql() -> dict[str, str]:
         "q143_bootstrap_ci": _STATS.bootstrap_ci_sql(
             "events", "event_type", "value", "event_id",
             replicates=48, scale=100, seed=143, alpha_milli=50,
+        )
+        + " ORDER BY event_type",
+        "q144_grouped_ks": _STATS.grouped_ks_sql(
+            "events", "event_type", "value", "(user_id % 2 = 0)"
+        )
+        + " ORDER BY event_type",
+        "q145_welch_ttest": _STATS.grouped_welch_sql(
+            "events", "event_type", "value", "(user_id % 2 = 0)", scale=100
         )
         + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),

@@ -821,6 +821,249 @@ def bootstrap_ci_sql(
     """
 
 
+def grouped_ks(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    cohort_col,
+) -> DataFrame:
+    """Exact per-group two-sample Kolmogorov-Smirnov statistic — the
+    distribution-shift test for numeric columns (did this month's
+    turn lengths / quality scores drift from last month's), the
+    rank-based complement to the binned PSI drift kit.
+
+    D = max_v |F1(v) − F2(v)| is a RATIONAL: with per-cohort
+    cumulative counts c1, c2 and totals n1, n2, the numerator
+    max|c1·n2 − c2·n1| is an exact integer over the merged
+    value-compressed histogram (values compare, never compute — no
+    quantization needed), and D is ONE division by n1·n2 of exactly-
+    integer-valued doubles — engine-identical, hash-oracle-able.
+
+    ``cohort_col`` may be a column name or a boolean Column: True =
+    cohort 1, False = cohort 2.  NULL values/cohorts are dropped;
+    groups where either cohort is empty are excluded (D degenerates
+    to 1 vacuously).  Returns (group..., n1, n2, ks_num, d).
+
+    Scale shape: one map-side-combined (group, value) histogram with
+    per-cohort conditional counts, one per-GROUP cumulative window
+    (value-compressed, never global), one group-sized max aggregate.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    h = (
+        df.where(v.isNotNull() & ~F.isnan(v.cast("double")) & coh.isNotNull())
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(
+            F.sum(coh.cast("int")).cast(_D).alias("__c1"),
+            F.sum(F.lit(1) - coh.cast("int")).cast(_D).alias("__c2"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = h.withColumn("__f1", F.sum("__c1").over(w)).withColumn(
+        "__f2", F.sum("__c2").over(w)
+    )
+    wa = Window.partitionBy(*group_cols)
+    c = c.withColumn("__n1", F.sum("__c1").over(wa)).withColumn(
+        "__n2", F.sum("__c2").over(wa)
+    )
+    agg = c.groupBy(*group_cols).agg(
+        F.max(
+            F.abs(F.col("__f1") * F.col("__n2") - F.col("__f2") * F.col("__n1"))
+        ).alias("__num"),
+        F.first("__n1").alias("__n1"),
+        F.first("__n2").alias("__n2"),
+    )
+    return agg.where((F.col("__n1") > 0) & (F.col("__n2") > 0)).select(
+        *group_cols,
+        F.col("__n1").cast("long").alias("n1"),
+        F.col("__n2").cast("long").alias("n2"),
+        F.col("__num").cast("string").alias("ks_num"),
+        (
+            F.col("__num").cast("double")
+            / (F.col("__n1") * F.col("__n2")).cast("double")
+        ).alias("d"),
+    )
+
+
+def grouped_ks_sql(table: str, group: str, value: str, cohort_pred: str) -> str:
+    """DuckDB twin of :func:`grouped_ks` (hugeint arithmetic, same
+    single-division shape)."""
+    return f"""
+        WITH h AS (
+            SELECT {group} AS g, {value} AS v,
+                   sum(CASE WHEN {cohort_pred} THEN 1 ELSE 0 END)::hugeint AS c1,
+                   sum(CASE WHEN {cohort_pred} THEN 0 ELSE 1 END)::hugeint AS c2
+            FROM {table}
+            WHERE {value} IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+              AND ({cohort_pred}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT g,
+                   sum(c1) OVER (PARTITION BY g ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+                   sum(c2) OVER (PARTITION BY g ORDER BY v
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2,
+                   sum(c1) OVER (PARTITION BY g) AS n1,
+                   sum(c2) OVER (PARTITION BY g) AS n2
+            FROM h
+        ),
+        a AS (
+            SELECT g, max(abs(f1 * n2 - f2 * n1)) AS num,
+                   any_value(n1) AS n1, any_value(n2) AS n2
+            FROM c GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               num::varchar AS ks_num,
+               CAST(num AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS d
+        FROM a WHERE n1 > 0 AND n2 > 0
+    """
+
+
+def grouped_welch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    cohort_col,
+    *,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact-moment Welch two-sample t-test per group — the A/B
+    primitive (did the new filter change mean quality?  is this
+    source's mean turn length different?), computed so it
+    hash-oracles: values quantized ONCE (fixed-point policy), both
+    cohorts' n / Σx / Σx² exact integers in decimal(38,0)/hugeint,
+    and every derived double a FIXED expression shape over
+    correctly-rounded casts (the q103 corr precedent):
+
+      mean_i = S_i / (scale·n_i)
+      var_i  = (n_i·SS_i − S_i²) / (n_i·(n_i−1)·scale²)     [sample]
+      se2    = var_1/n_1 + var_2/n_2
+      t      = (mean_1 − mean_2) / √se2
+      df     = se2² / ((var_1/n_1)²/(n_1−1) + (var_2/n_2)²/(n_2−1))
+
+    — single-operator IEEE ops in a deterministic order, so both
+    engines produce bit-identical t and Welch df.
+
+    ``cohort_col``: name or boolean Column (True = cohort 1).
+    NULL/NaN values and NULL cohorts are dropped; groups where either
+    cohort has n < 2, or BOTH variances are zero (t undefined), are
+    excluded — decided on exact integers, never floats.
+
+    Scale shape: ONE map-side-combined conditional aggregate of six
+    numbers per group; nothing row-shaped after the scan.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("double")
+    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    q = df.where(v.isNotNull() & ~F.isnan(v) & coh.isNotNull()).select(
+        *group_cols,
+        F.floor(v * scale).cast("long").cast(_D).alias("__xq"),
+        coh.cast("int").alias("__c"),
+    )
+    one = F.col("__c") == 1
+
+    def agg_for(c1: bool, name: str):
+        cond = one if c1 else ~one
+        z = F.lit(0).cast(_D)
+        return [
+            F.sum(F.when(cond, F.lit(1).cast(_D)).otherwise(z)).alias(f"__n{name}"),
+            F.sum(F.when(cond, F.col("__xq")).otherwise(z)).alias(f"__s{name}"),
+            F.sum(F.when(cond, F.col("__xq") * F.col("__xq")).otherwise(z)).alias(
+                f"__ss{name}"
+            ),
+        ]
+
+    a = q.groupBy(*group_cols).agg(*agg_for(True, "1"), *agg_for(False, "2"))
+    sc = F.lit(scale).cast(_D)
+    n1, s1, ss1 = F.col("__n1"), F.col("__s1"), F.col("__ss1")
+    n2, s2, ss2 = F.col("__n2"), F.col("__s2"), F.col("__ss2")
+    num1 = n1 * ss1 - s1 * s1
+    num2 = n2 * ss2 - s2 * s2
+    m1 = s1.cast("double") / (sc * n1).cast("double")
+    m2 = s2.cast("double") / (sc * n2).cast("double")
+    v1 = num1.cast("double") / (n1 * (n1 - 1) * sc * sc).cast("double")
+    v2 = num2.cast("double") / (n2 * (n2 - 1) * sc * sc).cast("double")
+    se1 = v1 / n1.cast("double")
+    se2c = v2 / n2.cast("double")
+    se = se1 + se2c
+    t = (m1 - m2) / F.sqrt(se)
+    dfw = (se * se) / (
+        se1 * se1 / (n1 - 1).cast("double") + se2c * se2c / (n2 - 1).cast("double")
+    )
+    return (
+        a.where(
+            (n1 >= 2) & (n2 >= 2) & ~((num1 == F.lit(0)) & (num2 == F.lit(0)))
+        )
+        .select(
+            *group_cols,
+            n1.cast("long").alias("n1"),
+            n2.cast("long").alias("n2"),
+            s1.cast("string").alias("sum1_q"),
+            s2.cast("string").alias("sum2_q"),
+            (m1 - m2).alias("mean_diff"),
+            t.alias("t"),
+            dfw.alias("df_welch"),
+        )
+    )
+
+
+def grouped_welch_sql(
+    table: str, group: str, value: str, cohort_pred: str, *, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`grouped_welch` — the derived doubles use
+    the IDENTICAL expression shape and operand order."""
+    return f"""
+        WITH q AS (
+            SELECT {group} AS g,
+                   CAST(floor(CAST({value} AS DOUBLE) * {scale}) AS BIGINT)::hugeint AS xq,
+                   CASE WHEN {cohort_pred} THEN 1 ELSE 0 END AS c
+            FROM {table}
+            WHERE ({value}) IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+              AND ({cohort_pred}) IS NOT NULL
+        ),
+        a AS (
+            SELECT g,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::hugeint AS n1,
+                   sum(CASE WHEN c = 1 THEN xq ELSE 0 END) AS s1,
+                   sum(CASE WHEN c = 1 THEN xq * xq ELSE 0 END) AS ss1,
+                   sum(CASE WHEN c = 1 THEN 0 ELSE 1 END)::hugeint AS n2,
+                   sum(CASE WHEN c = 1 THEN 0 ELSE xq END) AS s2,
+                   sum(CASE WHEN c = 1 THEN 0 ELSE xq * xq END) AS ss2
+            FROM q GROUP BY g
+        ),
+        d AS (
+            SELECT g, n1, n2, s1, s2,
+                   CAST(s1 AS DOUBLE) / CAST({scale}::hugeint * n1 AS DOUBLE) AS m1,
+                   CAST(s2 AS DOUBLE) / CAST({scale}::hugeint * n2 AS DOUBLE) AS m2,
+                   (CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                      / CAST(n1 * (n1 - 1) * {scale}::hugeint * {scale}::hugeint AS DOUBLE))
+                     / CAST(n1 AS DOUBLE) AS se1,
+                   (CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                      / CAST(n2 * (n2 - 1) * {scale}::hugeint * {scale}::hugeint AS DOUBLE))
+                     / CAST(n2 AS DOUBLE) AS se2,
+                   n1 * ss1 - s1 * s1 AS num1, n2 * ss2 - s2 * s2 AS num2
+            FROM a
+        )
+        SELECT g AS {group}, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               s1::varchar AS sum1_q, s2::varchar AS sum2_q,
+               m1 - m2 AS mean_diff,
+               (m1 - m2) / sqrt(se1 + se2) AS t,
+               ((se1 + se2) * (se1 + se2))
+                 / (se1 * se1 / CAST(n1 - 1 AS DOUBLE) + se2 * se2 / CAST(n2 - 1 AS DOUBLE))
+                 AS df_welch
+        FROM d
+        WHERE n1 >= 2 AND n2 >= 2 AND NOT (num1 = 0 AND num2 = 0)
+    """
+
+
 def calibration_bins(
     df: DataFrame,
     group_cols: list[str],

@@ -585,3 +585,119 @@ def test_bootstrap_contract_errors(spark):
             bootstrap_ci(df, ["g"], "v", ["k"], **kw)
     with _pytest.raises(ValueError, match="key_cols"):
         bootstrap_ci(df, ["g"], "v", [])
+
+
+# ---------------------------------------------------------------------------
+# Exact grouped two-sample KS
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import grouped_ks
+
+
+def _brute_ks(pairs):
+    s1 = sorted(v for v, c in pairs if c)
+    s2 = sorted(v for v, c in pairs if not c)
+    n1, n2 = len(s1), len(s2)
+    support = sorted(set(s1) | set(s2))
+    num = 0
+    for v in support:
+        c1 = sum(1 for x in s1 if x <= v)
+        c2 = sum(1 for x in s2 if x <= v)
+        num = max(num, abs(c1 * n2 - c2 * n1))
+    return n1, n2, num, num / (n1 * n2)
+
+
+def test_ks_matches_brute_with_ties(spark):
+    rng = _random.Random(144)
+    rows = []
+    for g in ("same", "shifted"):
+        for _ in range(250):
+            c = rng.random() < 0.5
+            v = rng.randrange(0, 25) + (4 if (c and g == "shifted") else 0)
+            rows.append((g, float(v), c))
+    df = spark.createDataFrame(rows, "g string, v double, c boolean")
+    got = {r.g: r for r in grouped_ks(df, ["g"], "v", "c").collect()}
+    for g in ("same", "shifted"):
+        n1, n2, num, d = _brute_ks([(v, c) for gg, v, c in rows if gg == g])
+        r = got[g]
+        assert (r.n1, r.n2, int(r.ks_num)) == (n1, n2, num)
+        assert r.d == d
+    assert got["shifted"].d > got["same"].d > 0
+
+
+def test_ks_identical_and_disjoint(spark):
+    # identical cohorts -> D = 0; disjoint supports -> D = 1
+    ident = [("g", float(i % 10), c) for i in range(40) for c in (True, False)]
+    df = spark.createDataFrame(ident, "g string, v double, c boolean")
+    assert grouped_ks(df, ["g"], "v", "c").collect()[0].d == 0.0
+    disj = [("g", float(i), True) for i in range(10)] + [
+        ("g", float(i + 100), False) for i in range(10)
+    ]
+    df2 = spark.createDataFrame(disj, "g string, v double, c boolean")
+    assert grouped_ks(df2, ["g"], "v", "c").collect()[0].d == 1.0
+
+
+def test_ks_empty_cohort_excluded_and_expression(spark):
+    rows = [("g", float(i), i) for i in range(20)] + [("one", 1.0, 0)]
+    df = spark.createDataFrame(rows, "g string, v double, i long")
+    out = {r.g: r for r in grouped_ks(df, ["g"], "v", _F.col("i") % 2 == 0).collect()}
+    assert "g" in out and out["g"].n1 == 10 and out["g"].n2 == 10
+    assert "one" not in out  # only cohort-1 rows -> excluded
+
+
+# ---------------------------------------------------------------------------
+# Exact-moment Welch t-test
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import grouped_welch
+
+
+def _brute_welch(pairs, scale):
+    xs1 = [math.floor(v * scale) for v, c in pairs if c]
+    xs2 = [math.floor(v * scale) for v, c in pairs if not c]
+    n1, n2 = len(xs1), len(xs2)
+    s1, s2 = sum(xs1), sum(xs2)
+    ss1, ss2 = sum(x * x for x in xs1), sum(x * x for x in xs2)
+    m1 = s1 / (scale * n1)
+    m2 = s2 / (scale * n2)
+    se1 = ((n1 * ss1 - s1 * s1) / (n1 * (n1 - 1) * scale * scale)) / n1
+    se2 = ((n2 * ss2 - s2 * s2) / (n2 * (n2 - 1) * scale * scale)) / n2
+    se = se1 + se2
+    t = (m1 - m2) / math.sqrt(se)
+    dfw = (se * se) / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+    return n1, n2, s1, s2, m1 - m2, t, dfw
+
+
+def test_welch_matches_exact_spec(spark):
+    rng = _random.Random(145)
+    rows = []
+    for g, shift in (("null", 0.0), ("shifted", 2.5)):
+        for _ in range(200):
+            c = rng.random() < 0.5
+            v = rng.gauss(10.0, 3.0) + (shift if c else 0.0)
+            rows.append((g, v, c))
+    df = spark.createDataFrame(rows, "g string, v double, c boolean")
+    got = {r.g: r for r in grouped_welch(df, ["g"], "v", "c", scale=1000).collect()}
+    for g in ("null", "shifted"):
+        n1, n2, s1, s2, md, t, dfw = _brute_welch(
+            [(v, c) for gg, v, c in rows if gg == g], 1000
+        )
+        r = got[g]
+        assert (r.n1, r.n2, int(r.sum1_q), int(r.sum2_q)) == (n1, n2, s1, s2)
+        assert r.mean_diff == md and r.t == t and r.df_welch == dfw
+    assert abs(got["shifted"].t) > 3.5 and abs(got["null"].t) < 3
+
+
+def test_welch_exclusions(spark):
+    rows = [
+        ("tiny", 1.0, True), ("tiny", 2.0, False), ("tiny", 3.0, False),
+        ("flat", 1.0, True), ("flat", 1.0, True),
+        ("flat", 1.0, False), ("flat", 1.0, False),
+        ("half", 1.0, True), ("half", 1.0, True),       # var1 = 0
+        ("half", 1.0, False), ("half", 3.0, False),     # var2 > 0 -> keep
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, c boolean")
+    got = {r.g: r for r in grouped_welch(df, ["g"], "v", "c").collect()}
+    assert "tiny" not in got    # n1 < 2
+    assert "flat" not in got    # both variances zero
+    assert "half" in got and got["half"].t < 0  # cohort-2 mean is higher
