@@ -160,3 +160,28 @@ def test_full_classification_pure_map(spark, docs):
     assert "Exchange" not in plan
     rs = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "text" in rs and "doc_id" in rs and "source" not in rs
+
+
+@pytest.mark.spark
+def test_bootstrap_explode_fuses_into_partial_agg(spark):
+    """bootstrap_ci's xR explode must feed the (group, replicate)
+    partial aggregate in the SAME stage — the R-fold blowup lives
+    inside the combiner, never on the wire (PLANS section 25)."""
+    from btl_bloomfilter_spark.operators.stats import bootstrap_ci
+
+    df = spark.createDataFrame(
+        [("g", i, float(i % 7)) for i in range(200)], "g string, k long, v double"
+    )
+    out = bootstrap_ci(df, ["g"], "v", ["k"], replicates=8)
+    out.count()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    lines = executed.split("\n")
+    gen = next(i for i, l in enumerate(lines) if "Generate explode" in l)
+    # walking UP from the explode, a partial-sum aggregate must appear
+    # before any Exchange: explode -> partial agg is stage-fused
+    for l in reversed(lines[:gen]):
+        if "partial_sum" in l:
+            break
+        assert "Exchange" not in l, "explode output crossed an exchange unaggregated"
+    else:
+        raise AssertionError("no partial aggregate above the explode")
