@@ -4959,13 +4959,14 @@ def q140_degree_assortativity(spark, sf_dir):
     co-purchase with hubs.  Plan: adjacency + two node-sized degree
     joins feeding the ONE-scan six-number comoment aggregate."""
     from btl_bloomfilter_spark.operators.stats import exact_comoments
-    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+    from btl_bloomfilter_spark.operators.triangles import (
+        cooccurrence_edges,
+        symmetric_adjacency,
+    )
 
     li = _load(spark, sf_dir, "lineitem")["lineitem"]
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
-    adj = edges.unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
+    adj = symmetric_adjacency(edges)
     deg = adj.groupBy(F.col("u").alias("w")).agg(F.count("*").alias("deg"))
     pairs = (
         adj.join(deg.select(F.col("w").alias("u"), F.col("deg").alias("deg_u")), "u")

@@ -69,11 +69,9 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     from pyspark.sql import Window
 
-    adj = (
-        edges.select("u", "v")
-        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .persist()
-    )
+    from .triangles import symmetric_adjacency
+
+    adj = symmetric_adjacency(edges).persist()
     try:
         labels = (
             adj.select(F.col("u").alias("node"))

@@ -68,27 +68,25 @@ def link_prediction_scores(
         raise ValueError(
             f"max_center_degree must be >= 2, got {max_center_degree}"
         )
-    adj = edges.select("u", "v").unionAll(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    # sorted neighbor array per center; size(ps) IS the degree (edges
-    # are canonical-distinct, so the symmetric adjacency has no dups)
+    from .triangles import pair_expansion_expr, symmetric_adjacency
+
+    adj = symmetric_adjacency(edges)
+    # degrees from a plain count — NOT from the array aggregate, so
+    # the collect_set/array_sort merge runs exactly once (on the
+    # wedge path) instead of once per consumer; canonical-distinct
+    # edges make the symmetric adjacency dup-free, so count == degree
+    # == what size(ps) would have said
+    deg = adj.groupBy(F.col("u").alias("w")).agg(F.count("*").alias("deg"))
+    # sorted neighbor array per center, built only for wedge centers
     ctr = adj.groupBy(F.col("u").alias("w")).agg(
         F.array_sort(F.collect_set("v")).alias("ps")
     )
-    deg = ctr.select("w", F.size("ps").alias("deg"))
     wedge_src = ctr.where(F.size("ps") >= 2)
     if max_center_degree is not None:
         wedge_src = wedge_src.where(F.size("ps") <= int(max_center_degree))
     aa_w = F.floor(F.lit(1e9) / F.log(F.size("ps").cast("double"))).cast("long")
     pairs = wedge_src.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, size(ps) - i - 1), "
-                "y -> struct(x AS a, y AS b))))"
-            )
-        ).alias("e"),
+        F.explode(F.expr(pair_expansion_expr("a", "b"))).alias("e"),
         aa_w.alias("__aa"),
     ).select("e.a", "e.b", "__aa")
     g = pairs.groupBy("a", "b").agg(

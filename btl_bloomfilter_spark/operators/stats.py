@@ -1094,7 +1094,9 @@ def calibration_bins(
     row, doubles included, hash-oracles.  ``ece`` repeats on every row
     of its group.  The micro-grid quantization of confidence is the
     only approximation (≤ 1e-6 per row, policy-documented); counts
-    and ECE are exact on the grid.  NULL scores/labels are dropped.
+    and ECE are exact on the grid.  NULL/NaN scores and NULL labels
+    are dropped (the spelled-out NaN predicate — the file's documented
+    NaN-vs-NULL cross-engine hazard).
 
     ``score_col``/``label_col`` may be column names or Column
     expressions.  Scale shape: one map-side-combined (group, bin)
@@ -1113,7 +1115,7 @@ def calibration_bins(
     binc = F.greatest(
         F.lit(0), F.least(F.floor(sc * n_bins).cast("long"), F.lit(n_bins - 1))
     )
-    rows = df.where(sc.isNotNull() & lab.isNotNull()).select(
+    rows = df.where(sc.isNotNull() & ~F.isnan(sc) & lab.isNotNull()).select(
         *group_cols,
         binc.alias("bin"),
         lab.cast("int").alias("__lab"),
@@ -1164,7 +1166,8 @@ def calibration_bins_sql(
                    CASE WHEN {label_pred} THEN 1 ELSE 0 END AS lab,
                    CAST(floor(CAST({score} AS DOUBLE) * {micro}) AS BIGINT) AS sm
             FROM {table}
-            WHERE ({score}) IS NOT NULL AND ({label_pred}) IS NOT NULL
+            WHERE ({score}) IS NOT NULL AND NOT isnan(CAST({score} AS DOUBLE))
+              AND ({label_pred}) IS NOT NULL
         ),
         b AS (
             SELECT g, bin, count(*)::hugeint AS n, sum(lab)::hugeint AS pos,

@@ -32,7 +32,35 @@ from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["canonical_edges", "cooccurrence_edges", "triangle_counts"]
+__all__ = [
+    "canonical_edges",
+    "cooccurrence_edges",
+    "pair_expansion_expr",
+    "symmetric_adjacency",
+    "triangle_counts",
+]
+
+
+def symmetric_adjacency(edges: DataFrame) -> DataFrame:
+    """Both orientations of a canonical (u, v) edge set — the shared
+    first step of every neighborhood-view operator (labelprop,
+    linkpred, walks, assortativity).  Canonical edges are distinct
+    with u < v, so the result is duplicate-free and per-u row counts
+    ARE simple-graph degrees."""
+    return edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+
+
+def pair_expansion_expr(first: str = "u", second: str = "v") -> str:
+    """SQL expression expanding a sorted array column ``ps`` into all
+    g(g-1)/2 ordered pairs as struct rows — the shared codegen kernel
+    of cooccurrence_edges and the link-prediction wedge stage."""
+    return (
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps) - i - 1), "
+        f"y -> struct(x AS {first}, y AS {second}))))"
+    )
 
 
 def canonical_edges(df: DataFrame, src: str, dst: str) -> DataFrame:
@@ -84,13 +112,7 @@ def cooccurrence_edges(
     if max_group_size is not None:
         grouped = grouped.where(F.size("ps") <= int(max_group_size))
     pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ps, (x, i) -> "
-                "transform(slice(ps, i + 2, size(ps) - i - 1), "
-                "y -> struct(x AS u, y AS v))))"
-            )
-        ).alias("e")
+        F.explode(F.expr(pair_expansion_expr("u", "v"))).alias("e")
     ).select("e.u", "e.v")
     if min_support == 1:
         return pairs.distinct()

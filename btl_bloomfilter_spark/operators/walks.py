@@ -56,11 +56,9 @@ def deterministic_walks(
     # the quadratic pair expansion — measured 2x+ end-to-end);
     # released before return, the output references only the
     # checkpointed per-step frontiers
-    adj = (
-        edges.select("u", "v")
-        .unionAll(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .persist()
-    )
+    from .triangles import symmetric_adjacency
+
+    adj = symmetric_adjacency(edges).persist()
     nodes = adj.select("u").distinct().withColumnRenamed("u", "node")
     starts = (
         nodes.withColumn("__h", _hash60(["node"], seed))

@@ -320,7 +320,7 @@ def _brute_calibration(rows, n_bins, micro=1_000_000):
     agg = _c.defaultdict(lambda: [0, 0, 0])  # (g, bin) -> [n, pos, s_micro]
     tot = _c.Counter()
     for g, s, lab in rows:
-        if s is None or lab is None:
+        if s is None or lab is None or s != s:  # NULLs and NaN dropped
             continue
         b = min(max(int(math.floor(s * n_bins)), 0), n_bins - 1)
         cell = agg[(g, b)]
@@ -348,7 +348,10 @@ def test_calibration_matches_integer_brute(spark):
             s = rng.randrange(0, 1 << 20) / (1 << 20)
             lab = rng.random() < (s if g == "a" else 0.5)
             rows.append((g, s, lab))
-    rows += [("a", None, True), ("a", 0.5, None)]  # dropped
+    rows += [
+        ("a", None, True), ("a", 0.5, None),          # dropped: NULLs
+        ("a", float("nan"), True),                    # dropped: NaN score
+    ]  # (NaN would crash the ANSI long cast / DuckDB int cast if kept)
     df = spark.createDataFrame(rows, "g string, s double, lab boolean")
     got = calibration_bins(df, ["g"], "s", "lab", n_bins=10).collect()
     want = _brute_calibration(rows, 10)
