@@ -4848,6 +4848,101 @@ def q142_grouped_gini(spark, sf_dir):
     ).orderBy("source")
 
 
+def q146_stream_sessions(spark, sf_dir):
+    """Streaming gap-based sessionization via Spark's NATIVE
+    session_window (streaming/sessions.stream_session_stats): events
+    streamed in 3 ts-ordered micro-batches, per-user sessions
+    finalized by the watermark in append mode.  Self-validating
+    gates: (a) `all_match_batch` — every emitted session equals a
+    batch `sessions.session_stats` row EXACTLY (start = first event,
+    end = last event, n_events; the session_window end-minus-gap
+    bridge); (b) `coverage_ok` — every batch session ending before
+    max_ts − watermark − gap was emitted; (c) `no_duplicates` —
+    append emits each finalized session once; (d) `replay_silent` —
+    a second pass over the finished checkpoint emits nothing;
+    (e) `no_boundary_gaps` — no adjacent gap equals the session gap
+    to the microsecond (the one case where streaming >= vs batch >
+    break semantics could differ — gap 1801s makes this structurally
+    true, and the gate verifies it).  no_oracle by design: managed
+    session-window state is not expressible as a DuckDB oracle."""
+    import tempfile
+    import time as _time
+
+    from btl_bloomfilter_spark.operators.sessions import session_stats
+    from btl_bloomfilter_spark.streaming.sessions import stream_session_stats
+
+    GAP, WM_S = 1801, 3600
+    ev = (
+        _load(spark, sf_dir, "events")["events"]
+        .select("ts", F.col("user_id").cast("string").alias("uid"))
+        .cache()
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    span = hi - lo
+    t1, t2 = lo + span / 3, lo + 2 * span / 3
+    tmp = tempfile.mkdtemp(prefix="q146_")
+    src, ck = f"{tmp}/src", f"{tmp}/ck"
+    for part in (
+        ev.where(F.col("ts") < F.lit(t1)),
+        ev.where((F.col("ts") >= F.lit(t1)) & (F.col("ts") < F.lit(t2))),
+        ev.where(F.col("ts") >= F.lit(t2)),
+    ):
+        part.coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes keep trigger order = ts order
+
+    def run(collector):
+        stream = (
+            spark.readStream.schema("ts timestamp, uid string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = stream_session_stats(
+            stream, "ts", ["uid"], gap_seconds=GAP, watermark_delay=f"{WM_S} seconds"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: collector.extend(bdf.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("q146 streaming pass timed out after 300s")
+        return collector
+
+    emitted = run([])
+    got = {(r.uid, r.session_start, r.session_end, r.n_events) for r in emitted}
+    truth_rows = session_stats(ev, ["uid"], "ts", gap_seconds=GAP).collect()
+    truth = {(r.uid, r.start_ts, r.end_ts, r.n_events) for r in truth_rows}
+    import datetime as _dt
+
+    cutoff = hi - _dt.timedelta(seconds=WM_S + GAP)
+    all_match = got <= truth
+    coverage = {s for s in truth if s[2] < cutoff} <= got
+    no_dups = len(emitted) == len(got)
+    replay_silent = len(run([])) == 0
+    from pyspark.sql import Window as _W
+
+    from btl_bloomfilter_spark.operators.rangejoin import _as_long
+
+    w = _W.partitionBy("uid").orderBy("ts")
+    mic = _as_long(ev, "ts")
+    gaps = ev.withColumn("__gap", mic - F.lag(mic).over(w))
+    boundary = gaps.where(F.col("__gap") == GAP * 1_000_000).count()
+    ev.unpersist()
+    return spark.createDataFrame(
+        [(
+            len(got), len(truth), bool(all_match), bool(coverage),
+            bool(no_dups), bool(replay_silent), boundary == 0,
+        )],
+        "n_emitted long, n_batch_sessions long, all_match_batch boolean, "
+        "coverage_ok boolean, no_duplicates boolean, replay_silent boolean, "
+        "no_boundary_gaps boolean",
+    )
+
+
 def q145_welch_ttest(spark, sf_dir):
     """Exact-moment Welch two-sample t-test
     (operators/stats.grouped_welch): the A/B primitive — per
@@ -5616,6 +5711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_bootstrap_ci": q143_bootstrap_ci,
         "q144_grouped_ks": q144_grouped_ks,
         "q145_welch_ttest": q145_welch_ttest,
+        "q146_stream_sessions": q146_stream_sessions,
     }
 
 

@@ -206,6 +206,14 @@ def test_rows_only_queries_run(spark, name):
         assert (rel < 0.25).all()
         rel_td = (out.tdigest - out.exact).abs() / out.exact
         assert (rel_td < 0.25).all()
+    if name == "q146_stream_sessions":
+        r = out.iloc[0]
+        assert r.all_match_batch      # emitted == batch rows exactly
+        assert r.coverage_ok          # everything watermark-covered emitted
+        assert r.no_duplicates
+        assert r.replay_silent        # checkpoint replay emits nothing
+        assert r.no_boundary_gaps     # semantics-bridge precondition holds
+        assert r.n_emitted > 0 and r.n_emitted <= r.n_batch_sessions
 
 
 @pytest.mark.spark

@@ -507,3 +507,89 @@ def test_stream_dedup_cross_batch_and_restart(spark, tmp_path):
     }
     # the hard invariant: no text twice, ever
     assert df.text.is_unique
+
+
+@pytest.mark.spark
+def test_stream_session_stats_matches_batch(spark, tmp_path):
+    """Native session_window streaming sessionization: finalized
+    sessions equal the batch sessionizer's rows exactly (start = first
+    event, end = last event, n_events), late-closed sessions emit
+    once, and a replay over the same checkpoint emits nothing."""
+    import datetime as dt
+    import time as _time
+
+    from btl_bloomfilter_spark.operators.sessions import session_stats
+    from btl_bloomfilter_spark.streaming.sessions import stream_session_stats
+
+    def t(sec):
+        return dt.datetime(2026, 1, 1, 0, 0) + dt.timedelta(seconds=sec)
+
+    # gap 10s. u1: sessions {1,3,8}, {30,35}; u2: {2}, {50}
+    rows1 = [(t(1), "u1"), (t(3), "u1"), (t(2), "u2")]
+    rows2 = [(t(8), "u1"), (t(30), "u1"), (t(35), "u1")]
+    rows3 = [(t(50), "u2"), (t(200), "u1")]  # 200 pushes watermark far
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    for b in (rows1, rows2, rows3):
+        spark.createDataFrame(b, "ts timestamp, uid string").coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        _time.sleep(1.1)
+
+    def run(collector):
+        stream = (
+            spark.readStream.schema("ts timestamp, uid string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        out = stream_session_stats(
+            stream, "ts", ["uid"], gap_seconds=10, watermark_delay="5 seconds"
+        )
+        q = (
+            out.writeStream.outputMode("append")
+            .foreachBatch(lambda bdf, bid: collector.extend(bdf.collect()))
+            .option("checkpointLocation", str(tmp_path / "sess_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240), "session streaming timed out"
+        return collector
+
+    emitted = run([])
+    got = {
+        (r.uid, r.session_start.replace(tzinfo=None), r.session_end.replace(tzinfo=None), r.n_events)
+        for r in emitted
+    }
+    # batch truth over the same rows
+    batch_df = spark.createDataFrame(
+        rows1 + rows2 + rows3, "ts timestamp, uid string"
+    )
+    truth = {
+        (r.uid, r.session_start.replace(tzinfo=None), r.session_end.replace(tzinfo=None), r.n_events)
+        for r in session_stats(batch_df, ["uid"], "ts", gap_seconds=10)
+        .withColumnRenamed("start_ts", "session_start")
+        .withColumnRenamed("end_ts", "session_end")
+        .collect()
+    }
+    # every emitted session is a true batch session (exact equality)
+    assert got <= truth, got - truth
+    # all sessions ending before max_ts - watermark - gap are finalized
+    cutoff = t(200 - 5 - 10)
+    assert {s for s in truth if s[2] < cutoff} <= got
+    # no duplicates
+    assert len(emitted) == len(got)
+    # replay over the finished checkpoint emits nothing
+    assert run([]) == []
+
+
+@pytest.mark.spark
+def test_stream_session_stats_contract_errors(spark, tmp_path):
+    from btl_bloomfilter_spark.streaming.sessions import stream_session_stats
+
+    stream = spark.readStream.schema("ts timestamp, uid string").parquet(
+        str(tmp_path)
+    )
+    with pytest.raises(ValueError, match="gap_seconds"):
+        stream_session_stats(stream, "ts", ["uid"], gap_seconds=0, watermark_delay="1 hour")
+    with pytest.raises(ValueError, match="key_cols"):
+        stream_session_stats(stream, "ts", [], gap_seconds=10, watermark_delay="1 hour")
