@@ -5056,13 +5056,14 @@ def q140_degree_assortativity(spark, sf_dir):
     from btl_bloomfilter_spark.operators.stats import exact_comoments
     from btl_bloomfilter_spark.operators.triangles import (
         cooccurrence_edges,
+        degrees,
         symmetric_adjacency,
     )
 
     li = _load(spark, sf_dir, "lineitem")["lineitem"]
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey", min_support=2)
     adj = symmetric_adjacency(edges)
-    deg = adj.groupBy(F.col("u").alias("w")).agg(F.count("*").alias("deg"))
+    deg = degrees(adj)
     pairs = (
         adj.join(deg.select(F.col("w").alias("u"), F.col("deg").alias("deg_u")), "u")
         .join(deg.select(F.col("w").alias("v"), F.col("deg").alias("deg_v")), "v")

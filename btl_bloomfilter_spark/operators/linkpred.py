@@ -68,15 +68,13 @@ def link_prediction_scores(
         raise ValueError(
             f"max_center_degree must be >= 2, got {max_center_degree}"
         )
-    from .triangles import pair_expansion_expr, symmetric_adjacency
+    from .triangles import degrees, pair_expansion_expr, symmetric_adjacency
 
     adj = symmetric_adjacency(edges)
     # degrees from a plain count — NOT from the array aggregate, so
     # the collect_set/array_sort merge runs exactly once (on the
-    # wedge path) instead of once per consumer; canonical-distinct
-    # edges make the symmetric adjacency dup-free, so count == degree
-    # == what size(ps) would have said
-    deg = adj.groupBy(F.col("u").alias("w")).agg(F.count("*").alias("deg"))
+    # wedge path) instead of once per consumer
+    deg = degrees(adj)
     # sorted neighbor array per center, built only for wedge centers
     ctr = adj.groupBy(F.col("u").alias("w")).agg(
         F.array_sort(F.collect_set("v")).alias("ps")

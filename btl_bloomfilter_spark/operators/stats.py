@@ -792,14 +792,14 @@ def bootstrap_ci_sql(
             FROM base GROUP BY g
         ),
         rep AS (
-            SELECT g, xq, b, {u} AS u
-            FROM (SELECT base.*, CAST(r.range AS BIGINT) AS b
-                  FROM base CROSS JOIN range(0, {replicates}) r)
+            SELECT g, xq, key_col, CAST(r.range AS BIGINT) AS b
+            FROM base CROSS JOIN range(0, {replicates}) r
         ),
+        rep_u AS (SELECT g, xq, b, {u} AS u FROM rep),
         g1 AS (
             SELECT g, b, sum(({m_expr})::hugeint * xq::hugeint) AS smx,
                    sum(({m_expr})::hugeint) AS sm
-            FROM (SELECT g, xq, b, u FROM rep) GROUP BY g, b
+            FROM rep_u GROUP BY g, b
         ),
         means AS (
             SELECT g, CAST(smx AS DOUBLE) / CAST({scale}::hugeint * sm AS DOUBLE) AS mean

@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "canonical_edges",
     "cooccurrence_edges",
+    "degrees",
     "pair_expansion_expr",
     "symmetric_adjacency",
     "triangle_counts",
@@ -50,6 +51,14 @@ def symmetric_adjacency(edges: DataFrame) -> DataFrame:
     return edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
+
+
+def degrees(adj: DataFrame) -> DataFrame:
+    """(w, deg) — simple-graph degrees from a
+    :func:`symmetric_adjacency` table: the adjacency is dup-free (it
+    comes from canonical-distinct edges), so a plain per-u count IS
+    the degree — no neighbor-array materialization."""
+    return adj.groupBy(F.col("u").alias("w")).agg(F.count("*").alias("deg"))
 
 
 def pair_expansion_expr(first: str = "u", second: str = "v") -> str:

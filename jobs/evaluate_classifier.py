@@ -99,7 +99,9 @@ def main(argv=None):
         grouped_welch(df, group, args.score, lab, scale=args.scale),
     )
     if args.key is not None:
-        labeled = df.withColumn("label_int", lab.cast("int"))
+        # drop unlabeled rows like every other report — otherwise a
+        # NULL label forms a phantom third cohort in ci/
+        labeled = df.where(lab.isNotNull()).withColumn("label_int", lab.cast("int"))
         write(
             "ci",
             bootstrap_ci(

@@ -82,3 +82,26 @@ def test_evaluate_classifier_no_key_skips_ci(spark, tmp_path):
     )
     assert "ci" not in summary and not (out / "ci").exists()
     assert (out / "auc").exists() and summary["auc"] == 1  # one global group
+
+
+@pytest.mark.spark
+def test_evaluate_classifier_null_labels_no_phantom_cohort(spark, tmp_path):
+    """Unlabeled rows must be dropped from ci/ like every other
+    report — no label_int=NULL third cohort (review finding)."""
+    rows = [(i, i / 60.0 % 1.0, (i % 3 == 0) if i % 5 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "rid long, score double, label boolean")
+    inp = str(tmp_path / "scored.parquet")
+    df.write.parquet(inp)
+    sys.path.insert(0, str(JOBS))
+    try:
+        import evaluate_classifier
+    finally:
+        sys.path.pop(0)
+    out = tmp_path / "report"
+    evaluate_classifier.main(
+        ["--input", inp, "-o", str(out), "--score", "score", "--label", "label",
+         "--key", "rid", "--replicates", "8"]
+    )
+    ci = spark.read.parquet(str(out / "ci")).collect()
+    assert {r.label_int for r in ci} == {0, 1}
+    assert len(ci) == 2
