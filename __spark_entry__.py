@@ -4943,6 +4943,25 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q147_cliffs_delta(spark, sf_dir):
+    """Exact per-group Cliff's delta effect size
+    (operators/stats.grouped_cliffs_delta; Cliff 1993): quantifies
+    the shift the eval kit's tests detect — δ = P(x>y) − P(x<y) over
+    even/odd user cohorts of events.value per event_type, counted
+    exactly over the value-compressed histogram (gt/lt/tie pair
+    counts are exact integers, δ ONE division) — hash-oracled
+    including the delta double.  Identity δ = 2·AUC − 1 pinned in
+    tests.  Plan: same shape as q144 KS — one map-side-combined
+    conditional histogram, one per-GROUP cumulative window,
+    group-sized aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_cliffs_delta
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return grouped_cliffs_delta(
+        ev, ["event_type"], "value", F.col("user_id") % 2 == 0
+    ).orderBy("event_type")
+
+
 def q145_welch_ttest(spark, sf_dir):
     """Exact-moment Welch two-sample t-test
     (operators/stats.grouped_welch): the A/B primitive — per
@@ -5712,6 +5731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q143_bootstrap_ci": q143_bootstrap_ci,
         "q144_grouped_ks": q144_grouped_ks,
         "q145_welch_ttest": q145_welch_ttest,
+        "q147_cliffs_delta": q147_cliffs_delta,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6388,6 +6408,10 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY event_type",
         "q145_welch_ttest": _STATS.grouped_welch_sql(
             "events", "event_type", "value", "(user_id % 2 = 0)", scale=100
+        )
+        + " ORDER BY event_type",
+        "q147_cliffs_delta": _STATS.grouped_cliffs_delta_sql(
+            "events", "event_type", "value", "(user_id % 2 = 0)"
         )
         + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),

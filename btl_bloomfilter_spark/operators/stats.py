@@ -1216,3 +1216,120 @@ def threshold_sweep_sql(table: str, group: str, score: str, label_pred: str) -> 
                (CAST(tp AS DOUBLE) / CAST(np AS DOUBLE)) AS recall
         FROM c WHERE np > 0
     """
+
+
+def grouped_cliffs_delta(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    cohort_col,
+) -> DataFrame:
+    """Exact per-group Cliff's delta — the nonparametric effect size
+    that the eval kit's tests (KS: *is* there a shift; Welch: mean
+    shift) leave unquantified: δ = P(x > y) − P(x < y) for x drawn
+    from cohort 1 and y from cohort 2 (Cliff, Psych. Bull. 1993).
+
+    δ is a RATIONAL of exact pair counts: over the value-compressed
+    per-group histogram with per-cohort counts (c1, c2) ordered by
+    value, with F2⁻(v) = Σ c2 strictly below v,
+
+      gt   = Σ_v c1(v)·F2⁻(v)              (x > y pairs)
+      lt   = Σ_v c1(v)·(n2 − F2⁻(v) − c2(v)) (x < y pairs)
+      ties = Σ_v c1(v)·c2(v)
+      δ    = (gt − lt) / (n1·n2)
+
+    — values compare, never compute (no quantization), every count an
+    exact integer in decimal(38,0)/hugeint, and δ ONE division of
+    exactly-integer-valued doubles: engine-identical, hash-oracle-able
+    including the double.  Identity with AUC: δ = 2·AUC(x vs y) − 1
+    (pinned by a test).
+
+    ``cohort_col`` may be a column name or boolean Column (True =
+    cohort 1).  NULL values/cohorts and NaN values are dropped; groups
+    where either cohort is empty are excluded (δ undefined).  Pair
+    counts are returned as STRINGS (they reach n1·n2, beyond int64 at
+    large n — the ks_num convention).
+
+    Scale shape: identical to :func:`grouped_ks` — one map-side-
+    combined (group, value) histogram, one per-GROUP cumulative window
+    (value-compressed, never global), one group-sized aggregate.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    h = (
+        df.where(v.isNotNull() & ~F.isnan(v.cast("double")) & coh.isNotNull())
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(
+            F.sum(coh.cast("int")).cast(_D).alias("__c1"),
+            F.sum(F.lit(1) - coh.cast("int")).cast(_D).alias("__c2"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = Window.partitionBy(*group_cols)
+    c = (
+        h.withColumn("__fb2", F.coalesce(F.sum("__c2").over(w), F.lit(0).cast(_D)))
+        .withColumn("__n1", F.sum("__c1").over(wa))
+        .withColumn("__n2", F.sum("__c2").over(wa))
+    )
+    agg = c.groupBy(*group_cols).agg(
+        F.sum(F.col("__c1") * F.col("__fb2")).alias("__gt"),
+        F.sum(
+            F.col("__c1") * (F.col("__n2") - F.col("__fb2") - F.col("__c2"))
+        ).alias("__lt"),
+        F.sum(F.col("__c1") * F.col("__c2")).alias("__ties"),
+        F.first("__n1").alias("__n1"),
+        F.first("__n2").alias("__n2"),
+    )
+    return agg.where((F.col("__n1") > 0) & (F.col("__n2") > 0)).select(
+        *group_cols,
+        F.col("__n1").cast("long").alias("n1"),
+        F.col("__n2").cast("long").alias("n2"),
+        F.col("__gt").cast("string").alias("gt_pairs"),
+        F.col("__lt").cast("string").alias("lt_pairs"),
+        F.col("__ties").cast("string").alias("tie_pairs"),
+        (
+            (F.col("__gt") - F.col("__lt")).cast("double")
+            / (F.col("__n1") * F.col("__n2")).cast("double")
+        ).alias("delta"),
+    )
+
+
+def grouped_cliffs_delta_sql(table: str, group: str, value: str, cohort_pred: str) -> str:
+    """DuckDB twin of :func:`grouped_cliffs_delta` (hugeint counts,
+    same single-division shape)."""
+    return f"""
+        WITH h AS (
+            SELECT {group} AS g, {value} AS v,
+                   sum(CASE WHEN {cohort_pred} THEN 1 ELSE 0 END)::hugeint AS c1,
+                   sum(CASE WHEN {cohort_pred} THEN 0 ELSE 1 END)::hugeint AS c2
+            FROM {table}
+            WHERE {value} IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+              AND ({cohort_pred}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        c AS (
+            SELECT g, c1, c2,
+                   coalesce(sum(c2) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fb2,
+                   sum(c1) OVER (PARTITION BY g) AS n1,
+                   sum(c2) OVER (PARTITION BY g) AS n2
+            FROM h
+        ),
+        a AS (
+            SELECT g, sum(c1 * fb2) AS gt, sum(c1 * (n2 - fb2 - c2)) AS lt,
+                   sum(c1 * c2) AS ties,
+                   any_value(n1) AS n1, any_value(n2) AS n2
+            FROM c GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               gt::varchar AS gt_pairs, lt::varchar AS lt_pairs,
+               ties::varchar AS tie_pairs,
+               CAST(gt - lt AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS delta
+        FROM a WHERE n1 > 0 AND n2 > 0
+    """

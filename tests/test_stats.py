@@ -704,3 +704,68 @@ def test_welch_exclusions(spark):
     assert "tiny" not in got    # n1 < 2
     assert "flat" not in got    # both variances zero
     assert "half" in got and got["half"].t < 0  # cohort-2 mean is higher
+
+
+# ---------------------------------------------------------------------------
+# Cliff's delta effect size
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import grouped_cliffs_delta
+
+
+def _brute_cliffs(pairs):
+    xs = [v for v, c in pairs if c]
+    ys = [v for v, c in pairs if not c]
+    gt = sum(1 for x in xs for y in ys if x > y)
+    lt = sum(1 for x in xs for y in ys if x < y)
+    ties = sum(1 for x in xs for y in ys if x == y)
+    return len(xs), len(ys), gt, lt, ties, (gt - lt) / (len(xs) * len(ys))
+
+
+def test_cliffs_matches_brute_with_ties(spark):
+    rng = _random.Random(147)
+    rows = []
+    for g, shift in (("same", 0), ("shifted", 3)):
+        for _ in range(120):
+            c = rng.random() < 0.4
+            v = rng.randrange(0, 12) + (shift if c else 0)
+            rows.append((g, float(v), c))
+    df = spark.createDataFrame(rows, "g string, v double, c boolean")
+    got = {r.g: r for r in grouped_cliffs_delta(df, ["g"], "v", "c").collect()}
+    for g in ("same", "shifted"):
+        n1, n2, gt, lt, ties, delta = _brute_cliffs(
+            [(v, c) for gg, v, c in rows if gg == g]
+        )
+        r = got[g]
+        assert (r.n1, r.n2) == (n1, n2)
+        assert (int(r.gt_pairs), int(r.lt_pairs), int(r.tie_pairs)) == (gt, lt, ties)
+        assert r.delta == delta
+    assert got["shifted"].delta > 0.5 > abs(got["same"].delta)
+
+
+def test_cliffs_auc_identity(spark):
+    # delta = 2*AUC - 1 when the "score" is the value and cohort 1 = positive
+    rng = _random.Random(148)
+    rows = [("g", float(rng.randrange(0, 9)), rng.random() < 0.5) for _ in range(300)]
+    df = spark.createDataFrame(rows, "g string, v double, c boolean")
+    d = grouped_cliffs_delta(df, ["g"], "v", "c").collect()[0].delta
+    auc = grouped_auc(df, ["g"], "v", "c").collect()[0].auc
+    assert abs(d - (2.0 * auc - 1.0)) < 1e-12
+
+
+def test_cliffs_extremes_and_exclusions(spark):
+    disj = [("g", float(i + 100), True) for i in range(8)] + [
+        ("g", float(i), False) for i in range(5)
+    ]
+    df = spark.createDataFrame(disj, "g string, v double, c boolean")
+    assert grouped_cliffs_delta(df, ["g"], "v", "c").collect()[0].delta == 1.0
+    ident = [("g", float(i % 4), c) for i in range(24) for c in (True, False)]
+    df2 = spark.createDataFrame(ident, "g string, v double, c boolean")
+    assert grouped_cliffs_delta(df2, ["g"], "v", "c").collect()[0].delta == 0.0
+    # empty cohort -> excluded; NULL/NaN value rows dropped
+    rows = [("one", 1.0, True), ("ok", None, True), ("ok", float("nan"), False)] + [
+        ("ok", float(i), i % 2 == 0) for i in range(10)
+    ]
+    df3 = spark.createDataFrame(rows, "g string, v double, c boolean")
+    out = {r.g: r for r in grouped_cliffs_delta(df3, ["g"], "v", "c").collect()}
+    assert "one" not in out and out["ok"].n1 == 5 and out["ok"].n2 == 5
