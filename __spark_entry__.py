@@ -4943,6 +4943,31 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q148_log_quantiles(spark, sf_dir):
+    """Relative-error quantiles from the integer-exact log-linear
+    histogram (operators/loghist.grouped_log_quantiles; HdrHistogram /
+    DDSketch VLDB'19 family, re-based on exact shifts instead of float
+    log_γ): per event_type, p50/p90/p99 of the centi-quantized event
+    value — each answer an interval [est_lo, est_hi) PROVABLY
+    containing the exact nearest-rank quantile with width/lo ≤ 1/64,
+    decided entirely in integer comparisons so the query hash-oracles
+    including est_mid.  Complements KLL (q23, rank error) and t-digest
+    (q32) with a VALUE-error guarantee; the same bucketing ships as
+    the mergeable LogHistogram sketch through build_sketch.  Plan: one
+    map-side-combined (group, bucket) histogram — ≤3.7k buckets per
+    group regardless of row count — one per-group cumulative window,
+    bucket-sized explode, group-sized aggregate."""
+    from btl_bloomfilter_spark.operators.loghist import grouped_log_quantiles
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    q = ev.select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("vq")
+    )
+    return grouped_log_quantiles(
+        q, ["event_type"], "vq", k=64, qs_milli=(500, 900, 990)
+    ).orderBy("event_type", "q_milli")
+
+
 def q147_cliffs_delta(spark, sf_dir):
     """Exact per-group Cliff's delta effect size
     (operators/stats.grouped_cliffs_delta; Cliff 1993): quantifies
@@ -5732,6 +5757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q144_grouped_ks": q144_grouped_ks,
         "q145_welch_ttest": q145_welch_ttest,
         "q147_cliffs_delta": q147_cliffs_delta,
+        "q148_log_quantiles": q148_log_quantiles,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6220,6 +6246,7 @@ _COMPONENTS_CLOSURE = """
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
     from btl_bloomfilter_spark.functions import splits as _SPLITS
+    from btl_bloomfilter_spark.operators import loghist as _LOGHIST
     from btl_bloomfilter_spark.operators import stats as _STATS
 
     G = T.gopher_quality_sql("text", min_words=50)
@@ -6414,6 +6441,11 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "value", "(user_id % 2 = 0)"
         )
         + " ORDER BY event_type",
+        "q148_log_quantiles": _LOGHIST.grouped_log_quantiles_sql(
+            "(SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS vq FROM events)",
+            "event_type", "vq", k=64, qs_milli=(500, 900, 990),
+        )
+        + " ORDER BY event_type, q_milli",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),
