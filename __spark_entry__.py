@@ -4943,6 +4943,29 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q149_randomization_test(spark, sf_dir):
+    """Deterministic hash-randomization significance test
+    (operators/stats.randomization_test; Monte-Carlo permutation
+    testing, Ernst 2004): is the even-vs-odd-user mean value
+    difference per event_type explainable by chance?  Each replicate
+    re-assigns cohorts via the content hash (pure function of (seed,
+    event_id, replicate) — partitioning-independent, SQL-replayable);
+    "as extreme as observed" is an exact cross-multiplied INTEGER
+    comparison, p the add-one estimator — hash-oracled including
+    mean_diff and p.  Completes the eval kit's significance story:
+    Welch (q145) parametric, this nonparametric, bootstrap (q143)
+    for effect-size uncertainty.  Plan: q143's shape — the ×32
+    explode feeds a map-side-combined (group, replicate) aggregate,
+    broadcast-joined observed row, nothing row-shaped shuffles."""
+    from btl_bloomfilter_spark.operators.stats import randomization_test
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return randomization_test(
+        ev, ["event_type"], "value", F.col("user_id") % 2 == 0, ["event_id"],
+        replicates=32, scale=100, seed=149,
+    ).orderBy("event_type")
+
+
 def q148_log_quantiles(spark, sf_dir):
     """Relative-error quantiles from the integer-exact log-linear
     histogram (operators/loghist.grouped_log_quantiles; HdrHistogram /
@@ -5758,6 +5781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q145_welch_ttest": q145_welch_ttest,
         "q147_cliffs_delta": q147_cliffs_delta,
         "q148_log_quantiles": q148_log_quantiles,
+        "q149_randomization_test": q149_randomization_test,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6446,6 +6470,11 @@ def oracle_sql() -> dict[str, str]:
             "event_type", "vq", k=64, qs_milli=(500, 900, 990),
         )
         + " ORDER BY event_type, q_milli",
+        "q149_randomization_test": _STATS.randomization_test_sql(
+            "events", "event_type", "value", "(user_id % 2 = 0)", "event_id",
+            replicates=32, scale=100, seed=149,
+        )
+        + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),

@@ -1333,3 +1333,222 @@ def grouped_cliffs_delta_sql(table: str, group: str, value: str, cohort_pred: st
                CAST(gt - lt AS DOUBLE) / CAST(n1 * n2 AS DOUBLE) AS delta
         FROM a WHERE n1 > 0 AND n2 > 0
     """
+
+
+def randomization_test(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    cohort_col,
+    key_cols: list[str],
+    *,
+    replicates: int = 64,
+    scale: int = 1_000_000,
+    seed: int | str = 0,
+) -> DataFrame:
+    """Deterministic hash-randomization test for a per-group mean
+    difference between two cohorts — the NONPARAMETRIC significance
+    companion to :func:`grouped_welch` (which assumes approximate
+    normality) and the sibling of :func:`bootstrap_ci` (same
+    content-hash determinism, opposite question: "how big is the
+    uncertainty" vs "could this difference be chance").
+
+    Monte-Carlo approximation of the permutation test (Fisher;
+    Ernst, Stat. Sci. 2004): under H0 the cohort labels carry no
+    information, so each replicate b re-assigns every row to cohort 1
+    with probability n1/n — decided by the pure integer comparison
+    u·n < n1·2^60 where u is the library's 60-bit content hash of
+    (seed, key columns, b).  Bernoulli re-labeling (fixing n1 in
+    expectation) rather than exact permutation (fixing it exactly):
+    a permutation is not expressible as a per-row pure function, and
+    the Bernoulli variant is the standard large-scale surrogate with
+    the same asymptotic validity; the conditioning difference is
+    O(1/√n).  Everything downstream is exact:
+
+      * per-replicate sums are exact integers (quantize-once policy);
+      * "replicate at least as extreme as observed" is the exact
+        integer comparison
+          |s1b·n2b − s2b·n1b| · n1·n2  ≥  |s1·n2 − s2·n1| · n1b·n2b
+        (both sides cross-multiplied mean-difference magnitudes —
+        no floats anywhere in the decision);
+      * replicates where either re-drawn cohort is empty are dropped
+        IDENTICALLY in both engines;
+      * p = (1 + n_extreme) / (1 + r_valid) — the add-one MC
+        estimator (Davison & Hinkley) — is ONE division of
+        exactly-integer-valued doubles.
+
+    Fully hash-oracle-able: every multiplicity is a pure function of
+    (seed, key, replicate), so the whole test replays in SQL
+    (:func:`randomization_test_sql`) bit-for-bit, and is
+    partitioning-independent by construction.
+
+    NULL/NaN values and NULL cohorts are dropped; groups where an
+    OBSERVED cohort is empty are excluded.  Overflow contract (loud
+    under ANSI, never silent): |Σxq|·n² per group must stay below
+    1e38 — at scale=1e6 and |x|≤1e3 that allows groups to ~1e9 rows;
+    reduce ``scale`` for larger groups.
+
+    Scale shape: one map-side-combined observed aggregate; the
+    ×replicates explode feeds straight into a map-side-combined
+    (group, replicate) aggregate (nothing row-shaped shuffles — the
+    q143 plan shape); the observed row is joined to the
+    (groups × replicates)-sized table, never to rows.
+    """
+    from ..functions.splits import _hash60
+
+    if replicates < 4:
+        raise ValueError(f"replicates must be >= 4, got {replicates}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("double")
+    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    base = df.where(v.isNotNull() & ~F.isnan(v) & coh.isNotNull()).select(
+        *group_cols,
+        *[F.col(k) for k in key_cols],
+        F.floor(v * scale).cast("long").cast(_D).alias("__xq"),
+        coh.cast("int").alias("__c"),
+    )
+    one = F.col("__c") == 1
+    z = F.lit(0).cast(_D)
+    obs = (
+        base.groupBy(*group_cols)
+        .agg(
+            F.sum(F.when(one, F.lit(1).cast(_D)).otherwise(z)).alias("__n1"),
+            F.sum(F.when(one, F.col("__xq")).otherwise(z)).alias("__s1"),
+            F.sum(F.when(~one, F.lit(1).cast(_D)).otherwise(z)).alias("__n2"),
+            F.sum(F.when(~one, F.col("__xq")).otherwise(z)).alias("__s2"),
+        )
+        .where((F.col("__n1") > 0) & (F.col("__n2") > 0))
+    )
+    rep = base.select(
+        *group_cols,
+        "__xq",
+        F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("__b"),
+        *[F.col(k) for k in key_cols],
+    ).withColumn("__u", _hash60(list(key_cols) + ["__b"], seed).cast(_D))
+    rep = rep.join(
+        F.broadcast(obs.select(*group_cols, "__n1", "__s1", "__n2", "__s2")),
+        group_cols,
+    )
+    two60 = F.lit(1 << 60).cast(_D)
+    pick1 = F.col("__u") * (F.col("__n1") + F.col("__n2")) < F.col("__n1") * two60
+    g1 = rep.groupBy(*group_cols, "__b").agg(
+        F.sum(F.when(pick1, F.lit(1).cast(_D)).otherwise(z)).alias("__n1b"),
+        F.sum(F.when(pick1, F.col("__xq")).otherwise(z)).alias("__s1b"),
+        F.first("__n1").alias("__n1"),
+        F.first("__s1").alias("__s1"),
+        F.first("__n2").alias("__n2"),
+        F.first("__s2").alias("__s2"),
+        F.count(F.lit(1)).alias("__nn"),
+        F.sum("__xq").alias("__ss"),
+    )
+    n1b, s1b = F.col("__n1b"), F.col("__s1b")
+    n2b = F.col("__nn").cast(_D) - n1b
+    s2b = F.col("__ss") - s1b
+    n1, s1, n2, s2 = F.col("__n1"), F.col("__s1"), F.col("__n2"), F.col("__s2")
+    valid = (n1b > 0) & (n2b > 0)
+    extreme = F.abs(s1b * n2b - s2b * n1b) * (n1 * n2) >= F.abs(
+        s1 * n2 - s2 * n1
+    ) * (n1b * n2b)
+    fin = g1.groupBy(*group_cols).agg(
+        F.sum(F.when(valid, 1).otherwise(0)).alias("__rv"),
+        F.sum(F.when(valid & extreme, 1).otherwise(0)).alias("__ne"),
+        F.first("__n1").alias("__n1"),
+        F.first("__s1").alias("__s1"),
+        F.first("__n2").alias("__n2"),
+        F.first("__s2").alias("__s2"),
+    )
+    sc = F.lit(scale).cast(_D)
+    m1 = F.col("__s1").cast("double") / (sc * F.col("__n1")).cast("double")
+    m2 = F.col("__s2").cast("double") / (sc * F.col("__n2")).cast("double")
+    return fin.select(
+        *group_cols,
+        F.col("__n1").cast("long").alias("n1"),
+        F.col("__n2").cast("long").alias("n2"),
+        (m1 - m2).alias("mean_diff"),
+        F.col("__rv").cast("int").alias("r_valid"),
+        F.col("__ne").cast("int").alias("n_extreme"),
+        (
+            (F.lit(1) + F.col("__ne")).cast("double")
+            / (F.lit(1) + F.col("__rv")).cast("double")
+        ).alias("p"),
+    )
+
+
+def randomization_test_sql(
+    table: str,
+    group: str,
+    value: str,
+    cohort_pred: str,
+    key: str,
+    *,
+    replicates: int = 64,
+    scale: int = 1_000_000,
+    seed: int | str = 0,
+) -> str:
+    """DuckDB twin of :func:`randomization_test` (same md5 hash spec
+    as bootstrap_ci_sql, hugeint arithmetic, identical integer
+    extremeness comparison; ``key`` is a single key expression)."""
+    from ..functions.splits import _key_sql
+
+    key_md5 = _key_sql(seed, ["key_col", "b"])
+    u = f"((('0x' || substr({key_md5}, 1, 15))::ubigint))::bigint"
+    return f"""
+        WITH base AS (
+            SELECT {group} AS g, {key} AS key_col,
+                   CAST(floor(CAST({value} AS DOUBLE) * {scale}) AS BIGINT)::hugeint AS xq,
+                   CASE WHEN {cohort_pred} THEN 1 ELSE 0 END AS c
+            FROM {table}
+            WHERE ({value}) IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+              AND ({cohort_pred}) IS NOT NULL
+        ),
+        obs AS (
+            SELECT g,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::hugeint AS n1,
+                   sum(CASE WHEN c = 1 THEN xq ELSE 0 END) AS s1,
+                   sum(CASE WHEN c = 1 THEN 0 ELSE 1 END)::hugeint AS n2,
+                   sum(CASE WHEN c = 1 THEN 0 ELSE xq END) AS s2
+            FROM base GROUP BY g
+            HAVING sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) > 0
+               AND sum(CASE WHEN c = 1 THEN 0 ELSE 1 END) > 0
+        ),
+        rep AS (
+            SELECT base.g, xq, key_col, CAST(r.range AS BIGINT) AS b,
+                   obs.n1, obs.s1, obs.n2, obs.s2
+            FROM base CROSS JOIN range(0, {replicates}) r
+            JOIN obs ON base.g = obs.g
+        ),
+        rep_u AS (
+            SELECT g, xq, b, n1, s1, n2, s2,
+                   ({u})::hugeint * (n1 + n2) < n1 * {1 << 60}::hugeint AS pick1
+            FROM rep
+        ),
+        g1 AS (
+            SELECT g, b,
+                   sum(CASE WHEN pick1 THEN 1 ELSE 0 END)::hugeint AS n1b,
+                   sum(CASE WHEN pick1 THEN xq ELSE 0 END) AS s1b,
+                   any_value(n1) AS n1, any_value(s1) AS s1,
+                   any_value(n2) AS n2, any_value(s2) AS s2,
+                   count(*)::hugeint AS nn, sum(xq) AS ss
+            FROM rep_u GROUP BY g, b
+        ),
+        fin AS (
+            SELECT g,
+                   sum(CASE WHEN n1b > 0 AND nn - n1b > 0 THEN 1 ELSE 0 END) AS rv,
+                   sum(CASE WHEN n1b > 0 AND nn - n1b > 0
+                            AND abs(s1b * (nn - n1b) - (ss - s1b) * n1b) * (n1 * n2)
+                                >= abs(s1 * n2 - s2 * n1) * (n1b * (nn - n1b))
+                            THEN 1 ELSE 0 END) AS ne,
+                   any_value(n1) AS n1, any_value(s1) AS s1,
+                   any_value(n2) AS n2, any_value(s2) AS s2
+            FROM g1 GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(s1 AS DOUBLE) / CAST({scale}::hugeint * n1 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) / CAST({scale}::hugeint * n2 AS DOUBLE) AS mean_diff,
+               CAST(rv AS INT) AS r_valid, CAST(ne AS INT) AS n_extreme,
+               CAST(1 + ne AS DOUBLE) / CAST(1 + rv AS DOUBLE) AS p
+        FROM fin
+    """

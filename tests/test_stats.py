@@ -769,3 +769,99 @@ def test_cliffs_extremes_and_exclusions(spark):
     df3 = spark.createDataFrame(rows, "g string, v double, c boolean")
     out = {r.g: r for r in grouped_cliffs_delta(df3, ["g"], "v", "c").collect()}
     assert "one" not in out and out["ok"].n1 == 5 and out["ok"].n2 == 5
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-randomization test
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import randomization_test
+
+
+def _brute_randomization(rows, replicates, scale, seed):
+    """Independent Python reimplementation of the spec (bigint exact)."""
+    by_g = {}
+    for g, key, v, c in rows:
+        if v is None or v != v or c is None:
+            continue
+        by_g.setdefault(g, []).append((key, math.floor(v * scale), c))
+    out = {}
+    for g, items in by_g.items():
+        n1 = sum(1 for _, _, c in items if c)
+        n2 = len(items) - n1
+        if n1 == 0 or n2 == 0:
+            continue
+        s1 = sum(x for _, x, c in items if c)
+        s2 = sum(x for _, x, c in items if not c)
+        n = n1 + n2
+        obs = abs(s1 * n2 - s2 * n1)
+        rv = ne = 0
+        for b in range(replicates):
+            n1b = s1b = 0
+            for key, xq, _ in items:
+                payload = f"{seed}|{key}|{b}".encode()
+                u = int(_hashlib.md5(payload).hexdigest()[:15], 16)
+                if u * n < n1 * (1 << 60):
+                    n1b += 1
+                    s1b += xq
+            n2b, s2b = n - n1b, (s1 + s2) - s1b
+            if n1b == 0 or n2b == 0:
+                continue
+            rv += 1
+            if abs(s1b * n2b - s2b * n1b) * (n1 * n2) >= obs * (n1b * n2b):
+                ne += 1
+        m1, m2 = s1 / (scale * n1), s2 / (scale * n2)
+        out[g] = (n1, n2, m1 - m2, rv, ne, (1 + ne) / (1 + rv))
+    return out
+
+
+def test_randomization_matches_independent_spec(spark):
+    rng = _random.Random(149)
+    rows = []
+    for g, shift in (("null", 0.0), ("weak", 0.6), ("strong", 50.0)):
+        for i in range(80):
+            c = rng.random() < 0.5
+            rows.append((g, f"{g}-{i}", rng.gauss(10.0, 2.0) + (shift if c else 0.0), c))
+    df = spark.createDataFrame(rows, "g string, k string, v double, c boolean")
+    got = {
+        r.g: r
+        for r in randomization_test(
+            df, ["g"], "v", "c", ["k"], replicates=24, scale=1000, seed=9
+        ).collect()
+    }
+    want = _brute_randomization(rows, 24, 1000, 9)
+    assert set(got) == set(want)
+    for g, (n1, n2, md, rv, ne, p) in want.items():
+        r = got[g]
+        assert (r.n1, r.n2, r.r_valid, r.n_extreme) == (n1, n2, rv, ne)
+        assert r.mean_diff == md and r.p == p
+    # laws: a huge planted shift is never matched by a random relabeling,
+    # so p hits the add-one floor exactly; the null group doesn't
+    assert got["strong"].p == 1.0 / (1 + got["strong"].r_valid)
+    assert got["null"].p > 0.05
+
+
+def test_randomization_partition_invariance_and_exclusions(spark):
+    rows = [("g", f"k{i}", float(i % 7), i % 3 == 0) for i in range(60)]
+    rows += [("solo", "a", 1.0, True), ("solo", "b", 2.0, True)]  # one cohort only
+    rows += [("g", "nan", float("nan"), True), ("g", "nul", None, False)]
+    df = spark.createDataFrame(rows, "g string, k string, v double, c boolean")
+    a = randomization_test(df, ["g"], "v", "c", ["k"], replicates=16).collect()
+    b = randomization_test(
+        df.repartition(7), ["g"], "v", "c", ["k"], replicates=16
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    gs = {r.g for r in a}
+    assert gs == {"g"}  # "solo" excluded
+    r = a[0]
+    assert r.n1 + r.n2 == 60 and 0.0 < r.p <= 1.0 and r.r_valid <= 16
+
+
+def test_randomization_contract_errors(spark):
+    df = spark.createDataFrame([("g", "k", 1.0, True)], "g string, k string, v double, c boolean")
+    with pytest.raises(ValueError):
+        randomization_test(df, ["g"], "v", "c", ["k"], replicates=3)
+    with pytest.raises(ValueError):
+        randomization_test(df, ["g"], "v", "c", ["k"], scale=0)
+    with pytest.raises(ValueError):
+        randomization_test(df, ["g"], "v", "c", [])
