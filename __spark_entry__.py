@@ -4943,6 +4943,29 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q150_rouge_overlap(spark, sf_dir):
+    """Paired-text ROUGE-2 / BLEU-2 overlap scores
+    (operators/evaltext.rouge_n; Lin ACL'04, Papineni ACL'02): the
+    response-vs-reference eval primitive, driven over consecutive-id
+    document pairs as the deterministic pairing.  Clipped multiset
+    bigram overlap is an exact integer; precision, recall and F1
+    (rewritten 2·o/(tc+tr) so no geometric mean) are each ONE
+    division — hash-oracled including all three doubles.  Tokenizes
+    on the library-wide explicit whitespace class (never \\s, whose
+    \\x0B membership differs across regex engines).  Plan: pure-
+    codegen gram assembly, explode into a map-side-combined
+    (pair, gram) count, pair-sized aggregate."""
+    from btl_bloomfilter_spark.operators.evaltext import rouge_n
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    a = docs.select(F.col("doc_id"), F.col("text").alias("cand"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ref")
+    )
+    pairs = a.join(b, "doc_id")
+    return rouge_n(pairs, ["doc_id"], "cand", "ref", n=2).orderBy("doc_id")
+
+
 def q149_randomization_test(spark, sf_dir):
     """Deterministic hash-randomization significance test
     (operators/stats.randomization_test; Monte-Carlo permutation
@@ -5782,6 +5805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q147_cliffs_delta": q147_cliffs_delta,
         "q148_log_quantiles": q148_log_quantiles,
         "q149_randomization_test": q149_randomization_test,
+        "q150_rouge_overlap": q150_rouge_overlap,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6270,6 +6294,7 @@ _COMPONENTS_CLOSURE = """
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
     from btl_bloomfilter_spark.functions import splits as _SPLITS
+    from btl_bloomfilter_spark.operators import evaltext as _EVALTEXT
     from btl_bloomfilter_spark.operators import loghist as _LOGHIST
     from btl_bloomfilter_spark.operators import stats as _STATS
 
@@ -6475,6 +6500,12 @@ def oracle_sql() -> dict[str, str]:
             replicates=32, scale=100, seed=149,
         )
         + " ORDER BY event_type",
+        "q150_rouge_overlap": _EVALTEXT.rouge_n_sql(
+            "(SELECT a.doc_id AS doc_id, a.text AS cand, b.text AS ref "
+            "FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1)",
+            "doc_id", "cand", "ref", n=2,
+        )
+        + " ORDER BY doc_id",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),

@@ -1,0 +1,174 @@
+"""Paired-text overlap metrics (ROUGE-N family), integer-exact.
+
+The transcript-eval primitive the kit lacked: given (candidate,
+reference) text pairs — model response vs gold response, rewritten
+turn vs original, summary vs source — score n-gram overlap the way
+ROUGE-N (Lin, ACL'04) and BLEU's modified n-gram precision
+(Papineni, ACL'02) do, with CLIPPED multiset counts:
+
+    overlap    = Σ_g min(count_cand(g), count_ref(g))
+    precision  = overlap / |cand n-grams|     (BLEU-n direction)
+    recall     = overlap / |ref n-grams|      (ROUGE-N direction)
+    f1         = 2·P·R/(P+R) = 2·overlap / (|cand| + |ref|)
+
+The algebraic rewrite of F1 to ``2·o/(tc+tr)`` matters: every output
+double is then a SINGLE division of exactly-integer-valued doubles
+(the library's fixed-shape policy), so the whole metric
+hash-oracles against the DuckDB twin — no geometric means, no libm.
+
+Tokenization is the library-wide explicit whitespace class
+(functions/textstats._WS — not ``\\s``, whose vertical-tab membership
+differs between Java/Python and RE2) so Spark, DuckDB and Python
+agree byte-for-byte on token boundaries.
+
+Pairs where either side has ZERO n-grams (empty/whitespace text, or
+fewer than n tokens) are EXCLUDED — P or R is undefined there — the
+same degenerate-group convention as operators/stats.
+
+Scale shape: n-gram assembly is pure codegen (split + slice/join
+over arrays, no Python); the explode feeds a map-side-combined
+(pair-id, gram) count with two conditional sums, then one pair-sized
+aggregate.  Nothing bigger than (pairs × distinct grams) ever
+shuffles, and gram rows collapse map-side under repetition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.textstats import _WS
+
+_D = "decimal(19,0)"
+
+
+def _grams_expr(col: str, n: int):
+    """Array of space-joined word n-grams (empty when < n tokens).
+
+    Built with Python-level pyspark functions, NOT F.expr: a regex
+    routed through a SQL string literal is re-escaped by the SQL
+    parser (``\\x0B`` is not a SQL escape), silently corrupting the
+    whitespace class into one containing literal x/0/B — caught by
+    the cross-engine test on vocab containing '0'."""
+    toks = F.filter(
+        F.split(F.coalesce(F.col(col), F.lit("")), rf"[{_WS}]+"),
+        lambda x: x != "",
+    )
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _grams_sql(col: str, n: int) -> str:
+    toks = f"list_filter(string_split_regex(coalesce({col}, ''), '[{_WS}]+'), x -> x <> '')"
+    return (
+        f"list_transform(range(1, greatest(len({toks}) - {n} + 2, 1)), "
+        f"i -> array_to_string(({toks})[i:i + {n} - 1], ' '))"
+    )
+
+
+def rouge_n(
+    df: DataFrame,
+    id_cols: list[str],
+    cand_col: str,
+    ref_col: str,
+    *,
+    n: int = 1,
+) -> DataFrame:
+    """Per-pair ROUGE-N / BLEU-n overlap scores.
+
+    ``id_cols`` must identify pairs uniquely (duplicate ids would
+    merge distinct pairs' gram counts — same contract as every
+    keyed operator here).  Returns (id…, cand_grams, ref_grams,
+    overlap, precision, recall, f1) with the three doubles each one
+    exact-integer division.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not id_cols:
+        raise ValueError("id_cols must be non-empty")
+    sides = df.select(
+        *id_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("is_cand"), _grams_expr(cand_col, n).alias("grams")
+                ),
+                F.struct(
+                    F.lit(0).alias("is_cand"), _grams_expr(ref_col, n).alias("grams")
+                ),
+            )
+        ).alias("__side"),
+    ).select(
+        *id_cols,
+        F.col("__side.is_cand").alias("__is_cand"),
+        F.explode(F.col("__side.grams")).alias("__gram"),
+    )
+    per_gram = sides.groupBy(*id_cols, "__gram").agg(
+        F.sum(F.col("__is_cand")).cast(_D).alias("__c"),
+        F.sum(F.lit(1) - F.col("__is_cand")).cast(_D).alias("__r"),
+    )
+    agg = per_gram.groupBy(*id_cols).agg(
+        F.sum(F.least("__c", "__r")).alias("__o"),
+        F.sum("__c").alias("__tc"),
+        F.sum("__r").alias("__tr"),
+    )
+    o, tc, tr = F.col("__o"), F.col("__tc"), F.col("__tr")
+    return agg.where((tc > 0) & (tr > 0)).select(
+        *id_cols,
+        tc.cast("long").alias("cand_grams"),
+        tr.cast("long").alias("ref_grams"),
+        o.cast("long").alias("overlap"),
+        (o.cast("double") / tc.cast("double")).alias("precision"),
+        (o.cast("double") / tr.cast("double")).alias("recall"),
+        (
+            (F.lit(2).cast(_D) * o).cast("double")
+            / (tc + tr).cast("double")
+        ).alias("f1"),
+    )
+
+
+def rouge_n_sql(
+    table: str,
+    id_col: str,
+    cand_col: str,
+    ref_col: str,
+    *,
+    n: int = 1,
+) -> str:
+    """DuckDB twin of :func:`rouge_n` (single id expression — the
+    test-scale twin; identical tokenization and division shapes)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    return f"""
+        WITH sides AS (
+            SELECT {id_col} AS id, 1 AS is_cand,
+                   unnest({_grams_sql(cand_col, n)}) AS gram
+            FROM {table}
+            UNION ALL
+            SELECT {id_col} AS id, 0 AS is_cand,
+                   unnest({_grams_sql(ref_col, n)}) AS gram
+            FROM {table}
+        ),
+        per_gram AS (
+            SELECT id, gram,
+                   sum(is_cand)::hugeint AS c,
+                   sum(1 - is_cand)::hugeint AS r
+            FROM sides GROUP BY id, gram
+        ),
+        agg AS (
+            SELECT id, sum(least(c, r)) AS o, sum(c) AS tc, sum(r) AS tr
+            FROM per_gram GROUP BY id
+        )
+        SELECT id AS {id_col},
+               CAST(tc AS BIGINT) AS cand_grams,
+               CAST(tr AS BIGINT) AS ref_grams,
+               CAST(o AS BIGINT) AS overlap,
+               CAST(o AS DOUBLE) / CAST(tc AS DOUBLE) AS precision,
+               CAST(o AS DOUBLE) / CAST(tr AS DOUBLE) AS recall,
+               CAST(2 * o AS DOUBLE) / CAST(tc + tr AS DOUBLE) AS f1
+        FROM agg WHERE tc > 0 AND tr > 0
+    """
