@@ -4943,6 +4943,35 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q151_funnel(spark, sf_dir):
+    """Ordered funnel conversion report (operators/funnel): how far
+    do users progress through view → click → purchase, where each
+    step must occur STRICTLY AFTER the matched previous step (greedy
+    earliest-match subsequence — provably the longest embeddable
+    prefix).  Entirely MIN aggregates and strict comparisons on ts —
+    no floats in the matching — so stage counts hash-oracle exactly;
+    conversion rates are single int-double divisions.  Plan: events
+    filtered to funnel steps up front, then per step one key-grouped
+    MIN + one key-equi-join against the key-sized previous frontier;
+    the report is a stage-sized final aggregate.  Keyed by
+    (user, calendar day) — ts is TIMESTAMP_NTZ, so to_date is a pure
+    wall-clock calendar op with no timezone in either engine — so the
+    funnel discriminates instead of saturating over each user's full
+    history (49% → 21% → 16% at sf0.01)."""
+    from btl_bloomfilter_spark.operators.funnel import funnel_report
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    keyed = ev.select(
+        "user_id",
+        F.to_date(F.col("ts")).alias("day"),
+        "event_type",
+        "ts",
+    )
+    return funnel_report(
+        keyed, ["user_id", "day"], "event_type", ["view", "click", "purchase"], "ts"
+    ).orderBy("stage")
+
+
 def q150_rouge_overlap(spark, sf_dir):
     """Paired-text ROUGE-2 / BLEU-2 overlap scores
     (operators/evaltext.rouge_n; Lin ACL'04, Papineni ACL'02): the
@@ -5806,6 +5835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q148_log_quantiles": q148_log_quantiles,
         "q149_randomization_test": q149_randomization_test,
         "q150_rouge_overlap": q150_rouge_overlap,
+        "q151_funnel": q151_funnel,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6295,6 +6325,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
     from btl_bloomfilter_spark.functions import splits as _SPLITS
     from btl_bloomfilter_spark.operators import evaltext as _EVALTEXT
+    from btl_bloomfilter_spark.operators import funnel as _FUNNEL
     from btl_bloomfilter_spark.operators import loghist as _LOGHIST
     from btl_bloomfilter_spark.operators import stats as _STATS
 
@@ -6506,6 +6537,12 @@ def oracle_sql() -> dict[str, str]:
             "doc_id", "cand", "ref", n=2,
         )
         + " ORDER BY doc_id",
+        "q151_funnel": _FUNNEL.funnel_report_sql(
+            "events",
+            "(CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR))",
+            "event_type", ["view", "click", "purchase"], "ts",
+        )
+        + " ORDER BY stage",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),
