@@ -4943,6 +4943,50 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q153_retention(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/retention): users
+    cohorted by first-activity week (integer day arithmetic from a
+    fixed Monday epoch; floor spelled explicitly — DuckDB's // and
+    Spark's div disagree on negatives), n_active exact per
+    (cohort, age) cell, retention ONE division — hash-oracled.  The
+    age-0 diagonal carries cohort sizes with retention exactly 1.0
+    (pinned law).  Plan: one distinct over (user, period) — the only
+    row-scale shuffle — then user-keyed MIN, cell-sized aggregate,
+    cohort-sized denominator self-join."""
+    from btl_bloomfilter_spark.operators.retention import retention_matrix
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return retention_matrix(ev, "user_id", "ts", period_days=7).orderBy(
+        "cohort_period", "age"
+    )
+
+
+def q152_cohens_kappa(spark, sf_dir):
+    """Exact per-group Cohen's kappa
+    (operators/stats.grouped_cohens_kappa; Cohen 1960): chance-
+    corrected agreement between two labelings — here two cheap
+    size-class heuristics over documents (char-count terciles vs
+    whitespace-count terciles), per lang.  The classic identity
+    κ = (N·agree − Σ r_c·s_c)/(N² − Σ r_c·s_c) clears both
+    denominators, so everything is exact integers and κ ONE division
+    — hash-oracled including the double.  Plan: one map-side-combined
+    (group, a, b) joint histogram, histogram-sized marginal re-aggs
+    joined on (group, category), group-sized final aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_cohens_kappa
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    nsp = F.length(F.col("text")) - F.length(F.regexp_replace("text", " ", ""))
+    lab = lambda v, lo, hi: (
+        F.when(v < lo, "short").when(v < hi, "mid").otherwise("long")
+    )
+    labeled = docs.select(
+        "lang",
+        lab(F.col("n_chars"), 216, 380).alias("a"),
+        lab(nsp, 38, 68).alias("b"),
+    )
+    return grouped_cohens_kappa(labeled, ["lang"], "a", "b").orderBy("lang")
+
+
 def q151_funnel(spark, sf_dir):
     """Ordered funnel conversion report (operators/funnel): how far
     do users progress through view → click → purchase, where each
@@ -5836,6 +5880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q149_randomization_test": q149_randomization_test,
         "q150_rouge_overlap": q150_rouge_overlap,
         "q151_funnel": q151_funnel,
+        "q152_cohens_kappa": q152_cohens_kappa,
+        "q153_retention": q153_retention,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6326,6 +6372,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import splits as _SPLITS
     from btl_bloomfilter_spark.operators import evaltext as _EVALTEXT
     from btl_bloomfilter_spark.operators import funnel as _FUNNEL
+    from btl_bloomfilter_spark.operators import retention as _RETENTION
     from btl_bloomfilter_spark.operators import loghist as _LOGHIST
     from btl_bloomfilter_spark.operators import stats as _STATS
 
@@ -6543,6 +6590,20 @@ def oracle_sql() -> dict[str, str]:
             "event_type", ["view", "click", "purchase"], "ts",
         )
         + " ORDER BY stage",
+        "q152_cohens_kappa": _STATS.grouped_cohens_kappa_sql(
+            "(SELECT lang, "
+            "CASE WHEN n_chars < 216 THEN 'short' WHEN n_chars < 380 THEN 'mid' "
+            "ELSE 'long' END AS a, "
+            "CASE WHEN length(text) - length(replace(text, ' ', '')) < 38 THEN 'short' "
+            "WHEN length(text) - length(replace(text, ' ', '')) < 68 THEN 'mid' "
+            "ELSE 'long' END AS b FROM documents)",
+            "lang", "a", "b",
+        )
+        + " ORDER BY lang",
+        "q153_retention": _RETENTION.retention_matrix_sql(
+            "events", "user_id", "ts", period_days=7
+        )
+        + " ORDER BY cohort_period, age",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),

@@ -1552,3 +1552,100 @@ def randomization_test_sql(
                CAST(1 + ne AS DOUBLE) / CAST(1 + rv AS DOUBLE) AS p
         FROM fin
     """
+
+
+def grouped_cohens_kappa(
+    df: DataFrame,
+    group_cols: list[str],
+    rater_a,
+    rater_b,
+) -> DataFrame:
+    """Exact per-group Cohen's kappa — chance-corrected agreement
+    between two categorical labelings (Cohen 1960): two annotators,
+    model-vs-gold labels, or two classifier versions over the same
+    rows.  The eval kit's agreement primitive next to AUC (ranking),
+    calibration (probabilities) and kappa's unchance-corrected
+    cousin, raw accuracy.
+
+    With N co-labeled rows, ``agree`` = #{a = b}, and per-category
+    marginals r_c = #{a = c}, s_c = #{b = c}:
+
+        κ = (p_o − p_e) / (1 − p_e)
+          = (N·agree − Σ_c r_c·s_c) / (N² − Σ_c r_c·s_c)
+
+    — the classic identity clears both denominators, so the numerator
+    and denominator are EXACT integers (decimal(38,0)/hugeint) and κ
+    is ONE division: engine-identical, hash-oracle-able including the
+    double.  NULLs in either label are dropped; groups where the
+    denominator is 0 (both raters constant on the same single
+    category — κ undefined, 0/0) are excluded.
+
+    Scale shape: one map-side-combined (group, a, b) joint histogram
+    (≤ categories² rows per group), two histogram-sized marginal
+    re-aggregations joined on (group, category), one group-sized
+    final aggregate — nothing row-shaped after the first groupBy.
+    """
+    a = F.col(rater_a) if isinstance(rater_a, str) else rater_a
+    b = F.col(rater_b) if isinstance(rater_b, str) else rater_b
+    h = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(*group_cols, a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast(_D).alias("__n"))
+    )
+    tot = h.groupBy(*group_cols).agg(
+        F.sum("__n").alias("__N"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n")).otherwise(
+            F.lit(0).cast(_D)
+        )).alias("__agree"),
+    )
+    ra = h.groupBy(*group_cols, F.col("__a").alias("__c")).agg(
+        F.sum("__n").alias("__r")
+    )
+    sb = h.groupBy(*group_cols, F.col("__b").alias("__c")).agg(
+        F.sum("__n").alias("__s")
+    )
+    pe = (
+        ra.join(sb, [*group_cols, "__c"])
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col("__r") * F.col("__s")).alias("__pe"))
+    )
+    j = tot.join(pe, group_cols)
+    num = j["__N"] * j["__agree"] - j["__pe"]
+    den = j["__N"] * j["__N"] - j["__pe"]
+    return j.where(den != 0).select(
+        *group_cols,
+        F.col("__N").cast("long").alias("n"),
+        F.col("__agree").cast("long").alias("agree"),
+        F.col("__pe").cast("string").alias("pe_num"),
+        (num.cast("double") / den.cast("double")).alias("kappa"),
+    )
+
+
+def grouped_cohens_kappa_sql(table: str, group: str, a: str, b: str) -> str:
+    """DuckDB twin of :func:`grouped_cohens_kappa`."""
+    return f"""
+        WITH h AS (
+            SELECT {group} AS g, {a} AS a, {b} AS b, count(*)::hugeint AS n
+            FROM {table}
+            WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        tot AS (
+            SELECT g, sum(n) AS N,
+                   sum(CASE WHEN a = b THEN n ELSE 0 END) AS agree
+            FROM h GROUP BY g
+        ),
+        ra AS (SELECT g, a AS c, sum(n) AS r FROM h GROUP BY g, a),
+        sb AS (SELECT g, b AS c, sum(n) AS s FROM h GROUP BY g, b),
+        pe AS (
+            SELECT ra.g, sum(r * s) AS pe
+            FROM ra JOIN sb ON ra.g = sb.g AND ra.c = sb.c
+            GROUP BY ra.g
+        )
+        SELECT tot.g AS {group},
+               CAST(N AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+               pe::varchar AS pe_num,
+               CAST(N * agree - pe AS DOUBLE) / CAST(N * N - pe AS DOUBLE) AS kappa
+        FROM tot JOIN pe ON tot.g = pe.g
+        WHERE N * N - pe <> 0
+    """

@@ -865,3 +865,61 @@ def test_randomization_contract_errors(spark):
         randomization_test(df, ["g"], "v", "c", ["k"], scale=0)
     with pytest.raises(ValueError):
         randomization_test(df, ["g"], "v", "c", [])
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import grouped_cohens_kappa
+
+
+def _brute_kappa(pairs):
+    pairs = [(a, b) for a, b in pairs if a is not None and b is not None]
+    n = len(pairs)
+    agree = sum(1 for a, b in pairs if a == b)
+    cats = {c for p in pairs for c in p}
+    pe = sum(
+        sum(1 for a, _ in pairs if a == c) * sum(1 for _, b in pairs if b == c)
+        for c in cats
+    )
+    den = n * n - pe
+    if den == 0:
+        return None
+    return n, agree, pe, (n * agree - pe) / den
+
+
+def test_kappa_matches_brute(spark):
+    rng = _random.Random(152)
+    cats = ["pos", "neg", "neu"]
+    rows = []
+    for g, noise in (("good", 0.1), ("random", 1.0)):
+        for _ in range(300):
+            a = rng.choice(cats)
+            b = rng.choice(cats) if rng.random() < noise else a
+            rows.append((g, a, b))
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = {r.g: r for r in grouped_cohens_kappa(df, ["g"], "a", "b").collect()}
+    for g in ("good", "random"):
+        want = _brute_kappa([(a, b) for gg, a, b in rows if gg == g])
+        n, agree, pe, kappa = want
+        r = got[g]
+        assert (r.n, r.agree, int(r.pe_num)) == (n, agree, pe)
+        assert r.kappa == kappa
+    assert got["good"].kappa > 0.8 > abs(got["random"].kappa)
+
+
+def test_kappa_extremes_and_exclusions(spark):
+    # perfect agreement over >1 category -> kappa = 1
+    rows = [("p", c, c) for c in "xyz" for _ in range(5)]
+    # systematic disagreement worse than chance -> kappa < 0
+    rows += [("anti", "x", "y"), ("anti", "y", "x")] * 10
+    # both constant on the same category -> den = 0 -> excluded
+    rows += [("const", "x", "x")] * 5
+    # NULLs dropped
+    rows += [("p", None, "x"), ("p", "x", None)]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = {r.g: r for r in grouped_cohens_kappa(df, ["g"], "a", "b").collect()}
+    assert got["p"].kappa == 1.0 and got["p"].n == 15
+    assert got["anti"].kappa < 0
+    assert "const" not in got
