@@ -4943,6 +4943,26 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q154_trailing_active(spark, sf_dir):
+    """Exact trailing-window active users (operators/activity): for
+    every week, distinct users active in the trailing 4 weeks — the
+    WAU/MAU family.  Rolling COUNT DISTINCT doesn't decompose over
+    window frames, so each (user, week) fact is exploded to the 4
+    windows it serves and the explode feeds straight into a distinct
+    aggregate (the bootstrap-kit shape) — all integer arithmetic,
+    hash-oracled.  The HLL scale path (trailing_active_hll: same
+    explode, blob-only shuffle, memory bounded by 2^p per window) is
+    bound-gated against this exact path in tests.  Plan: one
+    (user, period) distinct, ×4 codegen explode, map-side-combined
+    distinct agg on the window key."""
+    from btl_bloomfilter_spark.operators.activity import trailing_active
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return trailing_active(
+        ev, "user_id", "ts", window_periods=4, period_days=7
+    ).orderBy("period")
+
+
 def q153_retention(spark, sf_dir):
     """Weekly cohort retention matrix (operators/retention): users
     cohorted by first-activity week (integer day arithmetic from a
@@ -5882,6 +5902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q151_funnel": q151_funnel,
         "q152_cohens_kappa": q152_cohens_kappa,
         "q153_retention": q153_retention,
+        "q154_trailing_active": q154_trailing_active,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6370,6 +6391,7 @@ _COMPONENTS_CLOSURE = """
 def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
     from btl_bloomfilter_spark.functions import splits as _SPLITS
+    from btl_bloomfilter_spark.operators import activity as _ACTIVITY
     from btl_bloomfilter_spark.operators import evaltext as _EVALTEXT
     from btl_bloomfilter_spark.operators import funnel as _FUNNEL
     from btl_bloomfilter_spark.operators import retention as _RETENTION
@@ -6604,6 +6626,10 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", period_days=7
         )
         + " ORDER BY cohort_period, age",
+        "q154_trailing_active": _ACTIVITY.trailing_active_sql(
+            "events", "user_id", "ts", window_periods=4, period_days=7
+        )
+        + " ORDER BY period",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),
