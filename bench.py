@@ -1065,6 +1065,58 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             (a + b) >= M, n_bins=10,
         ).count()
 
+    def q_log_quantiles():
+        # log-linear histogram quantiles: one map-side-combined
+        # (group, bucket) agg (<= 3.7k buckets/group), bucket-sized
+        # window + explode — cost is the scan, not the state
+        from btl_bloomfilter_spark.operators.loghist import grouped_log_quantiles
+
+        return grouped_log_quantiles(
+            ev.select("event_type", F.floor(F.col("value") * 100).cast("long").alias("vq")),
+            ["event_type"], "vq", k=64, qs_milli=(500, 900, 990),
+        ).count()
+
+    def q_randomization_test():
+        # x32 explode fused into a map-side-combined (group, replicate)
+        # aggregate + broadcast observed row — the q143 bootstrap shape
+        from btl_bloomfilter_spark.operators.stats import randomization_test
+
+        return randomization_test(
+            ev, ["event_type"], "value", F.col("user_id") % 2 == 0,
+            ["event_id"], replicates=32, scale=100, seed=149,
+        ).count()
+
+    def q_rouge_bigrams():
+        # codegen gram assembly -> (pair, gram) map-side-combined count
+        # -> pair-sized aggregate; cost scales with total grams
+        from btl_bloomfilter_spark.operators.evaltext import rouge_n
+
+        a = docs.select("doc_id", F.col("text").alias("cand"))
+        b = docs.select((F.col("doc_id") - 1).alias("doc_id"), F.col("text").alias("ref"))
+        return rouge_n(a.join(b, "doc_id"), ["doc_id"], "cand", "ref", n=2).count()
+
+    def q_funnel_report():
+        # per step one key-grouped MIN + key equi-join on the frontier;
+        # events filtered to funnel steps before anything shuffles
+        from btl_bloomfilter_spark.operators.funnel import funnel_report
+
+        keyed = ev.select(
+            "user_id", F.to_date("ts").alias("day"), "event_type", "ts"
+        )
+        return funnel_report(
+            keyed, ["user_id", "day"], "event_type",
+            ["view", "click", "purchase"], "ts",
+        ).count()
+
+    def q_trailing_active():
+        # (user, period) distinct then x4 explode into a distinct agg;
+        # the explode multiplies period-deduped facts, not raw rows
+        from btl_bloomfilter_spark.operators.activity import trailing_active
+
+        return trailing_active(
+            ev, "user_id", "ts", window_periods=4, period_days=7
+        ).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -1136,6 +1188,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "link_prediction_parts": q_link_prediction,
         "grouped_spearman_lineitem": q_grouped_spearman,
         "calibration_bins_events": q_calibration_bins,
+        "log_quantiles_events": q_log_quantiles,
+        "randomization_test_events": q_randomization_test,
+        "rouge_bigrams_docs": q_rouge_bigrams,
+        "funnel_report_events": q_funnel_report,
+        "trailing_active_events": q_trailing_active,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
