@@ -5025,7 +5025,10 @@ def q151_funnel(spark, sf_dir):
     from btl_bloomfilter_spark.operators.funnel import funnel_report
 
     ev = _load(spark, sf_dir, "events")["events"]
-    keyed = ev.select(
+    # NULL users filtered on BOTH sides: the oracle's concat key would
+    # collapse all NULL-user rows into one key while the Spark side
+    # keys on the tuple (latent granularity mismatch, review finding)
+    keyed = ev.where(F.col("user_id").isNotNull()).select(
         "user_id",
         F.to_date(F.col("ts")).alias("day"),
         "event_type",
@@ -6607,7 +6610,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY doc_id",
         "q151_funnel": _FUNNEL.funnel_report_sql(
-            "events",
+            "(SELECT * FROM events WHERE user_id IS NOT NULL)",
             "(CAST(user_id AS VARCHAR) || '|' || CAST(CAST(ts AS DATE) AS VARCHAR))",
             "event_type", ["view", "click", "purchase"], "ts",
         )

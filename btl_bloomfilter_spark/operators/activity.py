@@ -32,19 +32,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .retention import _EPOCH
+from .retention import activity_periods as _activity_periods, period_sql as _period_sql
 
 
 def _activity(df: DataFrame, user_col: str, ts_col: str, period_days: int):
-    if period_days < 1:
-        raise ValueError(f"period_days must be >= 1, got {period_days}")
-    day = F.datediff(F.to_date(F.col(ts_col)), F.lit(_EPOCH).cast("date"))
-    period = F.floor(day.cast("double") / F.lit(float(period_days))).cast("long")
-    return (
-        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
-        .select(F.col(user_col).alias("__u"), period.alias("__p"))
-        .distinct()
-    )
+    # single source of the engine-parity-critical period arithmetic:
+    # operators/retention.activity_periods (review finding — two hand-
+    # synced copies of the epoch/floor expression were a drift hazard)
+    return _activity_periods(df, user_col, ts_col, period_days)
 
 
 def _windows(act: DataFrame, window_periods: int) -> DataFrame:
@@ -116,12 +111,7 @@ def trailing_active_sql(
     """DuckDB twin of :func:`trailing_active`."""
     if window_periods < 1:
         raise ValueError(f"window_periods must be >= 1, got {window_periods}")
-    if period_days < 1:
-        raise ValueError(f"period_days must be >= 1, got {period_days}")
-    period = (
-        f"CAST(floor(datediff('day', DATE '{_EPOCH}', CAST({ts} AS DATE)) "
-        f"/ CAST({period_days} AS DOUBLE)) AS BIGINT)"
-    )
+    period = _period_sql(ts, period_days)
     return f"""
         WITH act AS (
             SELECT DISTINCT {user} AS u, {period} AS p

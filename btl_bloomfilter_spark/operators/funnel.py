@@ -109,10 +109,15 @@ def funnel_report(
     """
     steps = _check_steps(steps)
     st = funnel_stages(df, key_cols, step_col, steps, order_col)
+    # coalesce: sum over an EMPTY stages table (no key has any funnel
+    # event) is NULL in both engines — the report must say 0
+    # (review finding, pinned by test_report_empty_universe)
     tot = st.groupBy().agg(
         F.count(F.lit(1)).alias("__n0"),
         *[
-            F.sum((F.col("stage_reached") >= i).cast("long")).alias(f"__n{i}")
+            F.coalesce(
+                F.sum((F.col("stage_reached") >= i).cast("long")), F.lit(0)
+            ).alias(f"__n{i}")
             for i in range(1, len(steps) + 1)
         ],
     )
@@ -188,7 +193,7 @@ def funnel_report_sql(
     """DuckDB twin of :func:`funnel_report`."""
     steps = _check_steps(steps)
     n_cols = ", ".join(
-        f"sum(CASE WHEN stage_reached >= {i} THEN 1 ELSE 0 END)::bigint AS n{i}"
+        f"coalesce(sum(CASE WHEN stage_reached >= {i} THEN 1 ELSE 0 END), 0)::bigint AS n{i}"
         for i in range(1, len(steps) + 1)
     )
     rows = ", ".join(

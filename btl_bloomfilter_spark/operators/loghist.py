@@ -195,7 +195,12 @@ def grouped_log_quantiles(
     NULL values are dropped; NEGATIVE values raise in both engines
     (the histogram is defined over non-negative counts/lengths);
     values must be ≤ 2^62 (documented contract, like the fixed-point
-    family's overflow bounds).
+    family's overflow bounds).  The column must be INTEGRAL — a
+    float/double column is REJECTED with ValueError rather than
+    implicitly cast, because the implicit double→long cast TRUNCATES
+    in Spark but ROUNDS half-away in DuckDB (3.7 → 3 vs 4) and NaN
+    diverges too; quantize explicitly first (the library's
+    floor(x·scale) policy), as q148 does.
 
     Scale shape: one map-side-combined groupBy to the (group, id)
     histogram — at most (64 − log2 k)·k ≈ 3.7k ids per group, so the
@@ -209,6 +214,13 @@ def grouped_log_quantiles(
     if not qs_milli or any(not 0 < q <= 1000 for q in qs_milli):
         raise ValueError(f"qs_milli must be nonempty with values in (0,1000]: {qs_milli}")
     v0 = F.col(value_col) if isinstance(value_col, str) else value_col
+    vt = df.select(v0.alias("__probe")).schema[0].dataType.simpleString()
+    if vt in ("float", "double") or vt.startswith("decimal"):
+        raise ValueError(
+            f"grouped_log_quantiles: column has non-integral type {vt}; "
+            "quantize explicitly (e.g. floor(x * scale) cast to long) — "
+            "implicit float->long casts truncate in Spark but round in DuckDB"
+        )
     v = F.when(
         v0.cast("long") < 0,
         F.raise_error(

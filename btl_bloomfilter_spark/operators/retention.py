@@ -33,6 +33,35 @@ from pyspark.sql import DataFrame, functions as F
 _EPOCH = "2000-01-03"  # a Monday, so period_days=7 aligns weeks Mon-Sun
 
 
+def activity_periods(
+    df: DataFrame, user_col: str, ts_col: str, period_days: int
+) -> DataFrame:
+    """Shared (user, period) activity facts — the deduped projection
+    both the retention matrix and trailing-active (operators/activity)
+    build on.  ONE definition of the engine-parity-critical period
+    arithmetic so the two operators can never drift apart."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    day = F.datediff(F.to_date(F.col(ts_col)), F.lit(_EPOCH).cast("date"))
+    period = F.floor(day.cast("double") / F.lit(float(period_days))).cast("long")
+    return (
+        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), period.alias("__p"))
+        .distinct()
+    )
+
+
+def period_sql(ts: str, period_days: int) -> str:
+    """DuckDB twin of the period expression (single source, shared by
+    retention_matrix_sql and trailing_active_sql)."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    return (
+        f"CAST(floor(datediff('day', DATE '{_EPOCH}', CAST({ts} AS DATE)) "
+        f"/ CAST({period_days} AS DOUBLE)) AS BIGINT)"
+    )
+
+
 def retention_matrix(
     df: DataFrame,
     user_col: str,
@@ -42,15 +71,7 @@ def retention_matrix(
 ) -> DataFrame:
     """(cohort_period, age, n_active, n_cohort, retention) per
     cohort×age cell.  NULL users/timestamps are dropped."""
-    if period_days < 1:
-        raise ValueError(f"period_days must be >= 1, got {period_days}")
-    day = F.datediff(F.to_date(F.col(ts_col)), F.lit(_EPOCH).cast("date"))
-    period = F.floor(day.cast("double") / F.lit(float(period_days))).cast("long")
-    act = (
-        df.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
-        .select(F.col(user_col).alias("__u"), period.alias("__p"))
-        .distinct()
-    )
+    act = activity_periods(df, user_col, ts_col, period_days)
     cohort = act.groupBy("__u").agg(F.min("__p").alias("__c"))
     cells = (
         act.join(cohort, "__u")
@@ -75,12 +96,7 @@ def retention_matrix_sql(
     table: str, user: str, ts: str, *, period_days: int = 7
 ) -> str:
     """DuckDB twin of :func:`retention_matrix`."""
-    if period_days < 1:
-        raise ValueError(f"period_days must be >= 1, got {period_days}")
-    period = (
-        f"CAST(floor(datediff('day', DATE '{_EPOCH}', CAST({ts} AS DATE)) "
-        f"/ CAST({period_days} AS DOUBLE)) AS BIGINT)"
-    )
+    period = period_sql(ts, period_days)
     return f"""
         WITH act AS (
             SELECT DISTINCT {user} AS u, {period} AS p

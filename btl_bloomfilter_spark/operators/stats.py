@@ -821,6 +821,34 @@ def bootstrap_ci_sql(
     """
 
 
+def _two_cohort_hist(df, group_cols, value_col, cohort_col) -> DataFrame:
+    """Shared value-compressed per-group two-cohort histogram
+    (__v, __c1, __c2) — the common first stage of grouped_ks and
+    grouped_cliffs_delta; NULL values/cohorts and NaN dropped."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    return (
+        df.where(v.isNotNull() & ~F.isnan(v.cast("double")) & coh.isNotNull())
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(
+            F.sum(coh.cast("int")).cast(_D).alias("__c1"),
+            F.sum(F.lit(1) - coh.cast("int")).cast(_D).alias("__c2"),
+        )
+    )
+
+
+def _two_cohort_hist_sql(table: str, group: str, value: str, cohort_pred: str) -> str:
+    """DuckDB twin of :func:`_two_cohort_hist` as a CTE body."""
+    return f"""
+            SELECT {group} AS g, {value} AS v,
+                   sum(CASE WHEN {cohort_pred} THEN 1 ELSE 0 END)::hugeint AS c1,
+                   sum(CASE WHEN {cohort_pred} THEN 0 ELSE 1 END)::hugeint AS c2
+            FROM {table}
+            WHERE {value} IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+              AND ({cohort_pred}) IS NOT NULL
+            GROUP BY 1, 2"""
+
+
 def grouped_ks(
     df: DataFrame,
     group_cols: list[str],
@@ -850,16 +878,7 @@ def grouped_ks(
     """
     from pyspark.sql import Window
 
-    v = F.col(value_col) if isinstance(value_col, str) else value_col
-    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
-    h = (
-        df.where(v.isNotNull() & ~F.isnan(v.cast("double")) & coh.isNotNull())
-        .groupBy(*group_cols, v.alias("__v"))
-        .agg(
-            F.sum(coh.cast("int")).cast(_D).alias("__c1"),
-            F.sum(F.lit(1) - coh.cast("int")).cast(_D).alias("__c2"),
-        )
-    )
+    h = _two_cohort_hist(df, group_cols, value_col, cohort_col)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("__v")
@@ -895,14 +914,7 @@ def grouped_ks_sql(table: str, group: str, value: str, cohort_pred: str) -> str:
     """DuckDB twin of :func:`grouped_ks` (hugeint arithmetic, same
     single-division shape)."""
     return f"""
-        WITH h AS (
-            SELECT {group} AS g, {value} AS v,
-                   sum(CASE WHEN {cohort_pred} THEN 1 ELSE 0 END)::hugeint AS c1,
-                   sum(CASE WHEN {cohort_pred} THEN 0 ELSE 1 END)::hugeint AS c2
-            FROM {table}
-            WHERE {value} IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
-              AND ({cohort_pred}) IS NOT NULL
-            GROUP BY 1, 2
+        WITH h AS ({_two_cohort_hist_sql(table, group, value, cohort_pred)}
         ),
         c AS (
             SELECT g,
@@ -1256,16 +1268,7 @@ def grouped_cliffs_delta(
     """
     from pyspark.sql import Window
 
-    v = F.col(value_col) if isinstance(value_col, str) else value_col
-    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
-    h = (
-        df.where(v.isNotNull() & ~F.isnan(v.cast("double")) & coh.isNotNull())
-        .groupBy(*group_cols, v.alias("__v"))
-        .agg(
-            F.sum(coh.cast("int")).cast(_D).alias("__c1"),
-            F.sum(F.lit(1) - coh.cast("int")).cast(_D).alias("__c2"),
-        )
-    )
+    h = _two_cohort_hist(df, group_cols, value_col, cohort_col)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("__v")
@@ -1304,14 +1307,7 @@ def grouped_cliffs_delta_sql(table: str, group: str, value: str, cohort_pred: st
     """DuckDB twin of :func:`grouped_cliffs_delta` (hugeint counts,
     same single-division shape)."""
     return f"""
-        WITH h AS (
-            SELECT {group} AS g, {value} AS v,
-                   sum(CASE WHEN {cohort_pred} THEN 1 ELSE 0 END)::hugeint AS c1,
-                   sum(CASE WHEN {cohort_pred} THEN 0 ELSE 1 END)::hugeint AS c2
-            FROM {table}
-            WHERE {value} IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
-              AND ({cohort_pred}) IS NOT NULL
-            GROUP BY 1, 2
+        WITH h AS ({_two_cohort_hist_sql(table, group, value, cohort_pred)}
         ),
         c AS (
             SELECT g, c1, c2,
@@ -1384,9 +1380,15 @@ def randomization_test(
 
     NULL/NaN values and NULL cohorts are dropped; groups where an
     OBSERVED cohort is empty are excluded.  Overflow contract (loud
-    under ANSI, never silent): |Σxq|·n² per group must stay below
-    1e38 — at scale=1e6 and |x|≤1e3 that allows groups to ~1e9 rows;
-    reduce ``scale`` for larger groups.
+    under Spark 4's ANSI default, never silent): the extremeness
+    comparison's largest term is |s·n2b|·(n1·n2) ≈ max|xq|·n⁴/4 per
+    group, which must stay below 1e38 — at scale=1e6 and |x| ≤ 1e3
+    that allows groups to ~2.5e7 rows; reduce ``scale`` (or
+    pre-aggregate to coarser units) for larger groups.  On engines
+    where decimal overflow yields NULL instead of an error, an
+    overflowed comparison would silently undercount extreme
+    replicates — another reason the contract is a hard bound, not
+    advisory.
 
     Scale shape: one map-side-combined observed aggregate; the
     ×replicates explode feeds straight into a map-side-combined
@@ -1609,7 +1611,13 @@ def grouped_cohens_kappa(
         .groupBy(*group_cols)
         .agg(F.sum(F.col("__r") * F.col("__s")).alias("__pe"))
     )
-    j = tot.join(pe, group_cols)
+    # LEFT join + coalesce: raters with DISJOINT category sets have no
+    # matching marginal rows (pe group absent), but κ = 0 is perfectly
+    # defined there — an inner join silently deleted such groups
+    # (review finding, pinned by test_kappa_disjoint_categories).
+    j = tot.join(pe, group_cols, "left").withColumn(
+        "__pe", F.coalesce(F.col("__pe"), F.lit(0).cast(_D))
+    )
     num = j["__N"] * j["__agree"] - j["__pe"]
     den = j["__N"] * j["__N"] - j["__pe"]
     return j.where(den != 0).select(
@@ -1637,10 +1645,14 @@ def grouped_cohens_kappa_sql(table: str, group: str, a: str, b: str) -> str:
         ),
         ra AS (SELECT g, a AS c, sum(n) AS r FROM h GROUP BY g, a),
         sb AS (SELECT g, b AS c, sum(n) AS s FROM h GROUP BY g, b),
-        pe AS (
+        pe0 AS (
             SELECT ra.g, sum(r * s) AS pe
             FROM ra JOIN sb ON ra.g = sb.g AND ra.c = sb.c
             GROUP BY ra.g
+        ),
+        pe AS (
+            SELECT tot.g, coalesce(pe0.pe, 0::hugeint) AS pe
+            FROM tot LEFT JOIN pe0 ON tot.g = pe0.g
         )
         SELECT tot.g AS {group},
                CAST(N AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,

@@ -128,3 +128,21 @@ def test_contract_errors(spark):
         funnel_stages(df, [], "s", ["a", "b"], "t")
     with pytest.raises(ValueError):
         funnel_report_sql("t", "k", "s", ["a"], "t")
+
+
+def test_report_empty_universe(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    # NO key has any funnel-step event: counts must be 0, not NULL
+    df = spark.createDataFrame([("k", "error", 1)], "k string, s string, t long")
+    rep = {r.stage: r for r in funnel_report(df, ["k"], "s", STEPS, "t").collect()}
+    assert all(rep[i].n_reached == 0 for i in (1, 2, 3))
+    assert all(rep[i].conversion is None for i in (1, 2, 3))  # 0/0 everywhere
+    pdf = pd.DataFrame([("k", "error", 1)], columns=["k", "s", "t"])
+    p = str(tmp_path / "empty.parquet")
+    pdf.to_parquet(p)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}')")
+    w = con.sql(funnel_report_sql("t", "k", "s", STEPS, "t") + " ORDER BY stage").df()
+    assert w["n_reached"].tolist() == [0, 0, 0]

@@ -215,3 +215,13 @@ def test_invalid_qs(spark):
         grouped_log_quantiles(df, ["g"], "v", qs_milli=(1001,))
     with pytest.raises(ValueError):
         grouped_log_quantiles(df, ["g"], "v", k=48)
+
+
+def test_float_column_rejected(spark):
+    # implicit double->long casts truncate in Spark but round in DuckDB:
+    # float columns must be rejected, not silently quantized
+    df = spark.createDataFrame([("g", 3.7)], "g string, v double")
+    with pytest.raises(ValueError, match="non-integral"):
+        grouped_log_quantiles(df, ["g"], "v", k=32)
+    ok = spark.createDataFrame([("g", 3)], "g string, v int")
+    assert grouped_log_quantiles(ok, ["g"], "v", k=32, qs_milli=(500,)).count() == 1

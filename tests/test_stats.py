@@ -923,3 +923,20 @@ def test_kappa_extremes_and_exclusions(spark):
     assert got["p"].kappa == 1.0 and got["p"].n == 15
     assert got["anti"].kappa < 0
     assert "const" not in got
+
+
+def test_kappa_disjoint_categories(spark):
+    # raters with DISJOINT vocabularies: pe = 0, kappa = 0 (NOT dropped)
+    rows = [("d", "x", "y")] * 6 + [("d", "x", "z")] * 4
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    r = grouped_cohens_kappa(df, ["g"], "a", "b").collect()
+    assert len(r) == 1 and r[0].kappa == 0.0 and int(r[0].pe_num) == 0
+    # and the DuckDB twin agrees (left-join coalesce on both engines)
+    import duckdb
+    from btl_bloomfilter_spark.operators.stats import grouped_cohens_kappa_sql
+
+    con = duckdb.connect()
+    con.sql("CREATE VIEW t AS SELECT 'd' AS g, 'x' AS a, "
+            "CASE WHEN range < 6 THEN 'y' ELSE 'z' END AS b FROM range(10)")
+    w = con.sql(grouped_cohens_kappa_sql("t", "g", "a", "b")).fetchall()
+    assert len(w) == 1 and w[0][4] == 0.0 and w[0][3] == "0"
