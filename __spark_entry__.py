@@ -4943,6 +4943,103 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q156_mash_distance(spark, sf_dir):
+    """Mash distance (operators/dedup.mash_distance; Ondov et al.
+    2016 — the reference ecosystem's sketch-distance): MinHash
+    k-shingle Jaccard inverted into a per-token substitution-rate
+    estimate d = −ln(2j/(1+j))/k.  Self-validating plant: each doc
+    gets deterministic hash-mutated twins at rates 0/5/15% (pure
+    function of (doc, position) — engine-independent), and the gates
+    check the Mash identity d ≈ −ln(1−p) per rate: `within_tol` on
+    the per-rate MEAN (tolerance ≫ the analytic MinHash σ/√n),
+    rate-0 mean exactly 0, monotone in the rate.  no_oracle by
+    design (ln is transcendental).  Plan: signature kernel is the
+    shared zero-copy Arrow map; pairing is explicit (id, twin-id) —
+    no LSH needed for a planted design."""
+    import math
+
+    from btl_bloomfilter_spark.operators.dedup import mash_distance, minhash_signatures
+
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "text")
+        .where(F.size(F.split("text", " ")) >= 20)
+    )
+    RATES = ((1, 50), (2, 150))
+    variants = [docs.select(F.col("doc_id").alias("id"), "text")]
+    pair_rows = [docs.select(F.col("doc_id").alias("id_a"),
+                             (F.col("doc_id") + 1_000_000).alias("id_b"),
+                             F.lit(0).alias("rate_milli"))]
+    variants.append(docs.select((F.col("doc_id") + 1_000_000).alias("id"), "text"))
+    for code, pm in RATES:
+        off = 1_000_000 * (code + 1)
+        toks = F.split("text", " ")
+        mut = F.transform(
+            toks,
+            lambda x, i: F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.lit(f"q156-{pm}"),
+                                          F.col("doc_id").cast("string"),
+                                          i.cast("string"))),
+                        1, 15,
+                    ), 16, 10,
+                ).cast("long")
+                < F.lit(int((1 << 60) * pm / 1000)),
+                F.concat(x, F.lit("~")),
+            ).otherwise(x),
+        )
+        variants.append(
+            docs.select((F.col("doc_id") + off).alias("id"),
+                        F.array_join(mut, " ").alias("text"))
+        )
+        pair_rows.append(
+            docs.select(F.col("doc_id").alias("id_a"),
+                        (F.col("doc_id") + off).alias("id_b"),
+                        F.lit(pm).alias("rate_milli"))
+        )
+    allv = variants[0]
+    for v in variants[1:]:
+        allv = allv.unionByName(v)
+    pairs = pair_rows[0]
+    for p in pair_rows[1:]:
+        pairs = pairs.unionByName(p)
+    sigs = minhash_signatures(allv, "text", "id", num_perm=256, shingle_n=3)
+    d = mash_distance(sigs, pairs.select("id_a", "id_b"), shingle_n=3)
+    per_rate = (
+        d.join(pairs, ["id_a", "id_b"])
+        .groupBy("rate_milli")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.avg("mash_d").alias("mean_d"))
+    )
+    exp = F.when(F.col("rate_milli") == 0, F.lit(0.0)).otherwise(
+        -F.log(F.lit(1.0) - F.col("rate_milli") / F.lit(1000.0))
+    )
+    return per_rate.select(
+        "rate_milli", "n_pairs", "mean_d", exp.alias("expected_d"),
+        (F.abs(F.col("mean_d") - exp) < F.lit(0.02)).alias("within_tol"),
+    ).orderBy("rate_milli")
+
+
+def q155_changepoint(spark, sf_dir):
+    """Exact CUSUM changepoint localization
+    (operators/changepoint; Page 1954 / binary segmentation's first
+    split): per event_type, WHERE in the time-ordered value series
+    the mean shifted — argmax_i |n·P_i − i·T| on exact integers with
+    a deterministic min-position tie-break; the shift magnitude
+    max|D|/(n²·scale) is ONE division — hash-oracled including the
+    double.  Complements the drift kit (PSI q73, KS q144: DID it
+    shift) with localization.  Plan: per-group row-scale windows
+    (row_number + prefix sum + group max — grouped_spearman's
+    documented cost contract), argmax row recovered by a unique-key
+    self-join."""
+    from btl_bloomfilter_spark.operators.changepoint import changepoint
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return changepoint(ev, ["event_type"], "value", "ts", scale=100).orderBy(
+        "event_type"
+    )
+
+
 def q154_trailing_active(spark, sf_dir):
     """Exact trailing-window active users (operators/activity): for
     every week, distinct users active in the trailing 4 weeks — the
@@ -5906,6 +6003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q152_cohens_kappa": q152_cohens_kappa,
         "q153_retention": q153_retention,
         "q154_trailing_active": q154_trailing_active,
+        "q155_changepoint": q155_changepoint,
+        "q156_mash_distance": q156_mash_distance,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6395,6 +6494,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.functions import textstats as T
     from btl_bloomfilter_spark.functions import splits as _SPLITS
     from btl_bloomfilter_spark.operators import activity as _ACTIVITY
+    from btl_bloomfilter_spark.operators import changepoint as _CHANGEPOINT
     from btl_bloomfilter_spark.operators import evaltext as _EVALTEXT
     from btl_bloomfilter_spark.operators import funnel as _FUNNEL
     from btl_bloomfilter_spark.operators import retention as _RETENTION
@@ -6633,6 +6733,10 @@ def oracle_sql() -> dict[str, str]:
             "events", "user_id", "ts", window_periods=4, period_days=7
         )
         + " ORDER BY period",
+        "q155_changepoint": _CHANGEPOINT.changepoint_sql(
+            "events", "event_type", "value", "ts", scale=100
+        )
+        + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),

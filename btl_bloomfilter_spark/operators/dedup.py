@@ -938,3 +938,39 @@ def duplicate_groups(fp_df: DataFrame, group_col: str) -> DataFrame:
         F.count("*").over(w).alias("dup_group_size"),
         F.min(group_col).over(w).alias("keeper"),
     )
+
+
+def mash_distance(sig_df: DataFrame, pairs: DataFrame, *, shingle_n: int) -> DataFrame:
+    """Mash distance between signature pairs (Ondov et al., Genome
+    Biology 2016 — the genomics ecosystem btl_bloomfilter serves):
+    converts a MinHash Jaccard estimate j over k-shingles into an
+    estimate of the per-token substitution rate between two
+    documents,
+
+        d = -ln(2j / (1 + j)) / k        (d = 1 when j = 0)
+
+    via the Mash identity: under rate p each k-shingle survives with
+    probability s = (1-p)^k, the shared fraction satisfies
+    j = s/(2 - s), so d = -ln(s)/k = -ln(1-p) ≈ p.  Two documents'
+    "how much drifted" in ONE number with sketch-sized state — the
+    same j the dedup kit already computes, reinterpreted as an
+    evolutionary-style distance (pinned by a planted-mutation-rate
+    law test: d recovers the planted p).
+
+    ln makes d float-transcendental — no hash oracle; the q156 gate
+    columns validate against planted rates instead.  Output:
+    (id_a, id_b, est_jaccard, mash_d).
+
+    Scale shape: inherits minhash_jaccard_estimate's (two signature
+    joins + zip_with slot comparison, JVM-side); d is a row-local
+    projection on the pair-sized table.
+    """
+    if shingle_n < 1:
+        raise ValueError(f"shingle_n must be >= 1, got {shingle_n}")
+    j_df = minhash_jaccard_estimate(sig_df, pairs)
+    j = F.col("est_jaccard")
+    d = F.when(
+        j > 0,
+        -F.log(F.lit(2.0) * j / (F.lit(1.0) + j)) / F.lit(float(shingle_n)),
+    ).otherwise(F.lit(1.0))
+    return j_df.withColumn("mash_d", F.least(d, F.lit(1.0)))

@@ -689,3 +689,57 @@ def test_semantic_dedup_laws_and_planted(spark):
     for r in dropped.itertuples():
         assert r.dup_of in kept_ids
         assert float(vecs[r.vec_id] @ vecs[r.dup_of]) >= 0.95
+
+
+# ---------------------------------------------------------------------------
+# Mash distance
+# ---------------------------------------------------------------------------
+
+
+def test_mash_distance_recovers_planted_mutation_rate(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from btl_bloomfilter_spark.operators.dedup import mash_distance, minhash_signatures
+
+    rng = __import__("random").Random(156)
+    vocab = [f"w{i}" for i in range(5000)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(300))) for i in range(60)
+    ]
+    rows = []
+    for rate_code, p in ((0, 0.0), (1, 0.05), (2, 0.15)):
+        for i, text in docs:
+            toks = text.split(" ")
+            mut = [
+                (t + "~") if rng.random() < p else t for t in toks
+            ]
+            rows.append((i, text))
+            rows.append((100000 * (rate_code + 1) + i, " ".join(mut)))
+    df = spark.createDataFrame(set(rows), "id long, text string").toDF("id", "text")
+    sigs = minhash_signatures(df, "text", "id", num_perm=256, shingle_n=3)
+    pairs = spark.createDataFrame(
+        [(i, 100000 * (rc + 1) + i) for rc in (0, 1, 2) for i in range(60)],
+        "id_a long, id_b long",
+    )
+    out = mash_distance(sigs, pairs, shingle_n=3).withColumn(
+        "rate_code", (F.col("id_b") / 100000).cast("int") - 1
+    )
+    means = {
+        r.rate_code: r.m
+        for r in out.groupBy("rate_code").agg(F.avg("mash_d").alias("m")).collect()
+    }
+    assert means[0] == 0.0  # identical docs: every slot equal -> j=1 -> d=0
+    for rc, p in ((1, 0.05), (2, 0.15)):
+        expected = -math.log(1.0 - p)
+        assert abs(means[rc] - expected) < 0.012, (rc, means[rc], expected)
+    # monotone in the planted rate
+    assert means[0] < means[1] < means[2]
+    # j=0 edge: disjoint docs cap at d=1
+    dis = spark.createDataFrame(
+        [(1, "aa bb cc dd ee ff"), (2, "zz yy xx ww vv uu")], "id long, text string"
+    )
+    s2 = minhash_signatures(dis, "text", "id", num_perm=64, shingle_n=3)
+    p2 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert mash_distance(s2, p2, shingle_n=3).collect()[0].mash_d == 1.0
