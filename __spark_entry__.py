@@ -4943,6 +4943,24 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q157_topk_overlap(spark, sf_dir):
+    """Top-k ranking agreement (operators/fusion.topk_overlap): do
+    two ranking signals pick the same top-k items?  RRF's (q111)
+    measurement companion — here, per lang, the top-10 documents by
+    char count vs by whitespace count.  Deterministic (score DESC,
+    id ASC) tie-break makes the top-k SET well-defined in both
+    engines; overlap is exact, jaccard_k and agreement_k single
+    divisions — hash-oracled.  Plan: two per-group row_number windows
+    pruned to WindowGroupLimit, a (group, id) equi-join of two
+    k-sized sets, group-sized aggregate."""
+    from btl_bloomfilter_spark.operators.fusion import topk_overlap
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    nsp = F.length(F.col("text")) - F.length(F.regexp_replace("text", " ", ""))
+    base = docs.select("lang", "doc_id", F.col("n_chars").alias("sa"), nsp.alias("sb"))
+    return topk_overlap(base, ["lang"], "doc_id", "sa", "sb", k=10).orderBy("lang")
+
+
 def q156_mash_distance(spark, sf_dir):
     """Mash distance (operators/dedup.mash_distance; Ondov et al.
     2016 — the reference ecosystem's sketch-distance): MinHash
@@ -6005,6 +6023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q154_trailing_active": q154_trailing_active,
         "q155_changepoint": q155_changepoint,
         "q156_mash_distance": q156_mash_distance,
+        "q157_topk_overlap": q157_topk_overlap,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6497,6 +6516,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import changepoint as _CHANGEPOINT
     from btl_bloomfilter_spark.operators import evaltext as _EVALTEXT
     from btl_bloomfilter_spark.operators import funnel as _FUNNEL
+    from btl_bloomfilter_spark.operators import fusion as _FUSION
     from btl_bloomfilter_spark.operators import retention as _RETENTION
     from btl_bloomfilter_spark.operators import loghist as _LOGHIST
     from btl_bloomfilter_spark.operators import stats as _STATS
@@ -6737,6 +6757,12 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "value", "ts", scale=100
         )
         + " ORDER BY event_type",
+        "q157_topk_overlap": _FUSION.topk_overlap_sql(
+            "(SELECT lang, doc_id, n_chars AS sa, "
+            "length(text) - length(replace(text, ' ', '')) AS sb FROM documents)",
+            "lang", "doc_id", "sa", "sb", k=10,
+        )
+        + " ORDER BY lang",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),

@@ -130,3 +130,124 @@ def rrf_fuse_sql(
                row_number() OVER (ORDER BY rrf_nano DESC, {id_col} ASC) AS fused_rank
         FROM rrf_scored
     """
+
+
+def topk_overlap(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    score_a,
+    score_b,
+    *,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k agreement between two ranking signals — the retrieval-
+    eval companion to :func:`rrf_fuse` (which COMBINES systems, this
+    MEASURES how much they agree): per group, how many of system A's
+    top-k items are also in system B's top-k?
+
+    Deterministic and exact: each side ranks by (score DESC, id ASC)
+    — the id tie-break makes the top-k SET well-defined under ties in
+    both engines — then
+
+        overlap     = |topA ∩ topB|                (exact integer)
+        jaccard_k   = overlap / (2·k_eff − overlap)  (one division)
+        agreement_k = overlap / k_eff                (one division)
+
+    with k_eff = min(k, group size) so small groups aren't penalized
+    for not having k items.  Rows with NULL id or NULL in BOTH scores
+    are dropped; a NULL single score ranks LAST (nulls_last),
+    identically in both engines.  Fully hash-oracle-able.
+
+    Scale shape: two per-group row_number windows — Spark prunes them
+    to WindowGroupLimit (only ~k rows per group survive the window
+    exchange) — then a (group, id) equi-join of two k-sized sets and
+    a group-sized aggregate.
+    """
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sa = F.col(score_a) if isinstance(score_a, str) else score_a
+    sb = F.col(score_b) if isinstance(score_b, str) else score_b
+    base = df.where(
+        F.col(id_col).isNotNull() & (sa.isNotNull() | sb.isNotNull())
+    ).select(*group_cols, F.col(id_col).alias("__id"), sa.alias("__sa"), sb.alias("__sb"))
+    n_w = Window.partitionBy(*group_cols)
+
+    def side(score_name: str, alias: str):
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(score_name).desc_nulls_last(), F.col("__id").asc()
+        )
+        return (
+            base.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") <= k)
+            .select(*group_cols, F.col("__id").alias(alias))
+        )
+
+    ta = side("__sa", "__ida")
+    tb = side("__sb", "__idb")
+    inter = (
+        ta.join(tb, [*group_cols] + [], "inner")
+        .where(F.col("__ida") == F.col("__idb"))
+        .groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("__ov"))
+    )
+    sizes = base.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("__n"))
+    out = sizes.join(inter, group_cols, "left").withColumn(
+        "__ov", F.coalesce(F.col("__ov"), F.lit(0))
+    )
+    keff = F.least(F.lit(k), F.col("__n"))
+    return out.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        keff.cast("int").alias("k_eff"),
+        F.col("__ov").cast("long").alias("overlap"),
+        (
+            F.col("__ov").cast("double")
+            / (F.lit(2) * keff - F.col("__ov")).cast("double")
+        ).alias("jaccard_k"),
+        (F.col("__ov").cast("double") / keff.cast("double")).alias("agreement_k"),
+    )
+
+
+def topk_overlap_sql(
+    table: str, group: str, id_col: str, score_a: str, score_b: str, *, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`topk_overlap`."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    return f"""
+        WITH base AS (
+            SELECT {group} AS g, {id_col} AS id, {score_a} AS sa, {score_b} AS sb
+            FROM {table}
+            WHERE {id_col} IS NOT NULL
+              AND (({score_a}) IS NOT NULL OR ({score_b}) IS NOT NULL)
+        ),
+        ta AS (
+            SELECT g, id FROM (
+                SELECT g, id, row_number() OVER (
+                    PARTITION BY g ORDER BY sa DESC NULLS LAST, id ASC) AS r
+                FROM base) WHERE r <= {k}
+        ),
+        tb AS (
+            SELECT g, id FROM (
+                SELECT g, id, row_number() OVER (
+                    PARTITION BY g ORDER BY sb DESC NULLS LAST, id ASC) AS r
+                FROM base) WHERE r <= {k}
+        ),
+        inter AS (
+            SELECT ta.g, count(*)::bigint AS ov
+            FROM ta JOIN tb ON ta.g = tb.g AND ta.id = tb.id
+            GROUP BY ta.g
+        ),
+        sizes AS (SELECT g, count(*)::bigint AS n FROM base GROUP BY g)
+        SELECT sizes.g AS {group}, n,
+               CAST(least({k}, n) AS INT) AS k_eff,
+               coalesce(ov, 0) AS overlap,
+               CAST(coalesce(ov, 0) AS DOUBLE)
+                 / CAST(2 * least({k}, n) - coalesce(ov, 0) AS DOUBLE) AS jaccard_k,
+               CAST(coalesce(ov, 0) AS DOUBLE)
+                 / CAST(least({k}, n) AS DOUBLE) AS agreement_k
+        FROM sizes LEFT JOIN inter ON sizes.g = inter.g
+    """

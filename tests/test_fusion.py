@@ -81,3 +81,82 @@ def test_sql_twin_parity(spark):
     sql = rrf_fuse_sql([("a", vals(a_rows)), ("b", vals(b_rows))], "id", k=60)
     want = {tuple(t) for t in con.sql(sql).fetchall()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# top-k ranking overlap
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+from btl_bloomfilter_spark.operators.fusion import topk_overlap, topk_overlap_sql
+
+
+def _brute_topk(rows, k):
+    """rows: (g, id, sa, sb) — deterministic (score desc, id asc) top-k."""
+    out = {}
+    for g in {r[0] for r in rows}:
+        items = [r for r in rows if r[0] == g and r[1] is not None
+                 and (r[2] is not None or r[3] is not None)]
+        def top(idx):
+            key = lambda r: (-(r[idx] if r[idx] is not None else float("-inf")), r[1])
+            return {r[1] for r in sorted(items, key=key)[:k]}
+        n = len(items)
+        keff = min(k, n)
+        ov = len(top(2) & top(3))
+        out[g] = (n, keff, ov, ov / (2 * keff - ov), ov / keff)
+    return out
+
+
+def test_topk_overlap_matches_brute(spark):
+    rng = _random.Random(157)
+    rows = []
+    for g in ("agree", "anti"):
+        for i in range(60):
+            sa = rng.random()
+            sb = sa + rng.gauss(0, 0.05) if g == "agree" else -sa
+            rows.append((g, i, sa, sb))
+    df = spark.createDataFrame(rows, "g string, id long, sa double, sb double")
+    got = {r.g: r for r in topk_overlap(df, ["g"], "id", "sa", "sb", k=10).collect()}
+    want = _brute_topk(rows, 10)
+    for g, (n, keff, ov, jac, agr) in want.items():
+        r = got[g]
+        assert (r.n, r.k_eff, r.overlap) == (n, keff, ov)
+        assert r.jaccard_k == jac and r.agreement_k == agr
+    assert got["agree"].agreement_k > 0.6 > got["anti"].agreement_k
+
+
+def test_topk_overlap_edges(spark):
+    # identical scores -> full agreement; small group -> k_eff = n;
+    # ties broken by id identically on both sides
+    rows = [("s", i, 1.0, 1.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "g string, id long, sa double, sb double")
+    r = topk_overlap(df, ["g"], "id", "sa", "sb", k=10).collect()[0]
+    assert (r.k_eff, r.overlap, r.jaccard_k, r.agreement_k) == (4, 4, 1.0, 1.0)
+    # disjoint rankings with k < n and ZERO overlap -> left-join coalesce
+    rows2 = [("d", i, float(i), float(-i)) for i in range(30)]
+    df2 = spark.createDataFrame(rows2, "g string, id long, sa double, sb double")
+    r2 = topk_overlap(df2, ["g"], "id", "sa", "sb", k=5).collect()[0]
+    assert r2.overlap == 0 and r2.jaccard_k == 0.0
+
+
+def test_topk_overlap_duckdb_twin(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    rng = _random.Random(3)
+    rows = [(g, i, rng.random(), rng.random())
+            for g in ("x", "y", "z") for i in range(40)]
+    pdf = pd.DataFrame(rows, columns=["g", "id", "sa", "sb"])
+    p = str(tmp_path / "tk.parquet")
+    pdf.to_parquet(p)
+    got = (
+        topk_overlap(spark.read.parquet(p), ["g"], "id", "sa", "sb", k=7)
+        .orderBy("g").toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}')")
+    want = con.sql(topk_overlap_sql("t", "g", "id", "sa", "sb", k=7) + " ORDER BY g").df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    with pytest.raises(ValueError):
+        topk_overlap(spark.read.parquet(p), ["g"], "id", "sa", "sb", k=0)
