@@ -4943,6 +4943,58 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q158_token_wer(spark, sf_dir):
+    """Token-level edit distance / WER
+    (operators/evaltext.token_edit_stats): the sequence-order eval
+    companion to ROUGE (q150) — Wagner-Fischer over token sequences
+    in an Arrow kernel (numpy row vectorization, the horizontal chain
+    solved by one minimum.accumulate).  Genuinely non-SQL-expressible
+    (Spark's levenshtein is char-level, DuckDB's counts BYTES; no
+    fixed-width re-encoding preserves token distances) → rows-only
+    with an EXACT plant: each doc's twin gets deterministic
+    hash-substituted tokens, and substitution-only mutations make the
+    true distance EXACTLY the mutation count — gated per row
+    (`dist_exact`), plus wer = dist/ref_len consistency
+    (`wer_consistent`).  Plan: pure map, no shuffle; O(n·m) per pair
+    is the exact-edit-distance floor (banded variants live in
+    operators/editjoin)."""
+    from btl_bloomfilter_spark.operators.evaltext import token_edit_stats
+
+    docs = (
+        _load(spark, sf_dir, "documents")["documents"]
+        .select("doc_id", "text")
+        .where(F.size(F.split("text", " ")) >= 5)
+    )
+    toks = F.split("text", " ")
+    cond = lambda i: (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("q158"),
+                                  F.col("doc_id").cast("string"), i.cast("string"))),
+                1, 15,
+            ), 16, 10,
+        ).cast("long")
+        < F.lit(int((1 << 60) * 0.08))
+    )
+    mut = F.transform(toks, lambda x, i: F.when(cond(i), F.concat(x, F.lit("~"))).otherwise(x))
+    planted = F.size(F.filter(F.sequence(F.lit(0), F.size(toks) - 1), lambda i: cond(i)))
+    pairs = docs.select(
+        "doc_id",
+        F.array_join(mut, " ").alias("cand"),
+        F.col("text").alias("ref"),
+        planted.cast("long").alias("n_planted"),
+    )
+    out = token_edit_stats(pairs, ["doc_id", "n_planted"], "cand", "ref")
+    return out.select(
+        "doc_id", "n_planted", "cand_len", "ref_len", "edit_distance", "wer",
+        (F.col("edit_distance") == F.col("n_planted")).alias("dist_exact"),
+        (
+            F.col("wer")
+            == F.col("edit_distance").cast("double") / F.col("ref_len").cast("double")
+        ).alias("wer_consistent"),
+    ).orderBy("doc_id")
+
+
 def q157_topk_overlap(spark, sf_dir):
     """Top-k ranking agreement (operators/fusion.topk_overlap): do
     two ranking signals pick the same top-k items?  RRF's (q111)
@@ -6024,6 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q155_changepoint": q155_changepoint,
         "q156_mash_distance": q156_mash_distance,
         "q157_topk_overlap": q157_topk_overlap,
+        "q158_token_wer": q158_token_wer,
         "q146_stream_sessions": q146_stream_sessions,
     }
 

@@ -109,3 +109,86 @@ def test_contract_errors(spark):
         rouge_n(df, [], "cand", "ref")
     with pytest.raises(ValueError):
         rouge_n_sql("t", "id", "cand", "ref", n=0)
+
+
+# ---------------------------------------------------------------------------
+# token-level edit distance / WER
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.evaltext import token_edit_stats
+
+
+def _brute_lev(a, b):
+    n, m = len(a), len(b)
+    d = [[0] * (m + 1) for _ in range(n + 1)]
+    for i in range(n + 1):
+        d[i][0] = i
+    for j in range(m + 1):
+        d[0][j] = j
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            d[i][j] = min(
+                d[i - 1][j] + 1,
+                d[i][j - 1] + 1,
+                d[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+            )
+    return d[n][m]
+
+
+def test_token_edit_matches_brute(spark):
+    rng = random.Random(158)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    rows = []
+    for i in range(80):
+        c = " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 14)))
+        r = " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 14)))
+        rows.append((i, c, r))
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    got = {r.id: r for r in token_edit_stats(df, ["id"], "cand", "ref").collect()}
+    for i, c, r in rows:
+        a, b = c.split(), r.split()
+        row = got[i]
+        assert (row.cand_len, row.ref_len) == (len(a), len(b))
+        assert row.edit_distance == _brute_lev(a, b), (i, a, b)
+        assert row.wer == row.edit_distance / len(b)
+
+
+def test_token_edit_semantics(spark):
+    rows = [
+        (1, "x y z", "x y z"),          # identical -> 0
+        (2, "", "x y"),                  # empty cand -> dist = ref_len, wer = 1
+        (3, "x y", ""),                  # empty ref -> EXCLUDED (wer undefined)
+        (4, None, "x"),                  # NULL cand = empty
+        (5, "a\tb\x0bc", "a b c"),       # shared whitespace class
+        (6, "y x", "x y"),               # order matters (ROUGE-1 would say 1.0)
+    ]
+    df = spark.createDataFrame(rows, "id long, cand string, ref string")
+    got = {r.id: r for r in token_edit_stats(df, ["id"], "cand", "ref").collect()}
+    assert got[1].edit_distance == 0 and got[1].wer == 0.0
+    assert got[2].edit_distance == 2 and got[2].wer == 1.0
+    assert 3 not in got
+    assert got[4].edit_distance == 1
+    assert got[5].edit_distance == 0
+    assert got[6].edit_distance == 2 and got[6].wer == 1.0
+    with pytest.raises(ValueError):
+        token_edit_stats(df, [], "cand", "ref")
+
+
+def test_token_edit_planted_substitutions_exact(spark):
+    # substitution-only mutations: distance == mutation count EXACTLY
+    rng = random.Random(9)
+    rows = []
+    for i in range(40):
+        toks = [f"w{rng.randrange(50)}" for _ in range(60)]
+        k = rng.randrange(0, 12)
+        pos = rng.sample(range(60), k)
+        mut = list(toks)
+        for p in pos:
+            mut[p] = mut[p] + "~"
+        rows.append((i, " ".join(mut), " ".join(toks), k))
+    df = spark.createDataFrame(
+        [(i, c, r) for i, c, r, _ in rows], "id long, cand string, ref string"
+    )
+    got = {r.id: r.edit_distance for r in token_edit_stats(df, ["id"], "cand", "ref").collect()}
+    for i, _, _, k in rows:
+        assert got[i] == k

@@ -58,7 +58,8 @@ def test_rows_only_queries_run(spark, name):
     # self-validation columns must all hold when present
     for c in ("no_undercount", "within_bound", "within_eps", "no_false_negatives",
               "fpr_consistent", "roundtrip_ok", "deterministic_retrain", "compression_gt_1",
-              "recall_ok", "deterministic_refit", "code_width_ok", "order_invariant", "within_tol"):
+              "recall_ok", "deterministic_refit", "code_width_ok", "order_invariant", "within_tol",
+              "dist_exact", "wer_consistent"):
         if c in out.columns:
             assert out[c].all(), f"{name}.{c} violated:\n{out}"
     if name == "q108_blocked_bloom":
