@@ -1117,6 +1117,27 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             ev, "user_id", "ts", window_periods=4, period_days=7
         ).count()
 
+    def q_changepoint():
+        # per-group row-scale windows (the spearman cost contract) +
+        # a unique-key argmax join over the handful of max-tied rows
+        from btl_bloomfilter_spark.operators.changepoint import changepoint
+
+        return changepoint(ev, ["event_type"], "value", "ts", scale=100).count()
+
+    def q_topk_overlap():
+        # two WindowGroupLimit-pruned windows + a k-sized equi-join
+        from btl_bloomfilter_spark.operators.fusion import topk_overlap
+
+        nsp = F.length("text") - F.length(F.regexp_replace("text", " ", ""))
+        base = docs.select("lang", "doc_id", F.col("n_chars").alias("sa"), nsp.alias("sb"))
+        return topk_overlap(base, ["lang"], "doc_id", "sa", "sb", k=10).count()
+
+    def q_retention():
+        # one (user, period) distinct, user-keyed MIN, cell aggregate
+        from btl_bloomfilter_spark.operators.retention import retention_matrix
+
+        return retention_matrix(ev, "user_id", "ts", period_days=7).count()
+
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
         "transcript_bloom_probe": q_transcript_bloom_probe,
@@ -1193,6 +1214,9 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "rouge_bigrams_docs": q_rouge_bigrams,
         "funnel_report_events": q_funnel_report,
         "trailing_active_events": q_trailing_active,
+        "changepoint_events": q_changepoint,
+        "topk_overlap_docs": q_topk_overlap,
+        "retention_events": q_retention,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
