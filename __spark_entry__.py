@@ -4943,6 +4943,40 @@ def q146_stream_sessions(spark, sf_dir):
     )
 
 
+def q159_simpson_diversity(spark, sf_dir):
+    """Exact Simpson concentration / diversity
+    (operators/stats.grouped_simpson): source concentration per lang
+    over documents — hhi = Σc²/N² and the effective source count
+    N²/Σc², each ONE division of exact integers (hash-oracled
+    including both doubles).  The curation kit's diversity check: a
+    shard dominated by one source is a training-mix hazard the mean
+    stats don't show.  Plan: one map-side-combined (group, cat)
+    histogram, histogram-sized aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_simpson
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return grouped_simpson(docs, ["lang"], "source").orderBy("lang")
+
+
+def q160_autocorrelation(spark, sf_dir):
+    """Exact grouped lag-1 autocorrelation
+    (operators/stats.grouped_autocorr): is an event's value predicted
+    by the previous event's, per event_type — the persistence /
+    periodicity detector completing the time-series corner
+    (changepoint q155 finds level shifts; this finds serial
+    dependence).  Lag partner via lead() over the (ts, value) total
+    order, exact integer moments, the q103 num/sqrt/sqrt corr shape —
+    hash-oracled including the double.  Plan: one group-key shuffle,
+    one ordered row-scale window (spearman cost contract), one
+    six-number aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_autocorr
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return grouped_autocorr(
+        ev, ["event_type"], "value", "ts", lag=1, scale=100
+    ).orderBy("event_type")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6077,6 +6111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q156_mash_distance": q156_mash_distance,
         "q157_topk_overlap": q157_topk_overlap,
         "q158_token_wer": q158_token_wer,
+        "q159_simpson_diversity": q159_simpson_diversity,
+        "q160_autocorrelation": q160_autocorrelation,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6816,6 +6852,14 @@ def oracle_sql() -> dict[str, str]:
             "lang", "doc_id", "sa", "sb", k=10,
         )
         + " ORDER BY lang",
+        "q159_simpson_diversity": _STATS.grouped_simpson_sql(
+            "documents", "lang", "source"
+        )
+        + " ORDER BY lang",
+        "q160_autocorrelation": _STATS.grouped_autocorr_sql(
+            "events", "event_type", "value", "ts", lag=1, scale=100
+        )
+        + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),

@@ -1661,3 +1661,178 @@ def grouped_cohens_kappa_sql(table: str, group: str, a: str, b: str) -> str:
         FROM tot JOIN pe ON tot.g = pe.g
         WHERE N * N - pe <> 0
     """
+
+
+def grouped_simpson(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col,
+) -> DataFrame:
+    """Exact per-group Simpson concentration / diversity — how
+    concentrated is a categorical column (tools per conversation,
+    sources per lang, domains per shard)?  The curation kit's
+    diversity primitive: a shard dominated by one source scores
+    hhi → 1, a uniform mix over k categories scores 1/k.
+
+    All RATIONALS of exact integers: with category counts c_i and
+    N = Σ c_i,
+
+        hhi          = Σ c_i² / N²        (Herfindahl-Hirschman)
+        inv_simpson  = N² / Σ c_i²        (effective category count)
+
+    — Σ c_i² rides decimal(38,0)/hugeint, each output ONE division of
+    exactly-integer-valued doubles: hash-oracle-able.  NULL
+    categories are dropped; empty groups vanish naturally.
+
+    Scale shape: one map-side-combined (group, cat) histogram, one
+    histogram-sized aggregate.  Nothing row-shaped after the first
+    groupBy.
+    """
+    c = F.col(cat_col) if isinstance(cat_col, str) else cat_col
+    h = (
+        df.where(c.isNotNull())
+        .groupBy(*group_cols, c.alias("__c"))
+        .agg(F.count(F.lit(1)).cast(_D).alias("__n"))
+    )
+    agg = h.groupBy(*group_cols).agg(
+        F.sum("__n").alias("__N"),
+        F.sum(F.col("__n") * F.col("__n")).alias("__ss"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    n2 = F.col("__N") * F.col("__N")
+    return agg.select(
+        *group_cols,
+        F.col("__N").cast("long").alias("n"),
+        F.col("__k").cast("long").alias("n_cats"),
+        F.col("__ss").cast("string").alias("sum_sq"),
+        (F.col("__ss").cast("double") / n2.cast("double")).alias("hhi"),
+        (n2.cast("double") / F.col("__ss").cast("double")).alias("inv_simpson"),
+    )
+
+
+def grouped_simpson_sql(table: str, group: str, cat: str) -> str:
+    """DuckDB twin of :func:`grouped_simpson`."""
+    return f"""
+        WITH h AS (
+            SELECT {group} AS g, {cat} AS c, count(*)::hugeint AS n
+            FROM {table} WHERE ({cat}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        a AS (
+            SELECT g, sum(n) AS N, sum(n * n) AS ss, count(*)::bigint AS k
+            FROM h GROUP BY g
+        )
+        SELECT g AS {group}, CAST(N AS BIGINT) AS n, k AS n_cats,
+               ss::varchar AS sum_sq,
+               CAST(ss AS DOUBLE) / CAST(N * N AS DOUBLE) AS hhi,
+               CAST(N * N AS DOUBLE) / CAST(ss AS DOUBLE) AS inv_simpson
+        FROM a
+    """
+
+
+def grouped_autocorr(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    order_col: str,
+    *,
+    lag: int = 1,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact per-group lag-k autocorrelation — the periodicity /
+    persistence detector (is today's value predicted by yesterday's?
+    does a weekly cycle show at lag 7?), the time-series companion to
+    :func:`exact_comoments` (same fixed-point policy, same corr
+    expression shape, so the double is engine-identical).
+
+    Rows are totally ordered by (order, quantized value) — the
+    changepoint convention: permutations of fully-tied rows leave
+    every lagged pair multiset unchanged.  The lag-k partner comes
+    from ``lead(xq, k)`` over that order (no self-join); Pearson is
+    computed over the (x_i, x_{i+k}) pairs with exact integer
+    moments and the library's documented num/sqrt/sqrt shape.
+    Groups with fewer than 2 pairs or zero variance on either leg
+    are excluded.  Fully hash-oracle-able.
+
+    Scale shape: one shuffle on the group key, one ordered window
+    (row-scale — the spearman/changepoint cost contract), one
+    six-number aggregate.
+    """
+    from pyspark.sql import Window
+
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast("double")
+    base = df.where(
+        v.isNotNull() & ~F.isnan(v) & F.col(order_col).isNotNull()
+    ).select(
+        *group_cols,
+        F.col(order_col).alias("__o"),
+        F.floor(v * scale).cast("long").cast(_D).alias("__x"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__o", "__x")
+    p = base.withColumn("__y", F.lead("__x", lag).over(w)).where(
+        F.col("__y").isNotNull()
+    )
+    a = p.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_D).alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+    )
+    n, sx, sy = F.col("__n"), F.col("__sx"), F.col("__sy")
+    sxx, syy, sxy = F.col("__sxx"), F.col("__syy"), F.col("__sxy")
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    return a.where((n >= 2) & (dx > 0) & (dy > 0)).select(
+        *group_cols,
+        F.lit(lag).alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        sxy.cast("string").alias("sxy"),
+        (
+            num.cast("double") / F.sqrt(dx.cast("double")) / F.sqrt(dy.cast("double"))
+        ).alias("autocorr"),
+    )
+
+
+def grouped_autocorr_sql(
+    table: str, group: str, value: str, order: str, *, lag: int = 1, scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`grouped_autocorr` (identical ordering,
+    hugeint moments, the same num/sqrt/sqrt shape)."""
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    return f"""
+        WITH base AS (
+            SELECT {group} AS g, {order} AS o,
+                   CAST(floor(CAST({value} AS DOUBLE) * {scale}) AS BIGINT)::hugeint AS x
+            FROM {table}
+            WHERE ({value}) IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))
+              AND ({order}) IS NOT NULL
+        ),
+        p AS (
+            SELECT g, x,
+                   lead(x, {lag}) OVER (PARTITION BY g ORDER BY o, x) AS y
+            FROM base
+        ),
+        a AS (
+            SELECT g, count(*)::hugeint AS n,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+            FROM p WHERE y IS NOT NULL GROUP BY g
+        )
+        SELECT g AS {group}, {lag} AS lag, CAST(n AS BIGINT) AS n_pairs,
+               sxy::varchar AS sxy,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS autocorr
+        FROM a
+        WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """

@@ -940,3 +940,83 @@ def test_kappa_disjoint_categories(spark):
             "CASE WHEN range < 6 THEN 'y' ELSE 'z' END AS b FROM range(10)")
     w = con.sql(grouped_cohens_kappa_sql("t", "g", "a", "b")).fetchall()
     assert len(w) == 1 and w[0][4] == 0.0 and w[0][3] == "0"
+
+
+# ---------------------------------------------------------------------------
+# Simpson diversity + autocorrelation
+# ---------------------------------------------------------------------------
+
+from btl_bloomfilter_spark.operators.stats import grouped_autocorr, grouped_simpson
+
+
+def test_simpson_matches_brute_and_endpoints(spark):
+    rng = _random.Random(159)
+    rows = []
+    for g, cats in (("uniform", 8), ("skew", 3)):
+        for i in range(400):
+            c = f"c{i % cats}" if g == "uniform" else ("hot" if rng.random() < 0.9 else f"c{i % 3}")
+            rows.append((g, c))
+    rows += [("mono", "only")] * 7 + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, c string")
+    got = {r.g: r for r in grouped_simpson(df, ["g"], "c").collect()}
+    for g in ("uniform", "skew", "mono"):
+        items = [c for gg, c in rows if gg == g and c is not None]
+        n = len(items)
+        ss = sum(v * v for v in __import__("collections").Counter(items).values())
+        r = got[g]
+        assert (r.n, int(r.sum_sq)) == (n, ss)
+        assert r.hhi == ss / (n * n) and r.inv_simpson == (n * n) / ss
+    assert got["mono"].hhi == 1.0 and got["mono"].inv_simpson == 1.0
+    assert abs(got["uniform"].inv_simpson - 8.0) < 1e-9  # exactly uniform -> k
+    assert got["skew"].hhi > 0.7 > got["uniform"].hhi
+    assert "g" not in got  # only-NULL group vanishes
+
+
+def _brute_autocorr(rows, lag, scale):
+    q = sorted(((o, math.floor(v * scale)) for o, v in rows), key=lambda t: (t[0], t[1]))
+    xs = [x for _, x in q]
+    pairs = [(xs[i], xs[i + lag]) for i in range(len(xs) - lag)]
+    n = len(pairs)
+    sx = sum(x for x, _ in pairs); sy = sum(y for _, y in pairs)
+    sxx = sum(x * x for x, _ in pairs); syy = sum(y * y for _, y in pairs)
+    sxy = sum(x * y for x, y in pairs)
+    num, dx, dy = n * sxy - sx * sy, n * sxx - sx * sx, n * syy - sy * sy
+    if n < 2 or dx <= 0 or dy <= 0:
+        return None
+    return n, sxy, num / math.sqrt(dx) / math.sqrt(dy)
+
+
+def test_autocorr_matches_brute_and_detects_period(spark):
+    rng = _random.Random(160)
+    rows = []
+    series = {}
+    for g, period in (("weekly", 7), ("noise", 0)):
+        seq = []
+        for i in range(400):
+            base = 10.0 * (i % period == 0) if period else 0.0
+            seq.append((i, base + rng.gauss(0, 1)))
+        series[g] = seq
+        rows += [(g, o, v) for o, v in seq]
+    df = spark.createDataFrame(rows, "g string, o long, v double")
+    for lag in (1, 7):
+        got = {r.g: r for r in grouped_autocorr(df, ["g"], "v", "o", lag=lag, scale=1000).collect()}
+        for g in ("weekly", "noise"):
+            want = _brute_autocorr(series[g], lag, 1000)
+            n, sxy, ac = want
+            r = got[g]
+            assert (r.n_pairs, int(r.sxy), r.lag) == (n, sxy, lag)
+            assert r.autocorr == ac
+        if lag == 7:
+            assert got["weekly"].autocorr > 0.5 > abs(got["noise"].autocorr)
+
+
+def test_autocorr_exclusions_and_contracts(spark):
+    rows = [("flat", i, 5.0) for i in range(10)] + [("tiny", 0, 1.0), ("tiny", 1, 2.0)]
+    df = spark.createDataFrame(rows, "g string, o long, v double")
+    got = {r.g: r for r in grouped_autocorr(df, ["g"], "v", "o", lag=1).collect()}
+    assert "flat" not in got        # zero variance
+    assert "tiny" not in got        # a single pair: dx = 0
+    with pytest.raises(ValueError):
+        grouped_autocorr(df, ["g"], "v", "o", lag=0)
+    with pytest.raises(ValueError):
+        grouped_autocorr(df, ["g"], "v", "o", scale=0)
