@@ -5134,8 +5134,8 @@ def q155_changepoint(spark, sf_dir):
     double.  Complements the drift kit (PSI q73, KS q144: DID it
     shift) with localization.  Plan: per-group row-scale windows
     (row_number + prefix sum + group max — grouped_spearman's
-    documented cost contract), argmax row recovered by a unique-key
-    self-join."""
+    documented cost contract), argmax + order witness from one
+    struct-min aggregate."""
     from btl_bloomfilter_spark.operators.changepoint import changepoint
 
     ev = _load(spark, sf_dir, "events")["events"]

@@ -82,25 +82,24 @@ def changepoint(
         "__d", F.abs(F.col("__n") * F.col("__p") - F.col("__i") * F.col("__t"))
     ).where(F.col("__i") < F.col("__n"))
     c = c.withColumn("__dmax", F.max("__d").over(wa))
+    # min over struct(__i, __o) = lexicographic, and __i is unique per
+    # group, so ONE aggregate yields both the argmax index and its
+    # order witness — the earlier self-join re-evaluated the whole
+    # row-scale window subtree twice (review finding)
     best = (
         c.where(F.col("__d") == F.col("__dmax"))
         .groupBy(*group_cols)
         .agg(
-            F.min("__i").alias("__cp"),
+            F.min(F.struct(F.col("__i"), F.col("__o"))).alias("__best"),
             F.first("__n").alias("__n"),
             F.first("__dmax").alias("__dm"),
         )
     )
-    cp_row = c.select(*group_cols, "__i", "__o").join(
-        best.select(*group_cols, "__cp"),
-        [*group_cols],
-    ).where(F.col("__i") == F.col("__cp"))
-    out = best.join(cp_row.select(*group_cols, F.col("__o").alias("__cpo")), group_cols)
-    return out.where((F.col("__n") >= 2) & (F.col("__dm") > 0)).select(
+    return best.where((F.col("__n") >= 2) & (F.col("__dm") > 0)).select(
         *group_cols,
         F.col("__n").cast("long").alias("n"),
-        F.col("__cp").cast("long").alias("cp_index"),
-        F.col("__cpo").alias("cp_order"),
+        F.col("__best.__i").cast("long").alias("cp_index"),
+        F.col("__best.__o").alias("cp_order"),
         F.col("__dm").cast("string").alias("d_max"),
         (
             F.col("__dm").cast("double")
@@ -147,16 +146,17 @@ def changepoint_sql(
             SELECT g, max(dd) AS dm, any_value(n) AS n FROM d GROUP BY g
         ),
         best AS (
-            SELECT d.g, min(i) AS cp, any_value(m.dm) AS dm, any_value(m.n) AS n
+            SELECT d.g, min(i) AS cp, arg_min(o, i) AS cpo,
+                   any_value(m.dm) AS dm, any_value(m.n) AS n
             FROM d JOIN m ON d.g = m.g AND d.dd = m.dm
             GROUP BY d.g
         )
-        SELECT best.g AS {group}, CAST(best.n AS BIGINT) AS n,
+        SELECT g AS {group}, CAST(n AS BIGINT) AS n,
                CAST(cp AS BIGINT) AS cp_index,
-               d.o AS cp_order,
+               cpo AS cp_order,
                dm::varchar AS d_max,
                CAST(dm AS DOUBLE)
-                 / CAST(best.n::hugeint * best.n::hugeint * {scale}::hugeint AS DOUBLE) AS shift
-        FROM best JOIN d ON best.g = d.g AND d.i = best.cp
-        WHERE best.n >= 2 AND dm > 0
+                 / CAST(n::hugeint * n::hugeint * {scale}::hugeint AS DOUBLE) AS shift
+        FROM best
+        WHERE n >= 2 AND dm > 0
     """

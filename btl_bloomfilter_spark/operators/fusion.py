@@ -157,7 +157,10 @@ def topk_overlap(
     with k_eff = min(k, group size) so small groups aren't penalized
     for not having k items.  Rows with NULL id or NULL in BOTH scores
     are dropped; a NULL single score ranks LAST (nulls_last),
-    identically in both engines.  Fully hash-oracle-able.
+    identically in both engines.  Duplicate (group, id) rows are
+    canonicalized to their MAX score per side before ranking (the
+    deterministic choice; un-deduped input would otherwise fan out
+    the intersection join).  Fully hash-oracle-able.
 
     Scale shape: two per-group row_number windows — Spark prunes them
     to WindowGroupLimit (only ~k rows per group survive the window
@@ -170,10 +173,15 @@ def topk_overlap(
         raise ValueError(f"k must be >= 1, got {k}")
     sa = F.col(score_a) if isinstance(score_a, str) else score_a
     sb = F.col(score_b) if isinstance(score_b, str) else score_b
-    base = df.where(
-        F.col(id_col).isNotNull() & (sa.isNotNull() | sb.isNotNull())
-    ).select(*group_cols, F.col(id_col).alias("__id"), sa.alias("__sa"), sb.alias("__sb"))
-    n_w = Window.partitionBy(*group_cols)
+    # canonicalize duplicate (group, id) rows to their MAX score per
+    # side (deterministic in both engines) — un-deduped input would
+    # otherwise fan out the intersection join and push agreement_k
+    # past 1 / jaccard_k negative (review finding, pinned)
+    base = (
+        df.where(F.col(id_col).isNotNull() & (sa.isNotNull() | sb.isNotNull()))
+        .groupBy(*group_cols, F.col(id_col).alias("__id"))
+        .agg(F.max(sa).alias("__sa"), F.max(sb).alias("__sb"))
+    )
 
     def side(score_name: str, alias: str):
         w = Window.partitionBy(*group_cols).orderBy(
@@ -188,7 +196,7 @@ def topk_overlap(
     ta = side("__sa", "__ida")
     tb = side("__sb", "__idb")
     inter = (
-        ta.join(tb, [*group_cols] + [], "inner")
+        ta.join(tb, group_cols, "inner")
         .where(F.col("__ida") == F.col("__idb"))
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias("__ov"))
@@ -219,10 +227,12 @@ def topk_overlap_sql(
         raise ValueError(f"k must be >= 1, got {k}")
     return f"""
         WITH base AS (
-            SELECT {group} AS g, {id_col} AS id, {score_a} AS sa, {score_b} AS sb
+            SELECT {group} AS g, {id_col} AS id,
+                   max({score_a}) AS sa, max({score_b}) AS sb
             FROM {table}
             WHERE {id_col} IS NOT NULL
               AND (({score_a}) IS NOT NULL OR ({score_b}) IS NOT NULL)
+            GROUP BY 1, 2
         ),
         ta AS (
             SELECT g, id FROM (

@@ -160,3 +160,14 @@ def test_topk_overlap_duckdb_twin(spark, tmp_path):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
     with pytest.raises(ValueError):
         topk_overlap(spark.read.parquet(p), ["g"], "id", "sa", "sb", k=0)
+
+
+def test_topk_overlap_duplicate_ids_canonicalized(spark):
+    # un-deduped (group, id) rows: max-score canonicalization keeps
+    # agreement within [0, 1] (the join would otherwise fan out)
+    rows = [("g", i, float(i), float(i)) for i in range(10)] * 10
+    rows += [("g", 99, 100.0, 100.0)]
+    df = spark.createDataFrame(rows, "g string, id long, sa double, sb double")
+    r = topk_overlap(df, ["g"], "id", "sa", "sb", k=10).collect()[0]
+    assert r.n == 11 and r.overlap == 10 and r.agreement_k == 1.0
+    assert 0.0 <= r.jaccard_k <= 1.0
