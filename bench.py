@@ -1119,7 +1119,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
     def q_changepoint():
         # per-group row-scale windows (the spearman cost contract) +
-        # a unique-key argmax join over the handful of max-tied rows
+        # one struct-min aggregate over the handful of max-tied rows
         from btl_bloomfilter_spark.operators.changepoint import changepoint
 
         return changepoint(ev, ["event_type"], "value", "ts", scale=100).count()
@@ -1137,6 +1137,19 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         from btl_bloomfilter_spark.operators.retention import retention_matrix
 
         return retention_matrix(ev, "user_id", "ts", period_days=7).count()
+
+    def q_simpson_autocorr():
+        # simpson: (group, cat) histogram then a histogram-sized agg;
+        # autocorr: one group shuffle + ordered window + 6-number agg
+        from btl_bloomfilter_spark.operators.stats import (
+            grouped_autocorr,
+            grouped_simpson,
+        )
+
+        n = grouped_simpson(ev, ["event_type"], "user_id").count()
+        return n + grouped_autocorr(
+            ev, ["event_type"], "value", "ts", lag=1, scale=100
+        ).count()
 
     jobs = {
         "transcript_bloom_build": q_transcript_bloom_build,
@@ -1217,6 +1230,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "changepoint_events": q_changepoint,
         "topk_overlap_docs": q_topk_overlap,
         "retention_events": q_retention,
+        "simpson_autocorr_events": q_simpson_autocorr,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
