@@ -4977,6 +4977,31 @@ def q160_autocorrelation(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def q161_mann_kendall(spark, sf_dir):
+    """Exact Mann-Kendall trend test + Sen slope
+    (operators/trend; Mann 1945 / Kendall 1975 / Sen 1968): per
+    event_type, IS the value series trending over calendar days and
+    how steep — S exact off the value-compressed (day, value) cell
+    self-join (the q141 kendall machinery pointed at time), the
+    tie-corrected variance assembled from exact integer brackets in
+    a fixed three-division shape, z continuity-corrected, and Sen's
+    slope the weighted lower median of pair slopes (each ONE exact
+    division, median picked on integers) — hash-oracled including
+    all three doubles.  Completes the time-series kit: drift (DID it
+    shift), changepoint (WHERE), autocorr (does it persist), trend
+    (is it monotone + how steep).  Plan: one row-scale histogram
+    groupBy, then cell-scale join/windows (documented O(cells²)
+    contract)."""
+    from btl_bloomfilter_spark.operators.trend import mann_kendall
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    day = F.datediff(F.to_date(F.col("ts")), F.lit("2000-01-03").cast("date"))
+    base = ev.select("event_type", "value", day.cast("double").alias("day"))
+    return mann_kendall(
+        base, ["event_type"], "value", "day", scale=10, order_scale=1
+    ).orderBy("event_type")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6113,6 +6138,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q158_token_wer": q158_token_wer,
         "q159_simpson_diversity": q159_simpson_diversity,
         "q160_autocorrelation": q160_autocorrelation,
+        "q161_mann_kendall": q161_mann_kendall,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6609,6 +6635,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import retention as _RETENTION
     from btl_bloomfilter_spark.operators import loghist as _LOGHIST
     from btl_bloomfilter_spark.operators import stats as _STATS
+    from btl_bloomfilter_spark.operators import trend as _TREND
 
     G = T.gopher_quality_sql("text", min_words=50)
     P = T.pii_counts_sql("text")
@@ -6858,6 +6885,13 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY lang",
         "q160_autocorrelation": _STATS.grouped_autocorr_sql(
             "events", "event_type", "value", "ts", lag=1, scale=100
+        )
+        + " ORDER BY event_type",
+        "q161_mann_kendall": _TREND.mann_kendall_sql(
+            "(SELECT event_type, value, "
+            "datediff('day', DATE '2000-01-03', CAST(ts AS DATE)) AS day "
+            "FROM events)",
+            "event_type", "value", "day", scale=10, order_scale=1,
         )
         + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),

@@ -27,8 +27,10 @@ evidence), are excluded.
 Scale shape: per-group ROW-SCALE windows (row_number + prefix sum +
 group max), the same documented cost contract as grouped_spearman's
 rank windows — one shuffle on the group key, everything else
-window-local.  The argmax row is recovered by a self-join on the
-(group, i) unique key filtered to |D| = max — a few rows per group.
+window-local.  The argmax row (and its order witness) is recovered
+by ONE min-over-struct(i, order) aggregate over the few max-tied
+rows — i is unique per group, so the lexicographic min is the
+deterministic min-position tie-break.
 
 Overflow contract: |D_i| ≤ n·|T| ≈ n²·scale·max|x| must stay below
 1e38 (documented, loud under ANSI) — n to ~3e14 at scale=1e6,
