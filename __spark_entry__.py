@@ -5002,6 +5002,68 @@ def q161_mann_kendall(spark, sf_dir):
     ).orderBy("event_type")
 
 
+def _q162_base(spark, sf_dir):
+    """Deterministic graded-relevance ranking eval set over documents:
+    25 queries of ~20 docs (query = doc_id mod 25), ranking signal =
+    n_chars, graded relevance 2/1/0 from doc_id residues — the same
+    construction in both engines, so every metric hash-oracles."""
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    rel = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit(2))
+        .when(F.col("doc_id") % 3 == 0, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return docs.select(
+        (F.col("doc_id") % 25).alias("query_id"),
+        "doc_id",
+        F.col("n_chars").cast("double").alias("score"),
+        rel.alias("rel"),
+    )
+
+
+_Q162_SQL_BASE = (
+    "(SELECT doc_id % 25 AS query_id, doc_id, CAST(n_chars AS DOUBLE) AS score, "
+    "CASE WHEN doc_id % 7 = 0 THEN 2 WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS rel "
+    "FROM documents)"
+)
+
+
+def q162_ranking_metrics(spark, sf_dir):
+    """Exact per-query ranking eval (operators/ranking): MRR /
+    hit@k / NDCG@k against graded relevance — the metric side of the
+    retrieval kit (cosine/LSH/IVF/BM25 rank, RRF fuses, q157
+    compares rankings; this SCORES one against labels).  Ranks from
+    the deterministic (score DESC, id ASC) order; rr is ONE
+    division; DCG discounts are fixed-point integers
+    floor(10^15/log2(r+1)) injected identically into both engines,
+    so dcg/idcg are EXACT integers and ndcg ONE division —
+    hash-oracled including both doubles.  Plan: two per-query
+    row_number windows over one shuffle, query-sized aggregate."""
+    from btl_bloomfilter_spark.operators.ranking import ranking_metrics
+
+    return ranking_metrics(
+        _q162_base(spark, sf_dir), ["query_id"], "doc_id", "score", "rel", k=10
+    ).orderBy("query_id")
+
+
+def q163_ranking_summary(spark, sf_dir):
+    """Corpus ranking-eval rollup (operators/ranking.ranking_summary):
+    hit_rate@k, MRR and micro-NDCG per segment.  Mean-of-ratios is
+    float-order-dependent, so MRR sums EXACT 10^18-fixed-point
+    reciprocal ranks (bigint div, 0 for no-relevant queries) and
+    divides once, and NDCG is the MICRO average Σdcg/Σidcg of exact
+    integers — hash-oracled including all three doubles.  Plan: the
+    q162 window stage then a segment-sized reduce."""
+    from btl_bloomfilter_spark.operators.ranking import ranking_summary
+
+    base = _q162_base(spark, sf_dir).withColumn(
+        "segment", F.col("query_id") % 5
+    )
+    return ranking_summary(
+        base, ["segment"], ["segment", "query_id"], "doc_id", "score", "rel", k=10
+    ).orderBy("segment")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6139,6 +6201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q159_simpson_diversity": q159_simpson_diversity,
         "q160_autocorrelation": q160_autocorrelation,
         "q161_mann_kendall": q161_mann_kendall,
+        "q162_ranking_metrics": q162_ranking_metrics,
+        "q163_ranking_summary": q163_ranking_summary,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6636,6 +6700,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import loghist as _LOGHIST
     from btl_bloomfilter_spark.operators import stats as _STATS
     from btl_bloomfilter_spark.operators import trend as _TREND
+    from btl_bloomfilter_spark.operators import ranking as _RANKING
 
     G = T.gopher_quality_sql("text", min_words=50)
     P = T.pii_counts_sql("text")
@@ -6887,6 +6952,15 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "value", "ts", lag=1, scale=100
         )
         + " ORDER BY event_type",
+        "q162_ranking_metrics": _RANKING.ranking_metrics_sql(
+            _Q162_SQL_BASE, "query_id", "doc_id", "score", "rel", k=10
+        )
+        + " ORDER BY query_id",
+        "q163_ranking_summary": _RANKING.ranking_summary_sql(
+            _Q162_SQL_BASE, "query_id % 5", "segment",
+            "query_id", "doc_id", "score", "rel", k=10,
+        )
+        + " ORDER BY segment",
         "q161_mann_kendall": _TREND.mann_kendall_sql(
             "(SELECT event_type, value, "
             "datediff('day', DATE '2000-01-03', CAST(ts AS DATE)) AS day "
