@@ -5064,6 +5064,45 @@ def q163_ranking_summary(spark, sf_dir):
     ).orderBy("segment")
 
 
+def q164_proportion_ci(spark, sf_dir):
+    """Wilson score interval per event_type
+    (operators/stats.grouped_proportion_ci; Wilson 1927): the CI
+    around the high-value-event rate (value > 100) — the uncertainty
+    companion every rate in the kit lacks, valid at p̂ ∈ {0,1} where
+    Wald collapses.  x/n exact counts; z, z², z²/2, z²/4 injected as
+    identical literals; bounds assembled in ONE fixed shape of
+    correctly-rounded ops — hash-oracled including p_hat/ci_lo/ci_hi
+    doubles.  Plan: one map-side-combined two-number aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_proportion_ci
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return grouped_proportion_ci(
+        ev, ["event_type"], F.col("value") > 100
+    ).orderBy("event_type")
+
+
+def q165_bh_fdr(spark, sf_dir):
+    """Benjamini-Hochberg FDR over the per-group randomization-test
+    p-values (operators/stats.bh_adjust; BH JRSS-B 1995): running
+    one significance test PER event_type (q149) multiplies the false
+    positives — BH turns the exact p's into q-values controlling the
+    expected false-discovery rate.  The transform is deterministic
+    given identical inputs: rank order breaks p-ties on the group
+    key, p·m/rank is a fixed two-op shape, the running min is
+    order-insensitive — so the composition randomization_test ∘
+    bh_adjust hash-oracles end-to-end, doubles included.  Plan: the
+    q149 explode-into-partial-agg, then hypothesis-scale windows
+    (5 rows)."""
+    from btl_bloomfilter_spark.operators.stats import bh_adjust, randomization_test
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    tests = randomization_test(
+        ev, ["event_type"], "value", F.col("user_id") % 2 == 0, ["event_id"],
+        replicates=32, scale=100, seed=149,
+    )
+    return bh_adjust(tests, "p", ["event_type"]).orderBy("event_type")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6203,6 +6242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q161_mann_kendall": q161_mann_kendall,
         "q162_ranking_metrics": q162_ranking_metrics,
         "q163_ranking_summary": q163_ranking_summary,
+        "q164_proportion_ci": q164_proportion_ci,
+        "q165_bh_fdr": q165_bh_fdr,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6950,6 +6991,21 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY lang",
         "q160_autocorrelation": _STATS.grouped_autocorr_sql(
             "events", "event_type", "value", "ts", lag=1, scale=100
+        )
+        + " ORDER BY event_type",
+        "q164_proportion_ci": _STATS.grouped_proportion_ci_sql(
+            "events", "event_type", "(value > 100)"
+        )
+        + " ORDER BY event_type",
+        "q165_bh_fdr": _STATS.bh_adjust_sql(
+            "("
+            + _STATS.randomization_test_sql(
+                "events", "event_type", "value", "(user_id % 2 = 0)", "event_id",
+                replicates=32, scale=100, seed=149,
+            )
+            + ")",
+            "p",
+            ["event_type"],
         )
         + " ORDER BY event_type",
         "q162_ranking_metrics": _RANKING.ranking_metrics_sql(

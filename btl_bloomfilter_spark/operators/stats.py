@@ -1836,3 +1836,188 @@ def grouped_autocorr_sql(
         FROM a
         WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
     """
+
+
+# 95% two-sided normal quantile; repr() round-trips, so injecting it
+# as a literal parses to the SAME double in Spark, DuckDB and Python
+_Z95 = 1.959963984540054
+
+
+def grouped_proportion_ci(
+    df: DataFrame,
+    group_cols: list[str],
+    success_col,
+    *,
+    z: float = _Z95,
+) -> DataFrame:
+    """Exact-count Wilson score interval per group — the uncertainty
+    companion to every rate the kit reports (hit_rate, call_rate,
+    conversion, precision): how wide is the CI around x/n?  Wilson
+    (1927) rather than Wald: no zero-width collapse at p̂ ∈ {0, 1},
+    valid at small n.
+
+    Hash-oracle-able by the library's fixed-shape policy: x and n
+    are exact counts; z, z², z²/2 and z²/4 are computed ONCE
+    driver-side and injected as the same literals into both engines;
+    the bounds are assembled with one fixed expression shape
+
+        denom  = n + z²
+        center = (x + z²/2) / denom
+        half   = z · √(x·(n−x)/n + z²/4) / denom
+
+    — every op correctly rounded, so lo/hi/p_hat are
+    engine-identical doubles.  NULL successes are dropped (a row
+    that can't be judged isn't a trial); ``success_col`` is a
+    boolean or 0/1 expression.
+    """
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    s = s.cast("int")
+    base = df.where(s.isNotNull()).select(*group_cols, s.alias("__s"))
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__s").alias("__x")
+    )
+    z2 = z * z
+    xd = F.col("__x").cast("double")
+    nd = F.col("__n").cast("double")
+    denom = nd + F.lit(z2)
+    center = (xd + F.lit(z2 / 2.0)) / denom
+    half = F.lit(z) * F.sqrt(xd * (nd - xd) / nd + F.lit(z2 / 4.0)) / denom
+    return agg.select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        F.col("__x").alias("successes"),
+        (xd / nd).alias("p_hat"),
+        (center - half).alias("ci_lo"),
+        (center + half).alias("ci_hi"),
+    )
+
+
+def grouped_proportion_ci_sql(
+    table: str,
+    group: str,
+    success: str,
+    *,
+    z: float = _Z95,
+) -> str:
+    """DuckDB twin of :func:`grouped_proportion_ci` (identical
+    literals and expression shapes)."""
+    z2 = z * z
+    return f"""
+        WITH a AS (
+            SELECT {group} AS g, count(*) AS n,
+                   sum(CAST({success} AS INT)) AS x
+            FROM {table}
+            WHERE CAST({success} AS INT) IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT g AS {group}, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS successes,
+               CAST(x AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+               (CAST(x AS DOUBLE) + {z2 / 2.0!r}) / (CAST(n AS DOUBLE) + {z2!r})
+                 - {z!r} * sqrt(CAST(x AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                                  / CAST(n AS DOUBLE) + {z2 / 4.0!r})
+                     / (CAST(n AS DOUBLE) + {z2!r}) AS ci_lo,
+               (CAST(x AS DOUBLE) + {z2 / 2.0!r}) / (CAST(n AS DOUBLE) + {z2!r})
+                 + {z!r} * sqrt(CAST(x AS DOUBLE) * (CAST(n AS DOUBLE) - CAST(x AS DOUBLE))
+                                  / CAST(n AS DOUBLE) + {z2 / 4.0!r})
+                     / (CAST(n AS DOUBLE) + {z2!r}) AS ci_hi
+        FROM a
+    """
+
+
+def bh_adjust(
+    df: DataFrame,
+    p_col: str,
+    key_cols: list[str],
+    *,
+    family_cols: list[str] | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg FDR adjustment — the multiple-testing
+    correction the kit's per-group tests (Welch q145, KS q144,
+    randomization q149) need once you run one test PER GROUP: with
+    50 event types at α=0.05, ~2.5 spurious "significant" groups are
+    expected; BH (JRSS-B 1995) controls the expected false-discovery
+    RATE instead.
+
+    q_value_i = min(1, min_{j ≥ i} p_(j)·m/j) over the hypotheses
+    ranked by ascending p — a deterministic transform of the input
+    doubles: the rank order breaks p-ties by ``key_cols`` (total
+    order, engine-identical), p·m/j is two correctly-rounded ops in
+    a fixed shape, and the running min from the largest rank down is
+    order-insensitive.  Hash-oracle-able whenever the input p's are
+    (the kit's are — q143/q149 p's are single divisions of exact
+    integers).
+
+    ``family_cols`` partition the hypothesis families (m counts per
+    family); default one global family.  NULL/NaN p rows are
+    dropped.  This is a HYPOTHESIS-SCALE operator (one row per
+    already-aggregated test), not a row-scale one.
+    """
+    from pyspark.sql import Window
+
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty (deterministic p-tie break)")
+    fam = list(family_cols or [])
+    p = F.col(p_col).cast("double")
+    base = df.where(p.isNotNull() & ~F.isnan(p)).select(
+        *fam, *key_cols, p.alias("__p")
+    )
+    wf = Window.partitionBy(*fam) if fam else Window.partitionBy()
+    wo = wf.orderBy(F.col("__p").asc(), *[F.col(c).asc() for c in key_cols])
+    ranked = base.withColumn("__r", F.row_number().over(wo)).withColumn(
+        "__m", F.count(F.lit(1)).over(wf)
+    )
+    raw = (F.col("__p") * F.col("__m").cast("double")) / F.col("__r").cast("double")
+    wdesc = wf.orderBy(F.col("__r").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        ranked.withColumn("__raw", raw)
+        .withColumn("__q", F.least(F.lit(1.0), F.min("__raw").over(wdesc)))
+        .select(
+            *fam,
+            *key_cols,
+            F.col("__p").alias("p"),
+            F.col("__r").cast("long").alias("p_rank"),
+            F.col("__m").cast("long").alias("m"),
+            F.col("__q").alias("q_value"),
+        )
+    )
+
+
+def bh_adjust_sql(
+    table: str,
+    p: str,
+    keys: list[str],
+    *,
+    family: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`bh_adjust` (identical rank order, raw
+    shape and running min).  ``keys`` are output column names present
+    in ``table``; ``family`` an optional single family expression."""
+    if not keys:
+        raise ValueError("keys must be non-empty (deterministic p-tie break)")
+    fam_sel = f"{family} AS fam, " if family else ""
+    fam_out = "fam, " if family else ""
+    part = "PARTITION BY fam " if family else ""
+    key_list = ", ".join(keys)
+    key_order = ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+        WITH base AS (
+            SELECT {fam_sel}{key_list}, CAST({p} AS DOUBLE) AS p
+            FROM {table}
+            WHERE ({p}) IS NOT NULL AND NOT isnan(CAST({p} AS DOUBLE))
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER ({part}ORDER BY p ASC, {key_order}) AS r,
+                   count(*) OVER ({part.rstrip() if part else ""}) AS m
+            FROM base
+        )
+        SELECT {fam_out}{key_list}, p, CAST(r AS BIGINT) AS p_rank,
+               CAST(m AS BIGINT) AS m,
+               least(CAST(1 AS DOUBLE),
+                     min(p * CAST(m AS DOUBLE) / CAST(r AS DOUBLE))
+                       OVER ({part}ORDER BY r DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_value
+        FROM ranked
+    """
