@@ -5103,6 +5103,28 @@ def q165_bh_fdr(spark, sf_dir):
     return bh_adjust(tests, "p", ["event_type"]).orderBy("event_type")
 
 
+def q166_trimmed_mean(spark, sf_dir):
+    """Exact trimmed + winsorized mean per l_returnflag
+    (operators/robust.grouped_trimmed_mean): the robust location
+    estimators between the mean and the median — drop/clamp the
+    k = ⌊n·trim/1000⌋ extreme cents-quantized prices per side, all
+    selection in pure integer arithmetic off the value histogram
+    (inc = rank-window intersection per cell, clamp values via the
+    grouped_quantiles crossing construction), both means ONE
+    division of exact integers — hash-oracled including both
+    doubles.  Plan: the q113 shape — histogram shuffle bounded by
+    distinct cents values, one cumulative window, group-sized
+    aggregate."""
+    from btl_bloomfilter_spark.operators.robust import grouped_trimmed_mean
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].selectExpr(
+        "l_returnflag", "CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents"
+    )
+    return grouped_trimmed_mean(
+        li, ["l_returnflag"], "price_cents", trim_milli=50
+    ).orderBy("l_returnflag")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6244,6 +6266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q163_ranking_summary": q163_ranking_summary,
         "q164_proportion_ci": q164_proportion_ci,
         "q165_bh_fdr": q165_bh_fdr,
+        "q166_trimmed_mean": q166_trimmed_mean,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6742,6 +6765,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import stats as _STATS
     from btl_bloomfilter_spark.operators import trend as _TREND
     from btl_bloomfilter_spark.operators import ranking as _RANKING
+    from btl_bloomfilter_spark.operators import robust as _ROBUST
 
     G = T.gopher_quality_sql("text", min_words=50)
     P = T.pii_counts_sql("text")
@@ -6993,6 +7017,11 @@ def oracle_sql() -> dict[str, str]:
             "events", "event_type", "value", "ts", lag=1, scale=100
         )
         + " ORDER BY event_type",
+        "q166_trimmed_mean": _ROBUST.grouped_trimmed_mean_sql(
+            "lineitem", "l_returnflag",
+            "CAST(floor(l_extendedprice * 100) AS BIGINT)", trim_milli=50,
+        )
+        + " ORDER BY l_returnflag",
         "q164_proportion_ci": _STATS.grouped_proportion_ci_sql(
             "events", "event_type", "(value > 100)"
         )

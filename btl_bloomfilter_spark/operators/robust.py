@@ -44,6 +44,8 @@ __all__ = [
     "grouped_median_mad_sql",
     "grouped_quantiles",
     "grouped_quantiles_sql",
+    "grouped_trimmed_mean",
+    "grouped_trimmed_mean_sql",
 ]
 
 # rank of the lower median: ceil(n/2) == floor((n+1)/2).  INTEGER
@@ -247,3 +249,121 @@ def grouped_median_mad_sql(table: str, group: str, value_expr: str) -> str:
                CAST(med.med AS BIGINT) AS med, CAST(mad.mad AS BIGINT) AS mad
         FROM med JOIN mad ON med.{group} = mad.{group}
     )"""
+
+
+def grouped_trimmed_mean(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    *,
+    trim_milli: int = 50,
+) -> DataFrame:
+    """Exact per-group trimmed AND winsorized mean — the robust
+    location estimators between the mean (efficient, fragile) and the
+    median (robust, throws away 50%): drop (trimmed) or clamp
+    (winsorized) the lowest/highest k = ⌊n·trim_milli/1000⌋ rows.
+
+    All selection is INTEGER arithmetic off the value histogram — k
+    by integer division, the per-cell included multiplicity
+
+        inc = max(0, min(cum, n−k) − max(cum−cnt, k))
+
+    (the cell covers ranks (cum−cnt, cum]; intersect with the kept
+    rank window (k, n−k]), the winsor clamp values are the rank-(k+1)
+    and rank-(n−k) elements (min v with cum ≥ rank — the
+    grouped_quantiles crossing construction) — so both means are ONE
+    division of exact decimal(38,0)/hugeint integers and
+    hash-oracle-able.  ``value_col`` must already be
+    integer-quantized (module convention: quantize ONCE at the edge);
+    NULL values are dropped.  ``trim_milli`` ∈ [0, 500): k < n/2 so
+    n − 2k ≥ 1 always — no empty-core division.
+
+    Returns (group…, n, k, lo_clamp, hi_clamp, trimmed_mean,
+    winsor_mean).  trim_milli = 0 degenerates both to the exact mean
+    (pinned law).
+
+    Scale shape: grouped_median_mad's — ONE histogram shuffle bounded
+    by distinct values, one cumulative window, one group-sized
+    aggregate.
+    """
+    if not 0 <= trim_milli < 500:
+        raise ValueError(f"trim_milli must be in [0, 500), got {trim_milli}")
+    src = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols, F.col(value_col).cast("long").alias("v")
+    )
+    hist = src.groupBy(*group_cols, "v").agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy(*group_cols).orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy(*group_cols)
+    h = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn("k", F.expr(f"(n * {int(trim_milli)}) DIV 1000"))
+    )
+    inc = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cum") - F.col("cnt"), F.col("k")),
+    )
+    d = "decimal(38,0)"
+    agg = h.groupBy(*group_cols).agg(
+        F.first("n").alias("n"),
+        F.first("k").alias("k"),
+        F.sum(F.col("v").cast(d) * inc.cast(d)).alias("tsum"),
+        F.min(F.when(F.col("cum") >= F.col("k") + 1, F.col("v"))).alias("lo"),
+        F.min(F.when(F.col("cum") >= F.col("n") - F.col("k"), F.col("v"))).alias("hi"),
+    )
+    kd = F.col("k").cast(d)
+    wsum = F.col("tsum") + kd * F.col("lo").cast(d) + kd * F.col("hi").cast(d)
+    return agg.select(
+        *group_cols,
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.col("lo").alias("lo_clamp"),
+        F.col("hi").alias("hi_clamp"),
+        (
+            F.col("tsum").cast("double")
+            / (F.col("n") - F.lit(2) * F.col("k")).cast("double")
+        ).alias("trimmed_mean"),
+        (wsum.cast("double") / F.col("n").cast("double")).alias("winsor_mean"),
+    )
+
+
+def grouped_trimmed_mean_sql(
+    table: str, group: str, value_expr: str, *, trim_milli: int = 50
+) -> str:
+    """DuckDB twin of :func:`grouped_trimmed_mean` (hugeint sums,
+    identical integer selection).  ``value_expr`` must produce the
+    SAME integer quantization used on the Spark side."""
+    if not 0 <= trim_milli < 500:
+        raise ValueError(f"trim_milli must be in [0, 500), got {trim_milli}")
+    return f"""
+        WITH hist AS (
+            SELECT {group} AS g, {value_expr} AS v, count(*)::hugeint AS cnt
+            FROM {table} WHERE {value_expr} IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        h AS (
+            SELECT g, v, cnt,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY g) AS n
+            FROM hist
+        ),
+        hk AS (SELECT *, (n * {int(trim_milli)}::hugeint) // 1000 AS k FROM h),
+        agg AS (
+            SELECT g, min(n) AS n, min(k) AS k,
+                   sum(v::hugeint * greatest(0::hugeint,
+                       least(cum, n - k) - greatest(cum - cnt, k))) AS tsum,
+                   min(CASE WHEN cum >= k + 1 THEN v END) AS lo,
+                   min(CASE WHEN cum >= n - k THEN v END) AS hi
+            FROM hk GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               CAST(lo AS BIGINT) AS lo_clamp, CAST(hi AS BIGINT) AS hi_clamp,
+               CAST(tsum AS DOUBLE) / CAST(n - 2 * k AS DOUBLE) AS trimmed_mean,
+               CAST(tsum + k * lo::hugeint + k * hi::hugeint AS DOUBLE)
+                 / CAST(n AS DOUBLE) AS winsor_mean
+        FROM agg
+    """

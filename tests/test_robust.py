@@ -172,3 +172,96 @@ def test_outlier_plan_broadcasts_stats(spark):
     assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan.split(
         "BroadcastHashJoin"
     )[0]
+
+
+def test_trimmed_mean_matches_brute(spark):
+    import random
+
+    from btl_bloomfilter_spark.operators.robust import (
+        grouped_trimmed_mean,
+        grouped_trimmed_mean_sql,
+    )
+
+    rng = random.Random(166)
+
+    def brute(vals, tm):
+        s = sorted(vals)
+        n = len(s)
+        k = n * tm // 1000
+        core = s[k : n - k]
+        lo, hi = s[k], s[n - k - 1]
+        trimmed = float(sum(core)) / float(n - 2 * k)
+        winsor = float(sum(core) + k * lo + k * hi) / float(n)
+        return n, k, lo, hi, trimmed, winsor
+
+    rows, truth = [], {}
+    for g in range(6):
+        vals = [rng.randrange(-50, 1000) for _ in range(rng.randrange(3, 200))]
+        # heavy ties on purpose
+        vals += [7] * rng.randrange(0, 30)
+        rows += [(str(g), v) for v in vals]
+        truth[str(g)] = brute(vals, 100)
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r.g: r for r in grouped_trimmed_mean(df, ["g"], "v", trim_milli=100).collect()
+    }
+    for g, (n, k, lo, hi, tr, wi) in truth.items():
+        r = got[g]
+        assert (r.n, r.k, r.lo_clamp, r.hi_clamp) == (n, k, lo, hi)
+        assert r.trimmed_mean == tr and r.winsor_mean == wi
+    # trim 0 degenerates to the exact mean
+    r0 = {
+        r.g: r for r in grouped_trimmed_mean(df, ["g"], "v", trim_milli=0).collect()
+    }
+    for g in truth:
+        vals = [v for gg, v in rows if gg == g]
+        mean = float(sum(vals)) / float(len(vals))
+        assert r0[g].trimmed_mean == mean and r0[g].winsor_mean == mean
+    # robustness: one absurd outlier barely moves the trimmed mean
+    clean = [float(i % 10) for i in range(100)]
+    df2 = spark.createDataFrame(
+        [("c", int(v)) for v in clean] + [("c", 10**9)], "g string, v long"
+    )
+    r = grouped_trimmed_mean(df2, ["g"], "v", trim_milli=50).collect()[0]
+    assert abs(r.trimmed_mean - 4.5) < 0.5
+    assert r.hi_clamp <= 9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_trimmed_mean(df, ["g"], "v", trim_milli=500)
+    with pytest.raises(ValueError):
+        grouped_trimmed_mean_sql("t", "g", "v", trim_milli=-1)
+
+
+def test_trimmed_mean_duckdb_twin(spark, tmp_path):
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from btl_bloomfilter_spark.operators.robust import (
+        grouped_trimmed_mean,
+        grouped_trimmed_mean_sql,
+    )
+
+    rng = random.Random(3)
+    pdf = pd.DataFrame(
+        {
+            "g": [f"g{i % 5}" for i in range(400)],
+            "v": [rng.randrange(-100, 10000) for _ in range(400)],
+        }
+    )
+    p = str(tmp_path / "tm.parquet")
+    pdf.to_parquet(p)
+    got = (
+        grouped_trimmed_mean(spark.read.parquet(p), ["g"], "v", trim_milli=50)
+        .orderBy("g")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW t AS SELECT * FROM read_parquet('{p}')")
+    want = con.sql(
+        grouped_trimmed_mean_sql("t", "g", "v", trim_milli=50) + " ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
