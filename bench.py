@@ -1138,6 +1138,48 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return retention_matrix(ev, "user_id", "ts", period_days=7).count()
 
+    def q_mann_kendall():
+        # histogram groupBy then cell-scale self-join: value pre-divided
+        # to ~25 buckets so cells/group stay ~day_count x 25 at any sf
+        from btl_bloomfilter_spark.operators.trend import mann_kendall
+
+        day = F.datediff(F.to_date(F.col("ts")), F.lit("2000-01-03").cast("date"))
+        base = ev.select(
+            "event_type", (F.col("value") / 20.0).alias("v"), day.cast("double").alias("day")
+        )
+        return mann_kendall(base, ["event_type"], "v", "day", scale=1).count()
+
+    def q_ranking_eval():
+        # two per-query windows + query-sized aggregate, then the
+        # segment reduce
+        from btl_bloomfilter_spark.operators.ranking import ranking_summary
+
+        rel = (
+            F.when(F.col("doc_id") % 7 == 0, F.lit(2))
+            .when(F.col("doc_id") % 3 == 0, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+        base = docs.select(
+            (F.col("doc_id") % 200).alias("q"),
+            "doc_id",
+            F.col("n_chars").cast("double").alias("s"),
+            rel.alias("rel"),
+            (F.col("doc_id") % 5).alias("seg"),
+        )
+        return ranking_summary(
+            base, ["seg"], ["seg", "q"], "doc_id", "s", "rel", k=10
+        ).count()
+
+    def q_trimmed_mean():
+        # histogram shuffle bounded by distinct cents values, one
+        # cumulative window, group-sized aggregate
+        from btl_bloomfilter_spark.operators.robust import grouped_trimmed_mean
+
+        src = ev.selectExpr(
+            "event_type", "CAST(floor(value * 100) AS BIGINT) AS vc"
+        )
+        return grouped_trimmed_mean(src, ["event_type"], "vc", trim_milli=50).count()
+
     def q_simpson_autocorr():
         # simpson: (group, cat) histogram then a histogram-sized agg;
         # autocorr: one group shuffle + ordered window + 6-number agg
@@ -1231,6 +1273,9 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "topk_overlap_docs": q_topk_overlap,
         "retention_events": q_retention,
         "simpson_autocorr_events": q_simpson_autocorr,
+        "mann_kendall_events": q_mann_kendall,
+        "ranking_eval_docs": q_ranking_eval,
+        "trimmed_mean_events": q_trimmed_mean,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
