@@ -5125,6 +5125,34 @@ def q166_trimmed_mean(spark, sf_dir):
     ).orderBy("l_returnflag")
 
 
+def q167_isotonic_calibration(spark, sf_dir):
+    """Exact isotonic (PAV) calibration curve
+    (operators/isotonic; Zadrozny-Elkan KDD'02, minimax identity
+    Barlow 1972): q138 DIAGNOSES miscalibration, this FIXES it — the
+    monotone score→probability map, computed via the closed form
+    fit(p) = max_{i≤p} min_{j≥p} mean(i..j) over score cells: every
+    interval mean is ONE division of exact prefix-sum integers, the
+    running min / final max act on engine-identical doubles, so the
+    whole fitted curve hash-oracles.  Uses the q138 dyadic
+    calibrated-by-construction score/label (so PAV mostly smooths
+    sampling noise — dips pool with neighbors).  Plan: one row-scale
+    histogram groupBy, then cell-scale pair join (O(cells²)
+    contract, 21 cells here), one window, one aggregate."""
+    from btl_bloomfilter_spark.operators.isotonic import isotonic_calibration
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    M = 1 << 20
+    a = (F.col("event_id") % M) * F.lit(2654435761) % M
+    b = (F.col("user_id") % M) * F.lit(40503) % M
+    return isotonic_calibration(
+        ev,
+        ["event_type"],
+        a.cast("double") / F.lit(float(M)),
+        ((a + b) >= M).cast("long"),
+        micro=20,
+    ).orderBy("event_type", "score_q")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -5683,6 +5711,24 @@ def _q138_oracle_sql() -> str:
             n_bins=10,
         )
         + " ORDER BY event_type, bin"
+    )
+
+
+def _q167_oracle_sql() -> str:
+    from btl_bloomfilter_spark.operators import isotonic as _ISO
+
+    M = 1 << 20
+    a = f"(((event_id % {M}) * 2654435761) % {M})"
+    b = f"(((user_id % {M}) * 40503) % {M})"
+    return (
+        _ISO.isotonic_calibration_sql(
+            "events",
+            "event_type",
+            f"(CAST({a} AS DOUBLE) / {float(M)})",
+            f"CAST(({a} + {b}) >= {M} AS BIGINT)",
+            micro=20,
+        )
+        + " ORDER BY event_type, score_q"
     )
 
 
@@ -6267,6 +6313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q164_proportion_ci": q164_proportion_ci,
         "q165_bh_fdr": q165_bh_fdr,
         "q166_trimmed_mean": q166_trimmed_mean,
+        "q167_isotonic_calibration": q167_isotonic_calibration,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7054,6 +7101,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),
+        "q167_isotonic_calibration": _q167_oracle_sql(),
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),
         "q141_grouped_kendall": _STATS.grouped_kendall_sql(
