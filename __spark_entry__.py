@@ -5153,6 +5153,38 @@ def q167_isotonic_calibration(spark, sf_dir):
     ).orderBy("event_type", "score_q")
 
 
+def q168_fleiss_kappa(spark, sf_dir):
+    """Exact Fleiss' kappa per lang
+    (operators/stats.fleiss_kappa; Fleiss 1971): multi-rater
+    agreement beyond q152's two-rater Cohen — the QA metric for
+    consensus labeling panels.  A deterministic 3-rater panel over
+    documents (explode ×3; each rater picks the doc's true class at
+    a planted 70% rate, a rater-shifted class otherwise — the same
+    integer construction in both engines), κ from the
+    denominator-clearing identity (S1·M² − S2·M(n−1)) /
+    (M(n−1)(M² − S2)) — ONE division of exact integers, hash-oracled
+    including the double.  Plan: one map-side-combined
+    (group, item, cat) count, then item- and category-sized
+    aggregates."""
+    from btl_bloomfilter_spark.operators.stats import fleiss_kappa
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    r = F.explode(F.array([F.lit(i) for i in range(3)])).alias("r")
+    panel = docs.select("lang", "doc_id", r).select(
+        "lang",
+        "doc_id",
+        F.when(
+            (F.col("doc_id") * 2654435761 + F.col("r") * 40503) % 100 < 70,
+            F.col("doc_id") % 4,
+        )
+        .otherwise((F.col("doc_id") + F.col("r")) % 4)
+        .alias("cat"),
+    )
+    return fleiss_kappa(panel, ["lang"], "doc_id", "cat", n_raters=3).orderBy(
+        "lang"
+    )
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6314,6 +6346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q165_bh_fdr": q165_bh_fdr,
         "q166_trimmed_mean": q166_trimmed_mean,
         "q167_isotonic_calibration": q167_isotonic_calibration,
+        "q168_fleiss_kappa": q168_fleiss_kappa,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7102,6 +7135,13 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q167_isotonic_calibration": _q167_oracle_sql(),
+        "q168_fleiss_kappa": _STATS.fleiss_kappa_sql(
+            "(SELECT lang, doc_id, CASE WHEN (doc_id * 2654435761 + r * 40503) % 100 < 70 "
+            "THEN doc_id % 4 ELSE (doc_id + r) % 4 END AS cat "
+            "FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS r))",
+            "lang", "doc_id", "cat", n_raters=3,
+        )
+        + " ORDER BY lang",
         "q139_link_prediction": _q139_oracle_sql(),
         "q140_degree_assortativity": _q140_oracle_sql(),
         "q141_grouped_kendall": _STATS.grouped_kendall_sql(

@@ -2021,3 +2021,142 @@ def bh_adjust_sql(
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS q_value
         FROM ranked
     """
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    cat_col,
+    *,
+    n_raters: int,
+) -> DataFrame:
+    """Exact per-group Fleiss' kappa — multi-rater agreement beyond
+    Cohen's two raters (:func:`grouped_kappa`, q152): the QA metric
+    for consensus labeling (N items × n raters each picking a
+    category; Fleiss, Psych. Bull. 1971).
+
+    Input: one row per RATING (group…, item, category).  Items with
+    a rating count ≠ ``n_raters`` are EXCLUDED (Fleiss requires
+    equal panels; the count is reported so silent exclusion is
+    visible), NULL categories dropped first.
+
+    Everything is exact by the denominator-clearing identity: with
+    per-item-category counts c_ij, S1 = Σ_i(Σ_j c_ij² − n),
+    category totals C_j and S2 = Σ_j C_j², and M = N·n,
+
+        P̄  = S1 / (M(n−1)),   P̄e = S2 / M²,
+        κ   = (S1·M² − S2·M(n−1)) / (M(n−1)·(M² − S2))
+
+    — ONE division of exact decimal(38,0)/hugeint integers, so κ
+    hash-oracles.  Groups where every rating lands in one category
+    (M² = S2: agreement is vacuous, κ undefined — 0/0) are excluded,
+    mirroring grouped_kappa's degenerate handling.
+
+    OVERFLOW CONTRACT (loud under ANSI): S1·M² ≤ N³n⁴ must stay
+    below 1e38 — N to ~4·10⁸ items at n = 10 raters.
+
+    Scale shape: one map-side-combined (group, item, cat) count —
+    the only row-scale stage — then item-sized and category-sized
+    aggregates.
+    """
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    c = F.col(cat_col) if isinstance(cat_col, str) else cat_col
+    base = df.where(c.isNotNull()).select(
+        *group_cols, F.col(item_col).alias("__it"), c.alias("__c")
+    )
+    cij = base.groupBy(*group_cols, "__it", "__c").agg(
+        F.count(F.lit(1)).cast(_D).alias("__w")
+    )
+    per_item = cij.groupBy(*group_cols, "__it").agg(
+        F.sum(F.col("__w") * F.col("__w")).alias("__s2i"),
+        F.sum("__w").alias("__ni"),
+    )
+    n = F.lit(n_raters).cast(_D)
+    kept = per_item.withColumn("__ok", F.col("__ni") == n)
+    counts = kept.groupBy(*group_cols).agg(
+        F.sum(F.when(F.col("__ok"), 1).otherwise(0)).alias("__N"),
+        F.sum(F.when(~F.col("__ok"), 1).otherwise(0)).alias("__ex"),
+        F.sum(F.when(F.col("__ok"), F.col("__s2i") - n).otherwise(F.lit(0).cast(_D))).alias(
+            "__s1"
+        ),
+    )
+    # category totals over KEPT items only
+    cat_tot = (
+        cij.join(
+            kept.where("__ok").select(*group_cols, "__it"),
+            [*group_cols, "__it"],
+        )
+        .groupBy(*group_cols, "__c")
+        .agg(F.sum("__w").alias("__cj"))
+        .groupBy(*group_cols)
+        .agg(F.sum(F.col("__cj") * F.col("__cj")).alias("__s2"))
+    )
+    agg = counts.join(cat_tot, group_cols)
+    m = F.col("__N").cast(_D) * n
+    nm1 = n - F.lit(1).cast(_D)
+    num = F.col("__s1") * m * m - F.col("__s2") * m * nm1
+    den = m * nm1 * (m * m - F.col("__s2"))
+    return (
+        agg.where((F.col("__N") >= 1) & (m * m != F.col("__s2")))
+        .select(
+            *group_cols,
+            F.col("__N").cast("long").alias("n_items"),
+            F.lit(n_raters).alias("n_raters"),
+            F.col("__ex").cast("long").alias("excluded_items"),
+            F.col("__s1").cast("string").alias("s1"),
+            F.col("__s2").cast("string").alias("s2"),
+            (num.cast("double") / den.cast("double")).alias("kappa"),
+        )
+    )
+
+
+def fleiss_kappa_sql(
+    table: str,
+    group: str,
+    item: str,
+    cat: str,
+    *,
+    n_raters: int,
+) -> str:
+    """DuckDB twin of :func:`fleiss_kappa` (hugeint arithmetic,
+    identical exclusion and degenerate rules)."""
+    if n_raters < 2:
+        raise ValueError(f"n_raters must be >= 2, got {n_raters}")
+    n = n_raters
+    return f"""
+        WITH base AS (
+            SELECT {group} AS g, {item} AS it, {cat} AS c
+            FROM {table} WHERE ({cat}) IS NOT NULL
+        ),
+        cij AS (
+            SELECT g, it, c, count(*)::hugeint AS w FROM base GROUP BY g, it, c
+        ),
+        per_item AS (
+            SELECT g, it, sum(w * w) AS s2i, sum(w) AS ni FROM cij GROUP BY g, it
+        ),
+        counts AS (
+            SELECT g,
+                   sum(CASE WHEN ni = {n} THEN 1 ELSE 0 END)::hugeint AS N,
+                   sum(CASE WHEN ni <> {n} THEN 1 ELSE 0 END)::hugeint AS ex,
+                   sum(CASE WHEN ni = {n} THEN s2i - {n} ELSE 0::hugeint END) AS s1
+            FROM per_item GROUP BY g
+        ),
+        cat_tot AS (
+            SELECT g, sum(cj * cj) AS s2 FROM (
+                SELECT cij.g, cij.c, sum(w) AS cj
+                FROM cij JOIN per_item USING (g, it)
+                WHERE per_item.ni = {n}
+                GROUP BY cij.g, cij.c
+            ) GROUP BY g
+        )
+        SELECT counts.g AS {group}, CAST(N AS BIGINT) AS n_items,
+               {n} AS n_raters, CAST(ex AS BIGINT) AS excluded_items,
+               s1::varchar AS s1, s2::varchar AS s2,
+               CAST(s1 * (N * {n}) * (N * {n}) - s2 * (N * {n}) * {n - 1} AS DOUBLE)
+                 / CAST((N * {n}) * {n - 1} * ((N * {n}) * (N * {n}) - s2) AS DOUBLE)
+                 AS kappa
+        FROM counts JOIN cat_tot ON counts.g = cat_tot.g
+        WHERE N >= 1 AND (N * {n}) * (N * {n}) <> s2
+    """
