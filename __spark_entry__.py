@@ -5185,6 +5185,30 @@ def q168_fleiss_kappa(spark, sf_dir):
     )
 
 
+def q169_interarrival_quantiles(spark, sf_dir):
+    """Exact inter-arrival gap quantiles per event_type — the latency
+    analytics view of an event/tool stream (time between consecutive
+    calls: p50 cadence, p90/p99 stalls), composing the lag window
+    over the (epoch_sec, event_id) total order with the exact
+    histogram quantile selection (operators/robust.grouped_quantiles
+    — rank = (q·n+999) div 1000 pure integer arithmetic).
+    Hash-oracled end-to-end.  Plan: one group shuffle + ordered
+    window for gaps, then the q115 histogram-quantile shape (shuffle
+    bounded by distinct gap values)."""
+    from pyspark.sql import Window
+
+    from btl_bloomfilter_spark.operators.robust import grouped_quantiles
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("event_type").orderBy("e", "event_id")
+    gaps = ev.select(
+        "event_type", "event_id", F.unix_timestamp("ts").alias("e")
+    ).withColumn("gap", F.col("e") - F.lag("e").over(w))
+    return grouped_quantiles(
+        gaps, ["event_type"], "gap", q_millis=[500, 900, 990]
+    ).orderBy("event_type", "q_milli")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6347,6 +6371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q166_trimmed_mean": q166_trimmed_mean,
         "q167_isotonic_calibration": q167_isotonic_calibration,
         "q168_fleiss_kappa": q168_fleiss_kappa,
+        "q169_interarrival_quantiles": q169_interarrival_quantiles,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7135,6 +7160,11 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY event_type",
         "q138_calibration_bins": _q138_oracle_sql(),
         "q167_isotonic_calibration": _q167_oracle_sql(),
+        "q169_interarrival_quantiles": _ROBUST.grouped_quantiles_sql(
+            "(SELECT event_type, e - lag(e) OVER (PARTITION BY event_type ORDER BY e, event_id) AS gap FROM (SELECT event_type, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events))",
+            "event_type", "gap", q_millis=[500, 900, 990],
+        )
+        + " ORDER BY event_type, q_milli",
         "q168_fleiss_kappa": _STATS.fleiss_kappa_sql(
             "(SELECT lang, doc_id, CASE WHEN (doc_id * 2654435761 + r * 40503) % 100 < 70 "
             "THEN doc_id % 4 ELSE (doc_id + r) % 4 END AS cat "
