@@ -5174,7 +5174,8 @@ def q168_fleiss_kappa(spark, sf_dir):
         "lang",
         "doc_id",
         F.when(
-            (F.col("doc_id") * 2654435761 + F.col("r") * 40503) % 100 < 70,
+            ((F.col("doc_id") % 1048576) * 2654435761 + F.col("r") * 40503) % 100
+            < 70,
             F.col("doc_id") % 4,
         )
         .otherwise((F.col("doc_id") + F.col("r")) % 4)
@@ -7166,7 +7167,7 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY event_type, q_milli",
         "q168_fleiss_kappa": _STATS.fleiss_kappa_sql(
-            "(SELECT lang, doc_id, CASE WHEN (doc_id * 2654435761 + r * 40503) % 100 < 70 "
+            "(SELECT lang, doc_id, CASE WHEN ((doc_id % 1048576) * 2654435761 + r * 40503) % 100 < 70 "
             "THEN doc_id % 4 ELSE (doc_id + r) % 4 END AS cat "
             "FROM documents CROSS JOIN (SELECT unnest([0, 1, 2]) AS r))",
             "lang", "doc_id", "cat", n_raters=3,

@@ -31,9 +31,14 @@ The usual float hazards are removed the library's standard way:
 
 Row semantics: NULL ids and NULL/NaN scores are dropped (a result
 that can't be ranked isn't a result); NULL relevance is 0 (unjudged
-= non-relevant, the TREC convention).  Relevance must be a
-non-negative integer grade (documented contract — gains are
-non-negative by definition).
+= non-relevant, the TREC convention).  Duplicate (query, id) rows
+are canonicalized to their MAX score and MAX relevance (highest
+judgment wins — the TREC qrels convention) BEFORE ranking: without
+the dedup the (score DESC, id ASC) order is not total and a
+tied-score duplicate would make dcg/first_rel_rank partitioning-
+and engine-dependent (the topk_overlap hazard, same fix).
+Relevance must be a non-negative integer grade (documented
+contract — gains are non-negative by definition).
 
 Scale shape: two per-query row_number windows (actual + ideal
 order) over one shuffle on the query key, then a query-sized
@@ -89,13 +94,10 @@ def ranking_metrics(
             F.lit(0),
         )
     )
-    base = df.where(
-        F.col(id_col).isNotNull() & s.isNotNull() & ~F.isnan(s)
-    ).select(
-        *query_cols,
-        F.col(id_col).alias("__id"),
-        s.alias("__s"),
-        rel.alias("__rel"),
+    base = (
+        df.where(F.col(id_col).isNotNull() & s.isNotNull() & ~F.isnan(s))
+        .groupBy(*query_cols, F.col(id_col).alias("__id"))
+        .agg(F.max(s).alias("__s"), F.max(rel).alias("__rel"))
     )
     wq = Window.partitionBy(*query_cols)
     ranked = base.withColumn(
@@ -174,11 +176,20 @@ def ranking_summary(
     if missing:
         raise ValueError(f"group_cols must be within query_cols, missing {missing}")
     m = ranking_metrics(df, query_cols, id_col, score_col, rel_col, k=k)
+    return summarize_metrics(m, group_cols)
+
+
+def summarize_metrics(metrics: DataFrame, group_cols: list[str]) -> DataFrame:
+    """The aggregation half of :func:`ranking_summary`, over an
+    already-materialized :func:`ranking_metrics` table (e.g. one the
+    caller just wrote to parquet — avoids re-running the window
+    lineage).  ``group_cols`` must be columns of the metrics table
+    that are constant per query."""
     rr_fp = F.when(
         F.col("first_rel_rank").isNotNull(),
         F.expr(f"{_RR_SCALE}L div first_rel_rank"),
     ).otherwise(F.lit(0))
-    agg = m.groupBy(*group_cols).agg(
+    agg = metrics.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast(_D).alias("__q"),
         F.sum("hit_k").cast(_D).alias("__h"),
         F.sum(rr_fp.cast(_D)).alias("__rr"),
@@ -222,17 +233,20 @@ def _metrics_cte_sql(
     """Shared CTE body producing per-query exact metrics (DuckDB).
     ``group_expr`` (an expression over the source columns, constant
     per query) is carried through as ``g`` for the summary twin."""
-    g_sel = f", {group_expr} AS g" if group_expr else ""
+    # base now aggregates per (q, id); group_expr is constant per
+    # query by contract, so any_value is exact
+    g_sel = f", any_value({group_expr}) AS g" if group_expr else ""
     g_carry = ", g" if group_expr else ""
     g_any = ", any_value(g) AS g" if group_expr else ""
     return f"""
         base AS (
             SELECT {query} AS q, {id_col} AS id,
-                   CAST({score} AS DOUBLE) AS s,
-                   coalesce(CAST({rel} AS BIGINT), 0) AS rel{g_sel}
+                   max(CAST({score} AS DOUBLE)) AS s,
+                   max(coalesce(CAST({rel} AS BIGINT), 0)) AS rel{g_sel}
             FROM {table}
             WHERE {id_col} IS NOT NULL AND ({score}) IS NOT NULL
               AND NOT isnan(CAST({score} AS DOUBLE))
+            GROUP BY 1, 2
         ),
         ranked AS (
             SELECT q, rel{g_carry},

@@ -56,17 +56,24 @@ _RANK_SPARK = "CAST((n + 1) DIV 2 AS BIGINT)"
 _RANK_DUCK = "CAST((n + 1) // 2 AS BIGINT)"
 
 
-def _weighted_lower_median(hist: DataFrame, group_cols: list[str], v: str) -> DataFrame:
-    """hist = (group..., v, cnt) -> (group..., med, n): smallest v
-    whose cumulative count reaches rank ceil(n/2).  cum is monotone in
-    v, so min(v | cum >= rank) is the crossing element."""
+def _cum_counts(hist: DataFrame, group_cols: list[str], v: str) -> DataFrame:
+    """hist = (group..., v, cnt) -> + (cum, n): the shared
+    cumulative-count scaffold every order-statistic operator here
+    rides (median/MAD, quantiles, trimmed mean)."""
     w_cum = Window.partitionBy(*group_cols).orderBy(v).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     w_all = Window.partitionBy(*group_cols)
-    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+    return hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
         "n", F.sum("cnt").over(w_all)
     )
+
+
+def _weighted_lower_median(hist: DataFrame, group_cols: list[str], v: str) -> DataFrame:
+    """hist = (group..., v, cnt) -> (group..., med, n): smallest v
+    whose cumulative count reaches rank ceil(n/2).  cum is monotone in
+    v, so min(v | cum >= rank) is the crossing element."""
+    h = _cum_counts(hist, group_cols, v)
     return (
         h.where(F.col("cum") >= F.expr(_RANK_SPARK))
         .groupBy(*group_cols)
@@ -147,12 +154,7 @@ def grouped_quantiles(
         *group_cols, F.col(value_col).cast("long").alias("v")
     )
     hist = src.groupBy(*group_cols, "v").agg(F.count("*").alias("cnt"))
-    w_cum = Window.partitionBy(*group_cols).orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    h = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
-    )
+    h = _cum_counts(hist, group_cols, "v")
     ranks = (
         h.groupBy(*group_cols)
         .agg(F.first("n").alias("n"))
@@ -292,14 +294,8 @@ def grouped_trimmed_mean(
         *group_cols, F.col(value_col).cast("long").alias("v")
     )
     hist = src.groupBy(*group_cols, "v").agg(F.count("*").alias("cnt"))
-    w_cum = Window.partitionBy(*group_cols).orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    w_all = Window.partitionBy(*group_cols)
-    h = (
-        hist.withColumn("cum", F.sum("cnt").over(w_cum))
-        .withColumn("n", F.sum("cnt").over(w_all))
-        .withColumn("k", F.expr(f"(n * {int(trim_milli)}) DIV 1000"))
+    h = _cum_counts(hist, group_cols, "v").withColumn(
+        "k", F.expr(f"(n * {int(trim_milli)}) DIV 1000")
     )
     inc = F.greatest(
         F.lit(0),

@@ -2049,9 +2049,11 @@ def fleiss_kappa(
         κ   = (S1·M² − S2·M(n−1)) / (M(n−1)·(M² − S2))
 
     — ONE division of exact decimal(38,0)/hugeint integers, so κ
-    hash-oracles.  Groups where every rating lands in one category
-    (M² = S2: agreement is vacuous, κ undefined — 0/0) are excluded,
-    mirroring grouped_kappa's degenerate handling.
+    hash-oracles.  EVERY group with ratings gets a row: κ is NULL
+    when undefined — no kept items (N = 0, every panel mismatched)
+    or every rating in one category (M² = S2, the 0/0 degenerate) —
+    so the exclusion counts stay visible instead of the group
+    silently vanishing (review finding).
 
     OVERFLOW CONTRACT (loud under ANSI): S1·M² ≤ N³n⁴ must stay
     below 1e38 — N to ~4·10⁸ items at n = 10 raters.
@@ -2093,22 +2095,24 @@ def fleiss_kappa(
         .groupBy(*group_cols)
         .agg(F.sum(F.col("__cj") * F.col("__cj")).alias("__s2"))
     )
-    agg = counts.join(cat_tot, group_cols)
+    agg = counts.join(cat_tot, group_cols, "left").withColumn(
+        "__s2", F.coalesce(F.col("__s2"), F.lit(0).cast(_D))
+    )
     m = F.col("__N").cast(_D) * n
     nm1 = n - F.lit(1).cast(_D)
     num = F.col("__s1") * m * m - F.col("__s2") * m * nm1
     den = m * nm1 * (m * m - F.col("__s2"))
-    return (
-        agg.where((F.col("__N") >= 1) & (m * m != F.col("__s2")))
-        .select(
-            *group_cols,
-            F.col("__N").cast("long").alias("n_items"),
-            F.lit(n_raters).alias("n_raters"),
-            F.col("__ex").cast("long").alias("excluded_items"),
-            F.col("__s1").cast("string").alias("s1"),
-            F.col("__s2").cast("string").alias("s2"),
-            (num.cast("double") / den.cast("double")).alias("kappa"),
-        )
+    return agg.select(
+        *group_cols,
+        F.col("__N").cast("long").alias("n_items"),
+        F.lit(n_raters).alias("n_raters"),
+        F.col("__ex").cast("long").alias("excluded_items"),
+        F.col("__s1").cast("string").alias("s1"),
+        F.col("__s2").cast("string").alias("s2"),
+        F.when(
+            (F.col("__N") >= 1) & (m * m != F.col("__s2")),
+            num.cast("double") / den.cast("double"),
+        ).alias("kappa"),
     )
 
 
@@ -2153,10 +2157,12 @@ def fleiss_kappa_sql(
         )
         SELECT counts.g AS {group}, CAST(N AS BIGINT) AS n_items,
                {n} AS n_raters, CAST(ex AS BIGINT) AS excluded_items,
-               s1::varchar AS s1, s2::varchar AS s2,
-               CAST(s1 * (N * {n}) * (N * {n}) - s2 * (N * {n}) * {n - 1} AS DOUBLE)
-                 / CAST((N * {n}) * {n - 1} * ((N * {n}) * (N * {n}) - s2) AS DOUBLE)
-                 AS kappa
-        FROM counts JOIN cat_tot ON counts.g = cat_tot.g
-        WHERE N >= 1 AND (N * {n}) * (N * {n}) <> s2
+               s1::varchar AS s1, coalesce(s2, 0::hugeint)::varchar AS s2,
+               CASE WHEN N >= 1 AND (N * {n}) * (N * {n}) <> coalesce(s2, 0::hugeint)
+                    THEN CAST(s1 * (N * {n}) * (N * {n})
+                              - coalesce(s2, 0::hugeint) * (N * {n}) * {n - 1} AS DOUBLE)
+                           / CAST((N * {n}) * {n - 1}
+                                  * ((N * {n}) * (N * {n}) - coalesce(s2, 0::hugeint)) AS DOUBLE)
+                    END AS kappa
+        FROM counts LEFT JOIN cat_tot ON counts.g = cat_tot.g
     """

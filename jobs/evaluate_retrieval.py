@@ -64,7 +64,7 @@ def main(argv=None):
     from btl_bloomfilter_spark.operators.fusion import topk_overlap
     from btl_bloomfilter_spark.operators.ranking import (
         ranking_metrics,
-        ranking_summary,
+        summarize_metrics,
     )
     from btl_bloomfilter_spark.session import get_spark
 
@@ -85,21 +85,23 @@ def main(argv=None):
         d.write.mode("overwrite").parquet(str(out / name))
         summary[name] = spark.read.parquet(str(out / name)).count()
 
-    def eval_system(tag: str, score_col):
+    def eval_system(tag: str, score_col, src):
+        # summary aggregates the JUST-WRITTEN metrics parquet — the
+        # two window passes run once, not twice (review finding)
         write(
             f"metrics_{tag}",
-            ranking_metrics(df, qcols, args.id_col, score_col, args.rel, k=args.k),
+            ranking_metrics(src, qcols, args.id_col, score_col, args.rel, k=args.k),
         )
         write(
             f"summary_{tag}",
-            ranking_summary(
-                df, [group], qcols, args.id_col, score_col, args.rel, k=args.k
+            summarize_metrics(
+                spark.read.parquet(str(out / f"metrics_{tag}")), [group]
             ),
         )
 
-    eval_system("a", args.score_a)
+    eval_system("a", args.score_a, df)
     if args.score_b is not None:
-        eval_system("b", args.score_b)
+        eval_system("b", args.score_b, df)
         write(
             "agreement",
             topk_overlap(
@@ -125,20 +127,7 @@ def main(argv=None):
                 + F.expr(f"{_GRID} div ({args.rrf_k} + __rkb)"),
             )
         )
-        write(
-            "metrics_rrf",
-            ranking_metrics(
-                fused, qcols, args.id_col, F.col("__rrf_nano").cast("double"),
-                args.rel, k=args.k,
-            ),
-        )
-        write(
-            "summary_rrf",
-            ranking_summary(
-                fused, [group], qcols, args.id_col,
-                F.col("__rrf_nano").cast("double"), args.rel, k=args.k,
-            ),
-        )
+        eval_system("rrf", F.col("__rrf_nano").cast("double"), fused)
     print(json.dumps({"reports": summary, "output": str(out)}))
     return summary
 

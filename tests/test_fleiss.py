@@ -58,11 +58,16 @@ def test_matches_brute_and_endpoints(spark):
                     ("rand", rnd), ("unequal", unequal)):
         rows += [(g, it, c) for it, c in data]
         truth[g] = _brute(data, 3)
-    # degenerate: every rating one category -> excluded
+    # degenerate: every rating one category -> row kept, kappa NULL
     rows += [("onecat", i, 0) for i in range(20) for _ in range(3)]
+    # every panel mismatched -> row kept with the exclusion count
+    # visible and kappa NULL (review finding: no silent vanishing)
+    rows += [("allbad", i, i % 2) for i in range(10) for _ in range(2)]
     df = spark.createDataFrame(rows, "g string, item long, cat long")
     got = {r.g: r for r in fleiss_kappa(df, ["g"], "item", "cat", n_raters=3).collect()}
-    assert "onecat" not in got
+    assert got["onecat"].kappa is None and got["onecat"].n_items == 20
+    assert got["allbad"].kappa is None
+    assert (got["allbad"].n_items, got["allbad"].excluded_items) == (0, 10)
     for g in ("perfect", "noisy", "rand", "unequal"):
         N, ex, kappa = truth[g]
         r = got[g]

@@ -150,3 +150,19 @@ def test_discount_table_exactness():
     assert d == sorted(d, reverse=True)  # strictly decreasing discounts
     for r, v in enumerate(d, 1):
         assert v == math.floor(10**15 / math.log2(r + 1))
+
+
+def test_duplicate_ids_canonicalized(spark):
+    # un-deduped (query, id) rows: max-score/max-rel canonicalization
+    # keeps the order total and counts each doc once (review finding)
+    rows = [("q", 7, 1.0, 2), ("q", 7, 1.0, 0), ("q", 8, 0.5, 1), ("q", 8, 0.4, 1)]
+    df = spark.createDataFrame(rows, "q string, id long, score double, rel long")
+    r = ranking_metrics(df, ["q"], "id", "score", "rel", k=2).collect()[0]
+    assert r.n == 2 and r.n_rel == 2  # two docs, not four rows
+    assert r.first_rel_rank == 1  # id 7 keeps rel=2 (highest judgment)
+    disc = _discounts(2)
+    assert int(r.dcg) == 2 * disc[0] + 1 * disc[1]
+    assert r.ndcg == 1.0  # ideal order == actual order after dedup
+    # partition invariance with the tied-score duplicates present
+    again = ranking_metrics(df.repartition(5), ["q"], "id", "score", "rel", k=2).collect()[0]
+    assert tuple(again) == tuple(r)
