@@ -5210,6 +5210,27 @@ def q169_interarrival_quantiles(spark, sf_dir):
     ).orderBy("event_type", "q_milli")
 
 
+def q170_ols_trend(spark, sf_dir):
+    """Exact grouped OLS regression (operators/trend.grouped_ols):
+    the parametric completion of the trend kit — per event_type,
+    the best-fit line of value on calendar day and the variance it
+    explains (q161 Mann-Kendall answers "is there a monotone
+    trend"; this answers "what line, what r²").  Integer day index
+    x, cent-quantized y; all five moments exact decimal/hugeint,
+    slope and intercept each ONE division of exact integers
+    (rescaled to original units inside the integer numerator /
+    denominator), r² the fixed num·num/(den·dy) shape — hash-oracled
+    including all three doubles.  Plan: ONE map-side-combined
+    six-number aggregate per group; nothing row-shaped after it."""
+    from btl_bloomfilter_spark.operators.trend import grouped_ols
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    x = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    return grouped_ols(ev, ["event_type"], x, "value", y_scale=100).orderBy(
+        "event_type"
+    )
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6373,6 +6394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q167_isotonic_calibration": q167_isotonic_calibration,
         "q168_fleiss_kappa": q168_fleiss_kappa,
         "q169_interarrival_quantiles": q169_interarrival_quantiles,
+        "q170_ols_trend": q170_ols_trend,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7166,6 +7188,12 @@ def oracle_sql() -> dict[str, str]:
             "event_type", "gap", q_millis=[500, 900, 990],
         )
         + " ORDER BY event_type, q_milli",
+        "q170_ols_trend": _TREND.grouped_ols_sql(
+            "events", "event_type",
+            "date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))",
+            "value", y_scale=100,
+        )
+        + " ORDER BY event_type",
         "q168_fleiss_kappa": _STATS.fleiss_kappa_sql(
             "(SELECT lang, doc_id, CASE WHEN ((doc_id % 1048576) * 2654435761 + r * 40503) % 100 < 70 "
             "THEN doc_id % 4 ELSE (doc_id + r) % 4 END AS cat "

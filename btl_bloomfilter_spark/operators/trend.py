@@ -280,3 +280,149 @@ def mann_kendall_sql(
                sen AS sen_slope
         FROM v
     """
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col,
+    y_col,
+    *,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> DataFrame:
+    """(group…, n, slope, intercept, r2) — exact per-group ordinary
+    least squares of y on x: the PARAMETRIC companion to Sen's slope
+    (:func:`mann_kendall` answers "is there a monotone trend";
+    this answers "what is the best-fit line and how much variance
+    does it explain").  The classical closed form over exact
+    integer moments:
+
+        slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+        intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)
+        r²        = (n·Σxy − Σx·Σy)² / [(n·Σx² − (Σx)²)(n·Σy² − (Σy)²)]
+
+    Both axes quantize-once (floor(x·x_scale), floor(y·y_scale));
+    every moment rides decimal(38,0)/hugeint, so slope and intercept
+    are each ONE division of exactly-integer-valued doubles
+    (rescaled back to ORIGINAL units by folding x_scale / y_scale
+    into the integer numerator/denominator), and r² is the fixed
+    num·num / (den·dy) two-multiply-one-division shape over
+    correctly-rounded casts — all three hash-oracle-able.
+
+    ``slope``/``intercept`` are NULL when x is constant (or n < 2);
+    ``r²`` additionally NULL when y is constant (0/0).  The intercept
+    is the fitted value at x = 0 (exact in original units whenever
+    x·x_scale is integral, e.g. integer day indexes at x_scale=1).
+    NULL/NaN on either axis drops the row; every surviving group
+    gets a row.
+
+    OVERFLOW CONTRACT (loud under ANSI): the binding bound is
+    num·max(x_scale, y_scale) with num ~ n²·|xq|·|yq| — keep
+    n²·|xq|max·|yq|max·scale < 1e38 (e.g. n ≤ 1e6 rows per group at
+    day-scale x ≤ 1e4 and cent-scale y ≤ 1e9 leaves 1e9 headroom).
+    Pre-bucket dense axes the mann_kendall way when in doubt.
+
+    Scale shape: ONE map-side-combined six-number aggregate per
+    group — nothing row-shaped after it, no window, no join.
+    """
+    if x_scale < 1:
+        raise ValueError(f"x_scale must be >= 1, got {x_scale}")
+    if y_scale < 1:
+        raise ValueError(f"y_scale must be >= 1, got {y_scale}")
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    base = df.where(x.isNotNull() & ~F.isnan(x) & y.isNotNull() & ~F.isnan(y)).select(
+        *group_cols,
+        F.floor(x * x_scale).cast("long").cast(_D).alias("__xq"),
+        F.floor(y * y_scale).cast("long").cast(_D).alias("__yq"),
+    )
+    xq, yq = F.col("__xq"), F.col("__yq")
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_D).alias("__n"),
+        F.sum(xq).alias("__sx"),
+        F.sum(yq).alias("__sy"),
+        F.sum(xq * xq).alias("__sxx"),
+        F.sum(xq * yq).alias("__sxy"),
+        F.sum(yq * yq).alias("__syy"),
+    )
+    n = F.col("__n")
+    sx, sy = F.col("__sx"), F.col("__sy")
+    sxx, sxy, syy = F.col("__sxx"), F.col("__sxy"), F.col("__syy")
+    den = n * sxx - sx * sx
+    num = n * sxy - sx * sy
+    dy = n * syy - sy * sy
+    zero = F.lit(0).cast(_D)
+    xs = F.lit(x_scale).cast(_D)
+    ys = F.lit(y_scale).cast(_D)
+    slope = F.when(
+        den != zero, (num * xs).cast("double") / (den * ys).cast("double")
+    )
+    intercept = F.when(
+        den != zero,
+        (sy * sxx - sx * sxy).cast("double") / (den * ys).cast("double"),
+    )
+    r2 = F.when(
+        (den != zero) & (dy != zero),
+        (num.cast("double") * num.cast("double"))
+        / (den.cast("double") * dy.cast("double")),
+    )
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+        r2.alias("r2"),
+    )
+
+
+def grouped_ols_sql(
+    table: str,
+    group: str,
+    x: str,
+    y: str,
+    *,
+    x_scale: int = 1,
+    y_scale: int = 1,
+) -> str:
+    """DuckDB twin of :func:`grouped_ols` (hugeint moments, identical
+    quantization and double expression shapes)."""
+    if x_scale < 1:
+        raise ValueError(f"x_scale must be >= 1, got {x_scale}")
+    if y_scale < 1:
+        raise ValueError(f"y_scale must be >= 1, got {y_scale}")
+    not_null = (
+        f"({x}) IS NOT NULL AND NOT isnan(CAST({x} AS DOUBLE)) AND "
+        f"({y}) IS NOT NULL AND NOT isnan(CAST({y} AS DOUBLE))"
+    )
+    return f"""
+        WITH q AS (
+            SELECT {group} AS g,
+                   floor(CAST({x} AS DOUBLE) * {x_scale})::bigint::hugeint AS xq,
+                   floor(CAST({y} AS DOUBLE) * {y_scale})::bigint::hugeint AS yq
+            FROM {table} WHERE {not_null}
+        ),
+        a AS (
+            SELECT g, count(*)::hugeint AS n,
+                   sum(xq) AS sx, sum(yq) AS sy,
+                   sum(xq * xq) AS sxx, sum(xq * yq) AS sxy,
+                   sum(yq * yq) AS syy
+            FROM q GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n AS BIGINT) AS n,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN CAST((n * sxy - sx * sy) * {x_scale}::hugeint AS DOUBLE)
+                           / CAST((n * sxx - sx * sx) * {y_scale}::hugeint AS DOUBLE)
+               END AS slope,
+               CASE WHEN n * sxx - sx * sx <> 0
+                    THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                           / CAST((n * sxx - sx * sx) * {y_scale}::hugeint AS DOUBLE)
+               END AS intercept,
+               CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0
+                    THEN (CAST(n * sxy - sx * sy AS DOUBLE)
+                            * CAST(n * sxy - sx * sy AS DOUBLE))
+                           / (CAST(n * sxx - sx * sx AS DOUBLE)
+                                * CAST(n * syy - sy * sy AS DOUBLE))
+               END AS r2
+        FROM a
+    """
