@@ -5231,6 +5231,32 @@ def q170_ols_trend(spark, sf_dir):
     )
 
 
+def q171_chi2_independence(spark, sf_dir):
+    """Chi-square test of independence + Cramér's V
+    (operators/stats.chi2_independence): the r×c contingency
+    question the 2×2 keyness chi² (q117) and the two-cohort kits
+    can't ask — per language, is a document's SOURCE independent of
+    its LENGTH bucket?  The empty-cell problem (a groupBy histogram
+    never materializes zero co-occurrences, but the textbook
+    Σ(o−e)²/e needs them) is removed algebraically
+    (chi² = N·Σ_nonzero o²/(r·c) − N), then each rational term is
+    quantized ONCE to the exact integer o²·N·scale div (r·c) on
+    decimal/hugeint so the sum is order-independent and chi² /
+    Cramér's V are single (÷, √) IEEE-exact derivations —
+    hash-oracled INCLUDING both doubles.  Plan: one
+    map-side-combined (lang, source, bucket) cell histogram is the
+    only row-scale stage; three marginal window sums share one
+    cell-scale exchange."""
+    from btl_bloomfilter_spark.operators.stats import chi2_independence
+
+    docs = _load(spark, sf_dir, "documents")["documents"].select(
+        "lang", "source", F.expr("n_chars div 500").alias("len_bucket")
+    )
+    return chi2_independence(docs, ["lang"], "source", "len_bucket").orderBy(
+        "lang"
+    )
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6395,6 +6421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q168_fleiss_kappa": q168_fleiss_kappa,
         "q169_interarrival_quantiles": q169_interarrival_quantiles,
         "q170_ols_trend": q170_ols_trend,
+        "q171_chi2_independence": q171_chi2_independence,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7194,6 +7221,12 @@ def oracle_sql() -> dict[str, str]:
             "value", y_scale=100,
         )
         + " ORDER BY event_type",
+        "q171_chi2_independence": _STATS.chi2_independence_sql(
+            "(SELECT lang, source, n_chars // 500 AS len_bucket"
+            " FROM documents)",
+            "lang", "source", "len_bucket",
+        )
+        + " ORDER BY lang",
         "q168_fleiss_kappa": _STATS.fleiss_kappa_sql(
             "(SELECT lang, doc_id, CASE WHEN ((doc_id % 1048576) * 2654435761 + r * 40503) % 100 < 70 "
             "THEN doc_id % 4 ELSE (doc_id + r) % 4 END AS cat "

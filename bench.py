@@ -1149,6 +1149,17 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return mann_kendall(base, ["event_type"], "v", "day", scale=1).count()
 
+    def q_chi2_independence():
+        # one map-side-combined (lang, source, bucket) cell histogram
+        # is the only row-scale stage; the three marginal window sums
+        # + final aggregate run over <= distinct-cell rows
+        from btl_bloomfilter_spark.operators.stats import chi2_independence
+
+        base = docs.select(
+            "lang", "source", F.expr("n_chars div 500").alias("b")
+        )
+        return chi2_independence(base, ["lang"], "source", "b").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1276,6 +1287,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "mann_kendall_events": q_mann_kendall,
         "ranking_eval_docs": q_ranking_eval,
         "trimmed_mean_events": q_trimmed_mean,
+        "chi2_independence_docs": q_chi2_independence,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -2166,3 +2166,166 @@ def fleiss_kappa_sql(
                     END AS kappa
         FROM counts LEFT JOIN cat_tot ON counts.g = cat_tot.g
     """
+
+
+def chi2_independence(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col,
+    b_col,
+    *,
+    scale: int = 10**12,
+) -> DataFrame:
+    """(group…, n, n_a, n_b, dof, chi2_fp, chi2, cramers_v) — the
+    classical chi-square test of independence between two categorical
+    columns, per group, with Cramér's V as the bounded-[0,1] effect
+    size.  The contingency question the keyness 2×2 (chi2_keyness)
+    and two-cohort kits can't ask: is source independent of length
+    bucket within a language?  role of tool within a model?
+
+    Pearson's statistic over the r×c contingency table (o observed,
+    expected e = r_a·c_b/N).  The naive Σ(o−e)²/e needs the EMPTY
+    cells too (both marginals present, zero co-occurrence — their
+    term is e, and a groupBy histogram never materializes them), so
+    the sum is taken through the algebraic identity
+
+        chi² = Σ_all (o−e)²/e = Σ_all o²/e − N
+             = N·Σ_nonzero o²/(r_a·c_b) − N
+
+    which touches ONLY observed cells.  Each term is a RATIONAL of
+    exact integers; float-summing rationals is order-dependent, so
+    the sum is made exact the library's fixed-point way (the
+    ranking-DCG / trimmed-mean pattern): every term becomes the
+    exact integer
+
+        term_fp = o²·N·scale  div  (r_a·c_b)
+
+    on decimal/hugeint (positive operands: trunc == floor in both
+    engines), the terms SUM exactly,
+    chi2_fp = max(Σterm_fp − N·scale, 0) (the clamp absorbs the
+    ≤ n_cells truncation deficit at independence), and
+
+        chi2      = chi2_fp / scale                 (one division)
+        cramers_v = √(chi2_fp / (scale·N·(min(n_a,n_b)−1)))
+                                        (√ of one division; IEEE-754
+                                         sqrt is correctly rounded)
+
+    — both engine-identical, hash-oracle-able.  The truncation
+    understates chi² by < n_cells/scale (≤ 1e-6 at defaults for a
+    thousand-cell table): a DETERMINISM device, not an approximation
+    knob.  ``chi2_fp`` (string) is the exact integer for audits.
+    ``cramers_v`` is NULL for single-category axes (dof 0); NULL in
+    either column drops the row; every surviving group gets a row.
+
+    OVERFLOW CONTRACT (loud under ANSI): o²·N·scale ≤ N³·scale must
+    stay < 1e38 and each term_fp ≤ scale·N must fit the div's BIGINT
+    quotient (9.2e18) → N per group ≲ 4·10⁶ at scale 1e12 (the div
+    bound binds first; 9e12 rows at scale 1e6).  p-values are
+    deliberately not emitted: the chi² CDF is not exactly computable
+    cross-engine; compare chi2 against the caller's critical value
+    for (dof).
+
+    Scale shape: one map-side-combined (group, a, b) cell histogram
+    — the only row-scale stage — then three cell-scale window sums
+    sharing one exchange and a cell-scale aggregate.
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    from pyspark.sql import Window
+
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(*group_cols, a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).cast(_D).alias("__o"))
+    )
+    wa = Window.partitionBy(*group_cols, "__a")
+    wb = Window.partitionBy(*group_cols, "__b")
+    wg = Window.partitionBy(*group_cols)
+    w = (
+        cells.withColumn("__r", F.sum("__o").over(wa))
+        .withColumn("__c", F.sum("__o").over(wb))
+        .withColumn("__N", F.sum("__o").over(wg))
+    )
+    term = F.expr(
+        f"CAST((__o * __o * __N * CAST({scale} AS DECIMAL(38,0)))"
+        f" div (__r * __c) AS DECIMAL(38,0))"
+    )
+    agg = w.groupBy(*group_cols).agg(
+        F.sum(term).alias("__fpr"),
+        F.max("__N").alias("__Nt"),
+        F.countDistinct("__a").alias("__ka"),
+        F.countDistinct("__b").alias("__kb"),
+    )
+    sc = F.lit(scale).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    fp = F.greatest(F.col("__fpr") - sc * F.col("__Nt"), zero)
+    agg = agg.withColumn("__fp", fp)
+    mind = F.least(F.col("__ka"), F.col("__kb"))
+    vden = sc * F.col("__Nt") * (mind - F.lit(1)).cast(_D)
+    return agg.select(
+        *group_cols,
+        F.col("__Nt").cast("long").alias("n"),
+        F.col("__ka").alias("n_a"),
+        F.col("__kb").alias("n_b"),
+        ((F.col("__ka") - 1) * (F.col("__kb") - 1)).alias("dof"),
+        F.col("__fp").cast("string").alias("chi2_fp"),
+        (F.col("__fp").cast("double") / sc.cast("double")).alias("chi2"),
+        F.when(
+            mind > 1,
+            F.sqrt(F.col("__fp").cast("double") / vden.cast("double")),
+        ).alias("cramers_v"),
+    )
+
+
+def chi2_independence_sql(
+    table: str,
+    group: str,
+    a: str,
+    b: str,
+    *,
+    scale: int = 10**12,
+) -> str:
+    """DuckDB twin of :func:`chi2_independence` (hugeint cells and
+    marginal window sums, `//` floor division, identical fixed-point
+    term and double shapes)."""
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    return f"""
+        WITH __chi_cells AS (
+            SELECT {group} AS g, {a} AS a, {b} AS b, count(*)::hugeint AS o
+            FROM {table}
+            WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __chi_w AS (
+            SELECT g, a, b, o,
+                   sum(o) OVER (PARTITION BY g, a) AS r,
+                   sum(o) OVER (PARTITION BY g, b) AS c,
+                   sum(o) OVER (PARTITION BY g) AS N
+            FROM __chi_cells
+        ),
+        __chi_t0 AS (
+            SELECT g, max(N) AS N,
+                   sum((o * o * N * {scale}::hugeint) // (r * c)) AS fpr,
+                   count(DISTINCT a)::bigint AS ka,
+                   count(DISTINCT b)::bigint AS kb
+            FROM __chi_w GROUP BY g
+        ),
+        __chi_t AS (
+            SELECT g, N, ka, kb,
+                   greatest(fpr - {scale}::hugeint * N, 0::hugeint) AS fp
+            FROM __chi_t0
+        )
+        SELECT g AS {group}, CAST(N AS BIGINT) AS n, ka AS n_a, kb AS n_b,
+               (ka - 1) * (kb - 1) AS dof,
+               fp::varchar AS chi2_fp,
+               CAST(fp AS DOUBLE) / CAST({scale}::hugeint AS DOUBLE) AS chi2,
+               CASE WHEN least(ka, kb) > 1
+                    THEN sqrt(CAST(fp AS DOUBLE)
+                              / CAST({scale}::hugeint * N
+                                     * (least(ka, kb) - 1)::hugeint AS DOUBLE))
+               END AS cramers_v
+        FROM __chi_t
+    """
