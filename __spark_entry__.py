@@ -5257,6 +5257,27 @@ def q171_chi2_independence(spark, sf_dir):
     )
 
 
+def q172_grouped_entropy(spark, sf_dir):
+    """Exact-fixed-point Shannon entropy + Pielou evenness
+    (operators/stats.grouped_entropy): the distributional-spread
+    measure next to Simpson concentration (q159 hhi answers "how
+    dominated", this answers "how many nats of surprise") — per
+    language, the entropy of the document-length-bucket
+    distribution.  The q84 char-entropy identity lifted to a grouped
+    histogram: every ln quantized ONCE per cell count to micro-nat
+    longs, Σ c·ln_micro(c) an exact order-independent integer sum,
+    integral division, entropy/evenness single IEEE-exact divisions
+    — hash-oracled INCLUDING both doubles.  Plan: one
+    map-side-combined (lang, bucket) cell histogram is the only
+    row-scale stage; the rest is cell-scale."""
+    from btl_bloomfilter_spark.operators.stats import grouped_entropy
+
+    docs = _load(spark, sf_dir, "documents")["documents"].select(
+        "lang", F.expr("n_chars div 200").alias("len_bucket")
+    )
+    return grouped_entropy(docs, ["lang"], "len_bucket").orderBy("lang")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6422,6 +6443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q169_interarrival_quantiles": q169_interarrival_quantiles,
         "q170_ols_trend": q170_ols_trend,
         "q171_chi2_independence": q171_chi2_independence,
+        "q172_grouped_entropy": q172_grouped_entropy,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7225,6 +7247,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT lang, source, n_chars // 500 AS len_bucket"
             " FROM documents)",
             "lang", "source", "len_bucket",
+        )
+        + " ORDER BY lang",
+        "q172_grouped_entropy": _STATS.grouped_entropy_sql(
+            "(SELECT lang, n_chars // 200 AS len_bucket FROM documents)",
+            "lang", "len_bucket",
         )
         + " ORDER BY lang",
         "q168_fleiss_kappa": _STATS.fleiss_kappa_sql(

@@ -1160,6 +1160,14 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return chi2_independence(base, ["lang"], "source", "b").count()
 
+    def q_grouped_entropy():
+        # same cell-histogram shape as chi2: one map-side-combined
+        # (lang, bucket) groupBy, then cell-scale aggregate
+        from btl_bloomfilter_spark.operators.stats import grouped_entropy
+
+        base = docs.select("lang", F.expr("n_chars div 200").alias("b"))
+        return grouped_entropy(base, ["lang"], "b").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1288,6 +1296,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "ranking_eval_docs": q_ranking_eval,
         "trimmed_mean_events": q_trimmed_mean,
         "chi2_independence_docs": q_chi2_independence,
+        "grouped_entropy_docs": q_grouped_entropy,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -2329,3 +2329,106 @@ def chi2_independence_sql(
                END AS cramers_v
         FROM __chi_t
     """
+
+
+def grouped_entropy(
+    df: DataFrame,
+    group_cols: list[str],
+    cat_col,
+) -> DataFrame:
+    """(group…, n, k, entropy_micro_nats, entropy, norm_entropy) —
+    exact-fixed-point Shannon entropy of a categorical column's
+    distribution per group, in nats, with the Pielou evenness
+    H/ln k as ``norm_entropy``.  The distributional spread measure
+    next to Simpson concentration (grouped_simpson): hhi answers
+    "how dominated", entropy answers "how many nats of surprise" —
+    e.g. how evenly a language's documents spread over sources, or
+    a role's turns over tools.
+
+    The q84 char-entropy identity lifted from row-local runs to a
+    grouped histogram: with cell counts c over N = Σc,
+
+        H = ln N − (1/N)·Σ c·ln c
+
+    where every ln is quantized ONCE per cell count to micro-nat
+    LONGS (round(ln·10⁶) — positive args, so Spark HALF_UP and
+    DuckDB half-away agree), Σ c·ln_micro(c) is an exact
+    order-independent integer sum, the division is integral
+    (`div`/`//`, identical for positive operands), and
+
+        entropy      = H_micro / 10⁶          (one exact division)
+        norm_entropy = H_micro / ln_micro(k)  (one division of
+                                               exact-integer doubles,
+                                               NULL when k == 1)
+
+    — both engine-identical, hash-oracle-able.  H_micro is clamped
+    at 0 (quantization can push an exactly-zero entropy a micro-nat
+    negative); the ≤ ln k bound can overshoot by ~1 micro-nat and is
+    deliberately NOT clamped (documented, observable in the exact
+    integer).  NULL categories are dropped; groups with no surviving
+    rows vanish.  OVERFLOW: Σ c·ln_micro(c) ≤ N·ln_micro(N) must fit
+    a long → N per group ≲ 3·10¹¹.
+
+    Scale shape: one map-side-combined (group, cat) cell histogram —
+    the only row-scale stage — then a cell-scale aggregate.
+    """
+    cat = F.col(cat_col) if isinstance(cat_col, str) else cat_col
+    ln_micro = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    cells = (
+        df.where(cat.isNotNull())
+        .groupBy(*group_cols, cat.alias("__c"))
+        .agg(F.count(F.lit(1)).alias("__cc"))
+    )
+    agg = cells.groupBy(*group_cols).agg(
+        F.sum("__cc").alias("__n"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(F.col("__cc") * ln_micro(F.col("__cc"))).alias("__s"),
+    )
+    n, k, s = F.col("__n"), F.col("__k"), F.col("__s")
+    h = F.greatest(
+        ln_micro(n) - F.expr("__s div __n"), F.lit(0).cast("long")
+    )
+    agg = agg.withColumn("__h", h)
+    hm = F.col("__h")
+    return agg.select(
+        *group_cols,
+        n.alias("n"),
+        k.alias("k"),
+        hm.alias("entropy_micro_nats"),
+        (hm.cast("double") / F.lit(1000000.0)).alias("entropy"),
+        F.when(
+            k > 1, hm.cast("double") / ln_micro(k).cast("double")
+        ).alias("norm_entropy"),
+    )
+
+
+def grouped_entropy_sql(table: str, group: str, cat: str) -> str:
+    """DuckDB twin of :func:`grouped_entropy` (same micro-nat
+    quantization, `//` integral division, identical double shapes)."""
+    lnm = "round(ln({x}) * 1000000)::BIGINT"
+    return f"""
+        WITH __ent_cells AS (
+            SELECT {group} AS g, {cat} AS c, count(*)::BIGINT AS cc
+            FROM {table}
+            WHERE ({cat}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        __ent_agg AS (
+            SELECT g, sum(cc)::BIGINT AS n, count(*)::BIGINT AS k,
+                   sum(cc * ({lnm.format(x='cc')}))::BIGINT AS s
+            FROM __ent_cells GROUP BY g
+        ),
+        __ent_h AS (
+            SELECT g, n, k,
+                   greatest({lnm.format(x='n')} - (s // n), 0::BIGINT) AS h
+            FROM __ent_agg
+        )
+        SELECT g AS {group}, n, k, h AS entropy_micro_nats,
+               h::DOUBLE / 1000000.0 AS entropy,
+               CASE WHEN k > 1
+                    THEN h::DOUBLE / ({lnm.format(x='k')})::DOUBLE
+               END AS norm_entropy
+        FROM __ent_h
+    """
