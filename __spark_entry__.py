@@ -5278,6 +5278,29 @@ def q172_grouped_entropy(spark, sf_dir):
     return grouped_entropy(docs, ["lang"], "len_bucket").orderBy("lang")
 
 
+def q173_skew_report(spark, sf_dir):
+    """Exact hot-key skew report (plans/joins.skew_report): the
+    numbers a join planner needs BEFORE picking broadcast / salt /
+    bucket — top hot user_ids of the events table with exact counts,
+    share, cumulative head concentration, and the integer salt
+    factor (ceil(cnt·P/N)) that spreads each key to fair reducer
+    load.  Completes the planning kit: q106's CMS inner product
+    estimates the join's OUTPUT size, this measures the INPUT's key
+    skew, q102's salted_join fixes it.  All counts exact longs,
+    total order (cnt DESC, key ASC NULLS LAST) shared with DuckDB,
+    share/cum_share single divisions — hash-oracled incl. both
+    doubles.  Plan: map-side-combined groupBy(count) is the only
+    row-scale stage; the top-k is TakeOrderedAndProject
+    (per-partition heap + driver merge, plan-pinned), the cumulative
+    window runs over ≤ top rows."""
+    from btl_bloomfilter_spark.plans.joins import skew_report
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return skew_report(ev, ["user_id"], top=20, parallelism=32).orderBy(
+        "rank"
+    )
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6444,6 +6467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q170_ols_trend": q170_ols_trend,
         "q171_chi2_independence": q171_chi2_independence,
         "q172_grouped_entropy": q172_grouped_entropy,
+        "q173_skew_report": q173_skew_report,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6943,6 +6967,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import trend as _TREND
     from btl_bloomfilter_spark.operators import ranking as _RANKING
     from btl_bloomfilter_spark.operators import robust as _ROBUST
+    from btl_bloomfilter_spark.plans import joins as _JOINS
 
     G = T.gopher_quality_sql("text", min_words=50)
     P = T.pii_counts_sql("text")
@@ -7254,6 +7279,10 @@ def oracle_sql() -> dict[str, str]:
             "lang", "len_bucket",
         )
         + " ORDER BY lang",
+        "q173_skew_report": _JOINS.skew_report_sql(
+            "events", ["user_id"], top=20, parallelism=32,
+        )
+        + " ORDER BY rank",
         "q168_fleiss_kappa": _STATS.fleiss_kappa_sql(
             "(SELECT lang, doc_id, CASE WHEN ((doc_id % 1048576) * 2654435761 + r * 40503) % 100 < 70 "
             "THEN doc_id % 4 ELSE (doc_id + r) % 4 END AS cat "

@@ -1168,6 +1168,13 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         base = docs.select("lang", F.expr("n_chars div 200").alias("b"))
         return grouped_entropy(base, ["lang"], "b").count()
 
+    def q_skew_report():
+        # map-side-combined count is the only row-scale stage; top-k
+        # is TakeOrderedAndProject (per-partition heap, no sort)
+        from btl_bloomfilter_spark.plans.joins import skew_report
+
+        return skew_report(ev, ["user_id"], top=20, parallelism=32).count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1297,6 +1304,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "trimmed_mean_events": q_trimmed_mean,
         "chi2_independence_docs": q_chi2_independence,
         "grouped_entropy_docs": q_grouped_entropy,
+        "skew_report_events": q_skew_report,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

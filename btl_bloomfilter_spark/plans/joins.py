@@ -75,3 +75,122 @@ def salted_join(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return s.join(o, on + [_SALT], how).drop(_SALT)
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    *,
+    top: int = 20,
+    parallelism: int,
+    counts: DataFrame | None = None,
+) -> DataFrame:
+    """(rank, key…, cnt, share, cum_share, salt_hint) — the top hot
+    keys of a prospective shuffle key, exactly, with the numbers a
+    join planner needs BEFORE picking broadcast / salt / bucket: what
+    fraction of all rows the hot key carries (``share``), how
+    concentrated the head is (``cum_share``), and the salt factor
+    that spreads that key to average-reducer load
+    (``salt_hint = ceil(cnt·parallelism / N)`` — 1 means the key
+    already fits one reducer's fair share; the value to pass as
+    ``salted_join(salt=)`` is the max hint among keys you must
+    co-shuffle).  Completes the planning kit: CMS inner-product
+    (q106) estimates the join's OUTPUT size from blob summaries;
+    this measures the INPUT's key skew; ``salted_join`` fixes it.
+
+    Exact, engine-portable: counts are longs, the top-``top``
+    selection is total-ordered (cnt DESC, then each key ASC — ties
+    deterministic), share/cum_share single divisions of exact
+    integers, salt_hint pure integer arithmetic
+    ((cnt·P + N − 1) div N; cnt·P < 9.2e18 contract).  NULL keys
+    participate (a NULL-heavy FK column is a classic real skew —
+    the tie-break uses asc_nulls_last to match DuckDB's
+    NULLS-LAST ASC default, pinned).
+
+    Scale shape: the only row-scale stage is the map-side-combined
+    ``groupBy(keys).count()``; the top-``top`` selection is
+    ``orderBy().limit()`` — Catalyst's TakeOrderedAndProject, a
+    per-partition heap + driver merge, never a global sort; the
+    cumulative window runs over ≤ ``top`` rows.  The cell histogram
+    feeds TWO branches (total + top-k), so the default plan scans it
+    twice — at scale pass ``counts=`` (a persisted
+    ``df.groupBy(*key_cols).count()``, the ``fingerprints=``
+    convention) to make it one pass.
+    """
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    if parallelism < 1:
+        raise ValueError(f"parallelism must be >= 1, got {parallelism}")
+    from pyspark.sql import Window
+
+    cnts = (
+        counts
+        if counts is not None
+        else df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("count"))
+    )
+    cnts = cnts.select(*key_cols, F.col("count").cast("long").alias("__cnt"))
+    total = cnts.agg(F.sum("__cnt").alias("__N"))
+    topk = cnts.orderBy(
+        F.col("__cnt").desc(), *[F.col(k).asc_nulls_last() for k in key_cols]
+    ).limit(top)
+    w = (
+        Window.orderBy(F.col("__cnt").desc(), *[F.col(k).asc_nulls_last() for k in key_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = (
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("__rank", F.row_number().over(w))
+        .withColumn("__cum", F.sum("__cnt").over(w))
+    )
+    n = F.col("__N")
+    p = F.lit(parallelism).cast("long")
+    return ranked.select(
+        F.col("__rank").alias("rank"),
+        *key_cols,
+        F.col("__cnt").alias("cnt"),
+        (F.col("__cnt").cast("double") / n.cast("double")).alias("share"),
+        (F.col("__cum").cast("double") / n.cast("double")).alias("cum_share"),
+        F.expr(f"(__cnt * CAST({parallelism} AS BIGINT) + __N - 1) div __N")
+        .cast("int")
+        .alias("salt_hint"),
+    )
+
+
+def skew_report_sql(
+    table: str,
+    keys: list[str],
+    *,
+    top: int = 20,
+    parallelism: int,
+) -> str:
+    """DuckDB twin of :func:`skew_report` (same deterministic total
+    order, `//` integral salt hint, identical double shapes)."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    if parallelism < 1:
+        raise ValueError(f"parallelism must be >= 1, got {parallelism}")
+    ks = ", ".join(keys)
+    order = "cnt DESC, " + ", ".join(f"{k} ASC" for k in keys)
+    return f"""
+        WITH __sk_cnt AS (
+            SELECT {ks}, count(*)::BIGINT AS cnt FROM {table} GROUP BY {ks}
+        ),
+        __sk_tot AS (SELECT sum(cnt)::BIGINT AS N FROM __sk_cnt),
+        __sk_top AS (
+            SELECT * FROM __sk_cnt ORDER BY {order} LIMIT {top}
+        ),
+        __sk_r AS (
+            SELECT row_number() OVER (ORDER BY {order}) AS rank,
+                   {ks}, cnt,
+                   sum(cnt) OVER (ORDER BY {order}
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cum
+            FROM __sk_top
+        )
+        SELECT CAST(rank AS INT) AS rank, {ks}, cnt,
+               cnt::DOUBLE / N::DOUBLE AS share,
+               cum::DOUBLE / N::DOUBLE AS cum_share,
+               CAST((cnt * {parallelism}::BIGINT + N - 1) // N AS INT)
+                   AS salt_hint
+        FROM __sk_r CROSS JOIN __sk_tot
+    """
