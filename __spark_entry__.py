@@ -5301,6 +5301,26 @@ def q173_skew_report(spark, sf_dir):
     )
 
 
+def q174_basket_rules(spark, sf_dir):
+    """Association-rule mining (operators/basket.basket_rules):
+    Agrawal/Srikant support/confidence/lift at the exact pairwise
+    level, over user baskets of event types — which behaviors imply
+    which (the co-occurrence question q114's adjacent-position PMI
+    can't ask).  Counts are longs over deduped (user, event_type)
+    facts; support/confidence single divisions; lift = c_xy·N /
+    (c_a·c_b) in the q114 two-step decimal→double shape — the whole
+    rule table hash-oracles including all three doubles.  Plan: the
+    pair expansion reuses grouped_pair_events' triangular hash-chunk
+    blocking (a degenerate giant basket caps at ~block² per task);
+    item margins broadcast; cost contract Σ|basket|²."""
+    from btl_bloomfilter_spark.operators.basket import basket_rules
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    return basket_rules(
+        ev, "user_id", "event_type", min_support=5
+    ).orderBy("antecedent", "consequent")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6468,6 +6488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q171_chi2_independence": q171_chi2_independence,
         "q172_grouped_entropy": q172_grouped_entropy,
         "q173_skew_report": q173_skew_report,
+        "q174_basket_rules": q174_basket_rules,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6967,6 +6988,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import trend as _TREND
     from btl_bloomfilter_spark.operators import ranking as _RANKING
     from btl_bloomfilter_spark.operators import robust as _ROBUST
+    from btl_bloomfilter_spark.operators import basket as _BASKET
     from btl_bloomfilter_spark.plans import joins as _JOINS
 
     G = T.gopher_quality_sql("text", min_words=50)
@@ -7279,6 +7301,10 @@ def oracle_sql() -> dict[str, str]:
             "lang", "len_bucket",
         )
         + " ORDER BY lang",
+        "q174_basket_rules": _BASKET.basket_rules_sql(
+            "events", "user_id", "event_type", min_support=5,
+        )
+        + " ORDER BY antecedent, consequent",
         "q173_skew_report": _JOINS.skew_report_sql(
             "events", ["user_id"], top=20, parallelism=32,
         )

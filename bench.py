@@ -1175,6 +1175,13 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return skew_report(ev, ["user_id"], top=20, parallelism=32).count()
 
+    def q_basket_rules():
+        # dedup + chunked pair expansion (sum |basket|^2 work) +
+        # broadcast margins; user x event_type baskets are small
+        from btl_bloomfilter_spark.operators.basket import basket_rules
+
+        return basket_rules(ev, "user_id", "event_type", min_support=5).count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1305,6 +1312,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "chi2_independence_docs": q_chi2_independence,
         "grouped_entropy_docs": q_grouped_entropy,
         "skew_report_events": q_skew_report,
+        "basket_rules_events": q_basket_rules,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
