@@ -5321,6 +5321,29 @@ def q174_basket_rules(spark, sf_dir):
     ).orderBy("antecedent", "consequent")
 
 
+def q175_mutual_info(spark, sf_dir):
+    """Exact-fixed-point mutual information + Theil uncertainty
+    coefficients (operators/stats.grouped_mutual_info): the
+    association-STRENGTH measure completing q171's chi² significance
+    — per language, how many nats of length-bucket knowledge does
+    knowing the source buy.  All three entropies from ONE cell
+    histogram via the q172 micro-nat machinery (ln quantized once
+    per count, exact integer sums, integral division), MI an exact
+    integer add with the independence clamp, mi/u_a/u_b single
+    IEEE-exact divisions — hash-oracled including all three doubles.
+    Plan: one map-side-combined (lang, source, bucket) histogram is
+    the only row-scale stage; marginals are cell-scale aggregates
+    joined on the group key."""
+    from btl_bloomfilter_spark.operators.stats import grouped_mutual_info
+
+    docs = _load(spark, sf_dir, "documents")["documents"].select(
+        "lang", "source", F.expr("n_chars div 500").alias("len_bucket")
+    )
+    return grouped_mutual_info(docs, ["lang"], "source", "len_bucket").orderBy(
+        "lang"
+    )
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6489,6 +6512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q172_grouped_entropy": q172_grouped_entropy,
         "q173_skew_report": q173_skew_report,
         "q174_basket_rules": q174_basket_rules,
+        "q175_mutual_info": q175_mutual_info,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7299,6 +7323,12 @@ def oracle_sql() -> dict[str, str]:
         "q172_grouped_entropy": _STATS.grouped_entropy_sql(
             "(SELECT lang, n_chars // 200 AS len_bucket FROM documents)",
             "lang", "len_bucket",
+        )
+        + " ORDER BY lang",
+        "q175_mutual_info": _STATS.grouped_mutual_info_sql(
+            "(SELECT lang, source, n_chars // 500 AS len_bucket"
+            " FROM documents)",
+            "lang", "source", "len_bucket",
         )
         + " ORDER BY lang",
         "q174_basket_rules": _BASKET.basket_rules_sql(

@@ -1182,6 +1182,16 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return basket_rules(ev, "user_id", "event_type", min_support=5).count()
 
+    def q_mutual_info():
+        # one map-side-combined cell histogram; marginal aggs +
+        # group-key joins are all cell-scale
+        from btl_bloomfilter_spark.operators.stats import grouped_mutual_info
+
+        base = docs.select(
+            "lang", "source", F.expr("n_chars div 500").alias("b")
+        )
+        return grouped_mutual_info(base, ["lang"], "source", "b").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1313,6 +1323,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "grouped_entropy_docs": q_grouped_entropy,
         "skew_report_events": q_skew_report,
         "basket_rules_events": q_basket_rules,
+        "mutual_info_docs": q_mutual_info,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

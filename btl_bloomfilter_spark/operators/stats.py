@@ -2432,3 +2432,154 @@ def grouped_entropy_sql(table: str, group: str, cat: str) -> str:
                END AS norm_entropy
         FROM __ent_h
     """
+
+
+def grouped_mutual_info(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col,
+    b_col,
+) -> DataFrame:
+    """(group…, n, k_a, k_b, k_ab, h_a, h_b, h_ab, mi_micro_nats, mi,
+    u_a, u_b) — exact-fixed-point mutual information between two
+    categorical columns per group, with the entropies it decomposes
+    into and Theil's uncertainty coefficients.  Completes the
+    association kit: chi² (chi2_independence) answers "is the
+    dependence significant", MI answers "how many nats of B does
+    knowing A buy" — and unlike chi², MI is comparable across tables
+    of different shapes.
+
+    All three entropies come from ONE (group, a, b) cell histogram
+    via the grouped_entropy identity (ln quantized ONCE per count to
+    micro-nat longs, exact integer sums, integral division):
+    H(A,B) from the cells, H(A)/H(B) from the cell-scale marginals.
+
+        MI_micro = max(H_a + H_b − H_ab, 0)   (exact integer adds;
+                                               the clamp absorbs the
+                                               ≤ ~3 micro-nat
+                                               truncation skew at
+                                               independence)
+        mi  = MI_micro / 10⁶                  (one exact division)
+        u_a = MI_micro / H_a                  ("fraction of A's
+                                               uncertainty removed by
+                                               B"; NULL when H_a = 0)
+
+    — engine-identical, hash-oracle-able.  The h_* columns are the
+    micro-nat LONGS (exact; divide by 10⁶ for nats).  MI can
+    overshoot min(H_a, H_b) by a few micro-nats (quantization;
+    documented, observable in the exact integers).  NULL in either
+    column drops the row.  OVERFLOW: as grouped_entropy
+    (N ≲ 3·10¹¹ per group).
+
+    Scale shape: the row-scale stage is the one map-side-combined
+    cell histogram; marginals are cell-scale aggregates joined back
+    on the group key.
+    """
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    lnm = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(*group_cols, a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__cc"))
+    )
+    def _h(gb, tag):
+        m = gb.agg(
+            F.sum("__m").alias("__n"),
+            F.count(F.lit(1)).alias(f"k_{tag}"),
+            F.sum(F.col("__m") * lnm(F.col("__m"))).alias("__s"),
+        )
+        return m.withColumn(
+            f"h_{tag}",
+            lnm(F.col("__n")) - F.expr("__s div __n"),
+        ).drop("__s")
+
+    hab = _h(
+        cells.select(*group_cols, F.col("__cc").alias("__m")).groupBy(*group_cols),
+        "ab",
+    )
+    ha = _h(
+        cells.groupBy(*group_cols, "__a")
+        .agg(F.sum("__cc").alias("__m"))
+        .groupBy(*group_cols),
+        "a",
+    ).drop("__n")
+    hb = _h(
+        cells.groupBy(*group_cols, "__b")
+        .agg(F.sum("__cc").alias("__m"))
+        .groupBy(*group_cols),
+        "b",
+    ).drop("__n")
+    j = hab.join(ha, group_cols).join(hb, group_cols)
+    mi = F.greatest(
+        F.col("h_a") + F.col("h_b") - F.col("h_ab"), F.lit(0).cast("long")
+    )
+    j = j.withColumn("__mi", mi)
+    m = F.col("__mi")
+    return j.select(
+        *group_cols,
+        F.col("__n").cast("long").alias("n"),
+        "k_a",
+        "k_b",
+        "k_ab",
+        "h_a",
+        "h_b",
+        "h_ab",
+        m.alias("mi_micro_nats"),
+        (m.cast("double") / F.lit(1000000.0)).alias("mi"),
+        F.when(F.col("h_a") > 0, m.cast("double") / F.col("h_a").cast("double"))
+        .alias("u_a"),
+        F.when(F.col("h_b") > 0, m.cast("double") / F.col("h_b").cast("double"))
+        .alias("u_b"),
+    )
+
+
+def grouped_mutual_info_sql(table: str, group: str, a: str, b: str) -> str:
+    """DuckDB twin of :func:`grouped_mutual_info` (same micro-nat
+    quantization, `//` integral division, identical double shapes)."""
+    lnm = "round(ln({x}) * 1000000)::BIGINT"
+    ent = (
+        "({n_ln} - (sum(m * ({m_ln}))::BIGINT // sum(m)::BIGINT))"
+    )
+    h = ent.format(n_ln=lnm.format(x="sum(m)"), m_ln=lnm.format(x="m"))
+    return f"""
+        WITH __mi_cells AS (
+            SELECT {group} AS g, {a} AS a, {b} AS b, count(*)::BIGINT AS m
+            FROM {table}
+            WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __mi_ab AS (
+            SELECT g, sum(m)::BIGINT AS n, count(*)::BIGINT AS k_ab,
+                   {h} AS h_ab
+            FROM __mi_cells GROUP BY g
+        ),
+        __mi_am AS (
+            SELECT g, a, sum(m)::BIGINT AS m FROM __mi_cells GROUP BY g, a
+        ),
+        __mi_a AS (
+            SELECT g, count(*)::BIGINT AS k_a, {h} AS h_a
+            FROM __mi_am GROUP BY g
+        ),
+        __mi_bm AS (
+            SELECT g, b, sum(m)::BIGINT AS m FROM __mi_cells GROUP BY g, b
+        ),
+        __mi_b AS (
+            SELECT g, count(*)::BIGINT AS k_b, {h} AS h_b
+            FROM __mi_bm GROUP BY g
+        ),
+        __mi_j AS (
+            SELECT ab.g, n, k_a, k_b, k_ab, h_a, h_b, h_ab,
+                   greatest(h_a + h_b - h_ab, 0::BIGINT) AS mi
+            FROM __mi_ab ab
+            JOIN __mi_a USING (g) JOIN __mi_b USING (g)
+        )
+        SELECT g AS {group}, n, k_a, k_b, k_ab, h_a, h_b, h_ab,
+               mi AS mi_micro_nats,
+               mi::DOUBLE / 1000000.0 AS mi,
+               CASE WHEN h_a > 0 THEN mi::DOUBLE / h_a::DOUBLE END AS u_a,
+               CASE WHEN h_b > 0 THEN mi::DOUBLE / h_b::DOUBLE END AS u_b
+        FROM __mi_j
+    """
