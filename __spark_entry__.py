@@ -5344,6 +5344,28 @@ def q175_mutual_info(spark, sf_dir):
     )
 
 
+def q176_dispersion(spark, sf_dir):
+    """Exact index of dispersion / Fano factor
+    (operators/stats.grouped_dispersion): the counting-process
+    burstiness diagnostic — per event_type, var/mean of the per-day
+    event counts (Poisson arrivals ⇒ fano = 1; fano > 1 flags the
+    bursty types: hot users, retry storms, bots).  With S = Σx and
+    Q = Σx² exact decimal/hugeint integers, var/fano/cv² are each
+    ONE division of exact integers — hash-oracled including all four
+    doubles.  Plan: the day-count groupBy is the row-scale stage
+    (map-side combined); the dispersion aggregate is one
+    three-number reduce per type."""
+    from btl_bloomfilter_spark.operators.stats import grouped_dispersion
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return grouped_dispersion(daily, ["event_type"], "c").orderBy(
+        "event_type"
+    )
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6513,6 +6535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q173_skew_report": q173_skew_report,
         "q174_basket_rules": q174_basket_rules,
         "q175_mutual_info": q175_mutual_info,
+        "q176_dispersion": q176_dispersion,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7325,6 +7348,12 @@ def oracle_sql() -> dict[str, str]:
             "lang", "len_bucket",
         )
         + " ORDER BY lang",
+        "q176_dispersion": _STATS.grouped_dispersion_sql(
+            "(SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c"
+            " FROM events GROUP BY 1, 2)",
+            "event_type", "c",
+        )
+        + " ORDER BY event_type",
         "q175_mutual_info": _STATS.grouped_mutual_info_sql(
             "(SELECT lang, source, n_chars // 500 AS len_bucket"
             " FROM documents)",

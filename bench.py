@@ -1192,6 +1192,15 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return grouped_mutual_info(base, ["lang"], "source", "b").count()
 
+    def q_dispersion():
+        # day-count groupBy (map-side combined) then a 3-number reduce
+        from btl_bloomfilter_spark.operators.stats import grouped_dispersion
+
+        daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return grouped_dispersion(daily, ["event_type"], "c").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1324,6 +1333,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "skew_report_events": q_skew_report,
         "basket_rules_events": q_basket_rules,
         "mutual_info_docs": q_mutual_info,
+        "dispersion_events": q_dispersion,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -2583,3 +2583,88 @@ def grouped_mutual_info_sql(table: str, group: str, a: str, b: str) -> str:
                CASE WHEN h_b > 0 THEN mi::DOUBLE / h_b::DOUBLE END AS u_b
         FROM __mi_j
     """
+
+
+def grouped_dispersion(
+    df: DataFrame,
+    group_cols: list[str],
+    count_col,
+) -> DataFrame:
+    """(group…, n, total, mean, var_pop, fano, cv2) — exact index of
+    dispersion (Fano factor, var/mean) and squared coefficient of
+    variation (var/mean²) of an integer count column per group: the
+    counting-process diagnostic that separates bursty from Poisson
+    from regular streams (Poisson ⇒ fano = 1; fano > 1 ⇒
+    overdispersed/bursty, the signature of hot users, retry storms,
+    or bot traffic in per-window event counts).
+
+    Exactness: with S = Σx and Q = Σx² as decimal/hugeint integers
+    over n rows,
+
+        var_pop = (n·Q − S²) / n²       mean = S / n
+        fano    = (n·Q − S²) / (n·S)    cv2  = (n·Q − S²) / S²
+
+    — every numerator/denominator an exact integer, each statistic
+    ONE correctly-rounded division, so the whole row hash-oracles.
+    fano/cv2 are NULL when S = 0 (all-zero counts); the column must
+    be integral (LONG-castable without loss — float inputs are
+    REJECTED like grouped_log_quantiles, the engines' cast rounding
+    diverges).  Negative counts are rejected in-plan (a count column
+    with negatives is upstream corruption, not a distribution).
+    OVERFLOW: n·Q ≤ n²·max(x)² < 10³⁸.
+
+    Scale shape: ONE map-side-combined three-number aggregate per
+    group; nothing row-shaped after it.
+    """
+    c = F.col(count_col) if isinstance(count_col, str) else count_col
+    dt = dict(df.dtypes).get(count_col if isinstance(count_col, str) else "", None)
+    if dt in ("float", "double") or (dt or "").startswith("decimal"):
+        raise ValueError(
+            f"count_col must be integral, got {dt}; quantize explicitly first"
+        )
+    x = F.when(
+        c < 0, F.raise_error(F.lit("grouped_dispersion: negative count"))
+    ).otherwise(c).cast(_D)
+    agg = df.where(c.isNotNull()).groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum(x).alias("__s"),
+        F.sum(x * x).alias("__q"),
+    )
+    n = F.col("__n").cast(_D)
+    s, q = F.col("__s"), F.col("__q")
+    num = (n * q - s * s).cast("double")
+    return agg.select(
+        *group_cols,
+        F.col("__n").alias("n"),
+        s.cast("long").alias("total"),
+        (s.cast("double") / F.col("__n").cast("double")).alias("mean"),
+        (num / (n * n).cast("double")).alias("var_pop"),
+        F.when(s > 0, num / (n * s).cast("double")).alias("fano"),
+        F.when(s > 0, num / (s * s).cast("double")).alias("cv2"),
+    )
+
+
+def grouped_dispersion_sql(table: str, group: str, count: str) -> str:
+    """DuckDB twin of :func:`grouped_dispersion` (hugeint moments,
+    identical double shapes)."""
+    return f"""
+        WITH __dsp AS (
+            SELECT {group} AS g, count(*)::BIGINT AS n,
+                   sum(({count})::HUGEINT) AS s,
+                   sum(({count})::HUGEINT * ({count})::HUGEINT) AS q
+            FROM {table}
+            WHERE ({count}) IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT g AS {group}, n, CAST(s AS BIGINT) AS total,
+               s::DOUBLE / n::DOUBLE AS mean,
+               CAST(n::HUGEINT * q - s * s AS DOUBLE)
+                   / CAST(n::HUGEINT * n::HUGEINT AS DOUBLE) AS var_pop,
+               CASE WHEN s > 0 THEN
+                   CAST(n::HUGEINT * q - s * s AS DOUBLE)
+                       / CAST(n::HUGEINT * s AS DOUBLE) END AS fano,
+               CASE WHEN s > 0 THEN
+                   CAST(n::HUGEINT * q - s * s AS DOUBLE)
+                       / CAST(s * s AS DOUBLE) END AS cv2
+        FROM __dsp
+    """
