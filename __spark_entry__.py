@@ -5366,6 +5366,31 @@ def q176_dispersion(spark, sf_dir):
     )
 
 
+def q177_richness(spark, sf_dir):
+    """Good-Turing coverage + Chao1 richness
+    (operators/growth.richness_estimate): per language, how much of
+    the token universe the corpus has NOT seen — the unseen-mass
+    complement to the seen-distinct sketches (HLL/theta count what
+    was observed; this extrapolates what wasn't) and the closed-form
+    answer q85's Heaps curve only trends toward.  Frequency-of-
+    frequencies (f1 singletons, f2 doubletons) are exact longs over
+    the q85-proven shared tokenizer; p0 = f1/N, coverage = 1 − f1/N,
+    chao1 = k + f1²/(2f2) (f2 = 0 → the bias-corrected pure-integer
+    branch) — hash-oracled including all three doubles.  Plan: one
+    map-side-combined (lang, token) count is the only row-scale
+    stage."""
+    from btl_bloomfilter_spark.operators.growth import (
+        _tokens,
+        richness_estimate,
+    )
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    toks = docs.select(
+        "lang", F.explode(_tokens("text")).alias("tok")
+    ).where(F.col("tok") != "")
+    return richness_estimate(toks, ["lang"], "tok").orderBy("lang")
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6536,6 +6561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q174_basket_rules": q174_basket_rules,
         "q175_mutual_info": q175_mutual_info,
         "q176_dispersion": q176_dispersion,
+        "q177_richness": q177_richness,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -6812,6 +6838,24 @@ def _q84_oracle_sql() -> str:
                round(CAST(sum(e) AS BIGINT)::DOUBLE / count(*), 6) AS avg_entropy_micro
         FROM docs GROUP BY source
     """
+
+
+def _q177_oracle_sql() -> str:
+    """Token-richness oracle: the q85 tokenizer derivation (shared
+    whitespace class + clean) feeding richness_estimate_sql."""
+    from btl_bloomfilter_spark.functions.textstats import _WS, _clean_sql
+    from btl_bloomfilter_spark.operators.growth import richness_estimate_sql
+
+    t = _clean_sql("text")
+    words = (
+        f"(CASE WHEN {t} = '' THEN [] ELSE"
+        f" string_split_regex({t}, '[{_WS}]+') END)"
+    )
+    toks = (
+        f"(SELECT lang, tok FROM (SELECT lang, unnest({words}) AS tok"
+        f" FROM documents) WHERE tok <> '')"
+    )
+    return richness_estimate_sql(toks, "lang", "tok") + " ORDER BY lang"
 
 
 def _q85_oracle_sql() -> str:
@@ -7348,6 +7392,7 @@ def oracle_sql() -> dict[str, str]:
             "lang", "len_bucket",
         )
         + " ORDER BY lang",
+        "q177_richness": _q177_oracle_sql(),
         "q176_dispersion": _STATS.grouped_dispersion_sql(
             "(SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c"
             " FROM events GROUP BY 1, 2)",

@@ -1201,6 +1201,18 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return grouped_dispersion(daily, ["event_type"], "c").count()
 
+    def q_richness():
+        # tokenize (pure map) then one map-side-combined token count
+        from btl_bloomfilter_spark.operators.growth import (
+            _tokens,
+            richness_estimate,
+        )
+
+        toks = docs.select("lang", F.explode(_tokens("text")).alias("tok")).where(
+            F.col("tok") != ""
+        )
+        return richness_estimate(toks, ["lang"], "tok").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1334,6 +1346,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "basket_rules_events": q_basket_rules,
         "mutual_info_docs": q_mutual_info,
         "dispersion_events": q_dispersion,
+        "token_richness_docs": q_richness,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

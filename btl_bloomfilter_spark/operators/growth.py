@@ -391,3 +391,97 @@ def quantile_histogram(
         rows,
         "bucket int, lo double, hi double, n long, fill_frac double, within_tol boolean",
     )
+
+
+def richness_estimate(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col,
+) -> DataFrame:
+    """(group…, n, k, f1, f2, coverage, p0_unseen, chao1) — exact
+    frequency-of-frequencies richness/coverage estimators per group:
+    how much of the item universe have we NOT seen yet.  The
+    unseen-mass complement to the seen-distinct sketches (HLL/theta
+    count what was observed; Good-Turing and Chao1 extrapolate what
+    wasn't) and the closed-form answer Heaps-law extrapolation
+    (vocabulary_growth) only trends toward.
+
+    With per-item counts c over N = Σc rows, k distinct items,
+    f1 = |{c = 1}| singletons and f2 = |{c = 2}| doubletons:
+
+        p0_unseen = f1 / N                (Good 1953: the probability
+                                           the NEXT draw is a
+                                           never-seen item)
+        coverage  = 1 − f1 / N            (Turing sample coverage)
+        chao1     = k + f1² / (2·f2)      (Chao 1984 richness lower
+                                           bound; f2 = 0 falls back
+                                           to the bias-corrected
+                                           k + f1(f1−1)/2, an exact
+                                           integer)
+
+    Every count is an exact long; p0/coverage/chao1 derive by single
+    correctly-rounded divisions (the f2 = 0 chao1 branch is pure
+    integer — f1(f1−1) is even), so the whole row hash-oracles.
+    NULL items are dropped; estimator contract: Chao1 is a LOWER
+    bound on true richness and assumes the doubleton/singleton ratio
+    reflects the abundance tail (documented, not gated).
+
+    Scale shape: one map-side-combined (group, item) count — the
+    only row-scale stage — then a cell-scale conditional aggregate.
+    """
+    it = F.col(item_col) if isinstance(item_col, str) else item_col
+    cells = (
+        df.where(it.isNotNull())
+        .groupBy(*group_cols, it.alias("__i"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = cells.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("__n"),
+        F.count(F.lit(1)).cast("long").alias("__k"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("__f1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("__f2"),
+    )
+    n, k, f1, f2 = (F.col(c) for c in ("__n", "__k", "__f1", "__f2"))
+    nd, kd, f1d, f2d = (c.cast("double") for c in (n, k, f1, f2))
+    chao1 = F.when(f2 > 0, kd + (f1d * f1d) / (F.lit(2.0) * f2d)).otherwise(
+        (k + F.expr("(__f1 * (__f1 - 1)) div 2")).cast("double")
+    )
+    return agg.select(
+        *group_cols,
+        n.alias("n"),
+        k.alias("k"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+        (F.lit(1.0) - f1d / nd).alias("coverage"),
+        (f1d / nd).alias("p0_unseen"),
+        chao1.alias("chao1"),
+    )
+
+
+def richness_estimate_sql(table_expr: str, group: str, item: str) -> str:
+    """DuckDB twin of :func:`richness_estimate` (same conditional
+    aggregate, `//` for the even integer branch, identical double
+    shapes)."""
+    return f"""
+        WITH __rc_cells AS (
+            SELECT {group} AS g, {item} AS i, count(*)::BIGINT AS c
+            FROM {table_expr}
+            WHERE ({item}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        __rc_agg AS (
+            SELECT g, sum(c)::BIGINT AS n, count(*)::BIGINT AS k,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                   sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS f2
+            FROM __rc_cells GROUP BY g
+        )
+        SELECT g AS {group}, n, k, f1, f2,
+               1.0 - f1::DOUBLE / n::DOUBLE AS coverage,
+               f1::DOUBLE / n::DOUBLE AS p0_unseen,
+               CASE WHEN f2 > 0
+                    THEN k::DOUBLE + (f1::DOUBLE * f1::DOUBLE)
+                         / (2.0 * f2::DOUBLE)
+                    ELSE CAST(k + (f1 * (f1 - 1)) // 2 AS DOUBLE)
+               END AS chao1
+        FROM __rc_agg
+    """
