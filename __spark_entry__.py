@@ -5391,6 +5391,32 @@ def q177_richness(spark, sf_dir):
     return richness_estimate(toks, ["lang"], "tok").orderBy("lang")
 
 
+def q178_benford(spark, sf_dir):
+    """Benford first-digit deviation
+    (operators/profile.benford_deviation): the fraud/synthetic-data
+    screen for numeric columns — per l_returnflag, the first-digit
+    distribution of cents-quantized prices vs log10(1+1/d), with the
+    exact chi² goodness-of-fit (dof 8).  First digits come from the
+    decimal STRING of the long (no float formatting), zero-count
+    digits are materialized (chi² needs the empty cells), expected
+    probabilities are shared micro-unit literals summing to exactly
+    10⁶, every term an exact decimal/hugeint integer — hash-oracled
+    including share/p/dev/chi2 doubles.  TPC-H prices span ~2
+    partial decades, so the query SHOWS a real deviation profile;
+    the gate is the cross-engine hash, not conformance.  Plan: pure
+    map + one map-side-combined (flag, digit) count; everything
+    after runs over ≤ 9 rows per group."""
+    from btl_bloomfilter_spark.operators.profile import benford_deviation
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"].selectExpr(
+        "l_returnflag",
+        "CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_cents",
+    )
+    return benford_deviation(li, ["l_returnflag"], "price_cents").orderBy(
+        "l_returnflag", "digit"
+    )
+
+
 def q158_token_wer(spark, sf_dir):
     """Token-level edit distance / WER
     (operators/evaltext.token_edit_stats): the sequence-order eval
@@ -6562,6 +6588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q175_mutual_info": q175_mutual_info,
         "q176_dispersion": q176_dispersion,
         "q177_richness": q177_richness,
+        "q178_benford": q178_benford,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7080,6 +7107,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import ranking as _RANKING
     from btl_bloomfilter_spark.operators import robust as _ROBUST
     from btl_bloomfilter_spark.operators import basket as _BASKET
+    from btl_bloomfilter_spark.operators import profile as _PROFILE
     from btl_bloomfilter_spark.plans import joins as _JOINS
 
     G = T.gopher_quality_sql("text", min_words=50)
@@ -7393,6 +7421,12 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY lang",
         "q177_richness": _q177_oracle_sql(),
+        "q178_benford": _PROFILE.benford_deviation_sql(
+            "(SELECT l_returnflag, CAST(floor(l_extendedprice * 100)"
+            " AS BIGINT) AS price_cents FROM lineitem)",
+            "l_returnflag", "price_cents",
+        )
+        + " ORDER BY l_returnflag, digit",
         "q176_dispersion": _STATS.grouped_dispersion_sql(
             "(SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c"
             " FROM events GROUP BY 1, 2)",

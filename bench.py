@@ -1213,6 +1213,17 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return richness_estimate(toks, ["lang"], "tok").count()
 
+    def q_benford():
+        # pure-map digit projection + one (flag, digit) count; the
+        # 9-row-per-group frame join and chi2 window are cell-scale
+        from btl_bloomfilter_spark.operators.profile import benford_deviation
+
+        base = li.selectExpr(
+            "l_returnflag",
+            "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents",
+        )
+        return benford_deviation(base, ["l_returnflag"], "cents").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1347,6 +1358,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "mutual_info_docs": q_mutual_info,
         "dispersion_events": q_dispersion,
         "token_richness_docs": q_richness,
+        "benford_lineitem": q_benford,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
