@@ -5245,8 +5245,8 @@ def q171_chi2_independence(spark, sf_dir):
     Cramér's V are single (÷, √) IEEE-exact derivations —
     hash-oracled INCLUDING both doubles.  Plan: one
     map-side-combined (lang, source, bucket) cell histogram is the
-    only row-scale stage; three marginal window sums share one
-    cell-scale exchange."""
+    only row-scale stage; the marginal window sums each exchange the
+    cell-scale table (bounded by distinct cells, never rows)."""
     from btl_bloomfilter_spark.operators.stats import chi2_independence
 
     docs = _load(spark, sf_dir, "documents")["documents"].select(

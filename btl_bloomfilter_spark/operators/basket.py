@@ -46,6 +46,7 @@ def basket_rules(
     min_support: int = 2,
     block: int = 512,
     facts: DataFrame | None = None,
+    broadcast_margins: bool = True,
 ) -> DataFrame:
     """(antecedent, consequent, n_pair, n_antecedent, n_consequent,
     n_baskets, support, confidence, lift) — one row per DIRECTED rule
@@ -56,7 +57,16 @@ def basket_rules(
     more than independence predicts.  NULL baskets/items are dropped;
     ``facts=`` supplies a pre-deduped (basket, item) table (columns
     named exactly ``basket_col``/``item_col``) for the persist-once
-    path."""
+    path.
+
+    ``broadcast_margins`` (default True) force-broadcasts the
+    per-item margin table into the two rule joins — right for
+    bounded item universes (event types, tools, categories).  For
+    HIGH-CARDINALITY item domains (millions of distinct parts /
+    tokens) the margin table is itself big: pass False to fall back
+    to shuffle joins and let AQE decide (the broadcast would
+    otherwise ship the full margin table to every executor, twice).
+    """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     b, it = F.col(basket_col), F.col(item_col)
@@ -92,14 +102,15 @@ def basket_rules(
             F.col("__y").alias("__ant"), F.col("__x").alias("__con"), "__cxy"
         )
     )
+    bc = F.broadcast if broadcast_margins else (lambda d: d)
     joined = (
         directed.join(
-            F.broadcast(items.select(F.col("__i"), F.col("__c").alias("__ca"))),
+            bc(items.select(F.col("__i"), F.col("__c").alias("__ca"))),
             F.col("__ant") == F.col("__i"),
         )
         .drop("__i")
         .join(
-            F.broadcast(items.select(F.col("__i"), F.col("__c").alias("__cb"))),
+            bc(items.select(F.col("__i"), F.col("__c").alias("__cb"))),
             F.col("__con") == F.col("__i"),
         )
         .drop("__i")

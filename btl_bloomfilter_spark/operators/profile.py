@@ -178,8 +178,8 @@ def benford_deviation(
     from pyspark.sql import Window
 
     v = F.col(value_col) if isinstance(value_col, str) else value_col
-    dt = dict(df.dtypes).get(value_col if isinstance(value_col, str) else "", None)
-    if dt in ("float", "double") or (dt or "").startswith("decimal"):
+    dt = df.select(v.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
         raise ValueError(
             f"value_col must be integral, got {dt}; quantize explicitly first"
         )
@@ -200,19 +200,35 @@ def benford_deviation(
             )
         )
     )
-    full = frame.join(counts, [*group_cols, "__d"], "left").withColumn(
-        "__o", F.coalesce(F.col("__o"), F.lit(0).cast("long"))
+    # null-safe frame join: groupBy keeps NULL group keys, but a plain
+    # equi-join would orphan them (NULL != NULL) and silently report
+    # observed = 0 for every digit of the NULL group (review catch,
+    # pinned by test_null_group_key)
+    import functools as _ft
+    import operator as _op
+
+    cnt2 = counts.withColumnRenamed("__d", "__rd")
+    for g in group_cols:
+        cnt2 = cnt2.withColumnRenamed(g, f"__r_{g}")
+    cond = _ft.reduce(
+        _op.and_,
+        [frame[g].eqNullSafe(cnt2[f"__r_{g}"]) for g in group_cols]
+        + [frame["__d"] == cnt2["__rd"]],
     )
-    num = (
-        F.col("__o").cast(_D38) * F.lit(10**6).cast(_D38)
-        - F.col("__N").cast(_D38) * F.col("__p").cast(_D38)
+    full = (
+        frame.join(cnt2, cond, "left")
+        .drop("__rd", *[f"__r_{g}" for g in group_cols])
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0).cast("long")))
     )
+    # ONE source for the fixed-point numerator: dev and chi2 must not
+    # be able to desynchronize (review catch)
+    num_sql = (
+        f"(__o * CAST({10**6} AS DECIMAL(38,0))"
+        f" - __N * CAST(__p AS DECIMAL(38,0)))"
+    )
+    num = F.expr(num_sql)
     term = F.expr(
-        f"CAST(((__o * CAST({10**6} AS DECIMAL(38,0))"
-        f"       - __N * CAST(__p AS DECIMAL(38,0)))"
-        f"      * (__o * CAST({10**6} AS DECIMAL(38,0))"
-        f"       - __N * CAST(__p AS DECIMAL(38,0)))"
-        f"      * CAST({scale} AS DECIMAL(38,0)))"
+        f"CAST(({num_sql} * {num_sql} * CAST({scale} AS DECIMAL(38,0)))"
         f" div (CAST(__N AS DECIMAL(38,0)) * __p"
         f"      * CAST({10**6} AS DECIMAL(38,0))) AS DECIMAL(38,0))"
     )
@@ -261,17 +277,20 @@ def benford_deviation_sql(
         __bf_full AS (
             SELECT n.g, dg.d, dg.p, n.N, coalesce(c.o, 0::BIGINT) AS o
             FROM __bf_n n CROSS JOIN __bf_dig dg
-            LEFT JOIN __bf_cnt c ON c.g = n.g AND c.d = dg.d
+            LEFT JOIN __bf_cnt c
+              ON c.g IS NOT DISTINCT FROM n.g AND c.d = dg.d
+        ),
+        __bf_num AS (
+            SELECT g, d, o, N, p,
+                   (o::HUGEINT * 1000000 - N::HUGEINT * p) AS num
+            FROM __bf_full
         ),
         __bf_t AS (
-            SELECT g, d, o, N, p,
-                   (o::HUGEINT * 1000000 - N::HUGEINT * p) AS num,
-                   sum(((o::HUGEINT * 1000000 - N::HUGEINT * p)
-                        * (o::HUGEINT * 1000000 - N::HUGEINT * p)
-                        * {scale}::HUGEINT)
+            SELECT g, d, o, N, p, num,
+                   sum((num * num * {scale}::HUGEINT)
                        // (N::HUGEINT * p::HUGEINT * 1000000::HUGEINT))
                        OVER (PARTITION BY g) AS fp
-            FROM __bf_full
+            FROM __bf_num
         )
         SELECT g AS {group}, d AS digit, o AS observed, N AS n,
                o::DOUBLE / N::DOUBLE AS share,

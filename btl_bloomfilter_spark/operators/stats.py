@@ -2226,8 +2226,11 @@ def chi2_independence(
     for (dof).
 
     Scale shape: one map-side-combined (group, a, b) cell histogram
-    — the only row-scale stage — then three cell-scale window sums
-    sharing one exchange and a cell-scale aggregate.
+    — the only row-scale stage — then three marginal window sums and
+    a final aggregate, each with its OWN hash exchange of the
+    ≤-distinct-cell table (partitionBy (g,a), (g,b), (g) cannot share
+    partitioning; all four exchanges move cell-scale rows, bounded by
+    distinct (a, b) pairs per group, never corpus rows).
     """
     if scale < 1:
         raise ValueError(f"scale must be >= 1, got {scale}")
@@ -2473,7 +2476,8 @@ def grouped_mutual_info(
 
     Scale shape: the row-scale stage is the one map-side-combined
     cell histogram; marginals are cell-scale aggregates joined back
-    on the group key.
+    on the group key (null-safely — a NULL group key keeps its row,
+    matching chi2_independence/grouped_entropy).
     """
     a = F.col(a_col) if isinstance(a_col, str) else a_col
     b = F.col(b_col) if isinstance(b_col, str) else b_col
@@ -2512,7 +2516,24 @@ def grouped_mutual_info(
         .groupBy(*group_cols),
         "b",
     ).drop("__n")
-    j = hab.join(ha, group_cols).join(hb, group_cols)
+    # null-safe group joins: groupBy keeps NULL group keys, a plain
+    # equi-join would silently drop that group — inconsistent with
+    # chi2_independence/grouped_entropy which emit its row (review
+    # catch, pinned by test_null_group_key)
+    import functools as _ft
+    import operator as _op
+
+    def _nsjoin(left, right):
+        r2 = right
+        for g in group_cols:
+            r2 = r2.withColumnRenamed(g, f"__r_{g}")
+        cond = _ft.reduce(
+            _op.and_,
+            [left[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
+        )
+        return left.join(r2, cond).drop(*[f"__r_{g}" for g in group_cols])
+
+    j = _nsjoin(_nsjoin(hab, ha), hb)
     mi = F.greatest(
         F.col("h_a") + F.col("h_b") - F.col("h_ab"), F.lit(0).cast("long")
     )
@@ -2571,10 +2592,11 @@ def grouped_mutual_info_sql(table: str, group: str, a: str, b: str) -> str:
             FROM __mi_bm GROUP BY g
         ),
         __mi_j AS (
-            SELECT ab.g, n, k_a, k_b, k_ab, h_a, h_b, h_ab,
+            SELECT ab.g AS g, n, k_a, k_b, k_ab, h_a, h_b, h_ab,
                    greatest(h_a + h_b - h_ab, 0::BIGINT) AS mi
             FROM __mi_ab ab
-            JOIN __mi_a USING (g) JOIN __mi_b USING (g)
+            JOIN __mi_a a ON ab.g IS NOT DISTINCT FROM a.g
+            JOIN __mi_b b ON ab.g IS NOT DISTINCT FROM b.g
         )
         SELECT g AS {group}, n, k_a, k_b, k_ab, h_a, h_b, h_ab,
                mi AS mi_micro_nats,
@@ -2617,8 +2639,8 @@ def grouped_dispersion(
     group; nothing row-shaped after it.
     """
     c = F.col(count_col) if isinstance(count_col, str) else count_col
-    dt = dict(df.dtypes).get(count_col if isinstance(count_col, str) else "", None)
-    if dt in ("float", "double") or (dt or "").startswith("decimal"):
+    dt = df.select(c.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
         raise ValueError(
             f"count_col must be integral, got {dt}; quantize explicitly first"
         )

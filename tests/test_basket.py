@@ -131,3 +131,16 @@ def test_contract_errors(spark):
         basket_rules(df, "bk", "it", min_support=0)
     with pytest.raises(ValueError):
         basket_rules_sql("t", "bk", "it", min_support=0)
+
+
+def test_broadcast_margins_off_equal(spark):
+    # review catch: high-cardinality escape hatch — shuffle-join path
+    # must produce identical rules
+    rng = random.Random(41)
+    rows = [(rng.randint(0, 25), rng.choice("lmnop")) for _ in range(300)]
+    df = spark.createDataFrame(rows, "bk int, it string")
+    a = _collect(basket_rules(df, "bk", "it", min_support=2))
+    b = _collect(
+        basket_rules(df, "bk", "it", min_support=2, broadcast_margins=False)
+    )
+    assert a == b

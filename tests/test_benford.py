@@ -9,6 +9,8 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from btl_bloomfilter_spark.operators.profile import (
     _BENFORD_MICRO,
     benford_deviation,
@@ -143,3 +145,41 @@ def test_duckdb_twin(spark, tmp_path):
         benford_deviation_sql("__t", "g", "v") + " ORDER BY g, digit"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_null_group_key(spark):
+    # review catch: a NULL group key must keep its REAL counts (plain
+    # equi-join orphaned it -> observed=0 for all digits, bogus chi2)
+    rows = [(None, 123), (None, 456), (None, 137), ("a", 21)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        (r["g"], r["digit"]): r["observed"]
+        for r in benford_deviation(df, ["g"], "v").collect()
+    }
+    assert got[(None, 1)] == 2 and got[(None, 4)] == 1
+    assert got[("a", 2)] == 1
+    # and both engines agree on it
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    con = duckdb.connect()
+    con.register("__t", pdf)
+    want = con.sql(
+        benford_deviation_sql("__t", "g", "v") + " ORDER BY g NULLS FIRST, digit"
+    ).df()
+    gotdf = (
+        benford_deviation(spark.createDataFrame(pdf), ["g"], "v")
+        .orderBy(F.col("g").asc_nulls_first(), "digit")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(gotdf, want, check_dtype=False)
+
+
+def test_column_arg_float_rejected(spark):
+    # review catch: the integral guard must fire for Column args too
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame([(0, 1.5)], "g int, price double")
+    with pytest.raises(ValueError):
+        benford_deviation(df, ["g"], SF.col("price"))

@@ -93,3 +93,12 @@ def test_duckdb_twin(spark, tmp_path):
     con.sql(f"CREATE VIEW __t AS SELECT * FROM read_parquet('{p}')")
     want = con.sql(grouped_dispersion_sql("__t", "g", "c") + " ORDER BY g").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_column_arg_float_rejected(spark):
+    # review catch: Column-typed args must hit the integral guard too
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame([(0, 1.5)], "g int, rate double")
+    with pytest.raises(ValueError):
+        grouped_dispersion(df, ["g"], SF.col("rate"))

@@ -142,3 +142,31 @@ def test_duckdb_twin(spark, tmp_path):
     con.sql(f"CREATE VIEW __t AS SELECT * FROM read_parquet('{p}')")
     want = con.sql(grouped_mutual_info_sql("__t", "g", "a", "b") + " ORDER BY g").df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_null_group_key(spark):
+    # review catch: a NULL group key must survive the marginal joins
+    # (plain equi-joins dropped the group), matching chi2/entropy
+    rows = [(None, "a", "X"), (None, "a", "Y"), (None, "b", "X"), (0, "a", "X")]
+    df = spark.createDataFrame(rows, "g string, a string, b string")
+    got = {r["g"]: r for r in grouped_mutual_info(df, ["g"], "a", "b").collect()}
+    assert set(got) == {None, "0"} or set(got) == {None, 0}
+    assert got[None]["n"] == 3 and got[None]["k_ab"] == 3
+    # engine parity on the NULL group
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["g", "a", "b"])
+    con = duckdb.connect()
+    con.register("__t", pdf)
+    want = con.sql(
+        grouped_mutual_info_sql("__t", "g", "a", "b") + " ORDER BY g NULLS FIRST"
+    ).df()
+    from pyspark.sql import functions as SF
+
+    gotdf = (
+        grouped_mutual_info(spark.createDataFrame(pdf), ["g"], "a", "b")
+        .orderBy(SF.col("g").asc_nulls_first())
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(gotdf, want, check_dtype=False)
