@@ -6410,6 +6410,23 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q179_anova(spark, sf_dir):
+    """Exact-fixed-point one-way ANOVA (operators/stats.grouped_anova):
+    per language, does the SOURCE shift mean document length — the
+    k-sample parametric completion of q148's two-cohort Welch t, with
+    η² = SSB/SST as the variance-explained effect size.  Per-treatment
+    Σx/Σx²/n ride decimal(38,0)/hugeint, each rational term S_i²/n_i
+    quantized ONCE via the chi² recipe (nonnegative operands so
+    div/`//` agree), F and η² each ONE division of exact integers —
+    hash-oracled including all four doubles.  Plan: one
+    map-side-combined (lang, source) moment histogram is the only
+    row-scale stage."""
+    from btl_bloomfilter_spark.operators.stats import grouped_anova
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return grouped_anova(docs, ["lang"], "source", "n_chars").orderBy("lang")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_pricing_summary": q01_pricing_summary,
@@ -6589,6 +6606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q176_dispersion": q176_dispersion,
         "q177_richness": q177_richness,
         "q178_benford": q178_benford,
+        "q179_anova": q179_anova,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7427,6 +7445,10 @@ def oracle_sql() -> dict[str, str]:
             "l_returnflag", "price_cents",
         )
         + " ORDER BY l_returnflag, digit",
+        "q179_anova": _STATS.grouped_anova_sql(
+            "documents", "lang", "source", "n_chars"
+        )
+        + " ORDER BY lang",
         "q176_dispersion": _STATS.grouped_dispersion_sql(
             "(SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c"
             " FROM events GROUP BY 1, 2)",

@@ -1224,6 +1224,13 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return benford_deviation(base, ["l_returnflag"], "cents").count()
 
+    def q_anova():
+        # one map-side-combined (lang, source) moment histogram,
+        # group aggregate over k-scale cells
+        from btl_bloomfilter_spark.operators.stats import grouped_anova
+
+        return grouped_anova(docs, ["lang"], "source", "n_chars").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1359,6 +1366,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "dispersion_events": q_dispersion,
         "token_richness_docs": q_richness,
         "benford_lineitem": q_benford,
+        "anova_docs": q_anova,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -2690,3 +2690,167 @@ def grouped_dispersion_sql(table: str, group: str, count: str) -> str:
                        / CAST(s * s AS DOUBLE) END AS cv2
         FROM __dsp
     """
+
+
+def grouped_anova(
+    df: DataFrame,
+    group_cols: list[str],
+    treat_col,
+    value_col,
+    *,
+    term_scale: int = 1_000_000,
+) -> DataFrame:
+    """(group…, n, k, df1, df2, ssb_fp, ssw_fp, ssb, ssw, f_stat,
+    eta2) — exact-fixed-point one-way ANOVA per group: does the
+    treatment column shift the value column's MEAN?  The k-sample
+    parametric completion of the two-cohort Welch t (grouped_welch
+    answers the 2-sample question; this answers "do ANY of the k
+    sources/types/variants differ", with η² = SSB/SST as the
+    variance-explained effect size the F alone doesn't give).
+
+    Exactness (the chi2_independence quantize-once recipe): with
+    per-treatment n_i / S_i = Σx / overall Q = Σx² as exact
+    decimal(38,0)/hugeint integers and TS = ``term_scale``,
+
+        a_i    = (S_i²·TS) div n_i       (quantized ONCE per
+                                          treatment — nonnegative
+                                          operands, so Spark `div`
+                                          and DuckDB `//` agree)
+        A      = Σ a_i                   (exact, order-independent)
+        SSB_fp = max(A − (S²·TS div N), 0)
+        SSW_fp = Q·TS − A                (≥ 0: a_i is truncated DOWN)
+        SST_fp = SSB_fp + SSW_fp         (so η² ∈ [0,1] structurally)
+
+        f_stat = (SSB_fp·(N−k)) / (SSW_fp·(k−1))   (ONE division of
+                                                    exact integers)
+        eta2   = SSB_fp / SST_fp                   (one division)
+        ssb    = SSB_fp / TS    ssw = SSW_fp / TS  (one division each;
+                                                    raw value² units)
+
+    — engine-identical, hash-oracle-able including all four doubles.
+    Truncation error ≤ (k+1)/TS absolute in SS units (documented,
+    observable in the exact ssb_fp/ssw_fp strings).  f_stat is NULL
+    when k < 2, N−k < 1, or SSW_fp = 0 (perfect separation — η² = 1
+    exactly there); eta2 is NULL when SST_fp = 0 (all values equal).
+    The value column must be integral (float inputs REJECTED like
+    grouped_dispersion — quantize explicitly first); NULL treatment
+    or value drops the row; NULL GROUP keys keep theirs (single
+    lineage, no join).  OVERFLOW: S_i²·TS < 1e38 → N·max|x| ≲ 10¹⁶
+    at the default TS.
+
+    Scale shape: ONE map-side-combined (group, treat) moment
+    histogram is the only row-scale stage; the group aggregate runs
+    over k-scale cells.
+    """
+    if term_scale < 1:
+        raise ValueError(f"term_scale must be >= 1, got {term_scale}")
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dt = df.select(v.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"value_col must be integral, got {dt}; quantize explicitly first"
+        )
+    x = v.cast(_D)
+    cells = (
+        df.where(t.isNotNull() & v.isNotNull())
+        .groupBy(*group_cols, t.alias("__t"))
+        .agg(
+            F.count(F.lit(1)).cast(_D).alias("__ni"),
+            F.sum(x).alias("__si"),
+            F.sum(x * x).alias("__qi"),
+        )
+    )
+    term = F.expr(
+        f"CAST((__si * __si * CAST({term_scale} AS DECIMAL(38,0)))"
+        f" div __ni AS DECIMAL(38,0))"
+    )
+    agg = cells.groupBy(*group_cols).agg(
+        F.sum("__ni").alias("__N"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__si").alias("__S"),
+        F.sum("__qi").alias("__Q"),
+        F.sum(term).alias("__A"),
+    )
+    ts = F.lit(term_scale).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    n, k, s, q, a = (
+        F.col("__N"),
+        F.col("__k"),
+        F.col("__S"),
+        F.col("__Q"),
+        F.col("__A"),
+    )
+    stot = F.expr(
+        f"CAST((__S * __S * CAST({term_scale} AS DECIMAL(38,0)))"
+        f" div __N AS DECIMAL(38,0))"
+    )
+    agg = (
+        agg.withColumn("__ssb", F.greatest(a - stot, zero))
+        .withColumn("__ssw", q * ts - a)
+    )
+    ssb, ssw = F.col("__ssb"), F.col("__ssw")
+    sst = ssb + ssw
+    kd = k.cast(_D)
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        k.alias("k"),
+        (k - 1).cast("long").alias("df1"),
+        (n - kd).cast("long").alias("df2"),
+        ssb.cast("string").alias("ssb_fp"),
+        ssw.cast("string").alias("ssw_fp"),
+        (ssb.cast("double") / ts.cast("double")).alias("ssb"),
+        (ssw.cast("double") / ts.cast("double")).alias("ssw"),
+        F.when(
+            (k >= 2) & (n - kd >= 1) & (ssw > zero),
+            (ssb * (n - kd)).cast("double")
+            / (ssw * (kd - 1)).cast("double"),
+        ).alias("f_stat"),
+        F.when(sst > zero, ssb.cast("double") / sst.cast("double")).alias(
+            "eta2"
+        ),
+    )
+
+
+def grouped_anova_sql(
+    table: str, group: str, treat: str, value: str, *, term_scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`grouped_anova` (hugeint moments, `//`
+    integral division on nonnegative operands, identical clamp and
+    double shapes)."""
+    return f"""
+        WITH __av_cells AS (
+            SELECT {group} AS g, {treat} AS t,
+                   count(*)::HUGEINT AS ni,
+                   sum(({value})::HUGEINT) AS si,
+                   sum(({value})::HUGEINT * ({value})::HUGEINT) AS qi
+            FROM {table}
+            WHERE ({treat}) IS NOT NULL AND ({value}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        __av_agg AS (
+            SELECT g, sum(ni) AS n, count(*)::HUGEINT AS k,
+                   sum(si) AS s, sum(qi) AS q,
+                   sum((si * si * {term_scale}::HUGEINT) // ni) AS a
+            FROM __av_cells GROUP BY g
+        ),
+        __av_ss AS (
+            SELECT g, n, k, q,
+                   greatest(a - ((s * s * {term_scale}::HUGEINT) // n),
+                            0::HUGEINT) AS ssb,
+                   q * {term_scale}::HUGEINT - a AS ssw
+            FROM __av_agg
+        )
+        SELECT g AS {group}, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+               ssb::VARCHAR AS ssb_fp, ssw::VARCHAR AS ssw_fp,
+               ssb::DOUBLE / {term_scale}::HUGEINT::DOUBLE AS ssb,
+               ssw::DOUBLE / {term_scale}::HUGEINT::DOUBLE AS ssw,
+               CASE WHEN k >= 2 AND n - k >= 1 AND ssw > 0 THEN
+                   CAST(ssb * (n - k) AS DOUBLE)
+                       / CAST(ssw * (k - 1) AS DOUBLE) END AS f_stat,
+               CASE WHEN ssb + ssw > 0 THEN
+                   ssb::DOUBLE / CAST(ssb + ssw AS DOUBLE) END AS eta2
+        FROM __av_ss
+    """
