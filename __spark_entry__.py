@@ -6410,6 +6410,33 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q180_kruskal_wallis(spark, sf_dir):
+    """Exact-fixed-point Kruskal–Wallis H
+    (operators/stats.grouped_kruskal_wallis): per event_type, does the
+    DAY OF WEEK shift the value distribution — the rank-based
+    completion of q179's parametric F (immune to outliers and
+    monotone transforms; the monotone-invariance law is pinned in
+    test_kruskal).  Doubled midranks 2·cum − ct + 1 are exact
+    integers off the value histogram's RANGE-cumulative window, each
+    R_i²/n_i term quantized ONCE via the chi² recipe, H one division
+    and the tie correction a fixed 3-division shape — hash-oracled
+    including both doubles.  Day-of-week = (epoch_sec div 86400) % 7
+    (the q169-proven instant identity), value cents-quantized.
+    Plan: one map-side-combined (type, dow, cents) cell histogram is
+    the only row-scale stage; windows and the aggregate cascade are
+    cell-scale; no joins."""
+    from btl_bloomfilter_spark.operators.stats import grouped_kruskal_wallis
+
+    ev = _load(spark, sf_dir, "events")["events"].select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400 % 7").alias("dow"),
+        F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+    )
+    return grouped_kruskal_wallis(ev, ["event_type"], "dow", "cents").orderBy(
+        "event_type"
+    )
+
+
 def q179_anova(spark, sf_dir):
     """Exact-fixed-point one-way ANOVA (operators/stats.grouped_anova):
     per language, does the SOURCE shift mean document length — the
@@ -6607,6 +6634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q177_richness": q177_richness,
         "q178_benford": q178_benford,
         "q179_anova": q179_anova,
+        "q180_kruskal_wallis": q180_kruskal_wallis,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7449,6 +7477,13 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "source", "n_chars"
         )
         + " ORDER BY lang",
+        "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
+            "(SELECT event_type,"
+            " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"
+            " CAST(floor(value * 100) AS BIGINT) AS cents FROM events)",
+            "event_type", "dow", "cents",
+        )
+        + " ORDER BY event_type",
         "q176_dispersion": _STATS.grouped_dispersion_sql(
             "(SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c"
             " FROM events GROUP BY 1, 2)",

@@ -1231,6 +1231,18 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return grouped_anova(docs, ["lang"], "source", "n_chars").count()
 
+    def q_kruskal():
+        # one (type, dow, cents) cell histogram; windows + cascade
+        # are cell-scale, no joins
+        from btl_bloomfilter_spark.operators.stats import grouped_kruskal_wallis
+
+        base = ev.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400 % 7").alias("dow"),
+            F.expr("CAST(floor(value * 100) AS BIGINT)").alias("cents"),
+        )
+        return grouped_kruskal_wallis(base, ["event_type"], "dow", "cents").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1367,6 +1379,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "token_richness_docs": q_richness,
         "benford_lineitem": q_benford,
         "anova_docs": q_anova,
+        "kruskal_wallis_events": q_kruskal,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -2854,3 +2854,175 @@ def grouped_anova_sql(
                    ssb::DOUBLE / CAST(ssb + ssw AS DOUBLE) END AS eta2
         FROM __av_ss
     """
+
+
+def grouped_kruskal_wallis(
+    df: DataFrame,
+    group_cols: list[str],
+    treat_col,
+    value_col,
+    *,
+    term_scale: int = 1_000_000,
+) -> DataFrame:
+    """(group…, n, k, df, ties_t, h, h_corrected) — exact-fixed-point
+    Kruskal–Wallis H per group: the rank-based k-sample test
+    completing grouped_anova's parametric F (ANOVA asks "do the
+    treatment MEANS differ" and assumes normal-ish tails; KW asks "do
+    the treatment DISTRIBUTIONS shift" on ranks, immune to outliers
+    and monotone transforms).
+
+    Midranks never touch floats: from the (group, value) histogram
+    (cell count ct, inclusive cumulative cum via a RANGE window),
+    the DOUBLED midrank r2 = 2·cum − ct + 1 is an exact integer.
+    Per treatment, R2_i = Σ cnt·r2 and n_i are exact
+    decimal(38,0)/hugeint; each rational term R_i²/n_i = R2_i²/(4n_i)
+    is quantized ONCE (the chi² recipe, nonnegative operands):
+
+        b_i  = (R2_i²·TS) div (4·n_i)       A = Σ b_i   (exact)
+        hnum = max(12·A − 3·TS·N·(N+1)², 0) (H ≥ 0 by Cauchy–Schwarz;
+                                             the clamp absorbs ≤ k/TS
+                                             truncation undershoot)
+        h    = hnum / (TS·N·(N+1))          (ONE division)
+        h_corrected = h / ((N³−N−T) / (N³−N))   (tie correction,
+                                             T = Σ_v ct³−ct exact;
+                                             fixed 3-division shape)
+
+    — engine-identical, hash-oracle-able including both doubles.
+    h/h_corrected are NULL when k < 2; h_corrected additionally NULL
+    when every value in the group is tied (N³−N = T) or N < 2.  The
+    value column must be integral (float inputs REJECTED — quantize
+    explicitly first); NULL treatment or value drops the row; NULL
+    GROUP keys keep theirs (single lineage, no join).  OVERFLOW:
+    R2_i²·TS < 1e38 with R2_i ≤ 2N·n_i → N per group ≲ 10⁷ at the
+    default TS (lower term_scale to raise the ceiling).
+
+    Scale shape: ONE map-side-combined (group, treat, value) cell
+    histogram is the only row-scale stage; after it, three cell-scale
+    window/aggregate passes (partitionBy (g,v) twice and the
+    (g)-range cumulative each exchange the cell table — cells are
+    bounded by distinct (treat, value) pairs per group, never rows),
+    then the (g,t) → (g) aggregate cascade.  No joins.
+    """
+    if term_scale < 1:
+        raise ValueError(f"term_scale must be >= 1, got {term_scale}")
+    from pyspark.sql import Window
+
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dt = df.select(v.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"value_col must be integral, got {dt}; quantize explicitly first"
+        )
+    cells = (
+        df.where(t.isNotNull() & v.isNotNull())
+        .groupBy(*group_cols, t.alias("__t"), v.cast("long").alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    wv = Window.partitionBy(*group_cols, "__v")
+    wr = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w = (
+        cells.withColumn("__ct", F.sum("__cnt").over(wv))
+        .withColumn("__cum", F.sum("__cnt").over(wr))
+        .withColumn(
+            "__first",
+            (F.row_number().over(wv.orderBy("__t")) == 1).cast("long"),
+        )
+    )
+    r2 = (F.lit(2) * F.col("__cum") - F.col("__ct") + F.lit(1)).cast(_D)
+    ct = F.col("__ct").cast(_D)
+    per_t = w.groupBy(*group_cols, "__t").agg(
+        F.sum(F.col("__cnt").cast(_D)).alias("__ni"),
+        F.sum(F.col("__cnt").cast(_D) * r2).alias("__r2i"),
+        F.sum(F.col("__first") * (ct * ct * ct - ct)).alias("__tp"),
+    )
+    term = F.expr(
+        f"CAST((__r2i * __r2i * CAST({term_scale} AS DECIMAL(38,0)))"
+        f" div (4 * __ni) AS DECIMAL(38,0))"
+    )
+    agg = per_t.groupBy(*group_cols).agg(
+        F.sum("__ni").alias("__N"),
+        F.count(F.lit(1)).alias("__k"),
+        F.sum(term).alias("__A"),
+        F.sum("__tp").alias("__T"),
+    )
+    ts = F.lit(term_scale).cast("decimal(38,0)")
+    zero = F.lit(0).cast("decimal(38,0)")
+    n, k, a, tt = F.col("__N"), F.col("__k"), F.col("__A"), F.col("__T")
+    hnum = F.greatest(
+        F.lit(12).cast(_D) * a - F.lit(3).cast(_D) * ts * n * (n + 1) * (n + 1),
+        zero,
+    )
+    hden = ts * n * (n + 1)
+    h = hnum.cast("double") / hden.cast("double")
+    n3n = n * n * n - n
+    corr = (n3n - tt).cast("double") / n3n.cast("double")
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        k.alias("k"),
+        (k - 1).cast("long").alias("df"),
+        tt.cast("long").alias("ties_t"),
+        F.when(k >= 2, h).alias("h"),
+        F.when((k >= 2) & (n3n > tt), h / corr).alias("h_corrected"),
+    )
+
+
+def grouped_kruskal_wallis_sql(
+    table: str, group: str, treat: str, value: str, *, term_scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`grouped_kruskal_wallis` (hugeint ranks
+    and moments, `//` on nonnegative operands, identical clamp and
+    division shapes)."""
+    return f"""
+        WITH __kw_cells AS (
+            SELECT {group} AS g, {treat} AS t, ({value})::BIGINT AS v,
+                   count(*)::BIGINT AS cnt
+            FROM {table}
+            WHERE ({treat}) IS NOT NULL AND ({value}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __kw_w AS (
+            SELECT g, t, v, cnt,
+                   sum(cnt) OVER (PARTITION BY g, v) AS ct,
+                   sum(cnt) OVER (PARTITION BY g ORDER BY v
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   CASE WHEN row_number() OVER (PARTITION BY g, v ORDER BY t)
+                        = 1 THEN 1 ELSE 0 END AS first
+            FROM __kw_cells
+        ),
+        __kw_t AS (
+            SELECT g, t, sum(cnt::HUGEINT) AS ni,
+                   sum(cnt::HUGEINT * (2 * cum - ct + 1)::HUGEINT) AS r2i,
+                   sum(first::HUGEINT
+                       * (ct::HUGEINT * ct::HUGEINT * ct::HUGEINT
+                          - ct::HUGEINT)) AS tp
+            FROM __kw_w GROUP BY g, t
+        ),
+        __kw_g AS (
+            SELECT g, sum(ni) AS n, count(*)::HUGEINT AS k,
+                   sum((r2i * r2i * {term_scale}::HUGEINT) // (4 * ni)) AS a,
+                   sum(tp) AS tt
+            FROM __kw_t GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+               CAST(k - 1 AS BIGINT) AS df, CAST(tt AS BIGINT) AS ties_t,
+               CASE WHEN k >= 2 THEN
+                   greatest(12 * a - 3 * {term_scale}::HUGEINT * n * (n + 1)
+                                * (n + 1), 0::HUGEINT)::DOUBLE
+                       / CAST({term_scale}::HUGEINT * n * (n + 1) AS DOUBLE)
+               END AS h,
+               CASE WHEN k >= 2 AND n * n * n - n > tt THEN
+                   (greatest(12 * a - 3 * {term_scale}::HUGEINT * n * (n + 1)
+                                * (n + 1), 0::HUGEINT)::DOUBLE
+                       / CAST({term_scale}::HUGEINT * n * (n + 1) AS DOUBLE))
+                   / (CAST(n * n * n - n - tt AS DOUBLE)
+                       / CAST(n * n * n - n AS DOUBLE))
+               END AS h_corrected
+        FROM __kw_g
+    """
