@@ -6410,6 +6410,27 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q181_mannwhitney(spark, sf_dir):
+    """Exact Mann–Whitney U + tie-corrected z
+    (operators/stats.grouped_mannwhitney): per l_linestatus, do
+    RETURNED line items ('R' flag) shift the extendedprice
+    distribution — the significance completion of q147's Cliff δ
+    (δ sizes the shift, z says whether it clears noise; the identity
+    U₂ = n1·n2 + (gt − lt) and z² == KW-H consistency are pinned in
+    tests).  Values compare, never compute (doubles untouched);
+    gt/tie/T counts exact decimal/hugeint; u/auc ONE division each,
+    z the fixed div→sqrt→div shape — hash-oracled including all three
+    doubles.  Plan: one map-side-combined (status, price) two-cohort
+    histogram, one per-group cumulative window over compressed
+    values, one group-sized aggregate."""
+    from btl_bloomfilter_spark.operators.stats import grouped_mannwhitney
+
+    li = _load(spark, sf_dir, "lineitem")["lineitem"]
+    return grouped_mannwhitney(
+        li, ["l_linestatus"], "l_extendedprice", F.col("l_returnflag") == "R"
+    ).orderBy("l_linestatus")
+
+
 def q180_kruskal_wallis(spark, sf_dir):
     """Exact-fixed-point Kruskal–Wallis H
     (operators/stats.grouped_kruskal_wallis): per event_type, does the
@@ -6635,6 +6656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q178_benford": q178_benford,
         "q179_anova": q179_anova,
         "q180_kruskal_wallis": q180_kruskal_wallis,
+        "q181_mannwhitney": q181_mannwhitney,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7477,6 +7499,11 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "source", "n_chars"
         )
         + " ORDER BY lang",
+        "q181_mannwhitney": _STATS.grouped_mannwhitney_sql(
+            "lineitem", "l_linestatus", "l_extendedprice",
+            "(l_returnflag = 'R')",
+        )
+        + " ORDER BY l_linestatus",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
             "(SELECT event_type,"
             " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"

@@ -1243,6 +1243,15 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return grouped_kruskal_wallis(base, ["event_type"], "dow", "cents").count()
 
+    def q_mannwhitney():
+        # one (status, price) two-cohort histogram + per-group
+        # cumulative window + group-sized aggregate
+        from btl_bloomfilter_spark.operators.stats import grouped_mannwhitney
+
+        return grouped_mannwhitney(
+            li, ["l_linestatus"], "l_extendedprice", F.col("l_returnflag") == "R"
+        ).count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1380,6 +1389,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "benford_lineitem": q_benford,
         "anova_docs": q_anova,
         "kruskal_wallis_events": q_kruskal,
+        "mannwhitney_lineitem": q_mannwhitney,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

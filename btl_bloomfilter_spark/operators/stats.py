@@ -3026,3 +3026,132 @@ def grouped_kruskal_wallis_sql(
                END AS h_corrected
         FROM __kw_g
     """
+
+
+def grouped_mannwhitney(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+    cohort_col,
+) -> DataFrame:
+    """(group…, n1, n2, ties_t, u2_fp, u, auc, z) — exact per-group
+    Mann–Whitney U (Wilcoxon rank-sum) with the tie-corrected normal
+    z: the SIGNIFICANCE completion of grouped_cliffs_delta (δ sizes
+    the shift, this says whether it clears noise) and the two-sample
+    special case of grouped_kruskal_wallis.
+
+    Everything derives from the same value-compressed two-cohort
+    histogram as KS/Cliff's δ — values COMPARE, never compute (no
+    quantization; doubles welcome):
+
+        U₂  = 2·gt + ties            (doubled U, exact integer; the
+                                      Cliff identity U₂ = n1·n2 +
+                                      (gt − lt) is pinned by test)
+        u   = U₂ / 2                 (exact halving)
+        auc = U₂ / (2·n1·n2)         (ONE division — the common-
+                                      language effect size
+                                      P(x>y) + ½P(x=y) = (δ+1)/2)
+        z   = (U₂ − n1·n2) / √( n1·n2·(N³−N−T) / (3·N·(N−1)) )
+                                     (tie-corrected variance,
+                                      T = Σ_v t³−t exact; fixed
+                                      div→sqrt→div shape — 4·var
+                                      because U₂ − n1·n2 = 2(U−μ))
+
+    — every count an exact decimal(38,0)/hugeint integer, each double
+    a single correctly-rounded shape: engine-identical,
+    hash-oracle-able.  No continuity correction (documented choice —
+    with ties the ±½ convention is ambiguous; consumers can apply
+    their own to u).  z is NULL when all values are tied (variance
+    0) or N < 2.  NULL values/cohorts and NaN are dropped; groups
+    where either cohort is empty are excluded.  OVERFLOW:
+    n1·n2·(N³−N) < 1e38 → N per group ≲ 3·10⁷.
+
+    Scale shape: identical to grouped_ks/grouped_cliffs_delta — one
+    map-side-combined (group, value) histogram, one per-GROUP
+    cumulative window over compressed values, one group-sized
+    aggregate.
+    """
+    from pyspark.sql import Window
+
+    h = _two_cohort_hist(df, group_cols, value_col, cohort_col)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wa = Window.partitionBy(*group_cols)
+    c = (
+        h.withColumn("__fb2", F.coalesce(F.sum("__c2").over(w), F.lit(0).cast(_D)))
+        .withColumn("__n1", F.sum("__c1").over(wa))
+        .withColumn("__n2", F.sum("__c2").over(wa))
+    )
+    t = F.col("__c1") + F.col("__c2")
+    agg = c.groupBy(*group_cols).agg(
+        F.sum(F.col("__c1") * F.col("__fb2")).alias("__gt"),
+        F.sum(F.col("__c1") * F.col("__c2")).alias("__ties"),
+        F.sum(t * t * t - t).alias("__T"),
+        F.first("__n1").alias("__n1"),
+        F.first("__n2").alias("__n2"),
+    )
+    n1, n2 = F.col("__n1"), F.col("__n2")
+    u2 = F.lit(2).cast(_D) * F.col("__gt") + F.col("__ties")
+    nn = n1 + n2
+    n3n = nn * nn * nn - nn
+    v4num = n1 * n2 * (n3n - F.col("__T"))
+    v4den = F.lit(3).cast(_D) * nn * (nn - 1)
+    agg = agg.withColumn("__u2", u2)
+    u2c = F.col("__u2")
+    return agg.where((n1 > 0) & (n2 > 0)).select(
+        *group_cols,
+        n1.cast("long").alias("n1"),
+        n2.cast("long").alias("n2"),
+        F.col("__T").cast("long").alias("ties_t"),
+        u2c.cast("string").alias("u2_fp"),
+        (u2c.cast("double") / F.lit(2.0)).alias("u"),
+        (u2c.cast("double") / (F.lit(2).cast(_D) * n1 * n2).cast("double")).alias(
+            "auc"
+        ),
+        F.when(
+            (v4num > 0) & (nn >= 2),
+            (u2c - n1 * n2).cast("double")
+            / F.sqrt(v4num.cast("double") / v4den.cast("double")),
+        ).alias("z"),
+    )
+
+
+def grouped_mannwhitney_sql(
+    table: str, group: str, value: str, cohort_pred: str
+) -> str:
+    """DuckDB twin of :func:`grouped_mannwhitney` (hugeint counts,
+    identical single-division / div→sqrt→div shapes)."""
+    return f"""
+        WITH __mw_h AS ({_two_cohort_hist_sql(table, group, value, cohort_pred)}
+        ),
+        __mw_c AS (
+            SELECT g, c1, c2,
+                   coalesce(sum(c2) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fb2,
+                   sum(c1) OVER (PARTITION BY g) AS n1,
+                   sum(c2) OVER (PARTITION BY g) AS n2
+            FROM __mw_h
+        ),
+        __mw_a AS (
+            SELECT g, sum(c1 * fb2) AS gt, sum(c1 * c2) AS ties,
+                   sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS tt,
+                   any_value(n1) AS n1, any_value(n2) AS n2
+            FROM __mw_c GROUP BY g
+        )
+        SELECT g AS {group}, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+               CAST(tt AS BIGINT) AS ties_t,
+               (2 * gt + ties)::VARCHAR AS u2_fp,
+               (2 * gt + ties)::DOUBLE / 2.0 AS u,
+               (2 * gt + ties)::DOUBLE / CAST(2 * n1 * n2 AS DOUBLE) AS auc,
+               CASE WHEN n1 * n2 * ((n1 + n2) * (n1 + n2) * (n1 + n2)
+                        - (n1 + n2) - tt) > 0 AND n1 + n2 >= 2 THEN
+                   CAST(2 * gt + ties - n1 * n2 AS DOUBLE)
+                   / sqrt(CAST(n1 * n2 * ((n1 + n2) * (n1 + n2) * (n1 + n2)
+                               - (n1 + n2) - tt) AS DOUBLE)
+                          / CAST(3 * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+               END AS z
+        FROM __mw_a WHERE n1 > 0 AND n2 > 0
+    """
