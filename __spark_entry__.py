@@ -6410,6 +6410,27 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q182_brown_forsythe(spark, sf_dir):
+    """Exact Brown–Forsythe variance-homogeneity test
+    (operators/stats.brown_forsythe): on q179's OWN data (lang ×
+    source × n_chars), do the sources differ in SPREAD — the
+    assumption q179's F quietly makes, now checked in-kit (and a
+    dispersion comparison in its own right: wider, not just
+    shifted).  Deviations |2x − med₂| stay integral via the doubled
+    per-treatment median off the histogram's 2·cum ≥ n / ≥ n+2
+    crossings, then the whole grouped_anova exact-fixed-point
+    machinery applies verbatim — hash-oracled including all four
+    doubles.  The pure-shift-blind / pure-scale-loud discrimination
+    vs ANOVA is pinned in test_brown_forsythe.  Plan: two row passes
+    by construction (median, then deviations — BF is inherently
+    two-pass); the (lang, source) median table broadcasts; the
+    deviation table feeds q179's one-histogram ANOVA shape."""
+    from btl_bloomfilter_spark.operators.stats import brown_forsythe
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return brown_forsythe(docs, ["lang"], "source", "n_chars").orderBy("lang")
+
+
 def q181_mannwhitney(spark, sf_dir):
     """Exact Mann–Whitney U + tie-corrected z
     (operators/stats.grouped_mannwhitney): per l_linestatus, do
@@ -6657,6 +6678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q179_anova": q179_anova,
         "q180_kruskal_wallis": q180_kruskal_wallis,
         "q181_mannwhitney": q181_mannwhitney,
+        "q182_brown_forsythe": q182_brown_forsythe,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7504,6 +7526,10 @@ def oracle_sql() -> dict[str, str]:
             "(l_returnflag = 'R')",
         )
         + " ORDER BY l_linestatus",
+        "q182_brown_forsythe": _STATS.brown_forsythe_sql(
+            "documents", "lang", "source", "n_chars"
+        )
+        + " ORDER BY lang",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
             "(SELECT event_type,"
             " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"

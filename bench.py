@@ -1252,6 +1252,13 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             li, ["l_linestatus"], "l_extendedprice", F.col("l_returnflag") == "R"
         ).count()
 
+    def q_brown_forsythe():
+        # two row passes by construction (median histogram, then the
+        # broadcast-join deviation pass into the ANOVA shape)
+        from btl_bloomfilter_spark.operators.stats import brown_forsythe
+
+        return brown_forsythe(docs, ["lang"], "source", "n_chars").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1390,6 +1397,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "anova_docs": q_anova,
         "kruskal_wallis_events": q_kruskal,
         "mannwhitney_lineitem": q_mannwhitney,
+        "brown_forsythe_docs": q_brown_forsythe,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

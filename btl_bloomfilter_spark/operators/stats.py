@@ -3155,3 +3155,147 @@ def grouped_mannwhitney_sql(
                END AS z
         FROM __mw_a WHERE n1 > 0 AND n2 > 0
     """
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_cols: list[str],
+    treat_col,
+    value_col,
+    *,
+    term_scale: int = 1_000_000,
+    broadcast_medians: bool = True,
+) -> DataFrame:
+    """(group…, n, k, df1, df2, ssb_fp, ssw_fp, ssb, ssw, f_stat,
+    eta2) — exact Brown–Forsythe test per group: do the k treatments
+    have equal SPREAD?  The variance-homogeneity check that q179's
+    ANOVA F quietly assumes (Levene 1960 centered on means; the
+    Brown–Forsythe 1974 median-centering used here is the
+    heavy-tail-robust variant that became the default) — and a
+    useful dispersion comparison in its own right (is this source's
+    length distribution WIDER, not just shifted?).
+
+    Construction: W is the one-way ANOVA F computed on absolute
+    deviations from the per-treatment median.  To stay integral the
+    deviations are DOUBLED — with the per-treatment doubled median
+
+        med₂ = 2·med_lo                (n odd)
+             = med_lo + med_hi         (n even; lo/hi = the two
+                                        middle order statistics, via
+                                        the 2·cum ≥ n and ≥ n+2
+                                        histogram crossings)
+        z    = |2·x − med₂|            (exact integer; F is
+                                        scale-invariant, so F(z) =
+                                        F(|x−med|) exactly up to the
+                                        shared term_scale truncation)
+
+    then delegates to :func:`grouped_anova` — every guarantee there
+    (quantize-once terms, one-division F/η², hash-oracle-ability)
+    carries over; ssb/ssw are in DOUBLED-deviation² units (4× the
+    |x−med| scale; documented, consistent across engines).
+
+    Two passes over the rows by construction (median, then
+    deviations — BF is inherently two-pass); the median table is
+    (group, treat)-sized and broadcast by default
+    (``broadcast_medians=False`` falls back to a shuffle join for
+    high-cardinality treatments).  The join is NULL-SAFE on the
+    group keys (a NULL group key keeps its rows — the
+    grouped_mutual_info review lesson).  The value column must be
+    integral; NULL treatment or value drops the row.  OVERFLOW: as
+    grouped_anova, plus |2·x| must fit a long.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dt = df.select(v.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"value_col must be integral, got {dt}; quantize explicitly first"
+        )
+    base = df.where(t.isNotNull() & v.isNotNull()).select(
+        *group_cols, t.alias("__t"), v.cast("long").alias("__v")
+    )
+    hist = base.groupBy(*group_cols, "__t", "__v").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    wc = (
+        Window.partitionBy(*group_cols, "__t")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy(*group_cols, "__t")
+    h = hist.withColumn("__cum", F.sum("__cnt").over(wc)).withColumn(
+        "__n", F.sum("__cnt").over(wn)
+    )
+    two_cum = F.lit(2) * F.col("__cum")
+    med = h.groupBy(*group_cols, "__t").agg(
+        F.min(F.when(two_cum >= F.col("__n"), F.col("__v"))).alias("__lo"),
+        F.min(F.when(two_cum >= F.col("__n") + 2, F.col("__v"))).alias("__hi"),
+        F.max("__n").alias("__nn"),
+    )
+    med2 = F.when(
+        F.col("__nn") % 2 == 1, F.lit(2) * F.col("__lo")
+    ).otherwise(F.col("__lo") + F.col("__hi"))
+    med = med.select(
+        *[F.col(g).alias(f"__m_{g}") for g in group_cols],
+        F.col("__t").alias("__m_t"),
+        med2.alias("__med2"),
+    )
+    if broadcast_medians:
+        med = F.broadcast(med)
+    import functools as _ft
+    import operator as _op
+
+    cond = _ft.reduce(
+        _op.and_,
+        [base[g].eqNullSafe(med[f"__m_{g}"]) for g in group_cols]
+        + [base["__t"] == med["__m_t"]],
+    )
+    z2 = F.abs(F.lit(2) * F.col("__v") - F.col("__med2")).alias("__z2")
+    dev = base.join(med, cond).select(*group_cols, "__t", z2)
+    return grouped_anova(
+        dev, group_cols, "__t", "__z2", term_scale=term_scale
+    )
+
+
+def brown_forsythe_sql(
+    table: str, group: str, treat: str, value: str, *, term_scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`brown_forsythe` (same doubled-median
+    crossing construction, IS NOT DISTINCT FROM group join, then the
+    grouped_anova twin over the deviation table)."""
+    dev = f"""(
+        WITH __bf_h AS (
+            SELECT {group} AS g, {treat} AS t, ({value})::BIGINT AS v,
+                   count(*)::BIGINT AS cnt
+            FROM {table}
+            WHERE ({treat}) IS NOT NULL AND ({value}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __bf_c AS (
+            SELECT g, t, v, cnt,
+                   sum(cnt) OVER (PARTITION BY g, t ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   sum(cnt) OVER (PARTITION BY g, t) AS n
+            FROM __bf_h
+        ),
+        __bf_m AS (
+            SELECT g, t,
+                   min(CASE WHEN 2 * cum >= n THEN v END) AS lo,
+                   min(CASE WHEN 2 * cum >= n + 2 THEN v END) AS hi,
+                   any_value(n) AS n
+            FROM __bf_c GROUP BY g, t
+        )
+        SELECT r.g AS {group}, r.t AS __bf_t,
+               abs(2 * r.v - CASE WHEN m.n % 2 = 1 THEN 2 * m.lo
+                                  ELSE m.lo + m.hi END) AS __bf_z2
+        FROM (SELECT {group} AS g, {treat} AS t, ({value})::BIGINT AS v
+              FROM {table}
+              WHERE ({treat}) IS NOT NULL AND ({value}) IS NOT NULL) r
+        JOIN __bf_m m ON r.g IS NOT DISTINCT FROM m.g AND r.t = m.t
+    )"""
+    return grouped_anova_sql(
+        dev, group, "__bf_t", "__bf_z2", term_scale=term_scale
+    )
