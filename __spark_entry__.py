@@ -6410,6 +6410,40 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q183_survival(spark, sf_dir):
+    """Exact grouped Kaplan–Meier/Nelson–Aalen survival curves
+    (operators/survival.survival_curve): per user segment, time from
+    first to last activity with RIGHT-CENSORING — users last seen
+    within 7 days of the corpus horizon are censored (still alive),
+    contributing exactly what is known (survived ≥ dur) instead of
+    being dropped or miscounted as churned.  The product-limit Ŝ is
+    an order-dependent float product, so it is never formed: the
+    per-time log factor ln(n−d) − ln(n) rides the q172 micro-nat
+    quantization of INTEGER args with an exact integer cumsum, and
+    Nelson–Aalen terms quantize once to (d·10⁶ div n) — the whole
+    curve hash-oracles (hazard the only raw division).  exp() is
+    libm-divergent, so Ŝ itself is a non-oracled presentation helper
+    (attach_survival).  Plan: per-user min/max day is the row-scale
+    stage; the curve is cell-scale windows over one (seg) exchange,
+    no joins (the 1-row horizon crossJoin broadcasts)."""
+    from btl_bloomfilter_spark.operators.survival import survival_curve
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    day = F.expr("unix_timestamp(ts) div 86400")
+    per_user = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+    )
+    horizon = per_user.agg(F.max("ld").alias("mx"))
+    base = per_user.crossJoin(horizon).select(
+        (F.col("user_id") % 3).alias("seg"),
+        (F.col("ld") - F.col("fd")).alias("dur"),
+        (F.col("ld") <= F.col("mx") - 7).cast("int").alias("churned"),
+    )
+    return survival_curve(base, ["seg"], "dur", "churned").orderBy("seg", "t")
+
+
 def q182_brown_forsythe(spark, sf_dir):
     """Exact Brown–Forsythe variance-homogeneity test
     (operators/stats.brown_forsythe): on q179's OWN data (lang ×
@@ -6679,6 +6713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q180_kruskal_wallis": q180_kruskal_wallis,
         "q181_mannwhitney": q181_mannwhitney,
         "q182_brown_forsythe": q182_brown_forsythe,
+        "q183_survival": q183_survival,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7198,6 +7233,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import robust as _ROBUST
     from btl_bloomfilter_spark.operators import basket as _BASKET
     from btl_bloomfilter_spark.operators import profile as _PROFILE
+    from btl_bloomfilter_spark.operators import survival as _SURVIVAL
     from btl_bloomfilter_spark.plans import joins as _JOINS
 
     G = T.gopher_quality_sql("text", min_words=50)
@@ -7530,6 +7566,19 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "source", "n_chars"
         )
         + " ORDER BY lang",
+        "q183_survival": _SURVIVAL.survival_curve_sql(
+            "(WITH __q183_u AS ("
+            " SELECT user_id,"
+            " min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS fd,"
+            " max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS ld"
+            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id),"
+            " __q183_h AS (SELECT max(ld) AS mx FROM __q183_u)"
+            " SELECT user_id % 3 AS seg, ld - fd AS dur,"
+            " CASE WHEN ld <= mx - 7 THEN 1 ELSE 0 END AS churned"
+            " FROM __q183_u, __q183_h)",
+            "seg", "dur", "churned",
+        )
+        + " ORDER BY seg, t",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
             "(SELECT event_type,"
             " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"

@@ -1259,6 +1259,25 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         return brown_forsythe(docs, ["lang"], "source", "n_chars").count()
 
+    def q_survival():
+        # per-user min/max day is the row-scale stage; the curve is
+        # cell-scale windows over one (seg) exchange
+        from btl_bloomfilter_spark.operators.survival import survival_curve
+
+        day = F.expr("unix_timestamp(ts) div 86400")
+        per_user = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+        )
+        horizon = per_user.agg(F.max("ld").alias("mx"))
+        base = per_user.crossJoin(horizon).select(
+            (F.col("user_id") % 3).alias("seg"),
+            (F.col("ld") - F.col("fd")).alias("dur"),
+            (F.col("ld") <= F.col("mx") - 7).cast("int").alias("churned"),
+        )
+        return survival_curve(base, ["seg"], "dur", "churned").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1398,6 +1417,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "kruskal_wallis_events": q_kruskal,
         "mannwhitney_lineitem": q_mannwhitney,
         "brown_forsythe_docs": q_brown_forsythe,
+        "survival_curve_events": q_survival,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
