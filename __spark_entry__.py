@@ -6410,6 +6410,29 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q184_jsd(spark, sf_dir):
+    """Exact Jensen–Shannon divergence (operators/drift.grouped_jsd):
+    per language, how far apart are the SOURCE distributions of short
+    vs long documents — the drift measure completing the kit's
+    corners (q145/q92 PSI is unbounded and explodes on empty bins,
+    q144 KS needs an ordered axis; JSD is symmetric, bounded [0, ln2],
+    defined wherever either cohort saw the category).  The mixture
+    entropy is EXACTLY the q172 identity on integer pseudo-counts
+    w = a·B + b·A over 2AB, so all three entropies ride the proven
+    micro-nat machinery, JSD₂ = 2H_m − H_a − H_b an exact integer add
+    clamped at identity, jsd/jsd_norm single divisions by exact
+    literals — hash-oracled including both doubles.  h_a ==
+    grouped_entropy's integer is pinned cross-operator.  Plan: ONE
+    map-side-combined (lang, source) two-cohort histogram; the rest
+    is one cell-scale aggregate — no joins, no row-scale windows."""
+    from btl_bloomfilter_spark.operators.drift import grouped_jsd
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return grouped_jsd(
+        docs, ["lang"], "source", F.col("n_chars") >= 1000
+    ).orderBy("lang")
+
+
 def q183_survival(spark, sf_dir):
     """Exact grouped Kaplan–Meier/Nelson–Aalen survival curves
     (operators/survival.survival_curve): per user segment, time from
@@ -6714,6 +6737,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q181_mannwhitney": q181_mannwhitney,
         "q182_brown_forsythe": q182_brown_forsythe,
         "q183_survival": q183_survival,
+        "q184_jsd": q184_jsd,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7233,6 +7257,7 @@ def oracle_sql() -> dict[str, str]:
     from btl_bloomfilter_spark.operators import robust as _ROBUST
     from btl_bloomfilter_spark.operators import basket as _BASKET
     from btl_bloomfilter_spark.operators import profile as _PROFILE
+    from btl_bloomfilter_spark.operators import drift as _DRIFT
     from btl_bloomfilter_spark.operators import survival as _SURVIVAL
     from btl_bloomfilter_spark.plans import joins as _JOINS
 
@@ -7579,6 +7604,10 @@ def oracle_sql() -> dict[str, str]:
             "seg", "dur", "churned",
         )
         + " ORDER BY seg, t",
+        "q184_jsd": _DRIFT.grouped_jsd_sql(
+            "documents", "lang", "source", "(n_chars >= 1000)"
+        )
+        + " ORDER BY lang",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
             "(SELECT event_type,"
             " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"

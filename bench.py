@@ -1278,6 +1278,14 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return survival_curve(base, ["seg"], "dur", "churned").count()
 
+    def q_jsd():
+        # one (lang, source) two-cohort histogram + cell-scale agg
+        from btl_bloomfilter_spark.operators.drift import grouped_jsd
+
+        return grouped_jsd(
+            docs, ["lang"], "source", F.col("n_chars") >= 1000
+        ).count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1418,6 +1426,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "mannwhitney_lineitem": q_mannwhitney,
         "brown_forsythe_docs": q_brown_forsythe,
         "survival_curve_events": q_survival,
+        "jsd_docs": q_jsd,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals
