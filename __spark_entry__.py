@@ -6410,6 +6410,37 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q185_mcnemar(spark, sf_dir):
+    """Exact McNemar paired test (operators/stats.grouped_mcnemar):
+    per user segment, is clicking systematically more common than
+    purchasing — both flags measured on the SAME user, so the
+    independent-cohort tools (q164's CIs, q145's Welch) are the wrong
+    shape; McNemar conditions on the discordant pairs b/c, the only
+    information the paired design carries.  b/c/n11/n00 exact longs,
+    stat = (b−c)²/(b+c), the Edwards-corrected stat_cc, and the b/c
+    odds ratio each ONE division of exact integers — hash-oracled
+    including all three doubles.  Plan: the per-user flag rollup is
+    the row-scale stage (map-side combined bool_or); McNemar itself
+    is one four-counter aggregate per segment."""
+    from btl_bloomfilter_spark.operators.stats import grouped_mcnemar
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    flags = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias(
+                "purchased"
+            ),
+        )
+        .select(
+            (F.col("user_id") % 4).alias("seg"), "clicked", "purchased"
+        )
+    )
+    return grouped_mcnemar(flags, ["seg"], "clicked", "purchased").orderBy("seg")
+
+
 def q184_jsd(spark, sf_dir):
     """Exact Jensen–Shannon divergence (operators/drift.grouped_jsd):
     per language, how far apart are the SOURCE distributions of short
@@ -6738,6 +6769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q182_brown_forsythe": q182_brown_forsythe,
         "q183_survival": q183_survival,
         "q184_jsd": q184_jsd,
+        "q185_mcnemar": q185_mcnemar,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7608,6 +7640,16 @@ def oracle_sql() -> dict[str, str]:
             "documents", "lang", "source", "(n_chars >= 1000)"
         )
         + " ORDER BY lang",
+        "q185_mcnemar": _STATS.grouped_mcnemar_sql(
+            "(SELECT user_id % 4 AS seg,"
+            " max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS clicked,"
+            " max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " AS purchased"
+            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)",
+            "seg", "clicked", "purchased",
+        )
+        + " ORDER BY seg",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
             "(SELECT event_type,"
             " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"

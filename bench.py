@@ -1286,6 +1286,22 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             docs, ["lang"], "source", F.col("n_chars") >= 1000
         ).count()
 
+    def q_mcnemar():
+        # per-user flag rollup (map-side combined) then a 4-counter
+        # aggregate per segment
+        from btl_bloomfilter_spark.operators.stats import grouped_mcnemar
+
+        flags = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.max((F.col("event_type") == "click").cast("int")).alias("x"),
+                F.max((F.col("event_type") == "purchase").cast("int")).alias("y"),
+            )
+            .select((F.col("user_id") % 4).alias("seg"), "x", "y")
+        )
+        return grouped_mcnemar(flags, ["seg"], "x", "y").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1427,6 +1443,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "brown_forsythe_docs": q_brown_forsythe,
         "survival_curve_events": q_survival,
         "jsd_docs": q_jsd,
+        "mcnemar_events": q_mcnemar,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -3299,3 +3299,113 @@ def brown_forsythe_sql(
     return grouped_anova_sql(
         dev, group, "__bf_t", "__bf_z2", term_scale=term_scale
     )
+
+
+def grouped_mcnemar(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col,
+    y_col,
+) -> DataFrame:
+    """(group…, n, n11, n00, b, c, stat, stat_cc, odds_ratio) — exact
+    McNemar test of marginal homogeneity per group: for PAIRED binary
+    flags on the same subject (did the user click vs did they
+    purchase; did the doc pass filter A vs filter B), is one flag
+    systematically more common than the other?  The paired completion
+    of the two-proportion kit — grouped_proportion_ci treats cohorts
+    as independent; McNemar conditions on the discordant pairs, which
+    is the only correct test when both flags are measured on the SAME
+    subject.
+
+    Only the discordant counts matter:
+
+        b/c     = count(x ∧ ¬y) / count(¬x ∧ y)     (exact longs)
+        stat    = (b − c)² / (b + c)                 (ONE division;
+                                                      ~χ²₁ under H₀)
+        stat_cc = (max(|b−c|−1, 0))² / (b + c)       (Edwards
+                                                      continuity
+                                                      correction)
+        odds_ratio = b / c                           (the direction;
+                                                      NULL when c = 0)
+
+    — every operand an exact integer, each double ONE division:
+    engine-identical, hash-oracle-able.  stat/stat_cc are NULL when
+    b + c = 0 (no discordant pairs — the test is undefined, not 0).
+    x/y must be boolean or 0/1 integers (anything else raises
+    in-plan); a NULL in either flag drops the row.
+
+    Scale shape: ONE map-side-combined four-counter aggregate per
+    group; nothing after it.
+    """
+    def _flag(col, name):
+        c = F.col(col) if isinstance(col, str) else col
+        dt = df.select(c.alias("__probe")).schema[0].dataType.simpleString()
+        if dt == "boolean":
+            return c.cast("long")
+        return F.when(c.isin(0, 1), c.cast("long")).otherwise(
+            F.raise_error(F.lit(f"grouped_mcnemar: {name} must be 0/1 or boolean"))
+        )
+
+    xr = F.col(x_col) if isinstance(x_col, str) else x_col
+    yr = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = _flag(x_col, "x_col")
+    y = _flag(y_col, "y_col")
+    agg = (
+        df.where(xr.isNotNull() & yr.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x * y).alias("n11"),
+            F.sum((1 - x) * (1 - y)).alias("n00"),
+            F.sum(x * (1 - y)).alias("b"),
+            F.sum((1 - x) * y).alias("c"),
+        )
+    )
+    b, c = F.col("b"), F.col("c")
+    dev = b - c
+    cc = F.greatest(F.abs(dev) - 1, F.lit(0).cast("long"))
+    return agg.select(
+        *group_cols,
+        "n",
+        "n11",
+        "n00",
+        "b",
+        "c",
+        F.when(
+            b + c > 0, (dev * dev).cast("double") / (b + c).cast("double")
+        ).alias("stat"),
+        F.when(
+            b + c > 0, (cc * cc).cast("double") / (b + c).cast("double")
+        ).alias("stat_cc"),
+        F.when(c > 0, b.cast("double") / c.cast("double")).alias("odds_ratio"),
+    )
+
+
+def grouped_mcnemar_sql(table: str, group: str, x: str, y: str) -> str:
+    """DuckDB twin of :func:`grouped_mcnemar` (identical counter and
+    single-division shapes; x/y interpreted as 0/1 via the same
+    integer arithmetic)."""
+    xi = f"(CASE WHEN ({x}) IN (0, 1) OR typeof({x}) = 'BOOLEAN' THEN ({x})::BIGINT ELSE CAST(error('grouped_mcnemar: x must be 0/1 or boolean') AS BIGINT) END)"
+    yi = f"(CASE WHEN ({y}) IN (0, 1) OR typeof({y}) = 'BOOLEAN' THEN ({y})::BIGINT ELSE CAST(error('grouped_mcnemar: y must be 0/1 or boolean') AS BIGINT) END)"
+    return f"""
+        WITH __mcn AS (
+            SELECT {group} AS g, count(*)::BIGINT AS n,
+                   sum({xi} * {yi})::BIGINT AS n11,
+                   sum((1 - {xi}) * (1 - {yi}))::BIGINT AS n00,
+                   sum({xi} * (1 - {yi}))::BIGINT AS b,
+                   sum((1 - {xi}) * {yi})::BIGINT AS c
+            FROM {table}
+            WHERE ({x}) IS NOT NULL AND ({y}) IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT g AS {group}, n, n11, n00, b, c,
+               CASE WHEN b + c > 0 THEN
+                   CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+               END AS stat,
+               CASE WHEN b + c > 0 THEN
+                   CAST(greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0)
+                        AS DOUBLE) / CAST(b + c AS DOUBLE)
+               END AS stat_cc,
+               CASE WHEN c > 0 THEN b::DOUBLE / c::DOUBLE END AS odds_ratio
+        FROM __mcn
+    """
