@@ -6410,6 +6410,48 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q186_krippendorff(spark, sf_dir):
+    """Exact Krippendorff's alpha (nominal)
+    (operators/stats.krippendorff_alpha): the agreement coefficient
+    finishing the kit — q152's Cohen needs exactly two raters, q168's
+    Fleiss requires EQUAL panels and excludes mismatched units; alpha
+    is defined for any raters-with-missing-data design, weighting
+    each unit by what it actually received.  The panel is q168's
+    deterministic integer construction made deliberately UNEQUAL:
+    rater 2 only rates odd doc_ids, doc_id % 16 == 0 keeps only
+    rater 0 (singletons — dropped as pairless, their count reported).
+    Per-unit disagreement (m² − Σo²)/(m−1) quantized ONCE, chance
+    from exact pairable margins, alpha ONE division of exact integers
+    — hash-oracled including the double.  Plan: one map-side-combined
+    (lang, doc, cat) cell histogram; two cell-scale branches (unit
+    cascade + pairable margins) joined group-sized and null-safe."""
+    from btl_bloomfilter_spark.operators.stats import krippendorff_alpha
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    r = F.explode(F.array([F.lit(i) for i in range(3)])).alias("r")
+    panel = (
+        docs.select("lang", "doc_id", r)
+        .where(
+            (F.col("r") == 0)
+            | ((F.col("r") == 1) & (F.col("doc_id") % 16 != 0))
+            | ((F.col("r") == 2) & (F.col("doc_id") % 2 == 1))
+        )
+        .select(
+            "lang",
+            "doc_id",
+            F.when(
+                ((F.col("doc_id") % 1048576) * 2654435761 + F.col("r") * 40503)
+                % 100
+                < 70,
+                F.col("doc_id") % 4,
+            )
+            .otherwise((F.col("doc_id") + F.col("r")) % 4)
+            .alias("cat"),
+        )
+    )
+    return krippendorff_alpha(panel, ["lang"], "doc_id", "cat").orderBy("lang")
+
+
 def q185_mcnemar(spark, sf_dir):
     """Exact McNemar paired test (operators/stats.grouped_mcnemar):
     per user segment, is clicking systematically more common than
@@ -6770,6 +6812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q183_survival": q183_survival,
         "q184_jsd": q184_jsd,
         "q185_mcnemar": q185_mcnemar,
+        "q186_krippendorff": q186_krippendorff,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7650,6 +7693,17 @@ def oracle_sql() -> dict[str, str]:
             "seg", "clicked", "purchased",
         )
         + " ORDER BY seg",
+        "q186_krippendorff": _STATS.krippendorff_alpha_sql(
+            "(SELECT lang, doc_id,"
+            " CASE WHEN ((doc_id % 1048576) * 2654435761 + r * 40503)"
+            " % 100 < 70 THEN doc_id % 4"
+            " ELSE (doc_id + r) % 4 END AS cat"
+            " FROM documents CROSS JOIN (VALUES (0), (1), (2)) t(r)"
+            " WHERE r = 0 OR (r = 1 AND doc_id % 16 <> 0)"
+            " OR (r = 2 AND doc_id % 2 = 1))",
+            "lang", "doc_id", "cat",
+        )
+        + " ORDER BY lang",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
             "(SELECT event_type,"
             " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"

@@ -1302,6 +1302,33 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return grouped_mcnemar(flags, ["seg"], "x", "y").count()
 
+    def q_krippendorff():
+        # (lang, doc, cat) cell histogram; unit cascade + pairable
+        # margins joined group-sized
+        from btl_bloomfilter_spark.operators.stats import krippendorff_alpha
+
+        r = F.explode(F.array([F.lit(i) for i in range(3)])).alias("r")
+        panel = (
+            docs.select("lang", "doc_id", r)
+            .where(
+                (F.col("r") == 0)
+                | ((F.col("r") == 1) & (F.col("doc_id") % 16 != 0))
+                | ((F.col("r") == 2) & (F.col("doc_id") % 2 == 1))
+            )
+            .select(
+                "lang",
+                "doc_id",
+                F.when(
+                    ((F.col("doc_id") % 1048576) * 2654435761
+                     + F.col("r") * 40503) % 100 < 70,
+                    F.col("doc_id") % 4,
+                )
+                .otherwise((F.col("doc_id") + F.col("r")) % 4)
+                .alias("cat"),
+            )
+        )
+        return krippendorff_alpha(panel, ["lang"], "doc_id", "cat").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1444,6 +1471,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "survival_curve_events": q_survival,
         "jsd_docs": q_jsd,
         "mcnemar_events": q_mcnemar,
+        "krippendorff_docs": q_krippendorff,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

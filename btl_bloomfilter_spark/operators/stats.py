@@ -3409,3 +3409,182 @@ def grouped_mcnemar_sql(table: str, group: str, x: str, y: str) -> str:
                CASE WHEN c > 0 THEN b::DOUBLE / c::DOUBLE END AS odds_ratio
         FROM __mcn
     """
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    group_cols: list[str],
+    unit_col,
+    cat_col,
+    *,
+    term_scale: int = 1_000_000,
+) -> DataFrame:
+    """(group…, n_units, n_units_pairable, n, k, do_fp, de_fp,
+    alpha) — exact-fixed-point Krippendorff's alpha (nominal) per
+    group: the agreement coefficient that finishes the kit —
+    grouped_cohens_kappa needs exactly two raters, fleiss_kappa
+    requires EQUAL panels and excludes mismatched units loudly;
+    alpha is defined for ANY number of raters with missing ratings,
+    weighting each unit by what it actually received.  Rows are
+    individual ratings (one per (unit, rating)); rater identity is
+    irrelevant for alpha (exchangeability is the point).
+
+    The disagreement identity: with per-unit category counts o_uc,
+    m_u = Σ_c o_uc (units with m_u ≥ 2 are "pairable"; singletons
+    carry no pair information and are dropped, their count reported),
+    margins n_c over pairable units and n = Σ n_c:
+
+        D_o ∝ Σ_u (m_u² − Σ_c o_uc²)/(m_u − 1)   (within-unit
+                                                  disagreeing ordered
+                                                  pairs, pair-
+                                                  normalized)
+        D_e ∝ (n² − Σ_c n_c²)/(n(n−1))           (chance)
+
+        t_u    = ((m_u² − Σo²)·TS) div (m_u − 1)  (quantized ONCE per
+                                                   unit, nonnegative
+                                                   operands)
+        alpha  = (TS·(n²−Σn_c²) − (n−1)·Σt_u)
+                 / (TS·(n²−Σn_c²))                (ONE division of
+                                                   exact integers)
+
+    — engine-identical, hash-oracle-able including the double.
+    Perfect agreement ⇒ Σt_u = 0 ⇒ alpha == 1.0 EXACTLY; alpha < 0
+    (worse than chance) is legitimate and not clamped.  NULL when
+    D_e = 0 (every pairable rating one category) or n < 2.  NULL
+    unit or category drops the rating; NULL GROUP keys keep their
+    rows (null-safe join).  Groups whose every unit is a singleton
+    keep their row (n = 0, alpha NULL) — the fleiss_kappa review
+    lesson.  OVERFLOW: m_u²·TS and n² on decimal(38,0) → n per
+    group ≲ 10¹⁵.
+
+    Scale shape: one map-side-combined (group, unit, cat) cell
+    histogram is the row-scale stage; TWO cell-scale branches consume
+    it (the unit-level cascade and the pairable-margin cascade — the
+    cell lineage is recomputed once per branch unless the caller
+    persists upstream), then one group-sized null-safe LEFT join.
+    """
+    if term_scale < 1:
+        raise ValueError(f"term_scale must be >= 1, got {term_scale}")
+    from pyspark.sql import Window
+
+    u = F.col(unit_col) if isinstance(unit_col, str) else unit_col
+    cat = F.col(cat_col) if isinstance(cat_col, str) else cat_col
+    cells = (
+        df.where(u.isNotNull() & cat.isNotNull())
+        .groupBy(*group_cols, u.alias("__u"), cat.alias("__cat"))
+        .agg(F.count(F.lit(1)).cast(_D).alias("__o"))
+    )
+    o = F.col("__o")
+    unit_lvl = cells.groupBy(*group_cols, "__u").agg(
+        F.sum(o).alias("__m"),
+        F.sum(o * o).alias("__so2"),
+    )
+    m = F.col("__m")
+    t_u = F.expr(
+        f"CAST(((__m * __m - __so2) * CAST({term_scale} AS DECIMAL(38,0)))"
+        f" div (__m - 1) AS DECIMAL(38,0))"
+    )
+    zd = F.lit(0).cast("decimal(38,0)")
+    ga = unit_lvl.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum(F.when(m >= 2, 1).otherwise(0)).alias("n_units_pairable"),
+        F.sum(F.when(m >= 2, m).otherwise(zd)).alias("__n"),
+        F.sum(F.when(m >= 2, t_u).otherwise(zd)).alias("__do"),
+    )
+    wu = Window.partitionBy(*group_cols, "__u")
+    marg = (
+        cells.withColumn("__mu", F.sum("__o").over(wu))
+        .where(F.col("__mu") >= 2)
+        .groupBy(*group_cols, "__cat")
+        .agg(F.sum("__o").alias("__nc"))
+    )
+    gb = marg.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("__nc") * F.col("__nc")).alias("__snc2"),
+    )
+    import functools as _ft
+    import operator as _op
+
+    r2 = gb
+    for g in group_cols:
+        r2 = r2.withColumnRenamed(g, f"__r_{g}")
+    cond = _ft.reduce(
+        _op.and_,
+        [ga[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
+    )
+    j = ga.join(r2, cond, "left").drop(*[f"__r_{g}" for g in group_cols])
+    n = F.col("__n")
+    ts = F.lit(term_scale).cast("decimal(38,0)")
+    de = n * n - F.coalesce(F.col("__snc2"), zd)
+    j = j.withColumn("__de", de)
+    dec, doc = F.col("__de"), F.col("__do")
+    return j.select(
+        *group_cols,
+        "n_units",
+        "n_units_pairable",
+        n.cast("long").alias("n"),
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+        doc.cast("string").alias("do_fp"),
+        dec.cast("string").alias("de_fp"),
+        F.when(
+            (dec > 0) & (n >= 2),
+            (ts * dec - (n - 1) * doc).cast("double")
+            / (ts * dec).cast("double"),
+        ).alias("alpha"),
+    )
+
+
+def krippendorff_alpha_sql(
+    table: str, group: str, unit: str, cat: str, *, term_scale: int = 1_000_000
+) -> str:
+    """DuckDB twin of :func:`krippendorff_alpha` (hugeint counts, `//`
+    on nonnegative operands, identical LEFT join via IS NOT DISTINCT
+    FROM and single-division shape)."""
+    return f"""
+        WITH __ka_cells AS (
+            SELECT {group} AS g, {unit} AS u, {cat} AS cat,
+                   count(*)::HUGEINT AS o
+            FROM {table}
+            WHERE ({unit}) IS NOT NULL AND ({cat}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __ka_unit AS (
+            SELECT g, u, sum(o) AS m, sum(o * o) AS so2
+            FROM __ka_cells GROUP BY g, u
+        ),
+        __ka_a AS (
+            SELECT g, count(*)::BIGINT AS n_units,
+                   sum(CASE WHEN m >= 2 THEN 1 ELSE 0 END)::BIGINT
+                       AS n_units_pairable,
+                   sum(CASE WHEN m >= 2 THEN m ELSE 0 END) AS n,
+                   sum(CASE WHEN m >= 2 THEN
+                       ((m * m - so2) * {term_scale}::HUGEINT) // (m - 1)
+                       ELSE 0 END) AS do_
+            FROM __ka_unit GROUP BY g
+        ),
+        __ka_marg AS (
+            SELECT g, cat, sum(o) AS nc
+            FROM (SELECT g, u, cat, o,
+                         sum(o) OVER (PARTITION BY g, u) AS mu
+                  FROM __ka_cells)
+            WHERE mu >= 2 GROUP BY g, cat
+        ),
+        __ka_b AS (
+            SELECT g, count(*)::BIGINT AS k, sum(nc * nc) AS snc2
+            FROM __ka_marg GROUP BY g
+        )
+        SELECT a.g AS {group}, a.n_units, a.n_units_pairable,
+               CAST(a.n AS BIGINT) AS n, coalesce(b.k, 0) AS k,
+               a.do_::VARCHAR AS do_fp,
+               (a.n * a.n - coalesce(b.snc2, 0::HUGEINT))::VARCHAR AS de_fp,
+               CASE WHEN a.n * a.n - coalesce(b.snc2, 0::HUGEINT) > 0
+                         AND a.n >= 2 THEN
+                   CAST({term_scale}::HUGEINT
+                            * (a.n * a.n - coalesce(b.snc2, 0::HUGEINT))
+                        - (a.n - 1) * a.do_ AS DOUBLE)
+                   / CAST({term_scale}::HUGEINT
+                            * (a.n * a.n - coalesce(b.snc2, 0::HUGEINT))
+                       AS DOUBLE)
+               END AS alpha
+        FROM __ka_a a LEFT JOIN __ka_b b ON a.g IS NOT DISTINCT FROM b.g
+    """
