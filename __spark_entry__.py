@@ -6410,6 +6410,39 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q187_cochran_q(spark, sf_dir):
+    """Exact Cochran's Q (operators/stats.cochran_q): per user
+    segment, do the three behaviors (click / purchase / error) differ
+    in per-user prevalence — k binary flags on the SAME subject, the
+    k-treatment completion of q185's McNemar exactly as q180's KW
+    completes q181's MWU (and Q(k=2) == McNemar's stat EXACTLY,
+    pinned cross-operator).  The Cochran 1950 algebra cleared to ONE
+    division of exact integers: Q = (k−1)(k·ΣT_j² − N²)/(k·N − ΣR_i²)
+    — hash-oracled.  The per-user flag rollup makes every block
+    complete by construction (n_excluded == 0 observable in the
+    output).  Plan: per-user conditional-max rollup is the row-scale
+    stage; the stacked panel is 3 rows per user; Q itself is two
+    cell-scale cascades joined group-sized."""
+    from btl_bloomfilter_spark.operators.stats import cochran_q
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    flags = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+            F.max((F.col("event_type") == "error").cast("int")).alias("e"),
+        )
+    )
+    panel = flags.selectExpr(
+        "user_id % 4 AS seg",
+        "user_id",
+        "stack(3, 'click', c, 'purchase', p, 'error', e) AS (t, x)",
+    )
+    return cochran_q(panel, ["seg"], "user_id", "t", "x").orderBy("seg")
+
+
 def q186_krippendorff(spark, sf_dir):
     """Exact Krippendorff's alpha (nominal)
     (operators/stats.krippendorff_alpha): the agreement coefficient
@@ -6813,6 +6846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q184_jsd": q184_jsd,
         "q185_mcnemar": q185_mcnemar,
         "q186_krippendorff": q186_krippendorff,
+        "q187_cochran_q": q187_cochran_q,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7704,6 +7738,18 @@ def oracle_sql() -> dict[str, str]:
             "lang", "doc_id", "cat",
         )
         + " ORDER BY lang",
+        "q187_cochran_q": _STATS.cochran_q_sql(
+            "(WITH __q187_f AS (SELECT user_id, user_id % 4 AS seg,"
+            " max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,"
+            " max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,"
+            " max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e"
+            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
+            " SELECT seg, user_id, 'click' AS t, c AS x FROM __q187_f"
+            " UNION ALL SELECT seg, user_id, 'purchase', p FROM __q187_f"
+            " UNION ALL SELECT seg, user_id, 'error', e FROM __q187_f)",
+            "seg", "user_id", "t", "x",
+        )
+        + " ORDER BY seg",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
             "(SELECT event_type,"
             " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"

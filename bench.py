@@ -1329,6 +1329,27 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return krippendorff_alpha(panel, ["lang"], "doc_id", "cat").count()
 
+    def q_cochran_q():
+        # per-user rollup (row-scale) -> 3-row stacked panel ->
+        # two cell-scale cascades
+        from btl_bloomfilter_spark.operators.stats import cochran_q
+
+        flags = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.max((F.col("event_type") == "click").cast("int")).alias("c"),
+                F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
+                F.max((F.col("event_type") == "error").cast("int")).alias("e"),
+            )
+        )
+        panel = flags.selectExpr(
+            "user_id % 4 AS seg",
+            "user_id",
+            "stack(3, 'click', c, 'purchase', p, 'error', e) AS (t, x)",
+        )
+        return cochran_q(panel, ["seg"], "user_id", "t", "x").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1472,6 +1493,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "jsd_docs": q_jsd,
         "mcnemar_events": q_mcnemar,
         "krippendorff_docs": q_krippendorff,
+        "cochran_q_events": q_cochran_q,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -3588,3 +3588,182 @@ def krippendorff_alpha_sql(
                END AS alpha
         FROM __ka_a a LEFT JOIN __ka_b b ON a.g IS NOT DISTINCT FROM b.g
     """
+
+
+def cochran_q(
+    df: DataFrame,
+    group_cols: list[str],
+    subject_col,
+    treat_col,
+    flag_col,
+) -> DataFrame:
+    """(group…, n_subjects, n_excluded, n_used, k, df, q_stat) —
+    exact Cochran's Q per group: for k binary flags measured on the
+    SAME subject (did the doc pass each of k filters; did the user
+    touch each of k features), is any flag systematically more common?
+    The k-treatment completion of grouped_mcnemar exactly as
+    grouped_kruskal_wallis completes grouped_mannwhitney — and for
+    k = 2, Q equals McNemar's (b−c)²/(b+c) EXACTLY (pinned by test).
+
+    Algebra (Cochran 1950), cleared to ONE division: with
+    per-treatment success totals T_j, per-subject totals R_i, and
+    N = ΣT_j = ΣR_i over COMPLETE subjects only,
+
+        Q = (k−1)·(k·ΣT_j² − N²) / (k·N − ΣR_i²)
+
+    — every operand an exact decimal(38,0)/hugeint integer:
+    engine-identical, hash-oracle-able.  Q is NULL when the
+    denominator is 0 (every subject all-0 or all-1 — no discordance,
+    the test is undefined).  ~χ²_{k−1} under H₀.
+
+    Completeness: k is the number of DISTINCT treatments observed in
+    the group; subjects missing any treatment are excluded (their
+    count reported in ``n_excluded`` — the fleiss_kappa convention).
+    Duplicate (subject, treatment) rows canonicalize to max(flag)
+    (the ranking_metrics convention).  Flags must be boolean or 0/1
+    (anything else raises in-plan); NULL subject/treatment/flag drops
+    the row.
+
+    Scale shape: one map-side-combined (group, subject, treat) cell
+    histogram; a collect_set window for k; then the per-subject and
+    per-treatment cascades (two cell-scale branches) joined
+    group-sized and null-safe.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    fr = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    dt = df.select(fr.alias("__probe")).schema[0].dataType.simpleString()
+    if dt == "boolean":
+        x = fr.cast("long")
+    else:
+        x = F.when(fr.isin(0, 1), fr.cast("long")).otherwise(
+            F.raise_error(F.lit("cochran_q: flag must be 0/1 or boolean"))
+        )
+    cells = (
+        df.where(s.isNotNull() & t.isNotNull() & fr.isNotNull())
+        .groupBy(*group_cols, s.alias("__s"), t.alias("__t"))
+        .agg(F.max(x).alias("__x"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    ws = Window.partitionBy(*group_cols, "__s")
+    w = cells.withColumn(
+        "__k", F.size(F.collect_set("__t").over(wg))
+    ).withColumn("__m", F.count(F.lit(1)).over(ws))
+    complete = w.where(F.col("__m") == F.col("__k"))
+    subj = complete.groupBy(*group_cols, "__s").agg(
+        F.sum("__x").cast(_D).alias("__r"),
+        F.max("__k").alias("__k"),
+    )
+    ga = subj.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.max("__k").alias("k"),
+        F.sum("__r").alias("__N"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__sr2"),
+    )
+    treat = complete.groupBy(*group_cols, "__t").agg(
+        F.sum("__x").cast(_D).alias("__tj")
+    )
+    gb = treat.groupBy(*group_cols).agg(
+        F.sum(F.col("__tj") * F.col("__tj")).alias("__st2")
+    )
+    tot = cells.groupBy(*group_cols).agg(
+        F.countDistinct("__s").alias("n_subjects")
+    )
+    import functools as _ft
+    import operator as _op
+
+    def _nsj(left, right, how="inner"):
+        r2 = right
+        for g in group_cols:
+            r2 = r2.withColumnRenamed(g, f"__r_{g}")
+        cond = _ft.reduce(
+            _op.and_,
+            [left[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
+        )
+        return left.join(r2, cond, how).drop(*[f"__r_{g}" for g in group_cols])
+
+    j = _nsj(_nsj(tot, ga, "left"), gb, "left")
+    n, sr2, st2, k = (
+        F.col("__N"),
+        F.col("__sr2"),
+        F.col("__st2"),
+        F.col("k").cast(_D),
+    )
+    num = (k - 1) * (k * st2 - n * n)
+    den = k * n - sr2
+    zd = F.lit(0).cast("decimal(38,0)")
+    nu = F.coalesce(F.col("n_used"), F.lit(0))
+    return j.select(
+        *group_cols,
+        "n_subjects",
+        (F.col("n_subjects") - nu).alias("n_excluded"),
+        nu.alias("n_used"),
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+        (F.coalesce(F.col("k"), F.lit(1)) - 1).alias("df"),
+        F.when(
+            den > zd, num.cast("double") / den.cast("double")
+        ).alias("q_stat"),
+    )
+
+
+def cochran_q_sql(
+    table: str, group: str, subject: str, treat: str, flag: str
+) -> str:
+    """DuckDB twin of :func:`cochran_q` (hugeint totals, identical
+    completeness rule, single-division shape)."""
+    xi = (
+        f"(CASE WHEN ({flag}) IN (0, 1) OR typeof({flag}) = 'BOOLEAN'"
+        f" THEN ({flag})::BIGINT"
+        f" ELSE CAST(error('cochran_q: flag must be 0/1 or boolean')"
+        f" AS BIGINT) END)"
+    )
+    return f"""
+        WITH __cq_cells AS (
+            SELECT {group} AS g, {subject} AS s, {treat} AS t,
+                   max({xi})::BIGINT AS x
+            FROM {table}
+            WHERE ({subject}) IS NOT NULL AND ({treat}) IS NOT NULL
+              AND ({flag}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __cq_w AS (
+            SELECT g, s, t, x,
+                   count(DISTINCT t) OVER (PARTITION BY g) AS k,
+                   count(*) OVER (PARTITION BY g, s) AS m
+            FROM __cq_cells
+        ),
+        __cq_subj AS (
+            SELECT g, s, sum(x)::HUGEINT AS r, any_value(k) AS k
+            FROM __cq_w WHERE m = k GROUP BY g, s
+        ),
+        __cq_a AS (
+            SELECT g, count(*)::BIGINT AS n_used, any_value(k) AS k,
+                   sum(r) AS n, sum(r * r) AS sr2
+            FROM __cq_subj GROUP BY g
+        ),
+        __cq_b AS (
+            SELECT g, sum(tj * tj) AS st2
+            FROM (SELECT g, t, sum(x)::HUGEINT AS tj
+                  FROM __cq_w WHERE m = k GROUP BY g, t)
+            GROUP BY g
+        ),
+        __cq_tot AS (
+            SELECT g, count(DISTINCT s)::BIGINT AS n_subjects
+            FROM __cq_cells GROUP BY g
+        )
+        SELECT tot.g AS {group}, tot.n_subjects,
+               tot.n_subjects - coalesce(a.n_used, 0) AS n_excluded,
+               coalesce(a.n_used, 0) AS n_used,
+               coalesce(a.k, 0)::BIGINT AS k,
+               (coalesce(a.k, 1) - 1)::BIGINT AS df,
+               CASE WHEN a.k::HUGEINT * a.n - a.sr2 > 0 THEN
+                   CAST((a.k::HUGEINT - 1)
+                        * (a.k::HUGEINT * b.st2 - a.n * a.n) AS DOUBLE)
+                   / CAST(a.k::HUGEINT * a.n - a.sr2 AS DOUBLE)
+               END AS q_stat
+        FROM __cq_tot tot
+        LEFT JOIN __cq_a a ON tot.g IS NOT DISTINCT FROM a.g
+        LEFT JOIN __cq_b b ON tot.g IS NOT DISTINCT FROM b.g
+    """
