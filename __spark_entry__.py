@@ -6410,6 +6410,42 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q188_friedman(spark, sf_dir):
+    """Exact Friedman test + Kendall's W (operators/stats.friedman):
+    per user segment, do the five event types differ in per-user
+    intensity, compared by WITHIN-user ranks — the paired-ordinal
+    cell completing the design grid (q179 ANOVA / q180 KW are
+    independent-sample; q185 McNemar / q187 Cochran Q are
+    paired-binary; Friedman is paired-ordinal, repeated measures
+    without normality), with W = χ²/(n(k−1)) the [0,1] concordance
+    effect size.  Blocks are complete by construction (absent types
+    count 0), doubled midranks exact integers off two block-local
+    windows, χ² ONE division of exact integers with NO quantization
+    anywhere, tie correction the fixed 3-division shape, W one more
+    exact division — hash-oracled including all three doubles.
+    Plan: the per-user 5-counter rollup is the row-scale stage; the
+    stacked panel is 5 rows per user; ranks are block-local windows
+    over one (seg, user) exchange."""
+    from btl_bloomfilter_spark.operators.stats import friedman
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    types = ["view", "click", "purchase", "signup", "error"]
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"c{i}")
+        for i, t in enumerate(types)
+    ]
+    flags = (
+        ev.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(*aggs)
+    )
+    stack = ", ".join(f"'{t}', c{i}" for i, t in enumerate(types))
+    panel = flags.selectExpr(
+        "user_id % 4 AS seg",
+        "user_id",
+        f"stack(5, {stack}) AS (t, v)",
+    )
+    return friedman(panel, ["seg"], "user_id", "t", "v").orderBy("seg")
+
+
 def q187_cochran_q(spark, sf_dir):
     """Exact Cochran's Q (operators/stats.cochran_q): per user
     segment, do the three behaviors (click / purchase / error) differ
@@ -6847,6 +6883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q185_mcnemar": q185_mcnemar,
         "q186_krippendorff": q186_krippendorff,
         "q187_cochran_q": q187_cochran_q,
+        "q188_friedman": q188_friedman,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7748,6 +7785,26 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT seg, user_id, 'purchase', p FROM __q187_f"
             " UNION ALL SELECT seg, user_id, 'error', e FROM __q187_f)",
             "seg", "user_id", "t", "x",
+        )
+        + " ORDER BY seg",
+        "q188_friedman": _STATS.friedman_sql(
+            "(WITH __q188_f AS (SELECT user_id, user_id % 4 AS seg,"
+            + "".join(
+                f" sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                f" AS c{i},"
+                for i, t in enumerate(
+                    ["view", "click", "purchase", "signup", "error"]
+                )
+            ).rstrip(",")
+            + " FROM events WHERE user_id IS NOT NULL GROUP BY user_id) "
+            + " UNION ALL ".join(
+                f"SELECT seg, user_id, '{t}' AS t, c{i} AS v FROM __q188_f "
+                for i, t in enumerate(
+                    ["view", "click", "purchase", "signup", "error"]
+                )
+            ).rstrip()
+            + ")",
+            "seg", "user_id", "t", "v",
         )
         + " ORDER BY seg",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(

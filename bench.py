@@ -1350,6 +1350,25 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return cochran_q(panel, ["seg"], "user_id", "t", "x").count()
 
+    def q_friedman():
+        # per-user 5-counter rollup -> 5-row stacked panel ->
+        # block-local rank windows over one (seg, user) exchange
+        from btl_bloomfilter_spark.operators.stats import friedman
+
+        types = ["view", "click", "purchase", "signup", "error"]
+        aggs = [
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"c{i}")
+            for i, t in enumerate(types)
+        ]
+        flags = (
+            ev.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(*aggs)
+        )
+        stack = ", ".join(f"'{t}', c{i}" for i, t in enumerate(types))
+        panel = flags.selectExpr(
+            "user_id % 4 AS seg", "user_id", f"stack(5, {stack}) AS (t, v)"
+        )
+        return friedman(panel, ["seg"], "user_id", "t", "v").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1494,6 +1513,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "mcnemar_events": q_mcnemar,
         "krippendorff_docs": q_krippendorff,
         "cochran_q_events": q_cochran_q,
+        "friedman_events": q_friedman,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -3767,3 +3767,225 @@ def cochran_q_sql(
         LEFT JOIN __cq_a a ON tot.g IS NOT DISTINCT FROM a.g
         LEFT JOIN __cq_b b ON tot.g IS NOT DISTINCT FROM b.g
     """
+
+
+def friedman(
+    df: DataFrame,
+    group_cols: list[str],
+    subject_col,
+    treat_col,
+    value_col,
+) -> DataFrame:
+    """(group…, n_blocks, n_excluded, n_used, k, df, ties_t, chi2,
+    chi2_corrected, kendall_w) — exact Friedman test per group: k
+    treatments measured on the SAME subject, compared by WITHIN-
+    subject ranks.  Completes the blocked-design corner the way the
+    independent-sample kit is completed: ANOVA→KW (independent,
+    means→ranks), McNemar→Cochran Q (paired, binary) — Friedman is
+    the paired-ordinal cell (repeated measures without normality),
+    and Kendall's W = χ²_F/(n(k−1)) is its [0,1] concordance effect
+    size.
+
+    Ranks never touch floats: within each complete block the DOUBLED
+    midrank is 2·cum − ct + 1 (exact integers off two block-local
+    windows; values COMPARE, never compute — doubles welcome).  With
+    R₂ⱼ = Σ doubled ranks per treatment over n complete blocks:
+
+        chi2 = 3·(ΣR₂ⱼ² − n²·k·(k+1)²) / (n·k·(k+1))
+                                    (ONE division of exact integers;
+                                     ≥ 0 by Cauchy–Schwarz since
+                                     midranks preserve the block rank
+                                     sum — NO quantization anywhere)
+        chi2_corrected = chi2 / ((n·k·(k²−1) − T) / (n·k·(k²−1)))
+                                    (tie correction, T = Σ_blocks
+                                     Σ(t³−t) exact; fixed 3-division
+                                     shape; NULL when every block is
+                                     all-tied)
+        kendall_w = 3·(ΣR₂ⱼ² − n²·k·(k+1)²)
+                    / (n·k·(k+1)·n·(k−1))   (one division; == 1.0
+                                             EXACTLY under perfect
+                                             concordance)
+
+    — engine-identical, hash-oracle-able including all three doubles.
+    Completeness: k = DISTINCT treatments observed in the group;
+    blocks missing any treatment are excluded loudly (n_excluded).
+    Duplicate (subject, treatment) rows canonicalize to max(value)
+    (the ranking_metrics convention).  NULL/NaN values and NULL
+    subject/treatment drop the row (possibly incompleting the block).
+    chi2 is NULL when k < 2 or n = 0.  OVERFLOW: ΣR₂ⱼ² ≲ 4k³n² on
+    decimal(38,0).
+
+    Scale shape: the canonicalized panel (one row per (subject,
+    treatment)) is the row-scale stage; ranks are two block-local
+    windows over one (group, subject) exchange; the treatment and
+    group cascades are cell-scale.  One null-safe LEFT join keeps
+    groups with zero complete blocks.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    panel = (
+        df.where(
+            s.isNotNull()
+            & t.isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v.cast("double"))
+        )
+        .groupBy(*group_cols, s.alias("__s"), t.alias("__t"))
+        .agg(F.max(v).alias("__v"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    ws = Window.partitionBy(*group_cols, "__s")
+    wsv = Window.partitionBy(*group_cols, "__s", "__v")
+    wcum = ws.orderBy("__v").rangeBetween(Window.unboundedPreceding, 0)
+    w = (
+        panel.withColumn("__k", F.size(F.collect_set("__t").over(wg)))
+        .withColumn("__m", F.count(F.lit(1)).over(ws))
+        .withColumn("__ct", F.count(F.lit(1)).over(wsv))
+        .withColumn("__cum", F.count(F.lit(1)).over(wcum))
+        # per-block tie term: each distinct tied value contributes
+        # ct^3 - ct once (first-row indicator within (g,s,v) —
+        # materialized here: a window inside an aggregate is illegal)
+        .withColumn(
+            "__first",
+            (F.row_number().over(wsv.orderBy("__t")) == 1).cast("long"),
+        )
+    )
+    tot = panel.groupBy(*group_cols).agg(
+        F.countDistinct("__s").alias("n_blocks")
+    )
+    complete = w.where(F.col("__m") == F.col("__k"))
+    r2 = (F.lit(2) * F.col("__cum") - F.col("__ct") + 1).cast(_D)
+    first = F.col("__first")
+    ct = F.col("__ct").cast(_D)
+    per_t = complete.groupBy(*group_cols, "__t").agg(
+        F.sum(r2).alias("__r2j"),
+        F.count(F.lit(1)).alias("__nb"),
+        F.max("__k").alias("__k"),
+        F.sum(first * (ct * ct * ct - ct)).alias("__tp"),
+    )
+    ga = per_t.groupBy(*group_cols).agg(
+        F.max("__nb").alias("n_used"),
+        F.max("__k").alias("k"),
+        F.sum(F.col("__r2j") * F.col("__r2j")).alias("__sr2"),
+        F.sum("__tp").alias("__T"),
+    )
+    import functools as _ft
+    import operator as _op
+
+    r2t = ga
+    for g in group_cols:
+        r2t = r2t.withColumnRenamed(g, f"__r_{g}")
+    cond = _ft.reduce(
+        _op.and_,
+        [tot[g].eqNullSafe(r2t[f"__r_{g}"]) for g in group_cols],
+    )
+    j = tot.join(r2t, cond, "left").drop(*[f"__r_{g}" for g in group_cols])
+    n = F.col("n_used").cast(_D)
+    k = F.col("k").cast(_D)
+    sr2, tt = F.col("__sr2"), F.col("__T")
+    num = F.lit(3).cast(_D) * (sr2 - n * n * k * (k + 1) * (k + 1))
+    den = n * k * (k + 1)
+    tden = n * k * (k * k - 1)
+    chi = num.cast("double") / den.cast("double")
+    ok = (F.col("k") >= 2) & (F.col("n_used") > 0)
+    nu = F.coalesce(F.col("n_used"), F.lit(0)).cast("long")
+    return j.select(
+        *group_cols,
+        "n_blocks",
+        (F.col("n_blocks") - nu).alias("n_excluded"),
+        nu.alias("n_used"),
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"),
+        (F.coalesce(F.col("k"), F.lit(1)) - 1).cast("long").alias("df"),
+        F.coalesce(tt.cast("long"), F.lit(0)).alias("ties_t"),
+        F.when(ok, chi).alias("chi2"),
+        F.when(
+            ok & (tden - tt > F.lit(0).cast(_D)),
+            chi / ((tden - tt).cast("double") / tden.cast("double")),
+        ).alias("chi2_corrected"),
+        F.when(
+            ok & (F.col("k") >= 2),
+            num.cast("double") / (den * n * (k - 1)).cast("double"),
+        ).alias("kendall_w"),
+    )
+
+
+def friedman_sql(
+    table: str, group: str, subject: str, treat: str, value: str
+) -> str:
+    """DuckDB twin of :func:`friedman` (hugeint rank sums, identical
+    completeness/canonicalization rules and division shapes)."""
+    return f"""
+        WITH __fr_panel AS (
+            SELECT {group} AS g, {subject} AS s, {treat} AS t,
+                   max({value}) AS v
+            FROM {table}
+            WHERE ({subject}) IS NOT NULL AND ({treat}) IS NOT NULL
+              AND ({value}) IS NOT NULL
+              AND NOT isnan(CAST({value} AS DOUBLE))
+            GROUP BY 1, 2, 3
+        ),
+        __fr_w AS (
+            SELECT g, s, t, v,
+                   count(DISTINCT t) OVER (PARTITION BY g) AS k,
+                   count(*) OVER (PARTITION BY g, s) AS m,
+                   count(*) OVER (PARTITION BY g, s, v) AS ct,
+                   count(*) OVER (PARTITION BY g, s ORDER BY v
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum,
+                   CASE WHEN row_number() OVER (PARTITION BY g, s, v
+                                                ORDER BY t) = 1
+                        THEN 1 ELSE 0 END AS first
+            FROM __fr_panel
+        ),
+        __fr_t AS (
+            SELECT g, t,
+                   sum((2 * cum - ct + 1)::HUGEINT) AS r2j,
+                   count(*)::BIGINT AS nb,
+                   any_value(k) AS k,
+                   sum(first::HUGEINT
+                       * (ct::HUGEINT * ct::HUGEINT * ct::HUGEINT
+                          - ct::HUGEINT)) AS tp
+            FROM __fr_w WHERE m = k GROUP BY g, t
+        ),
+        __fr_a AS (
+            SELECT g, max(nb) AS n, any_value(k)::HUGEINT AS k,
+                   sum(r2j * r2j) AS sr2, sum(tp) AS tt
+            FROM __fr_t GROUP BY g
+        ),
+        __fr_tot AS (
+            SELECT g, count(DISTINCT s)::BIGINT AS n_blocks
+            FROM __fr_panel GROUP BY g
+        )
+        SELECT tot.g AS {group}, tot.n_blocks,
+               tot.n_blocks - coalesce(a.n, 0) AS n_excluded,
+               coalesce(a.n, 0)::BIGINT AS n_used,
+               coalesce(a.k, 0)::BIGINT AS k,
+               (coalesce(a.k, 1) - 1)::BIGINT AS df,
+               coalesce(a.tt, 0)::BIGINT AS ties_t,
+               CASE WHEN a.k >= 2 AND a.n > 0 THEN
+                   CAST(3 * (a.sr2 - a.n::HUGEINT * a.n::HUGEINT * a.k
+                             * (a.k + 1) * (a.k + 1)) AS DOUBLE)
+                   / CAST(a.n::HUGEINT * a.k * (a.k + 1) AS DOUBLE)
+               END AS chi2,
+               CASE WHEN a.k >= 2 AND a.n > 0
+                         AND a.n::HUGEINT * a.k * (a.k * a.k - 1) - a.tt > 0
+               THEN
+                   (CAST(3 * (a.sr2 - a.n::HUGEINT * a.n::HUGEINT * a.k
+                              * (a.k + 1) * (a.k + 1)) AS DOUBLE)
+                    / CAST(a.n::HUGEINT * a.k * (a.k + 1) AS DOUBLE))
+                   / (CAST(a.n::HUGEINT * a.k * (a.k * a.k - 1) - a.tt
+                           AS DOUBLE)
+                      / CAST(a.n::HUGEINT * a.k * (a.k * a.k - 1) AS DOUBLE))
+               END AS chi2_corrected,
+               CASE WHEN a.k >= 2 AND a.n > 0 THEN
+                   CAST(3 * (a.sr2 - a.n::HUGEINT * a.n::HUGEINT * a.k
+                             * (a.k + 1) * (a.k + 1)) AS DOUBLE)
+                   / CAST(a.n::HUGEINT * a.k * (a.k + 1)
+                          * a.n::HUGEINT * (a.k - 1) AS DOUBLE)
+               END AS kendall_w
+        FROM __fr_tot tot
+        LEFT JOIN __fr_a a ON tot.g IS NOT DISTINCT FROM a.g
+    """
