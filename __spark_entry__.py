@@ -6410,6 +6410,36 @@ def _q114_oracle_sql() -> str:
     return f"SELECT * FROM {collocations_sql('documents', 'text', min_count=5, top_n=50)} q"
 
 
+def q189_cronbach(spark, sf_dir):
+    """Exact Cronbach's alpha (operators/stats.cronbach_alpha): per
+    language, do three derived length signals (n_chars-based with
+    deterministic per-doc hash noise) measure the same latent scale —
+    the internal-consistency axis completing the agreement kit
+    (kappa/alpha-K: do raters agree on categories; Friedman: do
+    treatments differ; Cronbach: do k signals hang together).  The
+    variance identity cleared to ONE division of exact
+    decimal/hugeint integers alpha = k(V_T − ΣV_i)/((k−1)V_T) —
+    hash-oracled including the double; redundant-items alpha == 1.0
+    exactly is pinned in tests.  Plan: the 3-row-per-doc panel is the
+    row-scale stage; item and subject cascades are cell-scale, joined
+    group-sized and null-safe."""
+    from btl_bloomfilter_spark.operators.stats import cronbach_alpha
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    panel = docs.selectExpr(
+        "lang",
+        "doc_id",
+        "stack(3,"
+        " 'len', n_chars div 100,"
+        " 'len_noisy', (n_chars + (doc_id % 37) * 13) div 100,"
+        " 'len_alt', (n_chars + (doc_id % 53) * 17) div 120"
+        ") AS (item, score)",
+    )
+    return cronbach_alpha(panel, ["lang"], "doc_id", "item", "score").orderBy(
+        "lang"
+    )
+
+
 def q188_friedman(spark, sf_dir):
     """Exact Friedman test + Kendall's W (operators/stats.friedman):
     per user segment, do the five event types differ in per-user
@@ -6884,6 +6914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q186_krippendorff": q186_krippendorff,
         "q187_cochran_q": q187_cochran_q,
         "q188_friedman": q188_friedman,
+        "q189_cronbach": q189_cronbach,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7807,6 +7838,16 @@ def oracle_sql() -> dict[str, str]:
             "seg", "user_id", "t", "v",
         )
         + " ORDER BY seg",
+        "q189_cronbach": _STATS.cronbach_alpha_sql(
+            "(SELECT lang, doc_id, 'len' AS item,"
+            " n_chars // 100 AS score FROM documents"
+            " UNION ALL SELECT lang, doc_id, 'len_noisy',"
+            " (n_chars + (doc_id % 37) * 13) // 100 FROM documents"
+            " UNION ALL SELECT lang, doc_id, 'len_alt',"
+            " (n_chars + (doc_id % 53) * 17) // 120 FROM documents)",
+            "lang", "doc_id", "item", "score",
+        )
+        + " ORDER BY lang",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(
             "(SELECT event_type,"
             " (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7 AS dow,"

@@ -1369,6 +1369,21 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return friedman(panel, ["seg"], "user_id", "t", "v").count()
 
+    def q_cronbach():
+        # 3-row-per-doc panel; item + subject cascades cell-scale
+        from btl_bloomfilter_spark.operators.stats import cronbach_alpha
+
+        panel = docs.selectExpr(
+            "lang",
+            "doc_id",
+            "stack(3,"
+            " 'len', n_chars div 100,"
+            " 'len_noisy', (n_chars + (doc_id % 37) * 13) div 100,"
+            " 'len_alt', (n_chars + (doc_id % 53) * 17) div 120"
+            ") AS (item, score)",
+        )
+        return cronbach_alpha(panel, ["lang"], "doc_id", "item", "score").count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1514,6 +1529,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "krippendorff_docs": q_krippendorff,
         "cochran_q_events": q_cochran_q,
         "friedman_events": q_friedman,
+        "cronbach_docs": q_cronbach,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -3989,3 +3989,189 @@ def friedman_sql(
         FROM __fr_tot tot
         LEFT JOIN __fr_a a ON tot.g IS NOT DISTINCT FROM a.g
     """
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    group_cols: list[str],
+    subject_col,
+    item_col,
+    value_col,
+) -> DataFrame:
+    """(group…, n_subjects, n_excluded, n_used, k, vt_fp, svi_fp,
+    alpha) — exact Cronbach's alpha per group: do k item scores
+    measured on the same subject hang together as ONE scale (the
+    internal-consistency question for composite quality scores,
+    multi-signal rankers, judge panels scoring the same docs)?
+    Completes the agreement kit along the third axis: kappa/alpha-K
+    ask "do raters agree on categories", Friedman asks "do treatments
+    differ", Cronbach asks "do these k signals measure the same
+    latent thing".
+
+    The variance identity, cleared to ONE division: with per-item
+    sums S_i / squares Q_i and per-subject totals t over the n
+    COMPLETE subjects,
+
+        V_i = n·Q_i − S_i²        (item variance numerators, the
+                                   common n² denominator cancels)
+        V_T = n·Σt² − (Σt)²       (total-score variance numerator)
+        alpha = k·(V_T − ΣV_i) / ((k−1)·V_T)
+
+    — every operand an exact decimal(38,0)/hugeint integer:
+    engine-identical, hash-oracle-able.  Perfectly redundant items
+    (every item a copy) give alpha == 1.0 EXACTLY (V_T = k²·V,
+    ΣV_i = k·V — integer algebra, pinned); negative alpha is
+    legitimate and not clamped.  NULL when V_T = 0 (every subject the
+    same total) or k < 2.
+
+    Completeness: k = DISTINCT items observed in the group; subjects
+    missing any item are excluded loudly (n_excluded).  Duplicate
+    (subject, item) rows canonicalize to max(value).  Values must be
+    integral (floats REJECTED — quantize explicitly); NULL drops the
+    row.  OVERFLOW: n·Σt² ≤ n²·(k·max|x|)² < 10³⁸.
+
+    Scale shape: the canonicalized panel is the row-scale stage; the
+    item and subject cascades are cell-scale; one null-safe LEFT join
+    keeps groups with zero complete subjects.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    it = F.col(item_col) if isinstance(item_col, str) else item_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dt = df.select(v.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"value_col must be integral, got {dt}; quantize explicitly first"
+        )
+    panel = (
+        df.where(s.isNotNull() & it.isNotNull() & v.isNotNull())
+        .groupBy(*group_cols, s.alias("__s"), it.alias("__i"))
+        .agg(F.max(v.cast("long")).alias("__v"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    ws = Window.partitionBy(*group_cols, "__s")
+    w = panel.withColumn(
+        "__k", F.size(F.collect_set("__i").over(wg))
+    ).withColumn("__m", F.count(F.lit(1)).over(ws))
+    tot = panel.groupBy(*group_cols).agg(
+        F.countDistinct("__s").alias("n_subjects")
+    )
+    complete = w.where(F.col("__m") == F.col("__k"))
+    x = F.col("__v").cast(_D)
+    item = complete.groupBy(*group_cols, "__i").agg(
+        F.count(F.lit(1)).cast(_D).alias("__n"),
+        F.sum(x).alias("__si"),
+        F.sum(x * x).alias("__qi"),
+        F.max("__k").alias("__k"),
+    )
+    ga = item.groupBy(*group_cols).agg(
+        F.max("__k").alias("k"),
+        F.max("__n").alias("__nc"),
+        F.sum(
+            F.col("__n") * F.col("__qi") - F.col("__si") * F.col("__si")
+        ).alias("__svi"),
+    )
+    subj = complete.groupBy(*group_cols, "__s").agg(F.sum(x).alias("__t"))
+    gb = subj.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast(_D).alias("__n2"),
+        F.sum("__t").alias("__st"),
+        F.sum(F.col("__t") * F.col("__t")).alias("__qt"),
+    )
+    import functools as _ft
+    import operator as _op
+
+    def _nsj(left, right):
+        r2 = right
+        for g in group_cols:
+            r2 = r2.withColumnRenamed(g, f"__r_{g}")
+        cond = _ft.reduce(
+            _op.and_,
+            [left[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
+        )
+        return left.join(r2, cond, "left").drop(
+            *[f"__r_{g}" for g in group_cols]
+        )
+
+    j = _nsj(_nsj(tot, ga), gb)
+    vt = F.col("__n2") * F.col("__qt") - F.col("__st") * F.col("__st")
+    j = j.withColumn("__vt", vt)
+    vtc, svi = F.col("__vt"), F.col("__svi")
+    k = F.col("k").cast(_D)
+    zd = F.lit(0).cast("decimal(38,0)")
+    nu = F.coalesce(F.col("__nc").cast("long"), F.lit(0))
+    return j.select(
+        *group_cols,
+        "n_subjects",
+        (F.col("n_subjects") - nu).alias("n_excluded"),
+        nu.alias("n_used"),
+        F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+        vtc.cast("string").alias("vt_fp"),
+        svi.cast("string").alias("svi_fp"),
+        F.when(
+            (F.col("k") >= 2) & (vtc > zd),
+            (k * (vtc - svi)).cast("double")
+            / ((k - 1) * vtc).cast("double"),
+        ).alias("alpha"),
+    )
+
+
+def cronbach_alpha_sql(
+    table: str, group: str, subject: str, item: str, value: str
+) -> str:
+    """DuckDB twin of :func:`cronbach_alpha` (hugeint moments,
+    identical completeness/canonicalization rules and single-division
+    shape)."""
+    return f"""
+        WITH __cr_panel AS (
+            SELECT {group} AS g, {subject} AS s, {item} AS i,
+                   max(({value})::BIGINT) AS v
+            FROM {table}
+            WHERE ({subject}) IS NOT NULL AND ({item}) IS NOT NULL
+              AND ({value}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __cr_w AS (
+            SELECT g, s, i, v,
+                   count(DISTINCT i) OVER (PARTITION BY g) AS k,
+                   count(*) OVER (PARTITION BY g, s) AS m
+            FROM __cr_panel
+        ),
+        __cr_item AS (
+            SELECT g, i, count(*)::HUGEINT AS n,
+                   sum(v::HUGEINT) AS si, sum(v::HUGEINT * v::HUGEINT) AS qi,
+                   any_value(k) AS k
+            FROM __cr_w WHERE m = k GROUP BY g, i
+        ),
+        __cr_a AS (
+            SELECT g, any_value(k)::HUGEINT AS k, max(n) AS nc,
+                   sum(n * qi - si * si) AS svi
+            FROM __cr_item GROUP BY g
+        ),
+        __cr_subj AS (
+            SELECT g, s, sum(v::HUGEINT) AS t
+            FROM __cr_w WHERE m = k GROUP BY g, s
+        ),
+        __cr_b AS (
+            SELECT g, count(*)::HUGEINT AS n2, sum(t) AS st,
+                   sum(t * t) AS qt
+            FROM __cr_subj GROUP BY g
+        ),
+        __cr_tot AS (
+            SELECT g, count(DISTINCT s)::BIGINT AS n_subjects
+            FROM __cr_panel GROUP BY g
+        )
+        SELECT tot.g AS {group}, tot.n_subjects,
+               tot.n_subjects - coalesce(a.nc, 0) AS n_excluded,
+               coalesce(a.nc, 0)::BIGINT AS n_used,
+               coalesce(a.k, 0)::BIGINT AS k,
+               (b.n2 * b.qt - b.st * b.st)::VARCHAR AS vt_fp,
+               a.svi::VARCHAR AS svi_fp,
+               CASE WHEN a.k >= 2 AND b.n2 * b.qt - b.st * b.st > 0 THEN
+                   CAST(a.k * (b.n2 * b.qt - b.st * b.st - a.svi) AS DOUBLE)
+                   / CAST((a.k - 1) * (b.n2 * b.qt - b.st * b.st) AS DOUBLE)
+               END AS alpha
+        FROM __cr_tot tot
+        LEFT JOIN __cr_a a ON tot.g IS NOT DISTINCT FROM a.g
+        LEFT JOIN __cr_b b ON tot.g IS NOT DISTINCT FROM b.g
+    """
