@@ -6440,6 +6440,108 @@ def q189_cronbach(spark, sf_dir):
     )
 
 
+def q190_wilcoxon(spark, sf_dir):
+    """Exact Wilcoxon signed-rank test (operators/stats.
+    wilcoxon_signed_rank): per language, are two derived per-document
+    length signals systematically shifted — PAIRED on the same doc,
+    the design the independent-cohort rank tools (q181 MWU) are the
+    wrong shape for, and the rank counterpart of the paired t (q191).
+    Zero diffs dropped (the Wilcoxon convention, reported as n_zero);
+    doubled midranks over the |d| histogram keep W₂ an exact integer,
+    rank_biserial = (2W₂ − n(n+1))/(n(n+1)) and the tie-corrected z
+    each a single correctly-rounded shape — hash-oracled including
+    both doubles.  Plan: one (lang, |d|) histogram with sign-split
+    counts, one per-group cumulative window, one group-sized
+    aggregate (the grouped_mannwhitney shape with the cohort axis
+    replaced by the sign split)."""
+    from btl_bloomfilter_spark.operators.stats import wilcoxon_signed_rank
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    paired = docs.selectExpr(
+        "lang",
+        "(n_chars + (doc_id % 41) * 11) div 100 AS a",
+        "(n_chars + (doc_id % 37) * 13) div 100 AS b",
+    )
+    return wilcoxon_signed_rank(paired, ["lang"], "a", "b").orderBy("lang")
+
+
+def q191_paired_t(spark, sf_dir):
+    """Exact paired t-test (operators/stats.paired_t): per user
+    segment, do users view more than they click — both counts
+    measured on the SAME user, so pairing removes between-user
+    variance (the whole point of a within-subject design; q148's
+    Welch would treat the cohorts as independent).  d = clicks −
+    views exact on integers, S/Q exact decimal/hugeint moments,
+    mean_diff one division, t and Cohen's d_z the fixed
+    div→sqrt→div shape — hash-oracled including all three doubles.
+    Plan: the per-user count rollup is the row-scale stage (map-side
+    combined); the t itself is one three-moment aggregate per
+    segment."""
+    from btl_bloomfilter_spark.operators.stats import paired_t
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    flags = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.sum((F.col("event_type") == "click").cast("long")).alias(
+                "clicks"
+            ),
+            F.sum((F.col("event_type") == "view").cast("long")).alias(
+                "views"
+            ),
+        )
+        .select((F.col("user_id") % 4).alias("seg"), "clicks", "views")
+    )
+    return paired_t(flags, ["seg"], "clicks", "views").orderBy("seg")
+
+
+def q192_theil(spark, sf_dir):
+    """Exact Theil T + mean log deviation (operators/stats.
+    grouped_theil): per language, how unevenly is character mass
+    distributed across documents — the entropy-based inequality pair
+    next to q160's Gini (Gini weights transfers near the middle; T is
+    top-sensitive, L bottom-sensitive, and both are additively
+    decomposable where Gini is not).  Every ln quantized ONCE per
+    distinct value to micro-nat longs, Σ-terms exact decimal/hugeint
+    integers, integral divisions, Jensen floor clamp — hash-oracled
+    including both doubles.  Plan: one map-side-combined (lang, v)
+    histogram, a cell-scale aggregate, one group-sized null-safe
+    join."""
+    from btl_bloomfilter_spark.operators.stats import grouped_theil
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    return grouped_theil(
+        docs.select("lang", "n_chars"), ["lang"], "n_chars"
+    ).orderBy("lang")
+
+
+def q193_two_by_two(spark, sf_dir):
+    """Exact 2×2 effect measures (operators/stats.two_by_two_effects):
+    per language, does web-sourced provenance raise the odds of a
+    long document — the A/B effect-size kit completing the 2×2
+    corner (q171 chi2 answers "is the association real", q185
+    McNemar the paired design; this sizes it: risk ratio, odds
+    ratio, and the Woolf log-OR 95% CI shipped in the log domain,
+    the survival-curve convention, because exp is libm-divergent).
+    a/b/c/d exact longs from one four-counter aggregate; OR/RR one
+    division each; ln_or micro-nat quantized once; se from
+    pico-quantized reciprocals — hash-oracled including every
+    double.  Plan: one map-side-combined aggregate per lang; nothing
+    after it."""
+    from btl_bloomfilter_spark.operators.stats import two_by_two_effects
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    flags = docs.selectExpr(
+        "lang",
+        "CAST(source = 'web' AS INT) AS exposed",
+        "CAST(n_chars >= 1000 AS INT) AS long_doc",
+    )
+    return two_by_two_effects(flags, ["lang"], "exposed", "long_doc").orderBy(
+        "lang"
+    )
+
+
 def q188_friedman(spark, sf_dir):
     """Exact Friedman test + Kendall's W (operators/stats.friedman):
     per user segment, do the five event types differ in per-user
@@ -6915,6 +7017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q187_cochran_q": q187_cochran_q,
         "q188_friedman": q188_friedman,
         "q189_cronbach": q189_cronbach,
+        "q190_wilcoxon": q190_wilcoxon,
+        "q191_paired_t": q191_paired_t,
+        "q192_theil": q192_theil,
+        "q193_two_by_two": q193_two_by_two,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7846,6 +7952,36 @@ def oracle_sql() -> dict[str, str]:
             " UNION ALL SELECT lang, doc_id, 'len_alt',"
             " (n_chars + (doc_id % 53) * 17) // 120 FROM documents)",
             "lang", "doc_id", "item", "score",
+        )
+        + " ORDER BY lang",
+        "q190_wilcoxon": _STATS.wilcoxon_signed_rank_sql(
+            "(SELECT lang,"
+            " (n_chars + (doc_id % 41) * 11) // 100 AS a,"
+            " (n_chars + (doc_id % 37) * 13) // 100 AS b"
+            " FROM documents)",
+            "lang", "a", "b",
+        )
+        + " ORDER BY lang",
+        "q191_paired_t": _STATS.paired_t_sql(
+            "(SELECT user_id % 4 AS seg,"
+            " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS clicks,"
+            " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " AS views"
+            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)",
+            "seg", "clicks", "views",
+        )
+        + " ORDER BY seg",
+        "q192_theil": _STATS.grouped_theil_sql(
+            "documents", "lang", "n_chars"
+        )
+        + " ORDER BY lang",
+        "q193_two_by_two": _STATS.two_by_two_effects_sql(
+            "(SELECT lang,"
+            " CASE WHEN source = 'web' THEN 1 ELSE 0 END AS exposed,"
+            " CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END AS long_doc"
+            " FROM documents)",
+            "lang", "exposed", "long_doc",
         )
         + " ORDER BY lang",
         "q180_kruskal_wallis": _STATS.grouped_kruskal_wallis_sql(

@@ -1384,6 +1384,53 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return cronbach_alpha(panel, ["lang"], "doc_id", "item", "score").count()
 
+    def q_wilcoxon():
+        # one (lang, |d|) sign-split histogram + cumulative window
+        from btl_bloomfilter_spark.operators.stats import wilcoxon_signed_rank
+
+        paired = docs.selectExpr(
+            "lang",
+            "(n_chars + (doc_id % 41) * 11) div 100 AS a",
+            "(n_chars + (doc_id % 37) * 13) div 100 AS b",
+        )
+        return wilcoxon_signed_rank(paired, ["lang"], "a", "b").count()
+
+    def q_paired_t():
+        # per-user count rollup row-scale; one 3-moment agg per seg
+        from btl_bloomfilter_spark.operators.stats import paired_t
+
+        flags = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
+                F.sum((F.col("event_type") == "view").cast("long")).alias("views"),
+            )
+            .select((F.col("user_id") % 4).alias("seg"), "clicks", "views")
+        )
+        return paired_t(flags, ["seg"], "clicks", "views").count()
+
+    def q_theil():
+        # one (lang, v) histogram + cell-scale agg + group-sized join
+        from btl_bloomfilter_spark.operators.stats import grouped_theil
+
+        return grouped_theil(
+            docs.select("lang", "n_chars"), ["lang"], "n_chars"
+        ).count()
+
+    def q_two_by_two():
+        # one four-counter map-side-combined aggregate per lang
+        from btl_bloomfilter_spark.operators.stats import two_by_two_effects
+
+        flags = docs.selectExpr(
+            "lang",
+            "CAST(source = 'web' AS INT) AS exposed",
+            "CAST(n_chars >= 1000 AS INT) AS long_doc",
+        )
+        return two_by_two_effects(
+            flags, ["lang"], "exposed", "long_doc"
+        ).count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1530,6 +1577,10 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "cochran_q_events": q_cochran_q,
         "friedman_events": q_friedman,
         "cronbach_docs": q_cronbach,
+        "wilcoxon_docs": q_wilcoxon,
+        "paired_t_events": q_paired_t,
+        "theil_docs": q_theil,
+        "two_by_two_docs": q_two_by_two,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

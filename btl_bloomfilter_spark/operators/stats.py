@@ -4175,3 +4175,634 @@ def cronbach_alpha_sql(
         LEFT JOIN __cr_a a ON tot.g IS NOT DISTINCT FROM a.g
         LEFT JOIN __cr_b b ON tot.g IS NOT DISTINCT FROM b.g
     """
+
+
+def wilcoxon_signed_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col,
+    b_col,
+) -> DataFrame:
+    """(group…, n_pairs, n_zero, n_used, ties_t, w2_fp, w_plus,
+    rank_biserial, z) — exact Wilcoxon signed-rank test per group:
+    for PAIRED measurements (a, b) on the same subject, is the
+    distribution of differences shifted from zero?  The paired-ranks
+    cell of the design grid — Friedman (k treatments, ordinal) and
+    McNemar (paired binary) bracket it; this is the two-treatment
+    CONTINUOUS paired test, the within-subject counterpart of
+    Mann–Whitney exactly as the paired t is of Welch.
+
+    d = a − b is the only computation on values (IEEE subtraction is
+    correctly rounded, engine-identical; integral inputs stay exact).
+    Zero differences are DROPPED (the Wilcoxon convention) and
+    reported as n_zero; the |d| histogram then COMPARES values, never
+    computes with them.  With doubled midranks r₂ = 2·cum + t + 1
+    over distinct |d| (t the tie count) and per-value positive
+    counts p:
+
+        W₂   = Σ p·r₂                 (doubled W⁺, exact integer;
+                                       W⁺ + W⁻ = n(n+1)/2 so
+                                       W₂⁺ + W₂⁻ = 2·n(n+1)/2)
+        w_plus        = W₂ / 2        (exact halving)
+        rank_biserial = (W₂ − S) / S  (ONE division; S = n(n+1)/2 —
+                                       the matched-pairs effect size
+                                       (W⁺−W⁻)/(W⁺+W⁻), +1 when every
+                                       difference is positive)
+        z = (2·W₂ − 2·S) / √( (2n(n+1)(2n+1) − T) / 3 )
+                                      (tie-corrected normal approx,
+                                       T = Σ_|d| t³−t; numerator is
+                                       4·(W⁺−μ), denominator √(16·σ²);
+                                       fixed div→sqrt→div shape)
+
+    — every count an exact decimal(38,0)/hugeint integer, each double
+    a single correctly-rounded shape: engine-identical,
+    hash-oracle-able.  2n(n+1)(2n+1) − T ≥ 3n(n+1)² > 0 for n ≥ 1
+    (even all-tied-|d| groups have positive variance), so z is NULL
+    only when n_used = 0.  No continuity correction (same documented
+    choice as grouped_mannwhitney).  NULL or NaN in either value
+    drops the pair.  OVERFLOW: n(n+1)(2n+1) < 1e38 → n per group
+    ≲ 3·10¹².
+
+    Scale shape: one map-side-combined (group, |d|) histogram with
+    sign-split counts, one per-GROUP cumulative window over
+    compressed |d|, one group-sized aggregate — the grouped_ks /
+    grouped_mannwhitney shape with the cohort axis replaced by the
+    sign split.
+    """
+    from pyspark.sql import Window
+
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    d = (a - b).alias("__d")
+    base = df.where(a.isNotNull() & b.isNotNull()).select(*group_cols, d)
+    dt = base.schema["__d"].dataType.simpleString()
+    dc = F.col("__d")
+    if dt in ("float", "double"):
+        base = base.where(~F.isnan(dc))
+    n_pairs = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((dc == 0).cast("long")).alias("n_zero"),
+    )
+    h = (
+        base.where(dc != 0)
+        .groupBy(*group_cols, F.abs(dc).alias("__v"))
+        .agg(
+            F.count(F.lit(1)).cast(_D).alias("__t"),
+            F.sum((dc > 0).cast("long")).cast(_D).alias("__p"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = h.withColumn(
+        "__cum", F.coalesce(F.sum("__t").over(w), F.lit(0).cast(_D))
+    )
+    t = F.col("__t")
+    r2 = F.lit(2).cast(_D) * F.col("__cum") + t + 1
+    agg = c.groupBy(*group_cols).agg(
+        F.sum(t).alias("__n"),
+        F.sum(F.col("__p") * r2).alias("__w2"),
+        F.sum(t * t * t - t).alias("__T"),
+    )
+    import functools as _ft
+    import operator as _op
+
+    ren = agg
+    for g in group_cols:
+        ren = ren.withColumnRenamed(g, f"__r_{g}")
+    cond = _ft.reduce(
+        _op.and_,
+        [n_pairs[g].eqNullSafe(ren[f"__r_{g}"]) for g in group_cols],
+    )
+    j = n_pairs.join(ren, cond, "left").drop(
+        *[f"__r_{g}" for g in group_cols]
+    )
+    n = F.coalesce(F.col("__n"), F.lit(0).cast(_D))
+    w2, tt = F.col("__w2"), F.col("__T")
+    s = n * (n + 1)  # 2·S, i.e. doubled rank sum
+    den = F.lit(2).cast(_D) * n * (n + 1) * (2 * n + 1) - tt
+    return j.select(
+        *group_cols,
+        "n_pairs",
+        "n_zero",
+        n.cast("long").alias("n_used"),
+        F.coalesce(tt, F.lit(0).cast(_D)).cast("long").alias("ties_t"),
+        w2.cast("string").alias("w2_fp"),
+        (w2.cast("double") / F.lit(2.0)).alias("w_plus"),
+        F.when(
+            n > 0, (F.lit(2).cast(_D) * w2 - s).cast("double") / s.cast("double")
+        ).alias("rank_biserial"),
+        F.when(
+            n > 0,
+            (F.lit(2).cast(_D) * w2 - s).cast("double")
+            / F.sqrt(den.cast("double") / F.lit(3.0)),
+        ).alias("z"),
+    )
+
+
+def wilcoxon_signed_rank_sql(table: str, group: str, a: str, b: str) -> str:
+    """DuckDB twin of :func:`wilcoxon_signed_rank` (hugeint counts,
+    identical doubled-midrank / single-division / div→sqrt→div
+    shapes)."""
+    return f"""
+        WITH __wsr_d AS (
+            SELECT {group} AS g, ({a}) - ({b}) AS d
+            FROM {table}
+            WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
+              AND NOT isnan((({a}) - ({b}))::DOUBLE)
+        ),
+        __wsr_np AS (
+            SELECT g, count(*)::BIGINT AS n_pairs,
+                   sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
+            FROM __wsr_d GROUP BY g
+        ),
+        __wsr_h AS (
+            SELECT g, abs(d) AS v, count(*)::HUGEINT AS t,
+                   sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::HUGEINT AS p
+            FROM __wsr_d WHERE d <> 0 GROUP BY g, abs(d)
+        ),
+        __wsr_c AS (
+            SELECT g, v, t, p,
+                   coalesce(sum(t) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum
+            FROM __wsr_h
+        ),
+        __wsr_a AS (
+            SELECT g, sum(t) AS n, sum(p * (2 * cum + t + 1)) AS w2,
+                   sum(t * t * t - t) AS tt
+            FROM __wsr_c GROUP BY g
+        )
+        SELECT np.g AS {group}, np.n_pairs, np.n_zero,
+               coalesce(a.n, 0)::BIGINT AS n_used,
+               coalesce(a.tt, 0)::BIGINT AS ties_t,
+               a.w2::VARCHAR AS w2_fp,
+               a.w2::DOUBLE / 2.0 AS w_plus,
+               CASE WHEN a.n > 0 THEN
+                   CAST(2 * a.w2 - a.n * (a.n + 1) AS DOUBLE)
+                   / CAST(a.n * (a.n + 1) AS DOUBLE)
+               END AS rank_biserial,
+               CASE WHEN a.n > 0 THEN
+                   CAST(2 * a.w2 - a.n * (a.n + 1) AS DOUBLE)
+                   / sqrt(CAST(2 * a.n * (a.n + 1) * (2 * a.n + 1) - a.tt
+                               AS DOUBLE) / 3.0)
+               END AS z
+        FROM __wsr_np np
+        LEFT JOIN __wsr_a a ON np.g IS NOT DISTINCT FROM a.g
+    """
+
+
+def paired_t(
+    df: DataFrame,
+    group_cols: list[str],
+    a_col,
+    b_col,
+) -> DataFrame:
+    """(group…, n, s_fp, vd_fp, mean_diff, t, dof, cohens_dz) — exact
+    paired t-test per group: for PAIRED integral measurements (a, b)
+    on the same subject, is the MEAN difference nonzero?  The paired
+    means cell of the design grid (grouped_welch assumes independent
+    cohorts; pairing removes between-subject variance, which is the
+    whole point of a within-subject design) and the parametric
+    counterpart of wilcoxon_signed_rank.
+
+    With d = a − b (exact on integers), S = Σd and Q = Σd² exact
+    decimal(38,0)/hugeint moments over the n pairs:
+
+        V_d       = n·Q − S²          (variance numerator, exact;
+                                       ≥ 0 by Cauchy–Schwarz)
+        mean_diff = S / n             (ONE division)
+        t         = S / √( V_d / (n−1) )      (fixed div→sqrt→div;
+                                               algebra: d̄/(s_d/√n)
+                                               with the n's cleared)
+        cohens_dz = S / √( n·V_d / (n−1) )    (d̄/s_d = t/√n, same
+                                               fixed shape)
+
+    — engine-identical, hash-oracle-able.  t/dz are NULL when n < 2
+    or V_d = 0 (constant difference — infinite t is reported as NULL
+    with vd_fp = 0 observable, not as a sentinel).  Zero differences
+    are KEPT (unlike Wilcoxon — the t-test uses them as evidence for
+    the null).  Values must be integral (floats REJECTED — quantize
+    explicitly); NULL in either drops the pair.  OVERFLOW:
+    n·Σd² < 1e38 → n·max(d)² ≲ 1e38.
+
+    Scale shape: ONE map-side-combined three-moment aggregate per
+    group; nothing after it.
+    """
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    for col, name in ((a, "a_col"), (b, "b_col")):
+        dt = df.select(col.alias("__probe")).schema[0].dataType.simpleString()
+        if dt in ("float", "double") or dt.startswith("decimal"):
+            raise ValueError(
+                f"paired_t: {name} must be integral, got {dt};"
+                " quantize explicitly first"
+            )
+    d = (a.cast("long") - b.cast("long")).cast(_D)
+    agg = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).cast(_D).alias("__n"),
+            F.sum(d).alias("__s"),
+            F.sum(d * d).alias("__q"),
+        )
+    )
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    vd = n * q - s * s
+    agg = agg.withColumn("__vd", vd)
+    vdc = F.col("__vd")
+    ok = (n >= 2) & (vdc > 0)
+    return agg.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        s.cast("string").alias("s_fp"),
+        vdc.cast("string").alias("vd_fp"),
+        (s.cast("double") / n.cast("double")).alias("mean_diff"),
+        F.when(
+            ok,
+            s.cast("double") / F.sqrt(vdc.cast("double") / (n - 1).cast("double")),
+        ).alias("t"),
+        (n - 1).cast("long").alias("dof"),
+        F.when(
+            ok,
+            s.cast("double")
+            / F.sqrt((n * vdc).cast("double") / (n - 1).cast("double")),
+        ).alias("cohens_dz"),
+    )
+
+
+def paired_t_sql(table: str, group: str, a: str, b: str) -> str:
+    """DuckDB twin of :func:`paired_t` (hugeint moments, identical
+    single-division / div→sqrt→div shapes)."""
+    return f"""
+        WITH __pt AS (
+            SELECT {group} AS g, count(*)::HUGEINT AS n,
+                   sum((({a})::BIGINT - ({b})::BIGINT)::HUGEINT) AS s,
+                   sum((({a})::BIGINT - ({b})::BIGINT)::HUGEINT
+                       * (({a})::BIGINT - ({b})::BIGINT)::HUGEINT) AS q
+            FROM {table}
+            WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
+            GROUP BY 1
+        )
+        SELECT g AS {group}, n::BIGINT AS n, s::VARCHAR AS s_fp,
+               (n * q - s * s)::VARCHAR AS vd_fp,
+               s::DOUBLE / n::DOUBLE AS mean_diff,
+               CASE WHEN n >= 2 AND n * q - s * s > 0 THEN
+                   s::DOUBLE / sqrt(CAST(n * q - s * s AS DOUBLE)
+                                    / CAST(n - 1 AS DOUBLE))
+               END AS t,
+               (n - 1)::BIGINT AS dof,
+               CASE WHEN n >= 2 AND n * q - s * s > 0 THEN
+                   s::DOUBLE / sqrt(CAST(n * (n * q - s * s) AS DOUBLE)
+                                    / CAST(n - 1 AS DOUBLE))
+               END AS cohens_dz
+        FROM __pt
+    """
+
+
+def grouped_theil(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col,
+) -> DataFrame:
+    """(group…, n_rows, n_nonpos, n, sum_fp, theil_t_micro, theil_t,
+    theil_l_micro, theil_l) — exact-fixed-point Theil T and Theil L
+    (mean log deviation) inequality indices per group: how unevenly
+    is a positive quantity (tokens per document, spend per customer,
+    events per user) distributed over its holders?  The
+    ENTROPY-based inequality pair next to grouped_gini — Gini weights
+    transfers near the middle, T is top-sensitive, L is
+    bottom-sensitive, and both belong to the additively-decomposable
+    generalized-entropy family Gini does not.
+
+    With the (group, v) histogram (c rows at value v) and N = Σc,
+    S = Σc·v, the identities
+
+        T = (1/S)·Σ c·v·ln v − ln S + ln N     (= (1/N)Σ (x/μ)ln(x/μ))
+        L = ln S − ln N − (1/N)·Σ c·ln v       (= (1/N)Σ ln(μ/x))
+
+    ride the proven micro-nat machinery: every ln quantized ONCE per
+    distinct operand to micro-nat longs (positive args, HALF_UP ==
+    half-away), Σ-terms exact order-independent decimal(38,0)/hugeint
+    integers, the divisions integral (nonnegative operands, div ==
+    //), both results clamped at the Jensen floor 0 (quantization can
+    undershoot by ~2 micro-nats; all-equal groups land within that of
+    0 — pinned).  theil_t/theil_l are the micro integers / 10⁶ —
+    engine-identical, hash-oracle-able.
+
+    Values must be positive integers: floats REJECTED (quantize
+    explicitly), NULL drops the row, values ≤ 0 are excluded loudly
+    (n_nonpos — ln is undefined there; callers who want zeros to
+    count must shift or bucket first).  Groups with no positive rows
+    keep their row with NULL indices (null-safe LEFT join).
+    OVERFLOW: Σ c·v·ln_micro(v) ≤ S·ln_micro(v_max) < 10³⁸ → S ≲ 10²⁹.
+
+    Scale shape: one map-side-combined (group, v) histogram — the
+    only row-scale stage — then a cell-scale aggregate and a
+    group-sized null-safe join against the totals.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dt = df.select(v.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"grouped_theil: value_col must be integral, got {dt};"
+            " quantize explicitly first"
+        )
+    ln_micro = lambda c: F.round(  # noqa: E731
+        F.log(c.cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    base = df.where(v.isNotNull()).select(*group_cols, v.cast("long").alias("__x"))
+    tot = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("__x") <= 0).cast("long")).alias("n_nonpos"),
+    )
+    h = (
+        base.where(F.col("__x") > 0)
+        .groupBy(*group_cols, F.col("__x").alias("__v"))
+        .agg(F.count(F.lit(1)).cast(_D).alias("__c"))
+    )
+    c, vv = F.col("__c"), F.col("__v").cast(_D)
+    lnv = ln_micro(F.col("__v")).cast(_D)
+    agg = h.groupBy(*group_cols).agg(
+        F.sum(c).alias("__n"),
+        F.sum(c * vv).alias("__s"),
+        F.sum(c * lnv).alias("__sl"),
+        F.sum(c * vv * lnv).alias("__svl"),
+    )
+    import functools as _ft
+    import operator as _op
+
+    ren = agg
+    for g in group_cols:
+        ren = ren.withColumnRenamed(g, f"__r_{g}")
+    cond = _ft.reduce(
+        _op.and_,
+        [tot[g].eqNullSafe(ren[f"__r_{g}"]) for g in group_cols],
+    )
+    j = tot.join(ren, cond, "left").drop(*[f"__r_{g}" for g in group_cols])
+    n, s = F.col("__n"), F.col("__s")
+    zl = F.lit(0).cast("long")
+    t_micro = F.greatest(
+        F.expr("__svl div __s").cast("long") - ln_micro(s) + ln_micro(n), zl
+    )
+    l_micro = F.greatest(
+        ln_micro(s) - ln_micro(n) - F.expr("__sl div __n").cast("long"), zl
+    )
+    j = j.withColumn("__t", F.when(n > 0, t_micro)).withColumn(
+        "__l", F.when(n > 0, l_micro)
+    )
+    tm, lm = F.col("__t"), F.col("__l")
+    return j.select(
+        *group_cols,
+        "n_rows",
+        "n_nonpos",
+        F.coalesce(n.cast("long"), F.lit(0)).alias("n"),
+        s.cast("string").alias("sum_fp"),
+        tm.alias("theil_t_micro"),
+        (tm.cast("double") / F.lit(1000000.0)).alias("theil_t"),
+        lm.alias("theil_l_micro"),
+        (lm.cast("double") / F.lit(1000000.0)).alias("theil_l"),
+    )
+
+
+def grouped_theil_sql(table: str, group: str, value: str) -> str:
+    """DuckDB twin of :func:`grouped_theil` (hugeint moments, same
+    micro-nat quantization, `//` integral division, identical clamp
+    and double shapes)."""
+    lnm = "round(ln({x}) * 1000000)::BIGINT"
+    return f"""
+        WITH __th_b AS (
+            SELECT {group} AS g, ({value})::BIGINT AS x
+            FROM {table} WHERE ({value}) IS NOT NULL
+        ),
+        __th_tot AS (
+            SELECT g, count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonpos
+            FROM __th_b GROUP BY g
+        ),
+        __th_h AS (
+            SELECT g, x AS v, count(*)::HUGEINT AS c
+            FROM __th_b WHERE x > 0 GROUP BY g, x
+        ),
+        __th_a AS (
+            SELECT g, sum(c) AS n, sum(c * v::HUGEINT) AS s,
+                   sum(c * ({lnm.format(x='v')})::HUGEINT) AS sl,
+                   sum(c * v::HUGEINT * ({lnm.format(x='v')})::HUGEINT) AS svl
+            FROM __th_h GROUP BY g
+        ),
+        __th_m AS (
+            SELECT g, n, s, sl, svl,
+                   greatest((svl // s)::BIGINT - {lnm.format(x='s')}
+                            + {lnm.format(x='n')}, 0::BIGINT) AS tm,
+                   greatest({lnm.format(x='s')} - {lnm.format(x='n')}
+                            - (sl // n)::BIGINT, 0::BIGINT) AS lm
+            FROM __th_a
+        )
+        SELECT tot.g AS {group}, tot.n_rows, tot.n_nonpos,
+               coalesce(m.n, 0)::BIGINT AS n,
+               m.s::VARCHAR AS sum_fp,
+               m.tm AS theil_t_micro,
+               m.tm::DOUBLE / 1000000.0 AS theil_t,
+               m.lm AS theil_l_micro,
+               m.lm::DOUBLE / 1000000.0 AS theil_l
+        FROM __th_tot tot
+        LEFT JOIN __th_m m ON tot.g IS NOT DISTINCT FROM m.g
+    """
+
+
+def two_by_two_effects(
+    df: DataFrame,
+    group_cols: list[str],
+    exposed_col,
+    outcome_col,
+) -> DataFrame:
+    """(group…, n, a, b, c, d, risk_exposed, risk_unexposed,
+    risk_diff, risk_ratio, odds_ratio, ln_or_micro, ln_or, se_ln_or,
+    ci_lo, ci_hi) — exact per-group 2×2 effect measures: for an
+    exposure flag and an outcome flag on INDEPENDENT subjects (did
+    treatment-arm users purchase more; do docs from source X fail the
+    quality filter more), the A/B-test effect kit.  Completes the
+    2×2 corner: chi2_independence answers "is the association real",
+    grouped_mcnemar handles the PAIRED design — this sizes the effect
+    with the epidemiology standard measures and their Woolf
+    confidence interval.
+
+    With a/b/c/d = exposed∧outcome, exposed∧¬outcome, ¬exposed∧
+    outcome, ¬exposed∧¬outcome (exact longs, one four-counter
+    map-side-combined aggregate):
+
+        risk_exposed   = a/(a+b)            risk_unexposed = c/(c+d)
+        risk_diff      = a/(a+b) − c/(c+d)  (two correctly-rounded
+                                             divisions, one subtract)
+        risk_ratio     = a·(c+d) / (c·(a+b))   (ONE division of
+                                                exact integers)
+        odds_ratio     = a·d / (b·c)           (ONE division)
+        ln_or_micro    = lnm(a·d) − lnm(b·c)   (micro-nat longs,
+                                                quantized ONCE per
+                                                product — swapping the
+                                                outcome flag negates
+                                                it EXACTLY, pinned)
+        se_ln_or       = √( (Σ 10¹² div x) / 10¹² )  over x ∈
+                         {a,b,c,d}           (Woolf; each reciprocal
+                                              quantized ONCE to
+                                              pico-units, exact sum,
+                                              div→sqrt shape)
+        ci_lo/ci_hi    = ln_or ∓ 1.959964·se_ln_or   (the 95% log-OR
+                         interval; IEEE multiply + subtract of
+                         engine-identical doubles — consumers exp()
+                         at presentation, the survival-curve
+                         convention, because exp is libm-divergent)
+
+    — engine-identical, hash-oracle-able including every double.
+    NULL policy: risk fields NULL when their denominator is 0;
+    odds_ratio NULL when b·c = 0; ln/se/ci NULL unless ALL of
+    a,b,c,d > 0 (no Haldane–Anscombe +½ smoothing — it would break
+    integrality; documented, callers can pre-smooth).  Flags must be
+    boolean or 0/1 integers (anything else raises in-plan); NULL in
+    either drops the row.  OVERFLOW: a·d < 1e38 — unreachable before
+    the long counts themselves overflow.
+
+    Scale shape: ONE map-side-combined four-counter aggregate per
+    group; nothing after it.
+    """
+    def _flag(col, name):
+        c = F.col(col) if isinstance(col, str) else col
+        dt = df.select(c.alias("__probe")).schema[0].dataType.simpleString()
+        if dt == "boolean":
+            return c.cast("long")
+        return F.when(c.isin(0, 1), c.cast("long")).otherwise(
+            F.raise_error(
+                F.lit(f"two_by_two_effects: {name} must be 0/1 or boolean")
+            )
+        )
+
+    er = F.col(exposed_col) if isinstance(exposed_col, str) else exposed_col
+    orr = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    e = _flag(exposed_col, "exposed_col")
+    o = _flag(outcome_col, "outcome_col")
+    agg = (
+        df.where(er.isNotNull() & orr.isNotNull())
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(e * o).alias("a"),
+            F.sum(e * (1 - o)).alias("b"),
+            F.sum((1 - e) * o).alias("c"),
+            F.sum((1 - e) * (1 - o)).alias("d"),
+        )
+    )
+    a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
+    ad = a.cast(_D) * d.cast(_D)
+    bc = b.cast(_D) * c.cast(_D)
+    lnm = lambda x: F.round(  # noqa: E731
+        F.log(x.cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    rec = lambda x: F.expr(f"1000000000000 div {x}")  # noqa: E731
+    all_pos = (a > 0) & (b > 0) & (c > 0) & (d > 0)
+    lnor_m = F.when(all_pos, lnm(ad) - lnm(bc))
+    se = F.when(
+        all_pos,
+        F.sqrt(
+            (rec("a") + rec("b") + rec("c") + rec("d")).cast("double")
+            / F.lit(1.0e12)
+        ),
+    )
+    agg = (
+        agg.withColumn("__lnm", lnor_m)
+        .withColumn("__se", se)
+        .withColumn("__lnor", F.col("__lnm").cast("double") / F.lit(1000000.0))
+    )
+    lnor, sec = F.col("__lnor"), F.col("__se")
+    z = F.lit(1.959964)
+    return agg.select(
+        *group_cols,
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.when(a + b > 0, a.cast("double") / (a + b).cast("double")).alias(
+            "risk_exposed"
+        ),
+        F.when(c + d > 0, c.cast("double") / (c + d).cast("double")).alias(
+            "risk_unexposed"
+        ),
+        F.when(
+            (a + b > 0) & (c + d > 0),
+            a.cast("double") / (a + b).cast("double")
+            - c.cast("double") / (c + d).cast("double"),
+        ).alias("risk_diff"),
+        F.when(
+            c.cast(_D) * (a + b).cast(_D) > 0,
+            (a.cast(_D) * (c + d).cast(_D)).cast("double")
+            / (c.cast(_D) * (a + b).cast(_D)).cast("double"),
+        ).alias("risk_ratio"),
+        F.when(bc > 0, ad.cast("double") / bc.cast("double")).alias(
+            "odds_ratio"
+        ),
+        F.col("__lnm").alias("ln_or_micro"),
+        lnor.alias("ln_or"),
+        sec.alias("se_ln_or"),
+        (lnor - z * sec).alias("ci_lo"),
+        (lnor + z * sec).alias("ci_hi"),
+    )
+
+
+def two_by_two_effects_sql(
+    table: str, group: str, exposed: str, outcome: str
+) -> str:
+    """DuckDB twin of :func:`two_by_two_effects` (identical counter,
+    quantize-once reciprocal/micro-nat, and double shapes)."""
+    ei = f"(CASE WHEN ({exposed}) IN (0, 1) OR typeof({exposed}) = 'BOOLEAN' THEN ({exposed})::BIGINT ELSE CAST(error('two_by_two_effects: exposed must be 0/1 or boolean') AS BIGINT) END)"
+    oi = f"(CASE WHEN ({outcome}) IN (0, 1) OR typeof({outcome}) = 'BOOLEAN' THEN ({outcome})::BIGINT ELSE CAST(error('two_by_two_effects: outcome must be 0/1 or boolean') AS BIGINT) END)"
+    lnm = "round(ln({x}) * 1000000)::BIGINT"
+    return f"""
+        WITH __tbt AS (
+            SELECT {group} AS g, count(*)::BIGINT AS n,
+                   sum({ei} * {oi})::BIGINT AS a,
+                   sum({ei} * (1 - {oi}))::BIGINT AS b,
+                   sum((1 - {ei}) * {oi})::BIGINT AS c,
+                   sum((1 - {ei}) * (1 - {oi}))::BIGINT AS d
+            FROM {table}
+            WHERE ({exposed}) IS NOT NULL AND ({outcome}) IS NOT NULL
+            GROUP BY 1
+        ),
+        __tbt_m AS (
+            SELECT g, n, a, b, c, d,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                       {lnm.format(x='a::HUGEINT * d::HUGEINT')}
+                       - {lnm.format(x='b::HUGEINT * c::HUGEINT')}
+                   END AS lnm_or,
+                   CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN
+                       sqrt((1000000000000 // a + 1000000000000 // b
+                             + 1000000000000 // c + 1000000000000 // d)
+                            ::DOUBLE / 1.0e12)
+                   END AS se
+            FROM __tbt
+        )
+        SELECT g AS {group}, n, a, b, c, d,
+               CASE WHEN a + b > 0 THEN a::DOUBLE / (a + b)::DOUBLE
+               END AS risk_exposed,
+               CASE WHEN c + d > 0 THEN c::DOUBLE / (c + d)::DOUBLE
+               END AS risk_unexposed,
+               CASE WHEN a + b > 0 AND c + d > 0 THEN
+                   a::DOUBLE / (a + b)::DOUBLE - c::DOUBLE / (c + d)::DOUBLE
+               END AS risk_diff,
+               CASE WHEN c::HUGEINT * (a + b)::HUGEINT > 0 THEN
+                   CAST(a::HUGEINT * (c + d)::HUGEINT AS DOUBLE)
+                   / CAST(c::HUGEINT * (a + b)::HUGEINT AS DOUBLE)
+               END AS risk_ratio,
+               CASE WHEN b::HUGEINT * c::HUGEINT > 0 THEN
+                   CAST(a::HUGEINT * d::HUGEINT AS DOUBLE)
+                   / CAST(b::HUGEINT * c::HUGEINT AS DOUBLE)
+               END AS odds_ratio,
+               lnm_or AS ln_or_micro,
+               lnm_or::DOUBLE / 1000000.0 AS ln_or,
+               se AS se_ln_or,
+               lnm_or::DOUBLE / 1000000.0 - 1.959964 * se AS ci_lo,
+               lnm_or::DOUBLE / 1000000.0 + 1.959964 * se AS ci_hi
+        FROM __tbt_m
+    """
