@@ -6709,36 +6709,102 @@ def q184_jsd(spark, sf_dir):
 
 def q183_survival(spark, sf_dir):
     """Exact grouped Kaplan–Meier/Nelson–Aalen survival curves
-    (operators/survival.survival_curve): per user segment, time from
-    first to last activity with RIGHT-CENSORING — users last seen
-    within 7 days of the corpus horizon are censored (still alive),
-    contributing exactly what is known (survived ≥ dur) instead of
-    being dropped or miscounted as churned.  The product-limit Ŝ is
-    an order-dependent float product, so it is never formed: the
-    per-time log factor ln(n−d) − ln(n) rides the q172 micro-nat
-    quantization of INTEGER args with an exact integer cumsum, and
-    Nelson–Aalen terms quantize once to (d·10⁶ div n) — the whole
-    curve hash-oracles (hazard the only raw division).  exp() is
-    libm-divergent, so Ŝ itself is a non-oracled presentation helper
-    (attach_survival).  Plan: per-user min/max day is the row-scale
-    stage; the curve is cell-scale windows over one (seg) exchange,
-    no joins (the 1-row horizon crossJoin broadcasts)."""
+    (operators/survival.survival_curve): per user segment,
+    time-to-first-purchase in HOURS from each user's first event,
+    under a 48-hour administrative observation window — users who
+    have not purchased by hour 48 (or whose activity span ends
+    sooner) are RIGHT-CENSORED at the end of observation (they
+    contribute exactly what is known: no purchase for ≥ dur hours),
+    instead of being dropped or miscounted as converted.  Both
+    branches of the estimator are genuinely exercised at every SF
+    (ttp median ≈ 22 h, so ≈ ⅓ of users censor at the window).  The
+    product-limit Ŝ is an order-dependent float product, so it is
+    never formed: the per-time log factor ln(n−d) − ln(n) rides the
+    q172 micro-nat quantization of INTEGER args with an exact
+    integer cumsum, and Nelson–Aalen terms quantize once to
+    (d·10⁶ div n) — the whole curve hash-oracles (hazard the only
+    raw division).  exp() is libm-divergent, so Ŝ itself is a
+    non-oracled presentation helper (attach_survival).  Plan:
+    per-user min/min-purchase/max hour is the row-scale stage; the
+    curve is cell-scale windows over one (seg) exchange, no joins."""
     from btl_bloomfilter_spark.operators.survival import survival_curve
 
     ev = _load(spark, sf_dir, "events")["events"]
-    day = F.expr("unix_timestamp(ts) div 86400")
+    hour = F.expr("unix_timestamp(ts) div 3600")
     per_user = (
         ev.where(F.col("user_id").isNotNull())
         .groupBy("user_id")
-        .agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+        .agg(
+            F.min(hour).alias("fh"),
+            F.max(hour).alias("lh"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", hour)
+            ).alias("fp"),
+        )
     )
-    horizon = per_user.agg(F.max("ld").alias("mx"))
-    base = per_user.crossJoin(horizon).select(
+    conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+    base = per_user.select(
         (F.col("user_id") % 3).alias("seg"),
-        (F.col("ld") - F.col("fd")).alias("dur"),
-        (F.col("ld") <= F.col("mx") - 7).cast("int").alias("churned"),
+        F.when(conv, F.col("fp") - F.col("fh"))
+        .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+        .alias("dur"),
+        conv.cast("int").alias("converted"),
     )
-    return survival_curve(base, ["seg"], "dur", "churned").orderBy("seg", "t")
+    return survival_curve(base, ["seg"], "dur", "converted").orderBy(
+        "seg", "t"
+    )
+
+
+def q194_logrank(spark, sf_dir):
+    """Exact two-cohort log-rank test (operators/survival.
+    logrank_test): per user segment, do HEAVY clickers (≥ 14 click
+    events, ≈ the per-user median) convert (first purchase) sooner
+    than light ones — the significance completion of q183 (q183
+    draws each cohort's time-to-conversion survival curve; this says
+    whether the two curves differ beyond noise), on q183's OWN
+    duration/censoring derivation (48-hour administrative window)
+    so the kit audits itself.  The Mantel–Cox statistic conditions
+    on the pooled risk sets, so differential censoring is handled —
+    the comparison a naive mean-duration t-test gets wrong.  Each
+    hypergeometric mean/variance term quantized ONCE to micro-units
+    (nonneg div operands), O−E and V exact integer sums, chi2 ONE
+    division of exact decimal/hugeint integers, z its signed root —
+    hash-oracled including both doubles.  Plan: the per-user rollup
+    is the row-scale stage; cohort labels, risk-set windows and the
+    test itself are all cell-scale over one (seg) exchange; no
+    joins."""
+    from btl_bloomfilter_spark.operators.survival import logrank_test
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    hour = F.expr("unix_timestamp(ts) div 3600")
+    per_user = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(hour).alias("fh"),
+            F.max(hour).alias("lh"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", hour)
+            ).alias("fp"),
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("clicks"),
+        )
+    )
+    conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+    base = per_user.select(
+        (F.col("user_id") % 3).alias("seg"),
+        F.when(F.col("clicks") >= 14, F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("cohort"),
+        F.when(conv, F.col("fp") - F.col("fh"))
+        .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+        .alias("dur"),
+        conv.cast("int").alias("converted"),
+    )
+    return logrank_test(
+        base, ["seg"], "cohort", "dur", "converted"
+    ).orderBy("seg")
 
 
 def q182_brown_forsythe(spark, sf_dir):
@@ -7021,6 +7087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q191_paired_t": q191_paired_t,
         "q192_theil": q192_theil,
         "q193_two_by_two": q193_two_by_two,
+        "q194_logrank": q194_logrank,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7877,16 +7944,41 @@ def oracle_sql() -> dict[str, str]:
         "q183_survival": _SURVIVAL.survival_curve_sql(
             "(WITH __q183_u AS ("
             " SELECT user_id,"
-            " min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS fd,"
-            " max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS ld"
-            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id),"
-            " __q183_h AS (SELECT max(ld) AS mx FROM __q183_u)"
-            " SELECT user_id % 3 AS seg, ld - fd AS dur,"
-            " CASE WHEN ld <= mx - 7 THEN 1 ELSE 0 END AS churned"
-            " FROM __q183_u, __q183_h)",
-            "seg", "dur", "churned",
+            " min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS fh,"
+            " max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS lh,"
+            " min(CASE WHEN event_type = 'purchase' THEN"
+            " CAST(floor(epoch(ts)) AS BIGINT) // 3600 END) AS fp"
+            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
+            " SELECT user_id % 3 AS seg,"
+            " CASE WHEN fp IS NOT NULL AND fp - fh <= 48 THEN fp - fh"
+            " ELSE least(lh - fh, 48) END AS dur,"
+            " CASE WHEN fp IS NOT NULL AND fp - fh <= 48 THEN 1"
+            " ELSE 0 END AS converted"
+            " FROM __q183_u)",
+            "seg", "dur", "converted",
         )
         + " ORDER BY seg, t",
+        "q194_logrank": _SURVIVAL.logrank_test_sql(
+            "(WITH __q194_u AS ("
+            " SELECT user_id,"
+            " min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS fh,"
+            " max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS lh,"
+            " min(CASE WHEN event_type = 'purchase' THEN"
+            " CAST(floor(epoch(ts)) AS BIGINT) // 3600 END) AS fp,"
+            " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " AS clicks"
+            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
+            " SELECT user_id % 3 AS seg,"
+            " CASE WHEN clicks >= 14 THEN 'heavy' ELSE 'light' END"
+            " AS cohort,"
+            " CASE WHEN fp IS NOT NULL AND fp - fh <= 48 THEN fp - fh"
+            " ELSE least(lh - fh, 48) END AS dur,"
+            " CASE WHEN fp IS NOT NULL AND fp - fh <= 48 THEN 1"
+            " ELSE 0 END AS converted"
+            " FROM __q194_u)",
+            "seg", "cohort", "dur", "converted",
+        )
+        + " ORDER BY seg",
         "q184_jsd": _DRIFT.grouped_jsd_sql(
             "documents", "lang", "source", "(n_chars >= 1000)"
         )

@@ -1260,23 +1260,68 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         return brown_forsythe(docs, ["lang"], "source", "n_chars").count()
 
     def q_survival():
-        # per-user min/max day is the row-scale stage; the curve is
-        # cell-scale windows over one (seg) exchange
+        # per-user first/last/first-purchase hour is the row-scale
+        # stage; the curve is cell-scale windows over one (seg)
+        # exchange (48 h administrative censoring window)
         from btl_bloomfilter_spark.operators.survival import survival_curve
 
-        day = F.expr("unix_timestamp(ts) div 86400")
+        hour = F.expr("unix_timestamp(ts) div 3600")
         per_user = (
             ev.where(F.col("user_id").isNotNull())
             .groupBy("user_id")
-            .agg(F.min(day).alias("fd"), F.max(day).alias("ld"))
+            .agg(
+                F.min(hour).alias("fh"),
+                F.max(hour).alias("lh"),
+                F.min(
+                    F.when(F.col("event_type") == "purchase", hour)
+                ).alias("fp"),
+            )
         )
-        horizon = per_user.agg(F.max("ld").alias("mx"))
-        base = per_user.crossJoin(horizon).select(
+        conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+        base = per_user.select(
             (F.col("user_id") % 3).alias("seg"),
-            (F.col("ld") - F.col("fd")).alias("dur"),
-            (F.col("ld") <= F.col("mx") - 7).cast("int").alias("churned"),
+            F.when(conv, F.col("fp") - F.col("fh"))
+            .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+            .alias("dur"),
+            conv.cast("int").alias("converted"),
         )
-        return survival_curve(base, ["seg"], "dur", "churned").count()
+        return survival_curve(base, ["seg"], "dur", "converted").count()
+
+    def q_logrank():
+        # same row-scale per-user rollup as q_survival plus a click
+        # counter; the test is cell-scale windows + one aggregate per
+        # seg, no joins
+        from btl_bloomfilter_spark.operators.survival import logrank_test
+
+        hour = F.expr("unix_timestamp(ts) div 3600")
+        per_user = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.min(hour).alias("fh"),
+                F.max(hour).alias("lh"),
+                F.min(
+                    F.when(F.col("event_type") == "purchase", hour)
+                ).alias("fp"),
+                F.sum(
+                    (F.col("event_type") == "click").cast("int")
+                ).alias("clicks"),
+            )
+        )
+        conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+        base = per_user.select(
+            (F.col("user_id") % 3).alias("seg"),
+            F.when(F.col("clicks") >= 14, F.lit("heavy"))
+            .otherwise(F.lit("light"))
+            .alias("cohort"),
+            F.when(conv, F.col("fp") - F.col("fh"))
+            .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+            .alias("dur"),
+            conv.cast("int").alias("converted"),
+        )
+        return logrank_test(
+            base, ["seg"], "cohort", "dur", "converted"
+        ).count()
 
     def q_jsd():
         # one (lang, source) two-cohort histogram + cell-scale agg
@@ -1571,6 +1616,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "mannwhitney_lineitem": q_mannwhitney,
         "brown_forsythe_docs": q_brown_forsythe,
         "survival_curve_events": q_survival,
+        "logrank_events": q_logrank,
         "jsd_docs": q_jsd,
         "mcnemar_events": q_mcnemar,
         "krippendorff_docs": q_krippendorff,

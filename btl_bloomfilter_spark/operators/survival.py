@@ -189,3 +189,256 @@ def survival_curve_sql(table: str, group: str, duration: str, event: str) -> str
                d = nr AS absorbed
         FROM __sv_terms
     """
+
+
+def logrank_test(
+    df: DataFrame,
+    group_cols: list[str],
+    cohort_col,
+    duration_col,
+    event_col,
+) -> DataFrame:
+    """(group…, cohort_a, cohort_b, n_a, n_b, events_a, events_b,
+    e_a_micro, e_a, o_minus_e, v_micro, chi2, z) — exact two-cohort
+    log-rank test per group: the significance completion of
+    :func:`survival_curve` (q183 draws each cohort's curve; this says
+    whether the two curves differ beyond noise).  The Mantel–Cox
+    statistic conditions on the risk sets, so censoring is handled
+    for free — the comparison the naive "mean duration per cohort"
+    t-test gets wrong whenever censoring differs between cohorts.
+
+    At each pooled distinct duration t (d = pooled events, n = pooled
+    at risk, n₁ = cohort-a at risk, d₁ = cohort-a events):
+
+        O₁       = Σ d₁                       (exact long)
+        E₁_micro = Σ (d·n₁·10⁶) div n         (each hypergeometric
+                                               mean quantized ONCE to
+                                               micro-units — nonneg
+                                               operands, Spark ``div``
+                                               == DuckDB ``//``;
+                                               truncation < 1 micro
+                                               per event time)
+        V_micro  = Σ (d·(n−d)·n₁·(n−n₁)·10⁶)
+                     div (n·n·(n−1))          (hypergeometric
+                                               variance, same
+                                               quantize-once; the
+                                               n = 1 term is 0 by
+                                               d·(n−d) = 0 and is
+                                               guarded before the
+                                               division — DuckDB
+                                               evaluates eagerly)
+        chi2     = (O₁·10⁶ − E₁_micro)² / (V_micro·10⁶)
+                                              (ONE division of exact
+                                               decimal/hugeint
+                                               integers)
+        z        = sign(O₁·10⁶ − E₁_micro) · √chi2
+                                              (sign on the exact
+                                               integer; negative z
+                                               means cohort a saw
+                                               FEWER events than
+                                               expected — it
+                                               survives longer)
+
+    — engine-identical, hash-oracle-able including both doubles.
+
+    Cohort identity is deterministic: cohort_a = the group's MIN
+    cohort label, cohort_b = MAX (reported).  A third label raises
+    in-plan in both engines.  A single-cohort group degenerates to
+    V = 0 → NULL chi2/z (there is nothing to compare; the row is
+    kept).  Censoring rows (d = 0 at a time) contribute 0 to every
+    sum and are harmless.  The event column must be 0/1 (in-plan
+    raise otherwise); NULL cohort/duration/event drops the row; the
+    duration must be integral (ValueError — quantize explicitly
+    first, the survival_curve contract).
+
+    OVERFLOW: the V numerator is ≤ n⁴·10⁶ — requires per-group
+    subjects < ~9e7 on decimal(38,0)/hugeint (documented contract,
+    far beyond any per-group risk set this library targets).
+
+    Scale shape: one map-side-combined (group, cohort, duration)
+    cell histogram is the only row-scale stage; the cohort-label
+    window, the (group, t) re-aggregate, the four risk-set windows
+    and the final test aggregate are all cell-scale; no joins.
+    """
+    from pyspark.sql import Window
+
+    co = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    dur = F.col(duration_col) if isinstance(duration_col, str) else duration_col
+    ev = F.col(event_col) if isinstance(event_col, str) else event_col
+    dt = df.select(dur.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"duration_col must be integral, got {dt}; quantize explicitly first"
+        )
+    e = F.when(
+        ev.isin(0, 1), ev.cast("long")
+    ).otherwise(F.raise_error(F.lit("logrank_test: event must be 0 or 1")))
+    cells = (
+        df.where(co.isNotNull() & dur.isNotNull() & ev.isNotNull())
+        .groupBy(*group_cols, co.alias("__co"), dur.cast("long").alias("__t"))
+        .agg(F.sum(e).alias("__d"), F.count(F.lit(1)).alias("__ct"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    m = (
+        cells.withColumn("__lo", F.min("__co").over(wg))
+        .withColumn("__hi", F.max("__co").over(wg))
+    )
+    i1 = (
+        F.when(F.col("__co") == F.col("__lo"), F.lit(1))
+        .when(F.col("__co") == F.col("__hi"), F.lit(0))
+        .otherwise(
+            F.raise_error(
+                F.lit("logrank_test: more than two cohorts in a group")
+            )
+        )
+    )
+    tc = m.groupBy(*group_cols, "__t").agg(
+        F.sum(F.col("__d") * i1).alias("__d1"),
+        F.sum(F.col("__ct") * i1).alias("__ct1"),
+        F.sum("__d").alias("__dd"),
+        F.sum("__ct").alias("__cta"),
+        F.max("__lo").alias("__lo"),
+        F.max("__hi").alias("__hi"),
+    )
+    wcum = wg.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    w = (
+        tc.withColumn("__N", F.sum("__cta").over(wg))
+        .withColumn("__N1", F.sum("__ct1").over(wg))
+        .withColumn("__cum", F.sum("__cta").over(wcum))
+        .withColumn("__cum1", F.sum("__ct1").over(wcum))
+        .withColumn("__n", F.col("__N") - F.col("__cum") + F.col("__cta"))
+        .withColumn("__n1", F.col("__N1") - F.col("__cum1") + F.col("__ct1"))
+    )
+    e1 = F.expr(f"(CAST(__dd AS DECIMAL(38,0)) * __n1 * {_MICRO}) div __n")
+    v = F.when(
+        F.col("__n") > 1,
+        F.expr(
+            f"(CAST(__dd AS DECIMAL(38,0)) * (__n - __dd) * __n1"
+            f" * (__n - __n1) * {_MICRO})"
+            f" div (CAST(__n AS DECIMAL(38,0)) * __n * (__n - 1))"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    ga = w.groupBy(*group_cols).agg(
+        F.max("__lo").alias("cohort_a"),
+        F.max("__hi").alias("cohort_b"),
+        F.sum("__ct1").alias("n_a"),
+        F.sum(F.col("__cta") - F.col("__ct1")).alias("n_b"),
+        F.sum("__d1").alias("events_a"),
+        F.sum(F.col("__dd") - F.col("__d1")).alias("events_b"),
+        F.sum(e1).alias("__e1m"),
+        F.sum(v).alias("__vm"),
+    )
+    num = F.col("events_a") * F.lit(_MICRO) - F.col("__e1m")
+    _D = "decimal(38,0)"
+    chi2 = (num.cast(_D) * num.cast(_D)).cast("double") / (
+        F.col("__vm").cast(_D) * F.lit(_MICRO).cast(_D)
+    ).cast("double")
+    ok = F.col("__vm") > 0
+    ga = ga.withColumn("__chi2", F.when(ok, chi2))
+    return ga.select(
+        *group_cols,
+        "cohort_a",
+        "cohort_b",
+        "n_a",
+        "n_b",
+        "events_a",
+        "events_b",
+        F.col("__e1m").alias("e_a_micro"),
+        (F.col("__e1m").cast("double") / F.lit(float(_MICRO))).alias("e_a"),
+        (num.cast("double") / F.lit(float(_MICRO))).alias("o_minus_e"),
+        F.col("__vm").alias("v_micro"),
+        F.col("__chi2").alias("chi2"),
+        F.when(
+            ok, F.signum(num.cast("double")) * F.sqrt(F.col("__chi2"))
+        ).alias("z"),
+    )
+
+
+def logrank_test_sql(
+    table: str, group: str, cohort: str, duration: str, event: str
+) -> str:
+    """DuckDB twin of :func:`logrank_test` (hugeint quantize-once
+    terms, identical cohort-label mapping, `//` on nonnegative
+    operands, identical double shapes)."""
+    return f"""
+        WITH __lr_cells AS (
+            SELECT {group} AS g, {cohort} AS co, ({duration})::BIGINT AS t,
+                   sum(CASE WHEN ({event}) = 1 THEN 1
+                            WHEN ({event}) = 0 THEN 0
+                            ELSE CAST(error('logrank_test: event must be 0 or 1') AS BIGINT)
+                       END)::BIGINT AS d,
+                   count(*)::BIGINT AS ct
+            FROM {table}
+            WHERE ({cohort}) IS NOT NULL AND ({duration}) IS NOT NULL
+              AND ({event}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __lr_m AS (
+            SELECT g, co, t, d, ct,
+                   min(co) OVER (PARTITION BY g) AS lo,
+                   max(co) OVER (PARTITION BY g) AS hi
+            FROM __lr_cells
+        ),
+        __lr_tc AS (
+            SELECT g, t,
+                   sum(d * CASE WHEN co = lo THEN 1 WHEN co = hi THEN 0
+                                ELSE CAST(error('logrank_test: more than two cohorts in a group') AS BIGINT)
+                           END)::BIGINT AS d1,
+                   sum(ct * CASE WHEN co = lo THEN 1 ELSE 0 END)::BIGINT
+                       AS ct1,
+                   sum(d)::BIGINT AS dd, sum(ct)::BIGINT AS cta,
+                   max(lo) AS lo, max(hi) AS hi
+            FROM __lr_m GROUP BY g, t
+        ),
+        __lr_w AS (
+            SELECT g, t, d1, ct1, dd, cta, lo, hi,
+                   sum(cta) OVER (PARTITION BY g)
+                   - sum(cta) OVER (PARTITION BY g ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) + cta AS n,
+                   sum(ct1) OVER (PARTITION BY g)
+                   - sum(ct1) OVER (PARTITION BY g ORDER BY t
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) + ct1 AS n1
+            FROM __lr_tc
+        ),
+        __lr_terms AS (
+            SELECT g, d1, ct1, dd, cta, lo, hi,
+                   (dd::HUGEINT * n1 * 1000000) // n AS e1,
+                   CASE WHEN n > 1 THEN
+                       (dd::HUGEINT * (n - dd) * n1 * (n - n1) * 1000000)
+                       // (n::HUGEINT * n * (n - 1))
+                   ELSE 0 END AS v
+            FROM __lr_w
+        ),
+        __lr_a AS (
+            SELECT g, max(lo) AS cohort_a, max(hi) AS cohort_b,
+                   sum(ct1)::BIGINT AS n_a,
+                   sum(cta - ct1)::BIGINT AS n_b,
+                   sum(d1)::BIGINT AS events_a,
+                   sum(dd - d1)::BIGINT AS events_b,
+                   sum(e1)::BIGINT AS e1m, sum(v)::BIGINT AS vm
+            FROM __lr_terms GROUP BY g
+        )
+        SELECT g AS {group}, cohort_a, cohort_b, n_a, n_b,
+               events_a, events_b,
+               e1m AS e_a_micro,
+               e1m::DOUBLE / 1000000.0 AS e_a,
+               (events_a * 1000000 - e1m)::DOUBLE / 1000000.0 AS o_minus_e,
+               vm AS v_micro,
+               CASE WHEN vm > 0 THEN
+                   CAST((events_a * 1000000 - e1m)::HUGEINT
+                        * (events_a * 1000000 - e1m)::HUGEINT AS DOUBLE)
+                   / CAST(vm::HUGEINT * 1000000 AS DOUBLE)
+               END AS chi2,
+               CASE WHEN vm > 0 THEN
+                   (CASE WHEN events_a * 1000000 - e1m > 0 THEN 1.0
+                         WHEN events_a * 1000000 - e1m < 0 THEN -1.0
+                         ELSE 0.0 END)
+                   * sqrt(CAST((events_a * 1000000 - e1m)::HUGEINT
+                               * (events_a * 1000000 - e1m)::HUGEINT
+                               AS DOUBLE)
+                          / CAST(vm::HUGEINT * 1000000 AS DOUBLE))
+               END AS z
+        FROM __lr_a
+    """

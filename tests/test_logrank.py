@@ -1,0 +1,212 @@
+"""Two-cohort log-rank test (operators/survival.logrank_test): brute
+parity with the micro-unit quantization replicated, separation law
+(short-lived cohort a => z > 0, large), single-cohort and all-censored
+NULL degeneracies, censoring actually changes the risk sets (vs a
+dropped-censored miscomputation), three-cohort in-plan raise in both
+engines, float-duration rejection, partition invariance, DuckDB twin."""
+
+import math
+import random
+from collections import Counter
+
+import pytest
+
+from btl_bloomfilter_spark.operators.survival import (
+    logrank_test,
+    logrank_test_sql,
+)
+
+M = 1_000_000
+
+
+def _brute(pairs):
+    """pairs: [(cohort, dur, event)] for ONE group — replicates the
+    quantize-once micro arithmetic exactly (all div operands are
+    nonnegative, so Python // == Spark div == DuckDB //)."""
+    labels = sorted({c for c, _, _ in pairs})
+    lo = labels[0]
+    d1, ct1, dd, cta = Counter(), Counter(), Counter(), Counter()
+    for c, t, e in pairs:
+        dd[t] += e
+        cta[t] += 1
+        if c == lo:
+            d1[t] += e
+            ct1[t] += 1
+    N, N1 = sum(cta.values()), sum(ct1.values())
+    cum = cum1 = e1m = vm = 0
+    for t in sorted(cta):
+        cum += cta[t]
+        cum1 += ct1[t]
+        n = N - cum + cta[t]
+        n1 = N1 - cum1 + ct1[t]
+        d = dd[t]
+        e1m += (d * n1 * M) // n
+        if n > 1:
+            vm += (d * (n - d) * n1 * (n - n1) * M) // (
+                n * n * (n - 1)
+            )
+    o1 = sum(d1.values())
+    num = o1 * M - e1m
+    out = {
+        "cohort_a": labels[0],
+        "cohort_b": labels[-1],
+        "n_a": N1,
+        "n_b": N - N1,
+        "events_a": o1,
+        "events_b": sum(dd.values()) - o1,
+        "e_a_micro": e1m,
+        "e_a": e1m / 1e6,
+        "o_minus_e": num / 1e6,
+        "v_micro": vm,
+    }
+    if vm > 0:
+        chi2 = float(num * num) / float(vm * M)
+        out["chi2"] = chi2
+        sign = 1.0 if num > 0 else (-1.0 if num < 0 else 0.0)
+        out["z"] = sign * math.sqrt(chi2)
+    else:
+        out["chi2"] = None
+        out["z"] = None
+    return out
+
+
+def _gen(rng, n, lam_a, lam_b, cens=0.3):
+    rows = []
+    for i in range(n):
+        co = "a" if i % 2 == 0 else "b"
+        lam = lam_a if co == "a" else lam_b
+        dur = min(int(rng.expovariate(1.0 / lam)), 60)
+        ev = 0 if rng.random() < cens else 1
+        rows.append((co, dur, ev))
+    return rows
+
+
+def test_matches_brute(spark):
+    rng = random.Random(431)
+    rows = []
+    per_group = {}
+    for g in range(4):
+        pairs = _gen(rng, rng.randint(60, 160), 8.0, 14.0)
+        per_group[g] = pairs
+        rows += [(g, c, t, e) for c, t, e in pairs]
+    df = spark.createDataFrame(rows, "g int, co string, dur long, ev int")
+    got = {
+        r["g"]: r.asDict()
+        for r in logrank_test(df, ["g"], "co", "dur", "ev").collect()
+    }
+    for g, pairs in per_group.items():
+        want = _brute(pairs)
+        for col, val in want.items():
+            assert got[g][col] == val, (g, col, got[g][col], val)
+
+
+def test_separation_sign_and_magnitude(spark):
+    # cohort a (the MIN label) dies fast and uncensored; cohort b
+    # lives long => a sees far more events than the pooled risk sets
+    # expect => O - E > 0 => z large positive.
+    rows = [("a", d % 5 + 1, 1) for d in range(80)]
+    rows += [("b", 50 + d % 10, 1) for d in range(80)]
+    df = spark.createDataFrame(
+        [(0, *r) for r in rows], "g int, co string, dur long, ev int"
+    )
+    row = logrank_test(df, ["g"], "co", "dur", "ev").collect()[0]
+    assert row["o_minus_e"] > 0
+    assert row["z"] > 5
+    want = _brute(rows)
+    assert row["chi2"] == want["chi2"] and row["z"] == want["z"]
+
+
+def test_single_cohort_and_all_censored_null(spark):
+    rows = [(0, "a", d, 1) for d in range(1, 20)]
+    rows += [(1, "a", d, 0) for d in range(1, 10)]
+    rows += [(1, "b", d, 0) for d in range(1, 10)]
+    df = spark.createDataFrame(rows, "g int, co string, dur long, ev int")
+    got = {
+        r["g"]: r for r in logrank_test(df, ["g"], "co", "dur", "ev").collect()
+    }
+    # single cohort: row kept, nothing to compare
+    assert got[0]["cohort_a"] == got[0]["cohort_b"] == "a"
+    assert got[0]["chi2"] is None and got[0]["z"] is None
+    # two cohorts, zero events anywhere: V = 0, NULL test
+    assert got[1]["events_a"] == got[1]["events_b"] == 0
+    assert got[1]["v_micro"] == 0
+    assert got[1]["chi2"] is None and got[1]["z"] is None
+
+
+def test_censoring_changes_risk_sets(spark):
+    # same event rows; group 1 adds late-censored subjects in cohort
+    # b only — they sit in the risk sets at early times, lowering
+    # E[a]'s share... the censored rows must CHANGE the statistic
+    # (a dropped-censored implementation would make the groups equal).
+    ev_rows = [("a", d % 4 + 1, 1) for d in range(40)] + [
+        ("b", d % 8 + 2, 1) for d in range(40)
+    ]
+    cens = [("b", 30, 0)] * 25
+    rows = [(0, *r) for r in ev_rows] + [(1, *r) for r in ev_rows + cens]
+    df = spark.createDataFrame(rows, "g int, co string, dur long, ev int")
+    got = {
+        r["g"]: r for r in logrank_test(df, ["g"], "co", "dur", "ev").collect()
+    }
+    assert got[0]["e_a_micro"] != got[1]["e_a_micro"]
+    assert got[0]["events_a"] == got[1]["events_a"]  # events unchanged
+    want = _brute(ev_rows + cens)
+    assert got[1]["chi2"] == want["chi2"]
+
+
+def test_three_cohorts_raises_in_plan(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 1, 1), (0, "b", 2, 1), (0, "c", 3, 1)],
+        "g int, co string, dur long, ev int",
+    )
+    with pytest.raises(Exception, match="more than two cohorts"):
+        logrank_test(df, ["g"], "co", "dur", "ev").collect()
+
+
+def test_bad_event_and_float_duration_raise(spark):
+    df = spark.createDataFrame(
+        [(0, "a", 1, 2), (0, "b", 2, 1)], "g int, co string, dur long, ev int"
+    )
+    with pytest.raises(Exception, match="event must be 0 or 1"):
+        logrank_test(df, ["g"], "co", "dur", "ev").collect()
+    fdf = spark.createDataFrame(
+        [(0, "a", 1.5, 1)], "g int, co string, dur double, ev int"
+    )
+    with pytest.raises(ValueError, match="integral"):
+        logrank_test(fdf, ["g"], "co", "dur", "ev")
+
+
+def test_partition_invariance(spark):
+    rng = random.Random(433)
+    rows = [(0, *r) for r in _gen(rng, 300, 6.0, 12.0)]
+    df = spark.createDataFrame(rows, "g int, co string, dur long, ev int")
+    one = logrank_test(df, ["g"], "co", "dur", "ev").collect()[0]
+    two = logrank_test(
+        df.repartition(13, "dur"), ["g"], "co", "dur", "ev"
+    ).collect()[0]
+    assert one == two
+
+
+def test_duckdb_twin(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(439)
+    rows = []
+    for g in range(5):
+        rows += [(g, *r) for r in _gen(rng, rng.randint(40, 200), 7.0, 11.0)]
+    # plus a single-cohort group (NULL row must match too)
+    rows += [(5, "a", d % 6 + 1, d % 2) for d in range(30)]
+    pdf = pd.DataFrame(rows, columns=["g", "co", "dur", "ev"])
+    p = str(tmp_path / "lr.parquet")
+    pdf.to_parquet(p)
+    got = (
+        logrank_test(spark.read.parquet(p), ["g"], "co", "dur", "ev")
+        .orderBy("g")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW __t AS SELECT * FROM read_parquet('{p}')")
+    want = con.sql(
+        logrank_test_sql("__t", "g", "co", "dur", "ev") + " ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
