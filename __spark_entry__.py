@@ -6534,8 +6534,8 @@ def q193_two_by_two(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")["documents"]
     flags = docs.selectExpr(
         "lang",
-        "CAST(source = 'web' AS INT) AS exposed",
-        "CAST(n_chars >= 1000 AS INT) AS long_doc",
+        "CAST(length(source) > 4 AS INT) AS exposed",
+        "CAST(n_chars >= 250 AS INT) AS long_doc",
     )
     return two_by_two_effects(flags, ["lang"], "exposed", "long_doc").orderBy(
         "lang"
@@ -6703,7 +6703,7 @@ def q184_jsd(spark, sf_dir):
 
     docs = _load(spark, sf_dir, "documents")["documents"]
     return grouped_jsd(
-        docs, ["lang"], "source", F.col("n_chars") >= 1000
+        docs, ["lang"], "source", F.col("n_chars") >= 250
     ).orderBy("lang")
 
 
@@ -7965,7 +7965,7 @@ def oracle_sql() -> dict[str, str]:
             " max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS lh,"
             " min(CASE WHEN event_type = 'purchase' THEN"
             " CAST(floor(epoch(ts)) AS BIGINT) // 3600 END) AS fp,"
-            " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " sum(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
             " AS clicks"
             " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
             " SELECT user_id % 3 AS seg,"
@@ -7980,14 +7980,14 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY seg",
         "q184_jsd": _DRIFT.grouped_jsd_sql(
-            "documents", "lang", "source", "(n_chars >= 1000)"
+            "documents", "lang", "source", "(n_chars >= 250)"
         )
         + " ORDER BY lang",
         "q185_mcnemar": _STATS.grouped_mcnemar_sql(
             "(SELECT user_id % 4 AS seg,"
-            " max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " max(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
             " AS clicked,"
-            " max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)"
+            " max(CASE WHEN event_type = 'purchase' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
             " AS purchased"
             " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)",
             "seg", "clicked", "purchased",
@@ -8006,9 +8006,9 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY lang",
         "q187_cochran_q": _STATS.cochran_q_sql(
             "(WITH __q187_f AS (SELECT user_id, user_id % 4 AS seg,"
-            " max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,"
-            " max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,"
-            " max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e"
+            " max(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) AS c,"
+            " max(CASE WHEN event_type = 'purchase' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) AS p,"
+            " max(CASE WHEN event_type = 'error' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) AS e"
             " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
             " SELECT seg, user_id, 'click' AS t, c AS x FROM __q187_f"
             " UNION ALL SELECT seg, user_id, 'purchase', p FROM __q187_f"
@@ -8019,7 +8019,8 @@ def oracle_sql() -> dict[str, str]:
         "q188_friedman": _STATS.friedman_sql(
             "(WITH __q188_f AS (SELECT user_id, user_id % 4 AS seg,"
             + "".join(
-                f" sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+                f" sum(CASE WHEN event_type = '{t}' THEN 1"
+                f" WHEN event_type IS NOT NULL THEN 0 END)"
                 f" AS c{i},"
                 for i, t in enumerate(
                     ["view", "click", "purchase", "signup", "error"]
@@ -8056,9 +8057,9 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY lang",
         "q191_paired_t": _STATS.paired_t_sql(
             "(SELECT user_id % 4 AS seg,"
-            " sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " sum(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
             " AS clicks,"
-            " sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)"
+            " sum(CASE WHEN event_type = 'view' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
             " AS views"
             " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)",
             "seg", "clicks", "views",
@@ -8070,8 +8071,8 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY lang",
         "q193_two_by_two": _STATS.two_by_two_effects_sql(
             "(SELECT lang,"
-            " CASE WHEN source = 'web' THEN 1 ELSE 0 END AS exposed,"
-            " CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END AS long_doc"
+            " CASE WHEN length(source) > 4 THEN 1 WHEN source IS NOT NULL THEN 0 END AS exposed,"
+            " CASE WHEN n_chars >= 250 THEN 1 WHEN n_chars IS NOT NULL THEN 0 END AS long_doc"
             " FROM documents)",
             "lang", "exposed", "long_doc",
         )

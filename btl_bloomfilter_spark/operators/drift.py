@@ -217,9 +217,9 @@ def grouped_jsd(
     cat = F.col(cat_col) if isinstance(cat_col, str) else cat_col
     coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
     _D = "decimal(19,0)"
-    lnm = lambda c: F.round(  # noqa: E731
-        F.log(c.cast("double")) * F.lit(1000000.0)
-    ).cast("long")
+    from btl_bloomfilter_spark.operators.stats import _ln_micro
+
+    lnm = _ln_micro  # shared quantize-once step (stats._ln_micro)
     cells = (
         df.where(cat.isNotNull() & coh.isNotNull())
         .groupBy(*group_cols, cat.alias("__cat"))

@@ -38,6 +38,39 @@ from pyspark.sql import DataFrame, functions as F
 _D = "decimal(19,0)"  # per-value; products promote to decimal(38,0)
 
 
+def _ln_micro(c):
+    """round(ln(c)·10⁶) as an exact LONG — the shared micro-nat
+    quantize-once step of the entropy/inequality/divergence/survival
+    family (ONE rounding per distinct integral input; IEEE log and
+    round-half-even are engine-identical on these integer args, so
+    every downstream integer sum stays hash-oracle-able).  Single
+    source of truth: a change to the quantization semantics lands in
+    every operator at once instead of diverging across inline
+    copies."""
+    return F.round(F.log(c.cast("double")) * F.lit(1000000.0)).cast("long")
+
+
+def _nullsafe_join(left, right, group_cols, how="left"):
+    """Join two per-group aggregates on the group keys with
+    NULL == NULL semantics (eqNullSafe) — groupBy keeps NULL group
+    keys, so a bare equi-join would silently drop that group's row
+    (the mutual_info/fleiss review lesson, applied once here rather
+    than re-inlined per operator; pinned by the null-group tests of
+    every caller)."""
+    import functools as _ft
+    import operator as _op
+
+    r2 = right
+    for g in group_cols:
+        r2 = r2.withColumnRenamed(g, f"__r_{g}")
+    cond = _ft.reduce(
+        _op.and_,
+        [left[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
+    )
+    return left.join(r2, cond, how).drop(*[f"__r_{g}" for g in group_cols])
+
+
+
 def exact_comoments(df: DataFrame, cols: list[str], *, scale: int = 100) -> DataFrame:
     """One row per unordered column pair (a < b by position): exact
     n / Σa / Σb / Σa² / Σb² / Σab as STRINGS (digit-exact across
@@ -2376,9 +2409,7 @@ def grouped_entropy(
     the only row-scale stage — then a cell-scale aggregate.
     """
     cat = F.col(cat_col) if isinstance(cat_col, str) else cat_col
-    ln_micro = lambda c: F.round(  # noqa: E731
-        F.log(c.cast("double")) * F.lit(1000000.0)
-    ).cast("long")
+    ln_micro = _ln_micro
     cells = (
         df.where(cat.isNotNull())
         .groupBy(*group_cols, cat.alias("__c"))
@@ -2481,9 +2512,7 @@ def grouped_mutual_info(
     """
     a = F.col(a_col) if isinstance(a_col, str) else a_col
     b = F.col(b_col) if isinstance(b_col, str) else b_col
-    lnm = lambda c: F.round(  # noqa: E731
-        F.log(c.cast("double")) * F.lit(1000000.0)
-    ).cast("long")
+    lnm = _ln_micro
     cells = (
         df.where(a.isNotNull() & b.isNotNull())
         .groupBy(*group_cols, a.alias("__a"), b.alias("__b"))
@@ -2520,20 +2549,9 @@ def grouped_mutual_info(
     # equi-join would silently drop that group — inconsistent with
     # chi2_independence/grouped_entropy which emit its row (review
     # catch, pinned by test_null_group_key)
-    import functools as _ft
-    import operator as _op
-
-    def _nsjoin(left, right):
-        r2 = right
-        for g in group_cols:
-            r2 = r2.withColumnRenamed(g, f"__r_{g}")
-        cond = _ft.reduce(
-            _op.and_,
-            [left[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
-        )
-        return left.join(r2, cond).drop(*[f"__r_{g}" for g in group_cols])
-
-    j = _nsjoin(_nsjoin(hab, ha), hb)
+    j = _nullsafe_join(
+        _nullsafe_join(hab, ha, group_cols, "inner"), hb, group_cols, "inner"
+    )
     mi = F.greatest(
         F.col("h_a") + F.col("h_b") - F.col("h_ab"), F.lit(0).cast("long")
     )
@@ -2894,7 +2912,9 @@ def grouped_kruskal_wallis(
     explicitly first); NULL treatment or value drops the row; NULL
     GROUP keys keep theirs (single lineage, no join).  OVERFLOW:
     R2_i²·TS < 1e38 with R2_i ≤ 2N·n_i → N per group ≲ 10⁷ at the
-    default TS (lower term_scale to raise the ceiling).
+    default TS (lower term_scale to raise the ceiling).  The reported ties_t DIAGNOSTIC is NULL (TRY_CAST, both
+    engines) past BIGINT — ≥ ~2.1M rows sharing one value —
+    while every statistic keeps its exact wide arithmetic.
 
     Scale shape: ONE map-side-combined (group, treat, value) cell
     histogram is the only row-scale stage; after it, three cell-scale
@@ -2966,7 +2986,7 @@ def grouped_kruskal_wallis(
         n.cast("long").alias("n"),
         k.alias("k"),
         (k - 1).cast("long").alias("df"),
-        tt.cast("long").alias("ties_t"),
+        tt.try_cast("long").alias("ties_t"),
         F.when(k >= 2, h).alias("h"),
         F.when((k >= 2) & (n3n > tt), h / corr).alias("h_corrected"),
     )
@@ -3011,7 +3031,7 @@ def grouped_kruskal_wallis_sql(
             FROM __kw_t GROUP BY g
         )
         SELECT g AS {group}, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
-               CAST(k - 1 AS BIGINT) AS df, CAST(tt AS BIGINT) AS ties_t,
+               CAST(k - 1 AS BIGINT) AS df, TRY_CAST(tt AS BIGINT) AS ties_t,
                CASE WHEN k >= 2 THEN
                    greatest(12 * a - 3 * {term_scale}::HUGEINT * n * (n + 1)
                                 * (n + 1), 0::HUGEINT)::DOUBLE
@@ -3064,7 +3084,9 @@ def grouped_mannwhitney(
     their own to u).  z is NULL when all values are tied (variance
     0) or N < 2.  NULL values/cohorts and NaN are dropped; groups
     where either cohort is empty are excluded.  OVERFLOW:
-    n1·n2·(N³−N) < 1e38 → N per group ≲ 3·10⁷.
+    n1·n2·(N³−N) < 1e38 → N per group ≲ 3·10⁷.  The reported ties_t DIAGNOSTIC is NULL (TRY_CAST, both
+    engines) past BIGINT — ≥ ~2.1M rows sharing one value —
+    while every statistic keeps its exact wide arithmetic.
 
     Scale shape: identical to grouped_ks/grouped_cliffs_delta — one
     map-side-combined (group, value) histogram, one per-GROUP
@@ -3105,7 +3127,7 @@ def grouped_mannwhitney(
         *group_cols,
         n1.cast("long").alias("n1"),
         n2.cast("long").alias("n2"),
-        F.col("__T").cast("long").alias("ties_t"),
+        F.col("__T").try_cast("long").alias("ties_t"),
         u2c.cast("string").alias("u2_fp"),
         (u2c.cast("double") / F.lit(2.0)).alias("u"),
         (u2c.cast("double") / (F.lit(2).cast(_D) * n1 * n2).cast("double")).alias(
@@ -3142,7 +3164,7 @@ def grouped_mannwhitney_sql(
             FROM __mw_c GROUP BY g
         )
         SELECT g AS {group}, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-               CAST(tt AS BIGINT) AS ties_t,
+               TRY_CAST(tt AS BIGINT) AS ties_t,
                (2 * gt + ties)::VARCHAR AS u2_fp,
                (2 * gt + ties)::DOUBLE / 2.0 AS u,
                (2 * gt + ties)::DOUBLE / CAST(2 * n1 * n2 AS DOUBLE) AS auc,
@@ -3502,17 +3524,7 @@ def krippendorff_alpha(
         F.count(F.lit(1)).alias("k"),
         F.sum(F.col("__nc") * F.col("__nc")).alias("__snc2"),
     )
-    import functools as _ft
-    import operator as _op
-
-    r2 = gb
-    for g in group_cols:
-        r2 = r2.withColumnRenamed(g, f"__r_{g}")
-    cond = _ft.reduce(
-        _op.and_,
-        [ga[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
-    )
-    j = ga.join(r2, cond, "left").drop(*[f"__r_{g}" for g in group_cols])
+    j = _nullsafe_join(ga, gb, group_cols)
     n = F.col("__n")
     ts = F.lit(term_scale).cast("decimal(38,0)")
     de = n * n - F.coalesce(F.col("__snc2"), zd)
@@ -3671,20 +3683,7 @@ def cochran_q(
     tot = cells.groupBy(*group_cols).agg(
         F.countDistinct("__s").alias("n_subjects")
     )
-    import functools as _ft
-    import operator as _op
-
-    def _nsj(left, right, how="inner"):
-        r2 = right
-        for g in group_cols:
-            r2 = r2.withColumnRenamed(g, f"__r_{g}")
-        cond = _ft.reduce(
-            _op.and_,
-            [left[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
-        )
-        return left.join(r2, cond, how).drop(*[f"__r_{g}" for g in group_cols])
-
-    j = _nsj(_nsj(tot, ga, "left"), gb, "left")
+    j = _nullsafe_join(_nullsafe_join(tot, ga, group_cols), gb, group_cols)
     n, sr2, st2, k = (
         F.col("__N"),
         F.col("__sr2"),
@@ -3813,7 +3812,9 @@ def friedman(
     (the ranking_metrics convention).  NULL/NaN values and NULL
     subject/treatment drop the row (possibly incompleting the block).
     chi2 is NULL when k < 2 or n = 0.  OVERFLOW: ΣR₂ⱼ² ≲ 4k³n² on
-    decimal(38,0).
+    decimal(38,0).  The reported ties_t DIAGNOSTIC is NULL (TRY_CAST, both
+    engines) past BIGINT — ≥ ~2.1M rows sharing one value —
+    while every statistic keeps its exact wide arithmetic.
 
     Scale shape: the canonicalized panel (one row per (subject,
     treatment)) is the row-scale stage; ranks are two block-local
@@ -3872,17 +3873,7 @@ def friedman(
         F.sum(F.col("__r2j") * F.col("__r2j")).alias("__sr2"),
         F.sum("__tp").alias("__T"),
     )
-    import functools as _ft
-    import operator as _op
-
-    r2t = ga
-    for g in group_cols:
-        r2t = r2t.withColumnRenamed(g, f"__r_{g}")
-    cond = _ft.reduce(
-        _op.and_,
-        [tot[g].eqNullSafe(r2t[f"__r_{g}"]) for g in group_cols],
-    )
-    j = tot.join(r2t, cond, "left").drop(*[f"__r_{g}" for g in group_cols])
+    j = _nullsafe_join(tot, ga, group_cols)
     n = F.col("n_used").cast(_D)
     k = F.col("k").cast(_D)
     sr2, tt = F.col("__sr2"), F.col("__T")
@@ -3899,7 +3890,7 @@ def friedman(
         nu.alias("n_used"),
         F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"),
         (F.coalesce(F.col("k"), F.lit(1)) - 1).cast("long").alias("df"),
-        F.coalesce(tt.cast("long"), F.lit(0)).alias("ties_t"),
+        F.coalesce(tt, F.lit(0).cast(_D)).try_cast("long").alias("ties_t"),
         F.when(ok, chi).alias("chi2"),
         F.when(
             ok & (tden - tt > F.lit(0).cast(_D)),
@@ -3964,7 +3955,7 @@ def friedman_sql(
                coalesce(a.n, 0)::BIGINT AS n_used,
                coalesce(a.k, 0)::BIGINT AS k,
                (coalesce(a.k, 1) - 1)::BIGINT AS df,
-               coalesce(a.tt, 0)::BIGINT AS ties_t,
+               TRY_CAST(coalesce(a.tt, 0) AS BIGINT) AS ties_t,
                CASE WHEN a.k >= 2 AND a.n > 0 THEN
                    CAST(3 * (a.sr2 - a.n::HUGEINT * a.n::HUGEINT * a.k
                              * (a.k + 1) * (a.k + 1)) AS DOUBLE)
@@ -4078,22 +4069,7 @@ def cronbach_alpha(
         F.sum("__t").alias("__st"),
         F.sum(F.col("__t") * F.col("__t")).alias("__qt"),
     )
-    import functools as _ft
-    import operator as _op
-
-    def _nsj(left, right):
-        r2 = right
-        for g in group_cols:
-            r2 = r2.withColumnRenamed(g, f"__r_{g}")
-        cond = _ft.reduce(
-            _op.and_,
-            [left[g].eqNullSafe(r2[f"__r_{g}"]) for g in group_cols],
-        )
-        return left.join(r2, cond, "left").drop(
-            *[f"__r_{g}" for g in group_cols]
-        )
-
-    j = _nsj(_nsj(tot, ga), gb)
+    j = _nullsafe_join(_nullsafe_join(tot, ga, group_cols), gb, group_cols)
     vt = F.col("__n2") * F.col("__qt") - F.col("__st") * F.col("__st")
     j = j.withColumn("__vt", vt)
     vtc, svi = F.col("__vt"), F.col("__svi")
@@ -4221,7 +4197,9 @@ def wilcoxon_signed_rank(
     only when n_used = 0.  No continuity correction (same documented
     choice as grouped_mannwhitney).  NULL or NaN in either value
     drops the pair.  OVERFLOW: n(n+1)(2n+1) < 1e38 → n per group
-    ≲ 3·10¹².
+    ≲ 3·10¹².  The reported ties_t DIAGNOSTIC is NULL (TRY_CAST, both
+    engines) past BIGINT — ≥ ~2.1M rows sharing one value —
+    while every statistic keeps its exact wide arithmetic.
 
     Scale shape: one map-side-combined (group, |d|) histogram with
     sign-split counts, one per-GROUP cumulative window over
@@ -4266,19 +4244,7 @@ def wilcoxon_signed_rank(
         F.sum(F.col("__p") * r2).alias("__w2"),
         F.sum(t * t * t - t).alias("__T"),
     )
-    import functools as _ft
-    import operator as _op
-
-    ren = agg
-    for g in group_cols:
-        ren = ren.withColumnRenamed(g, f"__r_{g}")
-    cond = _ft.reduce(
-        _op.and_,
-        [n_pairs[g].eqNullSafe(ren[f"__r_{g}"]) for g in group_cols],
-    )
-    j = n_pairs.join(ren, cond, "left").drop(
-        *[f"__r_{g}" for g in group_cols]
-    )
+    j = _nullsafe_join(n_pairs, agg, group_cols)
     n = F.coalesce(F.col("__n"), F.lit(0).cast(_D))
     w2, tt = F.col("__w2"), F.col("__T")
     s = n * (n + 1)  # 2·S, i.e. doubled rank sum
@@ -4288,7 +4254,7 @@ def wilcoxon_signed_rank(
         "n_pairs",
         "n_zero",
         n.cast("long").alias("n_used"),
-        F.coalesce(tt, F.lit(0).cast(_D)).cast("long").alias("ties_t"),
+        F.coalesce(tt, F.lit(0).cast(_D)).try_cast("long").alias("ties_t"),
         w2.cast("string").alias("w2_fp"),
         (w2.cast("double") / F.lit(2.0)).alias("w_plus"),
         F.when(
@@ -4337,7 +4303,7 @@ def wilcoxon_signed_rank_sql(table: str, group: str, a: str, b: str) -> str:
         )
         SELECT np.g AS {group}, np.n_pairs, np.n_zero,
                coalesce(a.n, 0)::BIGINT AS n_used,
-               coalesce(a.tt, 0)::BIGINT AS ties_t,
+               TRY_CAST(coalesce(a.tt, 0) AS BIGINT) AS ties_t,
                a.w2::VARCHAR AS w2_fp,
                a.w2::DOUBLE / 2.0 AS w_plus,
                CASE WHEN a.n > 0 THEN
@@ -4511,9 +4477,7 @@ def grouped_theil(
             f"grouped_theil: value_col must be integral, got {dt};"
             " quantize explicitly first"
         )
-    ln_micro = lambda c: F.round(  # noqa: E731
-        F.log(c.cast("double")) * F.lit(1000000.0)
-    ).cast("long")
+    ln_micro = _ln_micro
     base = df.where(v.isNotNull()).select(*group_cols, v.cast("long").alias("__x"))
     tot = base.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -4532,17 +4496,7 @@ def grouped_theil(
         F.sum(c * lnv).alias("__sl"),
         F.sum(c * vv * lnv).alias("__svl"),
     )
-    import functools as _ft
-    import operator as _op
-
-    ren = agg
-    for g in group_cols:
-        ren = ren.withColumnRenamed(g, f"__r_{g}")
-    cond = _ft.reduce(
-        _op.and_,
-        [tot[g].eqNullSafe(ren[f"__r_{g}"]) for g in group_cols],
-    )
-    j = tot.join(ren, cond, "left").drop(*[f"__r_{g}" for g in group_cols])
+    j = _nullsafe_join(tot, agg, group_cols)
     n, s = F.col("__n"), F.col("__s")
     zl = F.lit(0).cast("long")
     t_micro = F.greatest(
@@ -4697,9 +4651,7 @@ def two_by_two_effects(
     a, b, c, d = F.col("a"), F.col("b"), F.col("c"), F.col("d")
     ad = a.cast(_D) * d.cast(_D)
     bc = b.cast(_D) * c.cast(_D)
-    lnm = lambda x: F.round(  # noqa: E731
-        F.log(x.cast("double")) * F.lit(1000000.0)
-    ).cast("long")
+    lnm = _ln_micro
     rec = lambda x: F.expr(f"1000000000000 div {x}")  # noqa: E731
     all_pos = (a > 0) & (b > 0) & (c > 0) & (d > 0)
     lnor_m = F.when(all_pos, lnm(ad) - lnm(bc))

@@ -96,9 +96,9 @@ def survival_curve(
     )
     wg = Window.partitionBy(*group_cols)
     wcum = wg.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
-    lnm = lambda c: F.round(  # noqa: E731
-        F.log(c.cast("double")) * F.lit(float(_MICRO))
-    ).cast("long")
+    from btl_bloomfilter_spark.operators.stats import _ln_micro
+
+    lnm = _ln_micro  # shared quantize-once step (stats._ln_micro)
     w = (
         cells.withColumn("__N", F.sum("__ct").over(wg))
         .withColumn("__cum", F.sum("__ct").over(wcum))

@@ -210,3 +210,27 @@ def test_duckdb_twin(spark, tmp_path):
         logrank_test_sql("__t", "g", "co", "dur", "ev") + " ORDER BY g"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_duckdb_twin_error_branches():
+    """The SQL twin's two error() branches must actually fire (the
+    Spark-side raises are tested above; a mis-predicated or
+    syntactically broken CASE would otherwise pass the suite, since
+    the twin test only feeds well-formed two-cohort 0/1 data)."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    three = pd.DataFrame(
+        [(0, c, 1 + i, 1) for i, c in enumerate("abc")],
+        columns=["g", "co", "dur", "ev"],
+    )
+    con.register("__lr3", three)
+    with pytest.raises(Exception, match="more than two cohorts"):
+        con.sql(logrank_test_sql("__lr3", "g", "co", "dur", "ev")).df()
+    bad = pd.DataFrame(
+        [(0, "a", 1, 1), (0, "b", 2, 2)], columns=["g", "co", "dur", "ev"]
+    )
+    con.register("__lrbad", bad)
+    with pytest.raises(Exception, match="event must be 0 or 1"):
+        con.sql(logrank_test_sql("__lrbad", "g", "co", "dur", "ev")).df()

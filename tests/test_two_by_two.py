@@ -147,3 +147,25 @@ def test_duckdb_twin(spark, tmp_path):
         two_by_two_effects_sql("__t", "g", "e", "o") + " ORDER BY g"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_duckdb_twin_bad_flag_error_branches():
+    """The SQL twin's error() branches for non-0/1 exposed/outcome
+    must actually fire (only the Spark-side raise was exercised
+    before; the twin test feeds well-formed 0/1 data)."""
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register(
+        "__tbt_bad_e",
+        pd.DataFrame([(0, 2, 1)], columns=["g", "e", "o"]),
+    )
+    with pytest.raises(Exception, match="exposed must be 0/1"):
+        con.sql(two_by_two_effects_sql("__tbt_bad_e", "g", "e", "o")).df()
+    con.register(
+        "__tbt_bad_o",
+        pd.DataFrame([(0, 1, -1)], columns=["g", "e", "o"]),
+    )
+    with pytest.raises(Exception, match="outcome must be 0/1"):
+        con.sql(two_by_two_effects_sql("__tbt_bad_o", "g", "e", "o")).df()
