@@ -392,14 +392,19 @@ def q25_simhash_near(spark, sf_dir):
 
 
 def q34_embedding_near_dups(spark, sf_dir):
-    """Exact embedding-cosine near-dup pairs (cosine >= 0.8), oracled
-    against DuckDB; the LSH-banded variant (cosine_near_dup_lsh) is
-    the 100-TB path, recall-tested in tests/test_dedup_similarity."""
+    """Exact embedding-cosine near-dup pairs (cosine >= 0.4),
+    oracled against DuckDB; the LSH-banded variant
+    (cosine_near_dup_lsh) is the 100-TB path, recall-tested in
+    tests/test_dedup_similarity.  The threshold is 0.4 because the
+    synthetic embeddings top out at cosine ~0.6 (no planted dups) —
+    at the original 0.8 the query was VACUOUS at every SF (both
+    engines agreed on zero rows; audit catch): 0.4 yields 59/920
+    genuine pairs at sf0.01/sf0.1."""
     from btl_bloomfilter_spark.operators.similarity import cosine_pairs_brute
 
     emb = _load(spark, sf_dir, "embeddings")["embeddings"]
     d = emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding"))
-    return cosine_pairs_brute(d, 0.8)
+    return cosine_pairs_brute(d, 0.4)
 
 
 def q26_lsh_topk(spark, sf_dir):
@@ -6598,9 +6603,15 @@ def q187_cochran_q(spark, sf_dir):
         ev.where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.max((F.col("event_type") == "click").cast("int")).alias("c"),
-            F.max((F.col("event_type") == "purchase").cast("int")).alias("p"),
-            F.max((F.col("event_type") == "error").cast("int")).alias("e"),
+            (
+                F.sum((F.col("event_type") == "click").cast("int")) >= 14
+            ).cast("int").alias("c"),
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+            ).cast("int").alias("p"),
+            (
+                F.sum((F.col("event_type") == "error").cast("int")) >= 14
+            ).cast("int").alias("e"),
         )
     )
     panel = flags.selectExpr(
@@ -6655,8 +6666,9 @@ def q186_krippendorff(spark, sf_dir):
 
 def q185_mcnemar(spark, sf_dir):
     """Exact McNemar paired test (operators/stats.grouped_mcnemar):
-    per user segment, is clicking systematically more common than
-    purchasing — both flags measured on the SAME user, so the
+    per user segment, is being a heavy clicker (≥14 clicks, the
+    corpus median split) systematically more common than being a
+    heavy purchaser — both flags measured on the SAME user, so the
     independent-cohort tools (q164's CIs, q145's Welch) are the wrong
     shape; McNemar conditions on the discordant pairs b/c, the only
     information the paired design carries.  b/c/n11/n00 exact longs,
@@ -6672,10 +6684,12 @@ def q185_mcnemar(spark, sf_dir):
         ev.where(F.col("user_id").isNotNull())
         .groupBy("user_id")
         .agg(
-            F.max((F.col("event_type") == "click").cast("int")).alias("clicked"),
-            F.max((F.col("event_type") == "purchase").cast("int")).alias(
-                "purchased"
-            ),
+            (
+                F.sum((F.col("event_type") == "click").cast("int")) >= 14
+            ).cast("int").alias("clicked"),
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+            ).cast("int").alias("purchased"),
         )
         .select(
             (F.col("user_id") % 4).alias("seg"), "clicked", "purchased"
@@ -6805,6 +6819,102 @@ def q194_logrank(spark, sf_dir):
     return logrank_test(
         base, ["seg"], "cohort", "dur", "converted"
     ).orderBy("seg")
+
+
+def q195_cochran_armitage(spark, sf_dir):
+    """Exact Cochran-Armitage trend test (operators/stats.
+    cochran_armitage): per language, does the share of src10-19
+    documents TREND with document length (n_chars div 100 buckets as
+    the ordered scores)?  The ordered-alternative completion of the
+    2xk corner: q149's chi2_independence spends k-1 df asking "any
+    association"; CA spends ONE on the linear-in-dose alternative -
+    the dose-response / A-B-n question (its k = 2 z**2 ==
+    Pearson-chi2 score identity is pinned in tests).  T*N and V*N**3
+    exact decimal/hugeint integers off ONE (lang, bucket) cell
+    histogram, z the kit's fixed div->sqrt->div shape, chi2 = z*z -
+    hash-oracled including both doubles.  Plan: one map-side-combined
+    cell histogram then one cell-scale aggregate; no joins, no
+    windows."""
+    from btl_bloomfilter_spark.operators.stats import cochran_armitage
+
+    docs = _load(spark, sf_dir, "documents")["documents"]
+    flags = docs.selectExpr(
+        "lang",
+        "n_chars div 100 AS len_bucket",
+        "CAST(length(source) > 4 AS INT) AS hi_src",
+    )
+    return cochran_armitage(flags, ["lang"], "len_bucket", "hi_src").orderBy(
+        "lang"
+    )
+
+
+def q196_jonckheere(spark, sf_dir):
+    """Exact Jonckheere-Terpstra trend test (operators/stats.
+    jonckheere_terpstra): per event type, do event VALUES (floor
+    dollars - the documented quantize-first policy for the cell
+    self-join) shift monotonically across the day (hour div 6: night
+    -> morning -> afternoon -> evening as ordered doses)?  The
+    ordered-alternative companion of q180's Kruskal-Wallis, exactly
+    as q195 is to chi2: KW spends k-1 df on "any difference", JT one
+    on the monotone alternative.  JT2 = 2C + E exact off the
+    (type, dose, value) cell self-join (grouped_kendall's machinery),
+    the Hollander-Wolfe tie-corrected variance on the common
+    72*N(N-1)(N-2) denominator in exact integers, z the fixed
+    div->sqrt->div shape (its k = 2 identity with grouped_mannwhitney
+    - jt == u exactly, z to 1e-9 - is pinned in tests) -
+    hash-oracled.  Plan: one map-side-combined cell histogram (the
+    only row-scale stage), a cell-scale self-join + two cell-scale
+    tie marginals, one group-sized null-safe join tree."""
+    from btl_bloomfilter_spark.operators.stats import jonckheere_terpstra
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    base = ev.where(F.col("event_type").isNotNull()).selectExpr(
+        "event_type",
+        "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+        "CAST(floor(value) AS BIGINT) AS dollars",
+    )
+    return jonckheere_terpstra(
+        base, ["event_type"], "day_part", "dollars"
+    ).orderBy("event_type")
+
+
+def q197_page(spark, sf_dir):
+    """Exact Page trend test (operators/stats.page_trend): on q188's
+    OWN panel (per-user counts of the five event types, stacked as
+    within-user blocks), do intensities TREND along the alphabetical
+    type order (click < error < purchase < signup < view as the
+    hypothesized ranking)?  The ordered-alternative member of the
+    BLOCKED row, completing the trend column of the design grid:
+    q188's Friedman spends k-1 df on "any treatment difference
+    within blocks"; Page's L = sum w_j R_j spends one on the
+    monotone alternative - the blocked analogue of q196.  Rides
+    friedman's doubled-midrank machinery verbatim; the null variance
+    handles midrank ties EXACTLY via the per-block permutation
+    identity Var(L2) = k(k+1)*SS/12 (reduces to the Page 1963
+    textbook formula when no block has ties - pinned by golden
+    test); num2 exact integer, z the fixed halve->div->sqrt->div
+    shape - hash-oracled.  Plan: q188's - per-user 5-counter rollup
+    row-scale, block-local rank windows over one (seg, user)
+    exchange, dense-rank weights on the CELL-scale per-treatment
+    frame, one group-sized null-safe join."""
+    from btl_bloomfilter_spark.operators.stats import page_trend
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    types = ["view", "click", "purchase", "signup", "error"]
+    aggs = [
+        F.sum((F.col("event_type") == t).cast("long")).alias(f"c{i}")
+        for i, t in enumerate(types)
+    ]
+    flags = (
+        ev.where(F.col("user_id").isNotNull()).groupBy("user_id").agg(*aggs)
+    )
+    stack = ", ".join(f"'{t}', c{i}" for i, t in enumerate(types))
+    panel = flags.selectExpr(
+        "user_id % 4 AS seg",
+        "user_id",
+        f"stack(5, {stack}) AS (t, v)",
+    )
+    return page_trend(panel, ["seg"], "user_id", "t", "v").orderBy("seg")
 
 
 def q182_brown_forsythe(spark, sf_dir):
@@ -7088,6 +7198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q192_theil": q192_theil,
         "q193_two_by_two": q193_two_by_two,
         "q194_logrank": q194_logrank,
+        "q195_cochran_armitage": q195_cochran_armitage,
+        "q196_jonckheere": q196_jonckheere,
+        "q197_page": q197_page,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -7958,6 +8071,44 @@ def oracle_sql() -> dict[str, str]:
             "seg", "dur", "converted",
         )
         + " ORDER BY seg, t",
+        "q195_cochran_armitage": _STATS.cochran_armitage_sql(
+            "(SELECT lang, n_chars // 100 AS len_bucket,"
+            " CASE WHEN length(source) > 4 THEN 1"
+            " WHEN source IS NOT NULL THEN 0 END AS hi_src"
+            " FROM documents)",
+            "lang", "len_bucket", "hi_src",
+        )
+        + " ORDER BY lang",
+        "q196_jonckheere": _STATS.jonckheere_terpstra_sql(
+            "(SELECT event_type,"
+            " (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 // 6"
+            " AS day_part,"
+            " CAST(floor(value) AS BIGINT) AS dollars"
+            " FROM events WHERE event_type IS NOT NULL)",
+            "event_type", "day_part", "dollars",
+        )
+        + " ORDER BY event_type",
+        "q197_page": _STATS.page_trend_sql(
+            "(WITH __q197_f AS (SELECT user_id, user_id % 4 AS seg,"
+            + "".join(
+                f" sum(CASE WHEN event_type = '{t}' THEN 1"
+                f" WHEN event_type IS NOT NULL THEN 0 END)"
+                f" AS c{i},"
+                for i, t in enumerate(
+                    ["view", "click", "purchase", "signup", "error"]
+                )
+            ).rstrip(",")
+            + " FROM events WHERE user_id IS NOT NULL GROUP BY user_id) "
+            + " UNION ALL ".join(
+                f"SELECT seg, user_id, '{t}' AS t, c{i} AS v FROM __q197_f "
+                for i, t in enumerate(
+                    ["view", "click", "purchase", "signup", "error"]
+                )
+            ).rstrip()
+            + ")",
+            "seg", "user_id", "t", "v",
+        )
+        + " ORDER BY seg",
         "q194_logrank": _SURVIVAL.logrank_test_sql(
             "(WITH __q194_u AS ("
             " SELECT user_id,"
@@ -7985,9 +8136,9 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY lang",
         "q185_mcnemar": _STATS.grouped_mcnemar_sql(
             "(SELECT user_id % 4 AS seg,"
-            " max(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
+            " (sum(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) >= 14)::INT"
             " AS clicked,"
-            " max(CASE WHEN event_type = 'purchase' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
+            " (sum(CASE WHEN event_type = 'purchase' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) >= 14)::INT"
             " AS purchased"
             " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)",
             "seg", "clicked", "purchased",
@@ -8006,9 +8157,9 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY lang",
         "q187_cochran_q": _STATS.cochran_q_sql(
             "(WITH __q187_f AS (SELECT user_id, user_id % 4 AS seg,"
-            " max(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) AS c,"
-            " max(CASE WHEN event_type = 'purchase' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) AS p,"
-            " max(CASE WHEN event_type = 'error' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) AS e"
+            " (sum(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) >= 14)::INT AS c,"
+            " (sum(CASE WHEN event_type = 'purchase' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) >= 14)::INT AS p,"
+            " (sum(CASE WHEN event_type = 'error' THEN 1 WHEN event_type IS NOT NULL THEN 0 END) >= 14)::INT AS e"
             " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
             " SELECT seg, user_id, 'click' AS t, c AS x FROM __q187_f"
             " UNION ALL SELECT seg, user_id, 'purchase', p FROM __q187_f"
@@ -8361,7 +8512,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(
                      list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
                      (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.8
+                      sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
         """,
         "q36_media_stats": """
             SELECT kind, count(*) AS n,

@@ -1469,12 +1469,58 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
 
         flags = docs.selectExpr(
             "lang",
-            "CAST(source = 'web' AS INT) AS exposed",
-            "CAST(n_chars >= 1000 AS INT) AS long_doc",
+            "CAST(length(source) > 4 AS INT) AS exposed",
+            "CAST(n_chars >= 250 AS INT) AS long_doc",
         )
         return two_by_two_effects(
             flags, ["lang"], "exposed", "long_doc"
         ).count()
+
+    def q_cochran_armitage():
+        # one (lang, bucket) cell histogram + one cell-scale aggregate
+        from btl_bloomfilter_spark.operators.stats import cochran_armitage
+
+        flags = docs.selectExpr(
+            "lang",
+            "n_chars div 100 AS len_bucket",
+            "CAST(length(source) > 4 AS INT) AS hi_src",
+        )
+        return cochran_armitage(
+            flags, ["lang"], "len_bucket", "hi_src"
+        ).count()
+
+    def q_jonckheere():
+        # cell histogram + cell-scale self-join + tie marginals
+        from btl_bloomfilter_spark.operators.stats import jonckheere_terpstra
+
+        base = ev.where(F.col("event_type").isNotNull()).selectExpr(
+            "event_type",
+            "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+            "CAST(floor(value) AS BIGINT) AS dollars",
+        )
+        return jonckheere_terpstra(
+            base, ["event_type"], "day_part", "dollars"
+        ).count()
+
+    def q_page():
+        # friedman's block-local rank windows + dense-rank weights
+        from btl_bloomfilter_spark.operators.stats import page_trend
+
+        types = ["view", "click", "purchase", "signup", "error"]
+        aggs = [
+            F.sum((F.col("event_type") == t).cast("long")).alias(f"c{i}")
+            for i, t in enumerate(types)
+        ]
+        flags = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(*aggs)
+        )
+        stack = ", ".join(f"'{t}', c{i}" for i, t in enumerate(types))
+        panel = flags.selectExpr(
+            "user_id % 4 AS seg", "user_id", f"stack(5, {stack}) AS (t, v)"
+        )
+        return page_trend(panel, ["seg"], "user_id", "t", "v").count()
 
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
@@ -1627,6 +1673,9 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "paired_t_events": q_paired_t,
         "theil_docs": q_theil,
         "two_by_two_docs": q_two_by_two,
+        "cochran_armitage_docs": q_cochran_armitage,
+        "jonckheere_events": q_jonckheere,
+        "page_trend_events": q_page,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

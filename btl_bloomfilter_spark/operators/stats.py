@@ -4758,3 +4758,529 @@ def two_by_two_effects_sql(
                lnm_or::DOUBLE / 1000000.0 + 1.959964 * se AS ci_hi
         FROM __tbt_m
     """
+
+
+def cochran_armitage(
+    df: DataFrame,
+    group_cols: list[str],
+    dose_col,
+    flag_col,
+) -> DataFrame:
+    """(group…, k, n, r, t_fp, z, chi2) — exact Cochran–Armitage
+    trend test per group: across ORDERED exposure levels (dose,
+    variant arm index, bucket of context length), does a binary
+    outcome's proportion trend monotonically?  The ordered-
+    alternative completion of the 2×k corner: chi2_independence asks
+    "any association at all" and spends k−1 degrees of freedom;
+    Cochran–Armitage spends ONE on the linear-in-dose alternative,
+    which is the question dose-response and A/B/n-arm designs
+    actually pose (Armitage 1955; Agresti, *Categorical Data
+    Analysis* §5.3.5).  two_by_two_effects is its k = 2 special
+    case (z² == the 2×2 score χ², pinned by test).
+
+    Scores are the dose values themselves (the canonical choice;
+    integral required — floats raise, quantize/bucket explicitly
+    first, the fixed-point policy).  With per-dose cells (n_i rows,
+    r_i successes), N = Σn_i, R = Σr_i and everything on
+    decimal(38,0)/hugeint:
+
+        T·N   = N·Σd_i·r_i − R·Σd_i·n_i          (exact integer)
+        V·N³  = R·(N−R)·(N·Σd_i²·n_i − (Σd_i·n_i)²)   (exact integer)
+        z     = (TN/N) / sqrt(VN3/N³)             (the kit's fixed
+                                                   div→√→div shape —
+                                                   every step IEEE
+                                                   correctly rounded,
+                                                   engine-identical)
+        chi2  = z·z                                (~χ²₁ under H₀)
+
+    z > 0 ⟺ the success proportion increases with dose.  z/chi2 are
+    NULL when VN3 ≤ 0 (R = 0, R = N, or a single/constant dose —
+    no trend is testable); the group keeps its row.  flag must be
+    0/1 or boolean (else an in-plan raise, both engines); NULL dose
+    or flag drops the row.  OVERFLOW: R(N−R)·N·Σd²n < 10³⁸ →
+    N ≲ 10⁸ at |dose| ≤ 10³.
+
+    Scale shape: ONE map-side-combined (group, dose) cell histogram
+    — the only row-scale stage — then one cell-scale aggregate per
+    group; no joins, no windows.
+    """
+    d = F.col(dose_col) if isinstance(dose_col, str) else dose_col
+    dt = df.select(d.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"cochran_armitage: dose_col must be integral, got {dt};"
+            " bucket/quantize explicitly first"
+        )
+    fr = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    fdt = df.select(fr.alias("__probe")).schema[0].dataType.simpleString()
+    if fdt == "boolean":
+        fl = fr.cast("long")
+    else:
+        fl = F.when(fr.isin(0, 1), fr.cast("long")).otherwise(
+            F.raise_error(
+                F.lit("cochran_armitage: flag_col must be 0/1 or boolean")
+            )
+        )
+    cells = (
+        df.where(d.isNotNull() & fr.isNotNull())
+        .groupBy(*group_cols, d.cast("long").alias("__d"))
+        .agg(
+            F.count(F.lit(1)).cast(_D).alias("__n"),
+            F.sum(fl).cast(_D).alias("__r"),
+        )
+    )
+    dd = F.col("__d").cast(_D)
+    agg = cells.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("__n").alias("__N"),
+        F.sum("__r").alias("__R"),
+        F.sum(dd * F.col("__n")).alias("__swn"),
+        F.sum(dd * F.col("__r")).alias("__swr"),
+        F.sum(dd * dd * F.col("__n")).alias("__swwn"),
+    )
+    n, r = F.col("__N"), F.col("__R")
+    tn = n * F.col("__swr") - r * F.col("__swn")
+    vn3 = r * (n - r) * (n * F.col("__swwn") - F.col("__swn") * F.col("__swn"))
+    zexp = (tn.cast("double") / n.cast("double")) / F.sqrt(
+        vn3.cast("double") / (n * n * n).cast("double")
+    )
+    zc = F.when(vn3 > 0, zexp)
+    return agg.select(
+        *group_cols,
+        F.col("k").cast("long").alias("k"),
+        n.cast("long").alias("n"),
+        r.cast("long").alias("r"),
+        tn.cast("string").alias("t_fp"),
+        zc.alias("z"),
+        (zc * zc).alias("chi2"),
+    )
+
+
+def cochran_armitage_sql(table: str, group: str, dose: str, flag: str) -> str:
+    """DuckDB twin of :func:`cochran_armitage` (hugeint arithmetic,
+    identical cell-histogram + single div→√→div shape)."""
+    fi = (
+        f"(CASE WHEN ({flag}) IN (0, 1) OR typeof({flag}) = 'BOOLEAN'"
+        f" THEN ({flag})::BIGINT ELSE CAST(error("
+        f"'cochran_armitage: flag must be 0/1 or boolean') AS BIGINT) END)"
+    )
+    return f"""
+        WITH __ca_c AS (
+            SELECT {group} AS g, CAST({dose} AS BIGINT) AS d,
+                   count(*)::HUGEINT AS n, sum({fi})::HUGEINT AS r
+            FROM {table}
+            WHERE ({dose}) IS NOT NULL AND ({flag}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        __ca_a AS (
+            SELECT g, count(*)::HUGEINT AS k, sum(n) AS nn, sum(r) AS rr,
+                   sum(d::HUGEINT * n) AS swn, sum(d::HUGEINT * r) AS swr,
+                   sum(d::HUGEINT * d::HUGEINT * n) AS swwn
+            FROM __ca_c GROUP BY g
+        )
+        SELECT g AS {group}, CAST(k AS BIGINT) AS k, CAST(nn AS BIGINT) AS n,
+               CAST(rr AS BIGINT) AS r,
+               (nn * swr - rr * swn)::VARCHAR AS t_fp,
+               CASE WHEN rr * (nn - rr) * (nn * swwn - swn * swn) > 0 THEN
+                   (CAST(nn * swr - rr * swn AS DOUBLE) / CAST(nn AS DOUBLE))
+                   / sqrt(CAST(rr * (nn - rr) * (nn * swwn - swn * swn)
+                               AS DOUBLE)
+                          / CAST(nn * nn * nn AS DOUBLE))
+               END AS z,
+               CASE WHEN rr * (nn - rr) * (nn * swwn - swn * swn) > 0 THEN
+                   ((CAST(nn * swr - rr * swn AS DOUBLE) / CAST(nn AS DOUBLE))
+                    / sqrt(CAST(rr * (nn - rr) * (nn * swwn - swn * swn)
+                                AS DOUBLE)
+                           / CAST(nn * nn * nn AS DOUBLE)))
+                   * ((CAST(nn * swr - rr * swn AS DOUBLE) / CAST(nn AS DOUBLE))
+                      / sqrt(CAST(rr * (nn - rr) * (nn * swwn - swn * swn)
+                                  AS DOUBLE)
+                             / CAST(nn * nn * nn AS DOUBLE)))
+               END AS chi2
+        FROM __ca_a
+    """
+
+
+def jonckheere_terpstra(
+    df: DataFrame,
+    group_cols: list[str],
+    dose_col,
+    value_col,
+) -> DataFrame:
+    """(group…, k, n, jt2_fp, jt, z) — exact Jonckheere–Terpstra
+    trend test per group: across ORDERED treatment levels, do VALUES
+    shift monotonically?  The ordered-alternative companion to
+    grouped_kruskal_wallis the way cochran_armitage is to
+    chi2_independence — KW spends k−1 df on "any difference"; JT
+    spends one on the ordered alternative θ₁ ≤ … ≤ θ_k (Jonckheere
+    1954; Terpstra 1952; tie-corrected null variance per Hollander &
+    Wolfe §6.2 — the SAS/StatXact formula).
+
+    JT = Σ_{i<j} U_ij is the sum of pairwise Mann–Whitney counts
+    between dose-ordered samples, i.e. exactly grouped_kendall's
+    concordance on (dose, value) plus half the cross-dose value
+    ties, so it rides the same VALUE-COMPRESSED cell self-join
+    (cells (d, v, w); a pair with d_a < d_b contributes w_a·w_b to
+    C/E/D by sign(v_b − v_a)) and inherits its COST CONTRACT: the
+    join is O(cells²) per group — the design point is low-cardinality
+    doses × low-cardinality-or-pre-quantized values (values COMPARE,
+    never compute: doubles welcome, but quantize high-cardinality
+    columns first).  All counts exact on decimal(38,0)/hugeint:
+
+        JT2      = 2C + E                       (doubled JT, exact)
+        4·(JT−μ) = 2·JT2 − (N² − Σn_i²)         (exact; μ is the null
+                                                 mean (N²−Σn_i²)/4)
+        Var·D    = A·N(N−1)(N−2) + 2B + 9·Cp·(N−2)
+                   over D = 72·N(N−1)(N−2)      (the three-term tie-
+                                                 corrected variance on
+                                                 the common
+                                                 denominator, exact:
+          A  = N(N−1)(2N+5) − Σᵢnᵢ(nᵢ−1)(2nᵢ+5) − Σⱼtⱼ(tⱼ−1)(2tⱼ+5)
+          B  = Σᵢnᵢ(nᵢ−1)(nᵢ−2) · Σⱼtⱼ(tⱼ−1)(tⱼ−2)
+          Cp = Σᵢnᵢ(nᵢ−1) · Σⱼtⱼ(tⱼ−1),
+          nᵢ = dose-sample sizes, tⱼ = pooled value-tie sizes)
+        z        = (num4/4) / sqrt(VarD/D)      (num4/4 is an exact
+                                                 binary halving twice;
+                                                 then the fixed
+                                                 div→√→div shape —
+                                                 engine-identical)
+
+    z > 0 ⟺ values increase with dose.  z is NULL when N < 3 or
+    VarD ≤ 0 (degenerate: everything tied).  Dose must be integral
+    (floats raise — bucket first); NULL/NaN in either column drops
+    the row.  Groups with a single dose level report jt = 0 pairs
+    and NULL z.  OVERFLOW: A·N(N−1)(N−2) ~ N⁶ and B ~ N⁶ < 10³⁸ →
+    N ≲ 2·10⁶ per group.
+
+    Scale shape: one map-side-combined (group, dose, value) cell
+    histogram (the only row-scale stage), the cell-scale self-join
+    on the group key, two cell-scale marginals, one group-sized
+    null-safe join tree.
+    """
+    d = F.col(dose_col) if isinstance(dose_col, str) else dose_col
+    dt = df.select(d.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"jonckheere_terpstra: dose_col must be integral, got {dt};"
+            " bucket/quantize explicitly first"
+        )
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    q = df.where(
+        d.isNotNull() & v.isNotNull() & ~F.isnan(v.cast("double"))
+    ).select(*group_cols, d.cast("long").alias("__d"), v.alias("__v"))
+    cells = q.groupBy(*group_cols, "__d", "__v").agg(
+        F.count(F.lit(1)).cast(_D).alias("__w")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    cond = F.col("a.__d") < F.col("b.__d")
+    for c in group_cols:
+        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+    ww = F.col("a.__w") * F.col("b.__w")
+    zd = F.lit(0).cast(_D)
+    pairs = a.join(b, cond).groupBy(
+        *[F.col(f"a.{c}").alias(c) for c in group_cols]
+    ).agg(
+        F.sum(F.when(F.col("a.__v") < F.col("b.__v"), ww).otherwise(zd)).alias(
+            "__C"
+        ),
+        F.sum(F.when(F.col("a.__v") == F.col("b.__v"), ww).otherwise(zd)).alias(
+            "__E"
+        ),
+    )
+
+    def _tie_terms(col: str, prefix: str):
+        m = q.groupBy(*group_cols, col).agg(F.count(F.lit(1)).cast(_D).alias("__t"))
+        t = F.col("__t")
+        return m.groupBy(*group_cols).agg(
+            F.sum(t).alias(f"{prefix}_n"),
+            F.count(F.lit(1)).alias(f"{prefix}_k"),
+            F.sum(t * t).alias(f"{prefix}_s2"),
+            F.sum(t * (t - 1)).alias(f"{prefix}_p2"),
+            F.sum(t * (t - 1) * (t - 2)).alias(f"{prefix}_p3"),
+            F.sum(t * (t - 1) * (2 * t + 5)).alias(f"{prefix}_a"),
+        )
+
+    md = _tie_terms("__d", "__md")  # dose-sample sizes n_i
+    mv = _tie_terms("__v", "__mv")  # pooled value-tie sizes t_j
+    j = _nullsafe_join(_nullsafe_join(md, mv, group_cols), pairs, group_cols)
+    n = F.col("__md_n")
+    jt2 = F.lit(2).cast(_D) * F.coalesce(F.col("__C"), zd) + F.coalesce(
+        F.col("__E"), zd
+    )
+    num4 = F.lit(2).cast(_D) * jt2 - (n * n - F.col("__md_s2"))
+    aa = n * (n - 1) * (2 * n + 5) - F.col("__md_a") - F.col("__mv_a")
+    bb = F.col("__md_p3") * F.col("__mv_p3")
+    cp = F.col("__md_p2") * F.col("__mv_p2")
+    vard = (
+        aa * n * (n - 1) * (n - 2)
+        + F.lit(2).cast(_D) * bb
+        + F.lit(9).cast(_D) * cp * (n - 2)
+    )
+    dden = F.lit(72).cast(_D) * n * (n - 1) * (n - 2)
+    zexp = (num4.cast("double") / F.lit(4.0)) / F.sqrt(
+        vard.cast("double") / dden.cast("double")
+    )
+    return j.select(
+        *group_cols,
+        F.col("__md_k").cast("long").alias("k"),
+        n.cast("long").alias("n"),
+        jt2.cast("string").alias("jt2_fp"),
+        (jt2.cast("double") / F.lit(2.0)).alias("jt"),
+        F.when((n >= 3) & (vard > 0), zexp).alias("z"),
+    )
+
+
+def jonckheere_terpstra_sql(table: str, group: str, dose: str, value: str) -> str:
+    """DuckDB twin of :func:`jonckheere_terpstra` (hugeint arithmetic,
+    identical cell self-join, tie marginals and div→√→div shape)."""
+    not_null = (
+        f"({dose}) IS NOT NULL AND ({value}) IS NOT NULL"
+        f" AND NOT isnan(CAST({value} AS DOUBLE))"
+    )
+    return f"""
+        WITH __jt_q AS (
+            SELECT {group} AS g, CAST({dose} AS BIGINT) AS d, {value} AS v
+            FROM {table} WHERE {not_null}
+        ),
+        __jt_c AS (
+            SELECT g, d, v, count(*)::HUGEINT AS w
+            FROM __jt_q GROUP BY g, d, v
+        ),
+        __jt_p AS (
+            SELECT a.g,
+                   sum(CASE WHEN a.v < b.v THEN a.w * b.w
+                       ELSE 0::HUGEINT END) AS c,
+                   sum(CASE WHEN a.v = b.v THEN a.w * b.w
+                       ELSE 0::HUGEINT END) AS e
+            FROM __jt_c a JOIN __jt_c b ON a.g = b.g AND a.d < b.d
+            GROUP BY a.g
+        ),
+        __jt_md AS (
+            SELECT g, sum(t) AS n, count(*)::HUGEINT AS k,
+                   sum(t * t) AS s2, sum(t * (t - 1)) AS p2,
+                   sum(t * (t - 1) * (t - 2)) AS p3,
+                   sum(t * (t - 1) * (2 * t + 5)) AS a FROM (
+                SELECT g, d, count(*)::HUGEINT AS t FROM __jt_q GROUP BY g, d
+            ) GROUP BY g
+        ),
+        __jt_mv AS (
+            SELECT g, sum(t * (t - 1)) AS p2,
+                   sum(t * (t - 1) * (t - 2)) AS p3,
+                   sum(t * (t - 1) * (2 * t + 5)) AS a FROM (
+                SELECT g, v, count(*)::HUGEINT AS t FROM __jt_q GROUP BY g, v
+            ) GROUP BY g
+        ),
+        __jt_j AS (
+            SELECT md.g, md.n, md.k,
+                   2 * coalesce(p.c, 0::HUGEINT)
+                     + coalesce(p.e, 0::HUGEINT) AS jt2,
+                   2 * (2 * coalesce(p.c, 0::HUGEINT)
+                        + coalesce(p.e, 0::HUGEINT))
+                     - (md.n * md.n - md.s2) AS num4,
+                   (md.n * (md.n - 1) * (2 * md.n + 5) - md.a - mv.a)
+                     * md.n * (md.n - 1) * (md.n - 2)
+                     + 2 * md.p3 * mv.p3
+                     + 9 * md.p2 * mv.p2 * (md.n - 2) AS vard,
+                   72 * md.n * (md.n - 1) * (md.n - 2) AS dden
+            FROM __jt_md md JOIN __jt_mv mv ON md.g = mv.g
+            LEFT JOIN __jt_p p ON md.g = p.g
+        )
+        SELECT g AS {group}, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+               jt2::VARCHAR AS jt2_fp, jt2::DOUBLE / 2.0 AS jt,
+               CASE WHEN n >= 3 AND vard > 0 THEN
+                   (CAST(num4 AS DOUBLE) / 4.0)
+                   / sqrt(CAST(vard AS DOUBLE) / CAST(dden AS DOUBLE))
+               END AS z
+        FROM __jt_j
+    """
+
+
+def page_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    subject_col,
+    treat_col,
+    value_col,
+) -> DataFrame:
+    """(group…, n_blocks, n_excluded, n_used, k, l2_fp, l, z) — exact
+    Page trend test per group: the ordered-alternative member of the
+    BLOCKED design row, completing the trend column the way friedman
+    completed the omnibus one — Friedman spends k−1 df on "any
+    treatment difference within blocks"; Page's L = Σ_j w_j·R_j
+    (w_j = the hypothesized order 1..k, taken as the NATURAL sort
+    order of the treatment values) spends one df on the monotone
+    alternative (Page 1963), exactly as jonckheere_terpstra does for
+    the independent-sample row and cochran_armitage for the binary
+    one.
+
+    Rides friedman's doubled-midrank machinery (2·cum − ct + 1 exact
+    integers off two block-local windows; complete blocks only,
+    duplicates canonicalize to max).  The null variance handles
+    midrank ties EXACTLY via the per-block permutation identity —
+    for a random pairing of fixed scores w and fixed midranks r:
+    Var(Σ w_π r) = Σ(w−w̄)²·Σ(r−r̄)²/(k−1), and Σ(w−w̄)² = k(k²−1)/12
+    cancels its (k−1) — so with L2/R2 the doubled quantities and
+    SS = Σ_entries R2² − n·k·(k+1)² (each block's Σ_j r2_bj = k(k+1)
+    makes the centering term a constant):
+
+        num2      = 2·L2 − n·k·(k+1)²        (exact integer,
+                                              = 4·(L − E[L]))
+        Var(L2)   = k·(k+1)·SS / 12          (exact integer over 12;
+                                              reduces to the textbook
+                                              n·k²(k+1)²(k−1)/36 when
+                                              no block has ties —
+                                              pinned by golden test)
+        z         = (num2/2) / sqrt(k(k+1)·SS / 12.0)
+                                             (exact binary halving,
+                                              then the fixed
+                                              div→√→div shape —
+                                              engine-identical)
+
+    z > 0 ⟺ values increase along the treatment order.  z is NULL
+    when k < 2, n = 0, or SS = 0 (every block fully tied).  Ties,
+    exclusion, canonicalization and NULL semantics are friedman's
+    verbatim.  OVERFLOW: L2 ≲ 2k²·n·k = 2k³n and SS ≲ 4k³n on
+    decimal(38,0) — never the binding constraint.
+
+    Scale shape: friedman's — the canonicalized panel is the
+    row-scale stage, ranks two block-local windows over one
+    (group, subject) exchange; the weight assignment is a
+    dense_rank window over the CELL-scale per-treatment frame
+    (n_groups·k rows), then one group-sized null-safe join.
+    """
+    from pyspark.sql import Window
+
+    s = F.col(subject_col) if isinstance(subject_col, str) else subject_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    panel = (
+        df.where(
+            s.isNotNull()
+            & t.isNotNull()
+            & v.isNotNull()
+            & ~F.isnan(v.cast("double"))
+        )
+        .groupBy(*group_cols, s.alias("__s"), t.alias("__t"))
+        .agg(F.max(v).alias("__v"))
+    )
+    wg = Window.partitionBy(*group_cols)
+    ws = Window.partitionBy(*group_cols, "__s")
+    wsv = Window.partitionBy(*group_cols, "__s", "__v")
+    wcum = ws.orderBy("__v").rangeBetween(Window.unboundedPreceding, 0)
+    w = (
+        panel.withColumn("__k", F.size(F.collect_set("__t").over(wg)))
+        .withColumn("__m", F.count(F.lit(1)).over(ws))
+        .withColumn("__ct", F.count(F.lit(1)).over(wsv))
+        .withColumn("__cum", F.count(F.lit(1)).over(wcum))
+    )
+    tot = panel.groupBy(*group_cols).agg(
+        F.countDistinct("__s").alias("n_blocks")
+    )
+    complete = w.where(F.col("__m") == F.col("__k"))
+    r2 = (F.lit(2) * F.col("__cum") - F.col("__ct") + 1).cast(_D)
+    per_t = complete.groupBy(*group_cols, "__t").agg(
+        F.sum(r2).alias("__r2j"),
+        F.sum(r2 * r2).alias("__q2j"),
+        F.count(F.lit(1)).alias("__nb"),
+        F.max("__k").alias("__k"),
+    )
+    wj = F.dense_rank().over(wg.orderBy("__t")).cast(_D)
+    pg = per_t.withColumn("__wj", wj)
+    ga = pg.groupBy(*group_cols).agg(
+        F.max("__nb").alias("n_used"),
+        F.max("__k").alias("k"),
+        F.sum(F.col("__wj") * F.col("__r2j")).alias("__l2"),
+        F.sum("__q2j").alias("__q2"),
+    )
+    j = _nullsafe_join(tot, ga, group_cols)
+    n = F.col("n_used").cast(_D)
+    k = F.col("k").cast(_D)
+    l2 = F.col("__l2")
+    ss = F.col("__q2") - n * k * (k + 1) * (k + 1)
+    num2 = F.lit(2).cast(_D) * l2 - n * k * (k + 1) * (k + 1)
+    var12 = k * (k + 1) * ss
+    zexp = (num2.cast("double") / F.lit(2.0)) / F.sqrt(
+        var12.cast("double") / F.lit(12.0)
+    )
+    ok = (F.col("k") >= 2) & (F.col("n_used") > 0)
+    nu = F.coalesce(F.col("n_used"), F.lit(0)).cast("long")
+    return j.select(
+        *group_cols,
+        "n_blocks",
+        (F.col("n_blocks") - nu).alias("n_excluded"),
+        nu.alias("n_used"),
+        F.coalesce(F.col("k"), F.lit(0)).cast("long").alias("k"),
+        l2.cast("string").alias("l2_fp"),
+        F.when(ok, l2.cast("double") / F.lit(2.0)).alias("l"),
+        F.when(ok & (ss > 0), zexp).alias("z"),
+    )
+
+
+def page_trend_sql(
+    table: str, group: str, subject: str, treat: str, value: str
+) -> str:
+    """DuckDB twin of :func:`page_trend` (identical doubled-midrank
+    windows, dense_rank weights, and num2/√(var12/12) shape)."""
+    not_null = (
+        f"({subject}) IS NOT NULL AND ({treat}) IS NOT NULL AND"
+        f" ({value}) IS NOT NULL AND NOT isnan(CAST({value} AS DOUBLE))"
+    )
+    return f"""
+        WITH __pg_p AS (
+            SELECT {group} AS g, {subject} AS s, {treat} AS t,
+                   max({value}) AS v
+            FROM {table} WHERE {not_null}
+            GROUP BY 1, 2, 3
+        ),
+        __pg_w AS (
+            SELECT g, s, t, v,
+                   count(DISTINCT t) OVER (PARTITION BY g) AS k,
+                   count(*) OVER (PARTITION BY g, s) AS m,
+                   count(*) OVER (PARTITION BY g, s, v) AS ct,
+                   count(*) OVER (PARTITION BY g, s ORDER BY v
+                                  RANGE BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS cum
+            FROM __pg_p
+        ),
+        __pg_t AS (
+            SELECT g, t,
+                   sum((2 * cum - ct + 1)::HUGEINT) AS r2j,
+                   sum((2 * cum - ct + 1)::HUGEINT
+                       * (2 * cum - ct + 1)::HUGEINT) AS q2j,
+                   count(*)::HUGEINT AS nb, max(k)::HUGEINT AS k
+            FROM __pg_w WHERE m = k GROUP BY g, t
+        ),
+        __pg_r AS (
+            -- weight materialized as a column first: a window inside
+            -- an aggregate is illegal (the friedman tie-term lesson)
+            SELECT g, t, r2j, q2j, nb, k,
+                   dense_rank() OVER (PARTITION BY g ORDER BY t)
+                       ::HUGEINT AS wj
+            FROM __pg_t
+        ),
+        __pg_g AS (
+            SELECT g, max(nb) AS n, max(k) AS k,
+                   sum(wj * r2j) AS l2, sum(q2j) AS q2
+            FROM __pg_r GROUP BY g
+        ),
+        __pg_b AS (
+            SELECT g, count(DISTINCT s) AS n_blocks FROM __pg_p GROUP BY g
+        )
+        SELECT b.g AS {group}, b.n_blocks,
+               (b.n_blocks - coalesce(a.n, 0))::BIGINT AS n_excluded,
+               coalesce(a.n, 0)::BIGINT AS n_used,
+               coalesce(a.k, 0)::BIGINT AS k,
+               a.l2::VARCHAR AS l2_fp,
+               CASE WHEN a.k >= 2 AND a.n > 0 THEN a.l2::DOUBLE / 2.0
+               END AS l,
+               CASE WHEN a.k >= 2 AND a.n > 0
+                         AND a.q2 - a.n * a.k * (a.k + 1) * (a.k + 1) > 0
+               THEN
+                   (CAST(2 * a.l2 - a.n * a.k * (a.k + 1) * (a.k + 1)
+                         AS DOUBLE) / 2.0)
+                   / sqrt(CAST(a.k * (a.k + 1)
+                               * (a.q2 - a.n * a.k * (a.k + 1) * (a.k + 1))
+                               AS DOUBLE) / 12.0)
+               END AS z
+        FROM __pg_b b LEFT JOIN __pg_g a ON b.g = a.g
+    """
