@@ -6917,6 +6917,37 @@ def q197_page(spark, sf_dir):
     return page_trend(panel, ["seg"], "user_id", "t", "v").orderBy("seg")
 
 
+def q198_mantel_haenszel(spark, sf_dir):
+    """Exact Cochran-Mantel-Haenszel stratified 2x2 (operators/stats.
+    mantel_haenszel): per user segment, are HIGH-VALUE events (>= 35,
+    ~ the corpus median) more likely to be purchases, ADJUSTING for
+    time of day (hour div 6 day-part strata)?  The confounding-
+    adjusted bridge between q193 (one stratum: crude effect sizes)
+    and q194 (the same hypergeometric conditioning stratified by
+    TIME) - crude 2x2 effects reverse under aggregation whenever a
+    confounder tracks both flags (Simpson's paradox, pinned by a
+    planted-paradox test).  Per stratum the hypergeometric E/V terms
+    ride q194's quantize-once micro-unit machinery verbatim (N = 1
+    guarded before the eager DuckDB division), chi2 ONE division of
+    exact decimal/hugeint integers, z its signed root, and the
+    Mantel-Haenszel pooled odds ratio one more single division -
+    hash-oracled including all three doubles.  Plan: ONE map-side-
+    combined (seg, day_part) four-counter cell histogram, then one
+    cell-scale aggregate; no joins, no windows."""
+    from btl_bloomfilter_spark.operators.stats import mantel_haenszel
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    base = ev.where(F.col("user_id").isNotNull()).selectExpr(
+        "user_id % 3 AS seg",
+        "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+        "CAST(value >= 35 AS INT) AS hi_value",
+        "CAST(event_type = 'purchase' AS INT) AS purchase",
+    )
+    return mantel_haenszel(
+        base, ["seg"], "day_part", "hi_value", "purchase"
+    ).orderBy("seg")
+
+
 def q182_brown_forsythe(spark, sf_dir):
     """Exact Brown–Forsythe variance-homogeneity test
     (operators/stats.brown_forsythe): on q179's OWN data (lang ×
@@ -7201,6 +7232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q195_cochran_armitage": q195_cochran_armitage,
         "q196_jonckheere": q196_jonckheere,
         "q197_page": q197_page,
+        "q198_mantel_haenszel": q198_mantel_haenszel,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -8107,6 +8139,16 @@ def oracle_sql() -> dict[str, str]:
             ).rstrip()
             + ")",
             "seg", "user_id", "t", "v",
+        )
+        + " ORDER BY seg",
+        "q198_mantel_haenszel": _STATS.mantel_haenszel_sql(
+            "(SELECT user_id % 3 AS seg,"
+            " (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 // 6"
+            " AS day_part,"
+            " (value >= 35)::INT AS hi_value,"
+            " (event_type = 'purchase')::INT AS purchase"
+            " FROM events WHERE user_id IS NOT NULL)",
+            "seg", "day_part", "hi_value", "purchase",
         )
         + " ORDER BY seg",
         "q194_logrank": _SURVIVAL.logrank_test_sql(

@@ -1522,6 +1522,21 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return page_trend(panel, ["seg"], "user_id", "t", "v").count()
 
+    def q_mantel_haenszel():
+        # one (seg, day_part) four-counter cell histogram + one
+        # cell-scale aggregate
+        from btl_bloomfilter_spark.operators.stats import mantel_haenszel
+
+        base = ev.where(F.col("user_id").isNotNull()).selectExpr(
+            "user_id % 3 AS seg",
+            "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+            "CAST(value >= 35 AS INT) AS hi_value",
+            "CAST(event_type = 'purchase' AS INT) AS purchase",
+        )
+        return mantel_haenszel(
+            base, ["seg"], "day_part", "hi_value", "purchase"
+        ).count()
+
     def q_ranking_eval():
         # two per-query windows + query-sized aggregate, then the
         # segment reduce
@@ -1676,6 +1691,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "cochran_armitage_docs": q_cochran_armitage,
         "jonckheere_events": q_jonckheere,
         "page_trend_events": q_page,
+        "mantel_haenszel_events": q_mantel_haenszel,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

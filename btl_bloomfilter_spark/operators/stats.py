@@ -5284,3 +5284,206 @@ def page_trend_sql(
                END AS z
         FROM __pg_b b LEFT JOIN __pg_g a ON b.g = a.g
     """
+
+
+def mantel_haenszel(
+    df: DataFrame,
+    group_cols: list[str],
+    stratum_col,
+    exposed_col,
+    outcome_col,
+) -> DataFrame:
+    """(group…, n_strata, n, o_a, e_micro, v_micro, or_mh, chi2, z) —
+    exact Cochran–Mantel–Haenszel stratified 2×2 analysis per group:
+    the confounding-adjusted bridge between :func:`two_by_two_effects`
+    (ONE stratum: is exposure associated with outcome, and how big)
+    and :func:`logrank_test` (the same hypergeometric conditioning
+    stratified by TIME).  Crude 2×2 effects reverse under aggregation
+    whenever a confounder is associated with both flags (Simpson's
+    paradox — pinned by test with a planted paradox); CMH conditions
+    on each stratum's margins, testing the WITHIN-stratum association
+    (Mantel & Haenszel 1959; Agresti §6.3).
+
+    Per stratum (a/b/c/d exposed·outcome counters, n1 = a+b,
+    n0 = c+d, m1 = a+c, m0 = b+d, N = n1+n0), riding logrank's
+    quantize-once micro-unit machinery verbatim:
+
+        O_a     = Σ a                          (exact long)
+        E_micro = Σ (n1·m1·10⁶) div N          (hypergeometric mean,
+                                                quantized ONCE,
+                                                nonneg operands)
+        V_micro = Σ (n1·n0·m1·m0·10⁶)
+                    div (N·N·(N−1))            (hypergeometric
+                                                variance; the N = 1
+                                                term is 0 by
+                                                n1·n0 = 0 and guarded
+                                                BEFORE the division —
+                                                DuckDB evaluates
+                                                eagerly)
+        chi2    = (O_a·10⁶ − E_micro)² / (V_micro·10⁶)
+        z       = sign(O_a·10⁶ − E_micro)·√chi2  (z > 0 ⟺ exposed
+                                                see MORE outcomes
+                                                than their margins
+                                                predict)
+        or_mh   = Σ((a·d·10⁶) div N) / Σ((b·c·10⁶) div N)
+                                               (the Mantel–Haenszel
+                                                pooled odds ratio —
+                                                ONE division of exact
+                                                integers; NULL when
+                                                the denominator sum
+                                                is 0)
+
+    — engine-identical, hash-oracle-able including all three
+    doubles.  No continuity correction (the logrank/MWU convention,
+    documented).  A single-stratum group reduces to the 2×2 score
+    test: chi2 == Pearson·(N−1)/N and or_mh ≈ two_by_two_effects'
+    odds_ratio within quantization (both pinned).  exposed/outcome
+    must be 0/1 or boolean (in-plan raise, both engines); NULL
+    stratum/flag drops the row; chi2/z NULL when ΣV = 0 (every
+    stratum degenerate), the row kept.  OVERFLOW: the V numerator is
+    ≤ N⁴·10⁶ per stratum → stratum size ≲ 9·10⁷ on
+    decimal(38,0)/hugeint.
+
+    Scale shape: ONE map-side-combined (group, stratum) four-counter
+    cell histogram is the only row-scale stage; the quantized terms
+    and the test are one cell-scale aggregate; no joins, no windows.
+    """
+    st = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+
+    def _flag(col, name):
+        c = F.col(col) if isinstance(col, str) else col
+        dt = df.select(c.alias("__probe")).schema[0].dataType.simpleString()
+        if dt == "boolean":
+            return c.cast("long")
+        return F.when(c.isin(0, 1), c.cast("long")).otherwise(
+            F.raise_error(
+                F.lit(f"mantel_haenszel: {name} must be 0/1 or boolean")
+            )
+        )
+
+    er = F.col(exposed_col) if isinstance(exposed_col, str) else exposed_col
+    orr = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    e = _flag(exposed_col, "exposed")
+    o = _flag(outcome_col, "outcome")
+    cells = (
+        df.where(st.isNotNull() & er.isNotNull() & orr.isNotNull())
+        .groupBy(*group_cols, st.alias("__st"))
+        .agg(
+            F.sum(e * o).alias("a"),
+            F.sum(e * (1 - o)).alias("b"),
+            F.sum((1 - e) * o).alias("c"),
+            F.sum((1 - e) * (1 - o)).alias("d"),
+        )
+    )
+    a, b, c, d = (F.col(x).cast(_D) for x in "abcd")
+    n1, n0, m1, m0 = a + b, c + d, a + c, b + d
+    n = n1 + n0
+    mi = F.lit(1_000_000).cast(_D)
+    cells = (
+        cells.withColumn("__e_num", n1 * m1 * mi)
+        .withColumn("__e_den", n)
+        .withColumn("__v_num", n1 * n0 * m1 * m0 * mi)
+        .withColumn("__v_den", n * n * (n - 1))
+        .withColumn("__r_num", a * d * mi)
+        .withColumn("__s_num", b * c * mi)
+    )
+    zd = F.lit(0).cast(_D)
+    agg = cells.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(F.col("a") + F.col("b") + F.col("c") + F.col("d")).alias("__n"),
+        F.sum("a").alias("__oa"),
+        F.sum(F.expr("__e_num div __e_den")).alias("__em"),
+        F.sum(
+            F.when(
+                F.col("__v_den") > 0, F.expr("__v_num div __v_den")
+            ).otherwise(zd)
+        ).alias("__vm"),
+        F.sum(F.expr("__r_num div __e_den")).alias("__rm"),
+        F.sum(F.expr("__s_num div __e_den")).alias("__sm"),
+    )
+    oa, em, vm = F.col("__oa").cast(_D), F.col("__em"), F.col("__vm")
+    num = oa * mi - em
+    chi = (num * num).cast("double") / (vm * mi).cast("double")
+    sgn = F.when(num < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    return agg.select(
+        *group_cols,
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("__n").cast("long").alias("n"),
+        oa.cast("long").alias("o_a"),
+        F.col("__em").cast("string").alias("e_micro"),
+        F.col("__vm").cast("string").alias("v_micro"),
+        F.when(
+            F.col("__sm") > 0,
+            F.col("__rm").cast("double") / F.col("__sm").cast("double"),
+        ).alias("or_mh"),
+        F.when(vm > 0, chi).alias("chi2"),
+        F.when(vm > 0, sgn * F.sqrt(chi)).alias("z"),
+    )
+
+
+def mantel_haenszel_sql(
+    table: str, group: str, stratum: str, exposed: str, outcome: str
+) -> str:
+    """DuckDB twin of :func:`mantel_haenszel` (hugeint arithmetic,
+    identical quantize-once terms, N = 1 guard before the eager
+    division, and single-division shapes)."""
+    ei = (
+        f"(CASE WHEN ({exposed}) IN (0, 1) OR typeof({exposed}) = 'BOOLEAN'"
+        f" THEN ({exposed})::BIGINT ELSE CAST(error("
+        f"'mantel_haenszel: exposed must be 0/1 or boolean') AS BIGINT) END)"
+    )
+    oi = (
+        f"(CASE WHEN ({outcome}) IN (0, 1) OR typeof({outcome}) = 'BOOLEAN'"
+        f" THEN ({outcome})::BIGINT ELSE CAST(error("
+        f"'mantel_haenszel: outcome must be 0/1 or boolean') AS BIGINT) END)"
+    )
+    return f"""
+        WITH __mh_c AS (
+            SELECT {group} AS g, {stratum} AS st,
+                   sum({ei} * {oi})::HUGEINT AS a,
+                   sum({ei} * (1 - {oi}))::HUGEINT AS b,
+                   sum((1 - {ei}) * {oi})::HUGEINT AS c,
+                   sum((1 - {ei}) * (1 - {oi}))::HUGEINT AS d
+            FROM {table}
+            WHERE ({stratum}) IS NOT NULL AND ({exposed}) IS NOT NULL
+              AND ({outcome}) IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        __mh_t AS (
+            SELECT g, a, b, c, d, a + b + c + d AS n,
+                   ((a + b) * (a + c) * 1000000::HUGEINT)
+                     // (a + b + c + d) AS em,
+                   CASE WHEN a + b + c + d > 1 THEN
+                       ((a + b) * (c + d) * (a + c) * (b + d)
+                        * 1000000::HUGEINT)
+                       // ((a + b + c + d) * (a + b + c + d)
+                           * (a + b + c + d - 1))
+                   ELSE 0::HUGEINT END AS vm,
+                   (a * d * 1000000::HUGEINT) // (a + b + c + d) AS rm,
+                   (b * c * 1000000::HUGEINT) // (a + b + c + d) AS sm
+            FROM __mh_c
+        ),
+        __mh_a AS (
+            SELECT g, count(*)::BIGINT AS n_strata, sum(n) AS nn,
+                   sum(a) AS oa, sum(em) AS em, sum(vm) AS vm,
+                   sum(rm) AS rm, sum(sm) AS sm
+            FROM __mh_t GROUP BY g
+        )
+        SELECT g AS {group}, n_strata, CAST(nn AS BIGINT) AS n,
+               CAST(oa AS BIGINT) AS o_a,
+               em::VARCHAR AS e_micro, vm::VARCHAR AS v_micro,
+               CASE WHEN sm > 0 THEN rm::DOUBLE / sm::DOUBLE END AS or_mh,
+               CASE WHEN vm > 0 THEN
+                   CAST((oa * 1000000::HUGEINT - em)
+                        * (oa * 1000000::HUGEINT - em) AS DOUBLE)
+                   / CAST(vm * 1000000::HUGEINT AS DOUBLE)
+               END AS chi2,
+               CASE WHEN vm > 0 THEN
+                   (CASE WHEN oa * 1000000::HUGEINT - em < 0
+                         THEN -1.0 ELSE 1.0 END)
+                   * sqrt(CAST((oa * 1000000::HUGEINT - em)
+                               * (oa * 1000000::HUGEINT - em) AS DOUBLE)
+                          / CAST(vm * 1000000::HUGEINT AS DOUBLE))
+               END AS z
+        FROM __mh_a
+    """
