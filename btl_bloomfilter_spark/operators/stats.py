@@ -4989,7 +4989,11 @@ def jonckheere_terpstra(
     )
 
     def _tie_terms(col: str, prefix: str):
-        m = q.groupBy(*group_cols, col).agg(F.count(F.lit(1)).cast(_D).alias("__t"))
+        # marginals derive from the CELL histogram, not the raw rows:
+        # all three consumers then share one identical row-scale
+        # aggregate whose shuffle the planner emits once and reuses
+        # (ReusedExchange) — one source pass instead of three
+        m = cells.groupBy(*group_cols, col).agg(F.sum("__w").alias("__t"))
         t = F.col("__t")
         return m.groupBy(*group_cols).agg(
             F.sum(t).alias(f"{prefix}_n"),
@@ -5056,18 +5060,20 @@ def jonckheere_terpstra_sql(table: str, group: str, dose: str, value: str) -> st
             GROUP BY a.g
         ),
         __jt_md AS (
+            -- marginals off the CELL histogram (the Spark side's
+            -- ReusedExchange shape mirrored)
             SELECT g, sum(t) AS n, count(*)::HUGEINT AS k,
                    sum(t * t) AS s2, sum(t * (t - 1)) AS p2,
                    sum(t * (t - 1) * (t - 2)) AS p3,
                    sum(t * (t - 1) * (2 * t + 5)) AS a FROM (
-                SELECT g, d, count(*)::HUGEINT AS t FROM __jt_q GROUP BY g, d
+                SELECT g, d, sum(w) AS t FROM __jt_c GROUP BY g, d
             ) GROUP BY g
         ),
         __jt_mv AS (
             SELECT g, sum(t * (t - 1)) AS p2,
                    sum(t * (t - 1) * (t - 2)) AS p3,
                    sum(t * (t - 1) * (2 * t + 5)) AS a FROM (
-                SELECT g, v, count(*)::HUGEINT AS t FROM __jt_q GROUP BY g, v
+                SELECT g, v, sum(w) AS t FROM __jt_c GROUP BY g, v
             ) GROUP BY g
         ),
         __jt_j AS (
