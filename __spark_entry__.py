@@ -391,6 +391,18 @@ def q25_simhash_near(spark, sf_dir):
     return simhash_candidates(sh, max_hamming=7)
 
 
+# Shared planting expressions (q48/q51): evaluated verbatim by BOTH
+# Spark (F.expr) and DuckDB (inline in the oracle subquery), so the
+# planted PII / repetition is engine-identical by construction.
+_Q48_PLANT_SQL = (
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' reach me at user', CAST(doc_id AS STRING), '@example.com') WHEN doc_id % 11 = 0 THEN concat(text, ' call 0800-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '-42 now') WHEN doc_id % 13 = 0 THEN concat(text, ' host 10.0.', CAST(doc_id % 256 AS STRING), '.', CAST(doc_id % 100 AS STRING), ' up') ELSE text END"
+)
+
+_Q51_PLANT_SQL = (
+    "CASE WHEN doc_id % 9 = 0 THEN concat(text, repeat(' lorem ipsum dolor sit amet', 5)) WHEN doc_id % 10 = 0 THEN concat(text, chr(10), substr(text, 1, 40), chr(10), substr(text, 1, 40)) ELSE text END"
+)
+
+
 def q34_embedding_near_dups(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (cosine >= 0.4),
     oracled against DuckDB; the LSH-banded variant
@@ -1345,6 +1357,13 @@ def q48_pii_redaction(spark, sf_dir):
     from btl_bloomfilter_spark.functions import textstats as T
 
     docs = _load(spark, sf_dir, "documents")["documents"]
+    # the synthetic corpus carries NO PII (every count was 0 and the
+    # redaction never changed a row — a vacuous board entry, audit
+    # catch): plant deterministic emails/phones/IPs into a doc_id
+    # slice via _Q48_PLANT_SQL, the SAME expression string both
+    # engines evaluate, so the md5-of-redacted-output oracle now
+    # checks redaction on text that actually contains PII
+    docs = docs.withColumn("text", F.expr(_Q48_PLANT_SQL))
     red = T.redact_pii("text")
     rows = docs.select(
         "source",
@@ -1450,6 +1469,12 @@ def q51_repetition_filter(spark, sf_dir):
     from btl_bloomfilter_spark.functions import textstats as T
 
     docs = _load(spark, sf_dir, "documents")["documents"]
+    # the synthetic corpus has NO repeated n-grams or lines (dup5 and
+    # dup_line were identically 0 — vacuous, audit catch): plant a
+    # repeated phrase / a duplicated line into doc_id slices via the
+    # shared _Q51_PLANT_SQL expression (chr(10), not a '\n' literal —
+    # DuckDB does not C-escape plain strings)
+    docs = docs.withColumn("text", F.expr(_Q51_PLANT_SQL))
     rows = docs.select("source", *T.repetition_stats("text"))
     return rows.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -5321,8 +5346,20 @@ def q174_basket_rules(spark, sf_dir):
     from btl_bloomfilter_spark.operators.basket import basket_rules
 
     ev = _load(spark, sf_dir, "events")["events"]
+    # basket items = types the user did HEAVILY (>= 14, the per-user
+    # median count): with raw any-occurrence items every user holds
+    # all 5 types and every rule degenerates to support = confidence
+    # = lift = 1.0 in both engines (audit catch) — the heavy-item
+    # baskets vary, so the rule table is genuinely discriminative
+    heavy = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id", "event_type")
+        .count()
+        .where(F.col("count") >= 14)
+        .select("user_id", "event_type")
+    )
     return basket_rules(
-        ev, "user_id", "event_type", min_support=5
+        heavy, "user_id", "event_type", min_support=5
     ).orderBy("antecedent", "consequent")
 
 
@@ -7320,7 +7357,8 @@ def _q51_oracle_sql() -> str:
                    {T.repetition_grams_sql('text', 5)} AS g5,
                    greatest(length({T._clean_sql('text')}), 1)::double AS total,
                    {R['dup_line_char_frac']} AS r_dl
-            FROM documents
+            FROM (SELECT doc_id, source, {_Q51_PLANT_SQL} AS text
+                  FROM documents)
         ),
         t2 AS (SELECT doc_id, max(c * length(gm)) AS occ FROM {counts('g2')} GROUP BY doc_id),
         t3 AS (SELECT doc_id, max(c * length(gm)) AS occ FROM {counts('g3')} GROUP BY doc_id),
@@ -7860,7 +7898,8 @@ def oracle_sql() -> dict[str, str]:
                          {P['n_phone']} AS n_phone,
                          {P['n_ip']} AS n_ip,
                          {T.redact_pii_sql('text')} AS red
-                  FROM documents)
+                  FROM (SELECT source, {_Q48_PLANT_SQL} AS text
+                        FROM documents))
             GROUP BY source
         """,
         "q49_hash_split": _q49_oracle_sql(),
@@ -8290,7 +8329,10 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY lang",
         "q174_basket_rules": _BASKET.basket_rules_sql(
-            "events", "user_id", "event_type", min_support=5,
+            "(SELECT user_id, event_type FROM events"
+            " WHERE user_id IS NOT NULL"
+            " GROUP BY user_id, event_type HAVING count(*) >= 14)",
+            "user_id", "event_type", min_support=5,
         )
         + " ORDER BY antecedent, consequent",
         "q173_skew_report": _JOINS.skew_report_sql(
