@@ -471,7 +471,9 @@ def grouped_kendall(
     excluded, mirroring grouped_spearman.
 
     Scale shape: one map-side-combined joint-histogram groupBy (the
-    only row-scale stage), two marginal aggregates, one cell-scale
+    only row-scale stage — its shuffle is emitted once and reused by
+    the self-join and both marginals, ReusedExchange), two cell-scale
+    marginal aggregates off the same histogram, one cell-scale
     self-join on the group key, one group-sized final reduce.
     """
     keep = None
@@ -502,7 +504,13 @@ def grouped_kendall(
     )
 
     def marginal(col: str, alias: str):
-        m = q.groupBy(*group_cols, col).agg(F.count(F.lit(1)).cast(_D).alias("__t"))
+        # marginals off the CELL histogram, not the raw rows: all
+        # three consumers (pair self-join + both marginals) then
+        # share one identical row-scale aggregate whose shuffle the
+        # planner emits once and reuses (ReusedExchange) — one source
+        # pass instead of three (the jonckheere_terpstra rewrite,
+        # applied back to its parent)
+        m = cells.groupBy(*group_cols, col).agg(F.sum("__w").alias("__t"))
         return m.groupBy(*group_cols).agg(
             F.sum(F.col("__t") * (F.col("__t") - 1)).alias(alias),
             F.sum("__t").alias(f"{alias}_n"),
@@ -548,13 +556,15 @@ def grouped_kendall_sql(table: str, group: str, x: str, y: str) -> str:
             GROUP BY a.g
         ),
         mx AS (
+            -- marginals off the CELL histogram (the Spark side's
+            -- ReusedExchange shape mirrored)
             SELECT g, sum(t * (t - 1)) AS tx2, sum(t) AS n FROM (
-                SELECT g, x, count(*)::hugeint AS t FROM q GROUP BY g, x
+                SELECT g, x, sum(w) AS t FROM cells GROUP BY g, x
             ) GROUP BY g
         ),
         my AS (
             SELECT g, sum(t * (t - 1)) AS ty2 FROM (
-                SELECT g, y, count(*)::hugeint AS t FROM q GROUP BY g, y
+                SELECT g, y, sum(w) AS t FROM cells GROUP BY g, y
             ) GROUP BY g
         )
         SELECT cd.g AS {group}, CAST(mx.n AS BIGINT) AS n,
