@@ -4212,8 +4212,10 @@ def wilcoxon_signed_rank(
     while every statistic keeps its exact wide arithmetic.
 
     Scale shape: one map-side-combined (group, |d|) histogram with
-    sign-split counts, one per-GROUP cumulative window over
-    compressed |d|, one group-sized aggregate — the grouped_ks /
+    sign-split counts (the zero cell included; pair totals derive
+    from the same histogram, ReusedExchange), one per-GROUP
+    cumulative window over compressed |d|, one group-sized
+    aggregate — the grouped_ks /
     grouped_mannwhitney shape with the cohort axis replaced by the
     sign split.
     """
@@ -4227,18 +4229,23 @@ def wilcoxon_signed_rank(
     dc = F.col("__d")
     if dt in ("float", "double"):
         base = base.where(~F.isnan(dc))
-    n_pairs = base.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum((dc == 0).cast("long")).alias("n_zero"),
+    # ONE row-scale |d| histogram INCLUDING the zero cell; the pair
+    # totals and the nonzero rank branch both derive from it, so the
+    # planner emits the row-scale shuffle once and reuses it
+    # (ReusedExchange — the kendall/jonckheere/theil rewrite) instead
+    # of aggregating the raw pairs twice with different keys
+    hall = base.groupBy(*group_cols, F.abs(dc).alias("__v")).agg(
+        F.count(F.lit(1)).cast(_D).alias("__t"),
+        F.sum((dc > 0).cast("long")).cast(_D).alias("__p"),
     )
-    h = (
-        base.where(dc != 0)
-        .groupBy(*group_cols, F.abs(dc).alias("__v"))
-        .agg(
-            F.count(F.lit(1)).cast(_D).alias("__t"),
-            F.sum((dc > 0).cast("long")).cast(_D).alias("__p"),
-        )
+    zd0 = F.lit(0).cast(_D)
+    n_pairs = hall.groupBy(*group_cols).agg(
+        F.sum("__t").cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("__v") == 0, F.col("__t")).otherwise(zd0))
+        .cast("long")
+        .alias("n_zero"),
     )
+    h = hall.where(F.col("__v") != 0)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("__v")
@@ -4289,15 +4296,21 @@ def wilcoxon_signed_rank_sql(table: str, group: str, a: str, b: str) -> str:
             WHERE ({a}) IS NOT NULL AND ({b}) IS NOT NULL
               AND NOT isnan((({a}) - ({b}))::DOUBLE)
         ),
-        __wsr_np AS (
-            SELECT g, count(*)::BIGINT AS n_pairs,
-                   sum(CASE WHEN d = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero
-            FROM __wsr_d GROUP BY g
-        ),
-        __wsr_h AS (
+        __wsr_hall AS (
+            -- one |d| histogram INCLUDING the zero cell; totals +
+            -- rank branch both derive (the Spark ReusedExchange shape)
             SELECT g, abs(d) AS v, count(*)::HUGEINT AS t,
                    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END)::HUGEINT AS p
-            FROM __wsr_d WHERE d <> 0 GROUP BY g, abs(d)
+            FROM __wsr_d GROUP BY g, abs(d)
+        ),
+        __wsr_np AS (
+            SELECT g, sum(t)::BIGINT AS n_pairs,
+                   sum(CASE WHEN v = 0 THEN t ELSE 0::HUGEINT END)::BIGINT
+                       AS n_zero
+            FROM __wsr_hall GROUP BY g
+        ),
+        __wsr_h AS (
+            SELECT g, v, t, p FROM __wsr_hall WHERE v <> 0
         ),
         __wsr_c AS (
             SELECT g, v, t, p,
@@ -4476,9 +4489,11 @@ def grouped_theil(
     keep their row with NULL indices (null-safe LEFT join).
     OVERFLOW: Σ c·v·ln_micro(v) ≤ S·ln_micro(v_max) < 10³⁸ → S ≲ 10²⁹.
 
-    Scale shape: one map-side-combined (group, v) histogram — the
-    only row-scale stage — then a cell-scale aggregate and a
-    group-sized null-safe join against the totals.
+    Scale shape: one map-side-combined (group, v) histogram over ALL
+    values — the only row-scale stage, its shuffle emitted once and
+    reused by the totals and the positive-only entropy branch
+    (ReusedExchange) — then cell-scale aggregates and a group-sized
+    null-safe join.
     """
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     dt = df.select(v.alias("__probe")).schema[0].dataType.simpleString()
@@ -4489,15 +4504,21 @@ def grouped_theil(
         )
     ln_micro = _ln_micro
     base = df.where(v.isNotNull()).select(*group_cols, v.cast("long").alias("__x"))
-    tot = base.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.sum((F.col("__x") <= 0).cast("long")).alias("n_nonpos"),
+    # ONE row-scale histogram over ALL values (nonpositives included);
+    # the totals and the positive-only entropy branch both derive from
+    # it, so the planner emits the row-scale shuffle once and reuses
+    # it (ReusedExchange — the kendall/jonckheere rewrite) instead of
+    # aggregating the raw rows twice with different keys
+    cells = base.groupBy(*group_cols, F.col("__x").alias("__v")).agg(
+        F.count(F.lit(1)).cast(_D).alias("__c")
     )
-    h = (
-        base.where(F.col("__x") > 0)
-        .groupBy(*group_cols, F.col("__x").alias("__v"))
-        .agg(F.count(F.lit(1)).cast(_D).alias("__c"))
+    tot = cells.groupBy(*group_cols).agg(
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__v") <= 0, F.col("__c")).otherwise(F.lit(0).cast(_D)))
+        .cast("long")
+        .alias("n_nonpos"),
     )
+    h = cells.where(F.col("__v") > 0)
     c, vv = F.col("__c"), F.col("__v").cast(_D)
     lnv = ln_micro(F.col("__v")).cast(_D)
     agg = h.groupBy(*group_cols).agg(
@@ -4542,14 +4563,20 @@ def grouped_theil_sql(table: str, group: str, value: str) -> str:
             SELECT {group} AS g, ({value})::BIGINT AS x
             FROM {table} WHERE ({value}) IS NOT NULL
         ),
+        __th_c AS (
+            -- one histogram over ALL values; totals + entropy branch
+            -- both derive from it (the Spark ReusedExchange shape)
+            SELECT g, x AS v, count(*)::HUGEINT AS c
+            FROM __th_b GROUP BY g, x
+        ),
         __th_tot AS (
-            SELECT g, count(*)::BIGINT AS n_rows,
-                   sum(CASE WHEN x <= 0 THEN 1 ELSE 0 END)::BIGINT AS n_nonpos
-            FROM __th_b GROUP BY g
+            SELECT g, sum(c)::BIGINT AS n_rows,
+                   sum(CASE WHEN v <= 0 THEN c ELSE 0::HUGEINT END)::BIGINT
+                       AS n_nonpos
+            FROM __th_c GROUP BY g
         ),
         __th_h AS (
-            SELECT g, x AS v, count(*)::HUGEINT AS c
-            FROM __th_b WHERE x > 0 GROUP BY g, x
+            SELECT g, v, c FROM __th_c WHERE v > 0
         ),
         __th_a AS (
             SELECT g, sum(c) AS n, sum(c * v::HUGEINT) AS s,
