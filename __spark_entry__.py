@@ -394,6 +394,29 @@ def q25_simhash_near(spark, sf_dir):
 # Shared planting expressions (q48/q51): evaluated verbatim by BOTH
 # Spark (F.expr) and DuckDB (inline in the oracle subquery), so the
 # planted PII / repetition is engine-identical by construction.
+# q194/q199 share one time-to-first-purchase derivation (48 h
+# administrative censoring window): the plain and the Gehan-weighted
+# log-rank run on the SAME base, so their comparison is apples-to-apples.
+_Q194_BASE_SQL = (
+    "(WITH __q194_u AS ("
+    " SELECT user_id,"
+    " min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS fh,"
+    " max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS lh,"
+    " min(CASE WHEN event_type = 'purchase' THEN"
+    " CAST(floor(epoch(ts)) AS BIGINT) // 3600 END) AS fp,"
+    " sum(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
+    " AS clicks"
+    " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
+    " SELECT user_id % 3 AS seg,"
+    " CASE WHEN clicks >= 14 THEN 'heavy' ELSE 'light' END"
+    " AS cohort,"
+    " CASE WHEN fp IS NOT NULL AND fp - fh <= 48 THEN fp - fh"
+    " ELSE least(lh - fh, 48) END AS dur,"
+    " CASE WHEN fp IS NOT NULL AND fp - fh <= 48 THEN 1"
+    " ELSE 0 END AS converted"
+    " FROM __q194_u)"
+)
+
 _Q48_PLANT_SQL = (
     "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' reach me at user', CAST(doc_id AS STRING), '@example.com') WHEN doc_id % 11 = 0 THEN concat(text, ' call 0800-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), '-42 now') WHEN doc_id % 13 = 0 THEN concat(text, ' host 10.0.', CAST(doc_id % 256 AS STRING), '.', CAST(doc_id % 100 AS STRING), ' up') ELSE text END"
 )
@@ -6985,6 +7008,54 @@ def q198_mantel_haenszel(spark, sf_dir):
     ).orderBy("seg")
 
 
+def q199_gehan(spark, sf_dir):
+    """Gehan-Breslow-Wilcoxon weighted log-rank (operators/survival.
+    logrank_test(weight='gehan')): q194's exact comparison re-weighted
+    by the pooled at-risk n at each event time - early conversions
+    weigh most, the right sensitivity when cohorts separate early and
+    re-converge (the plain log-rank is optimal under proportional
+    hazards; shipping BOTH is the survival-kit convention).  The
+    weight multiplies each time's quantized (O-E) and V term AFTER
+    quantization, so every weighted sum is still an exact
+    decimal/hugeint integer and chi2/z keep the one-division shapes -
+    hash-oracled; the single-event-time weight-cancellation identity
+    (chi2 EXACTLY == q194's) and the early/late sensitivity ordering
+    are pinned in test_logrank.  Same derivation, plan and scale
+    shape as q194."""
+    from btl_bloomfilter_spark.operators.survival import logrank_test
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    hour = F.expr("unix_timestamp(ts) div 3600")
+    per_user = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(hour).alias("fh"),
+            F.max(hour).alias("lh"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", hour)
+            ).alias("fp"),
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("clicks"),
+        )
+    )
+    conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+    base = per_user.select(
+        (F.col("user_id") % 3).alias("seg"),
+        F.when(F.col("clicks") >= 14, F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("cohort"),
+        F.when(conv, F.col("fp") - F.col("fh"))
+        .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+        .alias("dur"),
+        conv.cast("int").alias("converted"),
+    )
+    return logrank_test(
+        base, ["seg"], "cohort", "dur", "converted", weight="gehan"
+    ).orderBy("seg")
+
+
 def q182_brown_forsythe(spark, sf_dir):
     """Exact Brown–Forsythe variance-homogeneity test
     (operators/stats.brown_forsythe): on q179's OWN data (lang ×
@@ -7270,6 +7341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q196_jonckheere": q196_jonckheere,
         "q197_page": q197_page,
         "q198_mantel_haenszel": q198_mantel_haenszel,
+        "q199_gehan": q199_gehan,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -8191,24 +8263,12 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ORDER BY seg",
         "q194_logrank": _SURVIVAL.logrank_test_sql(
-            "(WITH __q194_u AS ("
-            " SELECT user_id,"
-            " min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS fh,"
-            " max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS lh,"
-            " min(CASE WHEN event_type = 'purchase' THEN"
-            " CAST(floor(epoch(ts)) AS BIGINT) // 3600 END) AS fp,"
-            " sum(CASE WHEN event_type = 'click' THEN 1 WHEN event_type IS NOT NULL THEN 0 END)"
-            " AS clicks"
-            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
-            " SELECT user_id % 3 AS seg,"
-            " CASE WHEN clicks >= 14 THEN 'heavy' ELSE 'light' END"
-            " AS cohort,"
-            " CASE WHEN fp IS NOT NULL AND fp - fh <= 48 THEN fp - fh"
-            " ELSE least(lh - fh, 48) END AS dur,"
-            " CASE WHEN fp IS NOT NULL AND fp - fh <= 48 THEN 1"
-            " ELSE 0 END AS converted"
-            " FROM __q194_u)",
-            "seg", "cohort", "dur", "converted",
+            _Q194_BASE_SQL, "seg", "cohort", "dur", "converted",
+        )
+        + " ORDER BY seg",
+        "q199_gehan": _SURVIVAL.logrank_test_sql(
+            _Q194_BASE_SQL, "seg", "cohort", "dur", "converted",
+            weight="gehan",
         )
         + " ORDER BY seg",
         "q184_jsd": _DRIFT.grouped_jsd_sql(

@@ -1522,6 +1522,40 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         )
         return page_trend(panel, ["seg"], "user_id", "t", "v").count()
 
+    def q_gehan():
+        # q_logrank's derivation with the Gehan weight - same plan
+        from btl_bloomfilter_spark.operators.survival import logrank_test
+
+        hour = F.expr("unix_timestamp(ts) div 3600")
+        per_user = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.min(hour).alias("fh"),
+                F.max(hour).alias("lh"),
+                F.min(
+                    F.when(F.col("event_type") == "purchase", hour)
+                ).alias("fp"),
+                F.sum((F.col("event_type") == "click").cast("int")).alias(
+                    "clicks"
+                ),
+            )
+        )
+        conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+        base = per_user.select(
+            (F.col("user_id") % 3).alias("seg"),
+            F.when(F.col("clicks") >= 14, F.lit("heavy"))
+            .otherwise(F.lit("light"))
+            .alias("cohort"),
+            F.when(conv, F.col("fp") - F.col("fh"))
+            .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+            .alias("dur"),
+            conv.cast("int").alias("converted"),
+        )
+        return logrank_test(
+            base, ["seg"], "cohort", "dur", "converted", weight="gehan"
+        ).count()
+
     def q_mantel_haenszel():
         # one (seg, day_part) four-counter cell histogram + one
         # cell-scale aggregate
@@ -1692,6 +1726,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "jonckheere_events": q_jonckheere,
         "page_trend_events": q_page,
         "mantel_haenszel_events": q_mantel_haenszel,
+        "gehan_events": q_gehan,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

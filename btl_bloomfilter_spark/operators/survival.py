@@ -197,6 +197,8 @@ def logrank_test(
     cohort_col,
     duration_col,
     event_col,
+    *,
+    weight: str = "logrank",
 ) -> DataFrame:
     """(group…, cohort_a, cohort_b, n_a, n_b, events_a, events_b,
     e_a_micro, e_a, o_minus_e, v_micro, chi2, z) — exact two-cohort
@@ -240,6 +242,19 @@ def logrank_test(
                                                survives longer)
 
     — engine-identical, hash-oracle-able including both doubles.
+
+    ``weight="gehan"`` gives the Gehan–Breslow–Wilcoxon variant:
+    each time's (O−E) and V term is multiplied by the pooled at-risk
+    n (and n², respectively) AFTER the quantization, so every
+    weighted sum stays an exact integer and chi2/z keep the same
+    one-division shapes.  Early times weigh most — the test to reach
+    for when the curves separate early and re-converge (the plain
+    log-rank is optimal under proportional hazards; both are
+    reported unweighted in e_a/v_micro, with o_minus_e following the
+    chosen weight).  With one distinct event time the weight cancels
+    and chi2/z are IDENTICAL doubles (same rational, both divisions
+    correctly rounded — pinned by test).  OVERFLOW (gehan): Σ n²·v ≲
+    n³·10⁶/4 → per-group subjects ≲ 7·10⁹.
 
     Cohort identity is deterministic: cohort_a = the group's MIN
     cohort label, cohort_b = MAX (reported).  A third label raises
@@ -318,6 +333,19 @@ def logrank_test(
             f" div (CAST(__n AS DECIMAL(38,0)) * __n * (__n - 1))"
         ),
     ).otherwise(F.lit(0).cast("long"))
+    _D = "decimal(38,0)"
+    if weight == "logrank":
+        wt = F.lit(1).cast(_D)
+    elif weight == "gehan":
+        # Gehan–Breslow: w_t = pooled at-risk n — early times weigh
+        # more (exact long; applied AFTER the per-time quantization,
+        # so each weighted term stays an exact integer)
+        wt = F.col("__n").cast(_D)
+    else:
+        raise ValueError(
+            f"logrank_test: weight must be 'logrank' or 'gehan', got {weight!r}"
+        )
+    numt = F.col("__d1").cast(_D) * F.lit(_MICRO) - e1.cast(_D)
     ga = w.groupBy(*group_cols).agg(
         F.max("__lo").alias("cohort_a"),
         F.max("__hi").alias("cohort_b"),
@@ -327,13 +355,14 @@ def logrank_test(
         F.sum(F.col("__dd") - F.col("__d1")).alias("events_b"),
         F.sum(e1).alias("__e1m"),
         F.sum(v).alias("__vm"),
+        F.sum(wt * numt).alias("__numw"),
+        F.sum(wt * wt * v.cast(_D)).alias("__vmw"),
     )
-    num = F.col("events_a") * F.lit(_MICRO) - F.col("__e1m")
-    _D = "decimal(38,0)"
-    chi2 = (num.cast(_D) * num.cast(_D)).cast("double") / (
-        F.col("__vm").cast(_D) * F.lit(_MICRO).cast(_D)
+    num = F.col("__numw")
+    chi2 = (num * num).cast("double") / (
+        F.col("__vmw") * F.lit(_MICRO).cast(_D)
     ).cast("double")
-    ok = F.col("__vm") > 0
+    ok = F.col("__vmw") > 0
     ga = ga.withColumn("__chi2", F.when(ok, chi2))
     return ga.select(
         *group_cols,
@@ -355,11 +384,22 @@ def logrank_test(
 
 
 def logrank_test_sql(
-    table: str, group: str, cohort: str, duration: str, event: str
+    table: str, group: str, cohort: str, duration: str, event: str,
+    *, weight: str = "logrank",
 ) -> str:
     """DuckDB twin of :func:`logrank_test` (hugeint quantize-once
     terms, identical cohort-label mapping, `//` on nonnegative
-    operands, identical double shapes)."""
+    operands, identical double shapes, same per-time weight applied
+    AFTER quantization)."""
+    if weight == "logrank":
+        wsql = "1::HUGEINT"
+    elif weight == "gehan":
+        wsql = "n::HUGEINT"
+    else:
+        raise ValueError(
+            f"logrank_test_sql: weight must be 'logrank' or 'gehan',"
+            f" got {weight!r}"
+        )
     return f"""
         WITH __lr_cells AS (
             SELECT {group} AS g, {cohort} AS co, ({duration})::BIGINT AS t,
@@ -408,7 +448,8 @@ def logrank_test_sql(
                    CASE WHEN n > 1 THEN
                        (dd::HUGEINT * (n - dd) * n1 * (n - n1) * 1000000)
                        // (n::HUGEINT * n * (n - 1))
-                   ELSE 0 END AS v
+                   ELSE 0 END AS v,
+                   {wsql} AS w
             FROM __lr_w
         ),
         __lr_a AS (
@@ -417,28 +458,27 @@ def logrank_test_sql(
                    sum(cta - ct1)::BIGINT AS n_b,
                    sum(d1)::BIGINT AS events_a,
                    sum(dd - d1)::BIGINT AS events_b,
-                   sum(e1)::BIGINT AS e1m, sum(v)::BIGINT AS vm
+                   sum(e1)::BIGINT AS e1m, sum(v)::BIGINT AS vm,
+                   sum(w * (d1::HUGEINT * 1000000 - e1)) AS numw,
+                   sum(w * w * v::HUGEINT) AS vmw
             FROM __lr_terms GROUP BY g
         )
         SELECT g AS {group}, cohort_a, cohort_b, n_a, n_b,
                events_a, events_b,
                e1m AS e_a_micro,
                e1m::DOUBLE / 1000000.0 AS e_a,
-               (events_a * 1000000 - e1m)::DOUBLE / 1000000.0 AS o_minus_e,
+               numw::DOUBLE / 1000000.0 AS o_minus_e,
                vm AS v_micro,
-               CASE WHEN vm > 0 THEN
-                   CAST((events_a * 1000000 - e1m)::HUGEINT
-                        * (events_a * 1000000 - e1m)::HUGEINT AS DOUBLE)
-                   / CAST(vm::HUGEINT * 1000000 AS DOUBLE)
+               CASE WHEN vmw > 0 THEN
+                   CAST(numw * numw AS DOUBLE)
+                   / CAST(vmw * 1000000::HUGEINT AS DOUBLE)
                END AS chi2,
-               CASE WHEN vm > 0 THEN
-                   (CASE WHEN events_a * 1000000 - e1m > 0 THEN 1.0
-                         WHEN events_a * 1000000 - e1m < 0 THEN -1.0
+               CASE WHEN vmw > 0 THEN
+                   (CASE WHEN numw > 0 THEN 1.0
+                         WHEN numw < 0 THEN -1.0
                          ELSE 0.0 END)
-                   * sqrt(CAST((events_a * 1000000 - e1m)::HUGEINT
-                               * (events_a * 1000000 - e1m)::HUGEINT
-                               AS DOUBLE)
-                          / CAST(vm::HUGEINT * 1000000 AS DOUBLE))
+                   * sqrt(CAST(numw * numw AS DOUBLE)
+                          / CAST(vmw * 1000000::HUGEINT AS DOUBLE))
                END AS z
         FROM __lr_a
     """

@@ -234,3 +234,124 @@ def test_duckdb_twin_error_branches():
     con.register("__lrbad", bad)
     with pytest.raises(Exception, match="event must be 0 or 1"):
         con.sql(logrank_test_sql("__lrbad", "g", "co", "dur", "ev")).df()
+
+
+def _brute_gehan(pairs):
+    """Gehan–Breslow variant: per-time weight n (pooled at risk)
+    applied AFTER the micro quantization — replicates the operator's
+    weighted exact-integer sums."""
+    labels = sorted({c for c, _, _ in pairs})
+    lo = labels[0]
+    d1, ct1, dd, cta = Counter(), Counter(), Counter(), Counter()
+    for c, t, e in pairs:
+        dd[t] += e
+        cta[t] += 1
+        if c == lo:
+            d1[t] += e
+            ct1[t] += 1
+    N, N1 = sum(cta.values()), sum(ct1.values())
+    cum = cum1 = numw = vmw = 0
+    for t in sorted(cta):
+        cum += cta[t]
+        cum1 += ct1[t]
+        n = N - cum + cta[t]
+        n1 = N1 - cum1 + ct1[t]
+        d = dd[t]
+        e1 = (d * n1 * M) // n
+        v = 0
+        if n > 1:
+            v = (d * (n - d) * n1 * (n - n1) * M) // (n * n * (n - 1))
+        numw += n * (d1[t] * M - e1)
+        vmw += n * n * v
+    if vmw > 0:
+        chi2 = float(numw * numw) / float(vmw * M)
+        sign = 1.0 if numw > 0 else (-1.0 if numw < 0 else 0.0)
+        return {"o_minus_e": numw / 1e6, "chi2": chi2,
+                "z": sign * math.sqrt(chi2)}
+    return {"o_minus_e": numw / 1e6, "chi2": None, "z": None}
+
+
+def test_gehan_matches_brute(spark):
+    rng = random.Random(557)
+    rows = [(0,) + r for r in _gen(rng, 300, 6.0, 10.0)]
+    df = spark.createDataFrame(rows, "g int, co string, dur int, ev int")
+    got = logrank_test(
+        df, ["g"], "co", "dur", "ev", weight="gehan"
+    ).collect()[0]
+    want = _brute_gehan([(c, t, e) for _, c, t, e in rows])
+    assert {k: got[k] for k in want} == want
+
+
+def test_gehan_equals_logrank_at_single_event_time(spark):
+    """With exactly one distinct duration the weight is a constant
+    that cancels: chi2/z must be IDENTICAL doubles (both divisions
+    compute the correctly-rounded value of the same rational)."""
+    rows = [(0, "a", 5, 1)] * 8 + [(0, "a", 5, 0)] * 2 \
+        + [(0, "b", 5, 1)] * 3 + [(0, "b", 5, 0)] * 7
+    df = spark.createDataFrame(rows, "g int, co string, dur int, ev int")
+    lr = logrank_test(df, ["g"], "co", "dur", "ev").collect()[0]
+    gh = logrank_test(
+        df, ["g"], "co", "dur", "ev", weight="gehan"
+    ).collect()[0]
+    assert gh["chi2"] == lr["chi2"] and gh["z"] == lr["z"]
+
+
+def test_gehan_weights_early_differences(spark):
+    """Cohorts that differ EARLY and converge late: Gehan (weight n,
+    largest at early times) must amplify |z| relative to the plain
+    log-rank; with the difference moved LATE the ordering flips."""
+    early = (
+        [(0, "a", 1, 1)] * 12 + [(0, "a", 20, 1)] * 8
+        + [(0, "b", 2, 1)] * 2 + [(0, "b", 20, 1)] * 18
+    )
+    df = spark.createDataFrame(early, "g int, co string, dur int, ev int")
+    lr = logrank_test(df, ["g"], "co", "dur", "ev").collect()[0]
+    gh = logrank_test(
+        df, ["g"], "co", "dur", "ev", weight="gehan"
+    ).collect()[0]
+    assert abs(gh["z"]) > abs(lr["z"])
+    late = (
+        [(0, "a", 10, 1)] * 10 + [(0, "a", 20, 1)] * 10
+        + [(0, "b", 10, 1)] * 10 + [(0, "b", 30, 1)] * 10
+    )
+    df2 = spark.createDataFrame(late, "g int, co string, dur int, ev int")
+    lr2 = logrank_test(df2, ["g"], "co", "dur", "ev").collect()[0]
+    gh2 = logrank_test(
+        df2, ["g"], "co", "dur", "ev", weight="gehan"
+    ).collect()[0]
+    assert abs(gh2["z"]) < abs(lr2["z"])
+
+
+def test_gehan_duckdb_twin(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(563)
+    rows = []
+    for g in range(3):
+        rows += [(g,) + r for r in _gen(rng, 200, 5.0, 9.0)]
+    pdf = pd.DataFrame(rows, columns=["g", "co", "dur", "ev"])
+    p = str(tmp_path / "gh.parquet")
+    pdf.to_parquet(p)
+    got = (
+        logrank_test(
+            spark.read.parquet(p), ["g"], "co", "dur", "ev", weight="gehan"
+        )
+        .orderBy("g")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW __t AS SELECT * FROM read_parquet('{p}')")
+    want = con.sql(
+        logrank_test_sql("__t", "g", "co", "dur", "ev", weight="gehan")
+        + " ORDER BY g"
+    ).df()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_bad_weight_raises(spark):
+    with pytest.raises(ValueError, match="weight must be"):
+        logrank_test_sql("t", "g", "co", "dur", "ev", weight="peto")
+    df = spark.createDataFrame([(0, "a", 1, 1)], "g int, co string, dur int, ev int")
+    with pytest.raises(ValueError, match="weight must be"):
+        logrank_test(df, ["g"], "co", "dur", "ev", weight="peto")
