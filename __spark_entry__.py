@@ -7056,6 +7056,56 @@ def q199_gehan(spark, sf_dir):
     ).orderBy("seg")
 
 
+def q200_stratified_logrank(spark, sf_dir):
+    """Stratified log-rank (operators/survival.logrank_test(
+    stratum_col=...)): q194's heavy-vs-light time-to-first-purchase
+    comparison ADJUSTED for when the user's activity starts (first-
+    hour day-part strata) - the survival analogue of q198's
+    Mantel-Haenszel: risk sets form within each (seg, day-part)
+    stratum and the quantized hypergeometric terms sum across
+    strata, so a start-time confounder that tracks both click
+    intensity and baseline conversion speed is conditioned away
+    (the planted survival-Simpson test pins pooled-lies vs
+    stratified-exact-zero).  Terms stay exact decimal/hugeint
+    integers, chi2/z the same one-division shapes, n_strata
+    reported - hash-oracled.  Plan: q194's with the stratum riding
+    the cell-histogram and window keys - same single row-scale
+    stage."""
+    from btl_bloomfilter_spark.operators.survival import logrank_test
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    hour = F.expr("unix_timestamp(ts) div 3600")
+    per_user = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(hour).alias("fh"),
+            F.max(hour).alias("lh"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", hour)
+            ).alias("fp"),
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("clicks"),
+        )
+    )
+    conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+    base = per_user.select(
+        (F.col("user_id") % 3).alias("seg"),
+        F.expr("fh % 24 div 6").alias("day_part"),
+        F.when(F.col("clicks") >= 14, F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("cohort"),
+        F.when(conv, F.col("fp") - F.col("fh"))
+        .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+        .alias("dur"),
+        conv.cast("int").alias("converted"),
+    )
+    return logrank_test(
+        base, ["seg"], "cohort", "dur", "converted", stratum_col="day_part"
+    ).orderBy("seg")
+
+
 def q182_brown_forsythe(spark, sf_dir):
     """Exact Brown–Forsythe variance-homogeneity test
     (operators/stats.brown_forsythe): on q179's OWN data (lang ×
@@ -7342,6 +7392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q197_page": q197_page,
         "q198_mantel_haenszel": q198_mantel_haenszel,
         "q199_gehan": q199_gehan,
+        "q200_stratified_logrank": q200_stratified_logrank,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -8264,6 +8315,14 @@ def oracle_sql() -> dict[str, str]:
         + " ORDER BY seg",
         "q194_logrank": _SURVIVAL.logrank_test_sql(
             _Q194_BASE_SQL, "seg", "cohort", "dur", "converted",
+        )
+        + " ORDER BY seg",
+        "q200_stratified_logrank": _SURVIVAL.logrank_test_sql(
+            _Q194_BASE_SQL.replace(
+                " SELECT user_id % 3 AS seg,",
+                " SELECT user_id % 3 AS seg, fh % 24 // 6 AS day_part,",
+            ),
+            "seg", "cohort", "dur", "converted", stratum="day_part",
         )
         + " ORDER BY seg",
         "q199_gehan": _SURVIVAL.logrank_test_sql(

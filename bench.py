@@ -1556,6 +1556,43 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             base, ["seg"], "cohort", "dur", "converted", weight="gehan"
         ).count()
 
+    def q_stratified_logrank():
+        # q_logrank's derivation with day-part strata - same plan,
+        # stratum rides the histogram/window keys
+        from btl_bloomfilter_spark.operators.survival import logrank_test
+
+        hour = F.expr("unix_timestamp(ts) div 3600")
+        per_user = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.min(hour).alias("fh"),
+                F.max(hour).alias("lh"),
+                F.min(
+                    F.when(F.col("event_type") == "purchase", hour)
+                ).alias("fp"),
+                F.sum((F.col("event_type") == "click").cast("int")).alias(
+                    "clicks"
+                ),
+            )
+        )
+        conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+        base = per_user.select(
+            (F.col("user_id") % 3).alias("seg"),
+            F.expr("fh % 24 div 6").alias("day_part"),
+            F.when(F.col("clicks") >= 14, F.lit("heavy"))
+            .otherwise(F.lit("light"))
+            .alias("cohort"),
+            F.when(conv, F.col("fp") - F.col("fh"))
+            .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+            .alias("dur"),
+            conv.cast("int").alias("converted"),
+        )
+        return logrank_test(
+            base, ["seg"], "cohort", "dur", "converted",
+            stratum_col="day_part",
+        ).count()
+
     def q_mantel_haenszel():
         # one (seg, day_part) four-counter cell histogram + one
         # cell-scale aggregate
@@ -1727,6 +1764,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "page_trend_events": q_page,
         "mantel_haenszel_events": q_mantel_haenszel,
         "gehan_events": q_gehan,
+        "stratified_logrank_events": q_stratified_logrank,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -199,6 +199,7 @@ def logrank_test(
     event_col,
     *,
     weight: str = "logrank",
+    stratum_col=None,
 ) -> DataFrame:
     """(group…, cohort_a, cohort_b, n_a, n_b, events_a, events_b,
     e_a_micro, e_a, o_minus_e, v_micro, chi2, z) — exact two-cohort
@@ -256,6 +257,19 @@ def logrank_test(
     correctly rounded — pinned by test).  OVERFLOW (gehan): Σ n²·v ≲
     n³·10⁶/4 → per-group subjects ≲ 7·10⁹.
 
+    ``stratum_col`` gives the STRATIFIED log-rank (the survival
+    analogue of stats.mantel_haenszel): risk sets form within each
+    (group, stratum) and the quantized (O−E)/V terms sum across
+    strata, so a confounder that tracks both cohort membership and
+    the baseline hazard is conditioned away — the pooled test
+    reports a large spurious z on planted survival-Simpson data
+    where the stratified test reports z == 0.0 EXACTLY (pinned).
+    The cohort a/b mapping and the two-cohort check stay
+    GROUP-level; an ``n_strata`` column is prepended (schema
+    unchanged when stratum_col is None); composes with
+    ``weight="gehan"`` (the weight is the stratum's own at-risk n).
+    NULL stratum drops the row.
+
     Cohort identity is deterministic: cohort_a = the group's MIN
     cohort label, cohort_b = MAX (reported).  A third label raises
     in-plan in both engines.  A single-cohort group degenerates to
@@ -288,12 +302,22 @@ def logrank_test(
     e = F.when(
         ev.isin(0, 1), ev.cast("long")
     ).otherwise(F.raise_error(F.lit("logrank_test: event must be 0 or 1")))
-    cells = (
-        df.where(co.isNotNull() & dur.isNotNull() & ev.isNotNull())
-        .groupBy(*group_cols, co.alias("__co"), dur.cast("long").alias("__t"))
-        .agg(F.sum(e).alias("__d"), F.count(F.lit(1)).alias("__ct"))
-    )
+    strat = []
+    if stratum_col is not None:
+        st = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+        strat = [st.alias("__strat")]
+    base = df.where(co.isNotNull() & dur.isNotNull() & ev.isNotNull())
+    if strat:
+        stc = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+        base = base.where(stc.isNotNull())
+    cells = base.groupBy(
+        *group_cols, *strat, co.alias("__co"), dur.cast("long").alias("__t")
+    ).agg(F.sum(e).alias("__d"), F.count(F.lit(1)).alias("__ct"))
+    skeys = ["__strat"] if strat else []
+    # cohort identity stays GROUP-level (one a/b mapping across all
+    # strata); risk sets are per (group, stratum)
     wg = Window.partitionBy(*group_cols)
+    ws = Window.partitionBy(*group_cols, *skeys)
     m = (
         cells.withColumn("__lo", F.min("__co").over(wg))
         .withColumn("__hi", F.max("__co").over(wg))
@@ -307,7 +331,7 @@ def logrank_test(
             )
         )
     )
-    tc = m.groupBy(*group_cols, "__t").agg(
+    tc = m.groupBy(*group_cols, *skeys, "__t").agg(
         F.sum(F.col("__d") * i1).alias("__d1"),
         F.sum(F.col("__ct") * i1).alias("__ct1"),
         F.sum("__d").alias("__dd"),
@@ -315,10 +339,10 @@ def logrank_test(
         F.max("__lo").alias("__lo"),
         F.max("__hi").alias("__hi"),
     )
-    wcum = wg.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
+    wcum = ws.orderBy("__t").rowsBetween(Window.unboundedPreceding, 0)
     w = (
-        tc.withColumn("__N", F.sum("__cta").over(wg))
-        .withColumn("__N1", F.sum("__ct1").over(wg))
+        tc.withColumn("__N", F.sum("__cta").over(ws))
+        .withColumn("__N1", F.sum("__ct1").over(ws))
         .withColumn("__cum", F.sum("__cta").over(wcum))
         .withColumn("__cum1", F.sum("__ct1").over(wcum))
         .withColumn("__n", F.col("__N") - F.col("__cum") + F.col("__cta"))
@@ -346,7 +370,11 @@ def logrank_test(
             f"logrank_test: weight must be 'logrank' or 'gehan', got {weight!r}"
         )
     numt = F.col("__d1").cast(_D) * F.lit(_MICRO) - e1.cast(_D)
+    extra = (
+        [F.countDistinct("__strat").alias("n_strata")] if skeys else []
+    )
     ga = w.groupBy(*group_cols).agg(
+        *extra,
         F.max("__lo").alias("cohort_a"),
         F.max("__hi").alias("cohort_b"),
         F.sum("__ct1").alias("n_a"),
@@ -366,6 +394,7 @@ def logrank_test(
     ga = ga.withColumn("__chi2", F.when(ok, chi2))
     return ga.select(
         *group_cols,
+        *(["n_strata"] if skeys else []),
         "cohort_a",
         "cohort_b",
         "n_a",
@@ -385,7 +414,7 @@ def logrank_test(
 
 def logrank_test_sql(
     table: str, group: str, cohort: str, duration: str, event: str,
-    *, weight: str = "logrank",
+    *, weight: str = "logrank", stratum: str | None = None,
 ) -> str:
     """DuckDB twin of :func:`logrank_test` (hugeint quantize-once
     terms, identical cohort-label mapping, `//` on nonnegative
@@ -400,9 +429,18 @@ def logrank_test_sql(
             f"logrank_test_sql: weight must be 'logrank' or 'gehan',"
             f" got {weight!r}"
         )
+    # stratified: the stratum key joins the cell/risk-set keys; the
+    # cohort a/b mapping and the final sums stay GROUP-level
+    st_sel = f", ({stratum}) AS st" if stratum else ""
+    st_key = ", st" if stratum else ""
+    st_nn = f" AND ({stratum}) IS NOT NULL" if stratum else ""
+    st_part = "PARTITION BY g, st" if stratum else "PARTITION BY g"
+    st_out = "count(DISTINCT st)::BIGINT AS n_strata, " if stratum else ""
+    st_col = "n_strata, " if stratum else ""
     return f"""
         WITH __lr_cells AS (
-            SELECT {group} AS g, {cohort} AS co, ({duration})::BIGINT AS t,
+            SELECT {group} AS g{st_sel}, {cohort} AS co,
+                   ({duration})::BIGINT AS t,
                    sum(CASE WHEN ({event}) = 1 THEN 1
                             WHEN ({event}) = 0 THEN 0
                             ELSE CAST(error('logrank_test: event must be 0 or 1') AS BIGINT)
@@ -410,17 +448,17 @@ def logrank_test_sql(
                    count(*)::BIGINT AS ct
             FROM {table}
             WHERE ({cohort}) IS NOT NULL AND ({duration}) IS NOT NULL
-              AND ({event}) IS NOT NULL
-            GROUP BY 1, 2, 3
+              AND ({event}) IS NOT NULL{st_nn}
+            GROUP BY ALL
         ),
         __lr_m AS (
-            SELECT g, co, t, d, ct,
+            SELECT g{st_key}, co, t, d, ct,
                    min(co) OVER (PARTITION BY g) AS lo,
                    max(co) OVER (PARTITION BY g) AS hi
             FROM __lr_cells
         ),
         __lr_tc AS (
-            SELECT g, t,
+            SELECT g{st_key}, t,
                    sum(d * CASE WHEN co = lo THEN 1 WHEN co = hi THEN 0
                                 ELSE CAST(error('logrank_test: more than two cohorts in a group') AS BIGINT)
                            END)::BIGINT AS d1,
@@ -428,22 +466,22 @@ def logrank_test_sql(
                        AS ct1,
                    sum(d)::BIGINT AS dd, sum(ct)::BIGINT AS cta,
                    max(lo) AS lo, max(hi) AS hi
-            FROM __lr_m GROUP BY g, t
+            FROM __lr_m GROUP BY ALL
         ),
         __lr_w AS (
-            SELECT g, t, d1, ct1, dd, cta, lo, hi,
-                   sum(cta) OVER (PARTITION BY g)
-                   - sum(cta) OVER (PARTITION BY g ORDER BY t
+            SELECT g{st_key}, t, d1, ct1, dd, cta, lo, hi,
+                   sum(cta) OVER ({st_part})
+                   - sum(cta) OVER ({st_part} ORDER BY t
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) + cta AS n,
-                   sum(ct1) OVER (PARTITION BY g)
-                   - sum(ct1) OVER (PARTITION BY g ORDER BY t
+                   sum(ct1) OVER ({st_part})
+                   - sum(ct1) OVER ({st_part} ORDER BY t
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND CURRENT ROW) + ct1 AS n1
             FROM __lr_tc
         ),
         __lr_terms AS (
-            SELECT g, d1, ct1, dd, cta, lo, hi,
+            SELECT g{st_key}, d1, ct1, dd, cta, lo, hi,
                    (dd::HUGEINT * n1 * 1000000) // n AS e1,
                    CASE WHEN n > 1 THEN
                        (dd::HUGEINT * (n - dd) * n1 * (n - n1) * 1000000)
@@ -453,7 +491,7 @@ def logrank_test_sql(
             FROM __lr_w
         ),
         __lr_a AS (
-            SELECT g, max(lo) AS cohort_a, max(hi) AS cohort_b,
+            SELECT g, {st_out}max(lo) AS cohort_a, max(hi) AS cohort_b,
                    sum(ct1)::BIGINT AS n_a,
                    sum(cta - ct1)::BIGINT AS n_b,
                    sum(d1)::BIGINT AS events_a,
@@ -463,7 +501,7 @@ def logrank_test_sql(
                    sum(w * w * v::HUGEINT) AS vmw
             FROM __lr_terms GROUP BY g
         )
-        SELECT g AS {group}, cohort_a, cohort_b, n_a, n_b,
+        SELECT g AS {group}, {st_col}cohort_a, cohort_b, n_a, n_b,
                events_a, events_b,
                e1m AS e_a_micro,
                e1m::DOUBLE / 1000000.0 AS e_a,

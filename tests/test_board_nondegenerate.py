@@ -97,6 +97,8 @@ def test_trend_column_defined(spark):
         ("q196_jonckheere", "z"),
         ("q197_page", "z"),
         ("q198_mantel_haenszel", "chi2"),
+        ("q199_gehan", "chi2"),
+        ("q200_stratified_logrank", "chi2"),
     ]:
         rows = _rows(spark, name)
         assert len(rows) > 0, name

@@ -355,3 +355,138 @@ def test_bad_weight_raises(spark):
     df = spark.createDataFrame([(0, "a", 1, 1)], "g int, co string, dur int, ev int")
     with pytest.raises(ValueError, match="weight must be"):
         logrank_test(df, ["g"], "co", "dur", "ev", weight="peto")
+
+
+def _brute_strat(triples, weight="logrank"):
+    """triples: [(stratum, cohort, dur, ev)] — per-stratum risk sets,
+    terms summed across strata; cohort mapping global (min label)."""
+    labels = sorted({c for _, c, _, _ in triples})
+    lo = labels[0]
+    numw = vmw = 0
+    for st in {s for s, _, _, _ in triples}:
+        pairs = [(c, t, e) for s, c, t, e in triples if s == st]
+        d1, ct1, dd, cta = Counter(), Counter(), Counter(), Counter()
+        for c, t, e in pairs:
+            dd[t] += e
+            cta[t] += 1
+            if c == lo:
+                d1[t] += e
+                ct1[t] += 1
+        N, N1 = sum(cta.values()), sum(ct1.values())
+        cum = cum1 = 0
+        for t in sorted(cta):
+            cum += cta[t]
+            cum1 += ct1[t]
+            n = N - cum + cta[t]
+            n1 = N1 - cum1 + ct1[t]
+            d = dd[t]
+            e1 = (d * n1 * M) // n
+            v = 0
+            if n > 1:
+                v = (d * (n - d) * n1 * (n - n1) * M) // (n * n * (n - 1))
+            w = n if weight == "gehan" else 1
+            numw += w * (d1[t] * M - e1)
+            vmw += w * w * v
+    if vmw > 0:
+        chi2 = float(numw * numw) / float(vmw * M)
+        sign = 1.0 if numw > 0 else (-1.0 if numw < 0 else 0.0)
+        return {"chi2": chi2, "z": sign * math.sqrt(chi2)}
+    return {"chi2": None, "z": None}
+
+
+def test_stratified_matches_brute_both_weights(spark):
+    rng = random.Random(569)
+    rows = []
+    for st in range(3):
+        lam = 4.0 + 4.0 * st
+        for r in _gen(rng, 120, lam, lam * 1.6):
+            rows.append((0, st) + r)
+    df = spark.createDataFrame(
+        rows, "g int, st int, co string, dur int, ev int"
+    )
+    for wgt in ("logrank", "gehan"):
+        got = logrank_test(
+            df, ["g"], "co", "dur", "ev", weight=wgt, stratum_col="st"
+        ).collect()[0]
+        want = _brute_strat(
+            [(s, c, t, e) for _, s, c, t, e in rows], weight=wgt
+        )
+        assert {k: got[k] for k in want} == want, wgt
+        assert got["n_strata"] == 3
+
+
+def test_single_constant_stratum_equals_unstratified(spark):
+    rng = random.Random(571)
+    rows = [(0,) + r for r in _gen(rng, 200, 5.0, 9.0)]
+    df = spark.createDataFrame(rows, "g int, co string, dur int, ev int")
+    plain = logrank_test(df, ["g"], "co", "dur", "ev").collect()[0].asDict()
+    strat = (
+        logrank_test(
+            df.withColumn("st", df.g * 0), ["g"], "co", "dur", "ev",
+            stratum_col="st",
+        )
+        .collect()[0]
+        .asDict()
+    )
+    assert strat.pop("n_strata") == 1
+    assert strat == plain
+
+
+def test_stratified_corrects_planted_confounding(spark):
+    """Survival Simpson's paradox: within each stratum the cohorts
+    follow the SAME curve (proportional copies, so every per-time
+    term d1·10⁶ − e1 is EXACTLY 0 on the integers), but heavy users
+    concentrate in the fast stratum — the pooled test reports a
+    large spurious z while the stratified test reports z == 0.0
+    EXACTLY."""
+    fast = [(1, 1), (2, 1), (3, 0)]
+    slow = [(10, 1), (20, 1), (30, 0)]
+    rows = []
+    for _ in range(12):
+        rows += [(0, "A", "heavy", t, e) for t, e in fast]
+        rows += [(0, "B", "light", t, e) for t, e in slow]
+    for _ in range(3):
+        rows += [(0, "A", "light", t, e) for t, e in fast]
+        rows += [(0, "B", "heavy", t, e) for t, e in slow]
+    df = spark.createDataFrame(
+        rows, "g int, st string, co string, dur int, ev int"
+    )
+    pooled = logrank_test(df, ["g"], "co", "dur", "ev").collect()[0]
+    assert pooled["z"] > 2.0  # the confounded lie: heavy "converts faster"
+    strat = logrank_test(
+        df, ["g"], "co", "dur", "ev", stratum_col="st"
+    ).collect()[0]
+    assert strat["z"] == 0.0 and strat["chi2"] == 0.0
+
+
+def test_stratified_duckdb_twin(spark, tmp_path):
+    import duckdb
+    import pandas as pd
+
+    rng = random.Random(577)
+    rows = []
+    for g in range(2):
+        for st in range(3):
+            lam = 3.0 + 3.0 * st
+            rows += [(g, st) + r for r in _gen(rng, 100, lam, lam * 1.5)]
+    pdf = pd.DataFrame(rows, columns=["g", "st", "co", "dur", "ev"])
+    p = str(tmp_path / "slr.parquet")
+    pdf.to_parquet(p)
+    for wgt in ("logrank", "gehan"):
+        got = (
+            logrank_test(
+                spark.read.parquet(p), ["g"], "co", "dur", "ev",
+                weight=wgt, stratum_col="st",
+            )
+            .orderBy("g")
+            .toPandas()
+        )
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW __t AS SELECT * FROM read_parquet('{p}')")
+        want = con.sql(
+            logrank_test_sql(
+                "__t", "g", "co", "dur", "ev", weight=wgt, stratum="st"
+            )
+            + " ORDER BY g"
+        ).df()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
