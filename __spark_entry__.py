@@ -394,6 +394,44 @@ def q25_simhash_near(spark, sf_dir):
 # Shared planting expressions (q48/q51): evaluated verbatim by BOTH
 # Spark (F.expr) and DuckDB (inline in the oracle subquery), so the
 # planted PII / repetition is engine-identical by construction.
+def _q194_survival_base(ev):
+    """The shared per-user time-to-first-purchase derivation behind
+    q194/q199/q200 (and bench's logrank entries): first/last activity
+    hour, first purchase hour, click count -> (seg, cohort, dur,
+    converted) under the 48 h administrative censoring window with
+    the >= 14-click heavy/light split.  ONE definition mirrors the
+    oracle side's single _Q194_BASE_SQL — an edit lands everywhere
+    or nowhere (the apples-to-apples guarantee is structural, not
+    disciplinary)."""
+    hour = F.expr("unix_timestamp(ts) div 3600")
+    per_user = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.min(hour).alias("fh"),
+            F.max(hour).alias("lh"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", hour)
+            ).alias("fp"),
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).alias("clicks"),
+        )
+    )
+    conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
+    return per_user.select(
+        (F.col("user_id") % 3).alias("seg"),
+        F.expr("fh % 24 div 6").alias("day_part"),
+        F.when(F.col("clicks") >= 14, F.lit("heavy"))
+        .otherwise(F.lit("light"))
+        .alias("cohort"),
+        F.when(conv, F.col("fp") - F.col("fh"))
+        .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
+        .alias("dur"),
+        conv.cast("int").alias("converted"),
+    )
+
+
 # q194/q199 share one time-to-first-purchase derivation (48 h
 # administrative censoring window): the plain and the Gehan-weighted
 # log-rank run on the SAME base, so their comparison is apples-to-apples.
@@ -6850,32 +6888,7 @@ def q194_logrank(spark, sf_dir):
     from btl_bloomfilter_spark.operators.survival import logrank_test
 
     ev = _load(spark, sf_dir, "events")["events"]
-    hour = F.expr("unix_timestamp(ts) div 3600")
-    per_user = (
-        ev.where(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.min(hour).alias("fh"),
-            F.max(hour).alias("lh"),
-            F.min(
-                F.when(F.col("event_type") == "purchase", hour)
-            ).alias("fp"),
-            F.sum(
-                (F.col("event_type") == "click").cast("int")
-            ).alias("clicks"),
-        )
-    )
-    conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
-    base = per_user.select(
-        (F.col("user_id") % 3).alias("seg"),
-        F.when(F.col("clicks") >= 14, F.lit("heavy"))
-        .otherwise(F.lit("light"))
-        .alias("cohort"),
-        F.when(conv, F.col("fp") - F.col("fh"))
-        .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
-        .alias("dur"),
-        conv.cast("int").alias("converted"),
-    )
+    base = _q194_survival_base(ev)
     return logrank_test(
         base, ["seg"], "cohort", "dur", "converted"
     ).orderBy("seg")
@@ -7025,32 +7038,7 @@ def q199_gehan(spark, sf_dir):
     from btl_bloomfilter_spark.operators.survival import logrank_test
 
     ev = _load(spark, sf_dir, "events")["events"]
-    hour = F.expr("unix_timestamp(ts) div 3600")
-    per_user = (
-        ev.where(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.min(hour).alias("fh"),
-            F.max(hour).alias("lh"),
-            F.min(
-                F.when(F.col("event_type") == "purchase", hour)
-            ).alias("fp"),
-            F.sum(
-                (F.col("event_type") == "click").cast("int")
-            ).alias("clicks"),
-        )
-    )
-    conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
-    base = per_user.select(
-        (F.col("user_id") % 3).alias("seg"),
-        F.when(F.col("clicks") >= 14, F.lit("heavy"))
-        .otherwise(F.lit("light"))
-        .alias("cohort"),
-        F.when(conv, F.col("fp") - F.col("fh"))
-        .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
-        .alias("dur"),
-        conv.cast("int").alias("converted"),
-    )
+    base = _q194_survival_base(ev)
     return logrank_test(
         base, ["seg"], "cohort", "dur", "converted", weight="gehan"
     ).orderBy("seg")
@@ -7074,33 +7062,7 @@ def q200_stratified_logrank(spark, sf_dir):
     from btl_bloomfilter_spark.operators.survival import logrank_test
 
     ev = _load(spark, sf_dir, "events")["events"]
-    hour = F.expr("unix_timestamp(ts) div 3600")
-    per_user = (
-        ev.where(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.min(hour).alias("fh"),
-            F.max(hour).alias("lh"),
-            F.min(
-                F.when(F.col("event_type") == "purchase", hour)
-            ).alias("fp"),
-            F.sum(
-                (F.col("event_type") == "click").cast("int")
-            ).alias("clicks"),
-        )
-    )
-    conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
-    base = per_user.select(
-        (F.col("user_id") % 3).alias("seg"),
-        F.expr("fh % 24 div 6").alias("day_part"),
-        F.when(F.col("clicks") >= 14, F.lit("heavy"))
-        .otherwise(F.lit("light"))
-        .alias("cohort"),
-        F.when(conv, F.col("fp") - F.col("fh"))
-        .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
-        .alias("dur"),
-        conv.cast("int").alias("converted"),
-    )
+    base = _q194_survival_base(ev)
     return logrank_test(
         base, ["seg"], "cohort", "dur", "converted", stratum_col="day_part"
     ).orderBy("seg")

@@ -1291,36 +1291,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         # same row-scale per-user rollup as q_survival plus a click
         # counter; the test is cell-scale windows + one aggregate per
         # seg, no joins
+        from __spark_entry__ import _q194_survival_base
         from btl_bloomfilter_spark.operators.survival import logrank_test
 
-        hour = F.expr("unix_timestamp(ts) div 3600")
-        per_user = (
-            ev.where(F.col("user_id").isNotNull())
-            .groupBy("user_id")
-            .agg(
-                F.min(hour).alias("fh"),
-                F.max(hour).alias("lh"),
-                F.min(
-                    F.when(F.col("event_type") == "purchase", hour)
-                ).alias("fp"),
-                F.sum(
-                    (F.col("event_type") == "click").cast("int")
-                ).alias("clicks"),
-            )
-        )
-        conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
-        base = per_user.select(
-            (F.col("user_id") % 3).alias("seg"),
-            F.when(F.col("clicks") >= 14, F.lit("heavy"))
-            .otherwise(F.lit("light"))
-            .alias("cohort"),
-            F.when(conv, F.col("fp") - F.col("fh"))
-            .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
-            .alias("dur"),
-            conv.cast("int").alias("converted"),
-        )
         return logrank_test(
-            base, ["seg"], "cohort", "dur", "converted"
+            _q194_survival_base(ev), ["seg"], "cohort", "dur", "converted"
         ).count()
 
     def q_jsd():
@@ -1526,32 +1501,9 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         # q_logrank's derivation with the Gehan weight - same plan
         from btl_bloomfilter_spark.operators.survival import logrank_test
 
-        hour = F.expr("unix_timestamp(ts) div 3600")
-        per_user = (
-            ev.where(F.col("user_id").isNotNull())
-            .groupBy("user_id")
-            .agg(
-                F.min(hour).alias("fh"),
-                F.max(hour).alias("lh"),
-                F.min(
-                    F.when(F.col("event_type") == "purchase", hour)
-                ).alias("fp"),
-                F.sum((F.col("event_type") == "click").cast("int")).alias(
-                    "clicks"
-                ),
-            )
-        )
-        conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
-        base = per_user.select(
-            (F.col("user_id") % 3).alias("seg"),
-            F.when(F.col("clicks") >= 14, F.lit("heavy"))
-            .otherwise(F.lit("light"))
-            .alias("cohort"),
-            F.when(conv, F.col("fp") - F.col("fh"))
-            .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
-            .alias("dur"),
-            conv.cast("int").alias("converted"),
-        )
+        from __spark_entry__ import _q194_survival_base
+
+        base = _q194_survival_base(ev)
         return logrank_test(
             base, ["seg"], "cohort", "dur", "converted", weight="gehan"
         ).count()
@@ -1561,33 +1513,9 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         # stratum rides the histogram/window keys
         from btl_bloomfilter_spark.operators.survival import logrank_test
 
-        hour = F.expr("unix_timestamp(ts) div 3600")
-        per_user = (
-            ev.where(F.col("user_id").isNotNull())
-            .groupBy("user_id")
-            .agg(
-                F.min(hour).alias("fh"),
-                F.max(hour).alias("lh"),
-                F.min(
-                    F.when(F.col("event_type") == "purchase", hour)
-                ).alias("fp"),
-                F.sum((F.col("event_type") == "click").cast("int")).alias(
-                    "clicks"
-                ),
-            )
-        )
-        conv = F.col("fp").isNotNull() & (F.col("fp") - F.col("fh") <= 48)
-        base = per_user.select(
-            (F.col("user_id") % 3).alias("seg"),
-            F.expr("fh % 24 div 6").alias("day_part"),
-            F.when(F.col("clicks") >= 14, F.lit("heavy"))
-            .otherwise(F.lit("light"))
-            .alias("cohort"),
-            F.when(conv, F.col("fp") - F.col("fh"))
-            .otherwise(F.least(F.col("lh") - F.col("fh"), F.lit(48)))
-            .alias("dur"),
-            conv.cast("int").alias("converted"),
-        )
+        from __spark_entry__ import _q194_survival_base
+
+        base = _q194_survival_base(ev)
         return logrank_test(
             base, ["seg"], "cohort", "dur", "converted",
             stratum_col="day_part",

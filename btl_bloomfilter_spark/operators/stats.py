@@ -5011,7 +5011,11 @@ def jonckheere_terpstra(
     a, b = cells.alias("a"), cells.alias("b")
     cond = F.col("a.__d") < F.col("b.__d")
     for c in group_cols:
-        cond = (F.col(f"a.{c}") == F.col(f"b.{c}")) & cond
+        # eqNullSafe: NULL group keys keep their row with CORRECT
+        # statistics (a null-unsafe == dropped their pair rows while
+        # the marginals survived — jt reported 0 with a fabricated
+        # negative z; review catch, pinned by test_null_group_key)
+        cond = F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}")) & cond
     ww = F.col("a.__w") * F.col("b.__w")
     zd = F.lit(0).cast(_D)
     pairs = a.join(b, cond).groupBy(
@@ -5093,7 +5097,8 @@ def jonckheere_terpstra_sql(table: str, group: str, dose: str, value: str) -> st
                        ELSE 0::HUGEINT END) AS c,
                    sum(CASE WHEN a.v = b.v THEN a.w * b.w
                        ELSE 0::HUGEINT END) AS e
-            FROM __jt_c a JOIN __jt_c b ON a.g = b.g AND a.d < b.d
+            FROM __jt_c a JOIN __jt_c b
+              ON a.g IS NOT DISTINCT FROM b.g AND a.d < b.d
             GROUP BY a.g
         ),
         __jt_md AS (
@@ -5125,8 +5130,9 @@ def jonckheere_terpstra_sql(table: str, group: str, dose: str, value: str) -> st
                      + 2 * md.p3 * mv.p3
                      + 9 * md.p2 * mv.p2 * (md.n - 2) AS vard,
                    72 * md.n * (md.n - 1) * (md.n - 2) AS dden
-            FROM __jt_md md JOIN __jt_mv mv ON md.g = mv.g
-            LEFT JOIN __jt_p p ON md.g = p.g
+            FROM __jt_md md
+            JOIN __jt_mv mv ON md.g IS NOT DISTINCT FROM mv.g
+            LEFT JOIN __jt_p p ON md.g IS NOT DISTINCT FROM p.g
         )
         SELECT g AS {group}, CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
                jt2::VARCHAR AS jt2_fp, jt2::DOUBLE / 2.0 AS jt,
@@ -5325,7 +5331,8 @@ def page_trend_sql(
                                * (a.q2 - a.n * a.k * (a.k + 1) * (a.k + 1))
                                AS DOUBLE) / 12.0)
                END AS z
-        FROM __pg_b b LEFT JOIN __pg_g a ON b.g = a.g
+        FROM __pg_b b
+        LEFT JOIN __pg_g a ON b.g IS NOT DISTINCT FROM a.g
     """
 
 

@@ -254,8 +254,13 @@ def logrank_test(
     reported unweighted in e_a/v_micro, with o_minus_e following the
     chosen weight).  With one distinct event time the weight cancels
     and chi2/z are IDENTICAL doubles (same rational, both divisions
-    correctly rounded — pinned by test).  OVERFLOW (gehan): Σ n²·v ≲
-    n³·10⁶/4 → per-group subjects ≲ 7·10⁹.
+    correctly rounded — pinned by test).  OVERFLOW (gehan): the
+    BINDING term is the chi2 numerator square — numw can reach
+    ~N²·10⁶ for early-separating cohorts, so numw² ~ N⁴·10¹² hits
+    decimal(38,0)/hugeint at per-group subjects ~2·10⁶ (the Σn²·v
+    variance term alone would allow ~7·10⁹, but the square binds
+    first; beyond the ceiling Spark NULLs/raises on decimal overflow
+    while DuckDB raises out-of-range — documented contract).
 
     ``stratum_col`` gives the STRATIFIED log-rank (the survival
     analogue of stats.mantel_haenszel): risk sets form within each

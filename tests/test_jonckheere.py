@@ -183,3 +183,31 @@ def test_duckdb_twin(spark, tmp_path):
         jonckheere_terpstra_sql("__t", "g", "d", "v") + " ORDER BY g"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_null_group_key_kept_with_correct_statistics(spark):
+    """NULL group keys keep their row with the REAL statistics in
+    BOTH engines (review catch: a null-unsafe pair join dropped the
+    NULL group's concordance rows — jt reported 0 with a fabricated
+    negative z — while the DuckDB twin dropped the row entirely)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(None, d, d * 10 + i) for d in range(3) for i in range(6)] + [
+        (1, d, d * 5 + i) for d in range(3) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "g int, d int, v int")
+    got = {
+        r["g"]: r for r in jonckheere_terpstra(df, ["g"], "d", "v").collect()
+    }
+    assert None in got and got[None]["z"] > 3  # genuine increasing trend
+    assert got[None]["jt"] > 0
+    pdf = pd.DataFrame(rows, columns=["g", "d", "v"])
+    con = duckdb.connect()
+    con.register("__jtn", pdf)
+    want = con.sql(
+        jonckheere_terpstra_sql("__jtn", "g", "d", "v")
+    ).df()
+    nrow = want[want["g"].isna()]
+    assert len(nrow) == 1
+    assert nrow.iloc[0]["z"] == got[None]["z"]

@@ -204,3 +204,22 @@ def test_duckdb_twin(spark, tmp_path):
         page_trend_sql("__t", "g", "s", "t", "v") + " ORDER BY g"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_null_group_key_parity(spark):
+    """NULL group keys: the twin's final join is null-safe (review
+    catch: `ON b.g = a.g` reported n_used = 0 / all-NULL L and z for
+    the NULL group while Spark computed the real values)."""
+    import duckdb
+    import pandas as pd
+
+    rows = [(None, s, t, t * 3 + s % 2) for s in range(10) for t in range(3)]
+    df = spark.createDataFrame(rows, "g int, s int, t int, v int")
+    got = page_trend(df, ["g"], "s", "t", "v").collect()[0]
+    assert got["n_used"] == 10 and got["z"] is not None
+    con = duckdb.connect()
+    con.register("__pgn", pd.DataFrame(rows, columns=["g", "s", "t", "v"]))
+    want = con.sql(page_trend_sql("__pgn", "g", "s", "t", "v")).df()
+    assert len(want) == 1
+    assert want.iloc[0]["n_used"] == 10
+    assert want.iloc[0]["z"] == got["z"]
