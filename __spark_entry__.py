@@ -7068,6 +7068,41 @@ def q200_stratified_logrank(spark, sf_dir):
     ).orderBy("seg")
 
 
+def q201_ca_stratified(spark, sf_dir):
+    """Stratified Cochran-Armitage / CMH trend (operators/stats.
+    cochran_armitage_stratified): per user segment, does purchase
+    propensity TREND with the event's value bucket (floor-dollars
+    div 100 as ordered doses), ADJUSTING for time of day - q198's
+    question upgraded from a binary exposure to an ordered one,
+    completing the stratified triple (binary effect -> q198 MH,
+    ordered trend -> this, time-to-event -> q200).  Each stratum's
+    TN_s = N*sum(d*r) - R*sum(d*n) is quantized ONCE to signed
+    micro-units (sign handled BEFORE the division - Spark div
+    truncates toward zero, DuckDB // floors, so negative operands
+    never reach it), the exact hypergeometric variance
+    VN/(N^2(N-1)) likewise, z = sum(t)/sqrt(sum(v)*10^6) ONE
+    division - hash-oracled including both doubles; the planted
+    trend-Simpson exact-zero law and the single-stratum
+    CA*(N-1)/N reduction are pinned in test_ca_stratified.  Plan:
+    ONE (seg, day_part, bucket) cell histogram, a cell-scale
+    per-stratum aggregate, one group-sized final aggregate; no
+    joins, no windows."""
+    from btl_bloomfilter_spark.operators.stats import (
+        cochran_armitage_stratified,
+    )
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    base = ev.where(F.col("user_id").isNotNull()).selectExpr(
+        "user_id % 3 AS seg",
+        "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+        "CAST(floor(value) AS BIGINT) div 100 AS val_bucket",
+        "CAST(event_type = 'purchase' AS INT) AS purchase",
+    )
+    return cochran_armitage_stratified(
+        base, ["seg"], "day_part", "val_bucket", "purchase"
+    ).orderBy("seg")
+
+
 def q182_brown_forsythe(spark, sf_dir):
     """Exact Brown–Forsythe variance-homogeneity test
     (operators/stats.brown_forsythe): on q179's OWN data (lang ×
@@ -7355,6 +7390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q198_mantel_haenszel": q198_mantel_haenszel,
         "q199_gehan": q199_gehan,
         "q200_stratified_logrank": q200_stratified_logrank,
+        "q201_ca_stratified": q201_ca_stratified,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -8263,6 +8299,16 @@ def oracle_sql() -> dict[str, str]:
             ).rstrip()
             + ")",
             "seg", "user_id", "t", "v",
+        )
+        + " ORDER BY seg",
+        "q201_ca_stratified": _STATS.cochran_armitage_stratified_sql(
+            "(SELECT user_id % 3 AS seg,"
+            " (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 // 6"
+            " AS day_part,"
+            " CAST(floor(value) AS BIGINT) // 100 AS val_bucket,"
+            " (event_type = 'purchase')::INT AS purchase"
+            " FROM events WHERE user_id IS NOT NULL)",
+            "seg", "day_part", "val_bucket", "purchase",
         )
         + " ORDER BY seg",
         "q198_mantel_haenszel": _STATS.mantel_haenszel_sql(

@@ -1521,6 +1521,23 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             stratum_col="day_part",
         ).count()
 
+    def q_ca_stratified():
+        # one (seg, day_part, bucket) cell histogram + two cell-scale
+        # aggregates
+        from btl_bloomfilter_spark.operators.stats import (
+            cochran_armitage_stratified,
+        )
+
+        base = ev.where(F.col("user_id").isNotNull()).selectExpr(
+            "user_id % 3 AS seg",
+            "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+            "CAST(floor(value) AS BIGINT) div 100 AS val_bucket",
+            "CAST(event_type = 'purchase' AS INT) AS purchase",
+        )
+        return cochran_armitage_stratified(
+            base, ["seg"], "day_part", "val_bucket", "purchase"
+        ).count()
+
     def q_mantel_haenszel():
         # one (seg, day_part) four-counter cell histogram + one
         # cell-scale aggregate
@@ -1693,6 +1710,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "mantel_haenszel_events": q_mantel_haenszel,
         "gehan_events": q_gehan,
         "stratified_logrank_events": q_stratified_logrank,
+        "ca_stratified_events": q_ca_stratified,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -5537,3 +5537,205 @@ def mantel_haenszel_sql(
                END AS z
         FROM __mh_a
     """
+
+
+def cochran_armitage_stratified(
+    df: DataFrame,
+    group_cols: list[str],
+    stratum_col,
+    dose_col,
+    flag_col,
+) -> DataFrame:
+    """(group…, n_strata, k, n, r, t_micro, v_micro, z, chi2) — exact
+    STRATIFIED Cochran–Armitage trend test per group (the CMH
+    correlation/trend statistic with integer dose scores): does the
+    binary outcome trend with dose WITHIN strata, pooled across them
+    — completing the stratified triple exactly as the unadjusted
+    operators pair off (2×2 effects → mantel_haenszel; log-rank →
+    its stratum_col; cochran_armitage → this).  A confounder that
+    tracks both the dose mix and the baseline rate makes the pooled
+    trend lie (trend-Simpson, pinned with an exact construction);
+    conditioning each stratum's contribution on its own margins
+    removes it (Mantel 1963; Agresti §6.3.2 — SAS PROC FREQ's CMH
+    'correlation' statistic with table scores).
+
+    Per stratum s (on cochran_armitage's exact integers TN_s =
+    N·Σd·r − R·Σd·n and the score-variance kernel), riding the
+    mantel_haenszel quantize-once micro-unit machinery:
+
+        t_micro_s = sign(TN_s)·(|TN_s|·10⁶ div N_s)
+                                      (quantized ONCE per stratum;
+                                       the sign is handled explicitly
+                                       — Spark ``div`` truncates
+                                       toward zero while DuckDB
+                                       ``//`` floors, so negative
+                                       operands NEVER reach the
+                                       division)
+        v_micro_s = (R·(N−R)·(N·Σd²n − (Σdn)²)·10⁶)
+                      div (N²·(N−1))  (the exact hypergeometric
+                                       Var(Σd·r | margins) =
+                                       VN3/(N²(N−1)); nonneg
+                                       operands; the N = 1
+                                       term is 0 by R(N−R) = 0 and
+                                       guarded before DuckDB's eager
+                                       division)
+        z         = Σt_micro / sqrt(Σv_micro·10⁶)
+        chi2      = z·z               (~χ²₁; the (N−1)/N CMH factor
+                                       is carried inside v_micro —
+                                       a single stratum reduces to
+                                       the plain CA χ²·(N−1)/N,
+                                       pinned approx)
+
+    z > 0 ⟺ within strata the success proportion increases with
+    dose.  z/chi2 NULL when Σv_micro = 0 (every stratum degenerate);
+    the group keeps its row.  Dose must be integral (floats raise);
+    flag 0/1 or boolean (in-plan raise both engines); NULL
+    stratum/dose/flag drops the row.  OVERFLOW: per-stratum
+    R(N−R)·N·Σd²n·10⁶ < 10³⁸ → stratum size ≲ 10⁷ at |dose| ≤ 10³.
+
+    Scale shape: ONE map-side-combined (group, stratum, dose) cell
+    histogram — the only row-scale stage — then a cell-scale
+    per-stratum aggregate and a group-sized final aggregate; no
+    joins, no windows.  10⁶ strata cost the same shuffle as 4.
+    """
+    st = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    d = F.col(dose_col) if isinstance(dose_col, str) else dose_col
+    dt = df.select(d.alias("__probe")).schema[0].dataType.simpleString()
+    if dt in ("float", "double") or dt.startswith("decimal"):
+        raise ValueError(
+            f"cochran_armitage_stratified: dose_col must be integral,"
+            f" got {dt}; bucket/quantize explicitly first"
+        )
+    fr = F.col(flag_col) if isinstance(flag_col, str) else flag_col
+    fdt = df.select(fr.alias("__probe")).schema[0].dataType.simpleString()
+    if fdt == "boolean":
+        fl = fr.cast("long")
+    else:
+        fl = F.when(fr.isin(0, 1), fr.cast("long")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "cochran_armitage_stratified: flag_col must be 0/1"
+                    " or boolean"
+                )
+            )
+        )
+    cells = (
+        df.where(st.isNotNull() & d.isNotNull() & fr.isNotNull())
+        .groupBy(*group_cols, st.alias("__st"), d.cast("long").alias("__d"))
+        .agg(
+            F.count(F.lit(1)).cast(_D).alias("__n"),
+            F.sum(fl).cast(_D).alias("__r"),
+        )
+    )
+    dd = F.col("__d").cast(_D)
+    per_s = cells.groupBy(*group_cols, "__st").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__n").alias("__N"),
+        F.sum("__r").alias("__R"),
+        F.sum(dd * F.col("__n")).alias("__swn"),
+        F.sum(dd * F.col("__r")).alias("__swr"),
+        F.sum(dd * dd * F.col("__n")).alias("__swwn"),
+    )
+    n, r = F.col("__N"), F.col("__R")
+    tn = n * F.col("__swr") - r * F.col("__swn")
+    vn = r * (n - r) * (n * F.col("__swwn") - F.col("__swn") * F.col("__swn"))
+    mi = F.lit(1_000_000).cast(_D)
+    zd = F.lit(0).cast(_D)
+    per_s = (
+        per_s.withColumn("__tabs", F.abs(tn) * mi)
+        .withColumn("__tsgn", F.when(tn < 0, F.lit(-1)).otherwise(F.lit(1)).cast(_D))
+        .withColumn("__vnum", vn * mi)
+        .withColumn("__vden", n * n * (n - 1))
+    )
+    t_micro = F.col("__tsgn") * F.expr("__tabs div __N")
+    v_micro = F.when(
+        F.col("__vden") > 0, F.expr("__vnum div __vden")
+    ).otherwise(zd)
+    ga = per_s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.max("__k").alias("k"),
+        F.sum("__N").alias("__n_tot"),
+        F.sum("__R").alias("__r_tot"),
+        F.sum(t_micro).alias("__tm"),
+        F.sum(v_micro).alias("__vm"),
+    )
+    tm, vm = F.col("__tm"), F.col("__vm")
+    zc = F.when(
+        vm > 0, tm.cast("double") / F.sqrt((vm * mi).cast("double"))
+    )
+    return ga.select(
+        *group_cols,
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("k").cast("long").alias("k"),
+        F.col("__n_tot").cast("long").alias("n"),
+        F.col("__r_tot").cast("long").alias("r"),
+        tm.cast("string").alias("t_micro"),
+        vm.cast("string").alias("v_micro"),
+        zc.alias("z"),
+        (zc * zc).alias("chi2"),
+    )
+
+
+def cochran_armitage_stratified_sql(
+    table: str, group: str, stratum: str, dose: str, flag: str
+) -> str:
+    """DuckDB twin of :func:`cochran_armitage_stratified` (hugeint
+    arithmetic, identical per-stratum quantize-once terms with the
+    sign handled before the floor division, N = 1 guard before the
+    eager division, single div→√ shape)."""
+    fi = (
+        f"(CASE WHEN ({flag}) IN (0, 1) OR typeof({flag}) = 'BOOLEAN'"
+        f" THEN ({flag})::BIGINT ELSE CAST(error("
+        f"'cochran_armitage_stratified: flag must be 0/1 or boolean')"
+        f" AS BIGINT) END)"
+    )
+    return f"""
+        WITH __cas_c AS (
+            SELECT {group} AS g, ({stratum}) AS st,
+                   CAST({dose} AS BIGINT) AS d,
+                   count(*)::HUGEINT AS n, sum({fi})::HUGEINT AS r
+            FROM {table}
+            WHERE ({stratum}) IS NOT NULL AND ({dose}) IS NOT NULL
+              AND ({flag}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __cas_s AS (
+            SELECT g, st, count(*)::HUGEINT AS k, sum(n) AS nn, sum(r) AS rr,
+                   sum(d::HUGEINT * n) AS swn, sum(d::HUGEINT * r) AS swr,
+                   sum(d::HUGEINT * d::HUGEINT * n) AS swwn
+            FROM __cas_c GROUP BY g, st
+        ),
+        __cas_t AS (
+            SELECT g, st, k, nn, rr,
+                   (CASE WHEN nn * swr - rr * swn < 0 THEN -1 ELSE 1
+                    END)::HUGEINT
+                   * ((abs(nn * swr - rr * swn) * 1000000::HUGEINT) // nn)
+                       AS tm,
+                   CASE WHEN nn > 1 THEN
+                       (rr * (nn - rr) * (nn * swwn - swn * swn)
+                        * 1000000::HUGEINT)
+                       // (nn * nn * (nn - 1))
+                   ELSE 0::HUGEINT END AS vm
+            FROM __cas_s
+        ),
+        __cas_a AS (
+            SELECT g, count(*)::BIGINT AS n_strata, max(k) AS k,
+                   sum(nn) AS n, sum(rr) AS r,
+                   sum(tm) AS tm, sum(vm) AS vm
+            FROM __cas_t GROUP BY g
+        )
+        SELECT g AS {group}, n_strata, CAST(k AS BIGINT) AS k,
+               CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS r,
+               tm::VARCHAR AS t_micro, vm::VARCHAR AS v_micro,
+               CASE WHEN vm > 0 THEN
+                   CAST(tm AS DOUBLE)
+                   / sqrt(CAST(vm * 1000000::HUGEINT AS DOUBLE))
+               END AS z,
+               CASE WHEN vm > 0 THEN
+                   (CAST(tm AS DOUBLE)
+                    / sqrt(CAST(vm * 1000000::HUGEINT AS DOUBLE)))
+                   * (CAST(tm AS DOUBLE)
+                      / sqrt(CAST(vm * 1000000::HUGEINT AS DOUBLE)))
+               END AS chi2
+        FROM __cas_a
+    """
