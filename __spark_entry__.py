@@ -7103,6 +7103,56 @@ def q201_ca_stratified(spark, sf_dir):
     ).orderBy("seg")
 
 
+def q202_van_elteren(spark, sf_dir):
+    """van Elteren stratified Mann-Whitney (operators/stats.
+    mannwhitney_stratified): within user segments, do HEAVY clickers'
+    purchase VALUES (floor dollars) shift vs light clickers',
+    adjusting for time of day - the ranks member completing the
+    stratified family (binary -> q198, trend -> q201, survival ->
+    q200): day-part tracks both who is active and how much gets
+    spent, so the pooled q181-style MWU conflates when with who;
+    van Elteren ranks within each (seg, day_part) stratum and pools
+    the centered U-statistics with the 1/(N_s+1) design-free weights.
+    Per-stratum U2 - n1*n2 quantized ONCE to signed micro-units
+    (sign before the division - div truncates, // floors), the
+    tie-corrected Var(U2)/(4(N+1)^2) likewise, z ONE div->sqrt of
+    exact integer sums - hash-oracled including both doubles; the
+    proportional-copy rank-Simpson exact-zero and the single-stratum
+    MWU reduction are pinned in test_van_elteren.  Plan: the
+    per-user clicks rollup broadcasts into the purchase scan; then
+    ONE (seg, day_part, value) two-cohort histogram, one
+    stratum-local cumulative window, two cell-scale aggregates; no
+    row-scale joins after the flag attach."""
+    from btl_bloomfilter_spark.operators.stats import mannwhitney_stratified
+
+    ev = _load(spark, sf_dir, "events")["events"]
+    heavy = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "click").cast("int")) >= 14
+            ).alias("heavy")
+        )
+    )
+    base = (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .join(F.broadcast(heavy), "user_id")
+        .selectExpr(
+            "user_id % 3 AS seg",
+            "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+            "CAST(floor(value) AS BIGINT) AS dollars",
+            "heavy",
+        )
+    )
+    return mannwhitney_stratified(
+        base, ["seg"], "day_part", "dollars", "heavy"
+    ).orderBy("seg")
+
+
 def q182_brown_forsythe(spark, sf_dir):
     """Exact Brown–Forsythe variance-homogeneity test
     (operators/stats.brown_forsythe): on q179's OWN data (lang ×
@@ -7391,6 +7441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q199_gehan": q199_gehan,
         "q200_stratified_logrank": q200_stratified_logrank,
         "q201_ca_stratified": q201_ca_stratified,
+        "q202_van_elteren": q202_van_elteren,
         "q146_stream_sessions": q146_stream_sessions,
     }
 
@@ -8299,6 +8350,20 @@ def oracle_sql() -> dict[str, str]:
             ).rstrip()
             + ")",
             "seg", "user_id", "t", "v",
+        )
+        + " ORDER BY seg",
+        "q202_van_elteren": _STATS.mannwhitney_stratified_sql(
+            "(WITH __q202_h AS (SELECT user_id,"
+            " (sum(CASE WHEN event_type = 'click' THEN 1"
+            " WHEN event_type IS NOT NULL THEN 0 END) >= 14) AS heavy"
+            " FROM events WHERE user_id IS NOT NULL GROUP BY user_id)"
+            " SELECT e.user_id % 3 AS seg,"
+            " (CAST(floor(epoch(e.ts)) AS BIGINT) // 3600) % 24 // 6"
+            " AS day_part,"
+            " CAST(floor(e.value) AS BIGINT) AS dollars, h.heavy"
+            " FROM events e JOIN __q202_h h ON e.user_id = h.user_id"
+            " WHERE e.event_type = 'purchase')",
+            "seg", "day_part", "dollars", "heavy",
         )
         + " ORDER BY seg",
         "q201_ca_stratified": _STATS.cochran_armitage_stratified_sql(

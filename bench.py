@@ -1538,6 +1538,39 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             base, ["seg"], "day_part", "val_bucket", "purchase"
         ).count()
 
+    def q_van_elteren():
+        # broadcast flag attach, then one (seg, day_part, value)
+        # two-cohort histogram + stratum-local window + aggregates
+        from btl_bloomfilter_spark.operators.stats import (
+            mannwhitney_stratified,
+        )
+
+        heavy = (
+            ev.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                (
+                    F.sum((F.col("event_type") == "click").cast("int")) >= 14
+                ).alias("heavy")
+            )
+        )
+        base = (
+            ev.where(
+                F.col("user_id").isNotNull()
+                & (F.col("event_type") == "purchase")
+            )
+            .join(F.broadcast(heavy), "user_id")
+            .selectExpr(
+                "user_id % 3 AS seg",
+                "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+                "CAST(floor(value) AS BIGINT) AS dollars",
+                "heavy",
+            )
+        )
+        return mannwhitney_stratified(
+            base, ["seg"], "day_part", "dollars", "heavy"
+        ).count()
+
     def q_mantel_haenszel():
         # one (seg, day_part) four-counter cell histogram + one
         # cell-scale aggregate
@@ -1711,6 +1744,7 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
         "gehan_events": q_gehan,
         "stratified_logrank_events": q_stratified_logrank,
         "ca_stratified_events": q_ca_stratified,
+        "van_elteren_events": q_van_elteren,
     }
     only = os.environ.get("BENCH_ONLY")
     if only:  # dev subset, e.g. BENCH_ONLY=vocab_growth,corpus_signals

@@ -5739,3 +5739,218 @@ def cochran_armitage_stratified_sql(
                END AS chi2
         FROM __cas_a
     """
+
+
+def mannwhitney_stratified(
+    df: DataFrame,
+    group_cols: list[str],
+    stratum_col,
+    value_col,
+    cohort_col,
+) -> DataFrame:
+    """(group…, n_strata, n1, n2, t_micro, v_micro, z, chi2) — exact
+    van Elteren test per group (Van Elteren 1960; the design-free
+    weights): the STRATIFIED Mann–Whitney rank-sum, completing the
+    stratified family's ranks column (binary effect →
+    mantel_haenszel, ordered trend → cochran_armitage_stratified,
+    time-to-event → logrank_test(stratum_col=…), ranks → this).
+    Cohort-vs-stratum confounding makes the pooled MWU lie exactly
+    as Simpson's paradox does elsewhere; van Elteren ranks WITHIN
+    each stratum and pools the centered statistics with weight
+    1/(N_s + 1).
+
+    Per stratum s, riding grouped_mannwhitney's exact two-cohort
+    histogram integers (U₂ = 2·gt + ties, the doubled U) and the
+    signed quantize-once micro-unit machinery:
+
+        t_micro_s = sign(U₂−n1n2)·((|U₂−n1n2|·10⁶) div (2(N_s+1)))
+                                     (U₂ − n1·n2 = 2(U − μ) exact;
+                                      the sign handled BEFORE the
+                                      division — Spark ``div``
+                                      truncates toward zero, DuckDB
+                                      ``//`` floors)
+        v_micro_s = (n1·n2·(N³−N−T)·10⁶)
+                      div (3N(N−1)·4(N+1)²)
+                                     (Var(U₂)/(4(N+1)²) — the MWU
+                                      tie-corrected variance under
+                                      the same weight; nonneg
+                                      operands, the N < 2 term
+                                      guarded)
+        z         = Σt_micro / sqrt(Σv_micro·10⁶)
+        chi2      = z·z
+
+    z > 0 ⟺ within strata, cohort-1 (the TRUE side of cohort_col)
+    values exceed cohort-2's.  A single stratum reduces to plain
+    grouped_mannwhitney's z (the weight cancels; approx — the
+    quantization shapes differ, pinned ~1e-4).  The planted
+    rank-Simpson law is EXACT: within-stratum proportional-copy
+    cohorts give U₂ = n1·n2 identically (2G + T = p² on the shared
+    pattern), so t_micro = 0 and z = 0.0 while the pooled MWU
+    reports a large spurious z.  Strata where either cohort is
+    empty contribute 0 to both sums (no information, not a bias);
+    z/chi2 NULL when Σv = 0.  NULL stratum/value/cohort and NaN
+    drop the row.  OVERFLOW: per-stratum n1·n2·N³·10⁶ < 10³⁸ →
+    stratum size ≲ 2·10⁶.
+
+    Scale shape: ONE map-side-combined (group, stratum, value)
+    two-cohort histogram — the only row-scale stage — then a
+    per-(group, stratum) cumulative window over compressed values,
+    a cell-scale per-stratum aggregate and a group-sized final
+    aggregate; no joins.
+    """
+    from pyspark.sql import Window
+
+    st = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
+    q = df.where(
+        st.isNotNull()
+        & v.isNotNull()
+        & ~F.isnan(v.cast("double"))
+        & coh.isNotNull()
+    ).select(
+        *group_cols,
+        st.alias("__st"),
+        v.alias("__v"),
+        coh.cast("int").alias("__c"),
+    )
+    h = q.groupBy(*group_cols, "__st", "__v").agg(
+        F.sum("__c").cast(_D).alias("__c1"),
+        F.sum(1 - F.col("__c")).cast(_D).alias("__c2"),
+    )
+    ws = Window.partitionBy(*group_cols, "__st")
+    wcum = ws.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
+    c = (
+        h.withColumn("__fb2", F.coalesce(F.sum("__c2").over(wcum), F.lit(0).cast(_D)))
+        .withColumn("__n1", F.sum("__c1").over(ws))
+        .withColumn("__n2", F.sum("__c2").over(ws))
+    )
+    t = F.col("__c1") + F.col("__c2")
+    per_s = c.groupBy(*group_cols, "__st").agg(
+        F.sum(F.col("__c1") * F.col("__fb2")).alias("__gt"),
+        F.sum(F.col("__c1") * F.col("__c2")).alias("__ties"),
+        F.sum(t * t * t - t).alias("__T"),
+        F.first("__n1").alias("__n1"),
+        F.first("__n2").alias("__n2"),
+    )
+    n1, n2 = F.col("__n1"), F.col("__n2")
+    nn = n1 + n2
+    u2 = F.lit(2).cast(_D) * F.col("__gt") + F.col("__ties")
+    tnum = u2 - n1 * n2
+    mi = F.lit(1_000_000).cast(_D)
+    v4num = n1 * n2 * (nn * nn * nn - nn - F.col("__T")) * mi
+    v4den = (
+        F.lit(12).cast(_D) * nn * (nn - 1) * (nn + 1) * (nn + 1)
+    )
+    zd = F.lit(0).cast(_D)
+    per_s = (
+        per_s.withColumn("__tabs", F.abs(tnum) * mi)
+        .withColumn(
+            "__tsgn",
+            F.when(tnum < 0, F.lit(-1)).otherwise(F.lit(1)).cast(_D),
+        )
+        .withColumn("__tden", F.lit(2).cast(_D) * (nn + 1))
+        .withColumn("__vnum", v4num)
+        .withColumn("__vden", v4den)
+    )
+    t_micro = F.when(
+        (n1 > 0) & (n2 > 0),
+        F.col("__tsgn") * F.expr("__tabs div __tden"),
+    ).otherwise(zd)
+    v_micro = F.when(
+        (n1 > 0) & (n2 > 0) & (nn >= 2), F.expr("__vnum div __vden")
+    ).otherwise(zd)
+    ga = per_s.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.sum(n1).alias("__n1t"),
+        F.sum(n2).alias("__n2t"),
+        F.sum(t_micro).alias("__tm"),
+        F.sum(v_micro).alias("__vm"),
+    )
+    tm, vm = F.col("__tm"), F.col("__vm")
+    zc = F.when(vm > 0, tm.cast("double") / F.sqrt((vm * mi).cast("double")))
+    return ga.select(
+        *group_cols,
+        F.col("n_strata").cast("long").alias("n_strata"),
+        F.col("__n1t").cast("long").alias("n1"),
+        F.col("__n2t").cast("long").alias("n2"),
+        tm.cast("string").alias("t_micro"),
+        vm.cast("string").alias("v_micro"),
+        zc.alias("z"),
+        (zc * zc).alias("chi2"),
+    )
+
+
+def mannwhitney_stratified_sql(
+    table: str, group: str, stratum: str, value: str, cohort_pred: str
+) -> str:
+    """DuckDB twin of :func:`mannwhitney_stratified` (hugeint
+    arithmetic, identical per-stratum signed quantize-once terms,
+    empty-cohort/N<2 guards before the eager divisions, single
+    div→√ shape)."""
+    return f"""
+        WITH __ve_h AS (
+            SELECT {group} AS g, ({stratum}) AS st, {value} AS v,
+                   sum(CASE WHEN {cohort_pred} THEN 1 ELSE 0
+                       END)::HUGEINT AS c1,
+                   sum(CASE WHEN {cohort_pred} THEN 0 ELSE 1
+                       END)::HUGEINT AS c2
+            FROM {table}
+            WHERE ({stratum}) IS NOT NULL AND ({value}) IS NOT NULL
+              AND NOT isnan(CAST({value} AS DOUBLE))
+              AND ({cohort_pred}) IS NOT NULL
+            GROUP BY 1, 2, 3
+        ),
+        __ve_c AS (
+            SELECT g, st, v, c1, c2,
+                   coalesce(sum(c2) OVER (PARTITION BY g, st ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS fb2,
+                   sum(c1) OVER (PARTITION BY g, st) AS n1,
+                   sum(c2) OVER (PARTITION BY g, st) AS n2
+            FROM __ve_h
+        ),
+        __ve_s AS (
+            SELECT g, st, sum(c1 * fb2) AS gt, sum(c1 * c2) AS ties,
+                   sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2)) AS tt,
+                   any_value(n1) AS n1, any_value(n2) AS n2
+            FROM __ve_c GROUP BY g, st
+        ),
+        __ve_t AS (
+            SELECT g, st, n1, n2,
+                   CASE WHEN n1 > 0 AND n2 > 0 THEN
+                       (CASE WHEN 2 * gt + ties - n1 * n2 < 0 THEN -1
+                             ELSE 1 END)::HUGEINT
+                       * ((abs(2 * gt + ties - n1 * n2)
+                           * 1000000::HUGEINT)
+                          // (2 * (n1 + n2 + 1)))
+                   ELSE 0::HUGEINT END AS tm,
+                   CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2 THEN
+                       (n1 * n2 * ((n1 + n2) * (n1 + n2) * (n1 + n2)
+                                   - (n1 + n2) - tt) * 1000000::HUGEINT)
+                       // (12 * (n1 + n2) * (n1 + n2 - 1)
+                           * (n1 + n2 + 1) * (n1 + n2 + 1))
+                   ELSE 0::HUGEINT END AS vm
+            FROM __ve_s
+        ),
+        __ve_a AS (
+            SELECT g, count(*)::BIGINT AS n_strata,
+                   sum(n1) AS n1, sum(n2) AS n2,
+                   sum(tm) AS tm, sum(vm) AS vm
+            FROM __ve_t GROUP BY g
+        )
+        SELECT g AS {group}, n_strata, CAST(n1 AS BIGINT) AS n1,
+               CAST(n2 AS BIGINT) AS n2,
+               tm::VARCHAR AS t_micro, vm::VARCHAR AS v_micro,
+               CASE WHEN vm > 0 THEN
+                   CAST(tm AS DOUBLE)
+                   / sqrt(CAST(vm * 1000000::HUGEINT AS DOUBLE))
+               END AS z,
+               CASE WHEN vm > 0 THEN
+                   (CAST(tm AS DOUBLE)
+                    / sqrt(CAST(vm * 1000000::HUGEINT AS DOUBLE)))
+                   * (CAST(tm AS DOUBLE)
+                      / sqrt(CAST(vm * 1000000::HUGEINT AS DOUBLE)))
+               END AS chi2
+        FROM __ve_a
+    """

@@ -100,6 +100,7 @@ def test_trend_column_defined(spark):
         ("q199_gehan", "chi2"),
         ("q200_stratified_logrank", "chi2"),
         ("q201_ca_stratified", "chi2"),
+        ("q202_van_elteren", "chi2"),
     ]:
         rows = _rows(spark, name)
         assert len(rows) > 0, name
