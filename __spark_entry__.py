@@ -394,6 +394,45 @@ def q25_simhash_near(spark, sf_dir):
 # Shared planting expressions (q48/q51): evaluated verbatim by BOTH
 # Spark (F.expr) and DuckDB (inline in the oracle subquery), so the
 # planted PII / repetition is engine-identical by construction.
+def _q201_ca_base(ev):
+    """q201's (seg, day_part, val_bucket, purchase) derivation —
+    shared with bench's ca_stratified_events so the bench times the
+    oracled query (the _q194_survival_base lesson applied)."""
+    return ev.where(F.col("user_id").isNotNull()).selectExpr(
+        "user_id % 3 AS seg",
+        "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+        "CAST(floor(value) AS BIGINT) div 100 AS val_bucket",
+        "CAST(event_type = 'purchase' AS INT) AS purchase",
+    )
+
+
+def _q202_van_elteren_base(ev):
+    """q202's heavy-clicker purchase-dollars derivation — shared with
+    bench's van_elteren_events for the same reason."""
+    heavy = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "click").cast("int")) >= 14
+            ).alias("heavy")
+        )
+    )
+    return (
+        ev.where(
+            F.col("user_id").isNotNull()
+            & (F.col("event_type") == "purchase")
+        )
+        .join(F.broadcast(heavy), "user_id")
+        .selectExpr(
+            "user_id % 3 AS seg",
+            "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
+            "CAST(floor(value) AS BIGINT) AS dollars",
+            "heavy",
+        )
+    )
+
+
 def _q194_survival_base(ev):
     """The shared per-user time-to-first-purchase derivation behind
     q194/q199/q200 (and bench's logrank entries): first/last activity
@@ -7076,10 +7115,11 @@ def q201_ca_stratified(spark, sf_dir):
     question upgraded from a binary exposure to an ordered one,
     completing the stratified triple (binary effect -> q198 MH,
     ordered trend -> this, time-to-event -> q200).  Each stratum's
-    TN_s = N*sum(d*r) - R*sum(d*n) is quantized ONCE to signed
-    micro-units (sign handled BEFORE the division - Spark div
-    truncates toward zero, DuckDB // floors, so negative operands
-    never reach it), the exact hypergeometric variance
+    TN_s = N*sum(d*r) - R*sum(d*n) is quantized ONCE to
+    micro-units (signed numerators divide identically - both engines
+    truncate integer division toward zero, verified; only Python's
+    // floors, which the brutes emulate), the exact hypergeometric
+    variance
     VN/(N^2(N-1)) likewise, z = sum(t)/sqrt(sum(v)*10^6) ONE
     division - hash-oracled including both doubles; the planted
     trend-Simpson exact-zero law and the single-stratum
@@ -7092,14 +7132,8 @@ def q201_ca_stratified(spark, sf_dir):
     )
 
     ev = _load(spark, sf_dir, "events")["events"]
-    base = ev.where(F.col("user_id").isNotNull()).selectExpr(
-        "user_id % 3 AS seg",
-        "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
-        "CAST(floor(value) AS BIGINT) div 100 AS val_bucket",
-        "CAST(event_type = 'purchase' AS INT) AS purchase",
-    )
     return cochran_armitage_stratified(
-        base, ["seg"], "day_part", "val_bucket", "purchase"
+        _q201_ca_base(ev), ["seg"], "day_part", "val_bucket", "purchase"
     ).orderBy("seg")
 
 
@@ -7113,9 +7147,10 @@ def q202_van_elteren(spark, sf_dir):
     spent, so the pooled q181-style MWU conflates when with who;
     van Elteren ranks within each (seg, day_part) stratum and pools
     the centered U-statistics with the 1/(N_s+1) design-free weights.
-    Per-stratum U2 - n1*n2 quantized ONCE to signed micro-units
-    (sign before the division - div truncates, // floors), the
-    tie-corrected Var(U2)/(4(N+1)^2) likewise, z ONE div->sqrt of
+    Per-stratum U2 - n1*n2 quantized ONCE to micro-units (signed
+    numerators divide identically - both engines truncate toward
+    zero), the tie-corrected Var(U2)/(4(N+1)^2) likewise, z ONE
+    div->sqrt of
     exact integer sums - hash-oracled including both doubles; the
     proportional-copy rank-Simpson exact-zero and the single-stratum
     MWU reduction are pinned in test_van_elteren.  Plan: the
@@ -7126,30 +7161,8 @@ def q202_van_elteren(spark, sf_dir):
     from btl_bloomfilter_spark.operators.stats import mannwhitney_stratified
 
     ev = _load(spark, sf_dir, "events")["events"]
-    heavy = (
-        ev.where(F.col("user_id").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            (
-                F.sum((F.col("event_type") == "click").cast("int")) >= 14
-            ).alias("heavy")
-        )
-    )
-    base = (
-        ev.where(
-            F.col("user_id").isNotNull()
-            & (F.col("event_type") == "purchase")
-        )
-        .join(F.broadcast(heavy), "user_id")
-        .selectExpr(
-            "user_id % 3 AS seg",
-            "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
-            "CAST(floor(value) AS BIGINT) AS dollars",
-            "heavy",
-        )
-    )
     return mannwhitney_stratified(
-        base, ["seg"], "day_part", "dollars", "heavy"
+        _q202_van_elteren_base(ev), ["seg"], "day_part", "dollars", "heavy"
     ).orderBy("seg")
 
 

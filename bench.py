@@ -1528,14 +1528,10 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             cochran_armitage_stratified,
         )
 
-        base = ev.where(F.col("user_id").isNotNull()).selectExpr(
-            "user_id % 3 AS seg",
-            "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
-            "CAST(floor(value) AS BIGINT) div 100 AS val_bucket",
-            "CAST(event_type = 'purchase' AS INT) AS purchase",
-        )
+        from __spark_entry__ import _q201_ca_base
+
         return cochran_armitage_stratified(
-            base, ["seg"], "day_part", "val_bucket", "purchase"
+            _q201_ca_base(ev), ["seg"], "day_part", "val_bucket", "purchase"
         ).count()
 
     def q_van_elteren():
@@ -1545,30 +1541,11 @@ def bench_queries(spark, sf_dir: str, cpus: int) -> tuple[dict, dict]:
             mannwhitney_stratified,
         )
 
-        heavy = (
-            ev.where(F.col("user_id").isNotNull())
-            .groupBy("user_id")
-            .agg(
-                (
-                    F.sum((F.col("event_type") == "click").cast("int")) >= 14
-                ).alias("heavy")
-            )
-        )
-        base = (
-            ev.where(
-                F.col("user_id").isNotNull()
-                & (F.col("event_type") == "purchase")
-            )
-            .join(F.broadcast(heavy), "user_id")
-            .selectExpr(
-                "user_id % 3 AS seg",
-                "(unix_timestamp(ts) div 3600) % 24 div 6 AS day_part",
-                "CAST(floor(value) AS BIGINT) AS dollars",
-                "heavy",
-            )
-        )
+        from __spark_entry__ import _q202_van_elteren_base
+
         return mannwhitney_stratified(
-            base, ["seg"], "day_part", "dollars", "heavy"
+            _q202_van_elteren_base(ev), ["seg"], "day_part", "dollars",
+            "heavy",
         ).count()
 
     def q_mantel_haenszel():

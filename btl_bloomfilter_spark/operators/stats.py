@@ -5563,14 +5563,16 @@ def cochran_armitage_stratified(
     N·Σd·r − R·Σd·n and the score-variance kernel), riding the
     mantel_haenszel quantize-once micro-unit machinery:
 
-        t_micro_s = sign(TN_s)·(|TN_s|·10⁶ div N_s)
+        t_micro_s = (TN_s·10⁶) div N_s
                                       (quantized ONCE per stratum;
-                                       the sign is handled explicitly
-                                       — Spark ``div`` truncates
-                                       toward zero while DuckDB
-                                       ``//`` floors, so negative
-                                       operands NEVER reach the
-                                       division)
+                                       TN_s may be negative — BOTH
+                                       engines truncate integer
+                                       division toward zero
+                                       (verified -7 div 2 == -3 in
+                                       each), so the signed
+                                       numerator divides identically;
+                                       only Python's // floors, which
+                                       the brute tests emulate)
         v_micro_s = (R·(N−R)·(N·Σd²n − (Σdn)²)·10⁶)
                       div (N²·(N−1))  (the exact hypergeometric
                                        Var(Σd·r | margins) =
@@ -5642,12 +5644,16 @@ def cochran_armitage_stratified(
     mi = F.lit(1_000_000).cast(_D)
     zd = F.lit(0).cast(_D)
     per_s = (
-        per_s.withColumn("__tabs", F.abs(tn) * mi)
-        .withColumn("__tsgn", F.when(tn < 0, F.lit(-1)).otherwise(F.lit(1)).cast(_D))
+        per_s.withColumn("__tnum", tn * mi)
         .withColumn("__vnum", vn * mi)
         .withColumn("__vden", n * n * (n - 1))
     )
-    t_micro = F.col("__tsgn") * F.expr("__tabs div __N")
+    # BOTH engines truncate integer division toward zero on negatives
+    # (verified: -7 div 2 == -3 in Spark AND -7 // 2 == -3 in DuckDB),
+    # so the signed numerator divides identically with no sign
+    # extraction needed — only Python's // floors, which the brute
+    # tests emulate with sign·(|x|//d)
+    t_micro = F.expr("__tnum div __N")
     v_micro = F.when(
         F.col("__vden") > 0, F.expr("__vnum div __vden")
     ).otherwise(zd)
@@ -5680,9 +5686,10 @@ def cochran_armitage_stratified_sql(
     table: str, group: str, stratum: str, dose: str, flag: str
 ) -> str:
     """DuckDB twin of :func:`cochran_armitage_stratified` (hugeint
-    arithmetic, identical per-stratum quantize-once terms with the
-    sign handled before the floor division, N = 1 guard before the
-    eager division, single div→√ shape)."""
+    arithmetic, identical per-stratum quantize-once terms — both
+    engines truncate integer division toward zero so signed
+    numerators divide identically, N = 1 guard before the eager
+    division, single div→√ shape)."""
     fi = (
         f"(CASE WHEN ({flag}) IN (0, 1) OR typeof({flag}) = 'BOOLEAN'"
         f" THEN ({flag})::BIGINT ELSE CAST(error("
@@ -5707,10 +5714,7 @@ def cochran_armitage_stratified_sql(
         ),
         __cas_t AS (
             SELECT g, st, k, nn, rr,
-                   (CASE WHEN nn * swr - rr * swn < 0 THEN -1 ELSE 1
-                    END)::HUGEINT
-                   * ((abs(nn * swr - rr * swn) * 1000000::HUGEINT) // nn)
-                       AS tm,
+                   ((nn * swr - rr * swn) * 1000000::HUGEINT) // nn AS tm,
                    CASE WHEN nn > 1 THEN
                        (rr * (nn - rr) * (nn * swwn - swn * swn)
                         * 1000000::HUGEINT)
@@ -5761,14 +5765,17 @@ def mannwhitney_stratified(
 
     Per stratum s, riding grouped_mannwhitney's exact two-cohort
     histogram integers (U₂ = 2·gt + ties, the doubled U) and the
-    signed quantize-once micro-unit machinery:
+    quantize-once micro-unit machinery (signed numerators divide
+    identically — both engines truncate toward zero):
 
-        t_micro_s = sign(U₂−n1n2)·((|U₂−n1n2|·10⁶) div (2(N_s+1)))
-                                     (U₂ − n1·n2 = 2(U − μ) exact;
-                                      the sign handled BEFORE the
-                                      division — Spark ``div``
-                                      truncates toward zero, DuckDB
-                                      ``//`` floors)
+        t_micro_s = ((U₂−n1·n2)·10⁶) div (2(N_s+1))
+                                     (U₂ − n1·n2 = 2(U − μ) exact,
+                                      possibly negative — BOTH
+                                      engines truncate integer
+                                      division toward zero, verified,
+                                      so no sign handling is needed;
+                                      only Python's // floors, which
+                                      the brute tests emulate)
         v_micro_s = (n1·n2·(N³−N−T)·10⁶)
                       div (3N(N−1)·4(N+1)²)
                                      (Var(U₂)/(4(N+1)²) — the MWU
@@ -5803,21 +5810,31 @@ def mannwhitney_stratified(
     st = F.col(stratum_col) if isinstance(stratum_col, str) else stratum_col
     v = F.col(value_col) if isinstance(value_col, str) else value_col
     coh = F.col(cohort_col) if isinstance(cohort_col, str) else cohort_col
-    q = df.where(
-        st.isNotNull()
-        & v.isNotNull()
-        & ~F.isnan(v.cast("double"))
-        & coh.isNotNull()
-    ).select(
-        *group_cols,
-        st.alias("__st"),
-        v.alias("__v"),
-        coh.cast("int").alias("__c"),
+    cdt = df.select(coh.alias("__probe")).schema[0].dataType.simpleString()
+    if cdt != "boolean":
+        # the stratified-family convention (cochran_armitage_stratified,
+        # mantel_haenszel): a {1,2}-coded arm index would silently give
+        # negative c2 counts and a plausible-but-wrong z — raise in-plan
+        coh = (
+            F.when(coh.isNull(), coh)  # NULL still DROPS the row —
+            # the raise must not fire on rows the histogram filters
+            .when(coh.isin(0, 1), coh)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "mannwhitney_stratified: cohort_col must be 0/1"
+                        " or boolean"
+                    )
+                )
+            )
+        )
+    q = df.where(st.isNotNull()).select(
+        *group_cols, st.alias("__st"), v.alias("__v"), coh.alias("__c")
     )
-    h = q.groupBy(*group_cols, "__st", "__v").agg(
-        F.sum("__c").cast(_D).alias("__c1"),
-        F.sum(1 - F.col("__c")).cast(_D).alias("__c2"),
-    )
+    # the shared two-cohort histogram with the stratum riding the
+    # group keys — single source with grouped_mannwhitney/KS/Cliff's,
+    # so the pinned single-stratum reduction law cannot silently drift
+    h = _two_cohort_hist(q, [*group_cols, "__st"], "__v", "__c")
     ws = Window.partitionBy(*group_cols, "__st")
     wcum = ws.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
     c = (
@@ -5844,18 +5861,13 @@ def mannwhitney_stratified(
     )
     zd = F.lit(0).cast(_D)
     per_s = (
-        per_s.withColumn("__tabs", F.abs(tnum) * mi)
-        .withColumn(
-            "__tsgn",
-            F.when(tnum < 0, F.lit(-1)).otherwise(F.lit(1)).cast(_D),
-        )
+        per_s.withColumn("__tnum", tnum * mi)
         .withColumn("__tden", F.lit(2).cast(_D) * (nn + 1))
         .withColumn("__vnum", v4num)
         .withColumn("__vden", v4den)
     )
     t_micro = F.when(
-        (n1 > 0) & (n2 > 0),
-        F.col("__tsgn") * F.expr("__tabs div __tden"),
+        (n1 > 0) & (n2 > 0), F.expr("__tnum div __tden")
     ).otherwise(zd)
     v_micro = F.when(
         (n1 > 0) & (n2 > 0) & (nn >= 2), F.expr("__vnum div __vden")
@@ -5885,7 +5897,8 @@ def mannwhitney_stratified_sql(
     table: str, group: str, stratum: str, value: str, cohort_pred: str
 ) -> str:
     """DuckDB twin of :func:`mannwhitney_stratified` (hugeint
-    arithmetic, identical per-stratum signed quantize-once terms,
+    arithmetic, identical per-stratum quantize-once terms (both
+    engines truncate toward zero — no sign handling),
     empty-cohort/N<2 guards before the eager divisions, single
     div→√ shape)."""
     return f"""
@@ -5919,11 +5932,8 @@ def mannwhitney_stratified_sql(
         __ve_t AS (
             SELECT g, st, n1, n2,
                    CASE WHEN n1 > 0 AND n2 > 0 THEN
-                       (CASE WHEN 2 * gt + ties - n1 * n2 < 0 THEN -1
-                             ELSE 1 END)::HUGEINT
-                       * ((abs(2 * gt + ties - n1 * n2)
-                           * 1000000::HUGEINT)
-                          // (2 * (n1 + n2 + 1)))
+                       ((2 * gt + ties - n1 * n2) * 1000000::HUGEINT)
+                       // (2 * (n1 + n2 + 1))
                    ELSE 0::HUGEINT END AS tm,
                    CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 >= 2 THEN
                        (n1 * n2 * ((n1 + n2) * (n1 + n2) * (n1 + n2)

@@ -1,6 +1,6 @@
 """Stratified Cochran–Armitage / CMH trend (operators/stats.
-cochran_armitage_stratified): brute parity replicating the signed
-per-stratum quantization, single-stratum == plain CA·(N−1)/N
+cochran_armitage_stratified): brute parity (the brute sign-splits because PYTHON's // floors
+while both engines truncate — the operator itself divides plainly), single-stratum == plain CA·(N−1)/N
 reduction, planted trend-Simpson (within-stratum flat rates make
 every t_micro EXACTLY 0 while the pooled CA sees a strong trend),
 dose-reversal antisymmetry, degenerate NULLs, raises both engines,

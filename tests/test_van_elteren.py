@@ -1,6 +1,6 @@
 """van Elteren stratified Mann–Whitney (operators/stats.
-mannwhitney_stratified): brute parity replicating the signed
-per-stratum quantization, single-stratum == plain MWU z reduction,
+mannwhitney_stratified): brute parity (the brute sign-splits because PYTHON's // floors
+while both engines truncate — the operator itself divides plainly), single-stratum == plain MWU z reduction,
 planted rank-Simpson (proportional-copy cohorts give U₂ == n1·n2
 identically → stratified z == 0.0 exactly while the pooled MWU
 lies), cohort-swap antisymmetry, empty-cohort strata contribute
@@ -209,3 +209,29 @@ def test_duckdb_twin(spark, tmp_path):
         + " ORDER BY g"
     ).df()
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_nonbinary_cohort_raises_in_plan(spark):
+    """A {1,2}-coded arm index would give negative c2 counts and a
+    plausible-but-wrong z — the stratified-family convention raises
+    in-plan instead (review catch)."""
+    df = spark.createDataFrame(
+        [(0, 0, 5, 2), (0, 0, 6, 1)], "g int, st int, v int, c int"
+    )
+    with pytest.raises(Exception, match="0/1 or boolean"):
+        mannwhitney_stratified(df, ["g"], "st", "v", "c").collect()
+    ok = spark.createDataFrame(
+        [(0, 0, 5, 1), (0, 0, 6, 0), (0, 0, 7, 1)],
+        "g int, st int, v int, c int",
+    )
+    r = mannwhitney_stratified(ok, ["g"], "st", "v", "c").collect()[0]
+    assert r["n1"] == 2 and r["n2"] == 1  # 0/1 ints still accepted
+
+
+def test_null_int_cohort_drops_not_raises(spark):
+    """NULL integer cohorts DROP the row (the histogram contract) —
+    the 0/1 validation must not fire on them."""
+    rows = [(0, 0, 5, 1), (0, 0, 6, 0), (0, 0, 7, None), (0, 0, 8, 1)]
+    df = spark.createDataFrame(rows, "g int, st int, v int, c int")
+    r = mannwhitney_stratified(df, ["g"], "st", "v", "c").collect()[0]
+    assert r["n1"] == 2 and r["n2"] == 1
