@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Round-6 optimization harness (bench.py itself is frozen for
+measurement; this file holds the extra instrumentation the
+optimization guide §1 asks for).
+
+Two modes:
+
+  python bench_extra.py --plans q1,q2,...   # write .explain("formatted")
+                                            # to plans/r06/<q>_<tag>.txt
+  python bench_extra.py --time q1,q2,...    # noop-sink isolated timing
+                                            # (guide §1.4), N reps each
+
+Query builders RETURN THE DATAFRAME the corresponding bench.py entry
+computes (bench entries end in .count()/.collect(); the builder stops
+one step earlier so the plan and the noop write see the full
+computation).  Inputs, session config and parameters replicate
+bench.bench_queries exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+import bench as B  # frozen harness: reuse its session + corpus helpers
+from pyspark.sql import functions as F
+
+TAG = os.environ.get("PLAN_TAG", "before")
+PLANS_DIR = REPO / "plans" / "r06"
+
+
+def _inputs(spark):
+    sf_dir = B.SF_DIR
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+    docs.count()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").cache()
+    li.count()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+    ev.count()
+    tdf, _ = B._transcripts(spark, B.CPUS)
+    docs_id_part = docs.withColumn("part", (F.col("doc_id") % 7).cast("int"))
+    return {"docs": docs, "li": li, "ev": ev, "tdf": tdf,
+            "docs_id_part": docs_id_part, "sf_dir": sf_dir}
+
+
+# ---------------------------------------------------------------------------
+# builders: name -> fn(spark, inputs) -> DataFrame (or None-returning
+# callable for driver-side entries that have no single output DF)
+# ---------------------------------------------------------------------------
+
+
+def b_triangle_counts(spark, I):
+    from btl_bloomfilter_spark.operators.triangles import (
+        cooccurrence_edges, triangle_counts)
+    edges = cooccurrence_edges(I["li"], "l_orderkey", "l_partkey")
+    return triangle_counts(edges, broadcast_adj=True)
+
+
+def b_kcore(spark, I):
+    from btl_bloomfilter_spark.operators.kcore import k_core
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+    return k_core(cooccurrence_edges(I["li"], "l_orderkey", "l_partkey"), k=80)
+
+
+def b_label_propagation(spark, I):
+    from btl_bloomfilter_spark.operators.labelprop import label_propagation
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+    edges = cooccurrence_edges(I["li"], "l_orderkey", "l_partkey")
+    return label_propagation(edges, rounds=3)
+
+
+def b_deterministic_walks(spark, I):
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+    from btl_bloomfilter_spark.operators.walks import deterministic_walks
+    edges = cooccurrence_edges(I["li"], "l_orderkey", "l_partkey")
+    return deterministic_walks(edges, n_walks=32, steps=6, seed=9)
+
+
+def b_link_prediction(spark, I):
+    from btl_bloomfilter_spark.operators.linkpred import link_prediction_scores
+    from btl_bloomfilter_spark.operators.triangles import cooccurrence_edges
+    edges = cooccurrence_edges(I["li"], "l_orderkey", "l_partkey", min_support=2)
+    return link_prediction_scores(edges)
+
+
+def b_pagerank(spark, I):
+    from btl_bloomfilter_spark.operators.pagerank import pagerank_int
+    edges = I["li"].select(
+        (F.col("l_suppkey") + 1000000).alias("src"), F.col("l_partkey").alias("dst")
+    ).distinct()
+    out = pagerank_int(edges, iters=6)
+    out.unpersist()
+    return out
+
+
+def b_prefix_simjoin(spark, I):
+    from btl_bloomfilter_spark.operators.setjoin import (
+        ordered_token_sets, prefix_similarity_join)
+    d = I["docs_id_part"]
+    sets = ordered_token_sets(d, "text", "doc_id").persist()
+    return prefix_similarity_join(d, "text", "doc_id", threshold=0.8,
+                                  token_sets=sets)
+
+
+def b_edit_distance_join(spark, I):
+    from btl_bloomfilter_spark.operators.editjoin import (
+        edit_distance_join, qgram_profile)
+    base = I["docs_id_part"].select(
+        F.col("doc_id").alias("id"),
+        F.base64(F.unhex(F.md5(F.col("doc_id").cast("string")))).alias("s"),
+    )
+    corpus = base.unionByName(
+        base.where(F.col("id") % 5 == 0).select(
+            (F.col("id") + 1000000).alias("id"),
+            F.expr("substring(s, 1, 6) || 'z' || substring(s, 8)").alias("s"),
+        )
+    )
+    prof = qgram_profile(corpus, "s", "id", q=3, max_dist=2).persist()
+    return edit_distance_join(corpus, "s", "id", max_dist=2, q=3, profile=prof)
+
+
+def b_weighted_minhash(spark, I):
+    from btl_bloomfilter_spark.operators.wminhash import weighted_minhash_pairs
+    return weighted_minhash_pairs(
+        I["docs"], "text", "doc_id",
+        num_perm=16, cap=4, min_matches=4, seed=20, hot_bucket_limit=50,
+    )
+
+
+def b_novelty_scores(spark, I):
+    from btl_bloomfilter_spark.operators.novelty import novelty_scores
+    docs = I["docs"]
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    ref = docs.where(F.col("doc_id") % 3 != 0)
+    return novelty_scores(new, ref, "text", "doc_id", fpr=0.01)
+
+
+def b_conv_near_dup(spark, I):
+    from btl_bloomfilter_spark.operators.dialog import near_dup_conversations
+    return near_dup_conversations(I["tdf"], w=2, threshold=0.4, max_conv_freq=50)
+
+
+def b_record_linkage(spark, I):
+    import __spark_entry__ as em
+    from btl_bloomfilter_spark.operators.linkage import fellegi_sunter_link
+    cust = spark.read.parquet(f"{I['sf_dir']}/customer.parquet")
+    comps, thr = em._q112_spec()
+    a = cust.selectExpr(*em._Q112_A_COLS)
+    b = cust.where(em._Q112_B_WHERE).selectExpr(*em._Q112_B_COLS)
+    return fellegi_sunter_link(a, b, id_a="id", id_b="id",
+                               block=em._Q112_BLOCK, comparators=comps,
+                               threshold_milli=thr).where(F.col("is_match"))
+
+
+def b_kmer_spectrum(spark, I):
+    from btl_bloomfilter_spark.operators.spectrum import kmer_spectrum
+    return kmer_spectrum(I["docs"], "text", 12)
+
+
+BUILDERS = {
+    "triangle_counts_parts": b_triangle_counts,
+    "kcore_parts": b_kcore,
+    "label_propagation_parts": b_label_propagation,
+    "deterministic_walks": b_deterministic_walks,
+    "link_prediction_parts": b_link_prediction,
+    "pagerank_supplier_part": b_pagerank,
+    "prefix_simjoin_docs": b_prefix_simjoin,
+    "edit_distance_join": b_edit_distance_join,
+    "weighted_minhash_docs": b_weighted_minhash,
+    "novelty_scores": b_novelty_scores,
+    "conv_near_dup": b_conv_near_dup,
+    "record_linkage": b_record_linkage,
+    "kmer_spectrum_docs": b_kmer_spectrum,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--plans", type=str, default=None)
+    ap.add_argument("--time", type=str, default=None)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+    names = (args.plans or args.time).split(",")
+    unknown = [n for n in names if n not in BUILDERS]
+    if unknown:
+        raise SystemExit(f"unknown: {unknown}; known: {sorted(BUILDERS)}")
+    spark = B._spark(B.CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    I = _inputs(spark)
+    if args.plans:
+        PLANS_DIR.mkdir(parents=True, exist_ok=True)
+        for n in names:
+            df = BUILDERS[n](spark, I)
+            p = PLANS_DIR / f"{n}_{TAG}.txt"
+            p.write_text(df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+            print(f"wrote {p}")
+    if args.time:
+        out = {}
+        for n in names:
+            spark.sparkContext.setJobDescription(f"r06 timing: {n}")
+            reps = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                df = BUILDERS[n](spark, I)
+                df.write.format("noop").mode("overwrite").save()
+                reps.append(round(time.perf_counter() - t0, 3))
+            out[n] = {"best": min(reps), "reps": reps}
+            print(json.dumps({n: out[n]}))
+        print("TOTAL_BEST", round(sum(v["best"] for v in out.values()), 3))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -16,13 +16,16 @@ same core; q124's oracle exploits this with an unrolled round-by-round
 CTE in DuckDB.
 
 100-TB shape per round: ONE degree aggregation (union of the two edge
-endpoints, map-side combined) plus TWO anti-joins of the edge set
-against the weak-node set — weak sets shrink geometrically after the
-first round, so AQE turns the anti-joins into broadcasts exactly when
-that matters.  Lineage is truncated every round with eager
-``localCheckpoint`` (the iterative-DataFrame trap; same discipline as
-`components`/`pagerank`), and the edge set shrinks monotonically so
-later rounds are cheaper.  Rounds are data-dependent but bounded by
+endpoints, map-side combined) over the once-materialized edge table
+filtered by TWO broadcast semi-joins against the latest survivor set.
+Lineage is truncated every round with eager ``localCheckpoint`` of
+the NODE-sized survivor set only (the iterative-DataFrame trap; same
+discipline as `components`/`pagerank`) — r5 checkpointed a fresh
+|E|-row edge table per round, which dominated the entry; the
+monotone-survivor filter derives the same peeled subgraph from the
+static edge table for a |V|-sized checkpoint instead.  For graphs
+whose survivor set exceeds executor broadcast memory, drop the
+broadcast hint (the semi-joins plan as exchanges; same rows).  Rounds are data-dependent but bounded by
 the peel depth, which for heavy-tailed co-occurrence graphs is small
 (5 at k=80 on the sf0.01 part graph); ``max_rounds`` turns a
 pathological chain into a loud error instead of a silent half-peel.
@@ -52,7 +55,19 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    alive = edges.select("u", "v").localCheckpoint(eager=True)
+    # The edge set is materialized ONCE; each round's surviving
+    # subgraph is re-derived from it by filtering on the (node-sized,
+    # monotonically shrinking) survivor set instead of checkpointing a
+    # new |E|-row table per round (the r5 shape — the per-round edge
+    # materialization dominated the entry).  Equivalence: survivors
+    # shrink monotonically, so "both endpoints in the latest survivor
+    # set" IS the peeled edge set of the synchronous schedule — the
+    # same fixpoint row for row.  The survivor checkpoint is |V|-sized
+    # (cheap); the semi-joins broadcast it so the edge table never
+    # crosses an exchange.
+    edges0 = edges.select("u", "v").localCheckpoint(eager=True)
+    alive = edges0
+    survivors = None  # None = all nodes (round 1 runs on edges0)
     deg = None
     for _ in range(max_rounds):
         prev_deg = deg
@@ -69,13 +84,18 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
             prev_deg.unpersist()
         if n_weak == 0:
             return deg
-        nxt = (
-            alive.join(weak.withColumnRenamed("node", "u"), "u", "left_anti")
-            .join(weak.withColumnRenamed("node", "v"), "v", "left_anti")
-            .select("u", "v")
-            .localCheckpoint(eager=True)
+        survivors = (
+            deg.where(F.col("core_deg") >= k).select("node").localCheckpoint(eager=True)
         )
-        alive = nxt
+        alive = (
+            edges0.join(
+                F.broadcast(survivors.withColumnRenamed("node", "u")), "u", "left_semi"
+            )
+            .join(
+                F.broadcast(survivors.withColumnRenamed("node", "v")), "v", "left_semi"
+            )
+            .select("u", "v")
+        )
     if deg is not None:
         deg.unpersist()  # non-convergence must not leak the round table
     raise RuntimeError(

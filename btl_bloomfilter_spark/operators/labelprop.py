@@ -28,12 +28,15 @@ with a deterministic tie-break, the same determinism contract as
     practice 3-5 rounds settle the label landscape on heavy-tailed
     co-occurrence graphs.
 
-100-TB shape per round: ONE vote expansion (edge-sized equi-join of
-the symmetric adjacency against the current label table, on the node
-key), ONE map-side-combined (node, label) count aggregation, and ONE
-per-node WindowGroupLimit argmax (row_number over count desc, label
-asc — Spark rewrites the rn=1 filter to a group-limit, no full sort
-materialization).  Nothing is ever neighbor-LIST shaped, so a hot hub
+100-TB shape per round: ONE vote expansion (edge-sized BROADCAST
+equi-join of the symmetric adjacency against the node-sized current
+label table — the adjacency itself never crosses an exchange), ONE
+map-side-combined (node, label) count aggregation, and ONE per-node
+argmax expressed as min(struct(-count, label)) — a second two-level
+aggregation with map-side partial combine (count desc, label asc ==
+(-c, label) asc; replaces the former row_number window, which cost an
+extra exchange plus a per-node sort).  Nothing is ever neighbor-LIST
+shaped, so a hot hub
 costs a skewed aggregate, not an exploded array.  Lineage is
 truncated every round with eager ``localCheckpoint`` (the iterative
 DataFrame trap; same discipline as components/kcore/pagerank/walks),
@@ -54,7 +57,9 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["label_propagation"]
 
 
-def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
+def label_propagation(
+    edges: DataFrame, rounds: int, *, broadcast_labels: bool = True
+) -> DataFrame:
     """(node, label) — community labels after ``rounds`` synchronous
     label-propagation rounds over a canonical (u, v) edge set (see
     `triangles.canonical_edges` / `cooccurrence_edges`).
@@ -67,8 +72,6 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    from pyspark.sql import Window
-
     from .triangles import symmetric_adjacency
 
     adj = symmetric_adjacency(edges).persist()
@@ -79,20 +82,33 @@ def label_propagation(edges: DataFrame, rounds: int) -> DataFrame:
             .withColumn("label", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        maybe_b = F.broadcast if broadcast_labels else (lambda d: d)
         for _ in range(rounds):
             votes = (
+                # the label table is node-sized (one row per node) while
+                # adj is edge-sized: broadcast the small side so the
+                # per-round join never exchanges the adjacency (r6: the
+                # vote join was a per-round sort-merge of the full
+                # adjacency before this hint).  broadcast_labels=False
+                # for graphs whose node table exceeds executor memory.
                 adj.join(
-                    labels.withColumnRenamed("node", "v"), "v"
+                    maybe_b(labels.withColumnRenamed("node", "v")), "v"
                 )  # neighbor v's current label, counted at u
                 .select(F.col("u").alias("node"), "label")
             )
+            # argmax(count desc, label asc) == min over (-c, label):
+            # both levels take map-side partial aggregation, replacing
+            # the former row_number window (an extra exchange + full
+            # per-node sort) with a plain min; the (-c, label) struct
+            # is unique per (node, label) row, so the pick is exactly
+            # the window's rn=1 row — values identical, pinned by the
+            # q136 oracle and the brute tests
             labels = (
                 votes.groupBy("node", "label")
                 .agg(F.count("*").alias("c"))
-                .withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .select("node", "label")
+                .groupBy("node")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("__m"))
+                .select("node", F.col("__m.label").alias("label"))
                 .localCheckpoint(eager=True)
             )
     finally:

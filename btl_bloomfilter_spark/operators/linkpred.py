@@ -52,6 +52,8 @@ def link_prediction_scores(
     edges: DataFrame,
     *,
     max_center_degree: Optional[int] = None,
+    materialize: bool = True,
+    broadcast_deg: bool = True,
 ) -> DataFrame:
     """(a, b, cn, deg_a, deg_b, aa_nano, jaccard) — link-prediction
     scores for every NON-adjacent pair (a < b) with at least one
@@ -63,6 +65,14 @@ def link_prediction_scores(
     ``aa_nano`` = Adamic-Adar in nano units, Σ_w floor(1e9/ln(deg_w))
     over common neighbors w (string, digit-exact);
     ``jaccard`` = cn / (deg_a + deg_b − cn) (double, single division).
+
+    ``materialize`` (default True) eagerly checkpoints the edge set
+    (three plan branches — see inline comment) and the node-sized
+    degree table (two consumers); ``broadcast_deg`` (default True)
+    broadcasts the degree table into the two final joins — disable it
+    for billion-node graphs whose degree table exceeds executor
+    memory (the joins fall back to AQE-planned exchanges; values are
+    identical either way).
     """
     if max_center_degree is not None and max_center_degree < 2:
         raise ValueError(
@@ -70,6 +80,13 @@ def link_prediction_scores(
         )
     from .triangles import degrees, pair_expansion_expr, symmetric_adjacency
 
+    # The input feeds THREE plan branches (degree counts, wedge
+    # centers, the non-adjacency anti-join) and Catalyst does not
+    # share uncached subtrees — for a co-occurrence input the r6 plan
+    # audit showed the quadratic pair expansion re-running per branch.
+    # One eager localCheckpoint computes it exactly once.
+    if materialize:
+        edges = edges.select("u", "v").localCheckpoint(eager=True)
     adj = symmetric_adjacency(edges)
     # degrees from a plain count — NOT from the array aggregate, so
     # the collect_set/array_sort merge runs exactly once (on the
@@ -96,8 +113,12 @@ def link_prediction_scores(
         ["a", "b"],
         "left_anti",
     )
-    da = deg.select(F.col("w").alias("a"), F.col("deg").alias("deg_a"))
-    db = deg.select(F.col("w").alias("b"), F.col("deg").alias("deg_b"))
+    maybe_b = F.broadcast if broadcast_deg else (lambda d: d)
+    if materialize:
+        # node-sized; two consumers below — one degree aggregation
+        deg = deg.localCheckpoint(eager=True)
+    da = maybe_b(deg.select(F.col("w").alias("a"), F.col("deg").alias("deg_a")))
+    db = maybe_b(deg.select(F.col("w").alias("b"), F.col("deg").alias("deg_b")))
     out = nonadj.join(da, "a").join(db, "b")
     return out.select(
         "a",

@@ -49,10 +49,17 @@ def pagerank_int(
     scale: int = 1_000_000,
     damping_num: int = 85,
     damping_den: int = 100,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """(node, rank) after ``iters`` exact integer iterations.  Edges
     should be pre-deduplicated (each row is one edge; parallel edges
     count multiply, matching the twin).
+
+    ``broadcast_ranks`` (default True) broadcasts the node-sized rank
+    and contribution tables into the per-iteration joins, so the
+    persisted edge table never crosses an exchange; set False for
+    graphs whose node table exceeds executor memory (the joins fall
+    back to planner-chosen exchanges — same values).
 
     The returned DataFrame IS the final persisted iteration (already
     materialized — reading it costs no recompute); call
@@ -75,10 +82,17 @@ def pagerank_int(
     ed.count()
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).persist()
     ranks.count()
+    maybe_b = F.broadcast if broadcast_ranks else (lambda d: d)
     try:
         for _ in range(iters):
             contribs = (
-                ed.join(ranks, ed.src == ranks.node)
+                # the rank table is node-sized while ed is edge-sized:
+                # broadcast ranks so the persisted edge table never
+                # crosses a per-iteration exchange (r6: this join was
+                # a per-iteration shuffle of the full edge table);
+                # nodes << edges is the precondition for the broadcast
+                # variant — see docstring
+                ed.join(maybe_b(ranks), ed.src == ranks.node)
                 .select(
                     "dst",
                     F.expr(f"({damping_num} * rank) div ({damping_den} * deg)").alias("c"),
@@ -87,7 +101,7 @@ def pagerank_int(
                 .agg(F.sum("c").alias("in_mass"))
             )
             new = (
-                nodes.join(contribs, nodes.node == contribs.dst, "left")
+                nodes.join(maybe_b(contribs), nodes.node == contribs.dst, "left")
                 .select(
                     "node",
                     (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).cast("long").alias("rank"),

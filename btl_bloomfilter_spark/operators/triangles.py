@@ -133,7 +133,9 @@ def cooccurrence_edges(
     )
 
 
-def triangle_counts(edges: DataFrame, broadcast_adj: bool = False) -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, broadcast_adj: bool = False, materialize: bool = True
+) -> DataFrame:
     """(node, triangles) — exact per-node triangle participation
     counts over a canonical (u, v) edge set; nodes in no triangle are
     absent.  Global count = sum(triangles) / 3.
@@ -147,8 +149,22 @@ def triangle_counts(edges: DataFrame, broadcast_adj: bool = False) -> DataFrame:
     1.2M edges ≈ 10 MB adjacency, measured 3× end-to-end).  Leave
     False for billion-node graphs where adjacency exceeds executor
     memory; the shuffle plan is the same count, just exchanged.
+
+    ``materialize=True`` (default) cuts the input and the oriented
+    edge set with eager ``localCheckpoint``: ``edges`` feeds FOUR
+    plan branches (two degree endpoints, the orientation join, the
+    closure anti-reference) and ``oriented`` three more, and Catalyst
+    does not share uncached non-identical subtrees — for a
+    co-occurrence input the executed plan re-ran the quadratic pair
+    expansion 8× (r6 plan audit: 8 copies of the
+    collect_set→Generate→distinct subtree; 2.5s of a 9.2s entry per
+    copy).  Checkpointing computes each exactly once.  Set False only
+    when the input is itself a cheap scan at a scale where
+    materializing |E| rows is the bigger cost.
     """
     maybe_b = F.broadcast if broadcast_adj else (lambda d: d)
+    if materialize:
+        edges = edges.select("u", "v").localCheckpoint(eager=True)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -164,6 +180,8 @@ def triangle_counts(edges: DataFrame, broadcast_adj: bool = False) -> DataFrame:
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
     )
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
     # Edge-iterator with adjacency arrays: a triangle ranked x < y < z
     # is found exactly once, at its lowest-ranked edge (x, y), as
     # z ∈ out(x) ∩ out(y) — the other two edges are oriented INTO z,
@@ -173,6 +191,9 @@ def triangle_counts(edges: DataFrame, broadcast_adj: bool = False) -> DataFrame:
     # orientation-bounded at O(sqrt |E|) elements, so no collect_list
     # hub blowup.
     adj = oriented.groupBy("a").agg(F.sort_array(F.collect_list("b")).alias("nbrs"))
+    if materialize:
+        # two consumers (both wedge sides) — one groupBy instead of two
+        adj = adj.localCheckpoint(eager=True)
     adj_a = maybe_b(adj.select(F.col("a"), F.col("nbrs").alias("na")))
     adj_b = maybe_b(adj.select(F.col("a").alias("b"), F.col("nbrs").alias("nb")))
     tris = (

@@ -79,33 +79,95 @@ def weighted_signatures(
     num_perm: int = 16,
     cap: int = 4,
     seed: int | str = 0,
+    counts: DataFrame | None = None,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """(id, perm, sig): sig = min over expanded (token, rep<=c) of the
-    portable 60-bit md5 hash of (seed, token, rep, perm).  min() gets
-    map-side partial aggregation, so the exchange after the expansion
-    carries at most |docs| x num_perm rows per partition."""
+    portable 60-bit md5 hash of (seed, token, rep, perm).
+
+    The hash h(token, rep, perm) does not depend on the document id,
+    so it is computed ONCE PER DISTINCT (token, rep, perm) — a
+    vocab × cap × num_perm table — instead of once per expanded
+    corpus row (the r5 shape: corpus_tokens × cap × num_perm md5
+    evaluations; the md5 count drops by the corpus/vocab ratio).  Per
+    token the table stores, for each perm, the RUNNING MIN over rep
+    ≤ r (cap entries), so a (id, token, c) row reads its per-perm
+    partial signature by one array index; per-doc signatures are
+    num_perm plain min() aggregates with map-side partial combine.
+    Values are identical to the per-row expansion (min over the same
+    multiset of hashes) — pinned by the q120 full-output oracle.
+
+    ``broadcast_vocab`` (default True) broadcasts the hash table into
+    the token join; set False when the distinct-token universe is too
+    large for executor memory (the join plans as a regular exchange).
+    ``counts=`` lets a caller share one materialized
+    :func:`token_counts` table across the signature and verify stages.
+    """
     if num_perm < 1:
         raise ValueError("num_perm must be >= 1")
-    counts = token_counts(df, text_col, id_col, cap=cap)
-    expanded = (
-        counts.select(
-            "id",
+    P = int(num_perm)
+    if counts is None:
+        counts = token_counts(df, text_col, id_col, cap=cap)
+    # vocab-sized hash table: for each token, cmax = max c it needs;
+    # per perm an array of running minima over rep = 1..cmax
+    toks = counts.groupBy("token").agg(F.max("c").alias("cmax"))
+    rep_h = (
+        toks.select(
             "token",
-            F.explode(F.expr("sequence(1, c)")).alias("rep"),
+            "cmax",
+            F.explode(F.expr("sequence(1, cmax)")).alias("rep_i"),
         )
         .select(
-            "id",
             "token",
-            F.col("rep").cast("string").alias("rep"),
-            F.explode(F.expr(f"sequence(0, {int(num_perm) - 1})")).alias("perm"),
+            "cmax",
+            "rep_i",
+            F.col("rep_i").cast("string").alias("rep"),
+            F.explode(F.expr(f"sequence(0, {P - 1})")).alias("perm"),
         )
         .withColumn("perm_s", F.col("perm").cast("string"))
+        .withColumn("h", _hash60(["token", "rep", "perm_s"], seed))
     )
-    return (
-        expanded.withColumn("h", _hash60(["token", "rep", "perm_s"], seed))
-        .groupBy("id", "perm")
-        .agg(F.min("h").alias("sig"))
+    # per (token, perm): h ordered by rep, then running min (cap is
+    # tiny, the O(cap^2) slice scan is report-scale arithmetic)
+    per_perm = rep_h.groupBy("token", "perm").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rep_i", "h"))), lambda s: s["h"]
+        ).alias("hs")
+    ).select(
+        "token",
+        "perm",
+        F.expr(
+            "transform(sequence(1, size(hs)), r -> array_min(slice(hs, 1, r)))"
+        ).alias("cm"),
     )
+    # per token: dense perm -> running-min array map (perm is 0..P-1)
+    tok_tbl = per_perm.groupBy("token").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("perm", "cm"))), lambda s: s["cm"]
+        ).alias("cms")
+    )
+    maybe_b = F.broadcast if broadcast_vocab else (lambda d: d)
+    part = counts.join(maybe_b(tok_tbl), "token").select(
+        "id",
+        *[
+            F.element_at(F.element_at("cms", p + 1), F.col("c").cast("int")).alias(f"__s{p}")
+            for p in range(P)
+        ],
+    )
+    wide = part.groupBy("id").agg(
+        *[F.min(f"__s{p}").alias(f"__s{p}") for p in range(P)]
+    )
+    return wide.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("perm"), F.col(f"__s{p}").alias("sig"))
+                    for p in range(P)
+                ]
+            )
+        ).alias("__ps"),
+    ).select("id", F.col("__ps.perm").alias("perm"), F.col("__ps.sig").alias("sig"))
 
 
 def weighted_minhash_pairs(
@@ -126,8 +188,12 @@ def weighted_minhash_pairs(
     int->double division, bit-identical across engines."""
     if not 1 <= min_matches <= num_perm:
         raise ValueError("min_matches must be in [1, num_perm]")
+    # ONE materialized token-count table feeds the signature stage and
+    # all three verify consumers (sizes + both intersection probes);
+    # uncached, Catalyst re-runs the tokenize+groupBy per consumer
+    counts = token_counts(df, text_col, id_col, cap=cap).localCheckpoint(eager=True)
     sigs = weighted_signatures(
-        df, text_col, id_col, num_perm=num_perm, cap=cap, seed=seed
+        df, text_col, id_col, num_perm=num_perm, cap=cap, seed=seed, counts=counts
     )
     if hot_bucket_limit is not None:
         w = Window.partitionBy("perm", "sig")
@@ -143,7 +209,6 @@ def weighted_minhash_pairs(
         .agg(F.count("*").alias("match_cnt"))
         .where(F.col("match_cnt") >= F.lit(int(min_matches)))
     )
-    counts = token_counts(df, text_col, id_col, cap=cap)
     sizes = counts.groupBy("id").agg(F.sum("c").alias("size"))
     ca = counts.select(F.col("id").alias("id_a"), "token", F.col("c").alias("c_a"))
     cb = counts.select(F.col("id").alias("id_b"), "token", F.col("c").alias("c_b"))
