@@ -99,6 +99,13 @@ def _build_block(u: np.ndarray, block: int, salt: int, fp_bits: int):
         return 0, 0, b""
     nb = _nbuckets_for(n)
     dt = np.uint8 if fp_bits <= 8 else np.uint16
+    # Alt-bucket offset LUT over the full fingerprint space (nb is
+    # fixed for the block, so one vectorized splitmix pass replaces
+    # the per-key/per-kick scalar `_alt_offset` numpy round-trips that
+    # dominated the build loop — byte-identical tables, r6 measured).
+    alt = (
+        _splitmix64(np.arange(1 << fp_bits, dtype=_U64) * _FP_MIX) % _U64(nb)
+    ).astype(np.int64).tolist()
     for attempt in range(64):
         seed_u = int(
             _splitmix64(
@@ -109,20 +116,24 @@ def _build_block(u: np.ndarray, block: int, salt: int, fp_bits: int):
             )[0]
         )
         seed = seed_u - (1 << 64) if seed_u >= 1 << 63 else seed_u
-        fp, i1 = _fp_and_i1(u, seed, fp_bits, nb)
-        table = np.zeros((nb, _BUCKET), dtype=dt)
+        fp_a, i1_a = _fp_and_i1(u, seed, fp_bits, nb)
+        # pure-Python ints + list-of-lists inside the sequential chain:
+        # same insertion schedule (first free slot, primary-then-alt,
+        # seeded-LCG victim), same final layout, no per-element numpy
+        fps = fp_a.tolist()
+        i1s = i1_a.tolist()
+        buckets = [[0] * _BUCKET for _ in range(nb)]
         lcg = (seed_u | 1) & 0xFFFFFFFFFFFFFFFF  # minstd-style odd state
         ok = True
         for k in range(n):
-            f = int(fp[k])
-            i = int(i1[k])
-            j = i ^ _alt_offset(f, nb)
+            f = fps[k]
+            i = i1s[k]
+            j = i ^ alt[f]
             placed = False
             for b in (i, j):
-                row = table[b]
-                free = np.flatnonzero(row == 0)
-                if free.size:
-                    row[free[0]] = f
+                row = buckets[b]
+                if 0 in row:
+                    row[row.index(0)] = f
                     placed = True
                     break
             if placed:
@@ -131,19 +142,19 @@ def _build_block(u: np.ndarray, block: int, salt: int, fp_bits: int):
             for _ in range(_MAX_KICKS):
                 lcg = (lcg * 6364136223846793005 + 1442695040888963407) & 0xFFFFFFFFFFFFFFFF
                 slot = (lcg >> 33) % _BUCKET
-                f, table[cur][slot] = int(table[cur][slot]), f
-                cur = cur ^ _alt_offset(f, nb)
-                row = table[cur]
-                free = np.flatnonzero(row == 0)
-                if free.size:
-                    row[free[0]] = f
+                row = buckets[cur]
+                f, row[slot] = row[slot], f
+                cur = cur ^ alt[f]
+                row = buckets[cur]
+                if 0 in row:
+                    row[row.index(0)] = f
                     placed = True
                     break
             if not placed:
                 ok = False
                 break
         if ok:
-            return seed, nb, table.tobytes()
+            return seed, nb, np.asarray(buckets, dtype=dt).tobytes()
     raise RuntimeError(f"cuckoo block {block} failed after 64 seeds (n={n})")
 
 

@@ -65,16 +65,22 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
     # same fixpoint row for row.  The survivor checkpoint is |V|-sized
     # (cheap); the semi-joins broadcast it so the edge table never
     # crosses an exchange.
-    edges0 = edges.select("u", "v").localCheckpoint(eager=True)
-    alive = edges0
-    survivors = None  # None = all nodes (round 1 runs on edges0)
+    from .triangles import symmetric_adjacency
+
+    # Both orientations, hash-partitioned by u, materialized ONCE: the
+    # per-u row count of the symmetric view IS the degree, and
+    # HashPartitioning(u) satisfies the degree aggregation's
+    # clustering, so every round runs EXCHANGE-FREE — two broadcast
+    # semi-joins (filters preserve partitioning) + one in-partition
+    # count (r6; the r5 shape checkpointed a fresh |E|-row edge table
+    # per round and shuffled a degree union).
+    adj = symmetric_adjacency(edges.select("u", "v")).repartition("u").persist()
+    alive = adj
     deg = None
     for _ in range(max_rounds):
         prev_deg = deg
         deg = (
-            alive.select(F.col("u").alias("node"))
-            .unionAll(alive.select(F.col("v").alias("node")))
-            .groupBy("node")
+            alive.groupBy(F.col("u").alias("node"))
             .agg(F.count("*").alias("core_deg"))
             .persist()
         )
@@ -83,19 +89,17 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
         if prev_deg is not None:
             prev_deg.unpersist()
         if n_weak == 0:
+            adj.unpersist()
             return deg
         survivors = (
             deg.where(F.col("core_deg") >= k).select("node").localCheckpoint(eager=True)
         )
-        alive = (
-            edges0.join(
-                F.broadcast(survivors.withColumnRenamed("node", "u")), "u", "left_semi"
-            )
-            .join(
-                F.broadcast(survivors.withColumnRenamed("node", "v")), "v", "left_semi"
-            )
-            .select("u", "v")
+        alive = adj.join(
+            F.broadcast(survivors.withColumnRenamed("node", "u")), "u", "left_semi"
+        ).join(
+            F.broadcast(survivors.withColumnRenamed("node", "v")), "v", "left_semi"
         )
+    adj.unpersist()
     if deg is not None:
         deg.unpersist()  # non-convergence must not leak the round table
     raise RuntimeError(

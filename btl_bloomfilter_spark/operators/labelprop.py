@@ -74,7 +74,13 @@ def label_propagation(
         raise ValueError(f"rounds must be >= 0, got {rounds}")
     from .triangles import symmetric_adjacency
 
-    adj = symmetric_adjacency(edges).persist()
+    # hash-partition the adjacency by u ONCE: the per-round vote join
+    # broadcasts the label side (streamed-side partitioning survives),
+    # and HashPartitioning(u=node) satisfies the clustering of BOTH
+    # downstream aggregates — groupBy(node, label) and groupBy(node) —
+    # so every round runs exchange-free (one setup shuffle buys
+    # 2·rounds exchanges of the edge-sized vote stream; r6 plan audit)
+    adj = symmetric_adjacency(edges).repartition("u").persist()
     try:
         labels = (
             adj.select(F.col("u").alias("node"))

@@ -83,20 +83,19 @@ def novelty_scores(
     """
     spark = new_docs.sparkSession
     if ref_sh is None:
-        ref_sh = reference_shingles(ref_docs, col, id_col, n)
+        # ONE materialization serves all three consumers (sizing
+        # count, filter build, FP-resolving anti-join): the r5 shape
+        # persisted across the first two then unpersisted, so the
+        # anti-join re-ran the reference tokenize+distinct a third
+        # time at action time.  localCheckpoint keeps the materialized
+        # universe alive for the returned plan without a caller-owned
+        # unpersist; callers at shard scale still pass ref_sh=/bloom=.
+        ref_sh = reference_shingles(ref_docs, col, id_col, n).localCheckpoint(
+            eager=True
+        )
     if bloom is None:
-        # Persist the universe across the sizing count and the filter
-        # build (2 consumers -> 1 source pass), then release: the
-        # anti-join recomputes it ONCE at action time.  Net 2 passes
-        # over the reference corpus instead of 3; callers wanting the
-        # 1-pass path persist it themselves and pass ref_sh= (the
-        # bloom=/ref_sh= reuse pattern, same as decontam).
-        ref_sh.persist()
-        try:
-            capacity = ref_sh.count()
-            bloom = build_reference_filter(ref_sh, fpr=fpr, capacity=capacity)
-        finally:
-            ref_sh.unpersist()
+        capacity = ref_sh.count()
+        bloom = build_reference_filter(ref_sh, fpr=fpr, capacity=capacity)
     if bloom.k != 0:
         raise ValueError("reference filter must be a whole-string (k=0) BloomFilter")
 
@@ -104,8 +103,10 @@ def novelty_scores(
     maybe_seen = bloom_contains(spark, bloom, F.col("shingle"))
     # Misses are certainly novel (no false negatives): tag map-side.
     # Hits may be false positives: resolve with the exact anti-join,
-    # which only the (small) hit slice pays for.
-    tagged = cand.withColumn("_maybe", maybe_seen)
+    # which only the (small) hit slice pays for.  Materialized once:
+    # both the per-doc totals and the FP branch consume it, and the
+    # candidate tokenize + Bloom probe are the expensive map work.
+    tagged = cand.withColumn("_maybe", maybe_seen).localCheckpoint(eager=True)
     hits_novel = (
         tagged.where(F.col("_maybe"))
         .join(ref_sh, "shingle", "left_anti")  # FP survivors are novel

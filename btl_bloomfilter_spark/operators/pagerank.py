@@ -66,7 +66,13 @@ def pagerank_int(
     ``.unpersist()`` on it when done.  All intermediate iterations and
     the node table are unpersisted internally."""
     _check(iters, scale, damping_num, damping_den)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # the edge projection feeds FIVE setup branches (degrees, both
+    # node-set endpoints, the static edge-degree table, the
+    # no-inbound set); materialize it once so an expensive upstream
+    # (the bench feeds an uncached distinct) is not re-run per branch
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).localCheckpoint(
+        eager=True
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -82,6 +88,21 @@ def pagerank_int(
     ed.count()
     ranks = nodes.withColumn("rank", F.lit(scale).cast("long")).persist()
     ranks.count()
+    # Nodes with NO inbound edge get exactly `base` every iteration;
+    # the set is static, so compute it once and UNION it in per
+    # iteration instead of left-joining contribs against the full node
+    # table (r6: one fewer per-iteration join; same rows — a node
+    # either appears in contribs, contributing base + in_mass, or in
+    # this static remainder, contributing base + 0, exactly the
+    # coalesce(in_mass, 0) the join computed).
+    no_in = (
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(), "node", "left_anti"
+        )
+        .select("node", F.lit(base).cast("long").alias("rank"))
+        .persist()
+    )
+    no_in.count()
     maybe_b = F.broadcast if broadcast_ranks else (lambda d: d)
     try:
         for _ in range(iters):
@@ -101,11 +122,11 @@ def pagerank_int(
                 .agg(F.sum("c").alias("in_mass"))
             )
             new = (
-                nodes.join(maybe_b(contribs), nodes.node == contribs.dst, "left")
-                .select(
-                    "node",
-                    (F.lit(base) + F.coalesce(F.col("in_mass"), F.lit(0))).cast("long").alias("rank"),
+                contribs.select(
+                    F.col("dst").alias("node"),
+                    (F.lit(base) + F.col("in_mass")).cast("long").alias("rank"),
                 )
+                .unionAll(no_in)
                 .persist()
             )
             new.count()
@@ -115,6 +136,7 @@ def pagerank_int(
     finally:
         nodes.unpersist()
         ed.unpersist()
+        no_in.unpersist()
 
 
 def pagerank_int_sql(

@@ -50,48 +50,49 @@ def deterministic_walks(
         raise ValueError(f"n_walks must be >= 1, got {n_walks}")
     from pyspark.sql import Window
 
-    # persist the adjacency for the loop's lifetime: every step's join
-    # AND its eager checkpoint would otherwise re-execute the full
-    # upstream edge construction (for a co-occurrence graph that is
-    # the quadratic pair expansion — measured 2x+ end-to-end);
-    # released before return, the output references only the
-    # checkpointed per-step frontiers
+    # Materialize the adjacency as per-node neighbor LISTS, once: the
+    # per-step join then scans one row per NODE instead of one row per
+    # directed edge (r6 — the former per-step broadcast join probed a
+    # 32-entry hash table against the full 2|E|-row cached adjacency,
+    # every step).  collect_list order is partition-dependent, but
+    # every consumer reduces over the neighbor SET (hash argmin), so
+    # values are order-invariant.  The eager checkpoint doubles as the
+    # lineage cut the old persist provided.
     from .triangles import symmetric_adjacency
 
-    adj = symmetric_adjacency(edges).persist()
-    nodes = adj.select("u").distinct().withColumnRenamed("u", "node")
+    adjl = (
+        symmetric_adjacency(edges)
+        .groupBy("u")
+        .agg(F.collect_list("v").alias("__nbrs"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = adjl.select(F.col("u").alias("node"))  # one row per node already
     starts = (
         nodes.withColumn("__h", _hash60(["node"], seed))
         .orderBy("__h", "node")
         .limit(n_walks)
         .select(F.col("node").alias("walk"), "node")
     )
-    try:
-        cur = starts.withColumn("step", F.lit(0)).localCheckpoint(eager=True)
-        out = [cur]
-        for t in range(1, steps + 1):
-            cand = (
-                F.broadcast(cur.select("walk", "node"))  # frontier is walk-count-sized
-                .join(adj, cur["node"] == adj["u"])
-                .select("walk", F.col("v").alias("node"))
-            )
-            h = _hash60(["walk", "__t", "node"], seed)
-            w = Window.partitionBy("walk").orderBy("__hh", "node")
-            nxt = (
-                cand.withColumn("__t", F.lit(t))
-                .withColumn("__hh", h)
-                .withColumn("__rn", F.row_number().over(w))
-                .where(F.col("__rn") == 1)
-                .select("walk", "node", F.lit(t).alias("step"))
-                .localCheckpoint(eager=True)
-            )
-            out.append(nxt)
-            cur = nxt
-    finally:
-        # release even when a mid-loop job fails — the adjacency is
-        # the quadratic expansion, the leak class the review cadence
-        # keeps catching (kcore raise path, layout checkpoint)
-        adj.unpersist()
+    cur = starts.withColumn("step", F.lit(0)).localCheckpoint(eager=True)
+    out = [cur]
+    for t in range(1, steps + 1):
+        cand = (
+            F.broadcast(cur.select("walk", "node"))  # frontier is walk-count-sized
+            .join(adjl, cur["node"] == adjl["u"])
+            .select("walk", F.explode("__nbrs").alias("node"))
+        )
+        h = _hash60(["walk", "__t", "node"], seed)
+        w = Window.partitionBy("walk").orderBy("__hh", "node")
+        nxt = (
+            cand.withColumn("__t", F.lit(t))
+            .withColumn("__hh", h)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("walk", "node", F.lit(t).alias("step"))
+            .localCheckpoint(eager=True)
+        )
+        out.append(nxt)
+        cur = nxt
     acc = out[0]
     for df in out[1:]:
         acc = acc.unionAll(df)

@@ -277,8 +277,18 @@ def hashed_blocked_keys(df: DataFrame, col: str, *, nblocks: int, salt: int = 0)
     def fn(batches):
         for rb in batches:
             arr = rb.column(0)
-            strings = _strings_of(arr.to_pylist())
-            u = H.hash_strings(strings, 1)[:, 0] if strings else np.empty(0, dtype=np.uint64)
+            if len(arr) == 0:
+                u = np.empty(0, dtype=np.uint64)
+            else:
+                # zero-copy: hash straight off the Arrow UTF-8 layout
+                # (r6: the former to_pylist + per-string re-encode paid
+                # a Python object round-trip per key); NULL rows hash
+                # as empty spans == the _strings_of '' convention
+                buf, offsets, null_mask = H.arrow_utf8_buffers(arr)
+                starts, ends = offsets[:-1], offsets[1:]
+                if null_mask is not None:
+                    ends = np.where(null_mask, starts, ends)
+                u = H.hash_spans_from_buffers(buf, starts, ends, 1)[:, 0]
             block = ((_splitmix64(u ^ _usalt(salt)) >> _U64(1)) % _U64(nblocks)).astype(np.int32)
             yield pa.record_batch(
                 [pa.array(block, type=pa.int32()), pa.array(u.view(np.int64))],

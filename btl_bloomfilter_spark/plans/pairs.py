@@ -31,6 +31,7 @@ def grouped_pair_events(
     *,
     block: int = 512,
     order_field: str = "id",
+    materialize: bool = True,
 ) -> DataFrame:
     """All unordered pairs of rows sharing ``keys``, as two struct
     columns ``(a, b)``.
@@ -67,6 +68,15 @@ def grouped_pair_events(
         .withColumn("ck", F.pmod(F.xxhash64(F.col("p")[order_field]), F.col("nck")).cast("int"))
     )
     lists = chunked.groupBy(*keys, "ck").agg(F.collect_list("p").alias("xs"))
+    if materialize:
+        # three consumers (within-chunk explode + both self-join
+        # sides): uncached, Catalyst re-runs the upstream
+        # rows→pdfreq→join→groupBy chain per consumer (the within
+        # branch cannot share the self-join's exchange).  One eager
+        # checkpoint computes the chunk table exactly once; it is the
+        # same order of size as the candidate-event input.  Set False
+        # only when the input is a trivially cheap scan.
+        lists = lists.localCheckpoint(eager=True)
     a, b = F.col("a"), F.col("b")
     within = (
         lists.select(F.explode("xs").alias("a"), "xs")
