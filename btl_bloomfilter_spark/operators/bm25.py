@@ -33,6 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..plans.spread import fan_out as _r6_fan_out
+
 from ..functions.textstats import _WS
 
 
@@ -66,6 +68,7 @@ def bm25_scores(
     when ``lowercase``); a query term absent from the corpus simply
     contributes nothing.
     """
+    df = _r6_fan_out(df)  # no-op on healthy layouts; unsticks 1-row-group sources
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     terms = sorted({t.lower() if lowercase else t for t in query_terms})

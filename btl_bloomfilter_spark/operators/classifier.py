@@ -70,7 +70,13 @@ def hashed_features(
     cols = [idxs.alias("idxs"), vals.alias("vals")]
     if label_col is not None:
         cols = [F.col(label_col).cast("double").alias("label")] + cols
-    return df.select(*cols)
+    from ..plans.spread import fan_out
+
+    # fan_out BEFORE the projection: callers cache this result and run
+    # multi-iteration trains over it — an under-partitioned source
+    # would freeze the cache (and every gradient pass) at one core;
+    # training is partitioning-invariant (q98 gate), values unchanged
+    return fan_out(df).select(*cols)
 
 
 def _iter_gradient(feat: DataFrame, w_b, dim: int, quant: float) -> DataFrame:

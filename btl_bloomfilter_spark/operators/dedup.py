@@ -53,13 +53,19 @@ def exact_dedup_keep(df: DataFrame, col: str, id_col: str) -> DataFrame:
 
 def shingles(df: DataFrame, col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-grams per document (id, shingle)."""
-    toks = F.split(F.trim(F.col(col)), r"\s+")
+    from ..plans.spread import fan_out
+
+    toks = F.split(F.trim(F.col("__t")), r"\s+")
     idx = F.sequence(F.lit(0), F.size(toks) - n)  # starts 0..L-n
     gram = F.when(F.size(toks) >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))).otherwise(
         F.array().cast("array<string>")
     )
+    # fan_out: the tokenize+explode map is the cost; an
+    # under-partitioned source (single-row-group parquet) would run it
+    # on one core (no-op on healthy layouts — see plans/spread)
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(gram).alias("shingle"))
+        fan_out(df.select(F.col(id_col).alias("id"), F.col(col).alias("__t")))
+        .select("id", F.explode(gram).alias("shingle"))
         .where(F.col("shingle") != "")
         .distinct()
     )

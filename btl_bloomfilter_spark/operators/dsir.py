@@ -43,6 +43,8 @@ import math
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.spread import fan_out as _r6_fan_out
+
 from .lmscore import MICRO, _tokens, _tokens_sql
 
 
@@ -102,6 +104,7 @@ def bucket_counts(
     """(bucket, cnt) hashed-gram profile of a corpus — one scan,
     map-side partial agg, <= num_buckets result rows.  Persist this
     once per corpus and reuse across scoring runs."""
+    df = _r6_fan_out(df)  # no-op on healthy layouts; unsticks 1-row-group sources
     return (
         df.select(F.explode(_grams(col, lowercase)).alias("gram"))
         .select(_bucket(F.col("gram"), num_buckets, seed))

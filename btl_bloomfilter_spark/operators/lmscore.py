@@ -46,6 +46,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.spread import fan_out as _r6_fan_out
+
 from ..functions.textstats import _WS
 
 MICRO = 1_000_000
@@ -129,6 +131,7 @@ def lm_doc_scores(
     scoring); pass the result of :func:`unigram_lm` to score
     candidate shards against a fixed trusted corpus.
     """
+    docs = _r6_fan_out(docs)  # no-op on healthy layouts; unsticks 1-row-group sources
     if lm is None:
         lm = unigram_lm(docs, col, lowercase=lowercase, min_count=min_count)
     lm_df, oov_micro = lm

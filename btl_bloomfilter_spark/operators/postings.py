@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..plans.spread import fan_out as _r6_fan_out
+
 from .bm25 import _words
 
 __all__ = ["build_postings", "phrase_search"]
@@ -41,6 +43,7 @@ def build_postings(
 ) -> DataFrame:
     """(term, doc, positions, tf): sorted 0-based token positions per
     (term, document) — one map-side-combined shuffle."""
+    df = _r6_fan_out(df)  # no-op on healthy layouts; unsticks 1-row-group sources
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.posexplode(_words(text_col, lowercase)).alias("pos", "term"),

@@ -59,6 +59,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.textstats import _WS, _clean
 from ..plans.pairs import grouped_pair_events
+from ..plans.spread import fan_out
 
 __all__ = ["containment_join", "ordered_token_sets", "prefix_similarity_join"]
 
@@ -82,11 +83,13 @@ def ordered_token_sets(
     ``prefix_similarity_join(..., token_sets=sets)`` → ONE corpus
     scan, and the caller owns the unpersist."""
     if tokens_col is not None:
-        tok = df.select(F.col(id_col).alias("id"), F.explode(tokens_col).alias("token"))
+        src = fan_out(df.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("__t")))
+        tok = src.select("id", F.explode("__t").alias("token"))
     else:
-        tok = df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.split(_clean(col), rf"[{_WS}]+")).alias("token"),
+        src = fan_out(df.select(F.col(id_col).alias("id"), F.col(col).alias("__t")))
+        tok = src.select(
+            "id",
+            F.explode(F.split(_clean("__t"), rf"[{_WS}]+")).alias("token"),
         )
     tok = tok.where(F.col("token").isNotNull() & (F.col("token") != "")).distinct()
     dfreq = tok.groupBy("token").agg(F.count("*").alias("dfq"))

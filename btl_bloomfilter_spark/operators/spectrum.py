@@ -81,7 +81,14 @@ def kmer_events(df: DataFrame, col: str, k: int) -> DataFrame:
     the exact and sampled paths; the caller aggregates."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    return df.select(F.explode(_kmer_array(col, k)).alias("kmer"))
+    from ..plans.spread import fan_out
+
+    # fan_out: the k-mer window expansion is the map cost; an
+    # under-partitioned source would run it on one core (no-op on
+    # healthy layouts — see plans/spread)
+    return fan_out(df.select(F.col(col).alias("__t"))).select(
+        F.explode(_kmer_array("__t", k)).alias("kmer")
+    )
 
 
 def kmer_spectrum(df: DataFrame, col: str, k: int) -> DataFrame:

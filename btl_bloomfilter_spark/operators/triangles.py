@@ -115,8 +115,18 @@ def cooccurrence_edges(
     """
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")
-    grouped = df.groupBy(group).agg(
-        F.array_sort(F.collect_set(F.col(item).cast("long"))).alias("ps")
+    # Exchange BEFORE the heavy work, keyed the way the groupBy needs:
+    # the aggregation would exchange on `group` anyway, and a partial
+    # collect_set over randomly-ordered rows shrinks nothing, so the
+    # explicit repartition costs no extra shuffle — but it unsticks
+    # the map side when the source arrives under-partitioned (the r6
+    # audit: every sf bench input is one parquet row group = ONE scan
+    # split, so the whole collect_set build ran on one core).
+    grouped = (
+        df.select(F.col(group).alias("__g"), F.col(item).cast("long").alias("__i"))
+        .repartition(F.col("__g"))
+        .groupBy(F.col("__g").alias(group))
+        .agg(F.array_sort(F.collect_set("__i")).alias("ps"))
     )
     if max_group_size is not None:
         grouped = grouped.where(F.size("ps") <= int(max_group_size))

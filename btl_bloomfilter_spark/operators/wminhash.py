@@ -60,11 +60,15 @@ def token_counts(df: DataFrame, text_col: str, id_col: str, *, cap: int) -> Data
     """(id, token, c) with c = min(count, cap); empty tokens dropped."""
     if cap < 1:
         raise ValueError("cap must be >= 1")
+    from ..plans.spread import fan_out
+
     return (
-        df.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.explode(F.split(_clean(text_col), rf"[{_WS}]+")).alias("token"),
+        fan_out(
+            df.select(
+                F.col(id_col).cast("long").alias("id"), F.col(text_col).alias("__t")
+            )
         )
+        .select("id", F.explode(F.split(_clean("__t"), rf"[{_WS}]+")).alias("token"))
         .where(F.col("token") != "")
         .groupBy("id", "token")
         .agg(F.least(F.count("*"), F.lit(int(cap))).alias("c"))

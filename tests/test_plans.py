@@ -32,7 +32,13 @@ def test_column_pruning_on_scan(spark, docs):
     part = partial_sketches(docs, "text", lambda: BloomFilter(1 << 14, 3, 8))
     plan = _plan(part)
     assert "ReadSchema: struct<text:string>" in plan  # only text read
-    assert "Exchange" not in plan  # no shuffle before the kernel
+    # No KEYED shuffle before the kernel: the only exchange the build
+    # may plan is the conditional round-robin fan-out of an
+    # under-partitioned source (plans/spread.fan_out, r6) — never a
+    # hash/range partitioning of the data
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan  # the fan-out, nothing else
 
 
 @pytest.mark.spark
