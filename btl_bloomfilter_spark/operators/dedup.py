@@ -125,8 +125,17 @@ def jaccard_pairs_from_shingles(
     grouped = sh.groupBy("shingle").agg(F.collect_list("id").alias("ids"))
     if max_doc_freq is not None:
         grouped = grouped.where(F.size("ids") <= max_doc_freq)
-    sizes = grouped.select(F.explode("ids").alias("id")).groupBy("id").agg(
-        F.count("*").alias("sz")
+    # THREE consumers of the grouped table (the pair expansion + both
+    # size-join sides): uncached, Catalyst re-runs the full shingle
+    # derivation + groupBy per consumer (r6 plan audit).  One eager
+    # checkpoint computes it once; the doc-sized size table is likewise
+    # materialized once and broadcast into the two final joins.
+    grouped = grouped.localCheckpoint(eager=True)
+    sizes = (
+        grouped.select(F.explode("ids").alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("sz"))
+        .localCheckpoint(eager=True)
     )
     inter = (
         grouped.where(F.size("ids") >= 2)
@@ -139,8 +148,8 @@ def jaccard_pairs_from_shingles(
     sa = sizes.alias("sa")
     sb = sizes.alias("sb")
     out = (
-        inter.join(sa, F.col("id_a") == F.col("sa.id"))
-        .join(sb, F.col("id_b") == F.col("sb.id"))
+        inter.join(F.broadcast(sa), F.col("id_a") == F.col("sa.id"))
+        .join(F.broadcast(sb), F.col("id_b") == F.col("sb.id"))
         .select(
             "id_a",
             "id_b",
@@ -222,7 +231,11 @@ def minhash_signatures(
 
     id_type = dict(df.dtypes)[id_col]
     out_schema = f"id {id_type}, sig array<bigint>"
-    sdf = df.select(F.col(id_col).alias("id"), F.col(col).alias("__text"))
+    from ..plans.spread import fan_out
+
+    # fan_out: the tokenize+NTE64 fan-out kernel is the map cost
+    # (no-op on healthy layouts — see plans/spread)
+    sdf = fan_out(df.select(F.col(id_col).alias("id"), F.col(col).alias("__text")))
 
     def fn(batches):
         for rb in batches:
@@ -723,7 +736,12 @@ def winnow_fingerprints(
 
     id_type = dict(df.dtypes)[id_col]
     seeds = H.seed_table(seed_salt)
-    sdf = df.select(F.col(id_col).alias("id"), F.col(col).alias("__text"))
+    from ..plans.spread import fan_out
+
+    # fan_out: the rolling-hash winnow kernel is the map cost; an
+    # under-partitioned source would run it on one core (no-op on
+    # healthy layouts — see plans/spread)
+    sdf = fan_out(df.select(F.col(id_col).alias("id"), F.col(col).alias("__text")))
 
     def fn(batches):
         for rb in batches:

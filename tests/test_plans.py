@@ -87,7 +87,12 @@ def test_minhash_signature_scan_pruned(spark, docs):
     plan = _plan(sigs)
     rs = plan.split("ReadSchema: ")[1].splitlines()[0]
     assert "text" in rs and "doc_id" in rs and "source" not in rs and "lang" not in rs
-    assert "Exchange" not in plan  # signatures are a pure map
+    # signatures stay a pure map except the conditional round-robin
+    # fan-out of an under-partitioned source (plans/spread.fan_out,
+    # r6) — never a keyed exchange
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    if "Exchange" in plan:
+        assert "RoundRobinPartitioning" in plan
 
 
 @pytest.mark.spark
