@@ -84,39 +84,38 @@ def _iter_gradient(feat: DataFrame, w_b, dim: int, quant: float) -> DataFrame:
     loss, every per-row contribution pre-quantized to int64.  Emits
     (idx, g) rows; idx == dim is the bias, idx == dim+1 carries the
     quantized per-row loss sum (for monitoring), idx == dim+2 the row
-    count."""
+    count.
+
+    mapInArrow: the sparse rows arrive as Arrow list arrays whose flat
+    values/offsets buffers feed numpy directly — the former pandas
+    path materialized a python list object per row and re-concatenated
+    per batch (guide §4: r6).  Arithmetic is identical, so gradients
+    are bit-identical (q98 partitioning-invariance law unchanged)."""
+    import pyarrow as pa
 
     def fn(batches):
         w = w_b.value
         acc = np.zeros(dim + 1, dtype=np.int64)
         loss_q = 0
         n = 0
-        for pdf in batches:
-            labels = pdf["label"].to_numpy(dtype=np.float64)
-            idx_l = pdf["idxs"].to_list()
-            val_l = pdf["vals"].to_list()
-            lens = np.fromiter((len(a) for a in idx_l), dtype=np.int64, count=len(idx_l))
-            cat_i = (
-                np.concatenate([np.asarray(a, dtype=np.int64) for a in idx_l])
-                if len(idx_l) and lens.sum()
-                else np.empty(0, dtype=np.int64)
-            )
-            cat_v = (
-                np.concatenate([np.asarray(a, dtype=np.float64) for a in val_l])
-                if len(val_l) and lens.sum()
-                else np.empty(0, dtype=np.float64)
-            )
+        for rb in batches:
+            labels = rb.column(0).to_numpy(zero_copy_only=False).astype(np.float64)
+            ia = rb.column(1)
+            va = rb.column(2)
+            lens = pa.compute.list_value_length(ia).to_numpy(zero_copy_only=False).astype(np.int64)
+            cat_i = ia.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+            cat_v = va.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
             # per-row margin: w.x + bias.  reduceat quirks: indices
             # must be < len(prod) and equal consecutive indices return
             # prod[i] — clip, then zero the empty rows explicitly.
             prod = w[cat_i] * cat_v
             if len(prod):
-                bounds = np.zeros(len(idx_l) + 1, dtype=np.int64)
+                bounds = np.zeros(len(lens) + 1, dtype=np.int64)
                 np.cumsum(lens, out=bounds[1:])
                 starts = np.minimum(bounds[:-1], len(prod) - 1)
                 margins = np.add.reduceat(prod, starts)
             else:
-                margins = np.zeros(len(idx_l))
+                margins = np.zeros(len(lens))
             margins[lens == 0] = 0.0
             margins += w[dim]
             with np.errstate(over="ignore"):
@@ -129,17 +128,19 @@ def _iter_gradient(feat: DataFrame, w_b, dim: int, quant: float) -> DataFrame:
             eps = 1e-12
             loss = -(labels * np.log(p + eps) + (1 - labels) * np.log(1 - p + eps))
             loss_q += int(np.rint(loss * quant).astype(np.int64).sum())
-            n += len(idx_l)
+            n += len(lens)
         nz = np.nonzero(acc)[0]
-        out = pd.DataFrame(
-            {
-                "idx": np.concatenate([nz, [dim + 1, dim + 2]]),
-                "g": np.concatenate([acc[nz], [loss_q, n]]).astype(np.int64),
-            }
+        yield pa.record_batch(
+            [
+                pa.array(np.concatenate([nz, [dim + 1, dim + 2]]), pa.int64()),
+                pa.array(
+                    np.concatenate([acc[nz], [loss_q, n]]).astype(np.int64), pa.int64()
+                ),
+            ],
+            names=["idx", "g"],
         )
-        yield out
 
-    return feat.mapInPandas(fn, "idx long, g long")
+    return feat.select("label", "idxs", "vals").mapInArrow(fn, "idx long, g long")
 
 
 def train_quality_classifier(

@@ -167,24 +167,39 @@ def distinct_to_date(
         F.col(id_col).alias("id"),
         day.cast("date").alias("d"),
     )
-    blobs = sketch_by_key(
-        t,
-        ["g", "d"],
-        "id",
-        lambda: HyperLogLog(p=p),
-        lambda sk: sk.serialize(),
-        "blob",
-        out_type="binary",
-    ).collect()  # groups × days rows — report-sized by construction
+    # The blob build and the exact first-day pass are INDEPENDENT jobs
+    # over the same input; submit them from two driver threads so the
+    # second job's tasks back-fill executors freed by the first job's
+    # tail (guide §2.6) — results identical, wall time ~max instead of
+    # ~sum of the two report-sized collects.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # exact distinct-to-date: each id counts on its FIRST day
-    firsts = (
-        t.groupBy("g", "id")
-        .agg(F.min("d").alias("fd"))
-        .groupBy("g", "fd")
-        .agg(F.count("*").alias("nnew"))
-        .collect()
-    )
+    def _blobs():
+        return sketch_by_key(
+            t,
+            ["g", "d"],
+            "id",
+            lambda: HyperLogLog(p=p),
+            lambda sk: sk.serialize(),
+            "blob",
+            out_type="binary",
+        ).collect()  # groups × days rows — report-sized by construction
+
+    def _firsts():
+        # exact distinct-to-date: each id counts on its FIRST day
+        return (
+            t.groupBy("g", "id")
+            .agg(F.min("d").alias("fd"))
+            .groupBy("g", "fd")
+            .agg(F.count("*").alias("nnew"))
+            .collect()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_blobs = pool.submit(_blobs)
+        f_firsts = pool.submit(_firsts)
+        blobs = f_blobs.result()
+        firsts = f_firsts.result()
 
     from collections import defaultdict
 

@@ -113,6 +113,18 @@ def fellegi_sunter_link(
         *[f"({c.expr_b.replace('{t}', '')}) AS __c_{c.name}_b" for c in comparators],
     )
     cond = [F.col(f"__bk{i}_a") == F.col(f"__bk{i}_b") for i in range(len(block))]
+    # Explicit user repartition on the block keys, at the session's
+    # configured shuffle width: AQE coalesces planner-owned exchanges
+    # of SMALL inputs down to its 1 MB minimum (r6 measurement: the
+    # sf0.1 customer sides coalesced to 2 partitions, so the expensive
+    # per-pair comparator projection — levenshtein et al. — ran on 2 of
+    # 32 cores).  A user-specified partition count is exempt from AQE
+    # coalescing, the join reuses the partitioning (no extra exchange),
+    # and the width follows spark.sql.shuffle.partitions, the value a
+    # real cluster tunes to its scale.
+    n_part = int(df_a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(n_part, *[F.col(f"__bk{i}_a") for i in range(len(block))])
+    b = b.repartition(n_part, *[F.col(f"__bk{i}_b") for i in range(len(block))])
     j = a.join(b, cond)
 
     score = F.lit(0).cast("long")
