@@ -181,12 +181,76 @@ BUILDERS = {
 }
 
 
+def run_corpus_prep_e2e(sf_dir: str) -> dict:
+    """One COMPOSED corpus-prep pipeline, timed end to end (r5 verdict
+    worklist #7): hygiene (C4 rewrite + Gopher + repetition + PII)
+    -> exact + near dedup -> split  via jobs/clean_corpus.py, then
+    benchmark decontamination of the cleaned corpus via
+    jobs/decontaminate.py, then sequence packing of the survivors —
+    the persist-once seams composed as a real job chain (fresh
+    subprocess sessions for the two spark-submit-style jobs, exactly
+    as a cluster would run them)."""
+    import shutil
+    import subprocess
+
+    work = Path(tempfile.gettempdir()) / f"btl_e2e_{Path(sf_dir).name}"
+    shutil.rmtree(work, ignore_errors=True)
+    work.mkdir(parents=True)
+    out: dict = {"sf_dir": sf_dir}
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "clean_corpus.py"),
+         "--input", f"{sf_dir}/documents.parquet", "-o", str(work / "clean"),
+         "--c4-rewrite", "--gopher", "--repetition", "--redact-pii",
+         "--exact-dedup", "--near-dedup", "--min-words", "20",
+         "--split", "train=0.98,val=0.01,test=0.01", "--no-stats"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"clean_corpus failed:\n{r.stderr[-2000:]}")
+    out["clean_sec"] = round(time.perf_counter() - t0, 3)
+    out["clean_stats"] = json.loads(
+        [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
+    )
+    t1 = time.perf_counter()
+    r = subprocess.run(
+        [sys.executable, str(REPO / "jobs" / "decontaminate.py"),
+         "--corpus", str(work / "clean"), "--bench", f"{sf_dir}/documents.parquet",
+         "-o", str(work / "screened"), "--k", "25"],
+        capture_output=True, text=True, cwd=str(REPO),
+    )
+    if r.returncode != 0:
+        raise RuntimeError(f"decontaminate failed:\n{r.stderr[-2000:]}")
+    out["decontam_sec"] = round(time.perf_counter() - t1, 3)
+    t2 = time.perf_counter()
+    spark = B._spark(B.CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F  # noqa: F811
+    from btl_bloomfilter_spark.operators.packing import pack_documents
+
+    screened = spark.read.parquet(str(work / "screened"))
+    docs = screened.select(
+        "doc_id", F.greatest(F.length("text"), F.lit(1)).alias("n_tok")
+    )
+    packed = pack_documents(docs, "doc_id", "n_tok", capacity=4096)
+    out["n_packed"] = packed.count()
+    out["pack_sec"] = round(time.perf_counter() - t2, 3)
+    spark.stop()
+    out["total_sec"] = round(out["clean_sec"] + out["decontam_sec"] + out["pack_sec"], 3)
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--plans", type=str, default=None)
     ap.add_argument("--time", type=str, default=None)
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--e2e", action="store_true")
     args = ap.parse_args()
+    if args.e2e:
+        print(json.dumps({"corpus_prep_e2e": run_corpus_prep_e2e(B.SF_DIR)}))
+        return
     names = (args.plans or args.time).split(",")
     unknown = [n for n in names if n not in BUILDERS]
     if unknown:

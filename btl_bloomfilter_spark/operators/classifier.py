@@ -70,13 +70,13 @@ def hashed_features(
     cols = [idxs.alias("idxs"), vals.alias("vals")]
     if label_col is not None:
         cols = [F.col(label_col).cast("double").alias("label")] + cols
-    from ..plans.spread import fan_out
-
-    # fan_out BEFORE the projection: callers cache this result and run
-    # multi-iteration trains over it — an under-partitioned source
-    # would freeze the cache (and every gradient pass) at one core;
-    # training is partitioning-invariant (q98 gate), values unchanged
-    return fan_out(df).select(*cols)
+    # No fan_out here (r6 review): callers control partitioning
+    # deliberately — q98 trains at two EXPLICIT partitionings to pin
+    # gradient invariance, and the bench featurizes a pre-spread
+    # cache; a spread here would override both (and probe .rdd on a
+    # caller's repartition plan).  Under-partitioned corpora should be
+    # spread by the caller before featurizing.
+    return df.select(*cols)
 
 
 def _iter_gradient(feat: DataFrame, w_b, dim: int, quant: float) -> DataFrame:
