@@ -23,6 +23,7 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -164,6 +165,45 @@ def b_kmer_spectrum(spark, I):
     return kmer_spectrum(I["docs"], "text", 12)
 
 
+def b_span_dedup(spark, I):
+    from btl_bloomfilter_spark.operators.dedup import duplicate_spans
+    return duplicate_spans(I["docs"], "text", "doc_id", k=16, w=16, min_len=64)
+
+
+def b_contamination_screen(spark, I):
+    from btl_bloomfilter_spark.operators.decontam import contamination_screen
+    bench_docs = I["docs"].where(F.col("doc_id") % 10 == 0).select("text")
+    screened, _ = contamination_screen(I["docs"], bench_docs, "text", k=25)
+    return screened.agg(F.avg("contamination_frac"))
+
+
+def b_bm25(spark, I):
+    from btl_bloomfilter_spark.operators.bm25 import bm25_scores
+    return bm25_scores(I["docs"], "text", "doc_id",
+                       ["hash", "spark", "scan"], top_n=100)
+
+
+def b_phrase_search(spark, I):
+    from btl_bloomfilter_spark.operators.postings import (
+        build_postings, phrase_search)
+    idx = build_postings(I["docs"], "text", "doc_id")
+    return phrase_search(idx, ["table", "value"])
+
+
+def b_incremental_minhash(spark, I):
+    from btl_bloomfilter_spark.operators.dedup import (
+        incremental_minhash_dedup, minhash_signatures)
+    d = I["docs"].select("doc_id", "text").repartition(B.CPUS).cache()
+    d.count()
+    sigs = minhash_signatures(d, "text", "doc_id", num_perm=64).persist()
+    sigs.count()
+    shard = d.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    return incremental_minhash_dedup(shard, "text", "doc_id", sigs,
+                                     num_perm=64, bands=16, threshold=0.3)
+
+
 BUILDERS = {
     "triangle_counts_parts": b_triangle_counts,
     "kcore_parts": b_kcore,
@@ -178,6 +218,11 @@ BUILDERS = {
     "conv_near_dup": b_conv_near_dup,
     "record_linkage": b_record_linkage,
     "kmer_spectrum_docs": b_kmer_spectrum,
+    "span_dedup_docs": b_span_dedup,
+    "contamination_screen": b_contamination_screen,
+    "bm25_retrieval": b_bm25,
+    "phrase_search_docs": b_phrase_search,
+    "incremental_minhash": b_incremental_minhash,
 }
 
 
