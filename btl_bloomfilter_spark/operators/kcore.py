@@ -42,11 +42,26 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["k_core"]
 
 
-def k_core(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 200,
+    *,
+    broadcast_survivors: bool = True,
+) -> DataFrame:
     """(node, core_deg) — nodes of the k-core of a canonical (u, v)
     edge set (see `triangles.canonical_edges` / `cooccurrence_edges`),
     with each node's degree INSIDE the core subgraph (>= k by the
     fixpoint; empty DataFrame when the whole graph peels away).
+
+    ``broadcast_survivors`` (default True) broadcasts the node-sized
+    survivor set into the per-round semi-joins so the static edge
+    table never crosses an exchange; set False for graphs whose
+    survivor set exceeds executor broadcast memory (the semi-joins
+    fall back to planner-chosen exchanges — same rows, same fixpoint;
+    the escape hatch every broadcast-hinted graph operator here
+    carries: pagerank ``broadcast_ranks``, labelprop
+    ``broadcast_labels``, linkpred ``broadcast_deg``).
 
     The returned DataFrame is persisted (it is the final round's
     degree table, already materialized by the convergence check);
@@ -94,10 +109,11 @@ def k_core(edges: DataFrame, k: int, max_rounds: int = 200) -> DataFrame:
         survivors = (
             deg.where(F.col("core_deg") >= k).select("node").localCheckpoint(eager=True)
         )
+        maybe_b = F.broadcast if broadcast_survivors else (lambda d: d)
         alive = adj.join(
-            F.broadcast(survivors.withColumnRenamed("node", "u")), "u", "left_semi"
+            maybe_b(survivors.withColumnRenamed("node", "u")), "u", "left_semi"
         ).join(
-            F.broadcast(survivors.withColumnRenamed("node", "v")), "v", "left_semi"
+            maybe_b(survivors.withColumnRenamed("node", "v")), "v", "left_semi"
         )
     adj.unpersist()
     if deg is not None:

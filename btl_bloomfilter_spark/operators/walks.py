@@ -57,7 +57,13 @@ def deterministic_walks(
     # every step).  collect_list order is partition-dependent, but
     # every consumer reduces over the neighbor SET (hash argmin), so
     # values are order-invariant.  The eager checkpoint doubles as the
-    # lineage cut the old persist provided.
+    # lineage cut the old persist provided.  Scale caveat: unlike
+    # triangles' adjacency arrays (orientation-bounded at O(sqrt|E|)
+    # elements), the SYMMETRIC list of a hub node is its full degree
+    # in one row — fine for the co-occurrence graphs this serves
+    # (group-size-capped upstream), but a graph with multi-million-
+    # degree hubs should cap degree (cooccurrence_edges
+    # max_group_size=) or revert to the row-per-edge join shape.
     from .triangles import symmetric_adjacency
 
     adjl = (
